@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Session startup and the first warm-up action are excluded from timings
+(BASELINE.md: reference numbers are warm single-JVM; we time actions only).
+Large-result queries are executed with a count() action so driver collect
+time doesn't pollute engine timings; small results are fully collected.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from tech_ml_dataset_spark import get_spark
+
+# queries whose results are large at sf0.1 -> count() instead of collect()
+_COUNT_ONLY = {
+    "filter_project", "unique_by_order", "concat_slices", "lineitem_except",
+    "rolling_user_value", "expanding_user_cumsum", "analytic_lag_rank",
+    "ffill_events", "asof_purchase_click", "sessionize_events",
+    "doc_fingerprints", "dedup_exact_docs",
+}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+
+    qs = entry.queries()
+    # warm-up: JVM JIT + parquet footer caches, not measured
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in _COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": f"query_suite_total_sf{sf}",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

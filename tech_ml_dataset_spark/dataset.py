@@ -1,0 +1,226 @@
+"""Dataset — thin TMD-shaped wrapper over a pyspark DataFrame.
+
+The reference Dataset is an immutable column-major map
+(src/tech/v3/dataset/impl/dataset.clj:137-465). Here it wraps an immutable
+``pyspark.sql.DataFrame``; every method delegates to the functional operator
+modules, so the wrapper adds ergonomics, never semantics. Users who prefer
+plain DataFrames can use the operator functions directly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame
+
+from .operators import aggregate as _agg
+from .operators import join as _join
+from .operators import missing as _missing
+from .operators import selection as _sel
+from .operators import setops as _set
+from .operators import window as _win
+from .sources import io as _io
+
+
+def _unwrap(x):
+    return x.df if isinstance(x, Dataset) else x
+
+
+class Dataset:
+    """Immutable dataset: every operation returns a new Dataset."""
+
+    def __init__(self, df: DataFrame, name: str = "_unnamed"):
+        self.df = df
+        self.name = name
+
+    # ---- metadata / shape ------------------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def column_count(self) -> int:
+        return len(self.df.columns)
+
+    def row_count(self) -> int:
+        """Eager count (an action, like the reference's ds/row-count)."""
+        return self.df.count()
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.row_count(), self.column_count())
+
+    def dtypes(self) -> dict[str, str]:
+        return dict(self.df.dtypes)
+
+    def _wrap(self, df: DataFrame, name: str | None = None) -> "Dataset":
+        return Dataset(df, name or self.name)
+
+    # ---- rows out --------------------------------------------------------
+    def rows(self, n: int | None = None) -> list[dict]:
+        """Row-maps (reference rows view, impl/dataset.clj:369-419).
+        An action: collects to the driver — use only on small results."""
+        df = self.df.limit(n) if n is not None else self.df
+        return [r.asDict(recursive=True) for r in df.collect()]
+
+    def rowvecs(self, n: int | None = None) -> list[tuple]:
+        df = self.df.limit(n) if n is not None else self.df
+        return [tuple(r) for r in df.collect()]
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    # ---- selection / projection -----------------------------------------
+    def select_columns(self, cols):
+        return self._wrap(_sel.select_columns(self.df, cols))
+
+    def drop_columns(self, cols):
+        return self._wrap(_sel.drop_columns(self.df, cols))
+
+    def rename_columns(self, mapping: Mapping[str, str]):
+        return self._wrap(_sel.rename_columns(self.df, mapping))
+
+    def add_or_update_column(self, name, col):
+        return self._wrap(_sel.add_or_update_column(self.df, name, col))
+
+    assoc = add_or_update_column
+
+    def update_column(self, name, fn):
+        return self._wrap(_sel.update_column(self.df, name, fn))
+
+    def order_column_names(self, names):
+        return self._wrap(_sel.order_column_names(self.df, names))
+
+    # ---- filter / rows ----------------------------------------------------
+    def filter(self, pred):
+        return self._wrap(_sel.filter_rows(self.df, pred))
+
+    def filter_column(self, colname, pred=None):
+        return self._wrap(_sel.filter_column(self.df, colname, pred))
+
+    def head(self, n: int = 5):
+        return self._wrap(_sel.head(self.df, n))
+
+    def tail(self, n: int = 5, order_by=None):
+        return self._wrap(_sel.tail(self.df, n, order_by=order_by))
+
+    def sample(self, n=None, **kw):
+        return self._wrap(_sel.sample(self.df, n, **kw))
+
+    def shuffle(self, seed=None):
+        return self._wrap(_sel.shuffle(self.df, seed))
+
+    def select_rows(self, indexes, order_by=None):
+        return self._wrap(_sel.select_rows(self.df, indexes, order_by=order_by))
+
+    def drop_rows(self, indexes, order_by=None):
+        return self._wrap(_sel.drop_rows(self.df, indexes, order_by=order_by))
+
+    def min_n_by_column(self, colname, n, desc=False):
+        return self._wrap(_sel.min_n_by_column(self.df, colname, n, desc=desc))
+
+    # ---- missing ----------------------------------------------------------
+    def missing(self):
+        return self._wrap(_missing.missing_count(self.df))
+
+    def drop_missing(self, columns=None):
+        return self._wrap(_missing.drop_missing(self.df, columns))
+
+    def select_missing(self, columns=None):
+        return self._wrap(_missing.select_missing(self.df, columns))
+
+    def replace_missing(self, columns, strategy="value", value=None, **kw):
+        return self._wrap(_missing.replace_missing(self.df, columns, strategy, value, **kw))
+
+    # ---- aggregation -------------------------------------------------------
+    def group_by_column_agg(self, key, aggs, **kw):
+        return self._wrap(_agg.group_by_column_agg(self.df, key, aggs, **kw))
+
+    def aggregate(self, aggs):
+        return self._wrap(_agg.aggregate(self.df, aggs))
+
+    def descriptive_stats(self, columns=None):
+        return self._wrap(_agg.descriptive_stats(self.df, columns))
+
+    def brief(self):
+        return _agg.brief(self.df)
+
+    # ---- joins --------------------------------------------------------------
+    def inner_join(self, other, on, **kw):
+        return self._wrap(_join.inner_join(self.df, _unwrap(other), on, **kw))
+
+    def left_join(self, other, on, **kw):
+        return self._wrap(_join.left_join(self.df, _unwrap(other), on, **kw))
+
+    def right_join(self, other, on, **kw):
+        return self._wrap(_join.right_join(self.df, _unwrap(other), on, **kw))
+
+    def semi_join(self, other, on, **kw):
+        return self._wrap(_join.semi_join(self.df, _unwrap(other), on, **kw))
+
+    def anti_join(self, other, on, **kw):
+        return self._wrap(_join.anti_join(self.df, _unwrap(other), on, **kw))
+
+    def cross_join(self, other, **kw):
+        return self._wrap(_join.cross_join(self.df, _unwrap(other), **kw))
+
+    def pd_merge(self, other, **kw):
+        return self._wrap(_join.pd_merge(self.df, _unwrap(other), **kw))
+
+    def left_join_asof(self, other, on, **kw):
+        return self._wrap(_join.left_join_asof(self.df, _unwrap(other), on, **kw))
+
+    # ---- sort / distinct / set ops -----------------------------------------
+    def sort_by_column(self, colname, **kw):
+        return self._wrap(_set.sort_by_column(self.df, colname, **kw))
+
+    def sort_by(self, *cols):
+        return self._wrap(_set.sort_by(self.df, *cols))
+
+    def unique_by_column(self, colname, **kw):
+        return self._wrap(_set.unique_by_column(self.df, colname, **kw))
+
+    def distinct(self):
+        return self._wrap(_set.distinct(self.df))
+
+    def concat(self, *others):
+        return self._wrap(_set.concat(self.df, *[_unwrap(o) for o in others]))
+
+    def union(self, other):
+        return self._wrap(_set.union(self.df, _unwrap(other)))
+
+    def intersection(self, other):
+        return self._wrap(_set.intersection(self.df, _unwrap(other)))
+
+    def difference(self, other):
+        return self._wrap(_set.difference(self.df, _unwrap(other)))
+
+    # ---- windows -------------------------------------------------------------
+    def rolling(self, order_by, specs, **kw):
+        return self._wrap(_win.rolling(self.df, order_by, specs, **kw))
+
+    def rolling_range(self, order_by, specs, **kw):
+        return self._wrap(_win.rolling_range(self.df, order_by, specs, **kw))
+
+    def expanding(self, order_by, specs, **kw):
+        return self._wrap(_win.expanding(self.df, order_by, specs, **kw))
+
+    def with_analytic(self, order_by, exprs, **kw):
+        return self._wrap(_win.with_analytic(self.df, order_by, exprs, **kw))
+
+    # ---- io ---------------------------------------------------------------------
+    def write(self, path, **kw):
+        _io.write(self.df, path, **kw)
+
+    # ---- display -------------------------------------------------------------------
+    def show(self, n: int = 20, truncate: bool = True):
+        self.df.show(n, truncate)
+
+    def __repr__(self):
+        cols = ", ".join(f"{c}:{t}" for c, t in self.df.dtypes[:8])
+        more = " ..." if len(self.df.columns) > 8 else ""
+        return f"<Dataset {self.name} [{cols}{more}]>"
+
+
+def dataset(spark, data, **kw) -> Dataset:
+    """``->dataset`` entry point returning the wrapper."""
+    return Dataset(_io.to_dataset(spark, data, **kw))

@@ -1,0 +1,125 @@
+"""Text analysis operators for large-scale training-data pipelines
+(beyond-reference mandate: language-ID, quality scoring, token counting,
+document fingerprinting).
+
+Everything here is built from native ``pyspark.sql.functions`` string/array
+expressions — JVM-side, whole-stage-codegen'd, no Python UDFs — so the same
+plan that passes at sf0.01 streams over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_WS = r"\s+"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, _WS)))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_length(text: Column) -> Column:
+    """Mean token length — a classic quality-score feature."""
+    t = F.trim(text)
+    toks = F.split(t, _WS)
+    total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.length(t) == 0, F.lit(None).cast("double")) \
+            .otherwise(total.cast("double") / F.size(toks))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation (quality heuristic)."""
+    stripped = F.regexp_replace(text, r"[\p{Punct}]", "")
+    return F.when(F.length(text) == 0, F.lit(None).cast("double")) \
+            .otherwise((F.length(text) - F.length(stripped)).cast("double") / F.length(text))
+
+
+def uppercase_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[A-Z]", "")
+    return F.when(F.length(text) == 0, F.lit(None).cast("double")) \
+            .otherwise((F.length(text) - F.length(stripped)).cast("double") / F.length(text))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = (
+        "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")) -> Column:
+    """Fraction of tokens that are stopwords (English-ish default list)."""
+    toks = F.split(F.lower(F.trim(text)), _WS)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(None).cast("double")) \
+            .otherwise(n_sw.cast("double") / F.size(toks))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + punctuation band +
+    mean-token-length band. Deterministic and cheap; a stand-in for the
+    classifier-based scores real pipelines train."""
+    n_tok = token_count(text)
+    len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    pr = F.coalesce(punct_ratio(text), F.lit(0.0))
+    punct_ok = F.when(pr <= 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (pr - 0.2) * 4.0))
+    atl = F.coalesce(avg_token_length(text), F.lit(0.0))
+    atl_ok = F.when((atl >= 2.0) & (atl <= 12.0), 1.0).otherwise(0.5)
+    return (len_ok + punct_ok + atl_ok) / 3.0
+
+
+# Minimal per-language character/stopword signatures for n-gram-free
+# heuristic language ID. Real pipelines plug a fastText model in via
+# mapInPandas; this keeps the plumbing (and the query surface) testable.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "das"),
+    "fr": ("le", "la", "les", "est", "une"),
+    "es": ("el", "los", "que", "una", "por"),
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: CJK codepoint detection first, then stopword
+    marker voting; 'unknown' when nothing matches. Pure Catalyst exprs."""
+    has_cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", "")) > 0
+    toks = F.split(F.lower(F.trim(text)), _WS)
+    expr = F.lit("unknown")
+    best = F.lit(0)
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    # pick argmax via chained comparisons (ties -> first in dict order)
+    for lang in _LANG_MARKERS:
+        cond = scores[lang] > best
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        best = F.greatest(best, scores[lang])
+    return F.when(has_cjk, F.lit("zh")).otherwise(expr)
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of normalized text (lowercased,
+    whitespace-collapsed). Stable across partitions/engines that implement
+    xxhash64 identically; for cross-engine oracles use md5 instead."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
+    return F.xxhash64(norm)
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Cross-engine-stable fingerprint (md5 hex) of normalized text."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
+    return F.md5(norm)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-stat columns in one projection."""
+    t = F.col(text_col)
+    return df.withColumns({
+        "n_chars_calc": char_count(t),
+        "n_tokens": token_count(t),
+        "avg_token_len": avg_token_length(t),
+        "punct_ratio": punct_ratio(t),
+        "quality": quality_score(t),
+    })

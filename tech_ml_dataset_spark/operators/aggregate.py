@@ -1,0 +1,177 @@
+"""Group-by / aggregation — the reference's ``tech.v3.dataset.reductions``.
+
+Reference semantics: streaming parallel group-by-agg with per-column
+reducers (init/rfn/merge/finalize — src/tech/v3/dataset/protocols.clj:123-140,
+group-by-column-agg at src/tech/v3/dataset/reductions.clj:517, aggregate at
+:593). Its ConcurrentHashMap "shuffle" (reductions.clj:463-481) is exactly
+Spark's partial/final hash aggregation, so every reducer here compiles to a
+built-in ``F.*`` aggregate — map-side combine, whole-stage codegen, no Python
+in the hot path. At 100 TB this is the difference between a shuffle of raw
+rows and a shuffle of per-partition partial states.
+
+The reducer vocabulary (reductions.clj:91-306) maps to:
+  row-count            -> F.count("*")
+  first-value          -> F.first
+  sum (Kahan)          -> F.sum (naive; tolerance documented in BASELINE.md)
+  mean                 -> F.avg
+  min/maximum          -> F.min/F.max
+  distinct             -> F.collect_set
+  count-distinct       -> F.countDistinct
+  prob-set-cardinality -> F.approx_count_distinct   (HLL++, like DataSketches HLL)
+  prob-quantile/median -> F.percentile_approx
+  reservoir-desc-stat  -> exact F.stddev/var/skewness/kurtosis
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# name -> fn(column, **opts) -> Column. Mirrors reductions.clj's reducer
+# constructors; each returns a Catalyst aggregate expression.
+_REDUCERS: dict[str, Callable[..., Column]] = {
+    "row-count": lambda c=None, **_: F.count(F.lit(1)),
+    "count": lambda c, **_: F.count(c),
+    "first-value": lambda c, **_: F.first(c, ignorenulls=False),
+    "first": lambda c, **_: F.first(c, ignorenulls=True),
+    "last": lambda c, **_: F.last(c, ignorenulls=True),
+    "sum": lambda c, **_: F.sum(c),
+    "mean": lambda c, **_: F.avg(c),
+    "min": lambda c, **_: F.min(c),
+    "max": lambda c, **_: F.max(c),
+    "maximum": lambda c, **_: F.max(c),
+    "minimum": lambda c, **_: F.min(c),
+    "distinct": lambda c, **_: F.collect_set(c),
+    "count-distinct": lambda c, **_: F.countDistinct(c),
+    "prob-set-cardinality": lambda c, rsd=0.05, **_: F.approx_count_distinct(c, rsd),
+    "prob-median": lambda c, accuracy=10000, **_: F.percentile_approx(c, 0.5, accuracy),
+    "prob-quantile": lambda c, quantile=0.5, accuracy=10000, **_: F.percentile_approx(c, quantile, accuracy),
+    "prob-quantiles": lambda c, quantiles=(0.25, 0.5, 0.75), accuracy=10000, **_: F.percentile_approx(
+        c, list(quantiles), accuracy),
+    "prob-interquartile-range": lambda c, accuracy=10000, **_: (
+        F.percentile_approx(c, 0.75, accuracy) - F.percentile_approx(c, 0.25, accuracy)),
+    "prob-cdf": lambda c, x=0.0, **_: F.avg(F.when(c <= x, 1.0).otherwise(0.0)),
+    "stddev": lambda c, **_: F.stddev_samp(c),
+    "variance": lambda c, **_: F.var_samp(c),
+    "skew": lambda c, **_: F.skewness(c),
+    "kurtosis": lambda c, **_: F.kurtosis(c),
+    "sum-kahan": lambda c, **_: F.sum(c),  # Spark sums are naive; see BASELINE.md tolerance note
+}
+
+
+def _as_column(col) -> Column:
+    return col if isinstance(col, Column) else F.col(col)
+
+
+def resolve_reducer(spec) -> Column:
+    """Compile one reducer spec to a Catalyst aggregate Column.
+
+    Accepted spec shapes (mirroring the reference's keyword-arg maps):
+      Column                          -> used as-is
+      ("sum", "l_quantity")           -> _REDUCERS["sum"](col)
+      {"op": "prob-quantile", "column": "price", "quantile": 0.9}
+      callable(F) -> Column           -> escape hatch
+    """
+    if isinstance(spec, Column):
+        return spec
+    if callable(spec):
+        return spec(F)
+    if isinstance(spec, (tuple, list)):
+        op, col, *rest = spec
+        opts = rest[0] if rest else {}
+        return _REDUCERS[op](_as_column(col) if col is not None else None, **opts)
+    if isinstance(spec, Mapping):
+        opts = dict(spec)
+        op = opts.pop("op")
+        col = opts.pop("column", None)
+        return _REDUCERS[op](_as_column(col) if col is not None else None, **opts)
+    raise TypeError(f"unrecognized reducer spec: {spec!r}")
+
+
+def group_by_column_agg(
+    df: DataFrame,
+    key,
+    aggs: Mapping[str, object],
+    *,
+    index_filter: Column | str | None = None,
+) -> DataFrame:
+    """``group-by-column-agg`` (reductions.clj:517): one row per key value,
+    one output column per reducer. ``key`` may be a single column name or a
+    list (composite key, reductions.clj supports tuple keys).
+
+    ``index_filter`` is the reference's pre-aggregation row filter
+    (reductions.clj:450-455); expressed as ``.filter`` so Catalyst fuses it
+    into the scan (predicate pushdown) instead of materializing indexes.
+    """
+    if index_filter is not None:
+        df = df.filter(index_filter)
+    keys = [key] if isinstance(key, str) else list(key)
+    exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def aggregate(df: DataFrame, aggs: Mapping[str, object]) -> DataFrame:
+    """Whole-table aggregation -> single-row DataFrame (reductions.clj:593)."""
+    exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
+    return df.agg(*exprs)
+
+
+_STAT_FNS: dict[str, Callable[[Column], Column]] = {
+    "n-valid": lambda c: F.count(c),
+    "min": F.min,
+    "max": F.max,
+    "mean": F.avg,
+    "stddev": F.stddev_samp,
+    "sum": F.sum,
+    "skew": F.skewness,
+}
+
+
+def descriptive_stats(df: DataFrame, columns: Iterable[str] | None = None,
+                      stats: Iterable[str] = ("n-valid", "n-missing", "min", "mean",
+                                              "max", "stddev", "skew")) -> DataFrame:
+    """``descriptive-stats`` (reference dataset_api.clj:1300): one row per
+    column with summary statistics. Computed in a SINGLE pass/job: all
+    per-column aggregates go into one ``df.agg(...)`` so the scan happens
+    once regardless of column count — at 100 TB a per-column loop of jobs
+    would be catastrophic.
+    """
+    from pyspark.sql import types as T
+
+    cols = list(columns) if columns is not None else df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType)
+
+    exprs: list[Column] = [F.count(F.lit(1)).alias("__n_rows__")]
+    for c in cols:
+        is_num = isinstance(fields[c], numeric)
+        exprs.append(F.count(F.col(c)).alias(f"{c}||n-valid"))
+        for s in stats:
+            if s in ("n-valid", "n-missing"):
+                continue
+            if s in _STAT_FNS and (is_num or s in ("min", "max")):
+                src = F.col(c).cast("double") if (is_num and s not in ("min", "max")) else F.col(c)
+                exprs.append(_STAT_FNS[s](src).alias(f"{c}||{s}"))
+    row = df.agg(*exprs).collect()[0].asDict()
+
+    n_rows = row["__n_rows__"]
+    out_rows = []
+    for c in cols:
+        rec = {"col-name": c, "datatype": fields[c].simpleString(),
+               "n-valid": row.get(f"{c}||n-valid"),
+               "n-missing": n_rows - (row.get(f"{c}||n-valid") or 0)}
+        for s in stats:
+            if s in ("n-valid", "n-missing"):
+                continue
+            v = row.get(f"{c}||{s}")
+            rec[s] = str(v) if s in ("min", "max") and v is not None else v
+        out_rows.append(rec)
+    spark = df.sparkSession
+    return spark.createDataFrame(out_rows)
+
+
+def brief(df: DataFrame) -> list[dict]:
+    """``brief`` (dataset_api.clj:1388): descriptive-stats as plain dicts."""
+    return [r.asDict() for r in descriptive_stats(df).collect()]

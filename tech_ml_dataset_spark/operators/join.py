@@ -1,0 +1,227 @@
+"""Joins — equi, pd-merge, cross, semi/anti, and as-of.
+
+Reference semantics: tech.v3.dataset.join (hash-join-algo at
+src/tech/v3/dataset/join.clj:204-266; inner/left/right at :308,:336,:322;
+pd-merge at :376-579; left-join-asof at :747-799).
+
+Spark-first notes:
+* The reference has ONE join algorithm (single-JVM parallel hash join).
+  Here Catalyst picks broadcast-hash / sort-merge / shuffled-hash per side
+  size; we expose a ``broadcast`` hint for dimension tables.
+* The reference groups nil keys together (join.clj:210-214), i.e. NULL==NULL
+  matches. SQL `=` drops nulls. ``null_equal=True`` compiles to ``eqNullSafe``
+  (`<=>`) to replicate reference behavior; default False = SQL semantics.
+* Column-name collisions: pd-merge disambiguates non-key clashes as
+  "right.<name>" (join.clj:486-520). We rename right-side clashes the same way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def _normalize_keys(on) -> list[tuple[str, str]]:
+    """Key spec -> [(left_key, right_key)]. Accepts "k", ("lk","rk"),
+    ["k1","k2"], or [("lk","rk"), ...] — mirroring the reference's
+    single-or-tuple key arg (join.clj:308)."""
+    if isinstance(on, str):
+        return [(on, on)]
+    on = list(on)
+    if len(on) == 2 and all(isinstance(x, str) for x in on) and on[0] != on[1]:
+        # ambiguous: ("lk","rk") vs ["k1","k2"]; reference treats a 2-vector of
+        # distinct names as (lkey, rkey) — keep that convention.
+        return [(on[0], on[1])]
+    out = []
+    for k in on:
+        if isinstance(k, str):
+            out.append((k, k))
+        else:
+            lk, rk = k
+            out.append((lk, rk))
+    return out
+
+
+def _suffix_clashes(left: DataFrame, right: DataFrame,
+                    rkeys: Iterable[str]) -> tuple[DataFrame, dict[str, str]]:
+    """Rename right-side non-key columns that clash with left as
+    'right.<name>' (pd-merge convention, join.clj:486-520)."""
+    rkeys = set(rkeys)
+    clashes = {c: f"right.{c}" for c in right.columns
+               if c in set(left.columns) and c not in rkeys}
+    if clashes:
+        right = right.withColumnsRenamed(clashes)
+    return right, clashes
+
+
+def join(left: DataFrame, right: DataFrame, on, how: str = "inner", *,
+         null_equal: bool = False, broadcast_right: bool = False) -> DataFrame:
+    """General equi-join with reference column-collision semantics.
+
+    how: inner|left|right|outer|full|cross|left_semi|left_anti.
+    ``null_equal=True`` -> eqNullSafe, matching the reference's nil-key
+    grouping (join.clj:210-214).
+    ``broadcast_right`` hints a broadcast-hash join for small dims —
+    at 100 TB a dimension table must never be the shuffle side.
+    """
+    if how == "cross":
+        right, _ = _suffix_clashes(left, right, [])
+        return left.crossJoin(F.broadcast(right) if broadcast_right else right)
+
+    keys = _normalize_keys(on)
+    right, _ = _suffix_clashes(left, right, [rk for _, rk in keys])
+    r = F.broadcast(right) if broadcast_right else right
+
+    same_names = all(lk == rk for lk, rk in keys)
+    if same_names and not null_equal:
+        # name-based join: Spark coalesces the key columns (one output col),
+        # like the reference which emits a single key column.
+        return left.join(r, [lk for lk, _ in keys], how)
+
+    op = (lambda a, b: a.eqNullSafe(b)) if null_equal else (lambda a, b: a == b)
+    cond = None
+    for lk, rk in keys:
+        clause = op(left[lk], right[rk])
+        cond = clause if cond is None else (cond & clause)
+    out = left.join(r, cond, how)
+    if same_names and how not in ("left_semi", "left_anti"):
+        # drop the duplicate right key columns, keep left's
+        for _, rk in keys:
+            out = out.drop(right[rk])
+    return out
+
+
+def inner_join(left, right, on, **kw):
+    """``inner-join`` (join.clj:308)."""
+    return join(left, right, on, "inner", **kw)
+
+
+def left_join(left, right, on, **kw):
+    """``left-join`` (join.clj:336)."""
+    return join(left, right, on, "left", **kw)
+
+
+def right_join(left, right, on, **kw):
+    """``right-join`` (join.clj:322)."""
+    return join(left, right, on, "right", **kw)
+
+
+def semi_join(left, right, on, **kw):
+    """left-semi (EXISTS); reference models this via set ops only."""
+    return join(left, right, on, "left_semi", **kw)
+
+
+def anti_join(left, right, on, **kw):
+    """left-anti (NOT EXISTS); reference set/difference analog."""
+    return join(left, right, on, "left_anti", **kw)
+
+
+def cross_join(left, right, **kw):
+    """pd-merge :cross (join.clj:449-472)."""
+    return join(left, right, on=None, how="cross", **kw)
+
+
+def pd_merge(left: DataFrame, right: DataFrame, *, on=None, left_on=None,
+             right_on=None, how: str = "inner", null_equal: bool = False,
+             broadcast_right: bool = False) -> DataFrame:
+    """``pd-merge`` (join.clj:376-579): pandas-style multi-key merge.
+    how ∈ inner|left|right|outer|cross."""
+    how = {"outer": "full"}.get(how, how)
+    if how == "cross":
+        return cross_join(left, right, broadcast_right=broadcast_right)
+    if on is None:
+        lo = [left_on] if isinstance(left_on, str) else list(left_on)
+        ro = [right_on] if isinstance(right_on, str) else list(right_on)
+        on = list(zip(lo, ro))
+    return join(left, right, on, how, null_equal=null_equal,
+                broadcast_right=broadcast_right)
+
+
+def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
+                   by: str | Sequence[str] | None = None,
+                   asof_op: str = "<=") -> DataFrame:
+    """``left-join-asof`` (join.clj:747-799): for each left row, match the
+    single "closest" right row along ``on`` under ``asof_op`` ∈
+    {"<", "<=", ">", ">=", "nearest"} — e.g. "<=" matches the latest right
+    row with r.on <= l.on (the pandas merge_asof 'backward' default;
+    reference asof-lt/asof-gt/asof-nearest at join.clj:615,643,716).
+
+    Spark-first implementation — the union+window trick (no Python, no
+    per-key collect):
+      1. tag left/right rows and union on the shared axis,
+      2. one window sorted by (by, on, side-order): ``last(right-val,
+         ignorenulls)`` over unbounded-preceding gives each left row the
+         most recent right row — a single shuffle by ``by``; Catalyst/Tungsten
+         the whole way.
+    ">=" / ">" mirror with a descending window. "nearest" runs both
+    directions and picks the smaller distance.
+
+    At scale this is one sort-merge pass per side — same asymptotics as the
+    reference's merge-scan, but distributed by the ``by`` keys.
+    """
+    if asof_op == "nearest":
+        fwd = left_join_asof(left, right, on, by=by, asof_op="<=")
+        bwd = left_join_asof(left, right, on, by=by, asof_op=">=")
+        # pick per-row whichever matched value is closer on the axis
+        return _nearest_combine(left, fwd, bwd, on, by)
+
+    by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    rkeys = set(by_cols) | {on}
+    right, _ = _suffix_clashes(left, right, rkeys)
+    rval_cols = [c for c in right.columns if c not in rkeys]
+
+    descending = asof_op in (">", ">=")
+    strict = asof_op in ("<", ">")
+
+    lt = left.withColumn("__side__", F.lit(1))
+    rt = right.withColumn("__side__", F.lit(0))
+    # align schemas for unionByName
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in rval_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    # carry the right axis value so we can expose/strict-compare it
+    rt = rt.withColumn("__r_on__", F.col(on))
+    lt = lt.withColumn("__r_on__", F.lit(None).cast(dict(right.dtypes)[on]))
+    u = lt.unionByName(rt.select(*lt.columns))
+
+    on_sort = F.col(on).desc() if descending else F.col(on).asc()
+    # Side order at equal axis values decides inclusivity: for "<="/">=" the
+    # right row sorts BEFORE the left row (side 0 first) so an equal key is
+    # inside the preceding frame; for strict "<"/">" the left row sorts first,
+    # leaving only strictly-earlier right rows in its frame.
+    side_sort = F.col("__side__").desc() if strict else F.col("__side__").asc()
+    w = (W.partitionBy(*by_cols) if by_cols else W.partitionBy()) \
+        .orderBy(on_sort, side_sort) \
+        .rowsBetween(W.unboundedPreceding, 0)
+
+    filled = u
+    for c in rval_cols + ["__r_on__"]:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side__") == 1).drop("__side__")
+    return out.withColumnRenamed("__r_on__", f"right.{on}")
+
+
+def _nearest_combine(left: DataFrame, fwd: DataFrame, bwd: DataFrame,
+                     on: str, by) -> DataFrame:
+    """Combine backward/forward asof results picking the closer match."""
+    axis = f"right.{on}"
+    val_cols = [c for c in fwd.columns if c not in left.columns]
+    key = list(left.columns)
+    # alias matched columns to dot-free names (original names may contain
+    # the "right." prefix which Column resolution would parse as a path)
+    fa = {c: f"__f{i}__" for i, c in enumerate(val_cols)}
+    ba = {c: f"__b{i}__" for i, c in enumerate(val_cols)}
+    f = fwd.select(*key, *[F.col(f"`{c}`").alias(fa[c]) for c in val_cols])
+    b = bwd.select(*key, *[F.col(f"`{c}`").alias(ba[c]) for c in val_cols])
+    j = f.join(b, key)
+    d_f = F.abs(F.col(on).cast("double") - F.col(fa[axis]).cast("double"))
+    d_b = F.abs(F.col(on).cast("double") - F.col(ba[axis]).cast("double"))
+    use_f = F.when(F.col(ba[axis]).isNull(), True) \
+             .when(F.col(fa[axis]).isNull(), False) \
+             .otherwise(d_f <= d_b)
+    for c in val_cols:
+        j = j.withColumn(c, F.when(use_f, F.col(fa[c])).otherwise(F.col(ba[c])))
+    return j.drop(*fa.values(), *ba.values())

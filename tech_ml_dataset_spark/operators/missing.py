@@ -1,0 +1,140 @@
+"""Missing-value operators.
+
+Reference semantics: tech.v3.dataset.missing — replace-missing strategies
+:down :up :downup :updown :nearest :midpoint :lerp :abb :value
+(src/tech/v3/dataset/missing.clj:242, strategy impls :77-207), plus
+missing / drop-missing / select-missing (base.clj:428-443).
+
+The reference stores missing in a per-column RoaringBitmap; Spark columns
+are natively nullable, so SQL NULL is the missing bitmap. NaN is NOT null
+in Spark — ``nan_as_missing`` converts, replicating the reference parser's
+NaN->missing convention (io/column_parsers.clj:92-102).
+
+Scale note: :down/:up fills are window functions over an explicit ordering.
+Unpartitioned (no ``by``) they force a single total order; pass ``by`` (e.g.
+the series/symbol key) to keep the window partitioned and parallel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
+
+
+def _float_cols(df: DataFrame, cols: Iterable[str]) -> list[str]:
+    ft = {f.name for f in df.schema.fields if isinstance(f.dataType, (T.FloatType, T.DoubleType))}
+    return [c for c in cols if c in ft]
+
+
+def nan_as_missing(df: DataFrame, columns: Iterable[str] | None = None) -> DataFrame:
+    """Convert NaN -> NULL on float columns (reference NaN-as-missing)."""
+    cols = _float_cols(df, columns or df.columns)
+    return df.withColumns({c: F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+                           for c in cols})
+
+
+def missing_count(df: DataFrame) -> DataFrame:
+    """``missing`` (base.clj:428): per-column null counts, single pass."""
+    exprs = [F.sum(F.col(c).isNull().cast("long")).alias(c) for c in df.columns]
+    return df.agg(*exprs)
+
+
+def drop_missing(df: DataFrame, columns: Iterable[str] | None = None) -> DataFrame:
+    """``drop-missing`` (base.clj:435): drop rows with any null in columns."""
+    return df.na.drop(subset=list(columns) if columns else None)
+
+
+def select_missing(df: DataFrame, columns: Iterable[str] | None = None) -> DataFrame:
+    """``select-missing`` (base.clj:443): rows with at least one null."""
+    cols = list(columns) if columns else df.columns
+    cond = None
+    for c in cols:
+        clause = F.col(c).isNull()
+        cond = clause if cond is None else (cond | clause)
+    return df.filter(cond)
+
+
+def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str = "value",
+                    value=None, *, order_by: str | None = None,
+                    by: str | Sequence[str] | None = None) -> DataFrame:
+    """``replace-missing`` (missing.clj:242). Strategies:
+
+    :value    -> na.fill(value) (or per-column dict)
+    :down     -> forward fill   = last non-null over preceding frame
+    :up       -> backward fill  = first non-null over following frame
+    :downup   -> :down then :up (leading nulls get first valid)
+    :updown   -> :up then :down
+    :nearest  -> closer of prev/next non-null by ``order_by`` distance
+    :midpoint -> (prev + next)/2
+    :lerp     -> linear interpolation between prev/next by axis position
+    :mean/:min/:max -> fill with that column statistic (computed once,
+                 joined back as a literal via cross-join of 1-row agg)
+
+    ``order_by`` names the axis column for ordered strategies (defaults to a
+    scan-order index — fine for freshly-read data, see selection.py).
+    ``by`` partitions the fill (per-series), keeping windows parallel.
+    """
+    cols = [columns] if isinstance(columns, str) else list(columns)
+
+    if strategy == "value":
+        if isinstance(value, dict):
+            return df.na.fill(value)
+        return df.na.fill(value, subset=cols)
+
+    if strategy in ("mean", "min", "max"):
+        fn = {"mean": F.avg, "min": F.min, "max": F.max}[strategy]
+        stats = df.agg(*[fn(c).alias(c) for c in cols]).collect()[0].asDict()
+        return df.na.fill({c: stats[c] for c in cols if stats[c] is not None})
+
+    from .selection import IDX_COL, with_row_index
+    drop_idx = False
+    if order_by is None:
+        df = with_row_index(df)
+        order_by = IDX_COL
+        drop_idx = True
+    # order_by may be a list (tiebreak columns); the FIRST column is the axis
+    # for distance-based strategies (:nearest/:lerp).
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    axis_col = order_cols[0]
+    by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    part = W.partitionBy(*by_cols) if by_cols else W.partitionBy()
+
+    w_down = part.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(W.unboundedPreceding, 0)
+    w_up = part.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(0, W.unboundedFollowing)
+
+    def prev_next(c: str) -> tuple[Column, Column, Column, Column]:
+        prev_v = F.last(F.col(c), ignorenulls=True).over(w_down)
+        next_v = F.first(F.col(c), ignorenulls=True).over(w_up)
+        axis = F.col(axis_col).cast("double")
+        prev_x = F.last(F.when(F.col(c).isNotNull(), axis), ignorenulls=True).over(w_down)
+        next_x = F.first(F.when(F.col(c).isNotNull(), axis), ignorenulls=True).over(w_up)
+        return prev_v, next_v, prev_x, next_x
+
+    out = df
+    for c in cols:
+        prev_v, next_v, prev_x, next_x = prev_next(c)
+        cur = F.col(c)
+        if strategy == "down":
+            fill = prev_v
+        elif strategy == "up":
+            fill = next_v
+        elif strategy == "downup":
+            fill = F.coalesce(prev_v, next_v)
+        elif strategy == "updown":
+            fill = F.coalesce(next_v, prev_v)
+        elif strategy == "nearest":
+            axis = F.col(axis_col).cast("double")
+            fill = F.when(prev_v.isNull(), next_v).when(next_v.isNull(), prev_v) \
+                    .when((axis - prev_x) <= (next_x - axis), prev_v).otherwise(next_v)
+        elif strategy == "midpoint":
+            fill = F.coalesce((prev_v + next_v) / 2.0, prev_v, next_v)
+        elif strategy == "lerp":
+            axis = F.col(axis_col).cast("double")
+            frac = (axis - prev_x) / (next_x - prev_x)
+            fill = F.coalesce(prev_v + (next_v - prev_v) * frac, prev_v, next_v)
+        else:
+            raise ValueError(f"unknown replace-missing strategy {strategy!r}")
+        out = out.withColumn(c, F.when(cur.isNull(), fill).otherwise(cur))
+    return out.drop(IDX_COL) if drop_idx else out

@@ -1,0 +1,201 @@
+"""Projection / row-selection / column-management operators.
+
+Reference semantics: tech.v3.dataset.base select family
+(src/tech/v3/dataset/base.clj:231,301,397,408), head/tail/sample
+(dataset_api.clj:381-504), rename/add/drop (base.clj:115-328).
+
+Row-position semantics: the reference addresses rows by physical index
+(impl/column.clj:241-277). Spark has no stable physical order after a
+shuffle, so positional operators here take an explicit ``order_by`` —
+when omitted we fall back to the scan order via monotonically_increasing_id,
+which is deterministic for a fresh file read but NOT across shuffles; the
+docstrings call this out. This is the "deterministic-order contract" from
+SURVEY.md §7.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+IDX_COL = "__row_idx__"
+
+
+def with_row_index(df: DataFrame, order_by=None, name: str = IDX_COL) -> DataFrame:
+    """Attach a 0-based row index.
+
+    With ``order_by``: a global ``row_number`` (one total-ordering shuffle —
+    use only when true positional semantics are required).
+    Without: ``monotonically_increasing_id`` — no shuffle, preserves scan
+    order per partition; ids are non-contiguous but monotone with file order.
+    """
+    if order_by is not None:
+        cols = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+        w = W.orderBy(*[F.col(c) if isinstance(c, str) else c for c in cols])
+        return df.withColumn(name, F.row_number().over(w) - 1)
+    return df.withColumn(name, F.monotonically_increasing_id())
+
+
+def select_columns(df: DataFrame, cols) -> DataFrame:
+    """``select-columns`` (base.clj:301). ``cols`` may be names, a predicate
+    over names, or a mapping {old -> new} (select+rename, like the reference's
+    map argument)."""
+    if callable(cols) and not isinstance(cols, (str, Column)):
+        return df.select(*[c for c in df.columns if cols(c)])
+    if isinstance(cols, Mapping):
+        return df.select(*[F.col(o).alias(n) for o, n in cols.items()])
+    return df.select(*list(cols))
+
+
+def drop_columns(df: DataFrame, cols) -> DataFrame:
+    """``drop-columns``/``remove-columns`` (base.clj:142,159)."""
+    if callable(cols) and not isinstance(cols, str):
+        return df.drop(*[c for c in df.columns if cols(c)])
+    return df.drop(*([cols] if isinstance(cols, str) else list(cols)))
+
+
+def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
+    """``rename-columns`` (base.clj:328)."""
+    return df.withColumnsRenamed(dict(mapping))
+
+
+def add_or_update_column(df: DataFrame, name: str, col) -> DataFrame:
+    """``add-or-update-column``/``assoc`` (base.clj:215; dataset.clj assoc
+    semantics at impl/dataset.clj:137-465). Scalar values broadcast to a
+    constant column like the reference's scalar assoc."""
+    if not isinstance(col, Column):
+        col = F.lit(col)
+    return df.withColumn(name, col)
+
+
+def update_column(df: DataFrame, name: str, fn: Callable[[Column], Column]) -> DataFrame:
+    """``update-column`` (base.clj:173): fn over the existing column."""
+    return df.withColumn(name, fn(F.col(name)))
+
+
+def order_column_names(df: DataFrame, names: Iterable[str]) -> DataFrame:
+    """``order-column-names`` (base.clj:180)."""
+    names = list(names)
+    rest = [c for c in df.columns if c not in set(names)]
+    return df.select(*names, *rest)
+
+
+def filter_rows(df: DataFrame, pred) -> DataFrame:
+    """``filter`` (base.clj:464). ``pred`` is a Column/SQL-string predicate.
+    Python-callable predicates are rejected: on Spark an opaque row-fn would
+    break predicate pushdown and run row-at-a-time in Python — callers should
+    express the predicate as a Column expression instead."""
+    if callable(pred) and not isinstance(pred, (Column, str)):
+        raise TypeError(
+            "filter_rows takes a Column/SQL predicate; Python row functions "
+            "defeat predicate pushdown (see SURVEY.md §4). Build the predicate "
+            "with pyspark.sql.functions instead.")
+    return df.filter(pred)
+
+
+def filter_column(df: DataFrame, colname: str, pred=None) -> DataFrame:
+    """``filter-column`` (base.clj:474): value equality, Column predicate fn,
+    or (1-arg form) truthiness of the column itself."""
+    c = F.col(colname)
+    if pred is None:
+        return df.filter(c.cast("boolean"))
+    if isinstance(pred, Column):
+        return df.filter(pred)
+    if callable(pred):
+        out = pred(c)
+        if not isinstance(out, Column):
+            raise TypeError("filter_column fn must map Column -> Column")
+        return df.filter(out)
+    return df.filter(c == F.lit(pred))
+
+
+def head(df: DataFrame, n: int = 5) -> DataFrame:
+    """``head`` (dataset_api.clj:381): LIMIT n — Catalyst plans CollectLimit
+    / limit pushdown, reading only what's needed."""
+    return df.limit(n)
+
+
+def tail(df: DataFrame, n: int = 5, order_by=None) -> DataFrame:
+    """``tail`` (dataset_api.clj:393). Needs an order; with ``order_by`` we
+    take top-n descending then restore order (TakeOrderedAndProject — no full
+    sort). Without, falls back to scan-order index."""
+    if order_by is None:
+        idx = with_row_index(df)
+        order_by = [IDX_COL]
+        df = idx
+        out = (df.orderBy(*[F.col(c).desc() for c in order_by]).limit(n)
+                 .orderBy(*order_by).drop(IDX_COL))
+        return out
+    cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    return (df.orderBy(*[F.col(c).desc() for c in cols]).limit(n)
+              .orderBy(*cols))
+
+
+def sample(df: DataFrame, n: int | None = None, *, fraction: float | None = None,
+           replacement: bool = False, seed: int | None = None) -> DataFrame:
+    """``sample``/``rand-nth`` (dataset_api.clj:416,504). Fraction sampling is
+    the scalable path (no count job); ``n`` does approximate oversample+limit."""
+    if fraction is not None:
+        return df.sample(withReplacement=replacement, fraction=fraction, seed=seed)
+    if n is None:
+        n = 5
+    total = df.count()
+    if total == 0:
+        return df
+    frac = min(1.0, (n / total) * 1.3 + 1e-6)
+    return df.sample(withReplacement=replacement, fraction=frac, seed=seed).limit(n)
+
+
+def shuffle(df: DataFrame, seed: int | None = None) -> DataFrame:
+    """``shuffle`` (dataset_api.clj:407): random total order."""
+    return df.orderBy(F.rand(seed))
+
+
+def take_nth(df: DataFrame, n: int, order_by=None) -> DataFrame:
+    """``take-nth`` (base.clj:797): every n-th row in order."""
+    idx = with_row_index(df, order_by=order_by)
+    if order_by is not None:
+        return idx.filter(F.col(IDX_COL) % n == 0).drop(IDX_COL)
+    # monotonic ids are not contiguous; use a row_number over them (single
+    # pass, but a total order — documented cost of positional semantics).
+    w = W.orderBy(IDX_COL)
+    return (idx.withColumn("__rn__", F.row_number().over(w) - 1)
+               .filter(F.col("__rn__") % n == 0).drop(IDX_COL, "__rn__"))
+
+
+def select_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
+    """``select-rows`` by index collection (base.clj:397). Positional
+    addressing requires a total order (see module docstring); the index
+    column is computed, semi-joined against the wanted set (broadcast —
+    index lists are small), and dropped."""
+    idx = with_row_index(df, order_by=order_by)
+    if order_by is None:
+        w = W.orderBy(IDX_COL)
+        idx = idx.withColumn(IDX_COL, F.row_number().over(w) - 1)
+    wanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [IDX_COL])
+    return idx.join(F.broadcast(wanted), IDX_COL, "left_semi").drop(IDX_COL)
+
+
+def drop_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
+    """``drop-rows`` (base.clj:408): complement of select_rows (left_anti)."""
+    idx = with_row_index(df, order_by=order_by)
+    if order_by is None:
+        w = W.orderBy(IDX_COL)
+        idx = idx.withColumn(IDX_COL, F.row_number().over(w) - 1)
+    unwanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [IDX_COL])
+    return idx.join(F.broadcast(unwanted), IDX_COL, "left_anti").drop(IDX_COL)
+
+
+def reverse_rows(df: DataFrame, order_by=None) -> DataFrame:
+    """``reverse-rows`` (base.clj:449)."""
+    idx = with_row_index(df, order_by=order_by)
+    return idx.orderBy(F.col(IDX_COL).desc()).drop(IDX_COL)
+
+
+def min_n_by_column(df: DataFrame, colname: str, n: int, *, desc: bool = False) -> DataFrame:
+    """``min-n-by-column`` top/bottom-K (dataset_api.clj:453). Spark plans
+    TakeOrderedAndProject: per-partition heap + merge of K — no global sort,
+    which is exactly what you want at 100 TB."""
+    c = F.col(colname).desc() if desc else F.col(colname).asc()
+    return df.orderBy(c).limit(n)

@@ -1,0 +1,159 @@
+"""Sorts, distinct, concat, and bag-semantics set operations.
+
+Reference semantics: sort-by-column (src/tech/v3/dataset/base.clj:596),
+unique-by (base.clj:760,778), concat with dtype widening (base.clj:626-744),
+bag union/intersection/difference (src/tech/v3/dataset/set.clj:166,174,183,
+counts-based core at :72,:118).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
+
+
+def sort_by_column(df: DataFrame, colname: str, *, desc: bool = False,
+                   nulls_first: bool | None = None) -> DataFrame:
+    """``sort-by-column`` (base.clj:596). The reference's ``:nan-strategy``
+    maps onto null placement here (Spark orders NaN as greatest; the
+    reference's NaN-as-missing convention means callers treat NaN via nulls)."""
+    c = F.col(colname)
+    if desc:
+        c = c.desc_nulls_first() if nulls_first else c.desc_nulls_last() if nulls_first is not None else c.desc()
+    else:
+        c = c.asc_nulls_first() if nulls_first else c.asc_nulls_last() if nulls_first is not None else c.asc()
+    return df.orderBy(c)
+
+
+def sort_by(df: DataFrame, *cols) -> DataFrame:
+    """``sort-by`` with expression keys (base.clj:570): pass Columns with
+    .asc()/.desc() or names."""
+    return df.orderBy(*cols)
+
+
+def unique_by_column(df: DataFrame, colname: str | Sequence[str], *,
+                     keep_order_by=None) -> DataFrame:
+    """``unique-by-column`` (base.clj:778). Default keeps an arbitrary
+    survivor per key (``dropDuplicates`` — hash-agg, one shuffle, no sort).
+    ``keep_order_by`` implements the reference's ``:keep-fn`` (pick survivor):
+    a window row_number over that ordering keeps the first row per key."""
+    keys = [colname] if isinstance(colname, str) else list(colname)
+    if keep_order_by is None:
+        return df.dropDuplicates(keys)
+    order = keep_order_by if isinstance(keep_order_by, (list, tuple)) else [keep_order_by]
+    w = W.partitionBy(*keys).orderBy(*[F.col(c) if isinstance(c, str) else c for c in order])
+    return (df.withColumn("__rn__", F.row_number().over(w))
+              .filter(F.col("__rn__") == 1).drop("__rn__"))
+
+
+def distinct(df: DataFrame) -> DataFrame:
+    """Whole-row distinct."""
+    return df.distinct()
+
+
+_WIDEN_ORDER = ["boolean", "tinyint", "smallint", "int", "bigint",
+                "float", "double", "decimal", "date", "timestamp", "string"]
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Pairwise dtype widening for concat (reference base.clj:642-655):
+    promote to the wider numeric / fall back to string."""
+    if a == b:
+        return a
+    sa, sb = a.simpleString(), b.simpleString()
+    for t in (sa, sb):
+        if t.startswith("decimal"):
+            return T.DoubleType()
+    order = {t: i for i, t in enumerate(_WIDEN_ORDER)}
+    numerics = {"boolean", "tinyint", "smallint", "int", "bigint", "float", "double"}
+    if sa in numerics and sb in numerics:
+        wide = _WIDEN_ORDER[max(order[sa], order[sb])]
+        return {"tinyint": T.ByteType(), "smallint": T.ShortType(), "int": T.IntegerType(),
+                "bigint": T.LongType(), "float": T.FloatType(), "double": T.DoubleType(),
+                "boolean": T.BooleanType()}[wide]
+    if {sa, sb} == {"date", "timestamp"}:
+        return T.TimestampType()
+    return T.StringType()
+
+
+def concat(*dfs: DataFrame) -> DataFrame:
+    """``concat`` (base.clj:744): row-concat by column NAME, widening dtypes
+    pairwise and null-filling columns absent on one side (base.clj:626-697).
+    Spark's unionByName errors on type conflicts, so widened casts are
+    applied first. Union is a zero-shuffle narrow op."""
+    dfs = list(dfs)
+    if len(dfs) == 1:
+        return dfs[0]
+    # compute union schema: name -> widened type, in first-seen column order
+    target: dict[str, T.DataType] = {}
+    for df in dfs:
+        for f in df.schema.fields:
+            target[f.name] = _widen(target[f.name], f.dataType) if f.name in target else f.dataType
+    out = None
+    for df in dfs:
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for name, dt in target.items():
+            if name in have:
+                c = F.col(name).cast(dt) if have[name] != dt else F.col(name)
+            else:
+                c = F.lit(None).cast(dt)
+            cols.append(c.alias(name))
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _with_counts(df: DataFrame) -> DataFrame:
+    return df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__cnt__"))
+
+
+def _explode_counts(df: DataFrame, cnt: Column) -> DataFrame:
+    """Re-expand a (distinct-rows, count) table to bag form via sequence+explode."""
+    cols = [c for c in df.columns if not c.startswith("__")]
+    return (df.withColumn("__out_cnt__", cnt)
+              .filter(F.col("__out_cnt__") > 0)
+              .withColumn("__rep__", F.explode(F.sequence(F.lit(1), F.col("__out_cnt__"))))
+              .select(*cols))
+
+
+def union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bag-semantics ``union`` (set.clj:166): output multiplicity =
+    max(count_a, count_b) per distinct row — NOT ``df.union`` (which sums).
+    Implemented as full-row groupBy counts per side, outer-join of count
+    tables (narrow after agg), greatest(), re-explode via sequence()."""
+    ca = _with_counts(a).withColumnRenamed("__cnt__", "__ca__")
+    cb = _with_counts(b).withColumnRenamed("__cnt__", "__cb__")
+    keys = [c for c in a.columns]
+    j = ca.join(cb, keys, "full")
+    out_cnt = F.greatest(F.coalesce(F.col("__ca__"), F.lit(0)),
+                         F.coalesce(F.col("__cb__"), F.lit(0)))
+    return _explode_counts(j.withColumn("__cnt__", out_cnt).drop("__ca__", "__cb__"),
+                           F.col("__cnt__"))
+
+
+def intersection(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bag-semantics ``intersection`` (set.clj:174): multiplicity =
+    min(count_a, count_b) — equivalent to SQL INTERSECT ALL."""
+    return a.intersectAll(b)
+
+
+def difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """``difference`` (set.clj:183): remove rows of b from a with bag
+    semantics — SQL EXCEPT ALL."""
+    return a.exceptAll(b)
+
+
+def reduce_union_counts(*dfs: DataFrame) -> DataFrame:
+    """``reduce-union`` :count mode (set.clj:118): distinct rows + max
+    multiplicity as a ``count`` column."""
+    sides = [_with_counts(d).withColumnRenamed("__cnt__", f"__c{i}__")
+             for i, d in enumerate(dfs)]
+    keys = list(dfs[0].columns)
+    out = sides[0]
+    for s in sides[1:]:
+        out = out.join(s, keys, "full")
+    cnt = F.greatest(*[F.coalesce(F.col(f"__c{i}__"), F.lit(0)) for i in range(len(dfs))])
+    return out.select(*keys, cnt.alias("count"))

@@ -1,0 +1,180 @@
+"""Rolling / expanding windows and analytic functions.
+
+Reference semantics: tech.v3.dataset.rolling — fixed windows with
+:relative-window-position :left/:center/:right and :edge-mode :clamp/:zero
+(src/tech/v3/dataset/rolling.clj:116-304), variable (value-range) windows
+(rolling.clj:281-301), expanding/cumulative (rolling.clj:307-314), reducers
+(rolling.clj:17-73).
+
+The reference windows over PHYSICAL row order; on Spark every window takes
+an explicit ``order_by`` axis plus optional ``by`` partition keys. Without
+``by`` the window is a single total order — correct but serial; real
+pipelines should always pass the series key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, WindowSpec, functions as F
+
+# reducer-name -> window aggregate (rolling.clj:17-73)
+_WIN_REDUCERS: dict[str, Callable[[Column], Column]] = {
+    "mean": F.avg,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "variance": F.var_samp,
+    "standard-deviation": F.stddev_samp,
+    "first": lambda c: F.first(c, ignorenulls=False),
+    "last": lambda c: F.last(c, ignorenulls=False),
+    "count": F.count,
+}
+
+
+def _frame(window_size: int, position: str) -> tuple[int, int]:
+    """Fixed-window frame offsets for :left/:center/:right
+    (rolling.clj window-range machinery :76-113)."""
+    if position == "left":
+        return (-(window_size - 1), 0)
+    if position == "right":
+        return (0, window_size - 1)
+    # center: matches the reference's split (earlier half before, rest after)
+    lo = -((window_size - 1) // 2)
+    hi = window_size - 1 + lo
+    return (lo, hi)
+
+
+def _base_window(order_by, by) -> WindowSpec:
+    by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    order = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    order = [F.col(c) if isinstance(c, str) else c for c in order]
+    return (W.partitionBy(*by_cols) if by_cols else W.partitionBy()).orderBy(*order)
+
+
+def rolling(df: DataFrame, order_by, specs: Mapping[str, tuple], *,
+            window_size: int, by=None, position: str = "right",
+            edge_mode: str = "shrink") -> DataFrame:
+    """Fixed-size rolling windows (rolling.clj:116-304).
+
+    ``specs``: {out_col: (reducer_name, src_col)}. ``position`` ∈
+    left|center|right. ``edge_mode``:
+      "shrink" — Spark-native: frames truncate at partition edges (this is
+                 what SQL gives for free);
+      "clamp"  — reference :clamp (rolling.clj:130-133): out-of-range
+                 positions are clamped to the first/last row, i.e. edge
+                 windows re-count the boundary value. Emulated by padding
+                 the aggregate with k*first/last values via arithmetic only
+                 for sum/mean/count; min/max are unaffected by clamping
+                 (boundary value is already in frame).
+    """
+    lo, hi = _frame(window_size, position)
+    w = _base_window(order_by, by).rowsBetween(lo, hi)
+    out = df
+    if edge_mode == "shrink" or edge_mode == "zero":
+        for name, (red, src) in specs.items():
+            out = out.withColumn(name, _WIN_REDUCERS[red](F.col(src)).over(w))
+        return out
+
+    # clamp: compute the shortfall (how many positions fell off each edge)
+    full = _base_window(order_by, by)
+    w_all = full.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    rn = F.row_number().over(full)
+    total = F.count(F.lit(1)).over(w_all)
+    # positions requested before row 1 / after row N
+    miss_lo = F.greatest(F.lit(0), F.lit(-lo) - (rn - 1))
+    miss_hi = F.greatest(F.lit(0), (rn + hi) - total)
+
+    for name, (red, src) in specs.items():
+        tmp = out.withColumn("__src__", F.col(src))
+        base_cnt = F.count(F.col("__src__")).over(
+            _base_window(order_by, by).rowsBetween(lo, hi))
+        base_sum = F.sum(F.col("__src__")).over(
+            _base_window(order_by, by).rowsBetween(lo, hi))
+        fv = F.first(F.col("__src__")).over(w_all)
+        lv = F.last(F.col("__src__")).over(w_all)
+        pad_sum = miss_lo * fv + miss_hi * lv
+        pad_cnt = miss_lo + miss_hi
+        if red == "sum":
+            expr = base_sum + pad_sum
+        elif red == "mean":
+            expr = (base_sum + pad_sum) / (base_cnt + pad_cnt)
+        elif red in ("min", "max", "first", "last", "count",
+                     "variance", "standard-deviation"):
+            # boundary value already inside the frame -> clamp is a no-op for
+            # min/max; for the others fall back to shrink semantics.
+            expr = _WIN_REDUCERS[red](F.col("__src__")).over(
+                _base_window(order_by, by).rowsBetween(lo, hi))
+        else:
+            raise ValueError(f"unsupported clamp reducer {red!r}")
+        out = tmp.withColumn(name, expr).drop("__src__")
+    return out
+
+
+def rolling_range(df: DataFrame, order_by: str, specs: Mapping[str, tuple], *,
+                  window_size: float, by=None, units: str | None = None) -> DataFrame:
+    """Variable (value-range) rolling windows (rolling.clj:281-301): window
+    covers rows whose axis value is within ``window_size`` BEFORE the current
+    row's value (inclusive), i.e. rangeBetween(-window_size, 0).
+
+    ``units`` for datetime axes: "days"/"hours"/"minutes"/"seconds" — the
+    axis is cast to epoch seconds and the delta scaled; calendar units
+    (months) are not range-expressible and raise.
+    """
+    axis = F.col(order_by)
+    if units is not None:
+        scale = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400}
+        if units not in scale:
+            raise ValueError(f"calendar unit {units!r} is not range-expressible; "
+                             "use months_between arithmetic instead")
+        axis = axis.cast("timestamp").cast("long")
+        delta = int(window_size * scale[units])
+    else:
+        axis = axis.cast("double")
+        delta = window_size
+    by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    w = ((W.partitionBy(*by_cols) if by_cols else W.partitionBy())
+         .orderBy(axis).rangeBetween(-delta, 0))
+    out = df
+    for name, (red, src) in specs.items():
+        out = out.withColumn(name, _WIN_REDUCERS[red](F.col(src)).over(w))
+    return out
+
+
+def expanding(df: DataFrame, order_by, specs: Mapping[str, tuple], *, by=None) -> DataFrame:
+    """``expanding`` cumulative windows (rolling.clj:307-314): cumsum etc."""
+    w = _base_window(order_by, by).rowsBetween(W.unboundedPreceding, 0)
+    out = df
+    for name, (red, src) in specs.items():
+        out = out.withColumn(name, _WIN_REDUCERS[red](F.col(src)).over(w))
+    return out
+
+
+def with_analytic(df: DataFrame, order_by, exprs: Mapping[str, str | tuple], *,
+                  by=None) -> DataFrame:
+    """Parity-plus analytic functions (absent in the reference, SURVEY §2.5):
+    rank / dense_rank / row_number / lag / lead / percent_rank / ntile.
+
+    ``exprs``: {out_col: "rank"} or {out_col: ("lag", src, offset)}.
+    """
+    w = _base_window(order_by, by)
+    out = df
+    for name, spec in exprs.items():
+        if isinstance(spec, str):
+            fn = {"rank": F.rank, "dense-rank": F.dense_rank, "dense_rank": F.dense_rank,
+                  "row-number": F.row_number, "row_number": F.row_number,
+                  "percent-rank": F.percent_rank, "percent_rank": F.percent_rank,
+                  "cume-dist": F.cume_dist, "cume_dist": F.cume_dist}[spec]
+            out = out.withColumn(name, fn().over(w))
+        else:
+            op, src, *rest = spec
+            k = rest[0] if rest else 1
+            if op == "lag":
+                out = out.withColumn(name, F.lag(F.col(src), k).over(w))
+            elif op == "lead":
+                out = out.withColumn(name, F.lead(F.col(src), k).over(w))
+            elif op == "ntile":
+                out = out.withColumn(name, F.ntile(src).over(w))
+            else:
+                raise ValueError(f"unknown analytic op {op!r}")
+    return out

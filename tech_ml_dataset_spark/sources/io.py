@@ -1,0 +1,174 @@
+"""Dataset ingest / egress — the ``->dataset`` / ``write!`` surface.
+
+Reference semantics: tech.v3.dataset.io (``->dataset`` dispatch at
+src/tech/v3/dataset/io.clj:123, suffix sniffing at io.clj:13-25,
+multimethods data->dataset/dataset->data! at io.clj:47,83).
+
+Spark-first: every format maps to a DataFrameReader/Writer so scans stay
+distributed, column-pruned and predicate-pushed. Schema inference for CSV
+mirrors the reference's promotional parser (io/column_parsers.clj:309-313)
+only in effect — Spark's two-pass inferSchema lands on the same types for
+the common ladder (bool/int/double/timestamp/string); callers can pin types
+via ``schema=`` exactly like the reference's ``:parser-fn``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+# suffix -> (format, default reader options); mirrors str->file-info sniffing
+# (reference io.clj:13-25). ``.gz`` is transparent: Spark decompresses
+# text-based formats natively.
+_SUFFIX_FORMATS = {
+    ".parquet": ("parquet", {}),
+    ".csv": ("csv", {"header": "true", "inferSchema": "true"}),
+    ".tsv": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t"}),
+    ".txt": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t"}),
+    ".json": ("json", {}),
+    ".jsonl": ("json", {}),
+    ".ndjson": ("json", {}),
+    ".orc": ("orc", {}),
+    ".avro": ("avro", {}),
+    ".svm": ("libsvm", {}),
+    ".svmlight": ("libsvm", {}),
+}
+
+
+def sniff_format(path: str) -> tuple[str, dict]:
+    """Infer (format, options) from a path suffix; '.gz' is stripped first."""
+    p = path.lower()
+    if p.endswith(".gz"):
+        p = p[:-3]
+    _, ext = os.path.splitext(p)
+    if ext not in _SUFFIX_FORMATS:
+        raise ValueError(f"cannot sniff dataset format from suffix {ext!r} ({path})")
+    fmt, opts = _SUFFIX_FORMATS[ext]
+    return fmt, dict(opts)
+
+
+def to_dataset(
+    spark: SparkSession,
+    data,
+    *,
+    file_type: str | None = None,
+    schema=None,
+    column_allowlist: Iterable[str] | None = None,
+    column_blocklist: Iterable[str] | None = None,
+    num_rows: int | None = None,
+    key_fn=None,
+    **options,
+) -> DataFrame:
+    """``->dataset``: build a DataFrame from a path, list-of-dicts, or
+    dict-of-columns (reference io.clj:123,47; mapseq/colmap ingest at
+    io/mapseq_colmap.clj:105,112).
+
+    ``column_allowlist``/``column_blocklist``/``num_rows`` mirror the
+    reference scan options (io.clj:157-161); on Spark these compile to
+    ``select``/``drop``/``limit`` which Catalyst pushes into the scan
+    (column pruning / limit pushdown), so they cost nothing extra.
+    """
+    if isinstance(data, str):
+        fmt, opts = (file_type, {}) if file_type else sniff_format(data)
+        opts.update({k: v for k, v in options.items() if v is not None})
+        reader = spark.read.format(fmt).options(**opts)
+        if schema is not None:
+            reader = reader.schema(schema)
+            if fmt == "csv":
+                reader = reader.option("inferSchema", "false")
+        df = reader.load(data)
+    elif isinstance(data, DataFrame):
+        df = data
+    elif isinstance(data, Mapping):
+        # map-of-columns: {"a": [1,2,3], "b": [...]}.
+        cols = list(data.keys())
+        n = max((len(v) for v in data.values()), default=0)
+        # ragged columns backfill with None, like the reference's mapseq parser
+        rows = [tuple(data[c][i] if i < len(data[c]) else None for c in cols) for i in range(n)]
+        df = spark.createDataFrame(rows, schema=schema or cols)
+    else:
+        # sequence of row-dicts (mapseq); ragged keys grow columns w/ nulls.
+        data = list(data)
+        if schema is not None:
+            df = spark.createDataFrame(data, schema=schema)
+        else:
+            df = spark.createDataFrame(data)
+
+    if key_fn is not None:
+        df = df.toDF(*[key_fn(c) for c in df.columns])
+    if column_allowlist is not None:
+        df = df.select(*[c for c in df.columns if c in set(column_allowlist)])
+    if column_blocklist is not None:
+        df = df.drop(*[c for c in df.columns if c in set(column_blocklist)])
+    if num_rows is not None:
+        df = df.limit(num_rows)
+    return df
+
+
+def write(df: DataFrame, path: str, *, file_type: str | None = None,
+          mode: str = "overwrite", partition_by: Iterable[str] | None = None,
+          **options) -> None:
+    """``write!`` (reference io.clj:266-284): path-suffix-dispatched sink.
+
+    ``partition_by`` exposes hive-style partitioning — the scale lever the
+    single-node reference never needed (partition pruning at read time).
+    """
+    fmt = file_type or sniff_format(path)[0]
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", options.pop("header", "true"))
+    if options:
+        writer = writer.options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.save(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark's TimestampType is microseconds and its parquet reader rejects
+    nanosecond columns outright. We detect them from the footer (driver-side
+    metadata only — no data read), read them as raw int64 via
+    ``spark.sql.legacy.parquet.nanosAsLong``, and truncate ns -> us with
+    integer division (plain ``/`` would round-trip through double and lose
+    precision at 1e18). Truncation matches DuckDB, whose TIMESTAMP is also us.
+    """
+    from pyspark.sql import functions as F
+
+    ns_cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+        target = path
+        if os.path.isdir(path):
+            inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            target = os.path.join(path, inner[0]) if inner else path
+        schema = pq.read_schema(target)
+        ns_cols = [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+    except Exception:
+        pass
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str]) -> dict[str, DataFrame]:
+    """Load the driver's test tables from an sf directory as a dict."""
+    return {n: read_parquet(spark, os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+
+TPCH_TABLES = ("region", "nation", "customer", "supplier", "part",
+               "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH_TABLES) -> None:
+    """Register each table as a temp view so spark.sql() queries run on them."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)

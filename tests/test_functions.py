@@ -1,0 +1,106 @@
+"""Tests for the LLM-pipeline function surface (text stats, fingerprints,
+similarity search) and io dispatch."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tech_ml_dataset_spark.functions import similarity as sim
+from tech_ml_dataset_spark.functions import text as txt
+from tech_ml_dataset_spark.sources import io as sio
+
+
+def test_token_and_char_counts(spark):
+    df = spark.createDataFrame([("hello world",), ("  a  b   c ",), ("",)], ["t"])
+    out = df.select(txt.token_count(F.col("t")).alias("n"),
+                    txt.char_count(F.col("t")).alias("c")).collect()
+    assert [r["n"] for r in out] == [2, 3, 0]
+
+
+def test_quality_and_ratios(spark):
+    df = spark.createDataFrame([("clean readable text with several words here",),
+                                ("!!! ??? ... ###",)], ["t"])
+    out = df.select(txt.punct_ratio(F.col("t")).alias("p"),
+                    txt.quality_score(F.col("t")).alias("q")).collect()
+    assert out[0]["p"] < 0.05 and out[1]["p"] > 0.5
+    assert out[0]["q"] > out[1]["q"]
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame([
+        ("the cat and the dog is here",),
+        ("der hund und die katze nicht",),
+        ("你好 世界",),
+    ], ["t"])
+    got = [r[0] for r in df.select(txt.lang_id(F.col("t"))).collect()]
+    assert got == ["en", "de", "zh"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("Hello   World",), ("hello world",)], ["t"])
+    fps = [r[0] for r in df.select(txt.md5_fingerprint(F.col("t"))).collect()]
+    assert fps[0] == fps[1]  # case + whitespace normalized
+
+
+def test_cosine_identical_and_orthogonal(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [2.0, 0.0])],
+                               ["vec_id", "embedding"])
+    out = sim.cosine_topk(df, "embedding", [1.0, 0.0], k=3)
+    got = [(r["vec_id"], round(r["cos"], 6)) for r in out.collect()]
+    assert got[0][1] == 1.0 and got[1][1] == 1.0  # ids 1 and 3 both cos=1
+    assert got[2] == (2, 0.0)
+
+
+def test_cosine_join_topk(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+                               ["vec_id", "embedding"])
+    out = sim.cosine_join_topk(df, df, "embedding", k=1)
+    got = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    assert got[1] == 2 and got[2] == 1
+
+
+def test_lsh_bucketed_recall_on_exact_dup(spark):
+    # identical vectors always share a bucket -> exact dups found at any n_planes
+    df = spark.createDataFrame([(i, [float(i % 3 == 0), float(i % 3 == 1), 0.5])
+                                for i in range(9)], ["vec_id", "embedding"])
+    out = sim.lsh_bucketed_topk(df, df, "embedding", k=2, n_planes=4, dim=3)
+    pairs = {(r["vec_id"], r["neighbor_id"]) for r in out.collect()}
+    assert (0, 3) in pairs or (3, 0) in pairs  # identical vectors matched
+
+
+def test_sniff_format():
+    assert sio.sniff_format("x.parquet")[0] == "parquet"
+    assert sio.sniff_format("x.csv.gz")[0] == "csv"
+    assert sio.sniff_format("x.tsv")[1]["sep"] == "\t"
+    with pytest.raises(ValueError):
+        sio.sniff_format("x.unknown")
+
+
+def test_to_dataset_mapseq_and_colmap(spark):
+    ds = sio.to_dataset(spark, [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    assert ds.count() == 2
+    ds2 = sio.to_dataset(spark, {"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    assert ds2.count() == 3 and set(ds2.columns) == {"a", "b"}
+
+
+def test_to_dataset_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    sio.write(sio.to_dataset(spark, {"a": [1, 2], "b": ["x", "y"]}), p, file_type="csv")
+    back = sio.to_dataset(spark, p)
+    assert back.count() == 2 and set(back.columns) == {"a", "b"}
+
+
+def test_read_parquet_ns_timestamps(spark, sf_dir):
+    ev = sio.read_parquet(spark, f"{sf_dir}/events.parquet")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.count() > 0
+
+
+def test_dataset_wrapper_roundtrip(spark):
+    from tech_ml_dataset_spark import dataset
+    ds = dataset(spark, {"k": ["a", "a", "b"], "v": [1.0, 3.0, 5.0]})
+    out = (ds.filter(F.col("v") > 0)
+             .group_by_column_agg("k", {"s": ("sum", "v")})
+             .sort_by_column("k"))
+    assert out.rowvecs() == [("a", 4.0), ("b", 5.0)]

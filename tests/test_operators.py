@@ -1,0 +1,278 @@
+"""Unit tests for operator semantics — ports of the semantic edge cases the
+reference's test suite pins down (SURVEY.md §5): concat widening, NULL join
+keys, unique-by survivors, missing-fill strategies, asof boundaries, bag set
+ops, rolling windows."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tech_ml_dataset_spark.operators import (
+    aggregate as agg,
+    join as jn,
+    missing as ms,
+    selection as sel,
+    setops as st,
+    window as win,
+)
+
+
+def rows(df, *order):
+    if order:
+        df = df.orderBy(*order)
+    return [tuple(r) for r in df.collect()]
+
+
+# ---- joins ----------------------------------------------------------------
+
+def test_inner_join_basic(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["k", "av"])
+    b = spark.createDataFrame([(1, 10.0), (2, 20.0), (4, 40.0)], ["k", "bv"])
+    out = jn.inner_join(a, b, "k")
+    assert rows(out, "k") == [(1, "x", 10.0), (2, "y", 20.0)]
+
+
+def test_join_null_keys_default_sql_semantics(spark):
+    a = spark.createDataFrame([(None, "x"), (1, "y")], "k int, av string")
+    b = spark.createDataFrame([(None, 9), (1, 8)], "k int, bv int")
+    assert jn.inner_join(a, b, "k").count() == 1  # NULL != NULL
+
+
+def test_join_null_equal_matches_reference(spark):
+    # reference groups nil keys together (join.clj:210-214)
+    a = spark.createDataFrame([(None, "x"), (1, "y")], "k int, av string")
+    b = spark.createDataFrame([(None, 9), (1, 8)], "k int, bv int")
+    assert jn.inner_join(a, b, "k", null_equal=True).count() == 2
+
+
+def test_join_clashing_columns_get_right_prefix(spark):
+    a = spark.createDataFrame([(1, "a")], ["k", "v"])
+    b = spark.createDataFrame([(1, "b")], ["k", "v"])
+    out = jn.inner_join(a, b, "k")
+    assert set(out.columns) == {"k", "v", "right.v"}
+
+
+def test_left_right_anti_semi(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    assert jn.left_join(a, b, "k").count() == 3
+    assert jn.right_join(a, b, "k").count() == 3
+    assert rows(jn.semi_join(a, b, "k"), "k") == [(2,), (3,)]
+    assert rows(jn.anti_join(a, b, "k"), "k") == [(1,)]
+
+
+def test_pd_merge_outer_and_cross(spark):
+    a = spark.createDataFrame([(1, "a")], ["k", "av"])
+    b = spark.createDataFrame([(2, "b")], ["k", "bv"])
+    assert jn.pd_merge(a, b, on="k", how="outer").count() == 2
+    assert jn.pd_merge(a, b, how="cross").count() == 1
+
+
+def test_asof_backward(spark):
+    left = spark.createDataFrame([(1, 5), (1, 10), (1, 2)], ["g", "t"])
+    right = spark.createDataFrame([(1, 3, "a"), (1, 7, "b"), (1, 10, "c")], ["g", "t", "v"])
+    out = jn.left_join_asof(left, right, "t", by="g", asof_op="<=")
+    got = {r["t"]: r["v"] for r in out.collect()}
+    assert got == {2: None, 5: "a", 10: "c"}
+
+
+def test_asof_strict_lt(spark):
+    left = spark.createDataFrame([(1, 10)], ["g", "t"])
+    right = spark.createDataFrame([(1, 10, "eq"), (1, 7, "lt")], ["g", "t", "v"])
+    out = jn.left_join_asof(left, right, "t", by="g", asof_op="<")
+    assert out.collect()[0]["v"] == "lt"  # equal key excluded, falls back
+
+
+def test_asof_forward_and_nearest(spark):
+    left = spark.createDataFrame([(1, 5)], ["g", "t"])
+    right = spark.createDataFrame([(1, 3, "past"), (1, 6, "soon"), (1, 20, "far")],
+                                  ["g", "t", "v"])
+    fwd = jn.left_join_asof(left, right, "t", by="g", asof_op=">=")
+    assert fwd.collect()[0]["v"] == "soon"
+    near = jn.left_join_asof(left, right, "t", by="g", asof_op="nearest")
+    assert near.collect()[0]["v"] == "soon"  # |6-5| < |5-3|
+
+
+# ---- set ops / concat -------------------------------------------------------
+
+def test_concat_widening_and_backfill(spark):
+    a = spark.createDataFrame([(1, 1.5)], "x int, y double")
+    b = spark.createDataFrame([(2**35, "s")], "x bigint, z string")
+    out = st.concat(a, b)
+    assert dict(out.dtypes)["x"] == "bigint"
+    assert set(out.columns) == {"x", "y", "z"}
+    got = {r["x"]: (r["y"], r["z"]) for r in out.collect()}
+    assert got[1] == (1.5, None) and got[2**35] == (None, "s")
+
+
+def test_bag_union_max_multiplicity(spark):
+    # reference set.clj:166: multiplicity = max(a, b), not sum
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["x"])
+    b = spark.createDataFrame([(1,), (3,)], ["x"])
+    got = sorted(r["x"] for r in st.union(a, b).collect())
+    assert got == [1, 1, 2, 3]
+
+
+def test_bag_intersection_min_multiplicity(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["x"])
+    b = spark.createDataFrame([(1,), (1,), (1,)], ["x"])
+    got = sorted(r["x"] for r in st.intersection(a, b).collect())
+    assert got == [1, 1]
+
+
+def test_bag_difference(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["x"])
+    b = spark.createDataFrame([(1,)], ["x"])
+    got = sorted(r["x"] for r in st.difference(a, b).collect())
+    assert got == [1, 2]
+
+
+def test_unique_by_deterministic_survivor(spark):
+    df = spark.createDataFrame([(1, 5, "b"), (1, 3, "a"), (2, 9, "c")], ["k", "o", "v"])
+    out = st.unique_by_column(df, "k", keep_order_by=["o"])
+    assert rows(out, "k") == [(1, 3, "a"), (2, 9, "c")]
+
+
+# ---- missing ---------------------------------------------------------------
+
+def _mdf(spark):
+    return spark.createDataFrame(
+        [(0, None), (1, 10.0), (2, None), (3, None), (4, 40.0), (5, None)],
+        "i int, v double")
+
+
+def test_replace_missing_down_up(spark):
+    df = _mdf(spark)
+    down = {r["i"]: r["v"] for r in ms.replace_missing(df, "v", "down", order_by="i").collect()}
+    assert down == {0: None, 1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0, 5: 40.0}
+    up = {r["i"]: r["v"] for r in ms.replace_missing(df, "v", "up", order_by="i").collect()}
+    assert up == {0: 10.0, 1: 10.0, 2: 40.0, 3: 40.0, 4: 40.0, 5: None}
+    downup = {r["i"]: r["v"] for r in ms.replace_missing(df, "v", "downup", order_by="i").collect()}
+    assert downup[0] == 10.0 and downup[5] == 40.0
+
+
+def test_replace_missing_lerp_midpoint_nearest(spark):
+    df = _mdf(spark)
+    lerp = {r["i"]: r["v"] for r in ms.replace_missing(df, "v", "lerp", order_by="i").collect()}
+    assert lerp[2] == 20.0 and lerp[3] == 30.0  # linear between (1,10) and (4,40)
+    mid = {r["i"]: r["v"] for r in ms.replace_missing(df, "v", "midpoint", order_by="i").collect()}
+    assert mid[2] == 25.0 and mid[3] == 25.0
+    near = {r["i"]: r["v"] for r in ms.replace_missing(df, "v", "nearest", order_by="i").collect()}
+    assert near[2] == 10.0 and near[3] == 40.0
+
+
+def test_replace_missing_value_and_mean(spark):
+    df = _mdf(spark)
+    val = ms.replace_missing(df, "v", "value", value=-1.0)
+    assert val.filter(F.col("v").isNull()).count() == 0
+    mean = {r["i"]: r["v"] for r in ms.replace_missing(df, "v", "mean").collect()}
+    assert mean[0] == 25.0
+
+
+def test_nan_as_missing(spark):
+    df = spark.createDataFrame([(float("nan"),), (1.0,)], "v double")
+    out = ms.nan_as_missing(df)
+    assert out.filter(F.col("v").isNull()).count() == 1
+
+
+# ---- windows -----------------------------------------------------------------
+
+def test_rolling_right_left_center(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(5)], "i int, v double")
+    left = win.rolling(df, "i", {"m": ("sum", "v")}, window_size=3, position="left")
+    got = {r["i"]: r["m"] for r in left.collect()}
+    assert got[0] == 0.0 and got[2] == 3.0 and got[4] == 9.0
+    center = win.rolling(df, "i", {"m": ("sum", "v")}, window_size=3, position="center")
+    got = {r["i"]: r["m"] for r in center.collect()}
+    assert got[2] == 6.0  # 1+2+3
+
+
+def test_rolling_clamp_edges(spark):
+    # reference :clamp (rolling.clj:130-133): out-of-range -> boundary value
+    df = spark.createDataFrame([(i, float(i + 1)) for i in range(4)], "i int, v double")
+    out = win.rolling(df, "i", {"s": ("sum", "v")}, window_size=3,
+                      position="left", edge_mode="clamp")
+    got = {r["i"]: r["s"] for r in out.collect()}
+    # i=0: clamped [v0,v0,v0] = 3; i=1: [v0,v0,v1] = 4; i=3: [2,3,4]=9
+    assert got[0] == 3.0 and got[1] == 4.0 and got[3] == 9.0
+
+
+def test_rolling_range_window(spark):
+    df = spark.createDataFrame([(0, 1.0), (4, 2.0), (5, 4.0), (20, 8.0)], "t int, v double")
+    out = win.rolling_range(df, "t", {"s": ("sum", "v")}, window_size=5)
+    got = {r["t"]: r["s"] for r in out.collect()}
+    assert got[0] == 1.0 and got[4] == 3.0 and got[5] == 7.0 and got[20] == 8.0
+
+
+def test_expanding(spark):
+    df = spark.createDataFrame([(i, 1.0) for i in range(4)], "i int, v double")
+    out = win.expanding(df, "i", {"c": ("sum", "v")})
+    got = {r["i"]: r["c"] for r in out.collect()}
+    assert got == {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0}
+
+
+# ---- selection ------------------------------------------------------------------
+
+def test_select_rows_and_drop_rows(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    out = sel.select_rows(df, [0, 3, 7], order_by="x")
+    assert rows(out, "x") == [(0,), (3,), (7,)]
+    out2 = sel.drop_rows(df, list(range(1, 10)), order_by="x")
+    assert rows(out2) == [(0,)]
+
+
+def test_take_nth(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
+    out = sel.take_nth(df, 3, order_by="x")
+    assert rows(out, "x") == [(0,), (3,), (6,), (9,)]
+
+
+def test_head_and_min_n(spark):
+    df = spark.createDataFrame([(i,) for i in (5, 3, 9, 1)], ["x"])
+    assert sel.head(df, 2).count() == 2
+    assert rows(sel.min_n_by_column(df, "x", 2)) == [(1,), (3,)]
+
+
+def test_filter_rejects_python_callables(spark):
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(TypeError):
+        sel.filter_rows(df, lambda r: True)
+
+
+def test_filter_column_forms(spark):
+    df = spark.createDataFrame([(1, True), (2, False), (3, True)], ["x", "b"])
+    assert sel.filter_column(df, "b").count() == 2
+    assert sel.filter_column(df, "x", 2).count() == 1
+    assert sel.filter_column(df, "x", lambda c: c > 1).count() == 2
+
+
+# ---- aggregation ------------------------------------------------------------------
+
+def test_group_by_column_agg_vocabulary(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("a", None)], "k string, v double")
+    out = agg.group_by_column_agg(df, "k", {
+        "n": ("row-count", None),
+        "s": ("sum", "v"),
+        "m": ("mean", "v"),
+        "mx": ("max", "v"),
+        "nd": ("count-distinct", "v"),
+    })
+    got = {r["k"]: r for r in out.collect()}
+    assert got["a"]["n"] == 3 and got["a"]["s"] == 4.0 and got["a"]["m"] == 2.0
+    assert got["a"]["nd"] == 2 and got["b"]["mx"] == 5.0
+
+
+def test_aggregate_whole_table(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["v"])
+    out = agg.aggregate(df, {"s": ("sum", "v"), "q": ("prob-median", "v")})
+    r = out.collect()[0]
+    assert r["s"] == 6.0 and r["q"] == 2.0
+
+
+def test_descriptive_stats(spark):
+    df = spark.createDataFrame([(1.0, "x"), (None, "y"), (3.0, None)], "v double, s string")
+    stats = {r["col-name"]: r for r in agg.descriptive_stats(df).collect()}
+    assert stats["v"]["n-missing"] == 1 and stats["v"]["mean"] == 2.0
+    assert stats["s"]["n-valid"] == 2

@@ -1,0 +1,105 @@
+"""Local mimic of the driver's correctness gate: run every __spark_entry__
+query on Spark at a given SF and compare to its DuckDB oracle —
+row count + column names + order-insensitive multiset of normalized rows.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from collections import Counter
+from datetime import date, datetime
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entry
+from tech_ml_dataset_spark import get_spark
+
+TABLES = ("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return int(v)  # unify 5.0 vs 5 across engines
+        return round(v, 6)
+    if isinstance(v, (datetime, date)):
+        return str(v)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def rows_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    spark = get_spark("verify-local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {ex}")
+            fails.append(name)
+            continue
+        if name not in oracles:
+            print(f"OK?   {name}: rows-only ({len(s_rows)} rows, no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            fails.append(name)
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL  {name}: columns {sorted(s_cols)} != {sorted(d_cols)}")
+            fails.append(name)
+            continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL  {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+            fails.append(name)
+            continue
+        sm, dm = rows_multiset(s_cols, s_rows), rows_multiset(d_cols, d_rows)
+        if sm != dm:
+            diff_s = list((sm - dm).items())[:3]
+            diff_d = list((dm - sm).items())[:3]
+            print(f"FAIL  {name}: value mismatch; spark-only={diff_s} duckdb-only={diff_d}")
+            fails.append(name)
+            continue
+        print(f"OK    {name} ({len(s_rows)} rows)")
+
+    print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
