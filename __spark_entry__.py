@@ -16,14 +16,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from tech_ml_dataset_spark.functions import dedup as dd
 from tech_ml_dataset_spark.functions import similarity as sim
 from tech_ml_dataset_spark.functions import text as txt
+from tech_ml_dataset_spark.ml import preprocess as mlp
 from tech_ml_dataset_spark.operators import aggregate as agg
 from tech_ml_dataset_spark.operators import join as jn
 from tech_ml_dataset_spark.operators import missing as ms
+from tech_ml_dataset_spark.operators import reshape as rs
 from tech_ml_dataset_spark.operators import selection as sel
 from tech_ml_dataset_spark.operators import setops as st
 from tech_ml_dataset_spark.operators import window as win
+from tech_ml_dataset_spark.streaming import windows as sw
 
 
 from tech_ml_dataset_spark.sources.io import read_parquet
@@ -300,6 +304,108 @@ def events_json_extract(spark, sf_dir):
     return st.sort_by_column(out, "event_type")
 
 
+def unroll_doc_tokens(spark, sf_dir):
+    """unroll-column / explode (dataset_api.clj:1204) on tokenized text."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    out = rs.unroll_column(toks, "toks")
+    return out.withColumnRenamed("toks", "token")
+
+
+def melt_part_attrs(spark, sf_dir):
+    """columnwise-concat / unpivot (dataset_api.clj:1126)."""
+    part = _t(spark, sf_dir, "part")
+    p = part.select("p_partkey", F.col("p_size").cast("double").alias("p_size"),
+                    "p_retailprice")
+    out = rs.columnwise_concat(p, ["p_size", "p_retailprice"])
+    return out.withColumn("value", _r4(F.col("value")))
+
+
+def pivot_status_priority(spark, sf_dir):
+    """transpose-by-key / pivot (dataset_api.clj:1472)."""
+    orders = _t(spark, sf_dir, "orders")
+    vals = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = rs.transpose_by_key(orders.select("o_orderstatus", "o_orderpriority",
+                                            "o_totalprice"),
+                              "o_orderpriority", "o_totalprice",
+                              group_by=["o_orderstatus"], values=vals, agg="sum")
+    for v in vals:
+        out = out.withColumn(v, _r4(F.col(f"`{v}`")))
+    return st.sort_by_column(out, "o_orderstatus")
+
+
+def tumbling_events_daily(spark, sf_dir):
+    """Tumbling event-time windows (streaming surface, batch-checked)."""
+    ev = _t(spark, sf_dir, "events")
+    out = sw.tumbling_window_agg(ev, "ts", "1 day",
+                                 {"n": ("row-count", None), "sum_value": ("sum", "value")})
+    return out.withColumn("sum_value", _r4(F.col("sum_value"))) \
+              .orderBy("window_start")
+
+
+def session_window_events(spark, sf_dir):
+    """Session windows (30-min gap) via F.session_window, per user."""
+    ev = _t(spark, sf_dir, "events")
+    out = sw.session_window_agg(ev, "ts", "30 minutes",
+                                {"n": ("row-count", None),
+                                 "sum_value": ("sum", "value")}, by=["user_id"])
+    return out.withColumn("sum_value", _r4(F.col("sum_value")))
+
+
+def cat_encode_segment(spark, sf_dir):
+    """fit/transform-categorical-map (categorical.clj:80,113): deterministic
+    sorted-value codes."""
+    cust = _t(spark, sf_dir, "customer")
+    fit = mlp.fit_categorical_map(cust, "c_mktsegment")
+    out = mlp.transform_categorical_map(cust, fit)
+    return out.select("c_custkey", F.col("c_mktsegment").alias("segment_code"))
+
+
+def std_scale_acctbal(spark, sf_dir):
+    """fit/transform-std-scale (math.clj:238,262)."""
+    cust = _t(spark, sf_dir, "customer")
+    fit = mlp.fit_std_scale(cust, ["c_acctbal"])
+    out = mlp.transform_std_scale(cust, fit)
+    return out.select("c_custkey", _r4(F.col("c_acctbal")).alias("acctbal_scaled"))
+
+
+def corr_quantity_price(spark, sf_dir):
+    """correlation (column.clj:92 stats surface) as a single-pass agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        _r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+def take_nth_lineitem(spark, sf_dir):
+    """take-nth positional selection (base.clj:797) under a total order."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = sel.take_nth(li, 100, order_by=["l_orderkey", "l_linenumber",
+                                          "l_partkey", "l_extendedprice"])
+    return out.select("l_orderkey", "l_linenumber", "l_partkey",
+                      _r4(F.col("l_extendedprice")).alias("l_extendedprice"))
+
+
+def ngram_jaccard_docs(spark, sf_dir):
+    """n-gram Jaccard similarity pairs (dedup family) on a bounded slice."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dd.ngram_jaccard_pairs(docs, k=2, threshold=0.2)
+
+
+def minhash_pairs_docs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (rows-only check: the banding
+    scheme is not ANSI-SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.minhash_dedup_pairs(docs, k=5, n_hashes=32, bands=8, threshold=0.3)
+
+
+def simhash_docs(spark, sf_dir):
+    """SimHash fingerprints (rows-only: xxhash64 is Spark-specific)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", dd.simhash(F.col("text")).alias("simhash"))
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -332,6 +438,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "events_json_extract": events_json_extract,
+        "unroll_doc_tokens": unroll_doc_tokens,
+        "melt_part_attrs": melt_part_attrs,
+        "pivot_status_priority": pivot_status_priority,
+        "tumbling_events_daily": tumbling_events_daily,
+        "session_window_events": session_window_events,
+        "cat_encode_segment": cat_encode_segment,
+        "std_scale_acctbal": std_scale_acctbal,
+        "corr_quantity_price": corr_quantity_price,
+        "take_nth_lineitem": take_nth_lineitem,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "minhash_pairs_docs": minhash_pairs_docs,
+        "simhash_docs": simhash_docs,
     }
 
 
@@ -524,5 +642,90 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
             FROM events
             GROUP BY event_type ORDER BY event_type
+        """,
+        "unroll_doc_tokens": """
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents
+        """,
+        "melt_part_attrs": """
+            SELECT p_partkey, 'p_size' AS "column", round(CAST(p_size AS DOUBLE), 4) AS value
+            FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_retailprice', round(p_retailprice, 4) FROM part
+        """,
+        "pivot_status_priority": """
+            SELECT o_orderstatus,
+                   round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS "1-URGENT",
+                   round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 4) AS "2-HIGH",
+                   round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 4) AS "3-MEDIUM",
+                   round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 4) AS "4-NOT SPECIFIED",
+                   round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS "5-LOW"
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "tumbling_events_daily": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1
+        """,
+        "session_window_events": """
+            WITH gaps AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), tagged AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess
+                FROM gaps
+            )
+            SELECT min(ts) AS window_start,
+                   max(ts) + INTERVAL 30 MINUTE AS window_end,
+                   user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM tagged GROUP BY user_id, sess
+        """,
+        "cat_encode_segment": """
+            SELECT c_custkey,
+                   CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INT) AS segment_code
+            FROM customer
+        """,
+        "std_scale_acctbal": """
+            SELECT c_custkey,
+                   round((c_acctbal - avg(c_acctbal) OVER ())
+                         / stddev_samp(c_acctbal) OVER (), 4) AS acctbal_scaled
+            FROM customer
+        """,
+        "corr_quantity_price": """
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "take_nth_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_partkey,
+                   round(l_extendedprice, 4) AS l_extendedprice
+            FROM (SELECT *, row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+                                               l_partkey, l_extendedprice) - 1 AS rn
+                  FROM lineitem)
+            WHERE rn % 100 = 0
+        """,
+        "ngram_jaccard_docs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct([array_to_string(toks[i:i+1], ' ')
+                                      FOR i IN range(1, len(toks))]) AS grams
+                FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                      FROM documents WHERE doc_id < 100)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id
+              AND len(list_intersect(a.grams, b.grams)) > 0
+              AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
         """,
     }

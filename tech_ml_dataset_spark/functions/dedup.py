@@ -1,0 +1,208 @@
+"""Deduplication operators for training-data pipelines (beyond-reference
+mandate): exact, MinHash+LSH banding, SimHash, n-gram Jaccard.
+
+Scale design: every stage is expressed with Catalyst higher-order functions
+(xxhash64, transform, aggregate, zip_with) so signatures are computed
+JVM-side in one scan; candidate generation is an equi-join on (band, hash)
+buckets — shuffle linear in corpus size, never the quadratic all-pairs.
+The quadratic work (exact Jaccard verify) runs only inside buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+# large Mersenne prime for the (a*x + b) % p permutation family
+_MERSENNE = (1 << 61) - 1
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical pre-dedup normalizer."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                *, keep: str = "min") -> DataFrame:
+    """Exact dedup on normalized text hash: one hash-groupBy shuffle; the
+    smallest (or largest) id per fingerprint survives."""
+    keep_fn = F.min if keep == "min" else F.max
+    fp = df.withColumn("__fp__", F.md5(normalize_text(F.col(text_col))))
+    survivors = fp.groupBy("__fp__").agg(keep_fn(id_col).alias(id_col))
+    return (fp.join(survivors, [ "__fp__", id_col], "left_semi")
+              .drop("__fp__"))
+
+
+def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
+    """k-shingles of normalized text: 'char' k-grams (robust for dedup) or
+    'word' n-grams. Pure expression: substring over a generated index range."""
+    norm = normalize_text(text)
+    if mode == "word":
+        toks = F.split(norm, " ")
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.array_distinct(
+            F.filter(
+                F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+                lambda s: F.length(s) > 0))
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.filter(F.transform(idx, lambda i: norm.substr(i, F.lit(k))),
+                 lambda s: F.length(s) == k))
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature as array<bigint>: h_i(S) = min over shingles of
+    ((a_i * xxhash64(s) + b_i) mod p). Deterministic (a_i, b_i) from an LCG
+    so driver and executors agree without shipping state."""
+    state = seed | 1
+    coeffs = []
+    for _ in range(n_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) & ((1 << 63) - 1)
+        a = (state % (_MERSENNE - 1)) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) & ((1 << 63) - 1)
+        b = state % _MERSENNE
+        coeffs.append((a, b))
+    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    sig = []
+    for a, b in coeffs:
+        # work in positive space: pmod keeps the permutation well-defined
+        sig.append(F.array_min(F.transform(
+            base, lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b),
+                                   F.lit(_MERSENNE)))))
+    return F.array(*sig)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array columns (distinct semantics)."""
+    inter = F.size(F.array_intersect(a, b))
+    uni = F.size(F.array_union(a, b))
+    return F.when(uni == 0, F.lit(0.0)).otherwise(inter.cast("double") / uni)
+
+
+def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", *, k: int = 5,
+                       n_hashes: int = 64, bands: int = 16,
+                       seed: int = 42) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows, hash each band,
+    equi-join on (band_idx, band_hash) to get candidate pairs (id_a < id_b).
+    Returns distinct candidate pairs with their shingle arrays attached."""
+    rows_per_band = n_hashes // bands
+    sigd = df.select(F.col(id_col),
+                     shingles(F.col(text_col), k).alias("__sh__")) \
+             .withColumn("__sig__", minhash_signature(F.col("__sh__"), n_hashes, seed))
+    banded = sigd.select(
+        id_col, "__sh__",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.hash(F.slice(F.col("__sig__"), b * rows_per_band + 1, rows_per_band)))
+        ).alias("__band__", "__bhash__"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a"),
+                      "__band__", "__bhash__")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b"),
+                      "__band__", "__bhash__")
+    pairs = (a.join(b, ["__band__", "__bhash__"])
+              .filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b", "sh_a", "sh_b")
+              .dropDuplicates(["id_a", "id_b"]))
+    return pairs
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", *, k: int = 5,
+                        n_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by exact Jaccard on
+    shingle sets. Output: (id_a, id_b, jaccard) with jaccard >= threshold."""
+    pairs = minhash_candidates(df, id_col, text_col, k=k, n_hashes=n_hashes,
+                               bands=bands, seed=seed)
+    return (pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  **kw) -> DataFrame:
+    """Drop near-duplicates: a doc is removed when it near-matches any doc
+    with a smaller id (single-pass representative rule; full transitive
+    clustering would need iterative connected components)."""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---- SimHash ----------------------------------------------------------------
+
+def simhash(text: Column, *, k: int = 2) -> Column:
+    """64-bit SimHash over word k-grams: bit i is the sign of the sum over
+    features of (2*bit_i(xxhash64(f)) - 1). Entirely Catalyst higher-order
+    expressions — one scan, no UDF.
+
+    Implementation notes: bit shifts take Python-int distances (Spark's
+    shiftright/shiftleft don't accept Column distances), so per-bit exprs are
+    unrolled; the 64-bit assembly folds two 32-bit halves with acc*2+bit
+    (max 2^32 — no ANSI overflow) and shiftleft-ORs them together.
+    """
+    feats = shingles(text, k, mode="word")
+    hashes = F.transform(feats, lambda s: F.xxhash64(s))
+    # per-bit +/-1 contributions of one hash, MSB (bit 63) first
+    bits_of = lambda h: F.array(*[
+        (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+        for i in range(63, -1, -1)])
+    counts = F.aggregate(hashes, F.array_repeat(F.lit(0), 64),
+                         lambda acc, h: F.zip_with(acc, bits_of(h),
+                                                   lambda x, y: x + y))
+    bits = F.transform(counts, lambda c: F.when(c > 0, 1).otherwise(0).cast("bigint"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0).cast("bigint"),
+                                   lambda acc, b: acc * 2 + b)
+    hi = fold(F.slice(bits, 1, 32))
+    lo = fold(F.slice(bits, 33, 32))
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", *, max_distance: int = 3,
+                        band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one of the four
+    16-bit bands (pigeonhole guarantees recall for distance <= 3 with 4
+    bands), verified by exact Hamming distance."""
+    n_bands = 64 // band_bits
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__sim__"))
+    banded = sh.select(
+        id_col, "__sim__",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("__sim__"), bi * band_bits)
+             .bitwiseAND(F.lit((1 << band_bits) - 1))
+            for bi in range(n_bands)])).alias("__band__", "__key__"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sim__").alias("sim_a"),
+                      "__band__", "__key__")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sim__").alias("sim_b"),
+                      "__band__", "__key__")
+    return (a.join(b, ["__band__", "__key__"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("distance", hamming64(F.col("sim_a"), F.col("sim_b")))
+             .filter(F.col("distance") <= max_distance)
+             .select("id_a", "id_b", "distance"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", *, k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all candidate pairs sharing at
+    least one shingle (inverted-index join on rare shingles). Correct but
+    heavier than MinHash; intended for verification / small corpora."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k, mode="word").alias("__sh__"))
+    inv = sh.select(id_col, "__sh__", F.explode("__sh__").alias("__g__"))
+    a = inv.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a"), "__g__")
+    b = inv.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b"), "__g__")
+    return (a.join(b, "__g__").filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))

@@ -1,0 +1,218 @@
+"""ML preprocessing with the reference's fit/transform shape.
+
+Reference semantics: categorical maps (src/tech/v3/dataset/categorical.clj:
+80,113,165,202,226,288), std-scale/minmax (src/tech/v3/dataset/math.clj:
+238-324), PCA (src/tech/v3/dataset/neanderthal.clj:199,262), correlation
+table (math.clj:37), train/test split + k-fold (src/tech/v3/dataset/
+modelling.clj:139,178).
+
+Shape: ``fit_*`` returns a plain picklable dict (the reference returns data
+maps, not objects — protocols.clj PDatasetTransform); ``transform_*`` applies
+it with pure Column expressions, so transforms broadcast trivially to any
+executor count. MLlib equivalents (StringIndexer, StandardScaler, PCA) exist;
+we use MLlib only where the math is nontrivial (PCA/SVD), keeping simple
+transforms as transparent Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# ---- categorical ------------------------------------------------------------
+
+def fit_categorical_map(df: DataFrame, colname: str, *,
+                        table: dict | None = None) -> dict:
+    """``fit-categorical-map`` (categorical.clj:80): value -> int code.
+    Deterministic: codes assigned by sorted value order (the reference
+    assigns by first-seen order, which is scan-order-dependent — sorted is
+    the distributed-stable choice). Explicit ``table`` pins codes."""
+    if table is None:
+        vals = [r[0] for r in df.select(colname).distinct().collect()]
+        table = {v: i for i, v in enumerate(sorted(v for v in vals if v is not None))}
+    return {"column": colname, "table": dict(table)}
+
+
+def transform_categorical_map(df: DataFrame, fitted: dict) -> DataFrame:
+    """``transform-categorical-map`` (categorical.clj:113): apply the code
+    table as a chained when-expression (broadcast literal, no join/shuffle
+    for cardinalities that fit a plan; use a broadcast join for huge maps)."""
+    c = fitted["column"]
+    table = fitted["table"]
+    if len(table) > 1000:
+        spark = df.sparkSession
+        m = spark.createDataFrame(list(table.items()), [c, f"__{c}_code__"])
+        out = df.join(F.broadcast(m), c, "left")
+        return out.withColumn(c, F.col(f"__{c}_code__")).drop(f"__{c}_code__")
+    expr = F.lit(None).cast("int")
+    for v, code in table.items():
+        expr = F.when(F.col(c) == F.lit(v), F.lit(code)).otherwise(expr)
+    return df.withColumn(c, expr)
+
+
+def invert_categorical_map(df: DataFrame, fitted: dict) -> DataFrame:
+    """``invert-categorical-map`` (categorical.clj:165): codes -> values."""
+    c = fitted["column"]
+    expr = F.lit(None).cast("string")
+    for v, code in fitted["table"].items():
+        expr = F.when(F.col(c) == F.lit(code), F.lit(v)).otherwise(expr)
+    return df.withColumn(c, expr)
+
+
+def fit_one_hot(df: DataFrame, colname: str) -> dict:
+    """``fit-one-hot`` (categorical.clj:202)."""
+    return fit_categorical_map(df, colname)
+
+
+def transform_one_hot(df: DataFrame, fitted: dict) -> DataFrame:
+    """``transform-one-hot`` (categorical.clj:226): one 0/1 column per
+    category, named ``<col>-<value>`` like the reference."""
+    c = fitted["column"]
+    out = df
+    for v in fitted["table"]:
+        out = out.withColumn(f"{c}-{v}", (F.col(c) == F.lit(v)).cast("int"))
+    return out.drop(c)
+
+
+def categorical_to_number(df: DataFrame, columns: Sequence[str]) -> tuple[DataFrame, list[dict]]:
+    """``categorical->number`` (dataset_api.clj:664): fit+transform several."""
+    fits = []
+    out = df
+    for c in columns:
+        f = fit_categorical_map(out, c)
+        out = transform_categorical_map(out, f)
+        fits.append(f)
+    return out, fits
+
+
+# ---- scalers -----------------------------------------------------------------
+
+def fit_std_scale(df: DataFrame, columns: Sequence[str]) -> dict:
+    """``fit-std-scale`` (math.clj:238): per-column mean/stddev in ONE pass."""
+    aggs = []
+    for c in columns:
+        aggs += [F.avg(c).alias(f"{c}__mean"), F.stddev_samp(c).alias(f"{c}__std")]
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {"columns": list(columns),
+            "stats": {c: (row[f"{c}__mean"], row[f"{c}__std"]) for c in columns}}
+
+
+def transform_std_scale(df: DataFrame, fitted: dict) -> DataFrame:
+    """``transform-std-scale`` (math.clj:262): (x - mean) / std."""
+    out = df
+    for c, (mean, std) in fitted["stats"].items():
+        denom = std if std not in (None, 0.0) else 1.0
+        out = out.withColumn(c, (F.col(c) - F.lit(mean)) / F.lit(denom))
+    return out
+
+
+def fit_minmax(df: DataFrame, columns: Sequence[str], *,
+               target_min: float = -0.5, target_max: float = 0.5) -> dict:
+    """``fit-minmax`` (math.clj:291); reference default range [-0.5, 0.5]."""
+    aggs = []
+    for c in columns:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    row = df.agg(*aggs).collect()[0].asDict()
+    return {"columns": list(columns), "target": (target_min, target_max),
+            "stats": {c: (row[f"{c}__min"], row[f"{c}__max"]) for c in columns}}
+
+
+def transform_minmax(df: DataFrame, fitted: dict) -> DataFrame:
+    """``transform-minmax`` (math.clj:312)."""
+    lo, hi = fitted["target"]
+    out = df
+    for c, (cmin, cmax) in fitted["stats"].items():
+        span = (cmax - cmin) or 1.0
+        out = out.withColumn(c, F.lit(lo) + (F.col(c) - F.lit(cmin)) / F.lit(span) * F.lit(hi - lo))
+    return out
+
+
+# ---- PCA ---------------------------------------------------------------------
+
+def fit_pca(df: DataFrame, columns: Sequence[str], *, n_components: int,
+            method: str = "svd") -> dict:
+    """``fit-pca`` (neanderthal.clj:199). Means + covariance computed
+    distributed (one agg pass + one outer-product agg); eigendecomposition
+    of the small d x d covariance on the driver via numpy — the standard
+    scale pattern (d is small, n is 100 TB)."""
+    import numpy as np
+
+    d = len(columns)
+    means = fit_std_scale(df, columns)["stats"]
+    mu = np.array([means[c][0] for c in columns])
+    # covariance: E[(x-mu)(x-mu)^T] via sum of products aggregation
+    prods = []
+    for i, ci in enumerate(columns):
+        for j, cj in enumerate(columns[: i + 1]):
+            prods.append(F.avg((F.col(ci) - F.lit(float(mu[i]))) *
+                               (F.col(cj) - F.lit(float(mu[j])))).alias(f"p_{i}_{j}"))
+    row = df.agg(*prods).collect()[0].asDict()
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i + 1):
+            cov[i, j] = cov[j, i] = row[f"p_{i}_{j}"]
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals, eigvecs = eigvals[order], eigvecs[:, order]
+    comps = eigvecs[:, :n_components]  # d x k
+    return {"columns": list(columns), "means": mu.tolist(),
+            "components": comps.tolist(),
+            "explained_variance": eigvals[:n_components].tolist(),
+            "method": method}
+
+
+def transform_pca(df: DataFrame, fitted: dict, *, out_prefix: str = "pc") -> DataFrame:
+    """``transform-pca`` (neanderthal.clj:262): project onto components with
+    pure Column arithmetic (k small) — no vector assembly, no UDF."""
+    cols = fitted["columns"]
+    mu = fitted["means"]
+    comps = fitted["components"]  # d x k
+    k = len(comps[0])
+    out = df
+    for j in range(k):
+        expr = F.lit(0.0)
+        for i, c in enumerate(cols):
+            expr = expr + (F.col(c) - F.lit(mu[i])) * F.lit(comps[i][j])
+        out = out.withColumn(f"{out_prefix}{j}", expr)
+    return out.drop(*cols)
+
+
+# ---- correlation ---------------------------------------------------------------
+
+def correlation_table(df: DataFrame, columns: Sequence[str] | None = None,
+                      method: str = "pearson") -> dict[str, dict[str, float]]:
+    """``correlation-table`` (math.clj:37): all-pairs correlation via
+    ml.stat.Correlation on an assembled vector (single distributed pass).
+    method: 'pearson' | 'spearman'."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    cols = list(columns) if columns else [c for c, t in df.dtypes
+                                          if t in ("double", "float", "int", "bigint",
+                                                   "smallint", "tinyint")]
+    vec = VectorAssembler(inputCols=cols, outputCol="__vec__", handleInvalid="skip")
+    assembled = vec.transform(df.select(*cols))
+    mat = Correlation.corr(assembled, "__vec__", method).collect()[0][0].toArray()
+    return {ci: {cj: float(mat[i][j]) for j, cj in enumerate(cols)}
+            for i, ci in enumerate(cols)}
+
+
+# ---- splits --------------------------------------------------------------------
+
+def train_test_split(df: DataFrame, *, test_fraction: float = 0.3,
+                     seed: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """``train-test-split`` (modelling.clj:178)."""
+    train, test = df.randomSplit([1.0 - test_fraction, test_fraction], seed=seed)
+    return train, test
+
+
+def k_fold_datasets(df: DataFrame, k: int, *, seed: int | None = None
+                    ) -> list[tuple[DataFrame, DataFrame]]:
+    """``k-fold-datasets`` (modelling.clj:139): k (train, test) pairs via a
+    persistent random bucket column — one pass to tag, k cheap filters."""
+    tagged = df.withColumn("__fold__", (F.rand(seed) * k).cast("int"))
+    return [(tagged.filter(F.col("__fold__") != i).drop("__fold__"),
+             tagged.filter(F.col("__fold__") == i).drop("__fold__"))
+            for i in range(k)]

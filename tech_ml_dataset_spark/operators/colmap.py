@@ -1,0 +1,179 @@
+"""column-map / row-map / column-cast / update family — the UDF surface.
+
+Reference semantics: column-map (src/tech/v3/dataset_api.clj:705-816),
+row-map (dataset_api.clj:885), pmap-ds (dataset_api.clj:855), column-cast
+with parse-failure tracking (dataset_api.clj:1026), update/update-columnwise/
+update-elemwise (dataset_api.clj:560,587,641), column filters
+(src/tech/v3/dataset/column_filters.clj:44-149), induction
+(dataset_api.clj:1402).
+
+Spark-first ladder (SURVEY §2.7/§2.8): a Column-expression function is the
+fast path (Catalyst + codegen). A Python function falls back to an
+Arrow-batched pandas UDF — 10-100x faster than row-at-a-time, still the
+documented slow path. Row-at-a-time UDFs are never used.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+from pyspark.sql import types as T
+
+
+def column_map(df: DataFrame, out_col: str, fn, src_cols: Sequence[str], *,
+               out_dtype=None) -> DataFrame:
+    """``column-map`` (dataset_api.clj:705): n source columns -> new column.
+
+    ``fn`` over Column objects (returns Column) -> pure Catalyst expression.
+    Any other callable -> vectorized pandas UDF over pandas Series
+    (``out_dtype`` required, e.g. "double").
+
+    Missing semantics: the reference unions the source missing sets by
+    default; with Column exprs SQL NULL propagation gives the same result
+    for strict functions.
+    """
+    cols = [F.col(c) for c in src_cols]
+    try:
+        out = fn(*cols)
+        if isinstance(out, Column):
+            return df.withColumn(out_col, out)
+    except Exception:
+        # fn isn't Column-applicable (e.g. calls bool()/math on Columns);
+        # fall through to the pandas path when a dtype was given, else
+        # surface the original error.
+        if out_dtype is None:
+            raise
+    if out_dtype is None:
+        raise ValueError("python-function column_map needs out_dtype")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(out_dtype)
+    def _udf(*series):
+        import pandas as pd
+        return pd.Series([fn(*vals) for vals in zip(*series)])
+
+    return df.withColumn(out_col, _udf(*cols))
+
+
+def update_elemwise(df: DataFrame, colname: str, fn) -> DataFrame:
+    """``update-elemwise`` (dataset_api.clj:641): map a fn over one column."""
+    return column_map(df, colname, fn, [colname])
+
+
+def row_map(df: DataFrame, fn, schema) -> DataFrame:
+    """``row-map`` (dataset_api.clj:885): row-dict -> dict of new/updated
+    columns. Runs as ``mapInPandas`` (per-partition Arrow batches — the
+    reference runs it parallel over row ranges, same shape).
+
+    ``schema``: full output StructType or DDL string.
+    """
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            recs = [fn(rec) for rec in pdf.to_dict("records")]
+            yield pd.DataFrame(recs)
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def pmap_ds(df: DataFrame, fn, schema=None) -> DataFrame:
+    """``pmap-ds`` (dataset_api.clj:855): dataset->dataset fn applied to
+    partitions in parallel. ``fn`` takes/returns a pandas DataFrame."""
+    out_schema = schema or df.schema
+
+    def gen(batches):
+        for pdf in batches:
+            yield fn(pdf)
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def column_cast(df: DataFrame, colname: str, dtype: str, *,
+                failure_col: str | None = None) -> DataFrame:
+    """``column-cast`` (dataset_api.clj:1026). Spark try_cast semantics:
+    unparseable values become NULL (the reference's :tech.v3.dataset/missing
+    convention for ::parse-failure). ``failure_col`` optionally records the
+    original value where the cast failed — the reference keeps failure
+    indexes in column metadata; a side column is the relational analog."""
+    src = F.col(colname)
+    casted = src.try_cast(dtype) if hasattr(src, "try_cast") else \
+        F.expr(f"try_cast(`{colname}` AS {dtype})")
+    out = df
+    if failure_col is not None:
+        out = out.withColumn(failure_col,
+                             F.when(casted.isNull() & src.isNotNull(), src))
+    return out.withColumn(colname, casted)
+
+
+# ---- column filters (column_filters.clj:44-149) ----------------------------
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType)
+_DATETIME = (T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def column_filter(df: DataFrame, kind: str) -> list[str]:
+    """Column-name selection by kind: numeric|string|boolean|datetime|array.
+    The reference composes these with union/intersection/difference — plain
+    Python set ops on the returned lists serve that role."""
+    preds = {
+        "numeric": lambda dt: isinstance(dt, _NUMERIC),
+        "string": lambda dt: isinstance(dt, T.StringType),
+        "boolean": lambda dt: isinstance(dt, T.BooleanType),
+        "datetime": lambda dt: isinstance(dt, _DATETIME),
+        "array": lambda dt: isinstance(dt, T.ArrayType),
+    }
+    return [f.name for f in df.schema.fields if preds[kind](f.dataType)]
+
+
+def of_datatype(df: DataFrame, dtype: str) -> list[str]:
+    return [c for c, t in df.dtypes if t == dtype]
+
+
+def update_columnwise(df: DataFrame, kind_or_cols, fn) -> DataFrame:
+    """``update-columnwise`` (dataset_api.clj:587): apply a Column->Column fn
+    to every column selected by a kind keyword or explicit list."""
+    cols = column_filter(df, kind_or_cols) if isinstance(kind_or_cols, str) \
+        else list(kind_or_cols)
+    return df.withColumns({c: fn(F.col(c)) for c in cols})
+
+
+def induction(df: DataFrame, order_by, out_col: str, update_expr: Callable, *,
+              init=0.0, by=None, dtype: str = "double") -> DataFrame:
+    """``induction`` (dataset_api.clj:1402): row-by-row recursive compute —
+    each row sees the accumulated result of prior rows.
+
+    Inherently sequential (SURVEY §7). Two compiled forms:
+    * If ``update_expr`` is linear-recurrence-expressible the caller should
+      use window functions directly (cumsum etc.).
+    * This general form runs ``applyInPandas`` per ``by`` group (parallel
+      across groups, sequential within — the honest contract); without
+      ``by`` it is a SINGLE partition: correct, documented, not scalable.
+
+    ``update_expr(acc, row_dict) -> new_acc``; ``out_col`` holds acc AFTER
+    processing the row.
+    """
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    by_cols = [by] if isinstance(by, str) else (list(by) if by else [])
+
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, getattr(T, {
+                                  "double": "DoubleType", "bigint": "LongType",
+                                  "int": "IntegerType", "string": "StringType",
+                              }[dtype])(), True)])
+
+    def run(pdf):
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        acc = init
+        vals = []
+        for rec in pdf.to_dict("records"):
+            acc = update_expr(acc, rec)
+            vals.append(acc)
+        pdf[out_col] = vals
+        return pdf
+
+    if by_cols:
+        return df.groupBy(*by_cols).applyInPandas(run, schema=out_schema)
+    return df.coalesce(1).groupBy(F.lit(1).alias("__g__")) \
+             .applyInPandas(lambda pdf: run(pdf), schema=out_schema)

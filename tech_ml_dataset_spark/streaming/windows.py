@@ -1,0 +1,105 @@
+"""Structured Streaming operators (beyond-reference surface).
+
+The reference is batch-only — its "streaming" is a lazy seq of datasets
+consumed by the reductions namespace (src/tech/v3/dataset/reductions.clj:1-11).
+This module supplies the real streaming surface the driver's north star
+requires: tumbling/sliding/session windows, watermarks for late data,
+stateful dedup. Every function works identically on a batch DataFrame and a
+streaming DataFrame (Spark's unified API) — the batch form is what the
+correctness oracle checks; the streaming form is the production path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..operators.aggregate import resolve_reducer
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data bound: state for windows older than max(event time) - delay
+    is finalized and dropped. Batch DataFrames pass through unchanged."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def tumbling_window_agg(df: DataFrame, ts_col: str, duration: str,
+                        aggs: Mapping[str, object], *,
+                        by: Sequence[str] = (), watermark: str | None = None
+                        ) -> DataFrame:
+    """Non-overlapping event-time windows: groupBy(window(ts, duration)).
+    Output exposes window_start/window_end plus the reducer columns."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    win = F.window(F.col(ts_col), duration)
+    exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
+    out = df.groupBy(win.alias("__w__"), *by).agg(*exprs)
+    return out.select(F.col("__w__.start").alias("window_start"),
+                      F.col("__w__.end").alias("window_end"),
+                      *by, *aggs.keys())
+
+
+def sliding_window_agg(df: DataFrame, ts_col: str, duration: str, slide: str,
+                       aggs: Mapping[str, object], *,
+                       by: Sequence[str] = (), watermark: str | None = None
+                       ) -> DataFrame:
+    """Overlapping windows of ``duration`` advancing every ``slide``."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    win = F.window(F.col(ts_col), duration, slide)
+    exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
+    out = df.groupBy(win.alias("__w__"), *by).agg(*exprs)
+    return out.select(F.col("__w__.start").alias("window_start"),
+                      F.col("__w__.end").alias("window_end"),
+                      *by, *aggs.keys())
+
+
+def session_window_agg(df: DataFrame, ts_col: str, gap: str,
+                       aggs: Mapping[str, object], *,
+                       by: Sequence[str] = (), watermark: str | None = None
+                       ) -> DataFrame:
+    """Session windows closed by ``gap`` inactivity (F.session_window).
+    The streaming-native analog of the batch lag+cumsum sessionization."""
+    if watermark:
+        df = with_watermark(df, ts_col, watermark)
+    win = F.session_window(F.col(ts_col), gap)
+    exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
+    out = df.groupBy(win.alias("__w__"), *by).agg(*exprs)
+    return out.select(F.col("__w__.start").alias("window_start"),
+                      F.col("__w__.end").alias("window_end"),
+                      *by, *aggs.keys())
+
+
+def stateful_dedup(df: DataFrame, keys: Sequence[str], *,
+                   ts_col: str | None = None, watermark: str | None = None
+                   ) -> DataFrame:
+    """Streaming exact dedup on key columns. With a watermark the state is
+    bounded (dropDuplicatesWithinWatermark); unbounded otherwise. On batch
+    frames this degrades to dropDuplicates — same semantics, one pass."""
+    if df.isStreaming and watermark and ts_col:
+        df = df.withWatermark(ts_col, watermark)
+        return df.dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def read_stream(spark, path: str, schema, *, fmt: str = "parquet",
+                max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over a directory (the scalable ingest pattern:
+    writers land files, the stream picks them up incrementally)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def run_to_memory(df: DataFrame, name: str, *, output_mode: str = "complete"):
+    """Execute a streaming frame into an in-memory table and process all
+    available data once (tests / interactive use). Returns the query handle;
+    results land in ``spark.table(name)``."""
+    q = (df.writeStream.format("memory").queryName(name)
+           .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

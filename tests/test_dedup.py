@@ -1,0 +1,66 @@
+"""Tests for the dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tech_ml_dataset_spark.functions import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter")
+    near = base.replace("green", "dark")          # near-duplicate
+    exact2 = "  The  quick brown fox jumps over the lazy dog and then runs far " \
+             "away into the deep green forest to hide from every hunter "  # ws+case
+    other = ("completely different text about spark dataframes and shuffles "
+             "with no overlap whatsoever in any shingle of meaningful size")
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, exact2), (4, other)], ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = dd.exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 4]  # 3 is an exact dup of 1 after normalization
+
+
+def test_shingles_char_and_word(spark):
+    df = spark.createDataFrame([("abc def",)], ["t"])
+    ch = df.select(dd.shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert "abc" in ch and "c d" in ch
+    w = df.select(dd.shingles(F.col("t"), 2, mode="word").alias("s")).collect()[0]["s"]
+    assert w == ["abc def"]
+
+
+def test_minhash_pairs_find_near_dup(spark, docs):
+    pairs = dd.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=64, bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got  # near + exact dup found
+    assert not any(4 in p for p in got)     # unrelated doc not matched
+
+
+def test_minhash_dedup_drops_losers(spark, docs):
+    out = dd.minhash_dedup(docs, threshold=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4]
+
+
+def test_simhash_near_dup(spark, docs):
+    pairs = dd.simhash_dedup_pairs(docs, max_distance=8)
+    got = {(r["id_a"], r["id_b"]): r["distance"] for r in pairs.collect()}
+    assert (1, 3) in got and got[(1, 3)] == 0  # exact dup -> distance 0
+    assert (1, 2) in got                       # near dup within distance
+    assert not any(4 in p for p in got)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dd.ngram_jaccard_pairs(docs, k=3, threshold=0.4)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 3)] == 1.0
+    assert 0.5 < got[(1, 2)] < 1.0
+
+
+def test_hamming(spark):
+    df = spark.createDataFrame([(0b1011, 0b0011)], "a bigint, b bigint")
+    assert df.select(dd.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"] == 1

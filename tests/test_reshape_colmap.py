@@ -1,0 +1,156 @@
+"""Tests for reshape (explode/melt/pivot), colmap (UDF surface), and ML
+preprocessing."""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from tech_ml_dataset_spark.ml import preprocess as mlp
+from tech_ml_dataset_spark.operators import colmap as cm
+from tech_ml_dataset_spark.operators import reshape as rs
+
+
+def test_unroll_column(spark):
+    df = spark.createDataFrame([(1, [10, 20]), (2, [30]), (3, [])],
+                               "id int, xs array<int>")
+    out = rs.unroll_column(df, "xs")
+    assert sorted((r["id"], r["xs"]) for r in out.collect()) == [(1, 10), (1, 20), (2, 30)]
+    outer = rs.unroll_column_outer(df, "xs")
+    assert outer.count() == 4  # id=3 kept with null
+    withidx = rs.unroll_column(df, "xs", indexes="i")
+    got = sorted((r["id"], r["i"], r["xs"]) for r in withidx.collect())
+    assert got == [(1, 0, 10), (1, 1, 20), (2, 0, 30)]
+
+
+def test_columnwise_concat_melt(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id int, a double, b double")
+    out = rs.columnwise_concat(df, ["a", "b"])
+    got = sorted((r["id"], r["column"], r["value"]) for r in out.collect())
+    assert got == [(1, "a", 10.0), (1, "b", 20.0)]
+
+
+def test_transpose_by_key_pivot(spark):
+    df = spark.createDataFrame([(1, "x", 5.0), (1, "y", 7.0), (2, "x", 1.0)],
+                               "id int, k string, v double")
+    out = rs.transpose_by_key(df, "k", "v", group_by=["id"], values=["x", "y"])
+    got = {r["id"]: (r["x"], r["y"]) for r in out.collect()}
+    assert got == {1: (5.0, 7.0), 2: (1.0, None)}
+
+
+def test_extend_with_empty(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    out = rs.extend_with_empty(df, 2)
+    assert out.count() == 3
+    assert out.filter(F.col("id").isNull()).count() == 2
+
+
+def test_row_mapcat(spark):
+    df = spark.createDataFrame([(1,), (2,)], "n int")
+    schema = T.StructType([T.StructField("n", T.IntegerType()),
+                           T.StructField("rep", T.IntegerType())])
+    out = rs.row_mapcat(df, lambda r: [{"n": r["n"], "rep": i} for i in range(r["n"])],
+                        schema)
+    assert sorted((r["n"], r["rep"]) for r in out.collect()) == [(1, 0), (2, 0), (2, 1)]
+
+
+def test_column_map_expr_and_python(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 4.0)], "a double, b double")
+    out = cm.column_map(df, "s", lambda a, b: a + b, ["a", "b"])
+    assert [r["s"] for r in out.orderBy("a").collect()] == [3.0, 7.0]
+    out2 = cm.column_map(df, "h", lambda a, b: float(max(a, b)), ["a", "b"],
+                         out_dtype="double")
+    assert [r["h"] for r in out2.orderBy("a").collect()] == [2.0, 4.0]
+
+
+def test_column_cast_failure_tracking(spark):
+    df = spark.createDataFrame([("1",), ("x",), (None,)], "v string")
+    out = cm.column_cast(df, "v", "int", failure_col="bad")
+    rows = out.collect()
+    got = {(r["v"], r["bad"]) for r in rows}
+    assert (1, None) in got and (None, "x") in got
+
+
+def test_row_map(spark):
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    out = cm.row_map(df, lambda r: {"a": r["a"], "b": r["b"], "c": r["a"] * r["b"]},
+                     "a int, b int, c int")
+    assert out.collect()[0]["c"] == 2
+
+
+def test_column_filters(spark):
+    df = spark.createDataFrame([(1, "s", 1.5, True)], "i int, s string, d double, b boolean")
+    assert cm.column_filter(df, "numeric") == ["i", "d"]
+    assert cm.column_filter(df, "string") == ["s"]
+    assert cm.column_filter(df, "boolean") == ["b"]
+
+
+def test_update_columnwise(spark):
+    df = spark.createDataFrame([(1, 2.0, "x")], "i int, d double, s string")
+    out = cm.update_columnwise(df, "numeric", lambda c: c * 10)
+    r = out.collect()[0]
+    assert r["i"] == 10 and r["d"] == 20.0 and r["s"] == "x"
+
+
+def test_induction_cumulative_product(spark):
+    df = spark.createDataFrame([(1, 2.0), (2, 3.0), (3, 4.0)], "i int, v double")
+    out = cm.induction(df, "i", "acc", lambda acc, row: acc * row["v"], init=1.0,
+                       by=None)
+    got = {r["i"]: r["acc"] for r in out.collect()}
+    assert got == {1: 2.0, 2: 6.0, 3: 24.0}
+
+
+# ---- ML preprocessing -------------------------------------------------------
+
+def test_categorical_roundtrip(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",)], "k string")
+    fit = mlp.fit_categorical_map(df, "k")
+    assert fit["table"] == {"a": 0, "b": 1, "c": 2}
+    enc = mlp.transform_categorical_map(df, fit)
+    assert sorted(r["k"] for r in enc.collect()) == [0, 0, 1, 2]
+    dec = mlp.invert_categorical_map(enc, fit)
+    assert sorted(r["k"] for r in dec.collect()) == ["a", "a", "b", "c"]
+
+
+def test_one_hot(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    out = mlp.transform_one_hot(df, mlp.fit_one_hot(df, "k"))
+    assert set(out.columns) == {"k-a", "k-b"}
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(0, 1), (1, 0)]
+
+
+def test_std_scale_and_minmax(spark):
+    df = spark.createDataFrame([(0.0,), (10.0,)], "v double")
+    scaled = mlp.transform_std_scale(df, mlp.fit_std_scale(df, ["v"]))
+    vals = sorted(r["v"] for r in scaled.collect())
+    assert abs(vals[0] + vals[1]) < 1e-9  # symmetric around 0
+    mm = mlp.transform_minmax(df, mlp.fit_minmax(df, ["v"]))
+    assert sorted(r["v"] for r in mm.collect()) == [-0.5, 0.5]
+
+
+def test_pca_recovers_dominant_axis(spark):
+    import numpy as np
+    rng = [(float(i), float(2 * i + 0.001 * ((-1) ** i))) for i in range(50)]
+    df = spark.createDataFrame(rng, "x double, y double")
+    fit = mlp.fit_pca(df, ["x", "y"], n_components=1)
+    out = mlp.transform_pca(df, fit)
+    assert out.columns == ["pc0"]
+    # dominant component direction ~ (1,2)/sqrt(5)
+    comp = np.array(fit["components"]).ravel()
+    ratio = abs(comp[1] / comp[0])
+    assert abs(ratio - 2.0) < 0.05
+
+
+def test_correlation_table(spark):
+    df = spark.createDataFrame([(1.0, 2.0), (2.0, 4.0), (3.0, 6.1)], "a double, b double")
+    corr = mlp.correlation_table(df, ["a", "b"])
+    assert corr["a"]["b"] > 0.999
+
+
+def test_train_test_split_and_kfold(spark):
+    df = spark.range(100)
+    tr, te = mlp.train_test_split(df, test_fraction=0.3, seed=7)
+    assert tr.count() + te.count() == 100
+    folds = mlp.k_fold_datasets(df, 4, seed=7)
+    assert len(folds) == 4
+    total = sum(t.count() for _, t in folds)
+    assert total == 100  # test folds partition the data

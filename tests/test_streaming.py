@@ -1,0 +1,59 @@
+"""Streaming window tests: batch parity + a real streaming run through a
+file source and memory sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tech_ml_dataset_spark.sources.io import read_parquet
+from tech_ml_dataset_spark.streaming import windows as sw
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return read_parquet(spark, f"{sf_dir}/events.parquet")
+
+
+def test_tumbling_batch(events):
+    out = sw.tumbling_window_agg(events, "ts", "1 day",
+                                 {"n": ("row-count", None), "v": ("sum", "value")})
+    rows = out.collect()
+    assert len(rows) >= 28  # ~30 days of data
+    assert all(r["window_end"] > r["window_start"] for r in rows)
+    assert sum(r["n"] for r in rows) == events.count()
+
+
+def test_sliding_batch(events):
+    tumb = sw.tumbling_window_agg(events, "ts", "1 day", {"n": ("row-count", None)})
+    slide = sw.sliding_window_agg(events, "ts", "1 day", "12 hours",
+                                  {"n": ("row-count", None)})
+    assert slide.count() > tumb.count()  # overlapping windows
+
+
+def test_session_batch(events):
+    out = sw.session_window_agg(events, "ts", "30 minutes",
+                                {"n": ("row-count", None)}, by=["user_id"])
+    assert out.count() > 0
+    assert sum(r["n"] for r in out.collect()) == events.count()
+
+
+def test_stateful_dedup_batch(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+    assert sw.stateful_dedup(df, ["k"]).count() == 2
+
+
+def test_streaming_end_to_end(spark, sf_dir, tmp_path):
+    # land the events table as files, stream it back with a watermark,
+    # aggregate into tumbling windows, sink to memory
+    src = str(tmp_path / "stream_src")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    ev.write.mode("overwrite").parquet(src)
+    stream = sw.read_stream(spark, src, ev.schema, max_files_per_trigger=2)
+    assert stream.isStreaming
+    agg = sw.tumbling_window_agg(stream, "ts", "1 day",
+                                 {"n": ("row-count", None)},
+                                 watermark="1 hour")
+    sw.run_to_memory(agg, "win_counts", output_mode="append")
+    got = spark.table("win_counts").collect()
+    # with availableNow + watermark, all-but-the-latest windows are emitted
+    assert len(got) >= 25
+    assert all(r["n"] > 0 for r in got)
