@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tech_ml_dataset_spark.functions import dedup as dd
+from tech_ml_dataset_spark.functions import multimodal as mmod
 from tech_ml_dataset_spark.functions import similarity as sim
 from tech_ml_dataset_spark.functions import text as txt
 from tech_ml_dataset_spark.ml import preprocess as mlp
@@ -403,7 +404,34 @@ def minhash_pairs_docs(spark, sf_dir):
 def simhash_docs(spark, sf_dir):
     """SimHash fingerprints (rows-only: xxhash64 is Spark-specific)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", dd.simhash(F.col("text")).alias("simhash"))
+    return dd.simhash_df(docs, "doc_id", "text")
+
+
+def media_meta_docs(spark, sf_dir):
+    """Multimodal metadata scan (functions/multimodal.py): binary payload
+    (utf-8 bytes of text stand in for media) -> length/md5, pure JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    binned = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("data"))
+    out = mmod.with_media_meta(binned, "data")
+    return out.select("doc_id", F.col("media_meta.n_bytes").alias("n_bytes"),
+                      F.col("media_meta.md5").alias("md5"))
+
+
+def image_pipeline_docs(spark, sf_dir):
+    """Multimodal decode->resize->features pipeline over mapInPandas
+    (rows-only: fake decoder is Spark-side only). Returns per-doc feature
+    vector stats so the driver gets a stable scalar schema."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    binned = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("data"))
+    binned = mmod.repartition_for_decode(binned, "doc_id")
+    decoded = mmod.decode_image(binned, "data", fake_hw=(8, 8))
+    resized = mmod.resize_image(decoded, "image", 4, 4)
+    feats = mmod.image_features(resized, "image")
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_features"),
+        _r4(F.aggregate("features", F.lit(0.0),
+                        lambda a, x: a + x.cast("double"))).alias("feat_sum"))
 
 
 # --------------------------------------------------------------------------
@@ -450,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
         "simhash_docs": simhash_docs,
+        "media_meta_docs": media_meta_docs,
+        "image_pipeline_docs": image_pipeline_docs,
     }
 
 
@@ -727,5 +757,9 @@ def oracle_sql() -> dict[str, str]:
               AND len(list_intersect(a.grams, b.grams)) > 0
               AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+        """,
+        "media_meta_docs": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS md5
+            FROM documents
         """,
     }

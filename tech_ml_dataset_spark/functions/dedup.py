@@ -160,6 +160,48 @@ def simhash(text: Column, *, k: int = 2) -> Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def simhash_df(df: DataFrame, id_cols, text_col: str = "text", *, k: int = 2,
+               out_col: str = "simhash") -> DataFrame:
+    """DataFrame-level SimHash: same semantics as :func:`simhash` but scales.
+
+    The Column version folds a 64-wide expression tree per array element,
+    which falls out of whole-stage codegen. Here we explode word k-grams and
+    compute the 64 per-bit counts as ordinary groupBy sums — partial (map-side)
+    aggregation, codegen-friendly, one shuffle keyed by the doc id. Bit i of
+    the result is set when the majority of feature hashes have bit i set
+    (strictly more than half, matching the sign-of-sum rule).
+    """
+    import functools
+
+    if isinstance(id_cols, str):
+        id_cols = [id_cols]
+    # the explode fans each doc out ~token-count×; a stage can't split an
+    # input partition mid-flight, so make sure the CPU-heavy hash work has
+    # at least one partition per core before it starts
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, *id_cols)
+    feats = shingles(F.col(text_col), k, mode="word")
+    # xxhash64(NULL) yields the seed, not NULL — mask the explode_outer
+    # placeholder row of empty docs so it doesn't count as a feature
+    ex = df.select(*id_cols, F.explode_outer(feats).alias("__f__")) \
+           .select(*id_cols,
+                   F.when(F.col("__f__").isNull(), F.lit(None))
+                    .otherwise(F.xxhash64("__f__")).alias("__h__"))
+    aggs = [F.count("__h__").alias("__n__")]
+    for i in range(64):
+        aggs.append(F.sum(F.shiftright("__h__", i).bitwiseAND(F.lit(1)).cast("int"))
+                     .alias(f"__b{i}__"))
+    counted = ex.groupBy(*id_cols).agg(*aggs)
+    bit_exprs = [
+        F.shiftleft(
+            F.when(F.col(f"__b{i}__") * 2 > F.col("__n__"), F.lit(1))
+             .otherwise(F.lit(0)).cast("bigint"), i)
+        for i in range(64)]
+    sim = functools.reduce(lambda a, b: a.bitwiseOR(b), bit_exprs)
+    return counted.select(*id_cols, F.coalesce(sim, F.lit(0)).alias(out_col))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit hashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -172,7 +214,7 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     16-bit bands (pigeonhole guarantees recall for distance <= 3 with 4
     bands), verified by exact Hamming distance."""
     n_bands = 64 // band_bits
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("__sim__"))
+    sh = simhash_df(df, [id_col], text_col, out_col="__sim__")
     banded = sh.select(
         id_col, "__sim__",
         F.posexplode(F.array(*[

@@ -1,0 +1,235 @@
+"""Multimodal (image/audio/video) column support for training-data pipelines
+(beyond-reference mandate; TMD has no multimodal surface).
+
+Design for 100 TB: media lives as opaque ``binary`` columns with a typed
+metadata struct alongside. Everything that can stay JVM-side does —
+byte length, content hashes, magic-byte format sniffing are Catalyst
+expressions evaluated in one scan. The Python-side stages (decode,
+resize, frame sampling, feature extraction) run as Arrow-batched
+``mapInPandas`` passes so each executor processes whole record batches,
+never row-at-a-time.
+
+The actual codec step is STUBBED: this container has no image/audio
+libraries, so :func:`decode_image` tries Pillow and falls back to a
+clearly-marked deterministic fake decoder (pixels derived from the md5 of
+the bytes). Everything around it — schemas, batch shapes, partitioning,
+UDF signatures, resize/sample/feature math (pure numpy) — is real and
+tested, so swapping in a real codec is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+# ---------------------------------------------------------------------------
+# typed metadata schemas
+# ---------------------------------------------------------------------------
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("md5", T.StringType()),
+    T.StructField("format", T.StringType()),
+])
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("height", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("pixels", T.ArrayType(T.FloatType())),  # row-major HWC
+])
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("samples", T.ArrayType(T.FloatType())),
+])
+
+# magic bytes -> format label, checked JVM-side via substring/hex
+_MAGIC = [
+    ("89504E47", "png"),
+    ("FFD8FF", "jpeg"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),   # wav/avi/webp container
+    ("664C6143", "flac"),
+    ("00000018", "mp4"),    # ftyp boxes start at offset 4; cheap heuristic
+    ("1A45DFA3", "mkv"),
+]
+
+
+def sniff_format(bin_col: Column) -> Column:
+    """Magic-byte format sniff as a pure Catalyst expression (no UDF)."""
+    head = F.upper(F.hex(F.substring(bin_col, 1, 4)))
+    expr = F.lit("unknown")
+    for magic, name in reversed(_MAGIC):
+        expr = F.when(head.startswith(magic[:8] if len(magic) >= 8 else magic),
+                      F.lit(name)).otherwise(expr)
+    return expr
+
+
+def with_media_meta(df: DataFrame, bin_col: str, out_col: str = "media_meta"
+                    ) -> DataFrame:
+    """Attach the typed metadata struct — one JVM-side scan, no Python."""
+    b = F.col(bin_col)
+    return df.withColumn(out_col, F.struct(
+        F.octet_length(b).cast("long").alias("n_bytes"),
+        F.md5(b).alias("md5"),
+        sniff_format(b).alias("format"),
+    ))
+
+
+# ---------------------------------------------------------------------------
+# decode (STUB: deterministic fake unless Pillow is importable)
+# ---------------------------------------------------------------------------
+
+def _fake_decode(data: bytes, height: int = 8, width: int = 8,
+                 channels: int = 3) -> np.ndarray:
+    """DETERMINISTIC FAKE decoder: expands the md5 of the payload into an
+    (h, w, c) float32 array in [0, 1]. Stands in for a real codec so the
+    downstream numpy stages exercise true batch shapes."""
+    need = height * width * channels
+    seed = data if data else b"\x00"
+    out = bytearray()
+    counter = 0
+    while len(out) < need:
+        out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    arr = np.frombuffer(bytes(out[:need]), dtype=np.uint8)
+    return (arr.astype(np.float32) / 255.0).reshape(height, width, channels)
+
+
+def _try_real_decode(data: bytes):
+    try:  # pragma: no cover - Pillow absent in this container
+        import io
+        from PIL import Image
+        arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
+                         dtype=np.float32) / 255.0
+        return arr
+    except Exception:
+        return None
+
+
+def decode_image(df: DataFrame, bin_col: str, out_col: str = "image", *,
+                 fake_hw: tuple[int, int] = (8, 8)) -> DataFrame:
+    """Decode a binary column to an image struct via Arrow-batched
+    ``mapInPandas``. Real codec when Pillow exists, else the deterministic
+    fake (clearly marked above). Output schema = input + ``out_col``."""
+    h, w = fake_hw
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, IMAGE_SCHEMA)])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            imgs = []
+            for data in pdf[bin_col]:
+                raw = bytes(data) if data is not None else b""
+                arr = _try_real_decode(raw)
+                if arr is None:
+                    arr = _fake_decode(raw, h, w)
+                imgs.append({"height": arr.shape[0], "width": arr.shape[1],
+                             "channels": arr.shape[2],
+                             "pixels": arr.ravel().tolist()})
+            pdf[out_col] = imgs
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# real numpy stages over decoded structs
+# ---------------------------------------------------------------------------
+
+def resize_image(df: DataFrame, image_col: str, height: int, width: int,
+                 out_col: str | None = None) -> DataFrame:
+    """Nearest-neighbor resize — pure numpy fancy-indexing, Arrow-batched.
+    No codec involvement, so this stage is fully real."""
+    out_col = out_col or image_col
+    fields = [f for f in df.schema.fields if f.name != out_col]
+    out_schema = T.StructType(fields + [T.StructField(out_col, IMAGE_SCHEMA)])
+    names = [f.name for f in fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = []
+            for img in pdf[image_col]:
+                hh, ww, cc = img["height"], img["width"], img["channels"]
+                arr = np.asarray(img["pixels"], dtype=np.float32).reshape(hh, ww, cc)
+                ri = (np.arange(height) * hh // height)
+                ci = (np.arange(width) * ww // width)
+                out = arr[ri][:, ci]
+                resized.append({"height": height, "width": width, "channels": cc,
+                                "pixels": out.ravel().tolist()})
+            res = pdf[names].copy()
+            res[out_col] = resized
+            yield res
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def image_features(df: DataFrame, image_col: str, out_col: str = "features"
+                   ) -> DataFrame:
+    """Per-channel mean/std + 8-bin intensity histogram (pure numpy)."""
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.ArrayType(T.FloatType()))])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for img in pdf[image_col]:
+                arr = np.asarray(img["pixels"], dtype=np.float32).reshape(
+                    img["height"], img["width"], img["channels"])
+                mean = arr.mean(axis=(0, 1))
+                std = arr.std(axis=(0, 1))
+                hist, _ = np.histogram(arr.mean(axis=2), bins=8, range=(0.0, 1.0))
+                hist = hist / max(1, arr.shape[0] * arr.shape[1])
+                feats.append(np.concatenate([mean, std, hist])
+                             .astype(np.float32).tolist())
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def frame_sample(df: DataFrame, bin_col: str, *, every_n: int = 10,
+                 n_frames: int = 100, out_col: str = "frames") -> DataFrame:
+    """Video frame sampling: emit every ``every_n``-th frame as an image
+    struct. Decode is the deterministic fake (frame i = fake decode of
+    bytes||i); the sampling/batching plumbing is real. One input row fans
+    out to ceil(n_frames / every_n) rows — the same explode-style shape a
+    real video pipeline produces."""
+    fields = df.schema.fields
+    out_schema = T.StructType(fields + [
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField(out_col, IMAGE_SCHEMA)])
+    names = [f.name for f in fields]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                raw = bytes(row[bin_col]) if row[bin_col] is not None else b""
+                for i in range(0, n_frames, every_n):
+                    arr = _fake_decode(raw + i.to_bytes(4, "little"))
+                    rec = {n: row[n] for n in names}
+                    rec["frame_idx"] = i
+                    rec[out_col] = {"height": arr.shape[0], "width": arr.shape[1],
+                                    "channels": arr.shape[2],
+                                    "pixels": arr.ravel().tolist()}
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=names + ["frame_idx", out_col])
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def repartition_for_decode(df: DataFrame, *cols: str) -> DataFrame:
+    """Media decode is CPU-bound: ensure at least one partition per core
+    before entering the Python stages (an input split can't be subdivided
+    mid-stage)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df

@@ -61,6 +61,20 @@ def test_ngram_jaccard(spark, docs):
     assert 0.5 < got[(1, 2)] < 1.0
 
 
+def test_simhash_df_matches_column_impl(spark, docs):
+    col_ver = docs.select("doc_id", dd.simhash(F.col("text")).alias("simhash"))
+    df_ver = dd.simhash_df(docs, "doc_id", "text")
+    joined = col_ver.join(df_ver.withColumnRenamed("simhash", "s2"), "doc_id")
+    assert joined.filter(F.col("simhash") != F.col("s2")).count() == 0
+    assert df_ver.count() == docs.count()
+
+
+def test_simhash_df_empty_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, "hello world foo")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r["simhash"] for r in dd.simhash_df(df, "doc_id").collect()}
+    assert rows[1] == 0 and rows[2] != 0
+
+
 def test_hamming(spark):
     df = spark.createDataFrame([(0b1011, 0b0011)], "a bigint, b bigint")
     assert df.select(dd.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"] == 1
