@@ -434,6 +434,111 @@ def image_pipeline_docs(spark, sf_dir):
                         lambda a, x: a + x.cast("double"))).alias("feat_sum"))
 
 
+def bfill_updown_events(spark, sf_dir):
+    """replace-missing :updown (missing.clj:209-236): backward fill with
+    forward-fill fallback for trailing nulls."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("value", F.when(F.col("value") < 5, None).otherwise(F.col("value")))
+    out = ms.replace_missing(ev, "value", "updown", order_by=["ts", "event_id"], by="user_id")
+    return out.select("event_id", "user_id", _r4(F.col("value")).alias("value"))
+
+
+def lerp_events(spark, sf_dir):
+    """replace-missing :lerp (missing.clj:77-207): linear interpolation along
+    the timestamp axis between neighboring non-missing values, per user."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("value", F.when(F.col("value") < 5, None).otherwise(F.col("value")))
+    out = ms.replace_missing(ev, "value", "lerp", order_by=["ts", "event_id"], by="user_id")
+    return out.select("event_id", "user_id", _r4(F.col("value")).alias("value"))
+
+
+def pd_merge_outer(spark, sf_dir):
+    """pd-merge :outer with distinct key names (join.clj:545-575): both
+    unmatched sides survive with nulls."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000) \
+        .select("c_custkey", "c_name")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000) \
+        .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_big"),
+                                  _r4(F.sum("o_totalprice")).alias("sum_big"))
+    return jn.pd_merge(cust, big, left_on="c_custkey", right_on="o_custkey",
+                       how="outer")
+
+
+def rolling_range_events(spark, sf_dir):
+    """Variable (value-range) rolling window (rolling.clj:281-301): per-user
+    10-minute trailing sum/count over the event-time axis."""
+    ev = _t(spark, sf_dir, "events")
+    out = win.rolling_range(ev, "ts", {"rsum": ("sum", "value"),
+                                       "rcnt": ("count", "value")},
+                            window_size=10, by="user_id", units="minutes")
+    return out.select("event_id", "user_id", _r4(F.col("rsum")).alias("rsum"), "rcnt")
+
+
+def minmax_scale_acctbal(spark, sf_dir):
+    """fit/transform-minmax (math.clj:291,312), reference range [-0.5, 0.5]."""
+    cust = _t(spark, sf_dir, "customer")
+    fit = mlp.fit_minmax(cust, ["c_acctbal"])
+    out = mlp.transform_minmax(cust, fit)
+    return out.select("c_custkey", _r4(F.col("c_acctbal")).alias("c_acctbal"))
+
+
+def one_hot_segment(spark, sf_dir):
+    """fit/transform-one-hot (categorical.clj:202,226): one 0/1 column per
+    category, reference naming '<col>-<value>'."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fit = mlp.fit_one_hot(cust, "c_mktsegment")
+    return mlp.transform_one_hot(cust, fit)
+
+
+def bag_union_lineitem(spark, sf_dir):
+    """Bag-semantics union (set.clj:166): multiplicity = max(a, b), not sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 25).select("l_orderkey", "l_returnflag")
+    b = li.filter(F.col("l_quantity") < 15).select("l_orderkey", "l_returnflag")
+    return st.union(a, b)
+
+
+def bag_intersect_lineitem(spark, sf_dir):
+    """Bag-semantics intersection (set.clj:174) = INTERSECT ALL."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 30).select("l_orderkey", "l_returnflag")
+    b = li.filter(F.col("l_quantity") > 15).select("l_orderkey", "l_returnflag")
+    return st.intersection(a, b)
+
+
+def rollup_orders(spark, sf_dir):
+    """Grouping-set rollup (parity-plus, SURVEY §2.4): hierarchical
+    subtotals in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return agg.rollup_agg(o, ["o_orderstatus", "o_orderpriority"],
+                          {"n": ("row-count", None),
+                           "sum_price": lambda F: F.round(F.sum("o_totalprice"), 4)})
+
+
+def quantiles_price(spark, sf_dir):
+    """prob-quantile / prob-cdf reducers (reductions.clj:226-247) — sketch
+    accuracy pinned high enough to be exact at test scale."""
+    o = _t(spark, sf_dir, "orders")
+    return agg.group_by_column_agg(
+        o, "o_orderpriority",
+        {"p50": ("prob-quantile", "o_totalprice", {"quantile": 0.5, "accuracy": 1000000}),
+         "p90": ("prob-quantile", "o_totalprice", {"quantile": 0.9, "accuracy": 1000000}),
+         "cdf_300k": lambda F: F.round(F.avg(F.when(F.col("o_totalprice") <= 300000.0, 1.0)
+                                             .otherwise(0.0)), 4)}
+    ).orderBy("o_orderpriority")
+
+
+def descriptive_stats_lineitem(spark, sf_dir):
+    """descriptive-stats (dataset_api.clj:1300): one row per column, single
+    scan for all statistics."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = agg.descriptive_stats(li, ["l_quantity", "l_extendedprice", "l_discount"],
+                                stats=("n-valid", "n-missing", "mean", "stddev"))
+    return out.select("col-name", "n-valid", "n-missing",
+                      _r4(F.col("mean")).alias("mean"),
+                      _r4(F.col("stddev")).alias("stddev"))
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -480,6 +585,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "media_meta_docs": media_meta_docs,
         "image_pipeline_docs": image_pipeline_docs,
+        "bfill_updown_events": bfill_updown_events,
+        "lerp_events": lerp_events,
+        "pd_merge_outer": pd_merge_outer,
+        "rolling_range_events": rolling_range_events,
+        "minmax_scale_acctbal": minmax_scale_acctbal,
+        "one_hot_segment": one_hot_segment,
+        "bag_union_lineitem": bag_union_lineitem,
+        "bag_intersect_lineitem": bag_intersect_lineitem,
+        "rollup_orders": rollup_orders,
+        "quantiles_price": quantiles_price,
+        "descriptive_stats_lineitem": descriptive_stats_lineitem,
     }
 
 
@@ -761,5 +877,128 @@ def oracle_sql() -> dict[str, str]:
         "media_meta_docs": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS md5
             FROM documents
+        """,
+        "bfill_updown_events": """
+            SELECT event_id, user_id,
+                   round(coalesce(
+                       first_value(CASE WHEN value < 5 THEN NULL ELSE value END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                       last_value(CASE WHEN value < 5 THEN NULL ELSE value END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS value
+            FROM events
+        """,
+        "lerp_events": """
+            WITH base AS (
+                SELECT event_id, user_id, ts, epoch(ts) AS x,
+                       CASE WHEN value < 5 THEN NULL ELSE value END AS v
+                FROM events
+            ), w AS (
+                SELECT *,
+                       last_value(v IGNORE NULLS) OVER wd AS prev_v,
+                       first_value(v IGNORE NULLS) OVER wu AS next_v,
+                       last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+                           OVER wd AS prev_x,
+                       first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+                           OVER wu AS next_x
+                FROM base
+                WINDOW wd AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wu AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                         ELSE coalesce(prev_v + (next_v - prev_v) *
+                                       (CASE WHEN next_x <> prev_x
+                                             THEN (x - prev_x) / (next_x - prev_x) END),
+                                       prev_v, next_v) END, 4) AS value
+            FROM w
+        """,
+        "pd_merge_outer": """
+            WITH cust AS (
+                SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+            ), big AS (
+                SELECT o_custkey, count(*) AS n_big,
+                       round(sum(o_totalprice), 4) AS sum_big
+                FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, o_custkey, n_big, sum_big
+            FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey
+        """,
+        "rolling_range_events": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER w, 4) AS rsum,
+                   count(value) OVER w AS rcnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        """,
+        "minmax_scale_acctbal": """
+            SELECT c_custkey,
+                   round(-0.5 + (c_acctbal - min(c_acctbal) OVER ())
+                         / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 4)
+                       AS c_acctbal
+            FROM customer
+        """,
+        "one_hot_segment": """
+            SELECT c_custkey,
+                   CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS "c_mktsegment-AUTOMOBILE",
+                   CAST(c_mktsegment = 'BUILDING' AS INT) AS "c_mktsegment-BUILDING",
+                   CAST(c_mktsegment = 'FURNITURE' AS INT) AS "c_mktsegment-FURNITURE",
+                   CAST(c_mktsegment = 'HOUSEHOLD' AS INT) AS "c_mktsegment-HOUSEHOLD",
+                   CAST(c_mktsegment = 'MACHINERY' AS INT) AS "c_mktsegment-MACHINERY"
+            FROM customer
+        """,
+        "bag_union_lineitem": """
+            WITH a AS (SELECT l_orderkey, l_returnflag, count(*) AS ca
+                       FROM lineitem WHERE l_quantity < 25 GROUP BY ALL),
+                 b AS (SELECT l_orderkey, l_returnflag, count(*) AS cb
+                       FROM lineitem WHERE l_quantity < 15 GROUP BY ALL),
+                 j AS (SELECT coalesce(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+                              coalesce(a.l_returnflag, b.l_returnflag) AS l_returnflag,
+                              greatest(coalesce(ca, 0), coalesce(cb, 0)) AS cnt
+                       FROM a FULL OUTER JOIN b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_returnflag = b.l_returnflag)
+            SELECT l_orderkey, l_returnflag
+            FROM j, unnest(generate_series(1, cnt))
+        """,
+        "bag_intersect_lineitem": """
+            SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity < 30
+            INTERSECT ALL
+            SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity > 15
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "quantiles_price": """
+            SELECT o_orderpriority,
+                   quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90,
+                   round(avg(CASE WHEN o_totalprice <= 300000.0 THEN 1.0 ELSE 0.0 END), 4)
+                       AS cdf_300k
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "descriptive_stats_lineitem": """
+            SELECT 'l_quantity' AS "col-name", count(l_quantity) AS "n-valid",
+                   count(*) - count(l_quantity) AS "n-missing",
+                   round(avg(l_quantity), 4) AS mean,
+                   round(stddev_samp(l_quantity), 4) AS stddev
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', count(l_extendedprice),
+                   count(*) - count(l_extendedprice),
+                   round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
+                   round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
+            FROM lineitem
         """,
     }

@@ -117,6 +117,21 @@ def aggregate(df: DataFrame, aggs: Mapping[str, object]) -> DataFrame:
     return df.agg(*exprs)
 
 
+def rollup_agg(df: DataFrame, keys, aggs: Mapping[str, object]) -> DataFrame:
+    """Grouping-set rollup — parity-plus (absent in the reference, SURVEY
+    §2.4): hierarchical subtotals in ONE pass instead of k group-bys."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
+    return df.rollup(*ks).agg(*exprs)
+
+
+def cube_agg(df: DataFrame, keys, aggs: Mapping[str, object]) -> DataFrame:
+    """Grouping-set cube — parity-plus (SURVEY §2.4): all key subsets."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
+    return df.cube(*ks).agg(*exprs)
+
+
 _STAT_FNS: dict[str, Callable[[Column], Column]] = {
     "n-valid": lambda c: F.count(c),
     "min": F.min,

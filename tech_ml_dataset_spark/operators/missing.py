@@ -132,7 +132,9 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
             fill = F.coalesce((prev_v + next_v) / 2.0, prev_v, next_v)
         elif strategy == "lerp":
             axis = F.col(axis_col).cast("double")
-            frac = (axis - prev_x) / (next_x - prev_x)
+            # guard the degenerate prev_x == next_x case (axis ties straddling
+            # the gap): 0/0 would be NaN; fall through to prev_v instead
+            frac = F.when(next_x != prev_x, (axis - prev_x) / (next_x - prev_x))
             fill = F.coalesce(prev_v + (next_v - prev_v) * frac, prev_v, next_v)
         else:
             raise ValueError(f"unknown replace-missing strategy {strategy!r}")
