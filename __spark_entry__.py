@@ -27,6 +27,7 @@ from tech_ml_dataset_spark.operators import missing as ms
 from tech_ml_dataset_spark.operators import reshape as rs
 from tech_ml_dataset_spark.operators import selection as sel
 from tech_ml_dataset_spark.operators import setops as st
+from tech_ml_dataset_spark.operators import timeseries as tss
 from tech_ml_dataset_spark.operators import window as win
 from tech_ml_dataset_spark.streaming import windows as sw
 
@@ -539,6 +540,26 @@ def descriptive_stats_lineitem(spark, sf_dir):
                       _r4(F.col("stddev")).alias("stddev"))
 
 
+def fill_range_events(spark, sf_dir):
+    """fill-range-replace (math.clj:160): densify each user's event-time axis
+    to max 1-hour spans, forward-filling value into the inserted rows."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = tss.fill_range_replace(ev, "ts", 1.0, by="user_id", units="hours",
+                                 fill={"value": "down"})
+    return out.select("user_id", "ts", _r4(F.col("value")).alias("value"))
+
+
+def loess_smooth_events(spark, sf_dir):
+    """interpolate-loess (math.clj:112) — rows-only: LOESS is not
+    SQL-expressible. Deterministic systematic sample -> numpy fit ->
+    broadcast-grid Arrow-batched predict."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("event_id", "user_id", F.unix_micros("ts").alias("x"), "value")
+    out = tss.interpolate_loess(pts, "x", "value", bandwidth=0.3)
+    return out.select("event_id", "user_id",
+                      _r4(F.col("value-loess")).alias("value_loess"))
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -596,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": rollup_orders,
         "quantiles_price": quantiles_price,
         "descriptive_stats_lineitem": descriptive_stats_lineitem,
+        "fill_range_events": fill_range_events,
+        "loess_smooth_events": loess_smooth_events,
     }
 
 
@@ -1000,5 +1023,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
                    round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
             FROM lineitem
+        """,
+        "fill_range_events": """
+            WITH base AS (
+                SELECT user_id, ts, value,
+                       CAST(epoch_us(ts) AS DOUBLE) AS x,
+                       CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                            AS DOUBLE) AS nx
+                FROM events
+            ), tagged AS (
+                SELECT *,
+                       CASE WHEN nx - x > 3600e6
+                            THEN CAST(ceil((nx - x) / 3600e6) AS BIGINT) - 1
+                            ELSE 0 END AS n_ins,
+                       (nx - x) / (CASE WHEN nx - x > 3600e6
+                                        THEN ceil((nx - x) / 3600e6) ELSE 1 END) AS step
+                FROM base
+            ), inserted AS (
+                SELECT user_id,
+                       make_timestamp(CAST(floor(x + i * step) AS BIGINT)) AS ts,
+                       CAST(NULL AS DOUBLE) AS value
+                FROM tagged, unnest(generate_series(1, n_ins)) AS t(i)
+                WHERE n_ins > 0
+            ), unioned AS (
+                SELECT user_id, ts, value FROM base
+                UNION ALL SELECT user_id, ts, value FROM inserted
+            )
+            SELECT user_id, ts,
+                   round(last_value(value IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS value
+            FROM unioned
         """,
     }

@@ -1,0 +1,71 @@
+"""fill-range-replace and interpolate-loess (reference math.clj:160,112)."""
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tech_ml_dataset_spark.operators import timeseries as tss
+
+
+def test_fill_range_numeric(spark):
+    df = spark.createDataFrame(
+        [(0.0, "a", 1.0), (1.0, "a", 2.0), (4.0, "a", 5.0), (4.5, "a", 9.0)],
+        "x double, k string, v double")
+    out = tss.fill_range_replace(df, "x", 1.0, by="k").orderBy("x").collect()
+    xs = [r["x"] for r in out]
+    # gap 1->4 is 3.0 -> 2 inserted at 2.0, 3.0
+    assert xs == [0.0, 1.0, 2.0, 3.0, 4.0, 4.5]
+    assert [r["v"] for r in out] == [1.0, 2.0, None, None, 5.0, 9.0]
+    assert all(r["k"] == "a" for r in out)  # series key preserved on inserts
+    # every delta <= max_span
+    assert all(b - a <= 1.0 + 1e-9 for a, b in zip(xs, xs[1:]))
+
+
+def test_fill_range_with_fill_strategy(spark):
+    df = spark.createDataFrame(
+        [(0.0, 10.0), (3.0, 40.0)], "x double, v double")
+    out = tss.fill_range_replace(df, "x", 1.0, fill={"v": "lerp"}) \
+             .orderBy("x").collect()
+    assert [r["x"] for r in out] == [0.0, 1.0, 2.0, 3.0]
+    assert [round(r["v"], 6) for r in out] == [10.0, 20.0, 30.0, 40.0]
+
+
+def test_fill_range_timestamp(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0), ("2024-01-01 02:30:00", 2.0)],
+        "ts string, v double").withColumn("ts", F.to_timestamp("ts"))
+    out = tss.fill_range_replace(df, "ts", 1.0, units="hours").orderBy("ts").collect()
+    ts = [r["ts"] for r in out]
+    assert len(ts) == 4  # 150min / 3 spans of 50min
+    deltas = [(b - a).total_seconds() for a, b in zip(ts, ts[1:])]
+    assert all(d <= 3600 + 1 for d in deltas)
+    assert [r["v"] for r in out] == [1.0, None, None, 2.0]
+
+
+def test_fill_range_no_gaps_is_identity(spark):
+    df = spark.createDataFrame([(0.0, 1.0), (0.5, 2.0), (1.0, 3.0)],
+                               "x double, v double")
+    assert tss.fill_range_replace(df, "x", 1.0).count() == 3
+
+
+def test_loess_recovers_smooth_signal(spark):
+    rng = np.random.RandomState(7)
+    xs = np.linspace(0, 10, 400)
+    ys = np.sin(xs) + rng.normal(0, 0.15, len(xs))
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in zip(xs, ys)],
+                               "x double, y double")
+    out = tss.interpolate_loess(df, "x", "y", bandwidth=0.15).collect()
+    err = [abs(r["y-loess"] - math.sin(r["x"])) for r in out]
+    assert sum(err) / len(err) < 0.08   # mean error well under noise sd
+    assert max(err) < 0.5
+
+
+def test_loess_deterministic(spark):
+    xs = np.linspace(0, 5, 100)
+    ys = xs ** 2
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in zip(xs, ys)],
+                               "x double, y double")
+    a = tss.interpolate_loess(df, "x", "y").orderBy("x").collect()
+    b = tss.interpolate_loess(df, "x", "y").orderBy("x").collect()
+    assert [r["y-loess"] for r in a] == [r["y-loess"] for r in b]
