@@ -560,6 +560,26 @@ def loess_smooth_events(spark, sf_dir):
                       _r4(F.col("value-loess")).alias("value_loess"))
 
 
+def reservoir_orders(spark, sf_dir):
+    """reservoir-dataset (reductions.clj:283) — rows-only: sampled rows are
+    seed-dependent, but per-group count is exactly min(k, group size)."""
+    o = _t(spark, sf_dir, "orders")
+    out = agg.reservoir_sample(o, 3, by="o_orderpriority", seed=42)
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+def regression_price_model(spark, sf_dir):
+    """train-regression/predict (tribuo.clj:285,292 analog on pyspark.ml) —
+    rows-only: model predictions are not SQL-expressible."""
+    from tech_ml_dataset_spark.ml import models as mdl
+    li = _t(spark, sf_dir, "lineitem")
+    fit = mdl.train_regression(li, "l_extendedprice",
+                               ["l_quantity", "l_discount", "l_tax"])
+    pred = mdl.predict(li.filter(F.col("l_orderkey") < 100), fit, out_col="price_hat")
+    return pred.select("l_orderkey", "l_linenumber",
+                       _r4(F.col("price_hat")).alias("price_hat"))
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -619,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "descriptive_stats_lineitem": descriptive_stats_lineitem,
         "fill_range_events": fill_range_events,
         "loess_smooth_events": loess_smooth_events,
+        "reservoir_orders": reservoir_orders,
+        "regression_price_model": regression_price_model,
     }
 
 

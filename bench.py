@@ -5,8 +5,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Session startup and the first warm-up action are excluded from timings
 (BASELINE.md: reference numbers are warm single-JVM; we time actions only).
-Large-result queries are executed with a count() action so driver collect
-time doesn't pollute engine timings; small results are fully collected.
+Every query executes through the noop sink: the full plan runs on the
+executors (nothing is optimized away) but rows never cross to the driver,
+so timings measure engine throughput, not driver materialization.
 """
 
 from __future__ import annotations
@@ -20,14 +21,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry
 from tech_ml_dataset_spark import get_spark
-
-# queries whose results are large at sf0.1 -> count() instead of collect()
-_COUNT_ONLY = {
-    "filter_project", "unique_by_order", "concat_slices", "lineitem_except",
-    "rolling_user_value", "expanding_user_cumsum", "analytic_lag_rank",
-    "ffill_events", "asof_purchase_click", "sessionize_events",
-    "doc_fingerprints", "dedup_exact_docs",
-}
 
 
 def main():
@@ -43,10 +36,7 @@ def main():
     for name, fn in qs.items():
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        if name in _COUNT_ONLY:
-            df.count()
-        else:
-            df.collect()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -1,0 +1,96 @@
+"""Model training/prediction with the reference's train/predict shape.
+
+Reference semantics: the Tribuo bindings (src/tech/v3/libs/tribuo.clj:232,
+263,285,292 — ``train-classification``/``train-regression``/``predict``)
+expose "train on a dataset with an inference target, get a model, predict a
+column". Here the engines are ``pyspark.ml`` estimators — distributed
+natively — wrapped so the API stays dataframe-in/dataframe-out, plus the
+modelling metadata helpers (src/tech/v3/dataset/modelling.clj:26,37,203).
+
+Scale notes: VectorAssembler + MLlib estimators run as Spark jobs (gradient
+aggregation is a treeAggregate — map-side partials, no driver bottleneck);
+prediction is a broadcast model applied in a single narrow pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+_TARGET_META_KEY = "inference-target"
+
+
+def set_inference_target(df: DataFrame, colname: str) -> DataFrame:
+    """``set-inference-target`` (modelling.clj:26): tag the label column via
+    StructField metadata (the same trick the reference's own Spark bridge
+    uses for column metadata, libs/spark.clj:128-144)."""
+    return df.withMetadata(colname, {_TARGET_META_KEY: True})
+
+
+def inference_target_column_names(df: DataFrame) -> list[str]:
+    """``inference-target-column-names`` (modelling.clj:37)."""
+    return [f.name for f in df.schema.fields
+            if f.metadata.get(_TARGET_META_KEY)]
+
+
+def train_classification(df: DataFrame, label_col: str,
+                         feature_cols: Sequence[str], *,
+                         algorithm: str = "logistic-regression",
+                         **params) -> dict:
+    """``train-classification`` (tribuo.clj:263): returns {"model": fitted
+    MLlib model, "features": [...], "label": ...}. Algorithms:
+    logistic-regression | random-forest | gbt | naive-bayes."""
+    from pyspark.ml.classification import (
+        GBTClassifier, LogisticRegression, NaiveBayes, RandomForestClassifier)
+    from pyspark.ml.feature import VectorAssembler
+
+    est = {"logistic-regression": LogisticRegression,
+           "random-forest": RandomForestClassifier,
+           "gbt": GBTClassifier,
+           "naive-bayes": NaiveBayes}[algorithm]
+    assembler = VectorAssembler(inputCols=list(feature_cols),
+                                outputCol="__features__", handleInvalid="skip")
+    assembled = assembler.transform(df)
+    model = est(featuresCol="__features__", labelCol=label_col,
+                **params).fit(assembled)
+    return {"model": model, "features": list(feature_cols), "label": label_col,
+            "kind": "classification"}
+
+
+def train_regression(df: DataFrame, label_col: str,
+                     feature_cols: Sequence[str], *,
+                     algorithm: str = "linear-regression", **params) -> dict:
+    """``train-regression`` (tribuo.clj:285). Algorithms:
+    linear-regression | random-forest | gbt."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import (
+        GBTRegressor, LinearRegression, RandomForestRegressor)
+
+    est = {"linear-regression": LinearRegression,
+           "random-forest": RandomForestRegressor,
+           "gbt": GBTRegressor}[algorithm]
+    assembler = VectorAssembler(inputCols=list(feature_cols),
+                                outputCol="__features__", handleInvalid="skip")
+    assembled = assembler.transform(df)
+    model = est(featuresCol="__features__", labelCol=label_col,
+                **params).fit(assembled)
+    return {"model": model, "features": list(feature_cols), "label": label_col,
+            "kind": "regression"}
+
+
+def predict(df: DataFrame, trained: dict, *,
+            out_col: str = "prediction") -> DataFrame:
+    """``predict`` (tribuo.clj:292): adds the prediction column; the fitted
+    model is broadcast by MLlib, so this is a narrow (shuffle-free) pass."""
+    from pyspark.ml.feature import VectorAssembler
+
+    assembler = VectorAssembler(inputCols=trained["features"],
+                                outputCol="__features__", handleInvalid="keep")
+    assembled = assembler.transform(df)
+    out = trained["model"].transform(assembled)
+    drop = [c for c in ("__features__", "rawPrediction", "probability")
+            if c in out.columns]
+    if out_col != "prediction":
+        out = out.withColumnRenamed("prediction", out_col)
+    return out.drop(*drop)

@@ -132,6 +132,22 @@ def cube_agg(df: DataFrame, keys, aggs: Mapping[str, object]) -> DataFrame:
     return df.cube(*ks).agg(*exprs)
 
 
+def reservoir_sample(df: DataFrame, k: int, *, by=None,
+                     seed: int = 42) -> DataFrame:
+    """``reservoir-dataset`` (reductions.clj:283): uniform k-row sample,
+    optionally per group. Implemented as row_number over rand(seed) — one
+    shuffle by the group key (or a single global sort for the ungrouped
+    case, matching the reference's single-reservoir semantics). The sampled
+    ROWS depend on the seed but the per-group row COUNT is exactly
+    min(k, group size)."""
+    from pyspark.sql import Window as W
+
+    by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    w = (W.partitionBy(*by_cols) if by_cols else W.partitionBy()).orderBy(F.rand(seed))
+    return (df.withColumn("__rs__", F.row_number().over(w))
+              .filter(F.col("__rs__") <= k).drop("__rs__"))
+
+
 _STAT_FNS: dict[str, Callable[[Column], Column]] = {
     "n-valid": lambda c: F.count(c),
     "min": F.min,

@@ -130,12 +130,12 @@ def interpolate_loess(df: DataFrame, x_col: str, y_col: str, *,
                       grid_size: int = 200) -> DataFrame:
     """``interpolate-loess`` (math.clj:112): add a LOESS-smoothed ``y``.
 
-    Scale path: the model is fit on a DETERMINISTIC systematic sample of at
-    most ``max_fit_points`` rows (every k-th row in x-order — no RNG, stable
-    across runs/partitionings), evaluated on a ``grid_size``-point grid, and
-    the grid is broadcast into an Arrow-batched pandas UDF doing np.interp.
-    The 100 TB table streams through executors; only the sample crosses to
-    the driver.
+    Scale path: the model is fit on a DETERMINISTIC sample of ~
+    ``max_fit_points`` rows selected by hash(x, y) mod k — no RNG, no global
+    sort, stable across runs and partitionings, fully distributed — then
+    evaluated on a ``grid_size``-point grid, and the grid is broadcast into
+    an Arrow-batched pandas UDF doing np.interp. The 100 TB table streams
+    through executors; only the sample crosses to the driver.
     """
     out_col = out_col or f"{y_col}-loess"
     pts = df.select(F.col(x_col).cast("double").alias("x"),
@@ -144,10 +144,8 @@ def interpolate_loess(df: DataFrame, x_col: str, y_col: str, *,
     if n == 0:
         return df.withColumn(out_col, F.lit(None).cast("double"))
     k = max(1, n // max_fit_points)
-    w = W.orderBy("x")
-    sample = (pts.withColumn("__rn__", F.row_number().over(w))
-                 .filter((F.col("__rn__") - 1) % k == 0)
-                 .collect())
+    sample = pts.filter(
+        F.pmod(F.xxhash64(F.col("x"), F.col("y")), F.lit(k)) == 0).collect()
     x = np.array([r["x"] for r in sample])
     y = np.array([r["y"] for r in sample])
     grid = np.linspace(x.min(), x.max(), num=min(grid_size, len(x)))

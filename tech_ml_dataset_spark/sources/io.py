@@ -159,6 +159,40 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def read_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow IPC / feather read (reference arrow.clj:2112,2061).
+
+    The reference's Arrow path is a single-node mmap bridge; same here: the
+    file is opened with pyarrow on the driver and handed to Spark zero-copy
+    (Arrow-native createDataFrame). For distributed scale use parquet — this
+    exists for interchange parity, not as a 100 TB scan path.
+    """
+    import pyarrow as pa
+
+    try:
+        with pa.memory_map(path) as src:
+            table = pa.ipc.open_file(src).read_all()
+    except pa.ArrowInvalid:
+        with pa.OSFile(path) as src:  # stream format fallback
+            table = pa.ipc.open_stream(src).read_all()
+    try:
+        return spark.createDataFrame(table)  # Arrow-native path (Spark 4)
+    except Exception:
+        return spark.createDataFrame(table.to_pandas())
+
+
+def write_arrow(df: DataFrame, path: str, *, stream: bool = False) -> None:
+    """Arrow IPC / feather write (reference arrow.clj:2430). Collects through
+    ``df.toArrow()`` (Arrow batches over the wire) — single-file driver-side
+    sink, interchange parity like the reference's."""
+    import pyarrow as pa
+
+    table = df.toArrow()
+    sink_cls = pa.ipc.new_stream if stream else pa.ipc.new_file
+    with pa.OSFile(path, "wb") as f, sink_cls(f, table.schema) as writer:
+        writer.write_table(table)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str]) -> dict[str, DataFrame]:
     """Load the driver's test tables from an sf directory as a dict."""
     return {n: read_parquet(spark, os.path.join(sf_dir, f"{n}.parquet")) for n in names}
