@@ -580,6 +580,40 @@ def regression_price_model(spark, sf_dir):
                        _r4(F.col("price_hat")).alias("price_hat"))
 
 
+def doc_quality_lang(spark, sf_dir):
+    """Language-ID + composite quality score (beyond-reference text
+    analysis) — both pure Catalyst expressions, oracle-replicated in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select("doc_id",
+                       txt.lang_id(t).alias("lang_pred"),
+                       _r4(txt.quality_score(t)).alias("quality"),
+                       txt.token_count(t).alias("n_tokens"))
+
+
+def lsh_topk_embeddings(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-k (rows-only: approximate by design;
+    recall vs brute force is pinned in tests/test_functions.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    return sim.lsh_bucketed_topk(left, emb, "embedding", k=5, n_planes=4) \
+              .withColumn("cos", _r4(F.col("cos")))
+
+
+def pca_project_lineitem(spark, sf_dir):
+    """fit/transform-pca (neanderthal.clj:199,262) — rows-only: eigenvector
+    sign is implementation-defined. Distributed covariance, driver eigh,
+    pure-Column projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    fit = mlp.fit_pca(li, cols, n_components=2)
+    out = mlp.transform_pca(li.filter(F.col("l_orderkey") < 100)
+                              .select("l_orderkey", "l_linenumber", *cols), fit)
+    return out.select("l_orderkey", "l_linenumber",
+                      _r4(F.abs(F.col("pc0"))).alias("abs_pc0"),
+                      _r4(F.abs(F.col("pc1"))).alias("abs_pc1"))
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -641,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loess_smooth_events": loess_smooth_events,
         "reservoir_orders": reservoir_orders,
         "regression_price_model": regression_price_model,
+        "doc_quality_lang": doc_quality_lang,
+        "lsh_topk_embeddings": lsh_topk_embeddings,
+        "pca_project_lineitem": pca_project_lineitem,
     }
 
 
@@ -1077,5 +1114,51 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                        AS value
             FROM unioned
+        """,
+        "doc_quality_lang": """
+            WITH tok AS (
+                SELECT doc_id, text,
+                       CASE WHEN length(trim(text)) = 0 THEN []
+                            ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                       END AS toks,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, n_tokens,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE CAST(length(text) - length(regexp_replace(
+                                     text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+                                 / length(text) END AS pr,
+                       CASE WHEN len(toks) = 0 THEN 0.0
+                            ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                                      AS DOUBLE) / len(toks) END AS atl,
+                       len(list_filter(toks,
+                           x -> x IN ('the','and','of','to','is'))) AS s_en,
+                       len(list_filter(toks,
+                           x -> x IN ('der','die','und','nicht','das'))) AS s_de,
+                       len(list_filter(toks,
+                           x -> x IN ('le','la','les','est','une'))) AS s_fr,
+                       len(list_filter(toks,
+                           x -> x IN ('el','los','que','una','por'))) AS s_es,
+                       length(regexp_replace(text, '[^一-鿿]', '', 'g')) > 0 AS cjk
+                FROM tok
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+                        WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+                        WHEN s_de > s_en THEN 'de'
+                        WHEN s_en > 0 THEN 'en'
+                        ELSE 'unknown' END AS lang_pred,
+                   round(((CASE WHEN n_tokens BETWEEN 5 AND 100000
+                                THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN pr <= 0.2 THEN 1.0
+                                ELSE greatest(0.0, 1.0 - (pr - 0.2) * 4.0) END)
+                        + (CASE WHEN atl >= 2.0 AND atl <= 12.0
+                                THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality,
+                   n_tokens
+            FROM feat
         """,
     }
