@@ -43,6 +43,15 @@ def _r4(c) -> F.Column:
     return F.round(c, 4)
 
 
+def _r4b(c) -> F.Column:
+    """Binary-consistent 4-decimal round. Spark's round(x, 4) rounds the
+    SHORTEST DECIMAL REPR (BigDecimal.valueOf, HALF_UP) while DuckDB rounds
+    the exact binary value — per-row products regularly land on midpoints
+    where they disagree by 1e-4. round(x*1e4)/1e4 makes both engines round
+    the same double."""
+    return F.round(c * 10000) / 10000
+
+
 # --------------------------------------------------------------------------
 # TPC-H-flavored relational queries (SURVEY §2.2-§2.6 spine)
 # --------------------------------------------------------------------------
@@ -614,6 +623,50 @@ def pca_project_lineitem(spark, sf_dir):
                       _r4(F.abs(F.col("pc1"))).alias("abs_pc1"))
 
 
+def row_map_net_price(spark, sf_dir):
+    """row-map (dataset_api.clj:885): Python row fn over Arrow batches —
+    the UDF surface, oracle-checked against the equivalent arithmetic."""
+    from tech_ml_dataset_spark.operators import colmap as cm
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+    out = cm.row_map(
+        li,
+        lambda r: {"l_orderkey": r["l_orderkey"],
+                   "l_linenumber": r["l_linenumber"],
+                   "net": r["l_extendedprice"] * (1 - r["l_discount"]) * (1 + r["l_tax"])},
+        schema="l_orderkey bigint, l_linenumber bigint, net double")
+    return out.withColumn("net", _r4b(F.col("net")))
+
+
+def ewma_user_value(spark, sf_dir):
+    """induction (dataset_api.clj:1402): EWMA recurrence s = 0.3*v + 0.7*s
+    per user — sequential within group, parallel across groups; the oracle
+    is a recursive CTE doing the identical arithmetic."""
+    from tech_ml_dataset_spark.operators import colmap as cm
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = cm.induction(ev, ["ts", "event_id"], "ewma",
+                       lambda acc, row: 0.3 * row["value"] + 0.7 * acc,
+                       init=0.0, by="user_id")
+    return out.select("event_id", "user_id", _r4b(F.col("ewma")).alias("ewma"))
+
+
+def sliding_events_12h(spark, sf_dir):
+    """Sliding event-time windows (streaming surface, batch-checked):
+    1-day windows advancing every 12h — each event lands in 2 windows."""
+    ev = _t(spark, sf_dir, "events")
+    return sw.sliding_window_agg(ev, "ts", "1 day", "12 hours",
+                                 {"n": ("row-count", None),
+                                  "sum_value": lambda F: F.round(F.sum("value"), 4)})
+
+
+def distinct_parts_per_brand(spark, sf_dir):
+    """Skew-safe two-phase exact count-distinct (dedup-then-count): same
+    answer as COUNT(DISTINCT), never assembles a hot key in one task."""
+    p = _t(spark, sf_dir, "part")
+    return agg.count_distinct_twophase(p, "p_brand", "p_type",
+                                       out_col="n_types").orderBy("p_brand")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -678,6 +731,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_lang": doc_quality_lang,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "pca_project_lineitem": pca_project_lineitem,
+        "row_map_net_price": row_map_net_price,
+        "ewma_user_value": ewma_user_value,
+        "sliding_events_12h": sliding_events_12h,
+        "distinct_parts_per_brand": distinct_parts_per_brand,
     }
 
 
@@ -1160,5 +1217,44 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality,
                    n_tokens
             FROM feat
+        """,
+        "row_map_net_price": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         * 10000) / 10000 AS net
+            FROM lineitem
+        """,
+        "ewma_user_value": """
+            WITH RECURSIVE base AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ), rec AS (
+                SELECT event_id, user_id, rn, 0.3 * value + 0.7 * 0.0 AS s
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.event_id, b.user_id, b.rn, 0.3 * b.value + 0.7 * r.s
+                FROM base b JOIN rec r
+                  ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT event_id, user_id, round(s * 10000) / 10000 AS ewma FROM rec
+        """,
+        "sliding_events_12h": """
+            WITH expanded AS (
+                SELECT make_timestamp(CAST(((floor(epoch(ts) / 43200) - k) * 43200)
+                                           * 1000000 AS BIGINT)) AS window_start,
+                       value
+                FROM events, unnest([0, 1]) AS t(k)
+            )
+            SELECT window_start,
+                   window_start + INTERVAL 1 DAY AS window_end,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM expanded
+            GROUP BY window_start
+        """,
+        "distinct_parts_per_brand": """
+            SELECT p_brand, count(DISTINCT p_type) AS n_types
+            FROM part GROUP BY p_brand ORDER BY p_brand
         """,
     }

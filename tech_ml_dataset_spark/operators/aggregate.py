@@ -132,6 +132,18 @@ def cube_agg(df: DataFrame, keys, aggs: Mapping[str, object]) -> DataFrame:
     return df.cube(*ks).agg(*exprs)
 
 
+def count_distinct_twophase(df: DataFrame, key, col: str, *,
+                            out_col: str = "n_distinct") -> DataFrame:
+    """Skew-safe exact count-distinct: dedup on (key, col) first (the
+    shuffle spreads a hot key across (key, value) pairs), then count per
+    key. Same result as ``countDistinct`` but a hot key's distinct-set is
+    never assembled in one task — the classic 100 TB skew pattern. Partial
+    aggregation applies to BOTH stages (map-side combine each time)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return (df.select(*keys, col).distinct()
+              .groupBy(*keys).agg(F.count(F.lit(1)).alias(out_col)))
+
+
 def reservoir_sample(df: DataFrame, k: int, *, by=None,
                      seed: int = 42) -> DataFrame:
     """``reservoir-dataset`` (reductions.clj:283): uniform k-row sample,

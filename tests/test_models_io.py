@@ -74,3 +74,12 @@ def test_libsvm_read(spark, tmp_path):
     rows = df.collect()
     assert {r["label"] for r in rows} == {0.0, 1.0}
     assert rows[0]["features"].toArray().shape == (4,)
+
+
+def test_count_distinct_twophase_matches_exact(spark):
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i % 3) for i in range(30)],
+        "k string, v int")
+    got = {r["k"]: r["n_distinct"] for r in
+           agg.count_distinct_twophase(df, "k", "v").collect()}
+    assert got == {"a": 7, "b": 3}
