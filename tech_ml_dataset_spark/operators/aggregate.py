@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterable, Mapping
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # name -> fn(column, **opts) -> Column. Mirrors reductions.clj's reducer
@@ -56,8 +57,25 @@ _REDUCERS: dict[str, Callable[..., Column]] = {
     "variance": lambda c, **_: F.var_samp(c),
     "skew": lambda c, **_: F.skewness(c),
     "kurtosis": lambda c, **_: F.kurtosis(c),
-    "sum-kahan": lambda c, **_: F.sum(c),  # Spark sums are naive; see BASELINE.md tolerance note
+    "sum-kahan": lambda c, **_: _exact_sum(c),
 }
+
+
+def _exact_sum(c: Column) -> Column:
+    """Compensated sum (reference Kahan sum, reductions.clj:4-6,107):
+    math.fsum over Arrow batches via a GROUPED_AGG pandas UDF — exact
+    (stronger than Kahan), at pandas-UDF cost. Use plain "sum" unless the
+    column's dynamic range actually cancels; cannot be mixed with JVM
+    aggregates in one .agg() call (Spark planner restriction)."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _fsum(v: pd.Series) -> float:
+        return math.fsum(v.dropna())
+
+    return _fsum(c)
 
 
 def _as_column(col) -> Column:

@@ -85,6 +85,41 @@ def stateful_dedup(df: DataFrame, keys: Sequence[str], *,
     return df.dropDuplicates(list(keys))
 
 
+def stateful_running_agg(df: DataFrame, keys: Sequence[str], value_col: str
+                         ) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (SURVEY §7: the greenfield stateful surface): per-key running
+    count/sum/mean maintained in GroupState ACROSS micro-batches, one
+    output row per key per batch. This is the template for any
+    user-defined streaming accumulator (the reference's reducer
+    init/rfn/merge shape, kept alive between batches).
+
+    State is a single (n, total) row per key — O(keys) memory, partitioned
+    by key across executors like any shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in key_fields)
+    out_schema += ", n bigint, total double, mean double"
+    state_schema = "n bigint, total double"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += int(len(vals))
+            total += float(vals.sum())
+        state.update((n, total))
+        row = dict(zip(keys, key))
+        row.update({"n": n, "total": total, "mean": (total / n) if n else None})
+        yield pd.DataFrame([row])
+
+    return df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+
+
 def read_stream(spark, path: str, schema, *, fmt: str = "parquet",
                 max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over a directory (the scalable ingest pattern:

@@ -83,3 +83,12 @@ def test_count_distinct_twophase_matches_exact(spark):
     got = {r["k"]: r["n_distinct"] for r in
            agg.count_distinct_twophase(df, "k", "v").collect()}
     assert got == {"a": 7, "b": 3}
+
+
+def test_kahan_sum_exact_where_naive_cancels(spark):
+    # 1e16 + 1 + ... + 1 - 1e16 with naive left-to-right float sum loses the
+    # ones; fsum recovers them exactly
+    data = [("g", 1e16)] + [("g", 1.0)] * 100 + [("g", -1e16)]
+    df = spark.createDataFrame(data, "k string, v double").coalesce(1)
+    out = agg.group_by_column_agg(df, "k", {"s": ("sum-kahan", "v")}).collect()
+    assert out[0]["s"] == 100.0

@@ -57,3 +57,24 @@ def test_streaming_end_to_end(spark, sf_dir, tmp_path):
     # with availableNow + watermark, all-but-the-latest windows are emitted
     assert len(got) >= 25
     assert all(r["n"] > 0 for r in got)
+
+
+def test_stateful_running_agg_across_batches(spark, tmp_path):
+    # two parquet files -> two micro-batches; state must carry between them
+    src = str(tmp_path / "state_src")
+    df1 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 10.0)], ["k", "v"])
+    df2 = spark.createDataFrame([("a", 3.0), ("b", 20.0), ("c", 5.0)], ["k", "v"])
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    stream = sw.read_stream(spark, src, df1.schema, max_files_per_trigger=1)
+    out = sw.stateful_running_agg(stream, ["k"], "v")
+    sw.run_to_memory(out, "running", output_mode="update")
+    rows = spark.table("running").collect()
+    # final state per key = totals over BOTH batches (proves state carry-over)
+    final = {}
+    for r in rows:
+        if r["k"] not in final or r["n"] > final[r["k"]][0]:
+            final[r["k"]] = (r["n"], r["total"])
+    assert final["a"] == (3, 6.0)
+    assert final["b"] == (2, 30.0)
+    assert final["c"] == (1, 5.0)
