@@ -434,9 +434,7 @@ def image_pipeline_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     binned = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("data"))
     binned = mmod.repartition_for_decode(binned, "doc_id")
-    decoded = mmod.decode_image(binned, "data", fake_hw=(8, 8))
-    resized = mmod.resize_image(decoded, "image", 4, 4)
-    feats = mmod.image_features(resized, "image")
+    feats = mmod.image_pipeline(binned, "data", resize_hw=(4, 4), fake_hw=(8, 8))
     return feats.select(
         "doc_id",
         F.size("features").alias("n_features"),
@@ -641,12 +639,22 @@ def row_map_net_price(spark, sf_dir):
 def ewma_user_value(spark, sf_dir):
     """induction (dataset_api.clj:1402): EWMA recurrence s = 0.3*v + 0.7*s
     per user — sequential within group, parallel across groups; the oracle
-    is a recursive CTE doing the identical arithmetic."""
+    is a recursive CTE doing the identical arithmetic. Uses induction's
+    vectorized fast path (pandas ewm, C loop; seed row 0.0 reproduces
+    init=0.0 semantics) — the lambda is the reference row-loop form."""
+    import pandas as pd
+
     from tech_ml_dataset_spark.operators import colmap as cm
+
+    def vec_ewma(pdf):
+        seeded = pd.concat([pd.Series([0.0]), pdf["value"].astype("float64")],
+                           ignore_index=True)
+        return seeded.ewm(alpha=0.3, adjust=False).mean().iloc[1:].reset_index(drop=True)
+
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = cm.induction(ev, ["ts", "event_id"], "ewma",
                        lambda acc, row: 0.3 * row["value"] + 0.7 * acc,
-                       init=0.0, by="user_id")
+                       init=0.0, by="user_id", vector_fn=vec_ewma)
     return out.select("event_id", "user_id", _r4b(F.col("ewma")).alias("ewma"))
 
 

@@ -194,6 +194,51 @@ def image_features(df: DataFrame, image_col: str, out_col: str = "features"
     return df.mapInPandas(batches, out_schema)
 
 
+def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
+                   fake_hw: tuple[int, int] = (8, 8),
+                   out_col: str = "features") -> DataFrame:
+    """Fused decode -> resize -> features in ONE ``mapInPandas`` pass.
+
+    The composable stages above are correct but each one ships the full
+    pixel arrays through Arrow between JVM and Python; at 100 TB that
+    inter-stage traffic dominates. This fused form keeps intermediate
+    pixels as in-process numpy arrays — only the input bytes and the final
+    small feature vector cross the boundary. Prefer it whenever the
+    intermediate images aren't themselves needed downstream (the same
+    fusion argument as WholeStageCodegen, applied to the Python stages).
+    """
+    h, w = fake_hw
+    rh, rw = resize_hw
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.ArrayType(T.FloatType()))])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ri_cache = {}
+        for pdf in it:
+            feats = []
+            for data in pdf[bin_col]:
+                raw = bytes(data) if data is not None else b""
+                arr = _try_real_decode(raw)
+                if arr is None:
+                    arr = _fake_decode(raw, h, w)
+                hh, ww = arr.shape[0], arr.shape[1]
+                if (hh, ww) not in ri_cache:
+                    ri_cache[(hh, ww)] = (np.arange(rh) * hh // rh,
+                                          np.arange(rw) * ww // rw)
+                ri, ci = ri_cache[(hh, ww)]
+                arr = arr[ri][:, ci]
+                mean = arr.mean(axis=(0, 1))
+                std = arr.std(axis=(0, 1))
+                hist, _ = np.histogram(arr.mean(axis=2), bins=8, range=(0.0, 1.0))
+                hist = hist / max(1, rh * rw)
+                feats.append(np.concatenate([mean, std, hist])
+                             .astype(np.float32).tolist())
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def frame_sample(df: DataFrame, bin_col: str, *, every_n: int = 10,
                  n_frames: int = 100, out_col: str = "frames") -> DataFrame:
     """Video frame sampling: emit every ``every_n``-th frame as an image

@@ -140,14 +140,19 @@ def update_columnwise(df: DataFrame, kind_or_cols, fn) -> DataFrame:
 
 
 def induction(df: DataFrame, order_by, out_col: str, update_expr: Callable, *,
-              init=0.0, by=None, dtype: str = "double") -> DataFrame:
+              init=0.0, by=None, dtype: str = "double",
+              vector_fn: Callable | None = None) -> DataFrame:
     """``induction`` (dataset_api.clj:1402): row-by-row recursive compute —
     each row sees the accumulated result of prior rows.
 
-    Inherently sequential (SURVEY §7). Two compiled forms:
+    Inherently sequential (SURVEY §7). Three compiled forms:
     * If ``update_expr`` is linear-recurrence-expressible the caller should
       use window functions directly (cumsum etc.).
-    * This general form runs ``applyInPandas`` per ``by`` group (parallel
+    * ``vector_fn(sorted_pdf) -> Series``: a vectorized form of the same
+      recurrence (e.g. ``pandas.Series.ewm`` — C loop, ~50x the Python row
+      loop). Semantics are the caller's responsibility to keep identical;
+      the row loop remains the reference implementation.
+    * The general form runs ``applyInPandas`` per ``by`` group (parallel
       across groups, sequential within — the honest contract); without
       ``by`` it is a SINGLE partition: correct, documented, not scalable.
 
@@ -165,6 +170,9 @@ def induction(df: DataFrame, order_by, out_col: str, update_expr: Callable, *,
 
     def run(pdf):
         pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        if vector_fn is not None:
+            pdf[out_col] = vector_fn(pdf)
+            return pdf
         acc = init
         vals = []
         for rec in pdf.to_dict("records"):
@@ -174,6 +182,47 @@ def induction(df: DataFrame, order_by, out_col: str, update_expr: Callable, *,
         return pdf
 
     if by_cols:
-        return df.groupBy(*by_cols).applyInPandas(run, schema=out_schema)
+        return _grouped_sequential(df, by_cols, run, out_schema)
     return df.coalesce(1).groupBy(F.lit(1).alias("__g__")) \
              .applyInPandas(lambda pdf: run(pdf), schema=out_schema)
+
+
+def _grouped_sequential(df: DataFrame, by_cols: Sequence[str],
+                        per_group_fn: Callable, out_schema) -> DataFrame:
+    """Run ``per_group_fn(group_pdf) -> pdf`` over every group, streaming ONE
+    Arrow batch sequence per PARTITION instead of one per group.
+
+    ``applyInPandas`` ships each group as its own Arrow transfer — with many
+    small groups (the common shape: millions of users, dozens of rows each)
+    the per-group overhead dominates. Here we hash-repartition by the group
+    key, sort within partitions so groups are contiguous, and walk the
+    partition's batch iterator carrying the trailing (possibly split) group
+    over to the next batch. Group-key NULLs are supported only for single-key
+    grouping (pandas NaN-equality caveat).
+    """
+    import pandas as pd
+
+    part = df.repartition(*[F.col(c) for c in by_cols]) \
+             .sortWithinPartitions(*by_cols)
+
+    def run_partition(batches):
+        pending = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf.iloc[-1]
+            mask = pd.Series(True, index=pdf.index)
+            for c in by_cols:
+                v = last[c]
+                mask &= pdf[c].isna() if pd.isna(v) else (pdf[c] == v)
+            pending = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                for _, g in done.groupby(list(by_cols), sort=False, dropna=False):
+                    yield per_group_fn(g.reset_index(drop=True))
+        if pending is not None and len(pending):
+            yield per_group_fn(pending.reset_index(drop=True))
+
+    return part.mapInPandas(run_partition, out_schema)

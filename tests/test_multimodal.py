@@ -87,3 +87,15 @@ def test_frame_sample_fanout(spark, media):
 def test_repartition_for_decode(spark, media):
     out = mm.repartition_for_decode(media, "id")
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_fused_pipeline_matches_staged(spark, media):
+    staged = mm.image_features(
+        mm.resize_image(mm.decode_image(media, "data", fake_hw=(8, 8)),
+                        "image", 4, 4), "image")
+    fused = mm.image_pipeline(media, "data", resize_hw=(4, 4), fake_hw=(8, 8))
+    a = {r["id"]: r["features"] for r in staged.collect()}
+    b = {r["id"]: r["features"] for r in fused.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert np.allclose(a[k], b[k], atol=1e-6)

@@ -154,3 +154,24 @@ def test_train_test_split_and_kfold(spark):
     assert len(folds) == 4
     total = sum(t.count() for _, t in folds)
     assert total == 100  # test folds partition the data
+
+
+def test_induction_vector_fn_matches_row_loop(spark):
+    import pandas as pd
+    data = [(g, i, float(v)) for g in ("a", "b")
+            for i, v in enumerate([5, 1, 8, 2, 9, 3, 7])]
+    df = spark.createDataFrame(data, "g string, i int, v double")
+
+    def vec(pdf):
+        seeded = pd.concat([pd.Series([0.0]), pdf["v"]], ignore_index=True)
+        return seeded.ewm(alpha=0.3, adjust=False).mean().iloc[1:].reset_index(drop=True)
+
+    loop = cm.induction(df, "i", "s", lambda acc, r: 0.3 * r["v"] + 0.7 * acc,
+                        init=0.0, by="g")
+    fast = cm.induction(df, "i", "s", lambda acc, r: 0.3 * r["v"] + 0.7 * acc,
+                        init=0.0, by="g", vector_fn=vec)
+    a = {(r["g"], r["i"]): r["s"] for r in loop.collect()}
+    b = {(r["g"], r["i"]): r["s"] for r in fast.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9
