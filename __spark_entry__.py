@@ -675,6 +675,41 @@ def distinct_parts_per_brand(spark, sf_dir):
                                        out_col="n_types").orderBy("p_brand")
 
 
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (aggregate.grouping_sets_agg, parity-plus):
+    (status, priority) detail + status subtotal + grand total in ONE
+    shuffle (single Expand+HashAggregate, not 3 unioned group-bys)."""
+    o = _t(spark, sf_dir, "orders")
+    return agg.grouping_sets_agg(
+        o, [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        {"n": ("row-count", None),
+         "sum_price": lambda F: F.round(F.sum("o_totalprice"), 4)})
+
+
+def ivf_topk_embeddings(spark, sf_dir):
+    """IVF approximate top-k (similarity.ivf_topk, rows-only: approximate
+    by design; recall vs brute force pinned in tests): sampled centroids,
+    numpy-matmul cell assignment, probe 2 of 8 cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = sim.ivf_centroids(emb, "embedding", 8, seed=7)
+    out = sim.ivf_topk(emb.filter(F.col("vec_id") != 0), "embedding",
+                       qvec, 10, cents, n_probe=2)
+    return out.select("vec_id", _r4(F.col("cos")).alias("cos"))
+
+
+def abb_fill_events(spark, sf_dir):
+    """replace-missing :abb (missing.clj approx bayesian bootstrap,
+    rows-only: draws are rand-seeded): missing values drawn from a
+    broadcast donor pool sampled from the observed distribution."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("value", F.when(F.col("value") < 5, None)
+                       .otherwise(F.col("value")))
+    out = ms.replace_missing(ev, "value", "abb", seed=42)
+    return out.filter(F.col("value").isNotNull()) \
+              .select("event_id", "user_id", _r4(F.col("value")).alias("value"))
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -743,6 +778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": ewma_user_value,
         "sliding_events_12h": sliding_events_12h,
         "distinct_parts_per_brand": distinct_parts_per_brand,
+        "grouping_sets_orders": grouping_sets_orders,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
+        "abb_fill_events": abb_fill_events,
     }
 
 
@@ -1264,5 +1302,12 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_brand": """
             SELECT p_brand, count(DISTINCT p_type) AS n_types
             FROM part GROUP BY p_brand ORDER BY p_brand
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
         """,
     }

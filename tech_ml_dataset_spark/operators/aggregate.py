@@ -150,6 +150,23 @@ def cube_agg(df: DataFrame, keys, aggs: Mapping[str, object]) -> DataFrame:
     return df.cube(*ks).agg(*exprs)
 
 
+def grouping_sets_agg(df: DataFrame, sets: Iterable[Iterable[str]],
+                      aggs: Mapping[str, object]) -> DataFrame:
+    """Explicit GROUPING SETS — parity-plus (SURVEY §2.4: absent in the
+    reference alongside rollup/cube): arbitrary subtotal combinations in a
+    single shuffle pass (Spark expands sets map-side; one Expand + one
+    aggregate, not k separate group-bys unioned)."""
+    set_lists = [list(s) for s in sets]
+    all_keys: list[str] = []
+    for s in set_lists:
+        for c in s:
+            if c not in all_keys:
+                all_keys.append(c)
+    exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
+    return df.groupingSets([[F.col(c) for c in s] for s in set_lists],
+                           *[F.col(c) for c in all_keys]).agg(*exprs)
+
+
 def count_distinct_twophase(df: DataFrame, key, col: str, *,
                             out_col: str = "n_distinct") -> DataFrame:
     """Skew-safe exact count-distinct: dedup on (key, col) first (the

@@ -58,7 +58,8 @@ def select_missing(df: DataFrame, columns: Iterable[str] | None = None) -> DataF
 
 def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str = "value",
                     value=None, *, order_by: str | None = None,
-                    by: str | Sequence[str] | None = None) -> DataFrame:
+                    by: str | Sequence[str] | None = None,
+                    seed: int = 42, abb_sample_size: int = 4096) -> DataFrame:
     """``replace-missing`` (missing.clj:242). Strategies:
 
     :value    -> na.fill(value) (or per-column dict)
@@ -71,6 +72,11 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
     :lerp     -> linear interpolation between prev/next by axis position
     :mean/:min/:max -> fill with that column statistic (computed once,
                  joined back as a literal via cross-join of 1-row agg)
+    :abb      -> approximate bayesian bootstrap (missing.clj ``:abb``): each
+                 missing cell draws uniformly (rand(seed)) from a donor pool
+                 sampled from the observed values. The pool is capped at
+                 ``abb_sample_size`` and broadcast as a literal array —
+                 at 100 TB the donor sample is the only collected state
 
     ``order_by`` names the axis column for ordered strategies (defaults to a
     scan-order index — fine for freshly-read data, see selection.py).
@@ -82,6 +88,20 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
         if isinstance(value, dict):
             return df.na.fill(value)
         return df.na.fill(value, subset=cols)
+
+    if strategy == "abb":
+        out = df
+        frac = min(1.0, abb_sample_size * 4 / max(1, df.count()))
+        for i, c in enumerate(cols):
+            donors = [r[0] for r in df.select(c).na.drop()
+                      .sample(False, frac, seed + i).limit(abb_sample_size).collect()]
+            if not donors:
+                continue
+            arr = F.array(*[F.lit(v) for v in donors])
+            pick = F.element_at(
+                arr, (F.floor(F.rand(seed + i) * len(donors)) + 1).cast("int"))
+            out = out.withColumn(c, F.coalesce(F.col(c), pick))
+        return out
 
     if strategy in ("mean", "min", "max"):
         fn = {"mean": F.avg, "min": F.min, "max": F.max}[strategy]

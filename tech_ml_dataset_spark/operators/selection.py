@@ -152,6 +152,23 @@ def shuffle(df: DataFrame, seed: int | None = None) -> DataFrame:
     return df.orderBy(F.rand(seed))
 
 
+def sample_by(df: DataFrame, col: str, fractions: dict, seed: int | None = None
+              ) -> DataFrame:
+    """Stratified sample (parity-plus; training-data pipelines rebalance
+    classes this way): per-stratum Bernoulli fractions, one scan, no
+    shuffle — each row flips its stratum's coin independently."""
+    return df.sampleBy(col, fractions, seed)
+
+
+def freq_items(df: DataFrame, cols, support: float = 0.01) -> DataFrame:
+    """Approximate frequent items (parity-plus over the reference's sketch
+    surface, reductions/apache_data_sketch.clj): single-pass misra-gries
+    style heavy hitters via df.stat.freqItems — no shuffle of the full
+    distinct domain, the 100 TB alternative to groupBy-count-orderBy."""
+    cs = [cols] if isinstance(cols, str) else list(cols)
+    return df.stat.freqItems(cs, support)
+
+
 def take_nth(df: DataFrame, n: int, order_by=None) -> DataFrame:
     """``take-nth`` (base.clj:797): every n-th row in order."""
     idx = with_row_index(df, order_by=order_by)

@@ -104,3 +104,23 @@ def test_dataset_wrapper_roundtrip(spark):
              .group_by_column_agg("k", {"s": ("sum", "v")})
              .sort_by_column("k"))
     assert out.rowvecs() == [("a", 4.0), ("b", 5.0)]
+
+
+def test_ivf_topk_finds_exact_match(spark):
+    import random
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[7][1]
+    cents = sim.ivf_centroids(df, "embedding", 4, seed=1)
+    got = sim.ivf_topk(df, "embedding", q, 3, cents, n_probe=4).collect()
+    # with n_probe = n_cells IVF degrades to exact: vec 7 (cos=1) must be #1
+    assert got[0]["vec_id"] == 7 and abs(got[0]["cos"] - 1.0) < 1e-9
+
+
+def test_ivf_assign_cell_bounds(spark):
+    df = spark.createDataFrame([(i, [float(i), 1.0]) for i in range(10)],
+                               ["vec_id", "embedding"])
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    cells = {r["ivf_cell"] for r in sim.ivf_assign(df, "embedding", cents).collect()}
+    assert cells <= {0, 1} and len(cells) == 2

@@ -276,3 +276,40 @@ def test_descriptive_stats(spark):
     stats = {r["col-name"]: r for r in agg.descriptive_stats(df).collect()}
     assert stats["v"]["n-missing"] == 1 and stats["v"]["mean"] == 2.0
     assert stats["s"]["n-valid"] == 2
+
+
+def test_grouping_sets_matches_unioned_groupbys(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["g", "h", "v"])
+    out = agg.grouping_sets_agg(df, [["g", "h"], ["g"], []],
+                                {"s": ("sum", "v")}).collect()
+    got = {(r["g"], r["h"]): r["s"] for r in out}
+    assert got[("a", "x")] == 1 and got[("a", "y")] == 2 and got[("b", "x")] == 4
+    assert got[("a", None)] == 3 and got[("b", None)] == 4
+    assert got[(None, None)] == 7
+
+
+def test_replace_missing_abb_draws_from_observed(spark):
+    df = spark.createDataFrame(
+        [(i, None if v is None else float(v)) for i, v in enumerate(
+            [10, None, 20, None, 30, None, 10, 20])], "i int, v double")
+    out = ms.replace_missing(df, "v", "abb", seed=1)
+    vals = [r["v"] for r in out.collect()]
+    assert all(v is not None for v in vals)
+    assert set(vals) <= {10.0, 20.0, 30.0}  # fills come from observed pool
+
+
+def test_sample_by_strata_fractions(spark):
+    df = spark.createDataFrame([(i, "a" if i % 2 else "b") for i in range(2000)],
+                               ["i", "k"])
+    out = sel.sample_by(df, "k", {"a": 0.1, "b": 0.9}, seed=5)
+    counts = {r["k"]: r["n"] for r in
+              out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert 40 <= counts["a"] <= 200 and 750 <= counts["b"] <= 1000
+
+
+def test_freq_items_contains_heavy_hitter(spark):
+    df = spark.createDataFrame([(("hot" if i % 3 else f"cold{i}"),)
+                                for i in range(300)], ["k"])
+    row = sel.freq_items(df, "k", 0.4).collect()[0]
+    assert "hot" in row["k_freqItems"]
