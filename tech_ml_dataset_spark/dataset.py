@@ -215,10 +215,52 @@ class Dataset:
     def show(self, n: int = 20, truncate: bool = True):
         self.df.show(n, truncate)
 
+    def to_string(self, **kw) -> str:
+        return dataset_to_str(self.df, name=self.name, **kw)
+
     def __repr__(self):
         cols = ", ".join(f"{c}:{t}" for c, t in self.df.dtypes[:8])
         more = " ..." if len(self.df.columns) > 8 else ""
         return f"<Dataset {self.name} [{cols}{more}]>"
+
+
+def dataset_to_str(df: DataFrame, *, name: str = "_unnamed", n: int = 20,
+                   print_index_range=None, print_types: bool = False,
+                   print_width: int = 25) -> str:
+    """``dataset->str`` (reference src/tech/v3/dataset/print.clj:319,343):
+    the markdown-style table the reference prints, with ``:print-index-range``
+    (slice of rows), ``:print-types`` (dtype header row) and per-cell width
+    truncation. Collects only the printed slice (limit-pushdown, never the
+    table)."""
+    if print_index_range is not None:
+        lo, hi = print_index_range
+        rows = df.limit(hi).collect()[lo:hi]
+        shown = len(rows)
+    else:
+        rows = df.limit(n + 1).collect()
+        shown = min(len(rows), n)
+        rows = rows[:n]
+    cols = df.columns
+    dts = dict(df.dtypes)
+
+    def cell(v):
+        s = "" if v is None else str(v)
+        return s if len(s) <= print_width else s[: print_width - 3] + "..."
+
+    header = [cols]
+    if print_types:
+        header.append([dts[c] for c in cols])
+    body = [[cell(r[c]) for c in cols] for r in rows]
+    widths = [max(len(str(x[i])) for x in header + body) if header + body else 0
+              for i in range(len(cols))]
+    lines = [f"{name} [{shown} {len(cols)}]:", ""]
+    lines.append("| " + " | ".join(str(c).ljust(w) for c, w in zip(cols, widths)) + " |")
+    if print_types:
+        lines.append("| " + " | ".join(dts[c].ljust(w) for c, w in zip(cols, widths)) + " |")
+    lines.append("|" + "|".join("-" * (w + 1) + ":" for w in widths) + "|")
+    for b in body:
+        lines.append("| " + " | ".join(str(v).rjust(w) for v, w in zip(b, widths)) + " |")
+    return "\n".join(lines)
 
 
 def dataset(spark, data, **kw) -> Dataset:

@@ -34,6 +34,68 @@ def inference_target_column_names(df: DataFrame) -> list[str]:
             if f.metadata.get(_TARGET_META_KEY)]
 
 
+def feature_ecount(df: DataFrame) -> int:
+    """``feature-ecount`` (modelling.clj:83): number of feature columns —
+    columns that are not inference targets."""
+    return len(df.columns) - len(inference_target_column_names(df))
+
+
+def num_inference_classes(cat_map: dict) -> int:
+    """``num-inference-classes`` (modelling.clj:75): size of the target's
+    categorical table (our fitted map dict, ml/preprocess.py)."""
+    return len(cat_map["table"])
+
+
+def model_type(df: DataFrame, columns: Sequence[str] | None = None) -> str:
+    """``model-type`` (modelling.clj:91): 'classification' if every target
+    column is integral/string-categorical, else 'regression'."""
+    cols = list(columns) if columns else inference_target_column_names(df)
+    integral = {"tinyint", "smallint", "int", "bigint", "string", "boolean"}
+    dts = dict(df.dtypes)
+    return "classification" if cols and all(dts[c] in integral for c in cols) \
+        else "regression"
+
+
+def inference_target_ds(df: DataFrame, cat_map: dict | None = None
+                        ) -> DataFrame | None:
+    """``inference-target-ds`` (modelling.clj:203): the target columns,
+    reverse-mapped through the categorical table when one is supplied (our
+    categorical maps are explicit fitted dicts, ml/preprocess.py, rather
+    than column metadata)."""
+    cols = inference_target_column_names(df)
+    if not cols:
+        return None
+    out = df.select(*cols)
+    if cat_map is not None:
+        from .preprocess import invert_categorical_map
+        out = invert_categorical_map(out, cat_map)
+    return out
+
+
+def labels(df: DataFrame, cat_map: dict | None = None) -> DataFrame:
+    """``labels`` (modelling.clj:212): single reverse-mapped target column;
+    errors when the dataset has != 1 inference target."""
+    out = inference_target_ds(df, cat_map)
+    if out is None or len(out.columns) != 1:
+        n = 0 if out is None else len(out.columns)
+        raise ValueError(f"labels requires exactly 1 inference target, got {n}")
+    return out
+
+
+def probability_distributions_to_label_column(
+        df: DataFrame, prob_cols: Sequence[str], dst_colname: str) -> DataFrame:
+    """``probability-distributions->label-column`` (modelling.clj:225): the
+    probability columns are named after their labels; the output label is
+    the argmax column name per row. Pure Column expressions (greatest +
+    chained when) — codegen'd, no UDF."""
+    cols = list(prob_cols)
+    mx = F.greatest(*[F.col(c) for c in cols]) if len(cols) > 1 else F.col(cols[0])
+    expr = F.lit(None).cast("string")
+    for c in reversed(cols):  # first match wins, like the reference's scan
+        expr = F.when(F.col(c) == mx, F.lit(c)).otherwise(expr)
+    return df.withColumn(dst_colname, expr)
+
+
 def train_classification(df: DataFrame, label_col: str,
                          feature_cols: Sequence[str], *,
                          algorithm: str = "logistic-regression",

@@ -185,13 +185,40 @@ def correlation_table(df: DataFrame, columns: Sequence[str] | None = None,
                       method: str = "pearson") -> dict[str, dict[str, float]]:
     """``correlation-table`` (math.clj:37): all-pairs correlation via
     ml.stat.Correlation on an assembled vector (single distributed pass).
-    method: 'pearson' | 'spearman'."""
-    from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.stat import Correlation
+    method: 'pearson' | 'spearman' | 'kendall'.
 
+    Kendall has no distributed MLlib implementation (O(n^2) rank pairs); as
+    in the reference's guidance it runs driver-side over a bounded sample
+    (5k rows; numpy tau-b, scipy-free) — documented approximation for
+    larger inputs."""
     cols = list(columns) if columns else [c for c, t in df.dtypes
                                           if t in ("double", "float", "int", "bigint",
                                                    "smallint", "tinyint")]
+    if method == "kendall":
+        import numpy as np
+
+        cap = 5_000
+        n = df.count()
+        pdf = (df.select(*cols).sample(False, min(1.0, cap / max(1, n)), 42)
+                 .limit(cap).toPandas())
+
+        def tau_b(x: "np.ndarray", y: "np.ndarray") -> float:
+            sx = np.sign(x[:, None] - x[None, :])
+            sy = np.sign(y[:, None] - y[None, :])
+            iu = np.triu_indices(len(x), 1)
+            sx, sy = sx[iu], sy[iu]
+            pq = float((sx * sy).sum())
+            nx = float((sx != 0).sum())
+            ny = float((sy != 0).sum())
+            denom = np.sqrt(nx * ny)
+            return pq / denom if denom else float("nan")
+
+        arrs = {c: pdf[c].to_numpy(dtype="float64") for c in cols}
+        return {ci: {cj: (1.0 if ci == cj else tau_b(arrs[ci], arrs[cj]))
+                     for cj in cols} for ci in cols}
+
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
     vec = VectorAssembler(inputCols=cols, outputCol="__vec__", handleInvalid="skip")
     assembled = vec.transform(df.select(*cols))
     mat = Correlation.corr(assembled, "__vec__", method).collect()[0][0].toArray()

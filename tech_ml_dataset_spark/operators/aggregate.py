@@ -150,6 +150,19 @@ def cube_agg(df: DataFrame, keys, aggs: Mapping[str, object]) -> DataFrame:
     return df.cube(*ks).agg(*exprs)
 
 
+def group_by_column_consumer(df: DataFrame, key, fn: Callable,
+                             out_schema) -> DataFrame:
+    """``group-by-column-consumer`` / tier-1 group-by (dataset_api.clj:315,
+    base.clj:526): the user's function sees each group as a whole dataset
+    (a pandas DataFrame here) and returns a reduced frame. This is the
+    escape hatch for per-group logic no aggregate expresses; parallel
+    across groups via ``applyInPandas`` (one shuffle by key). Prefer
+    ``group_by_column_agg`` whenever the reduction IS expressible — it
+    gets map-side partial aggregation, this does not."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.groupBy(*keys).applyInPandas(fn, schema=out_schema)
+
+
 def grouping_sets_agg(df: DataFrame, sets: Iterable[Iterable[str]],
                       aggs: Mapping[str, object]) -> DataFrame:
     """Explicit GROUPING SETS — parity-plus (SURVEY §2.4: absent in the

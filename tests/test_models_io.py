@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tech_ml_dataset_spark.ml import models as mdl
+from tech_ml_dataset_spark.ml import preprocess as mlp
 from tech_ml_dataset_spark.operators import aggregate as agg
 from tech_ml_dataset_spark.sources import io as sio
 
@@ -92,3 +93,56 @@ def test_kahan_sum_exact_where_naive_cancels(spark):
     df = spark.createDataFrame(data, "k string, v double").coalesce(1)
     out = agg.group_by_column_agg(df, "k", {"s": ("sum-kahan", "v")}).collect()
     assert out[0]["s"] == 100.0
+
+
+def test_modelling_metadata_helpers(spark):
+    df = spark.createDataFrame([("a", 1.0, 0), ("b", 2.0, 1), ("c", 3.0, 0)],
+                               ["name", "x", "label"])
+    tagged = mdl.set_inference_target(df, "label")
+    assert mdl.inference_target_column_names(tagged) == ["label"]
+    assert mdl.feature_ecount(tagged) == 2
+    assert mdl.model_type(tagged) == "classification"
+    assert mdl.inference_target_ds(tagged).columns == ["label"]
+    assert mdl.labels(tagged).columns == ["label"]
+    cat = {"column": "label", "table": {"no": 0, "yes": 1}}
+    assert mdl.num_inference_classes(cat) == 2
+    got = {r["label"] for r in mdl.labels(tagged, cat).collect()}
+    assert got == {"no", "yes"}
+
+
+def test_probability_distributions_to_label(spark):
+    df = spark.createDataFrame([(0.7, 0.2, 0.1), (0.1, 0.1, 0.8), (0.4, 0.4, 0.2)],
+                               ["cat", "dog", "fish"])
+    out = mdl.probability_distributions_to_label_column(df, ["cat", "dog", "fish"], "label")
+    assert [r["label"] for r in out.collect()] == ["cat", "fish", "cat"]
+
+
+def test_group_by_column_consumer(spark):
+    import pandas as pd
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 10.0)], ["k", "v"])
+
+    def spread(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"k": pdf["k"].iloc[0],
+                              "spread": pdf["v"].max() - pdf["v"].min()}])
+
+    out = {r["k"]: r["spread"] for r in agg.group_by_column_consumer(
+        df, "k", spread, "k string, spread double").collect()}
+    assert out == {"a": 2.0, "b": 0.0}
+
+
+def test_correlation_table_kendall(spark):
+    df = spark.createDataFrame([(float(i), float(i * 2), float(-i))
+                                for i in range(50)], ["a", "b", "c"])
+    tbl = mlp.correlation_table(df, ["a", "b", "c"], method="kendall")
+    assert abs(tbl["a"]["b"] - 1.0) < 1e-9
+    assert abs(tbl["a"]["c"] + 1.0) < 1e-9
+
+
+def test_dataset_to_str_markdown(spark):
+    from tech_ml_dataset_spark.dataset import dataset_to_str
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["i", "s"])
+    s = dataset_to_str(df, name="t", n=2, print_types=True)
+    assert s.splitlines()[0] == "t [2 2]:"
+    assert "| i " in s and "bigint" in s and "-:|" in s  # right-aligned separator
+    s2 = dataset_to_str(df, print_index_range=(1, 3))
+    assert "2" in s2 and "1 |" not in s2.splitlines()[-2]
