@@ -12,8 +12,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-# large Mersenne prime for the (a*x + b) % p permutation family
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime for the (a*x + b) % p permutation family. 2^31-1 keeps
+# every intermediate product < 2^62, i.e. inside java long WITHOUT overflow —
+# mandatory under ANSI mode (Spark 4 default), where long overflow throws
+# instead of wrapping. 2^31 distinct min-hash values is ample for banding.
+_MERSENNE = (1 << 31) - 1
 
 
 def normalize_text(text: Column) -> Column:
@@ -51,10 +54,7 @@ def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
                  lambda s: F.length(s) == k))
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 64, seed: int = 42) -> Column:
-    """MinHash signature as array<bigint>: h_i(S) = min over shingles of
-    ((a_i * xxhash64(s) + b_i) mod p). Deterministic (a_i, b_i) from an LCG
-    so driver and executors agree without shipping state."""
+def _minhash_coeffs(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     state = seed | 1
     coeffs = []
     for _ in range(n_hashes):
@@ -63,13 +63,29 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 64, seed: int = 42) -
         state = (6364136223846793005 * state + 1442695040888963407) & ((1 << 63) - 1)
         b = state % _MERSENNE
         coeffs.append((a, b))
-    base = F.transform(shingle_col, lambda s: F.xxhash64(s))
+    return coeffs
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """Positive-space xxhash64 of each shingle — compute this ONCE as its
+    own column before fanning out to n_hashes permutations: referenced 64×,
+    CollapseProject keeps the projection boundary so the string hashing
+    runs once per row, not once per signature slot."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature(shingle_col: Column, n_hashes: int = 64, seed: int = 42,
+                      *, prehashed: bool = False) -> Column:
+    """MinHash signature as array<bigint>: h_i(S) = min over shingles of
+    ((a_i * xxhash64(s) + b_i) mod p). Deterministic (a_i, b_i) from an LCG
+    so driver and executors agree without shipping state. Pass a
+    ``shingle_hashes`` column with ``prehashed=True`` to avoid re-hashing
+    the raw shingles per permutation."""
+    base = shingle_col if prehashed else shingle_hashes(shingle_col)
     sig = []
-    for a, b in coeffs:
-        # work in positive space: pmod keeps the permutation well-defined
+    for a, b in _minhash_coeffs(n_hashes, seed):
         sig.append(F.array_min(F.transform(
-            base, lambda h: F.pmod(F.lit(a) * F.pmod(h, F.lit(_MERSENNE)) + F.lit(b),
-                                   F.lit(_MERSENNE)))))
+            base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)))))
     return F.array(*sig)
 
 
@@ -90,7 +106,10 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     rows_per_band = n_hashes // bands
     sigd = df.select(F.col(id_col),
                      shingles(F.col(text_col), k).alias("__sh__")) \
-             .withColumn("__sig__", minhash_signature(F.col("__sh__"), n_hashes, seed))
+             .withColumn("__hb__", shingle_hashes(F.col("__sh__"))) \
+             .withColumn("__sig__", minhash_signature(F.col("__hb__"), n_hashes,
+                                                      seed, prehashed=True)) \
+             .drop("__hb__")
     banded = sigd.select(
         id_col, "__sh__",
         F.posexplode(F.transform(
