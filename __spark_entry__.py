@@ -525,15 +525,20 @@ def rollup_orders(spark, sf_dir):
 
 def quantiles_price(spark, sf_dir):
     """prob-quantile / prob-cdf reducers (reductions.clj:226-247) — sketch
-    accuracy pinned high enough to be exact at test scale."""
+    accuracy pinned high enough to be exact at test scale. Both quantiles
+    come from ONE array-quantile sketch (the reference's reducer fusion,
+    reductions.clj:345-374: same-column sketches share one accumulator)."""
     o = _t(spark, sf_dir, "orders")
-    return agg.group_by_column_agg(
+    out = agg.group_by_column_agg(
         o, "o_orderpriority",
-        {"p50": ("prob-quantile", "o_totalprice", {"quantile": 0.5, "accuracy": 1000000}),
-         "p90": ("prob-quantile", "o_totalprice", {"quantile": 0.9, "accuracy": 1000000}),
+        {"pq": ("prob-quantiles", "o_totalprice",
+                {"quantiles": [0.5, 0.9], "accuracy": 1000000}),
          "cdf_300k": lambda F: F.round(F.avg(F.when(F.col("o_totalprice") <= 300000.0, 1.0)
-                                             .otherwise(0.0)), 4)}
-    ).orderBy("o_orderpriority")
+                                             .otherwise(0.0)), 4)})
+    return out.select("o_orderpriority",
+                      F.element_at("pq", 1).alias("p50"),
+                      F.element_at("pq", 2).alias("p90"),
+                      "cdf_300k").orderBy("o_orderpriority")
 
 
 def descriptive_stats_lineitem(spark, sf_dir):

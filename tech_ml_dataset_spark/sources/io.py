@@ -50,12 +50,62 @@ def sniff_format(path: str) -> tuple[str, dict]:
     return fmt, dict(opts)
 
 
+# TMD dtype name -> Spark SQL type (the reference's own bridge table,
+# libs/spark.clj:25-36; unsigned ints widen to the next signed type per
+# casting/safe-flatten, libs/spark.clj:44-46).
+TMD_DTYPES = {
+    "boolean": "boolean", "bool": "boolean",
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "uint8": "smallint", "uint16": "int", "uint32": "bigint", "uint64": "bigint",
+    "float32": "float", "float64": "double",
+    "string": "string", "text": "string",
+    "uuid": "string", "keyword": "string", "symbol": "string",
+    "local-date": "date", "packed-local-date": "date", "epoch-days": "date",
+    "instant": "timestamp", "packed-instant": "timestamp",
+    "zoned-date-time": "timestamp", "local-date-time": "timestamp",
+    "epoch-milliseconds": "timestamp", "epoch-seconds": "timestamp",
+    "duration": "interval day to second",
+}
+
+
+def apply_parser_fn(df: DataFrame, parser_fn: Mapping) -> DataFrame:
+    """``:parser-fn`` (reference io.clj:194-223): per-column type pinning.
+    Spec per column: a TMD dtype name ("int32", "local-date", ...), a
+    ``(dtype, format-string)`` pair for datetime parsing, or a callable
+    Column -> Column (the custom-parse-fn escape hatch). Bad parses become
+    NULL (to_date/try-cast semantics) — the reference's parse-failure ->
+    missing convention (io/column_parsers.clj:92-102)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for col, spec in parser_fn.items():
+        if callable(spec):
+            out = out.withColumn(col, spec(F.col(col)))
+            continue
+        if isinstance(spec, (tuple, list)):
+            dt, fmt = spec
+            target = TMD_DTYPES.get(dt, dt)
+            # try_* so bad input -> NULL even under ANSI (plain sessions),
+            # never an executor-side exception
+            ts = F.try_to_timestamp(F.col(col), F.lit(fmt))
+            if target == "date":
+                out = out.withColumn(col, ts.try_cast("date"))
+            elif target.startswith("timestamp"):
+                out = out.withColumn(col, ts)
+            else:
+                raise ValueError(f"format-string parser for non-datetime {dt!r}")
+            continue
+        out = out.withColumn(col, F.col(col).try_cast(TMD_DTYPES.get(spec, spec)))
+    return out
+
+
 def to_dataset(
     spark: SparkSession,
     data,
     *,
     file_type: str | None = None,
     schema=None,
+    parser_fn: Mapping | None = None,
     column_allowlist: Iterable[str] | None = None,
     column_blocklist: Iterable[str] | None = None,
     num_rows: int | None = None,
@@ -99,6 +149,8 @@ def to_dataset(
 
     if key_fn is not None:
         df = df.toDF(*[key_fn(c) for c in df.columns])
+    if parser_fn is not None:
+        df = apply_parser_fn(df, parser_fn)
     if column_allowlist is not None:
         df = df.select(*[c for c in df.columns if c in set(column_allowlist)])
     if column_blocklist is not None:

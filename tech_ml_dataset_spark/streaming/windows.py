@@ -130,6 +130,30 @@ def read_stream(spark, path: str, schema, *, fmt: str = "parquet",
     return reader.load(path)
 
 
+def stream_static_join(stream: DataFrame, dim: DataFrame, on, *,
+                       how: str = "inner", broadcast_dim: bool = True
+                       ) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension. With ``broadcast_dim`` the dim ships to executors
+    once — no per-batch shuffle of the stream (the standard star-schema
+    enrichment shape at scale; the static side is re-read per trigger so
+    slowly-changing dims stay fresh)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
+def foreach_batch_sink(df: DataFrame, batch_fn, *, checkpoint: str,
+                       output_mode: str = "update"):
+    """``foreachBatch`` sink: the exactly-once escape hatch for sinks Spark
+    lacks a connector for. ``batch_fn(batch_df, batch_id)`` — idempotent on
+    ``batch_id`` replays (checkpoint-tracked), each batch a normal batch
+    DataFrame so any writer works. Returns the started query handle."""
+    return (df.writeStream.foreachBatch(batch_fn)
+              .outputMode(output_mode)
+              .option("checkpointLocation", checkpoint)
+              .trigger(availableNow=True).start())
+
+
 def run_to_memory(df: DataFrame, name: str, *, output_mode: str = "complete"):
     """Execute a streaming frame into an in-memory table and process all
     available data once (tests / interactive use). Returns the query handle;

@@ -78,3 +78,43 @@ def test_stateful_running_agg_across_batches(spark, tmp_path):
     assert final["a"] == (3, 6.0)
     assert final["b"] == (2, 30.0)
     assert final["c"] == (1, 5.0)
+
+
+def test_stream_static_join_enriches_batches(spark, tmp_path):
+    src = str(tmp_path / "ss_src")
+    spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], ["id", "k"]) \
+         .coalesce(1).write.mode("overwrite").parquet(src)
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")], ["k", "label"])
+    stream = sw.read_stream(spark, src, "id bigint, k string")
+    out = sw.stream_static_join(stream, dim, "k")
+    sw.run_to_memory(out, "ssj", output_mode="append")
+    got = {r["id"]: r["label"] for r in spark.table("ssj").collect()}
+    assert got == {1: "alpha", 2: "beta", 3: "alpha"}
+
+
+def test_foreach_batch_sink_runs_batch_fn(spark, tmp_path):
+    src = str(tmp_path / "fb_src")
+    spark.createDataFrame([(i,) for i in range(10)], ["v"]) \
+         .coalesce(1).write.mode("overwrite").parquet(src)
+    stream = sw.read_stream(spark, src, "v bigint")
+    seen = []
+
+    def fn(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    q = sw.foreach_batch_sink(stream, fn, checkpoint=str(tmp_path / "fb_ckpt"))
+    q.awaitTermination()
+    assert sum(n for _, n in seen) == 10
+
+
+def test_parser_fn_pins_types_and_nulls_bad_parses(spark, tmp_path):
+    from tech_ml_dataset_spark.sources import io as sio
+    p = str(tmp_path / "pf.csv")
+    with open(p, "w") as f:
+        f.write("a,d,x\n1,2024-01-02,5\n2,notadate,oops\n")
+    df = sio.to_dataset(spark, p, parser_fn={
+        "a": "int32", "d": ("local-date", "yyyy-MM-dd"), "x": "float64"})
+    assert dict(df.dtypes) == {"a": "int", "d": "date", "x": "double"}
+    rows = {r["a"]: r for r in df.collect()}
+    assert str(rows[1]["d"]) == "2024-01-02" and rows[1]["x"] == 5.0
+    assert rows[2]["d"] is None and rows[2]["x"] is None
