@@ -106,10 +106,6 @@ def concat(*dfs: DataFrame) -> DataFrame:
     return out
 
 
-def _with_counts(df: DataFrame) -> DataFrame:
-    return df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("__cnt__"))
-
-
 def _explode_counts(df: DataFrame, cnt: Column) -> DataFrame:
     """Re-expand a (distinct-rows, count) table to bag form via sequence+explode."""
     cols = [c for c in df.columns if not c.startswith("__")]
@@ -119,19 +115,29 @@ def _explode_counts(df: DataFrame, cnt: Column) -> DataFrame:
               .select(*cols))
 
 
+def _side_counts(dfs: Sequence[DataFrame]) -> tuple[DataFrame, list[str]]:
+    """Per-distinct-row multiplicity of every input in ONE shuffle: tag each
+    side, union (narrow), then a single groupBy with conditional counts.
+    Map-side partial aggregation collapses duplicates before the exchange,
+    so the shuffle carries (distinct-row, partial-counts) — the same volume
+    a per-side groupBy would, but once instead of per-side + a join."""
+    keys = list(dfs[0].columns)
+    tagged = None
+    for i, d in enumerate(dfs):
+        t = d.select(*keys).withColumn("__side__", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    aggs = [F.count(F.when(F.col("__side__") == i, 1)).alias(f"__c{i}__")
+            for i in range(len(dfs))]
+    return tagged.groupBy(*keys).agg(*aggs), keys
+
+
 def union(a: DataFrame, b: DataFrame) -> DataFrame:
     """Bag-semantics ``union`` (set.clj:166): output multiplicity =
     max(count_a, count_b) per distinct row — NOT ``df.union`` (which sums).
-    Implemented as full-row groupBy counts per side, outer-join of count
-    tables (narrow after agg), greatest(), re-explode via sequence()."""
-    ca = _with_counts(a).withColumnRenamed("__cnt__", "__ca__")
-    cb = _with_counts(b).withColumnRenamed("__cnt__", "__cb__")
-    keys = [c for c in a.columns]
-    j = ca.join(cb, keys, "full")
-    out_cnt = F.greatest(F.coalesce(F.col("__ca__"), F.lit(0)),
-                         F.coalesce(F.col("__cb__"), F.lit(0)))
-    return _explode_counts(j.withColumn("__cnt__", out_cnt).drop("__ca__", "__cb__"),
-                           F.col("__cnt__"))
+    Single-shuffle: tagged union -> one groupBy with per-side counts ->
+    greatest() -> re-explode via sequence()."""
+    counts, _ = _side_counts([a, b])
+    return _explode_counts(counts, F.greatest("__c0__", "__c1__"))
 
 
 def intersection(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -148,12 +154,10 @@ def difference(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def reduce_union_counts(*dfs: DataFrame) -> DataFrame:
     """``reduce-union`` :count mode (set.clj:118): distinct rows + max
-    multiplicity as a ``count`` column."""
-    sides = [_with_counts(d).withColumnRenamed("__cnt__", f"__c{i}__")
-             for i, d in enumerate(dfs)]
-    keys = list(dfs[0].columns)
-    out = sides[0]
-    for s in sides[1:]:
-        out = out.join(s, keys, "full")
-    cnt = F.greatest(*[F.coalesce(F.col(f"__c{i}__"), F.lit(0)) for i in range(len(dfs))])
-    return out.select(*keys, cnt.alias("count"))
+    multiplicity as a ``count`` column. Same single-shuffle tagged-union
+    plan as ``union`` regardless of input count (an n-way join chain would
+    be n-1 extra exchanges)."""
+    counts, keys = _side_counts(list(dfs))
+    cnt = F.greatest(*[F.col(f"__c{i}__") for i in range(len(dfs))]) \
+        if len(dfs) > 1 else F.col("__c0__")
+    return counts.select(*keys, cnt.alias("count"))

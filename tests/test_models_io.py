@@ -146,3 +146,32 @@ def test_dataset_to_str_markdown(spark):
     assert "| i " in s and "bigint" in s and "-:|" in s  # right-aligned separator
     s2 = dataset_to_str(df, print_index_range=(1, 3))
     assert "2" in s2 and "1 |" not in s2.splitlines()[-2]
+
+
+def test_pipeline_fit_transform_replays_train_state(spark):
+    from tech_ml_dataset_spark.ml.pipeline import Pipeline, stage
+    train = spark.createDataFrame(
+        [("a", 0.0), ("b", 10.0), ("a", 20.0)], ["seg", "v"])
+    test = spark.createDataFrame([("b", 5.0), ("a", 15.0)], ["seg", "v"])
+    pipe = Pipeline(
+        lambda df: df.withColumn("v", F.col("v") * 2),
+        stage(mlp.fit_categorical_map, mlp.transform_categorical_map, "seg"),
+        stage(mlp.fit_std_scale, mlp.transform_std_scale, ["v"]),
+    )
+    fitted = pipe.fit(train)
+    # train-side output: mean(2v)=20, std=20 -> scaled {-1, 0, 1}
+    got = sorted(round(r["v"], 6) for r in fitted.output.collect())
+    assert got == [-1.0, 0.0, 1.0]
+    # test-side uses TRAIN stats (mean 20, std 20), not its own
+    t = {r["seg"]: round(r["v"], 6) for r in fitted.transform(test).collect()}
+    assert t == {1: -0.5, 0: 0.5}  # seg coded a->0 b->1; (10-20)/20, (30-20)/20
+    assert fitted.states[0] is None and "table" in fitted.states[1]
+
+
+def test_pipeline_accepts_mllib_estimator(spark):
+    from pyspark.ml.feature import SQLTransformer
+    from tech_ml_dataset_spark.ml.pipeline import Pipeline
+    df = spark.createDataFrame([(1.0,), (2.0,)], ["x"])
+    pipe = Pipeline(SQLTransformer(statement="SELECT x, x*x AS x2 FROM __THIS__"))
+    out = pipe.fit_transform(df)
+    assert sorted(r["x2"] for r in out.collect()) == [1.0, 4.0]
