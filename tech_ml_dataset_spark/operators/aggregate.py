@@ -226,11 +226,15 @@ def descriptive_stats(df: DataFrame, columns: Iterable[str] | None = None,
     column with summary statistics. Computed in a SINGLE pass/job: all
     per-column aggregates go into one ``df.agg(...)`` so the scan happens
     once regardless of column count — at 100 TB a per-column loop of jobs
-    would be catastrophic.
+    would be catastrophic. Fully LAZY: the one-row aggregate is pivoted to
+    one-row-per-column with ``inline(array(struct...))`` inside the same
+    plan, so building the stats table launches no driver-side job at all
+    (the old collect+createDataFrame shape cost a second job per call).
     """
     from pyspark.sql import types as T
 
     cols = list(columns) if columns is not None else df.columns
+    stats = list(stats)
     fields = {f.name: f.dataType for f in df.schema.fields}
     numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType)
@@ -245,22 +249,30 @@ def descriptive_stats(df: DataFrame, columns: Iterable[str] | None = None,
             if s in _STAT_FNS and (is_num or s in ("min", "max")):
                 src = F.col(c).cast("double") if (is_num and s not in ("min", "max")) else F.col(c)
                 exprs.append(_STAT_FNS[s](src).alias(f"{c}||{s}"))
-    row = df.agg(*exprs).collect()[0].asDict()
+    agg_row = df.agg(*exprs)
+    have = set(agg_row.columns)
 
-    n_rows = row["__n_rows__"]
-    out_rows = []
+    def _ref(name: str) -> Column:
+        return F.col(f"`{name}`")
+
+    structs = []
     for c in cols:
-        rec = {"col-name": c, "datatype": fields[c].simpleString(),
-               "n-valid": row.get(f"{c}||n-valid"),
-               "n-missing": n_rows - (row.get(f"{c}||n-valid") or 0)}
+        sf = [F.lit(c).alias("col-name"),
+              F.lit(fields[c].simpleString()).alias("datatype"),
+              _ref(f"{c}||n-valid").alias("n-valid"),
+              (F.col("__n_rows__") - _ref(f"{c}||n-valid")).alias("n-missing")]
         for s in stats:
             if s in ("n-valid", "n-missing"):
                 continue
-            v = row.get(f"{c}||{s}")
-            rec[s] = str(v) if s in ("min", "max") and v is not None else v
-        out_rows.append(rec)
-    spark = df.sparkSession
-    return spark.createDataFrame(out_rows)
+            key = f"{c}||{s}"
+            # min/max stringify so heterogeneous column dtypes share one schema
+            if key in have:
+                v = _ref(key).cast("string") if s in ("min", "max") else _ref(key)
+            else:
+                v = F.lit(None).cast("string" if s in ("min", "max") else "double")
+            sf.append(v.alias(s))
+        structs.append(F.struct(*sf))
+    return agg_row.select(F.inline(F.array(*structs)))
 
 
 def brief(df: DataFrame) -> list[dict]:
