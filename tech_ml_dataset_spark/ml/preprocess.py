@@ -76,6 +76,18 @@ def transform_one_hot(df: DataFrame, fitted: dict) -> DataFrame:
     return out.drop(c)
 
 
+def invert_one_hot(df: DataFrame, fitted: dict) -> DataFrame:
+    """``invert-one-hot-map`` (categorical.clj:288): collapse the 0/1
+    ``<col>-<value>`` columns back to the original categorical column.
+    Pure chained-when projection — no shuffle, no UDF."""
+    c = fitted["column"]
+    expr = F.lit(None).cast("string")
+    for v in fitted["table"]:
+        expr = F.when(F.col(f"{c}-{v}") == 1, F.lit(v)).otherwise(expr)
+    out = df.withColumn(c, expr)
+    return out.drop(*[f"{c}-{v}" for v in fitted["table"]])
+
+
 def categorical_to_number(df: DataFrame, columns: Sequence[str]) -> tuple[DataFrame, list[dict]]:
     """``categorical->number`` (dataset_api.clj:664): fit+transform several."""
     fits = []
@@ -83,6 +95,17 @@ def categorical_to_number(df: DataFrame, columns: Sequence[str]) -> tuple[DataFr
     for c in columns:
         f = fit_categorical_map(out, c)
         out = transform_categorical_map(out, f)
+        fits.append(f)
+    return out, fits
+
+
+def categorical_to_one_hot(df: DataFrame, columns: Sequence[str]) -> tuple[DataFrame, list[dict]]:
+    """``categorical->one-hot`` (dataset_api.clj:684): fit+transform several."""
+    fits = []
+    out = df
+    for c in columns:
+        f = fit_one_hot(out, c)
+        out = transform_one_hot(out, f)
         fits.append(f)
     return out, fits
 

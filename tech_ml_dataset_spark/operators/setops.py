@@ -152,6 +152,23 @@ def difference(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
 
 
+def datasets_equal(a: DataFrame, b: DataFrame) -> bool:
+    """Dataset equality (reference dataset equality/hash semantics,
+    dataset_test.clj:796-846) under the distributed contract: same column
+    names+types and the same BAG of rows — row order is not observable on a
+    shuffled engine, so it deliberately does not participate (the reference,
+    being single-node ordered, also compares order; callers that need
+    order-sensitive equality should compare with an explicit sort key).
+
+    One shuffle total: tagged union -> per-side counts -> any row whose two
+    multiplicities differ falsifies equality (checked with a LIMIT-1 probe,
+    so the scan short-circuits)."""
+    if dict(a.dtypes) != dict(b.dtypes) or len(a.columns) != len(b.columns):
+        return False
+    counts, _ = _side_counts([a, b.select(*a.columns)])
+    return counts.filter(F.col("__c0__") != F.col("__c1__")).isEmpty()
+
+
 def reduce_union_counts(*dfs: DataFrame) -> DataFrame:
     """``reduce-union`` :count mode (set.clj:118): distinct rows + max
     multiplicity as a ``count`` column. Same single-shuffle tagged-union

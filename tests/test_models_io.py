@@ -175,3 +175,43 @@ def test_pipeline_accepts_mllib_estimator(spark):
     pipe = Pipeline(SQLTransformer(statement="SELECT x, x*x AS x2 FROM __THIS__"))
     out = pipe.fit_transform(df)
     assert sorted(r["x2"] for r in out.collect()) == [1.0, 4.0]
+
+
+def test_invert_one_hot_round_trip(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("a", 3)], ["k", "i"])
+    fit = mlp.fit_one_hot(df, "k")
+    hot = mlp.transform_one_hot(df, fit)
+    assert {f"k-a", f"k-b"} <= set(hot.columns) and "k" not in hot.columns
+    back = mlp.invert_one_hot(hot, fit)
+    assert sorted((r["k"], r["i"]) for r in back.collect()) == \
+        [("a", 1), ("a", 3), ("b", 2)]
+
+
+def test_categorical_to_one_hot_multi(spark):
+    df = spark.createDataFrame([("a", "x"), ("b", "y")], ["k1", "k2"])
+    out, fits = mlp.categorical_to_one_hot(df, ["k1", "k2"])
+    assert set(out.columns) == {"k1-a", "k1-b", "k2-x", "k2-y"}
+    assert len(fits) == 2
+
+
+def test_tensor_bridge_round_trip(spark):
+    from tech_ml_dataset_spark.ml import tensor as tn
+    df = spark.createDataFrame([(1.0, 10.0), (2.0, 20.0), (3.0, 30.0)], ["a", "b"])
+    mat = tn.dataset_to_tensor(df)
+    assert mat.shape == (3, 2) and mat.dtype == np.float64
+    back = tn.tensor_to_dataset(spark, mat, ["a", "b"])
+    assert sorted(tuple(r) for r in back.collect()) == \
+        [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0)]
+    with pytest.raises(ValueError):
+        tn.dataset_to_tensor(df, max_rows=2)
+
+
+def test_mean_center_columns(spark):
+    from tech_ml_dataset_spark.ml import tensor as tn
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], ["v"])
+    out, state = tn.mean_center_columns(df, ["v"])
+    assert state["means"]["v"] == 2.0
+    assert sorted(r["v"] for r in out.collect()) == [-1.0, 0.0, 1.0]
+    out2, state2 = tn.mean_center_columns(df, ["v"], divide_by_std=True)
+    got = sorted(round(r["v"], 6) for r in out2.collect())
+    assert got == [-1.0, 0.0, 1.0]  # std of {1,2,3} is 1.0

@@ -313,3 +313,12 @@ def test_freq_items_contains_heavy_hitter(spark):
                                 for i in range(300)], ["k"])
     row = sel.freq_items(df, "k", 0.4).collect()[0]
     assert "hot" in row["k_freqItems"]
+
+
+def test_datasets_equal_bag_semantics(spark):
+    a = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y")], ["i", "s"])
+    b = spark.createDataFrame([(2, "y"), (1, "x"), (1, "x")], ["i", "s"])
+    c = spark.createDataFrame([(1, "x"), (2, "y")], ["i", "s"])  # lost a dup
+    assert st.datasets_equal(a, b)          # order-insensitive
+    assert not st.datasets_equal(a, c)      # multiplicity counts
+    assert not st.datasets_equal(a, a.withColumn("i", F.col("i").cast("int")))
