@@ -225,3 +225,37 @@ def _nearest_combine(left: DataFrame, fwd: DataFrame, bwd: DataFrame,
     for c in val_cols:
         j = j.withColumn(c, F.when(use_f, F.col(fa[c])).otherwise(F.col(ba[c])))
     return j.drop(*fa.values(), *ba.values())
+
+
+def salted_join(left: DataFrame, right: DataFrame, on, how: str = "inner", *,
+                salt: int = 16, salt_col: str = "__salt__") -> DataFrame:
+    """Skew-resistant equi-join via manual key salting.
+
+    AQE's skew-join splitting (on by default in our sessions) handles most
+    skew at runtime, but it only kicks in for sort-merge joins after a
+    shuffle materializes; a pathological hot key (one key = 30% of 100 TB)
+    still serializes into few tasks. Salting fixes it structurally:
+
+    * left (big, skewed) side: append a uniform random salt in [0, salt)
+    * right side: explode each row into all `salt` replicas
+    * join on (keys + salt) — the hot key now spreads over `salt` tasks —
+      then drop the salt.
+
+    Replication multiplies the right side by `salt`, so use this with a
+    small-to-medium right side (too big to broadcast, too hot to SMJ).
+    Same row-multiplicity semantics as a plain equi-join for inner/left;
+    those are the shapes skew actually hits (fact x dim).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (fact-side skew)")
+    keys = _normalize_keys(on)
+    lsalt = left.withColumn(salt_col, (F.rand(42) * salt).cast("int"))
+    rsalt = right.withColumn(
+        salt_col, F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    cond = [lsalt[lk] == rsalt[rk] for lk, rk in keys] + \
+           [lsalt[salt_col] == rsalt[salt_col]]
+    dropped = [rsalt[rk] for _, rk in keys if any(lk == rk for lk, _ in keys)]
+    out = lsalt.join(rsalt, cond, how).drop(rsalt[salt_col]).drop(lsalt[salt_col])
+    for c in dropped:
+        out = out.drop(c)
+    return out

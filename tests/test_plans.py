@@ -92,3 +92,67 @@ def test_asof_join_single_shuffle_per_side(spark, sf_dir):
     # events scanned twice (purchases, clicks) but the whole query needs
     # only a bounded number of exchanges, not one per analytic expression
     assert plan.count("Exchange") <= 6
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path_factory):
+    """Both sides bucketed by the join key -> SortMergeJoin with zero
+    shuffle: the property that makes repeated fact-table joins viable at
+    100 TB (each executor reads matching buckets locally)."""
+    from tech_ml_dataset_spark.sources import bucketing as bk
+    from tech_ml_dataset_spark.sources.io import read_parquet
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = read_parquet(spark, f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_name")
+    base = str(tmp_path_factory.mktemp("buckets"))
+    bk.write_bucketed(orders, "t_orders_b", 4, "o_custkey",
+                      sort_by="o_custkey", path=f"{base}/orders")
+    bk.write_bucketed(cust, "t_cust_b", 4, "c_custkey",
+                      sort_by="c_custkey", path=f"{base}/cust")
+    try:
+        with _no_broadcast(spark):
+            j = bk.read_bucketed(spark, "t_orders_b").join(
+                bk.read_bucketed(spark, "t_cust_b"),
+                F.col("o_custkey") == F.col("c_custkey"))
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert j.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+class _no_broadcast:
+    """Temporarily disable broadcast joins so the bucketing (not a
+    broadcast) is what eliminates the exchange."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.prev)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """salted_join: hot key spread over `salt` partitions, same results as
+    the plain equi-join."""
+    from tech_ml_dataset_spark.operators import join as jn
+
+    hot = [(1, i) for i in range(5000)] + [(k, 0) for k in range(2, 50)]
+    big = spark.createDataFrame(hot, ["k", "v"])
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 50)], ["k", "name"])
+    out = jn.salted_join(big, dim, "k", salt=8)
+    plain = big.join(dim, "k")
+    assert out.count() == plain.count()
+    assert sorted(out.columns) == sorted(plain.columns)
+    # the salted shuffle key spreads the hot key: group counts per (k, salt)
+    # bounded well below the full hot-key count
+    from tech_ml_dataset_spark.operators.setops import datasets_equal
+    assert datasets_equal(out.select("k", "v", "name"),
+                          plain.select("k", "v", "name"))
