@@ -715,6 +715,49 @@ def abb_fill_events(spark, sf_dir):
               .select("event_id", "user_id", _r4(F.col("value")).alias("value"))
 
 
+def mean_center_quantity(spark, sf_dir):
+    """mean-center-columns (tensor.clj:70): one-pass means, shuffle-free
+    broadcast-subtract projection."""
+    from tech_ml_dataset_spark.ml import tensor as tn
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber",
+                                              "l_quantity")
+    out, _ = tn.mean_center_columns(li, ["l_quantity"])
+    return out.select("l_orderkey", "l_linenumber",
+                      _r4b(F.col("l_quantity")).alias("q_centered"))
+
+
+def pipeline_customer_features(spark, sf_dir):
+    """metamorph pipeline (metamorph.clj:1-8): fit-mode threading of
+    categorical-map + std-scale stages; fitted state is plain dicts applied
+    as Column expressions (executor-broadcastable)."""
+    from tech_ml_dataset_spark.ml.pipeline import Pipeline, stage
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment",
+                                                "c_acctbal")
+    pipe = Pipeline(
+        stage(mlp.fit_categorical_map, mlp.transform_categorical_map,
+              "c_mktsegment"),
+        stage(mlp.fit_std_scale, mlp.transform_std_scale, ["c_acctbal"]),
+    )
+    out = pipe.fit_transform(cust)
+    return out.select("c_custkey", F.col("c_mktsegment").alias("seg_code"),
+                      _r4(F.col("c_acctbal")).alias("acctbal_scaled"))
+
+
+def salted_revenue_by_nation(spark, sf_dir):
+    """salted_join (skew-resistant fact x dim): identical semantics to the
+    plain equi-join — the oracle IS the plain join — with the hot-key
+    fan-out structure verified in tests/test_plans.py."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders") \
+        .select("o_custkey", "o_totalprice")
+    j = jn.salted_join(orders, cust.withColumnRenamed("c_custkey", "o_custkey"),
+                       "o_custkey", salt=8)
+    out = j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r4(F.sum("o_totalprice")).alias("revenue"))
+    return out.orderBy("c_nationkey")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -786,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": grouping_sets_orders,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "abb_fill_events": abb_fill_events,
+        "mean_center_quantity": mean_center_quantity,
+        "pipeline_customer_features": pipeline_customer_features,
+        "salted_revenue_by_nation": salted_revenue_by_nation,
     }
 
 
@@ -1314,5 +1360,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                     (o_orderstatus), ())
+        """,
+        "mean_center_quantity": """
+            SELECT l_orderkey, l_linenumber,
+                   round((l_quantity - avg(l_quantity) OVER ()) * 10000) / 10000
+                       AS q_centered
+            FROM lineitem
+        """,
+        "pipeline_customer_features": """
+            SELECT c_custkey,
+                   CAST(dense_rank() OVER (ORDER BY c_mktsegment) - 1 AS INT)
+                       AS seg_code,
+                   round((c_acctbal - avg(c_acctbal) OVER ())
+                         / stddev_samp(c_acctbal) OVER (), 4) AS acctbal_scaled
+            FROM customer
+        """,
+        "salted_revenue_by_nation": """
+            SELECT c_nationkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
     }
