@@ -11,12 +11,10 @@ from pyspark.sql import functions as F
 import __spark_entry__ as entry
 
 
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+from tech_ml_dataset_spark.plans.explain import (
+    optimized_plan as _optimized,
+    physical_plan as _plan,
+)
 
 
 def test_filter_pushdown_and_column_pruning(spark, sf_dir):
