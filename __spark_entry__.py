@@ -715,6 +715,25 @@ def abb_fill_events(spark, sf_dir):
               .select("event_id", "user_id", _r4(F.col("value")).alias("value"))
 
 
+def bpe_tokens_docs(spark, sf_dir):
+    """BPE-ish token counting (training-data budget estimation): one
+    regexp_count scan, oracle-matched to DuckDB's RE2 on the shared
+    lookahead-free pattern."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       txt.token_count_bpe(F.col("text")).alias("n_bpe"))
+
+
+def winnow_docs(spark, sf_dir):
+    """Winnowing fingerprints (MOSS rolling-hash scheme; rows-only:
+    xxhash64 is Spark-specific). Returns per-doc fingerprint count + min —
+    the inverted-index feed for substring-level near-dup detection."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = txt.winnow_fingerprints(F.col("text"), k=8, w=4)
+    return docs.select("doc_id", F.size(fp).alias("n_fp"),
+                       F.array_min(fp).alias("fp_min"))
+
+
 def mean_center_quantity(spark, sf_dir):
     """mean-center-columns (tensor.clj:70): one-pass means, shuffle-free
     broadcast-subtract projection."""
@@ -829,6 +848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": grouping_sets_orders,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "abb_fill_events": abb_fill_events,
+        "bpe_tokens_docs": bpe_tokens_docs,
+        "winnow_docs": winnow_docs,
         "mean_center_quantity": mean_center_quantity,
         "pipeline_customer_features": pipeline_customer_features,
         "salted_revenue_by_nation": salted_revenue_by_nation,
@@ -1360,6 +1381,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                     (o_orderstatus), ())
+        """,
+        "bpe_tokens_docs": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+'))
+                       AS n_bpe
+            FROM documents
         """,
         "mean_center_quantity": """
             SELECT l_orderkey, l_linenumber,

@@ -107,6 +107,50 @@ def fingerprint64(text: Column) -> Column:
     return F.xxhash64(norm)
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 (DuckDB)
+# and Java regex share: no lookahead, ASCII classes. Counts contractions,
+# letter runs, digit runs, punctuation runs, whitespace runs as tokens —
+# a stable proxy for BPE token counts when budgeting LLM training data.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via ``regexp_count`` — one JVM-side regex scan,
+    no tokenizer model needed. Tracks (not equals) a real BPE tokenizer:
+    real BPE splits long words into subwords, so this undercounts rare
+    words; for corpus-level budget estimates multiply by a calibration
+    factor measured once on a sample."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def winnow_fingerprints(text: Column, *, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    MOSS algorithm): rolling k-gram hashes, keep the minimum hash of every
+    window of ``w`` consecutive k-grams, distinct. Robust to local edits:
+    two documents sharing a long-enough substring share a fingerprint.
+
+    Pure Catalyst higher-order expressions over the normalized text —
+    ``sequence`` + ``substring`` forms the k-gram stream, ``xxhash64``
+    the rolling hashes, a second ``sequence``/``transform`` the windows,
+    ``array_min``/``array_distinct`` the selection. One scan, no UDF,
+    no explode (the per-doc array stays bounded: |text|/1 hashes).
+    Returns ``array<bigint>``; explode+groupBy it to build the inverted
+    index for near-dup candidate pairs at corpus scale."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
+    n = F.length(norm)
+    # k-gram start positions 1..n-k+1 (empty when text shorter than k)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(norm, i, k)))
+    n_h = F.size(hashes)
+    win_starts = F.when(n_h >= w, F.sequence(F.lit(1), n_h - w + 1)) \
+                  .otherwise(F.when(n_h > 0, F.array(F.lit(1)))
+                              .otherwise(F.array().cast("array<int>")))
+    mins = F.transform(win_starts,
+                       lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_distinct(mins)
+
+
 def md5_fingerprint(text: Column) -> Column:
     """Cross-engine-stable fingerprint (md5 hex) of normalized text."""
     norm = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")

@@ -124,3 +124,25 @@ def test_ivf_assign_cell_bounds(spark):
     cents = [[1.0, 0.0], [0.0, 1.0]]
     cells = {r["ivf_cell"] for r in sim.ivf_assign(df, "embedding", cents).collect()}
     assert cells <= {0, 1} and len(cells) == 2
+
+
+def test_token_count_bpe_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "isn't it 42x faster!"), (2, ""), (3, None), (4, "   ")],
+        ["id", "t"])
+    got = {r["id"]: r["n"] for r in
+           df.select("id", txt.token_count_bpe(F.col("t")).alias("n")).collect()}
+    assert got[1] > 0 and got[2] == 0 and got[4] == 1  # ws run counts once
+    assert got[3] is None  # null text -> null count (SQL semantics)
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    a = "the quick brown fox jumps over the lazy dog today"
+    df = spark.createDataFrame(
+        [(1, a), (2, "XX " + a + " YY"), (3, "completely different content here"),
+         (4, ""), (5, "ab")], ["id", "t"])
+    fp = txt.winnow_fingerprints(F.col("t"), k=8, w=4)
+    got = {r["id"]: set(r["fp"]) for r in df.select("id", fp.alias("fp")).collect()}
+    assert got[1] & got[2]                # shared substring -> shared prints
+    assert not (got[1] & got[3])          # disjoint text -> disjoint prints
+    assert got[4] == set() and got[5] == set()  # shorter than k -> empty
