@@ -729,6 +729,7 @@ def winnow_docs(spark, sf_dir):
     xxhash64 is Spark-specific). Returns per-doc fingerprint count + min —
     the inverted-index feed for substring-level near-dup detection."""
     docs = _t(spark, sf_dir, "documents")
+    docs = mmod.repartition_for_decode(docs, "doc_id")  # CPU-bound fan-out
     fp = txt.winnow_fingerprints(F.col("text"), k=8, w=4)
     return docs.select("doc_id", F.size(fp).alias("n_fp"),
                        F.array_min(fp).alias("fp_min"))

@@ -9,6 +9,8 @@ plan that passes at sf0.01 streams over 100 TB of documents.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 _WS = r"\s+"
@@ -127,28 +129,48 @@ def winnow_fingerprints(text: Column, *, k: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     MOSS algorithm): rolling k-gram hashes, keep the minimum hash of every
     window of ``w`` consecutive k-grams, distinct. Robust to local edits:
-    two documents sharing a long-enough substring share a fingerprint.
+    two documents sharing a substring of ≥ k+w-1 chars share a fingerprint.
 
-    Pure Catalyst higher-order expressions over the normalized text —
-    ``sequence`` + ``substring`` forms the k-gram stream, ``xxhash64``
-    the rolling hashes, a second ``sequence``/``transform`` the windows,
-    ``array_min``/``array_distinct`` the selection. One scan, no UDF,
-    no explode (the per-doc array stays bounded: |text|/1 hashes).
-    Returns ``array<bigint>``; explode+groupBy it to build the inverted
-    index for near-dup candidate pairs at corpus scale."""
-    norm = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
-    n = F.length(norm)
-    # k-gram start positions 1..n-k+1 (empty when text shorter than k)
-    starts = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)) \
-              .otherwise(F.array().cast("array<int>"))
-    hashes = F.transform(starts, lambda i: F.xxhash64(F.substring(norm, i, k)))
-    n_h = F.size(hashes)
-    win_starts = F.when(n_h >= w, F.sequence(F.lit(1), n_h - w + 1)) \
-                  .otherwise(F.when(n_h > 0, F.array(F.lit(1)))
-                              .otherwise(F.array().cast("array<int>")))
-    mins = F.transform(win_starts,
-                       lambda i: F.array_min(F.slice(hashes, i, w)))
-    return F.array_distinct(mins)
+    Implementation is an Arrow-batched ``pandas_udf``: per document the
+    rolling polynomial hash is k vectorized numpy ops over the byte array
+    (O(n·k) with wrapping uint64 arithmetic) and window minima come from a
+    stride-tricks sliding view. A pure Catalyst higher-order-expression
+    version was tried and rejected: ``substring(s, i, k)`` re-scans the
+    UTF8 string to find codepoint i, making the k-gram stream O(n²) per
+    document — minutes on multi-KB docs. This is the documented exception
+    to expr-first (see README: "Python is a measured exception").
+
+    Returns ``array<bigint>``; explode+groupBy to build the inverted index
+    for substring-level near-dup candidate pairs at corpus scale."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from pyspark.sql.functions import pandas_udf
+
+    B = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
+
+    @pandas_udf("array<bigint>")
+    def _winnow(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append([])
+                continue
+            norm = " ".join(t.lower().split())
+            b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8) \
+                  .astype(np.uint64)
+            n = b.size
+            if n < k:
+                out.append([])
+                continue
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            for j in range(k):
+                h = h * B + b[j: j + n - k + 1]
+            mins = (sliding_window_view(h, w).min(axis=1)
+                    if h.size >= w else h.min(keepdims=True))
+            out.append(np.unique(mins).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return _winnow(text)
 
 
 def md5_fingerprint(text: Column) -> Column:
