@@ -110,6 +110,7 @@ def to_dataset(
     column_blocklist: Iterable[str] | None = None,
     num_rows: int | None = None,
     key_fn=None,
+    bad_row_policy: str | None = None,
     **options,
 ) -> DataFrame:
     """``->dataset``: build a DataFrame from a path, list-of-dicts, or
@@ -120,10 +121,18 @@ def to_dataset(
     reference scan options (io.clj:157-161); on Spark these compile to
     ``select``/``drop``/``limit`` which Catalyst pushes into the scan
     (column pruning / limit pushdown), so they cost nothing extra.
+
+    ``bad_row_policy`` mirrors the reference CSV ``:bad-row-policy``
+    (io/csv parsing, parse_test.clj:286-299): ``"skip"`` drops malformed
+    rows (DROPMALFORMED), ``"error"`` fails the read (FAILFAST),
+    ``"keep"``/None nulls unparseable fields (PERMISSIVE — Spark default).
     """
     if isinstance(data, str):
         fmt, opts = (file_type, {}) if file_type else sniff_format(data)
         opts.update({k: v for k, v in options.items() if v is not None})
+        if bad_row_policy is not None:
+            opts["mode"] = {"skip": "DROPMALFORMED", "error": "FAILFAST",
+                            "keep": "PERMISSIVE"}[bad_row_policy]
         reader = spark.read.format(fmt).options(**opts)
         if schema is not None:
             reader = reader.schema(schema)

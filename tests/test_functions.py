@@ -146,3 +146,19 @@ def test_winnow_fingerprints_shared_substring(spark):
     assert got[1] & got[2]                # shared substring -> shared prints
     assert not (got[1] & got[3])          # disjoint text -> disjoint prints
     assert got[4] == set() and got[5] == set()  # shorter than k -> empty
+
+
+def test_bad_row_policy_csv(spark, tmp_path):
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,x\nnotanint,y\n3,z\n")
+    schema = "a int, b string"
+    keep = sio.to_dataset(spark, p, schema=schema, header=True,
+                          bad_row_policy="keep").collect()
+    assert len(keep) == 3 and any(r["a"] is None for r in keep)
+    skip = sio.to_dataset(spark, p, schema=schema, header=True,
+                          bad_row_policy="skip").collect()
+    assert len(skip) == 2 and all(r["a"] is not None for r in skip)
+    with pytest.raises(Exception):
+        sio.to_dataset(spark, p, schema=schema, header=True,
+                       bad_row_policy="error").collect()
