@@ -195,15 +195,17 @@ def count_distinct_twophase(df: DataFrame, key, col: str, *,
 def reservoir_sample(df: DataFrame, k: int, *, by=None,
                      seed: int = 42) -> DataFrame:
     """``reservoir-dataset`` (reductions.clj:283): uniform k-row sample,
-    optionally per group. Implemented as row_number over rand(seed) — one
-    shuffle by the group key (or a single global sort for the ungrouped
-    case, matching the reference's single-reservoir semantics). The sampled
-    ROWS depend on the seed but the per-group row COUNT is exactly
-    min(k, group size)."""
+    optionally per group. Grouped: row_number over rand(seed) — one shuffle
+    by the group key. Ungrouped: order-by-rand + limit, which Spark plans
+    as TakeOrderedAndProject (per-partition k-heap, merge of k-candidates —
+    distributed, never a single-partition window). The sampled ROWS depend
+    on the seed but the row COUNT is exactly min(k, group size)."""
     from pyspark.sql import Window as W
 
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
-    w = (W.partitionBy(*by_cols) if by_cols else W.partitionBy()).orderBy(F.rand(seed))
+    if not by_cols:
+        return df.orderBy(F.rand(seed)).limit(k)
+    w = W.partitionBy(*by_cols).orderBy(F.rand(seed))
     return (df.withColumn("__rs__", F.row_number().over(w))
               .filter(F.col("__rs__") <= k).drop("__rs__"))
 

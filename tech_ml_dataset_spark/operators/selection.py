@@ -22,19 +22,65 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 IDX_COL = "__row_idx__"
 
 
+def _contiguous_index(df: DataFrame, order_within, name: str) -> DataFrame:
+    """Contiguous 0-based global index WITHOUT a single-partition window.
+
+    ``row_number() over (ORDER BY ...)`` with no partitioning funnels every
+    row through ONE task — the canonical 100 TB killer. Instead: number rows
+    per partition in parallel and add broadcast per-partition offsets
+    (zipWithIndex's scheme, in DataFrame terms):
+
+    1. tag rows with ``spark_partition_id()``
+    2. a count-only aggregation branch computes per-pid counts, and a
+       running-sum window over that TINY table (one row per partition)
+       turns them into cumulative offsets — entirely inside the plan, no
+       driver collect, and column pruning makes the branch read no data
+    3. broadcast-join the offsets back and add a PER-PARTITION row_number
+
+    The row-numbering window partitions by pid, so its exchange spreads
+    across the cluster; the only single-partition window runs over ≤
+    #partitions rows. Assumes partition contents are deterministic across
+    the two scan branches (true for file scans — the same contract
+    mono-ids already need)."""
+    tagged = df.withColumn("__pid__", F.spark_partition_id())
+    woff = W.orderBy("__pid__").rowsBetween(W.unboundedPreceding, -1)
+    off_df = (tagged.groupBy("__pid__")
+                    .agg(F.count(F.lit(1)).alias("__cnt__"))
+                    .select("__pid__",
+                            F.coalesce(F.sum("__cnt__").over(woff),
+                                       F.lit(0)).alias("__off__")))
+    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_within]
+    w = W.partitionBy("__pid__").orderBy(*order_cols)
+    return (tagged.join(F.broadcast(off_df), "__pid__")
+                  .withColumn(name, F.col("__off__") + F.row_number().over(w) - 1)
+                  .drop("__pid__", "__off__"))
+
+
 def with_row_index(df: DataFrame, order_by=None, name: str = IDX_COL) -> DataFrame:
     """Attach a 0-based row index.
 
-    With ``order_by``: a global ``row_number`` (one total-ordering shuffle —
-    use only when true positional semantics are required).
+    With ``order_by``: contiguous index in that order — range-repartition +
+    per-partition numbering + broadcast offsets (see ``_contiguous_index``),
+    never a single-partition global window.
     Without: ``monotonically_increasing_id`` — no shuffle, preserves scan
     order per partition; ids are non-contiguous but monotone with file order.
     """
     if order_by is not None:
         cols = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
-        w = W.orderBy(*[F.col(c) if isinstance(c, str) else c for c in cols])
-        return df.withColumn(name, F.row_number().over(w) - 1)
+        cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+        # range-repartition orders partitions by key range (deterministic
+        # sampled bounds); the pid-window sorts within, so no extra sort here
+        sdf = df.repartitionByRange(*cols)
+        return _contiguous_index(sdf, cols, name)
     return df.withColumn(name, F.monotonically_increasing_id())
+
+
+def contiguous_scan_index(df: DataFrame, name: str = IDX_COL) -> DataFrame:
+    """Contiguous 0-based index in scan order (no user ordering): mono-id
+    within partition + broadcast offsets; zero data shuffle beyond the
+    pid-window exchange."""
+    tagged = df.withColumn(name, F.monotonically_increasing_id())
+    return _contiguous_index(tagged, [name], name)
 
 
 def select_columns(df: DataFrame, cols) -> DataFrame:
@@ -171,14 +217,9 @@ def freq_items(df: DataFrame, cols, support: float = 0.01) -> DataFrame:
 
 def take_nth(df: DataFrame, n: int, order_by=None) -> DataFrame:
     """``take-nth`` (base.clj:797): every n-th row in order."""
-    idx = with_row_index(df, order_by=order_by)
-    if order_by is not None:
-        return idx.filter(F.col(IDX_COL) % n == 0).drop(IDX_COL)
-    # monotonic ids are not contiguous; use a row_number over them (single
-    # pass, but a total order — documented cost of positional semantics).
-    w = W.orderBy(IDX_COL)
-    return (idx.withColumn("__rn__", F.row_number().over(w) - 1)
-               .filter(F.col("__rn__") % n == 0).drop(IDX_COL, "__rn__"))
+    idx = with_row_index(df, order_by=order_by) if order_by is not None \
+        else contiguous_scan_index(df)
+    return idx.filter(F.col(IDX_COL) % n == 0).drop(IDX_COL)
 
 
 def select_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
@@ -186,20 +227,16 @@ def select_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
     addressing requires a total order (see module docstring); the index
     column is computed, semi-joined against the wanted set (broadcast —
     index lists are small), and dropped."""
-    idx = with_row_index(df, order_by=order_by)
-    if order_by is None:
-        w = W.orderBy(IDX_COL)
-        idx = idx.withColumn(IDX_COL, F.row_number().over(w) - 1)
+    idx = with_row_index(df, order_by=order_by) if order_by is not None \
+        else contiguous_scan_index(df)
     wanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [IDX_COL])
     return idx.join(F.broadcast(wanted), IDX_COL, "left_semi").drop(IDX_COL)
 
 
 def drop_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
     """``drop-rows`` (base.clj:408): complement of select_rows (left_anti)."""
-    idx = with_row_index(df, order_by=order_by)
-    if order_by is None:
-        w = W.orderBy(IDX_COL)
-        idx = idx.withColumn(IDX_COL, F.row_number().over(w) - 1)
+    idx = with_row_index(df, order_by=order_by) if order_by is not None \
+        else contiguous_scan_index(df)
     unwanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [IDX_COL])
     return idx.join(F.broadcast(unwanted), IDX_COL, "left_anti").drop(IDX_COL)
 

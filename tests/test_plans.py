@@ -154,3 +154,26 @@ def test_salted_join_spreads_hot_key(spark):
     from tech_ml_dataset_spark.operators.setops import datasets_equal
     assert datasets_equal(out.select("k", "v", "name"),
                           plain.select("k", "v", "name"))
+
+
+def test_positional_index_avoids_single_partition_window(spark, sf_dir):
+    """take-nth / select-rows number rows per-partition with broadcast
+    offsets; a global row_number would show up as Exchange SinglePartition
+    — the canonical 100 TB bottleneck."""
+    from tech_ml_dataset_spark.operators import selection as sel
+    from tech_ml_dataset_spark.sources.io import read_parquet
+
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    for df in (sel.take_nth(li, 7),
+               sel.take_nth(li, 7, order_by=["l_orderkey", "l_linenumber"]),
+               sel.select_rows(li, [0, 5, 10], order_by=["l_orderkey",
+                                                         "l_linenumber"])):
+        plan = _plan(df)
+        # every data-path row_number window must be partitioned by __pid__;
+        # the only allowed SinglePartition window is the running-sum over
+        # the per-partition counts (<= #partitions rows)
+        marker = "row_number() windowspecdefinition("
+        occurrences = [plan[i + len(marker):i + len(marker) + 10]
+                       for i in range(len(plan))
+                       if plan.startswith(marker, i)]
+        assert occurrences and all(o.startswith("__pid__") for o in occurrences)
