@@ -16,6 +16,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from tech_ml_dataset_spark import dtutil as dtu
 from tech_ml_dataset_spark.functions import dedup as dd
 from tech_ml_dataset_spark.functions import multimodal as mmod
 from tech_ml_dataset_spark.functions import similarity as sim
@@ -245,7 +246,8 @@ def sessionize_events(spark, sf_dir):
     from pyspark.sql import Window as W
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ts_sec = dtu.epoch_seconds("ts")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = ev.withColumn("session_seq",
                          F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)))
@@ -566,7 +568,7 @@ def loess_smooth_events(spark, sf_dir):
     SQL-expressible. Deterministic systematic sample -> numpy fit ->
     broadcast-grid Arrow-batched predict."""
     ev = _t(spark, sf_dir, "events")
-    pts = ev.select("event_id", "user_id", F.unix_micros("ts").alias("x"), "value")
+    pts = ev.select("event_id", "user_id", dtu.epoch_micros("ts").alias("x"), "value")
     out = tss.interpolate_loess(pts, "x", "value", bandwidth=0.3)
     return out.select("event_id", "user_id",
                       _r4(F.col("value-loess")).alias("value_loess"))

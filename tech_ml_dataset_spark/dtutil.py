@@ -1,0 +1,53 @@
+"""NTZ-safe datetime/epoch helpers.
+
+Spark forbids direct numeric casts on TIMESTAMP_NTZ columns
+(``DATATYPE_MISMATCH``: ``CAST(ntz AS BIGINT)``, ``unix_micros(ntz)``), while
+plain TIMESTAMP supports them. Parquet written with naive timestamps (the
+driver testdata) loads as NTZ, so every epoch-arithmetic site must route
+through TIMESTAMP first. The engine pins ``spark.sql.session.timeZone=UTC``
+(session.py), making the NTZ->TIMESTAMP reinterpretation exact and DST-free;
+DuckDB's ``epoch()`` on the same naive values agrees.
+
+Reference parity: the reference does datetime->epoch conversion inside its
+column-math layer (src/tech/v3/dataset/math.clj:160, rolling.clj:281-301);
+these helpers are the Spark expression equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def epoch_micros(col: str | Column) -> Column:
+    """Epoch microseconds from TIMESTAMP / TIMESTAMP_NTZ / DATE."""
+    return F.unix_micros(_c(col).cast("timestamp"))
+
+
+def epoch_seconds(col: str | Column) -> Column:
+    """Epoch seconds (long, truncated) from TIMESTAMP / TIMESTAMP_NTZ / DATE."""
+    return _c(col).cast("timestamp").cast("long")
+
+
+def is_temporal(dtype: str) -> bool:
+    return dtype.startswith("timestamp") or dtype == "date"
+
+
+def axis_double(df: DataFrame, axis_col: str) -> Column:
+    """A numeric (double) view of an axis column for distance/interpolation
+    arithmetic: temporal axes become epoch micros, numerics cast directly.
+    Scale-invariant consumers (lerp fractions, nearest-distance compares)
+    don't care about the micros-vs-seconds unit."""
+    dtype = dict(df.dtypes)[axis_col]
+    if is_temporal(dtype):
+        return epoch_micros(axis_col).cast("double")
+    return F.col(axis_col).cast("double")
+
+
+def from_epoch_micros(col: str | Column, target_dtype: str) -> Column:
+    """Inverse of :func:`epoch_micros`: epoch-micros long -> ``target_dtype``
+    (e.g. ``timestamp_ntz``, ``timestamp``, ``date``)."""
+    return F.timestamp_micros(_c(col).cast("long")).cast(target_dtype)

@@ -124,12 +124,14 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
     w_down = part.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(W.unboundedPreceding, 0)
     w_up = part.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(0, W.unboundedFollowing)
 
+    from ..dtutil import axis_double
+    axis_num = axis_double(df, axis_col)
+
     def prev_next(c: str) -> tuple[Column, Column, Column, Column]:
         prev_v = F.last(F.col(c), ignorenulls=True).over(w_down)
         next_v = F.first(F.col(c), ignorenulls=True).over(w_up)
-        axis = F.col(axis_col).cast("double")
-        prev_x = F.last(F.when(F.col(c).isNotNull(), axis), ignorenulls=True).over(w_down)
-        next_x = F.first(F.when(F.col(c).isNotNull(), axis), ignorenulls=True).over(w_up)
+        prev_x = F.last(F.when(F.col(c).isNotNull(), axis_num), ignorenulls=True).over(w_down)
+        next_x = F.first(F.when(F.col(c).isNotNull(), axis_num), ignorenulls=True).over(w_up)
         return prev_v, next_v, prev_x, next_x
 
     out = df
@@ -145,16 +147,14 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
         elif strategy == "updown":
             fill = F.coalesce(next_v, prev_v)
         elif strategy == "nearest":
-            axis = F.col(axis_col).cast("double")
             fill = F.when(prev_v.isNull(), next_v).when(next_v.isNull(), prev_v) \
-                    .when((axis - prev_x) <= (next_x - axis), prev_v).otherwise(next_v)
+                    .when((axis_num - prev_x) <= (next_x - axis_num), prev_v).otherwise(next_v)
         elif strategy == "midpoint":
             fill = F.coalesce((prev_v + next_v) / 2.0, prev_v, next_v)
         elif strategy == "lerp":
-            axis = F.col(axis_col).cast("double")
             # guard the degenerate prev_x == next_x case (axis ties straddling
             # the gap): 0/0 would be NaN; fall through to prev_v instead
-            frac = F.when(next_x != prev_x, (axis - prev_x) / (next_x - prev_x))
+            frac = F.when(next_x != prev_x, (axis_num - prev_x) / (next_x - prev_x))
             fill = F.coalesce(prev_v + (next_v - prev_v) * frac, prev_v, next_v)
         else:
             raise ValueError(f"unknown replace-missing strategy {strategy!r}")

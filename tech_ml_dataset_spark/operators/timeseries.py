@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql import types as T
 
+from ..dtutil import epoch_micros, from_epoch_micros
+
 
 def fill_range_replace(df: DataFrame, axis_col: str, max_span, *,
                        by: str | Sequence[str] | None = None,
@@ -49,7 +51,7 @@ def fill_range_replace(df: DataFrame, axis_col: str, max_span, *,
         if units not in scale:
             raise ValueError(f"calendar unit {units!r} is not span-expressible")
         span = float(max_span * scale[units] * 1_000_000)  # micros
-        axis = F.unix_micros(F.col(axis_col)).cast("double")
+        axis = epoch_micros(axis_col).cast("double")
     else:
         span = float(max_span)
         axis = F.col(axis_col).cast("double")
@@ -71,7 +73,7 @@ def fill_range_replace(df: DataFrame, axis_col: str, max_span, *,
                 .filter(F.col("__n_ins__") > 0)
                 .withColumn("__i__", F.explode(F.sequence(F.lit(1), F.col("__n_ins__"))))
                 .withColumn("__x__", F.col("__x__") + F.col("__i__") * F.col("__step__")))
-    new_axis = (F.timestamp_micros(F.col("__x__").cast("long")) if is_time
+    new_axis = (from_epoch_micros(F.col("__x__"), dict(df.dtypes)[axis_col]) if is_time
                 else F.col("__x__").cast(dict(df.dtypes)[axis_col]))
     null_others = {c: F.lit(None).cast(dict(df.dtypes)[c])
                    for c in other if c not in by_cols}
