@@ -22,7 +22,19 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 IDX_COL = "__row_idx__"
 
 
-def _contiguous_index(df: DataFrame, order_within, name: str) -> DataFrame:
+def _free_name(cols, base: str) -> str:
+    """Collision-free internal column name: ``base`` itself, or ``base<i>``
+    — internal helpers must never clobber a same-named user column."""
+    if base not in cols:
+        return base
+    i = 0
+    while f"{base}{i}" in cols:
+        i += 1
+    return f"{base}{i}"
+
+
+def _contiguous_index(df: DataFrame, order_within, name: str, *,
+                      materialize: bool = True) -> DataFrame:
     """Contiguous 0-based global index WITHOUT a single-partition window.
 
     ``row_number() over (ORDER BY ...)`` with no partitioning funnels every
@@ -34,26 +46,41 @@ def _contiguous_index(df: DataFrame, order_within, name: str) -> DataFrame:
     2. a count-only aggregation branch computes per-pid counts, and a
        running-sum window over that TINY table (one row per partition)
        turns them into cumulative offsets — entirely inside the plan, no
-       driver collect, and column pruning makes the branch read no data
+       driver collect
     3. broadcast-join the offsets back and add a PER-PARTITION row_number
 
     The row-numbering window partitions by pid, so its exchange spreads
     across the cluster; the only single-partition window runs over ≤
-    #partitions rows. Assumes partition contents are deterministic across
-    the two scan branches (true for file scans — the same contract
-    mono-ids already need)."""
-    tagged = df.withColumn("__pid__", F.spark_partition_id())
-    woff = W.orderBy("__pid__").rowsBetween(W.unboundedPreceding, -1)
-    off_df = (tagged.groupBy("__pid__")
+    #partitions rows.
+
+    The plan FORKS at the tagged frame (offsets branch + data branch), so
+    by default the frame is materialized ONCE via ``localCheckpoint`` —
+    otherwise each branch re-executes the upstream lineage, and a
+    nondeterministic upstream (range-exchange bound sampling, round-robin
+    repartition, ``sample``) can give the branches DIFFERENT partition
+    contents, silently duplicating/skipping index values. The checkpoint
+    stores each partition's blocks on first computation and truncates
+    lineage, so both branches read identical blocks; losing an executor
+    then fails the job loudly instead of corrupting indices. Callers that
+    guarantee a deterministic single-pass source (a fresh file scan with no
+    shuffle above it) may pass ``materialize=False`` to keep the
+    zero-materialization in-plan shape."""
+    pid = _free_name(df.columns, "__pid__")
+    off = _free_name(df.columns, "__off__")
+    tagged = df.withColumn(pid, F.spark_partition_id())
+    if materialize:
+        tagged = tagged.localCheckpoint(eager=False)
+    woff = W.orderBy(pid).rowsBetween(W.unboundedPreceding, -1)
+    off_df = (tagged.groupBy(pid)
                     .agg(F.count(F.lit(1)).alias("__cnt__"))
-                    .select("__pid__",
+                    .select(pid,
                             F.coalesce(F.sum("__cnt__").over(woff),
-                                       F.lit(0)).alias("__off__")))
+                                       F.lit(0)).alias(off)))
     order_cols = [F.col(c) if isinstance(c, str) else c for c in order_within]
-    w = W.partitionBy("__pid__").orderBy(*order_cols)
-    return (tagged.join(F.broadcast(off_df), "__pid__")
-                  .withColumn(name, F.col("__off__") + F.row_number().over(w) - 1)
-                  .drop("__pid__", "__off__"))
+    w = W.partitionBy(pid).orderBy(*order_cols)
+    return (tagged.join(F.broadcast(off_df), pid)
+                  .withColumn(name, F.col(off) + F.row_number().over(w) - 1)
+                  .drop(pid, off))
 
 
 def with_row_index(df: DataFrame, order_by=None, name: str = IDX_COL) -> DataFrame:
@@ -68,8 +95,10 @@ def with_row_index(df: DataFrame, order_by=None, name: str = IDX_COL) -> DataFra
     if order_by is not None:
         cols = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
         cols = [F.col(c) if isinstance(c, str) else c for c in cols]
-        # range-repartition orders partitions by key range (deterministic
-        # sampled bounds); the pid-window sorts within, so no extra sort here
+        # range-repartition orders partitions by key range; its bounds are
+        # SAMPLED, so the frame is checkpointed inside _contiguous_index
+        # before the plan forks (divergent bounds across branches would
+        # corrupt the index). The pid-window sorts within, no extra sort.
         sdf = df.repartitionByRange(*cols)
         return _contiguous_index(sdf, cols, name)
     return df.withColumn(name, F.monotonically_increasing_id())
@@ -77,8 +106,9 @@ def with_row_index(df: DataFrame, order_by=None, name: str = IDX_COL) -> DataFra
 
 def contiguous_scan_index(df: DataFrame, name: str = IDX_COL) -> DataFrame:
     """Contiguous 0-based index in scan order (no user ordering): mono-id
-    within partition + broadcast offsets; zero data shuffle beyond the
-    pid-window exchange."""
+    within partition + broadcast offsets. The input is materialized once
+    (see ``_contiguous_index``) so the two plan branches agree even when
+    the input recomputes nondeterministically."""
     tagged = df.withColumn(name, F.monotonically_increasing_id())
     return _contiguous_index(tagged, [name], name)
 
@@ -167,12 +197,10 @@ def tail(df: DataFrame, n: int = 5, order_by=None) -> DataFrame:
     take top-n descending then restore order (TakeOrderedAndProject — no full
     sort). Without, falls back to scan-order index."""
     if order_by is None:
-        idx = with_row_index(df)
-        order_by = [IDX_COL]
-        df = idx
-        out = (df.orderBy(*[F.col(c).desc() for c in order_by]).limit(n)
-                 .orderBy(*order_by).drop(IDX_COL))
-        return out
+        name = _free_name(df.columns, IDX_COL)
+        idx = with_row_index(df, name=name)
+        return (idx.orderBy(F.col(name).desc()).limit(n)
+                   .orderBy(name).drop(name))
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
     return (df.orderBy(*[F.col(c).desc() for c in cols]).limit(n)
               .orderBy(*cols))
@@ -215,11 +243,18 @@ def freq_items(df: DataFrame, cols, support: float = 0.01) -> DataFrame:
     return df.stat.freqItems(cs, support)
 
 
+def _indexed(df: DataFrame, order_by) -> tuple[DataFrame, str]:
+    """Attach an internal positional index under a collision-free name."""
+    name = _free_name(df.columns, IDX_COL)
+    idx = with_row_index(df, order_by=order_by, name=name) if order_by is not None \
+        else contiguous_scan_index(df, name)
+    return idx, name
+
+
 def take_nth(df: DataFrame, n: int, order_by=None) -> DataFrame:
     """``take-nth`` (base.clj:797): every n-th row in order."""
-    idx = with_row_index(df, order_by=order_by) if order_by is not None \
-        else contiguous_scan_index(df)
-    return idx.filter(F.col(IDX_COL) % n == 0).drop(IDX_COL)
+    idx, name = _indexed(df, order_by)
+    return idx.filter(F.col(name) % n == 0).drop(name)
 
 
 def select_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
@@ -227,24 +262,25 @@ def select_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
     addressing requires a total order (see module docstring); the index
     column is computed, semi-joined against the wanted set (broadcast —
     index lists are small), and dropped."""
-    idx = with_row_index(df, order_by=order_by) if order_by is not None \
-        else contiguous_scan_index(df)
-    wanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [IDX_COL])
-    return idx.join(F.broadcast(wanted), IDX_COL, "left_semi").drop(IDX_COL)
+    idx, name = _indexed(df, order_by)
+    wanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [name])
+    return idx.join(F.broadcast(wanted), name, "left_semi").drop(name)
 
 
 def drop_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
     """``drop-rows`` (base.clj:408): complement of select_rows (left_anti)."""
-    idx = with_row_index(df, order_by=order_by) if order_by is not None \
-        else contiguous_scan_index(df)
-    unwanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [IDX_COL])
-    return idx.join(F.broadcast(unwanted), IDX_COL, "left_anti").drop(IDX_COL)
+    idx, name = _indexed(df, order_by)
+    unwanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [name])
+    return idx.join(F.broadcast(unwanted), name, "left_anti").drop(name)
 
 
 def reverse_rows(df: DataFrame, order_by=None) -> DataFrame:
-    """``reverse-rows`` (base.clj:449)."""
-    idx = with_row_index(df, order_by=order_by)
-    return idx.orderBy(F.col(IDX_COL).desc()).drop(IDX_COL)
+    """``reverse-rows`` (base.clj:449). Without ``order_by`` the mono-id is
+    enough — descending over a monotone id reverses scan order without the
+    contiguous-index machinery."""
+    name = _free_name(df.columns, IDX_COL)
+    idx = with_row_index(df, order_by=order_by, name=name)
+    return idx.orderBy(F.col(name).desc()).drop(name)
 
 
 def min_n_by_column(df: DataFrame, colname: str, n: int, *, desc: bool = False) -> DataFrame:

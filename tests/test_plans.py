@@ -177,3 +177,48 @@ def test_positional_index_avoids_single_partition_window(spark, sf_dir):
                        for i in range(len(plan))
                        if plan.startswith(marker, i)]
         assert occurrences and all(o.startswith("__pid__") for o in occurrences)
+
+
+def test_positional_index_survives_divergent_range_bounds(spark):
+    """ADVICE r1 (high): the offsets branch and the data branch used to
+    re-execute repartitionByRange independently; with tiny bound samples and
+    skew the two exchanges can pick DIFFERENT partition boundaries, yielding
+    duplicate/skipped index values. _contiguous_index now checkpoints the
+    tagged frame once, so the index must be an exact permutation of 0..n-1
+    even under sampleSizePerPartition=1 + heavy key skew + nondeterministic
+    upstream (round-robin repartition)."""
+    from tech_ml_dataset_spark.operators import selection as sel
+
+    old = spark.conf.get("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "1")
+    try:
+        # 90% of keys collide on 0; the rest are unique -> skewed bounds
+        df = (spark.range(0, 20000)
+                   .withColumn("k", F.when(F.col("id") % 10 != 0, F.lit(0))
+                                     .otherwise(F.col("id")))
+                   .repartition(16))  # round-robin: nondeterministic recompute
+        out = sel.with_row_index(df, order_by=["k", "id"], name="ix")
+        rows = out.select("ix", "k", "id").collect()
+        ixs = sorted(r["ix"] for r in rows)
+        assert ixs == list(range(20000)), "index not a contiguous permutation"
+        # index must agree with the requested total order
+        by_ix = sorted(rows, key=lambda r: r["ix"])
+        assert by_ix == sorted(rows, key=lambda r: (r["k"], r["id"]))
+    finally:
+        spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", old)
+
+
+def test_positional_helpers_avoid_user_column_collision(spark):
+    """ADVICE r1 (low): __pid__/__off__/__row_idx__ user columns must pass
+    through positional operators untouched."""
+    from tech_ml_dataset_spark.operators import selection as sel
+
+    df = (spark.range(0, 30)
+               .withColumn("__pid__", F.col("id") * 2)
+               .withColumn("__off__", F.col("id") * 3)
+               .withColumn("__row_idx__", F.col("id") * 5))
+    out = sel.take_nth(df, 3, order_by="id")
+    assert sorted(out.columns) == sorted(df.columns)
+    got = {r["id"]: (r["__pid__"], r["__off__"], r["__row_idx__"])
+           for r in out.collect()}
+    assert got == {i: (i * 2, i * 3, i * 5) for i in range(0, 30, 3)}
