@@ -401,9 +401,13 @@ def take_nth_lineitem(spark, sf_dir):
 
 
 def ngram_jaccard_docs(spark, sf_dir):
-    """n-gram Jaccard similarity pairs (dedup family) on a bounded slice."""
+    """n-gram Jaccard similarity pairs (dedup family) on a bounded slice.
+    max_df=8 exercises the document-frequency cap (the sf0.01 slice's gram
+    DF tops out at 13, so common grams are really excluded); threshold=0.1
+    sits below the corpus' max pair similarity (~0.12) so the oracle proves
+    a non-empty result."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return dd.ngram_jaccard_pairs(docs, k=2, threshold=0.2)
+    return dd.ngram_jaccard_pairs(docs, k=2, threshold=0.1, max_df=8)
 
 
 def minhash_pairs_docs(spark, sf_dir):
@@ -1124,15 +1128,24 @@ def oracle_sql() -> dict[str, str]:
                                       FOR i IN range(1, len(toks))]) AS grams
                 FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
                       FROM documents WHERE doc_id < 100)
+            ), inv AS (
+                SELECT doc_id, unnest(grams) AS g FROM sh
+            ), admitted AS (
+                SELECT g FROM inv GROUP BY g HAVING count(*) <= 8
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM (SELECT i.doc_id, i.g FROM inv i JOIN admitted USING (g)) a
+                JOIN (SELECT i.doc_id, i.g FROM inv i JOIN admitted USING (g)) b USING (g)
+                WHERE a.doc_id < b.doc_id
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
-            FROM sh a, sh b
-            WHERE a.doc_id < b.doc_id
-              AND len(list_intersect(a.grams, b.grams)) > 0
-              AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(sa.grams, sb.grams))), 4) AS jaccard
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.id_a
+            JOIN sh sb ON sb.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.1
         """,
         "media_meta_docs": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS md5

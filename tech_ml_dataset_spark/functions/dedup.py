@@ -96,35 +96,49 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(uni == 0, F.lit(0.0)).otherwise(inter.cast("double") / uni)
 
 
+def _attach_shingles(ids: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    """Join the slim (id_a, id_b) candidate set back to the per-doc shingle
+    table — twice, once per side — so only confirmed candidates ever carry
+    a document-sized array through a shuffle."""
+    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b"))
+    return (ids.join(sh_a, "id_a")
+               .join(sh_b, "id_b")
+               .select("id_a", "id_b", "sh_a", "sh_b"))
+
+
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", *, k: int = 5,
                        n_hashes: int = 64, bands: int = 16,
                        seed: int = 42) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows, hash each band,
     equi-join on (band_idx, band_hash) to get candidate pairs (id_a < id_b).
-    Returns distinct candidate pairs with their shingle arrays attached."""
+    Returns distinct candidate pairs with their shingle arrays attached.
+
+    Scale shape: the band self-join carries ONLY (id, band, band_hash) —
+    document-sized shingle arrays never enter the ×bands fan-out or the
+    band exchange (they used to, replicating each doc's k-gram set 16×
+    through the shuffle — the r1 verdict's scale-killer). The distinct
+    pair-id set is resolved first, then shingles are joined back once per
+    side for the Jaccard verify."""
     rows_per_band = n_hashes // bands
-    sigd = df.select(F.col(id_col),
-                     shingles(F.col(text_col), k).alias("__sh__")) \
-             .withColumn("__hb__", shingle_hashes(F.col("__sh__"))) \
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh__"))
+    sigd = sh.withColumn("__hb__", shingle_hashes(F.col("__sh__"))) \
              .withColumn("__sig__", minhash_signature(F.col("__hb__"), n_hashes,
-                                                      seed, prehashed=True)) \
-             .drop("__hb__")
+                                                      seed, prehashed=True))
     banded = sigd.select(
-        id_col, "__sh__",
+        id_col,
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.hash(F.slice(F.col("__sig__"), b * rows_per_band + 1, rows_per_band)))
         ).alias("__band__", "__bhash__"))
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a"),
-                      "__band__", "__bhash__")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b"),
-                      "__band__", "__bhash__")
-    pairs = (a.join(b, ["__band__", "__bhash__"])
-              .filter(F.col("id_a") < F.col("id_b"))
-              .select("id_a", "id_b", "sh_a", "sh_b")
-              .dropDuplicates(["id_a", "id_b"]))
-    return pairs
+    a = banded.select(F.col(id_col).alias("id_a"), "__band__", "__bhash__")
+    b = banded.select(F.col(id_col).alias("id_b"), "__band__", "__bhash__")
+    ids = (a.join(b, ["__band__", "__bhash__"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
+    return _attach_shingles(ids, sh, id_col)
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -254,16 +268,36 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all candidate pairs sharing at
-    least one shingle (inverted-index join on rare shingles). Correct but
-    heavier than MinHash; intended for verification / small corpora."""
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at least
+    one shingle (inverted-index self-join). Correct but heavier than MinHash;
+    intended for verification / small corpora.
+
+    ``max_df`` caps the document frequency of shingles admitted to the
+    inverted index: the self-join is quadratic in per-shingle DF, so one
+    stopword shingle shared by m documents creates an m×m hot key. With the
+    cap, a pair is reported only if it shares at least one shingle appearing
+    in ≤ max_df documents (the Jaccard verify still uses FULL shingle sets).
+    Any corpus-scale run should set it; ``None`` keeps exact
+    share-any-shingle candidate semantics.
+
+    Scale shape mirrors :func:`minhash_candidates`: the inverted-index join
+    carries only (id, gram); shingle arrays join back after the distinct
+    pair set is known."""
     sh = df.select(F.col(id_col), shingles(F.col(text_col), k, mode="word").alias("__sh__"))
-    inv = sh.select(id_col, "__sh__", F.explode("__sh__").alias("__g__"))
-    a = inv.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sh_a"), "__g__")
-    b = inv.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("sh_b"), "__g__")
-    return (a.join(b, "__g__").filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"])
-             .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-             .filter(F.col("jaccard") >= threshold)
-             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+    inv = sh.select(id_col, F.explode("__sh__").alias("__g__"))
+    if max_df is not None:
+        admitted = (inv.groupBy("__g__")
+                       .agg(F.count(F.lit(1)).alias("__df__"))
+                       .filter(F.col("__df__") <= max_df)
+                       .select("__g__"))
+        inv = inv.join(admitted, "__g__")
+    a = inv.select(F.col(id_col).alias("id_a"), "__g__")
+    b = inv.select(F.col(id_col).alias("id_b"), "__g__")
+    ids = (a.join(b, "__g__").filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    return (_attach_shingles(ids, sh, id_col)
+            .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))

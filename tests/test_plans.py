@@ -222,3 +222,50 @@ def test_positional_helpers_avoid_user_column_collision(spark):
     got = {r["id"]: (r["__pid__"], r["__off__"], r["__row_idx__"])
            for r in out.collect()}
     assert got == {i: (i * 2, i * 3, i * 5) for i in range(0, 30, 3)}
+
+
+def _exchange_payloads(df):
+    """(partitioning, output-schema) of each Exchange in the formatted plan."""
+    jqe = df._jdf.queryExecution()
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    txt = jqe.explainString(mode)
+    # formatted mode: node list up top, then "(n) Exchange\n...\nArguments: ..."
+    out = []
+    for block in txt.split("\n\n"):
+        lines = block.splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        outp = next((l for l in lines if l.startswith("Output")), "")
+        args = next((l for l in lines if l.startswith("Arguments")), "")
+        out.append((args, outp))
+    return out
+
+
+def test_minhash_band_exchange_carries_no_arrays(spark, sf_dir):
+    """r1 verdict scale bug: the LSH band self-join used to replicate each
+    document's shingle array ×bands through the band exchange. The slimmed
+    shape must shuffle only (id, band, bhash); shingle arrays join back only
+    after the distinct pair set exists."""
+    from tech_ml_dataset_spark.functions import dedup as dd
+    from tech_ml_dataset_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = dd.minhash_dedup_pairs(docs, k=5, n_hashes=32, bands=8, threshold=0.3)
+    for args, outp in _exchange_payloads(pairs):
+        if "__band__" in args or "__bhash__" in args:
+            assert "__sh__" not in outp and "sh_a" not in outp and "sh_b" not in outp
+            assert "array" not in outp.lower()
+
+
+def test_ngram_inverted_index_carries_no_arrays_and_caps_df(spark, sf_dir):
+    from tech_ml_dataset_spark.functions import dedup as dd
+    from tech_ml_dataset_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    pairs = dd.ngram_jaccard_pairs(docs, k=2, threshold=0.1, max_df=8)
+    seen_gram_exchange = False
+    for args, outp in _exchange_payloads(pairs):
+        if "__g__" in args:
+            seen_gram_exchange = True
+            assert "__sh__" not in outp and "array" not in outp.lower()
+    assert seen_gram_exchange
