@@ -199,10 +199,17 @@ def simhash_df(df: DataFrame, id_cols, text_col: str = "text", *, k: int = 2,
 
     The Column version folds a 64-wide expression tree per array element,
     which falls out of whole-stage codegen. Here we explode word k-grams and
-    compute the 64 per-bit counts as ordinary groupBy sums — partial (map-side)
+    compute the per-bit counts as ordinary groupBy sums — partial (map-side)
     aggregation, codegen-friendly, one shuffle keyed by the doc id. Bit i of
     the result is set when the majority of feature hashes have bit i set
     (strictly more than half, matching the sign-of-sum rule).
+
+    Width: counts for bits i and i+32 are PACKED into one long per aggregate
+    (high/low 32-bit fields — safe because a doc's feature count < 2^31, so
+    the low field can never carry into the high one). 33 aggregate buffers
+    instead of 65 halves the partial-aggregation shuffle row; measured
+    value-identical and equal-latency at sf0.1 (the local cost is the
+    shingle scan, not the aggregate width).
     """
     import functools
 
@@ -222,15 +229,21 @@ def simhash_df(df: DataFrame, id_cols, text_col: str = "text", *, k: int = 2,
                    F.when(F.col("__f__").isNull(), F.lit(None))
                     .otherwise(F.xxhash64("__f__")).alias("__h__"))
     aggs = [F.count("__h__").alias("__n__")]
-    for i in range(64):
-        aggs.append(F.sum(F.shiftright("__h__", i).bitwiseAND(F.lit(1)).cast("int"))
-                     .alias(f"__b{i}__"))
+    for i in range(32):
+        term = (F.shiftright("__h__", i).bitwiseAND(F.lit(1)) * F.lit(1 << 32)
+                + F.shiftright("__h__", i + 32).bitwiseAND(F.lit(1)))
+        aggs.append(F.sum(term).alias(f"__p{i}__"))
     counted = ex.groupBy(*id_cols).agg(*aggs)
-    bit_exprs = [
-        F.shiftleft(
-            F.when(F.col(f"__b{i}__") * 2 > F.col("__n__"), F.lit(1))
-             .otherwise(F.lit(0)).cast("bigint"), i)
-        for i in range(64)]
+    bit_exprs = []
+    for i in range(32):
+        hi_count = F.shiftright(F.col(f"__p{i}__"), 32)
+        lo_count = F.col(f"__p{i}__").bitwiseAND(F.lit((1 << 32) - 1))
+        bit_exprs.append(F.shiftleft(
+            F.when(hi_count * 2 > F.col("__n__"), F.lit(1))
+             .otherwise(F.lit(0)).cast("bigint"), i))
+        bit_exprs.append(F.shiftleft(
+            F.when(lo_count * 2 > F.col("__n__"), F.lit(1))
+             .otherwise(F.lit(0)).cast("bigint"), i + 32))
     sim = functools.reduce(lambda a, b: a.bitwiseOR(b), bit_exprs)
     return counted.select(*id_cols, F.coalesce(sim, F.lit(0)).alias(out_col))
 
