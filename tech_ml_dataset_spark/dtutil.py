@@ -15,7 +15,22 @@ these helpers are the Spark expression equivalent.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, functions as F
+
+
+def warn_unpartitioned(op: str) -> None:
+    """Ordered window operators without ``by`` build
+    ``Window.partitionBy()`` — Spark funnels EVERY row through one task
+    (it even logs WindowExec's own nag). Correct, but a silent
+    single-task bottleneck at scale; surface it as a Python warning so
+    the copy-pasted signature doesn't hide it."""
+    warnings.warn(
+        f"{op}: no 'by' partitioning given — the ordered window runs as a "
+        "single task over the full dataset. Pass by=<series key column(s)> "
+        "to keep it parallel at scale.",
+        UserWarning, stacklevel=3)
 
 
 def _c(col: str | Column) -> Column:

@@ -167,6 +167,9 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
         return _nearest_combine(left, fwd, bwd, on, by)
 
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if not by_cols:
+        from ..dtutil import warn_unpartitioned
+        warn_unpartitioned("left_join_asof")
     rkeys = set(by_cols) | {on}
     right, _ = _suffix_clashes(left, right, rkeys)
     rval_cols = [c for c in right.columns if c not in rkeys]

@@ -90,11 +90,19 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
         return df.na.fill(value, subset=cols)
 
     if strategy == "abb":
+        # Donor pools for ALL columns from ONE bounded job: LIMIT plans
+        # CollectLimit, which stops the scan after enough rows — no full
+        # count() pass and no per-column jobs (the r1 shape ran 1 + #cols
+        # jobs, two of them full scans). The pool is scan-prefix-biased
+        # rather than uniform; the reference's :abb is itself an
+        # *approximate* bootstrap, and the pool size cap dominates any
+        # bias at 100 TB. A column that is entirely null within the
+        # scanned prefix keeps its nulls (as before with an empty pool).
         out = df
-        frac = min(1.0, abb_sample_size * 4 / max(1, df.count()))
+        head = (df.select(*cols).na.drop(how="all")
+                  .limit(4 * abb_sample_size).collect())
         for i, c in enumerate(cols):
-            donors = [r[0] for r in df.select(c).na.drop()
-                      .sample(False, frac, seed + i).limit(abb_sample_size).collect()]
+            donors = [r[c] for r in head if r[c] is not None][:abb_sample_size]
             if not donors:
                 continue
             arr = F.array(*[F.lit(v) for v in donors])
@@ -119,6 +127,9 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     axis_col = order_cols[0]
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if not by_cols:
+        from ..dtutil import warn_unpartitioned
+        warn_unpartitioned(f"replace_missing(strategy={strategy!r})")
     part = W.partitionBy(*by_cols) if by_cols else W.partitionBy()
 
     w_down = part.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(W.unboundedPreceding, 0)

@@ -57,6 +57,9 @@ def fill_range_replace(df: DataFrame, axis_col: str, max_span, *,
         axis = F.col(axis_col).cast("double")
 
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if not by_cols:
+        from ..dtutil import warn_unpartitioned
+        warn_unpartitioned("fill_range_replace")
     w = (W.partitionBy(*by_cols) if by_cols else W.partitionBy()).orderBy(axis)
 
     gap = F.lead(axis).over(w) - axis

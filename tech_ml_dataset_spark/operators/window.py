@@ -18,6 +18,8 @@ from collections.abc import Callable, Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, WindowSpec, functions as F
 
+from ..dtutil import warn_unpartitioned
+
 # reducer-name -> window aggregate (rolling.clj:17-73)
 _WIN_REDUCERS: dict[str, Callable[[Column], Column]] = {
     "mean": F.avg,
@@ -47,6 +49,8 @@ def _frame(window_size: int, position: str) -> tuple[int, int]:
 
 def _base_window(order_by, by) -> WindowSpec:
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if not by_cols:
+        warn_unpartitioned("rolling/expanding window")
     order = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
     order = [F.col(c) if isinstance(c, str) else c for c in order]
     return (W.partitionBy(*by_cols) if by_cols else W.partitionBy()).orderBy(*order)
@@ -133,6 +137,8 @@ def rolling_range(df: DataFrame, order_by: str, specs: Mapping[str, tuple], *,
         axis = axis.cast("double")
         delta = window_size
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if not by_cols:
+        warn_unpartitioned("rolling_range")
     w = ((W.partitionBy(*by_cols) if by_cols else W.partitionBy())
          .orderBy(axis).rangeBetween(-delta, 0))
     out = df

@@ -322,3 +322,21 @@ def test_datasets_equal_bag_semantics(spark):
     assert st.datasets_equal(a, b)          # order-insensitive
     assert not st.datasets_equal(a, c)      # multiplicity counts
     assert not st.datasets_equal(a, a.withColumn("i", F.col("i").cast("int")))
+
+
+def test_unpartitioned_window_warns(spark):
+    """r1 verdict #5: by=None ordered operators are silent single-task
+    funnels; they must emit a UserWarning (and stay silent when 'by' is
+    given)."""
+    import warnings as w
+    from tech_ml_dataset_spark.operators import missing as ms, window as win
+
+    df = spark.createDataFrame([(1, 1.0), (2, None), (3, 3.0)], ["x", "v"])
+    with pytest.warns(UserWarning, match="single task"):
+        ms.replace_missing(df, "v", "down", order_by="x")
+    with pytest.warns(UserWarning, match="single task"):
+        win.rolling(df, "x", {"m": ("mean", "v")}, window_size=2)
+    with w.catch_warnings():
+        w.simplefilter("error")
+        ms.replace_missing(df, "v", "down", order_by="x", by="x")
+        win.rolling(df, "x", {"m": ("mean", "v")}, window_size=2, by="x")
