@@ -548,14 +548,28 @@ def quantiles_price(spark, sf_dir):
 
 
 def descriptive_stats_lineitem(spark, sf_dir):
-    """descriptive-stats (dataset_api.clj:1300): one row per column, single
-    scan for all statistics."""
+    """descriptive-stats (dataset_api.clj:1300-1385), full reference stat
+    surface: quartiles/median (exact interpolated percentile for oracle
+    parity; percentile_approx is the default 100 TB path), deterministic
+    mode + n-values for the categorical column, min/max/mean/stddev.
+    skew/first/last/values/histogram are implemented but pinned in pytest
+    instead (cross-engine skew estimators and scan-order stats don't
+    oracle cleanly)."""
     li = _t(spark, sf_dir, "lineitem")
-    out = agg.descriptive_stats(li, ["l_quantity", "l_extendedprice", "l_discount"],
-                                stats=("n-valid", "n-missing", "mean", "stddev"))
-    return out.select("col-name", "n-valid", "n-missing",
+    out = agg.descriptive_stats(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
+        stats=("n-valid", "n-missing", "min", "quartile-1", "mean", "mode",
+               "median", "quartile-3", "max", "stddev", "n-values"),
+        quantile_accuracy="exact")
+    return out.select("col-name", "datatype", "n-valid", "n-missing", "min",
+                      _r4(F.col("quartile-1")).alias("quartile_1"),
                       _r4(F.col("mean")).alias("mean"),
-                      _r4(F.col("stddev")).alias("stddev"))
+                      "mode",
+                      _r4(F.col("median")).alias("median"),
+                      _r4(F.col("quartile-3")).alias("quartile_3"),
+                      "max",
+                      _r4(F.col("stddev")).alias("stddev"),
+                      F.col("n-values").alias("n_values"))
 
 
 def fill_range_events(spark, sf_dir):
@@ -1259,19 +1273,47 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "descriptive_stats_lineitem": """
-            SELECT 'l_quantity' AS "col-name", count(l_quantity) AS "n-valid",
+            SELECT 'l_quantity' AS "col-name", 'double' AS datatype,
+                   count(l_quantity) AS "n-valid",
                    count(*) - count(l_quantity) AS "n-missing",
+                   CAST(min(l_quantity) AS VARCHAR) AS min,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS quartile_1,
                    round(avg(l_quantity), 4) AS mean,
-                   round(stddev_samp(l_quantity), 4) AS stddev
+                   CAST(NULL AS VARCHAR) AS mode,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS median,
+                   round(quantile_cont(l_quantity, 0.75), 4) AS quartile_3,
+                   CAST(max(l_quantity) AS VARCHAR) AS max,
+                   round(stddev_samp(l_quantity), 4) AS stddev,
+                   CAST(NULL AS BIGINT) AS n_values
             FROM lineitem
             UNION ALL
-            SELECT 'l_extendedprice', count(l_extendedprice),
+            SELECT 'l_extendedprice', 'double', count(l_extendedprice),
                    count(*) - count(l_extendedprice),
-                   round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4)
+                   CAST(min(l_extendedprice) AS VARCHAR),
+                   round(quantile_cont(l_extendedprice, 0.25), 4),
+                   round(avg(l_extendedprice), 4), NULL,
+                   round(quantile_cont(l_extendedprice, 0.5), 4),
+                   round(quantile_cont(l_extendedprice, 0.75), 4),
+                   CAST(max(l_extendedprice) AS VARCHAR),
+                   round(stddev_samp(l_extendedprice), 4), NULL
             FROM lineitem
             UNION ALL
-            SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
-                   round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
+            SELECT 'l_discount', 'double', count(l_discount),
+                   count(*) - count(l_discount),
+                   CAST(min(l_discount) AS VARCHAR),
+                   round(quantile_cont(l_discount, 0.25), 4),
+                   round(avg(l_discount), 4), NULL,
+                   round(quantile_cont(l_discount, 0.5), 4),
+                   round(quantile_cont(l_discount, 0.75), 4),
+                   CAST(max(l_discount) AS VARCHAR),
+                   round(stddev_samp(l_discount), 4), NULL
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', 'string', count(l_returnflag),
+                   count(*) - count(l_returnflag),
+                   min(l_returnflag), NULL, NULL, mode(l_returnflag),
+                   NULL, NULL, max(l_returnflag), NULL,
+                   count(DISTINCT l_returnflag)
             FROM lineitem
         """,
         "fill_range_events": """

@@ -221,60 +221,170 @@ _STAT_FNS: dict[str, Callable[[Column], Column]] = {
 }
 
 
+#: reference default + the optional names (all-descriptive-stats-names,
+#: dataset_api.clj:1300-1311). "stddev"/"skew" are accepted aliases for
+#: "standard-deviation"/"skew".
+ALL_DESCRIPTIVE_STATS = (
+    "n-valid", "n-missing", "min", "quartile-1", "mean", "mode", "median",
+    "quartile-3", "max", "stddev", "skew", "n-values", "values", "histogram",
+    "first", "last")
+
+_QUANTILE_STATS = {"quartile-1": 0.25, "median": 0.5, "quartile-3": 0.75}
+_CATEGORICAL_STATS = ("mode", "n-values", "values", "histogram")
+
+
 def descriptive_stats(df: DataFrame, columns: Iterable[str] | None = None,
                       stats: Iterable[str] = ("n-valid", "n-missing", "min", "mean",
-                                              "max", "stddev", "skew")) -> DataFrame:
-    """``descriptive-stats`` (reference dataset_api.clj:1300): one row per
-    column with summary statistics. Computed in a SINGLE pass/job: all
-    per-column aggregates go into one ``df.agg(...)`` so the scan happens
-    once regardless of column count — at 100 TB a per-column loop of jobs
-    would be catastrophic. Fully LAZY: the one-row aggregate is pivoted to
-    one-row-per-column with ``inline(array(struct...))`` inside the same
-    plan, so building the stats table launches no driver-side job at all
-    (the old collect+createDataFrame shape cost a second job per call).
+                                              "max", "stddev", "skew"),
+                      *, quantile_accuracy: int | str = 10000,
+                      n_categorical_values: int = 21) -> DataFrame:
+    """``descriptive-stats`` (reference dataset_api.clj:1300-1385): one row
+    per column. Full reference stat surface (``ALL_DESCRIPTIVE_STATS``):
+
+    - numeric / temporal columns: min, quartile-1, mean, median, quartile-3,
+      max, standard-deviation (``stddev``), skew. Temporal axes are measured
+      in epoch micros (the reference uses epoch millis,
+      dataset_api.clj:1352-1356); their min/max/first/last stay readable
+      strings. Quantiles use ``percentile_approx`` at ``quantile_accuracy``
+      (sketch — the 100 TB path) or exact interpolated ``percentile`` when
+      ``quantile_accuracy="exact"``.
+    - string/boolean (categorical) columns: mode, n-values (distinct count),
+      values (top ``n_categorical_values`` by frequency), histogram
+      ((value, count) pairs, emitted when the domain fits in
+      ``n_categorical_values`` — reference behavior). Mode ties break
+      deterministically toward the larger value (the reference inherits
+      hash-map iteration order; we pin it).
+    - every column: n-valid, n-missing, first, last (stringified; dataset
+      order via a scan-order id, deterministic for fresh file reads).
+
+    Plan shape: ONE ``df.agg`` computes every numeric stat for every column
+    in a single pass (a per-column job loop would be catastrophic at
+    100 TB), pivoted to one-row-per-column lazily with
+    ``inline(array(struct...))``. Categorical stats add ONE more
+    aggregation branch: unpivot(categorical cols) -> groupBy(col, value)
+    counts -> per-col top-k, broadcast-joined back on col-name. The
+    collect_list there buffers one struct per DISTINCT value per column —
+    fine for categorical domains, not for high-cardinality keys (same
+    caveat as the reference's in-memory ``frequencies``).
     """
     from pyspark.sql import types as T
 
     cols = list(columns) if columns is not None else df.columns
-    stats = list(stats)
+    stats = ["stddev" if s == "standard-deviation" else s for s in stats]
+    want = set(stats)
     fields = {f.name: f.dataType for f in df.schema.fields}
     numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType)
+    temporal = (T.TimestampType, T.TimestampNTZType, T.DateType)
+    is_num = {c: isinstance(fields[c], numeric) for c in cols}
+    is_time = {c: isinstance(fields[c], temporal) for c in cols}
+    cat_cols = [c for c in cols
+                if isinstance(fields[c], (T.StringType, T.BooleanType))]
+
+    def _axis(c: str) -> Column:
+        if is_time[c]:
+            from ..dtutil import epoch_micros
+            return epoch_micros(c).cast("double")
+        return F.col(c).cast("double")
+
+    qps = [p for s, p in _QUANTILE_STATS.items() if s in want]
+    need_order = {"first", "last"} & want
+    src = df
+    if need_order:
+        from .selection import _free_name
+        mid = _free_name(df.columns, "__mid__")
+        src = df.withColumn(mid, F.monotonically_increasing_id())
 
     exprs: list[Column] = [F.count(F.lit(1)).alias("__n_rows__")]
     for c in cols:
-        is_num = isinstance(fields[c], numeric)
         exprs.append(F.count(F.col(c)).alias(f"{c}||n-valid"))
-        for s in stats:
-            if s in ("n-valid", "n-missing"):
-                continue
-            if s in _STAT_FNS and (is_num or s in ("min", "max")):
-                src = F.col(c).cast("double") if (is_num and s not in ("min", "max")) else F.col(c)
-                exprs.append(_STAT_FNS[s](src).alias(f"{c}||{s}"))
-    agg_row = df.agg(*exprs)
+        measurable = is_num[c] or is_time[c]
+        for s in ("min", "max"):
+            if s in want:
+                exprs.append(_STAT_FNS[s](F.col(c)).alias(f"{c}||{s}"))
+        for s in ("mean", "stddev", "skew", "sum"):
+            if s in want and measurable:
+                exprs.append(_STAT_FNS[s](_axis(c)).alias(f"{c}||{s}"))
+        if qps and measurable:
+            if quantile_accuracy == "exact":
+                q = F.percentile(_axis(c), F.array(*[F.lit(p) for p in qps]))
+            else:
+                q = F.percentile_approx(_axis(c), F.array(*[F.lit(p) for p in qps]),
+                                        F.lit(int(quantile_accuracy)))
+            exprs.append(q.alias(f"{c}||quantiles"))
+        if need_order:
+            exprs.append(F.min_by(F.col(c).cast("string"), F.col(mid)).alias(f"{c}||first"))
+            exprs.append(F.max_by(F.col(c).cast("string"), F.col(mid)).alias(f"{c}||last"))
+    agg_row = src.agg(*exprs)
     have = set(agg_row.columns)
 
     def _ref(name: str) -> Column:
         return F.col(f"`{name}`")
 
+    string_stats = {"min", "max", "first", "last"}
     structs = []
     for c in cols:
+        qi = 0
         sf = [F.lit(c).alias("col-name"),
               F.lit(fields[c].simpleString()).alias("datatype"),
               _ref(f"{c}||n-valid").alias("n-valid"),
               (F.col("__n_rows__") - _ref(f"{c}||n-valid")).alias("n-missing")]
         for s in stats:
-            if s in ("n-valid", "n-missing"):
+            if s in ("n-valid", "n-missing") or s in _CATEGORICAL_STATS:
+                continue
+            if s in _QUANTILE_STATS:
+                key = f"{c}||quantiles"
+                if key in have:
+                    v = F.element_at(_ref(key), qps.index(_QUANTILE_STATS[s]) + 1)
+                else:
+                    v = F.lit(None).cast("double")
+                sf.append(v.alias(s))
                 continue
             key = f"{c}||{s}"
-            # min/max stringify so heterogeneous column dtypes share one schema
             if key in have:
-                v = _ref(key).cast("string") if s in ("min", "max") else _ref(key)
+                v = _ref(key).cast("string") if s in string_stats else _ref(key)
             else:
-                v = F.lit(None).cast("string" if s in ("min", "max") else "double")
+                v = F.lit(None).cast("string" if s in string_stats else "double")
             sf.append(v.alias(s))
         structs.append(F.struct(*sf))
-    return agg_row.select(F.inline(F.array(*structs)))
+    out = agg_row.select(F.inline(F.array(*structs)))
+
+    if want & set(_CATEGORICAL_STATS) and cat_cols:
+        melted = df.select(F.explode(F.array(*[
+            F.struct(F.lit(c).alias("col-name"),
+                     F.col(c).cast("string").alias("__val__"))
+            for c in cat_cols])).alias("kv")) \
+            .select("kv.col-name", "kv.__val__") \
+            .filter(F.col("__val__").isNotNull())
+        freq = melted.groupBy("col-name", "__val__").agg(
+            F.count(F.lit(1)).alias("__cnt__"))
+        top = F.slice(
+            F.reverse(F.sort_array(F.collect_list(
+                F.struct(F.col("__cnt__").alias("count"),
+                         F.col("__val__").alias("value"))))),
+            1, n_categorical_values)
+        per_col = freq.groupBy("col-name").agg(
+            F.max_by("__val__", F.struct("__cnt__", "__val__")).alias("mode"),
+            F.count(F.lit(1)).alias("n-values"),
+            top.alias("__top__"))
+        per_col = per_col.select(
+            "col-name", "mode", F.col("`n-values`"),
+            F.transform("__top__", lambda x: x["value"]).alias("values"),
+            F.when(F.col("`n-values`") <= n_categorical_values,
+                   F.transform("__top__", lambda x: F.struct(
+                       x["value"].alias("value"), x["count"].alias("count"))))
+             .alias("histogram"))
+        keep = ["mode", "n-values", "values", "histogram"]
+        per_col = per_col.select("col-name",
+                                 *[F.col(f"`{s}`") for s in keep if s in want])
+        out = out.join(F.broadcast(per_col), "col-name", "left")
+        # restore reference stat order (the join appended the cat stats)
+        ordered = (["col-name", "datatype", "n-valid", "n-missing"]
+                   + [s for s in ALL_DESCRIPTIVE_STATS
+                      if s not in ("n-valid", "n-missing") and s in want]
+                   + [s for s in stats if s not in ALL_DESCRIPTIVE_STATS])
+        out = out.select(*[F.col(f"`{s}`") for s in ordered])
+    return out
 
 
 def brief(df: DataFrame) -> list[dict]:

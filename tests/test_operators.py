@@ -340,3 +340,40 @@ def test_unpartitioned_window_warns(spark):
         w.simplefilter("error")
         ms.replace_missing(df, "v", "down", order_by="x", by="x")
         win.rolling(df, "x", {"m": ("mean", "v")}, window_size=2, by="x")
+
+
+def test_descriptive_stats_full_surface(spark):
+    """Full reference stat surface (dataset_api.clj:1300-1385): quartiles,
+    median, mode, n-values, values, histogram, first/last — the parts the
+    DuckDB oracle can't pin (scan order, tie-breaks, skew estimator)."""
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (3.0, "b"), (4.0, "c"), (5.0, "b")],
+        "v double, s string")
+    rows = {r["col-name"]: r for r in agg.descriptive_stats(
+        df, stats=agg.ALL_DESCRIPTIVE_STATS, quantile_accuracy="exact").collect()}
+    v, s = rows["v"], rows["s"]
+    assert v["quartile-1"] == 2.0 and v["median"] == 3.0 and v["quartile-3"] == 4.0
+    assert v["min"] == "1.0" and v["max"] == "5.0"
+    assert v["first"] == "1.0" and v["last"] == "5.0"
+    assert abs(v["skew"]) < 1e-9  # symmetric
+    assert s["mode"] == "b" and s["n-values"] == 3
+    assert s["values"][0] == "b"  # most frequent first
+    hist = {h["value"]: h["count"] for h in s["histogram"]}
+    assert hist == {"a": 1, "b": 3, "c": 1}
+    # mode tie-break is deterministic: larger value wins
+    tie = spark.createDataFrame([("x",), ("y",)], "t string")
+    trow = agg.descriptive_stats(tie, stats=("mode",)).collect()[0]
+    assert trow["mode"] == "y"
+
+
+def test_descriptive_stats_temporal_axis(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1),), (dt.datetime(2024, 1, 3),)], "ts timestamp")
+    r = agg.descriptive_stats(df, stats=("min", "max", "mean", "median"),
+                              quantile_accuracy="exact").collect()[0]
+    assert r["min"].startswith("2024-01-01") and r["max"].startswith("2024-01-03")
+    # mean/median are epoch-micros doubles: midpoint = 2024-01-02
+    import calendar
+    mid = calendar.timegm(dt.datetime(2024, 1, 2).timetuple()) * 1_000_000
+    assert r["mean"] == mid and r["median"] == mid
