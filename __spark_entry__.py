@@ -197,6 +197,20 @@ def rolling_user_value(spark, sf_dir):
                       _r4(F.col("roll_sum")).alias("roll_sum"))
 
 
+def rolling_corr_user(spark, sf_dir):
+    """Multi-column rolling reducer (rolling.clj:102-111,200-216): Pearson
+    correlation of (value, event_id) over a 20-row right-aligned window per
+    user — Spark's declarative corr aggregate runs directly inside
+    WindowExec, exercising the two-column spec form. NaN (constant frame)
+    normalized to NULL for engine parity."""
+    ev = _t(spark, sf_dir, "events")
+    out = win.rolling(ev, ["ts", "event_id"],
+                      {"c": ("corr", ["value", "event_id"])},
+                      window_size=20, by="user_id", position="left")
+    c = F.when(F.isnan(F.col("c")), F.lit(None)).otherwise(F.col("c"))
+    return out.select("event_id", "user_id", _r4(c).alias("corr_value_eid"))
+
+
 def expanding_user_cumsum(spark, sf_dir):
     """Expanding/cumulative window (rolling.clj:307-314)."""
     ev = _t(spark, sf_dir, "events")
@@ -820,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_slices": concat_slices,
         "lineitem_except": lineitem_except,
         "rolling_user_value": rolling_user_value,
+        "rolling_corr_user": rolling_corr_user,
         "expanding_user_cumsum": expanding_user_cumsum,
         "analytic_lag_rank": analytic_lag_rank,
         "ffill_events": ffill_events,
@@ -961,6 +976,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity < 30
             EXCEPT ALL
             SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity < 10
+        """,
+        "rolling_corr_user": """
+            SELECT event_id, user_id,
+                   round(corr(value, event_id) OVER w, 4) AS corr_value_eid
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         """,
         "rolling_user_value": """
             SELECT event_id, user_id,

@@ -56,6 +56,67 @@ def _base_window(order_by, by) -> WindowSpec:
     return (W.partitionBy(*by_cols) if by_cols else W.partitionBy()).orderBy(*order)
 
 
+#: built-in TWO-column frame reducers (reference multi-column reducers,
+#: rolling.clj:102-111 — a reducer fn over k window readers). Spark's
+#: declarative aggregates work directly as window functions, so rolling
+#: correlation/covariance stay JVM-side with zero extra machinery.
+_MULTI_WIN_REDUCERS = {
+    "corr": F.corr,
+    "covariance": F.covar_samp,
+    "covariance-pop": F.covar_pop,
+}
+
+
+class FrameReducer:
+    """Aggregation handle over one window frame, for CUSTOM multi-column
+    reducers (rolling.clj:102-111,200-216): the reducer callable receives
+    this handle plus one Column per source and composes any expression
+    from frame aggregates, e.g. rolling beta::
+
+        def beta(w, x, y):
+            cov = w.mean(x * y) - w.mean(x) * w.mean(y)
+            return cov / w.var_pop(x)
+
+        rolling(df, "ts", {"beta": (beta, ["mkt", "asset"])}, window_size=20)
+
+    Every method aggregates an arbitrary expression over the SAME frame,
+    so a k-column reducer is k× window aggregates inside one WindowExec —
+    no shuffle multiplication."""
+
+    def __init__(self, wspec: WindowSpec):
+        self._w = wspec
+
+    def _agg(self, fn, c):
+        return fn(c if isinstance(c, Column) else F.col(c)).over(self._w)
+
+    def sum(self, c): return self._agg(F.sum, c)
+    def mean(self, c): return self._agg(F.avg, c)
+    def count(self, c): return self._agg(F.count, c)
+    def min(self, c): return self._agg(F.min, c)
+    def max(self, c): return self._agg(F.max, c)
+    def var_samp(self, c): return self._agg(F.var_samp, c)
+    def var_pop(self, c): return self._agg(F.var_pop, c)
+    def std_samp(self, c): return self._agg(F.stddev_samp, c)
+    def std_pop(self, c): return self._agg(F.stddev_pop, c)
+    def first(self, c): return self._agg(lambda x: F.first(x, ignorenulls=True), c)
+    def last(self, c): return self._agg(lambda x: F.last(x, ignorenulls=True), c)
+
+
+def _spec_expr(spec: tuple, w: WindowSpec) -> Column:
+    """One rolling-spec entry -> Column. Forms:
+    ``(reducer_name, src)`` single-column built-in;
+    ``(reducer_name, [src1, src2])`` two-column built-in (corr/covariance);
+    ``(callable, [src...])`` custom — callable(FrameReducer, *cols)."""
+    red, src = spec
+    if callable(red) and not isinstance(red, str):
+        srcs = [src] if isinstance(src, (str, Column)) else list(src)
+        cols = [F.col(s) if isinstance(s, str) else s for s in srcs]
+        return red(FrameReducer(w), *cols)
+    if isinstance(src, (list, tuple)):
+        return _MULTI_WIN_REDUCERS[red](*[F.col(s) for s in src]).over(w)
+    return _WIN_REDUCERS[red](F.col(src)).over(w)
+
+
 def rolling(df: DataFrame, order_by, specs: Mapping[str, tuple], *,
             window_size: int, by=None, position: str = "right",
             edge_mode: str = "shrink") -> DataFrame:
@@ -76,8 +137,8 @@ def rolling(df: DataFrame, order_by, specs: Mapping[str, tuple], *,
     w = _base_window(order_by, by).rowsBetween(lo, hi)
     out = df
     if edge_mode == "shrink" or edge_mode == "zero":
-        for name, (red, src) in specs.items():
-            out = out.withColumn(name, _WIN_REDUCERS[red](F.col(src)).over(w))
+        for name, spec in specs.items():
+            out = out.withColumn(name, _spec_expr(spec, w))
         return out
 
     # clamp: compute the shortfall (how many positions fell off each edge)
@@ -142,8 +203,8 @@ def rolling_range(df: DataFrame, order_by: str, specs: Mapping[str, tuple], *,
     w = ((W.partitionBy(*by_cols) if by_cols else W.partitionBy())
          .orderBy(axis).rangeBetween(-delta, 0))
     out = df
-    for name, (red, src) in specs.items():
-        out = out.withColumn(name, _WIN_REDUCERS[red](F.col(src)).over(w))
+    for name, spec in specs.items():
+        out = out.withColumn(name, _spec_expr(spec, w))
     return out
 
 
@@ -151,8 +212,8 @@ def expanding(df: DataFrame, order_by, specs: Mapping[str, tuple], *, by=None) -
     """``expanding`` cumulative windows (rolling.clj:307-314): cumsum etc."""
     w = _base_window(order_by, by).rowsBetween(W.unboundedPreceding, 0)
     out = df
-    for name, (red, src) in specs.items():
-        out = out.withColumn(name, _WIN_REDUCERS[red](F.col(src)).over(w))
+    for name, spec in specs.items():
+        out = out.withColumn(name, _spec_expr(spec, w))
     return out
 
 

@@ -377,3 +377,27 @@ def test_descriptive_stats_temporal_axis(spark):
     import calendar
     mid = calendar.timegm(dt.datetime(2024, 1, 2).timetuple()) * 1_000_000
     assert r["mean"] == mid and r["median"] == mid
+
+
+def test_rolling_multi_column_reducer(spark):
+    """rolling.clj:102-111: reducer over k window readers. Built-in 'corr'
+    two-column form plus a custom FrameReducer callable (rolling covariance
+    composed from frame means) must agree with covar_pop."""
+    from tech_ml_dataset_spark.operators import window as win
+
+    rows = [(1, i, float(i), float(i) * 2 + (i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, ["g", "t", "x", "y"])
+
+    def cov_pop(w, x, y):
+        return w.mean(x * y) - w.mean(x) * w.mean(y)
+
+    out = win.rolling(df, "t",
+                      {"c_builtin": ("covariance-pop", ["x", "y"]),
+                       "c_custom": (cov_pop, ["x", "y"]),
+                       "r": ("corr", ["x", "y"])},
+                      window_size=4, by="g", position="left")
+    for r in out.collect():
+        if r["c_builtin"] is not None:
+            assert abs(r["c_builtin"] - r["c_custom"]) < 1e-9
+        if r["r"] is not None and r["r"] == r["r"]:  # skip NaN
+            assert -1.0 - 1e-9 <= r["r"] <= 1.0 + 1e-9
