@@ -211,6 +211,21 @@ def rolling_corr_user(spark, sf_dir):
     return out.select("event_id", "user_id", _r4(c).alias("corr_value_eid"))
 
 
+def rolling_monthly_orders(spark, sf_dir):
+    """Calendar-month variable window (rolling.clj:281-301 datetime units):
+    3-month anchored rolling sum/count of order totals per customer.
+    Month subtraction clamps to month end (add_months), matching SQL
+    date - INTERVAL arithmetic."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    out = win.rolling_range(o, "o_orderdate",
+                            {"sum_3m": ("sum", "o_totalprice"),
+                             "n_3m": ("count", "o_orderkey")},
+                            window_size=3, by="o_custkey", units="months")
+    return out.select("o_orderkey", "o_custkey", "o_orderdate",
+                      _r4(F.col("sum_3m")).alias("sum_3m"), "n_3m")
+
+
 def expanding_user_cumsum(spark, sf_dir):
     """Expanding/cumulative window (rolling.clj:307-314)."""
     ev = _t(spark, sf_dir, "events")
@@ -835,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_except": lineitem_except,
         "rolling_user_value": rolling_user_value,
         "rolling_corr_user": rolling_corr_user,
+        "rolling_monthly_orders": rolling_monthly_orders,
         "expanding_user_cumsum": expanding_user_cumsum,
         "analytic_lag_rank": analytic_lag_rank,
         "ffill_events": ffill_events,
@@ -976,6 +992,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity < 30
             EXCEPT ALL
             SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_quantity < 10
+        """,
+        "rolling_monthly_orders": """
+            SELECT l.o_orderkey, l.o_custkey, l.o_orderdate,
+                   round(sum(r.o_totalprice), 4) AS sum_3m,
+                   count(r.o_orderkey) AS n_3m
+            FROM orders l JOIN orders r
+              ON r.o_custkey = l.o_custkey
+             AND r.o_orderdate <= l.o_orderdate
+             AND r.o_orderdate >= l.o_orderdate - INTERVAL 3 MONTH
+            GROUP BY l.o_orderkey, l.o_custkey, l.o_orderdate
         """,
         "rolling_corr_user": """
             SELECT event_id, user_id,

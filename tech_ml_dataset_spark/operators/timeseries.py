@@ -41,10 +41,13 @@ def fill_range_replace(df: DataFrame, axis_col: str, max_span, *,
 
     ``units`` ("seconds"/"minutes"/"hours"/"days") marks a timestamp axis;
     ``max_span`` is then in those units and the axis round-trips through
-    epoch microseconds.
+    epoch microseconds. ``"months"`` is calendar arithmetic, not a fixed
+    span — handled by :func:`fill_range_months`.
     """
     from .missing import replace_missing
 
+    if units == "months":
+        return fill_range_months(df, axis_col, int(max_span), by=by, fill=fill)
     is_time = units is not None
     if is_time:
         scale = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400}
@@ -82,6 +85,53 @@ def fill_range_replace(df: DataFrame, axis_col: str, max_span, *,
                    for c in other if c not in by_cols}
     inserted = inserted.withColumn(axis_col, new_axis).withColumns(null_others) \
                        .select(*df.columns)
+    out = df.unionByName(inserted)
+    if fill:
+        for colname, strategy in fill.items():
+            out = replace_missing(out, colname, strategy,
+                                  order_by=axis_col, by=by)
+    return out
+
+
+def fill_range_months(df: DataFrame, axis_col: str, max_span_months: int, *,
+                      by: str | Sequence[str] | None = None,
+                      fill: dict | None = None) -> DataFrame:
+    """Calendar-month fill-range (parity-plus over math.clj:160, whose spans
+    are fixed-width): wherever consecutive rows are more than
+    ``max_span_months`` MONTH-INDEX steps apart (month index = year*12 +
+    month — day-of-month is ignored, the natural reading for densifying a
+    monthly series), insert rows at ``add_months(prev, i*max_span)``
+    (day clamped to month end, same as SQL ``+ INTERVAL n MONTH``).
+    Inserted rows are NULL outside the axis/by columns; ``fill`` applies
+    replace-missing per column afterwards. Same single-window plan shape as
+    :func:`fill_range_replace`."""
+    from .missing import replace_missing
+
+    by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if not by_cols:
+        from ..dtutil import warn_unpartitioned
+        warn_unpartitioned("fill_range_months")
+    is_date = dict(df.dtypes)[axis_col] == "date"
+    midx = F.year(axis_col) * 12 + F.month(axis_col)
+    w = (W.partitionBy(*by_cols) if by_cols else W.partitionBy()) \
+        .orderBy(F.col(axis_col))
+
+    gap = F.lead(midx).over(w) - midx
+    n_insert = (F.when(gap > max_span_months,
+                       F.ceil(gap / F.lit(max_span_months)) - 1)
+                 .otherwise(F.lit(0)))
+    tagged = df.withColumn("__n_ins__", n_insert.cast("int"))
+    other = [c for c in df.columns if c != axis_col]
+    stepped = (F.add_months(F.col(axis_col), F.col("__i__") * max_span_months)
+               if is_date else
+               F.timestamp_add("MONTH", F.col("__i__") * max_span_months,
+                               F.col(axis_col)))
+    inserted = (tagged.filter(F.col("__n_ins__") > 0)
+                .withColumn("__i__", F.explode(F.sequence(F.lit(1), F.col("__n_ins__"))))
+                .withColumn(axis_col, stepped)
+                .withColumns({c: F.lit(None).cast(dict(df.dtypes)[c])
+                              for c in other if c not in by_cols})
+                .select(*df.columns))
     out = df.unionByName(inserted)
     if fill:
         for colname, strategy in fill.items():

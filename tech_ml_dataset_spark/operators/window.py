@@ -183,15 +183,19 @@ def rolling_range(df: DataFrame, order_by: str, specs: Mapping[str, tuple], *,
     row's value (inclusive), i.e. rangeBetween(-window_size, 0).
 
     ``units`` for datetime axes: "days"/"hours"/"minutes"/"seconds" — the
-    axis is cast to epoch seconds and the delta scaled; calendar units
-    (months) are not range-expressible and raise.
+    axis is cast to epoch seconds and the delta scaled. ``"months"`` is a
+    CALENDAR unit (not a fixed span — rolling.clj:281-301's datetime
+    between-op), handled by :func:`rolling_range_months`' anchored
+    self-join instead of a range frame.
     """
+    if units == "months":
+        return rolling_range_months(df, order_by, specs,
+                                    window_size=int(window_size), by=by)
     axis = F.col(order_by)
     if units is not None:
         scale = {"seconds": 1, "minutes": 60, "hours": 3600, "days": 86400}
         if units not in scale:
-            raise ValueError(f"calendar unit {units!r} is not range-expressible; "
-                             "use months_between arithmetic instead")
+            raise ValueError(f"unknown calendar unit {units!r}")
         axis = axis.cast("timestamp").cast("long")
         delta = int(window_size * scale[units])
     else:
@@ -206,6 +210,66 @@ def rolling_range(df: DataFrame, order_by: str, specs: Mapping[str, tuple], *,
     for name, spec in specs.items():
         out = out.withColumn(name, _spec_expr(spec, w))
     return out
+
+
+# groupBy equivalents of _WIN_REDUCERS for the months self-join path
+_AGG_REDUCERS: dict[str, Callable[[Column], Column]] = {
+    "mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+    "variance": F.var_samp, "standard-deviation": F.stddev_samp,
+    "count": F.count,
+}
+
+
+def rolling_range_months(df: DataFrame, order_by: str,
+                         specs: Mapping[str, tuple], *, window_size: int,
+                         by=None) -> DataFrame:
+    """Calendar-month rolling windows: each row aggregates peer rows whose
+    axis lies in ``[axis - window_size months, axis]``, month subtraction
+    clamping to month end (add_months semantics — Feb 30 -> Feb 29/28; SQL
+    ``date - INTERVAL n MONTH`` agrees across engines).
+
+    Months have no fixed width, so this can't be a rangeBetween frame;
+    instead: equi-join on ``by`` with the anchored interval as a join-time
+    range predicate, then re-aggregate per left row. Plan: one shuffle per
+    side keyed by ``by`` + one aggregation — work is O(rows x window
+    membership) within each key, the honest cost of calendar windows.
+    Reducers: built-in single-column names only (the join regroup can't
+    host window-frame composition)."""
+    from .selection import _free_name
+
+    by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    if not by_cols:
+        warn_unpartitioned("rolling_range_months")
+    is_date = dict(df.dtypes)[order_by] == "date"
+    rid = _free_name(df.columns, "__rid__")
+    left = df.withColumn(rid, F.monotonically_increasing_id())
+
+    srcs = sorted({src for (_red, src) in specs.values()})
+    for (_red, src) in specs.values():
+        if not isinstance(src, str) or callable(_red):
+            raise ValueError("rolling months windows support built-in "
+                             "single-column reducers only")
+    right = df.select(
+        *[F.col(c).alias(f"__r_{c}__") for c in dict.fromkeys(by_cols + [order_by] + srcs)])
+
+    l_axis = F.col(order_by)
+    r_axis = F.col(f"__r_{order_by}__")
+    anchor = (F.add_months(l_axis, -window_size) if is_date
+              else F.timestamp_add("MONTH", F.lit(-window_size), l_axis))
+    cond = F.lit(True)
+    for c in by_cols:
+        cond = cond & (F.col(c) == F.col(f"__r_{c}__"))
+    cond = cond & (r_axis >= anchor) & (r_axis <= l_axis)
+    # inner join is safe: every row matches itself, windows are never empty
+    joined = left.join(right, cond, "inner")
+    aggs = [_AGG_REDUCERS[red](F.col(f"__r_{src}__")).alias(name)
+            for name, (red, src) in specs.items()]
+    # regroup on (rid, *left cols): rid makes the key unique, carrying the
+    # left columns through the groupBy keeps the plan LINEAR — no second
+    # branch re-reading the mono-id source (see _contiguous_index on why
+    # forked lineage over nondeterministic ids is dangerous)
+    out = joined.groupBy(rid, *df.columns).agg(*aggs)
+    return out.drop(rid)
 
 
 def expanding(df: DataFrame, order_by, specs: Mapping[str, tuple], *, by=None) -> DataFrame:

@@ -69,3 +69,43 @@ def test_loess_deterministic(spark):
     a = tss.interpolate_loess(df, "x", "y").orderBy("x").collect()
     b = tss.interpolate_loess(df, "x", "y").orderBy("x").collect()
     assert [r["y-loess"] for r in a] == [r["y-loess"] for r in b]
+
+
+def test_fill_range_months(spark):
+    """Calendar-month densify: a Jan->Jul gap at 2-month max span inserts
+    Mar and May rows (month-index gaps, add_months day clamping)."""
+    import datetime as dt
+    from tech_ml_dataset_spark.operators.timeseries import fill_range_replace
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 31), 10.0), (1, dt.date(2024, 7, 31), 70.0),
+         (2, dt.date(2024, 3, 1), 1.0)],
+        "k int, d date, v double")
+    out = fill_range_replace(df, "d", 2, by="k", units="months",
+                             fill={"v": "down"})
+    rows = sorted((r["k"], str(r["d"]), r["v"]) for r in out.collect())
+    assert rows == [
+        (1, "2024-01-31", 10.0),
+        (1, "2024-03-31", 10.0),   # +2 months, day clamped (Mar has 31)
+        (1, "2024-05-31", 10.0),   # +4 months
+        (1, "2024-07-31", 70.0),
+        (2, "2024-03-01", 1.0),
+    ]
+
+
+def test_rolling_range_months_window(spark):
+    import datetime as dt
+    from tech_ml_dataset_spark.operators.window import rolling_range
+
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 15), 1.0), (1, dt.date(2024, 2, 20), 2.0),
+         (1, dt.date(2024, 5, 10), 4.0), (2, dt.date(2024, 1, 1), 9.0)],
+        "k int, d date, v double")
+    out = rolling_range(df, "d", {"s": ("sum", "v"), "n": ("count", "v")},
+                        window_size=3, by="k", units="months")
+    got = {(r["k"], str(r["d"])): (r["s"], r["n"]) for r in out.collect()}
+    assert got[(1, "2024-01-15")] == (1.0, 1)
+    assert got[(1, "2024-02-20")] == (3.0, 2)   # Jan 15 within 3 months
+    # May 10 anchor = Feb 10: Feb 20 in, Jan 15 out
+    assert got[(1, "2024-05-10")] == (6.0, 2)
+    assert got[(2, "2024-01-01")] == (9.0, 1)
