@@ -272,6 +272,31 @@ def rolling_range_months(df: DataFrame, order_by: str,
     return out.drop(rid)
 
 
+def rolling_udf(df: DataFrame, order_by, specs: Mapping[str, tuple], *,
+                window_size: int, by=None, position: str = "right") -> DataFrame:
+    """Window-UDF helper (SURVEY §2.8): custom PYTHON rolling reducers for
+    aggregations no SQL window function expresses (trimmed means, custom
+    quantile blends...).
+
+    ``specs``: {out_col: (fn, src_col, return_type)} — ``fn`` receives a
+    pandas Series whose elements are the frame's values as a list/ndarray
+    and returns a Series of scalars.
+
+    Plan shape: the frame is materialized per row with ``collect_list``
+    over the window (JVM), then crosses to Python ONCE per output column
+    through an Arrow-batched pandas UDF. Cost is O(rows × window_size)
+    transfer — the honest price of an opaque Python reducer; prefer
+    :class:`FrameReducer` composition or built-in reducers whenever the
+    function is expressible as SQL aggregates."""
+    lo, hi = _frame(window_size, position)
+    w = _base_window(order_by, by).rowsBetween(lo, hi)
+    out = df
+    for name, (fn, src, rtype) in specs.items():
+        pudf = F.pandas_udf(fn, rtype)
+        out = out.withColumn(name, pudf(F.collect_list(src).over(w)))
+    return out
+
+
 def expanding(df: DataFrame, order_by, specs: Mapping[str, tuple], *, by=None) -> DataFrame:
     """``expanding`` cumulative windows (rolling.clj:307-314): cumsum etc."""
     w = _base_window(order_by, by).rowsBetween(W.unboundedPreceding, 0)

@@ -254,6 +254,63 @@ def write_arrow(df: DataFrame, path: str, *, stream: bool = False) -> None:
         writer.write_table(table)
 
 
+def read_excel(spark: SparkSession, path: str, *, sheet=0,
+               header: bool = True) -> DataFrame:
+    """Excel read (reference fastexcel.clj:139 / poi.clj:138).
+
+    Like the reference — which shells out to POI/fastexcel — this delegates
+    to a spreadsheet library (pandas + openpyxl/xlrd) on the DRIVER and
+    hands the frame to Spark. Spreadsheets are single-machine artifacts
+    (xlsx caps at ~1M rows); they are an ingest convenience, never a scan
+    path. Gated on the optional dependency being installed."""
+    try:
+        import pandas as pd
+        frame = pd.read_excel(path, sheet_name=sheet,
+                              header=0 if header else None)
+    except ImportError as ex:
+        raise ImportError(
+            "read_excel needs pandas plus an engine (openpyxl for .xlsx, "
+            "xlrd for legacy .xls); install one to ingest spreadsheets"
+        ) from ex
+    if not header:
+        frame.columns = [f"column-{i}" for i in range(len(frame.columns))]
+    return spark.createDataFrame(frame)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, *,
+              partition_column: str | None = None,
+              lower_bound=None, upper_bound=None,
+              num_partitions: int | None = None,
+              predicates: list[str] | None = None,
+              **options) -> DataFrame:
+    """JDBC read (reference delegates to external JDBC libs; SURVEY §2.1).
+
+    Thin guard over ``spark.read.jdbc``. The scale contract: WITHOUT
+    ``partition_column`` + bounds (or ``predicates``), Spark reads the whole
+    table through ONE connection/task — fine for dimension lookups, wrong
+    for facts. This wrapper makes that explicit instead of silent."""
+    reader = spark.read.format("jdbc").option("url", url) \
+        .option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if predicates is not None:
+        return spark.read.jdbc(url, table, predicates=predicates,
+                               properties={k: str(v) for k, v in options.items()})
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise ValueError("partitioned JDBC read needs partition_column, "
+                             "lower_bound, upper_bound AND num_partitions")
+        return (reader.option("partitionColumn", partition_column)
+                      .option("lowerBound", str(lower_bound))
+                      .option("upperBound", str(upper_bound))
+                      .option("numPartitions", str(num_partitions)).load())
+    import warnings
+    warnings.warn("read_jdbc without partition_column reads through a single "
+                  "connection — pass partition bounds for parallel ingest",
+                  UserWarning, stacklevel=2)
+    return reader.load()
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str]) -> dict[str, DataFrame]:
     """Load the driver's test tables from an sf directory as a dict."""
     return {n: read_parquet(spark, os.path.join(sf_dir, f"{n}.parquet")) for n in names}

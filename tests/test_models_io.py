@@ -215,3 +215,32 @@ def test_mean_center_columns(spark):
     out2, state2 = tn.mean_center_columns(df, ["v"], divide_by_std=True)
     got = sorted(round(r["v"], 6) for r in out2.collect())
     assert got == [-1.0, 0.0, 1.0]  # std of {1,2,3} is 1.0
+
+
+def test_read_excel_gated(spark, tmp_path):
+    """Excel ingest is gated on the optional engine; without it the error
+    must be actionable, not an AttributeError from deep inside pandas."""
+    from tech_ml_dataset_spark.sources import io as tio
+    p = tmp_path / "t.xlsx"
+    p.write_bytes(b"PK\x03\x04 not really a workbook")
+    try:
+        df = tio.read_excel(spark, str(p))
+    except ImportError as ex:
+        assert "openpyxl" in str(ex)
+    except Exception:
+        pass  # engine present: invalid file fails its own way
+    else:
+        assert df.columns
+
+
+def test_read_jdbc_validates_partition_args(spark):
+    from tech_ml_dataset_spark.sources import io as tio
+    import pytest as _pt
+    with _pt.raises(ValueError, match="partition_column"):
+        tio.read_jdbc(spark, "jdbc:postgresql://x/db", "t",
+                      partition_column="id")  # bounds missing
+    with _pt.warns(UserWarning, match="single connection"):
+        try:
+            tio.read_jdbc(spark, "jdbc:postgresql://nohost/db", "t").count()
+        except Exception:
+            pass  # no DB in the container; the warning is the contract

@@ -401,3 +401,23 @@ def test_rolling_multi_column_reducer(spark):
             assert abs(r["c_builtin"] - r["c_custom"]) < 1e-9
         if r["r"] is not None and r["r"] == r["r"]:  # skip NaN
             assert -1.0 - 1e-9 <= r["r"] <= 1.0 + 1e-9
+
+
+def test_rolling_udf_median(spark):
+    """Window-UDF helper (SURVEY 2.8): Python rolling median over a 3-row
+    right-aligned frame matches hand-computed values."""
+    import numpy as np
+    import pandas as pd
+    from tech_ml_dataset_spark.operators import window as win
+
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([5, 1, 4, 2, 8])],
+        ["g", "t", "v"])
+
+    def med(s: pd.Series) -> pd.Series:
+        return s.map(lambda arr: float(np.median(arr)))
+
+    out = win.rolling_udf(df, "t", {"m": (med, "v", "double")},
+                          window_size=3, by="g", position="left")
+    got = [r["m"] for r in out.orderBy("t").collect()]
+    assert got == [5.0, 3.0, 4.0, 2.0, 4.0]
