@@ -324,6 +324,15 @@ def doc_fingerprints(spark, sf_dir):
         txt.token_count(F.col("text")).alias("n_tokens"))
 
 
+def embedding_dedup_pairs_exact(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs verify on a bounded
+    slice (the oracle baseline for similarity.embedding_dedup_pairs; the
+    banded sign-LSH path is pinned by pytest recall instead)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    out = sim.embedding_dedup_pairs(e, threshold=0.35, method="exact")
+    return out.select("id_a", "id_b", _r4(F.col("cos")).alias("cos"))
+
+
 def cosine_topk_embeddings(spark, sf_dir):
     """Brute-force cosine top-k vs the vec_id=0 query vector."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -860,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
+        "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
         "events_json_extract": events_json_extract,
         "unroll_doc_tokens": unroll_doc_tokens,
         "melt_part_attrs": melt_part_attrs,
@@ -1098,6 +1108,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        "embedding_dedup_pairs_exact": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.35
         """,
         "cosine_topk_embeddings": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

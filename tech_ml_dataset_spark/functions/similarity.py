@@ -177,3 +177,55 @@ def lsh_bucketed_topk(left: DataFrame, right: DataFrame, vec_col: str, k: int,
                   .filter(F.col("__rank__") <= k)
                   .select(left_id, F.col("__rid__").alias("neighbor_id"),
                           F.col("__cos__").alias("cos"), F.col("__rank__").alias("rank")))
+
+
+def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
+                          id_col: str = "vec_id", *, threshold: float = 0.9,
+                          method: str = "lsh", bands: int = 8,
+                          band_bits: int = 4, dim: int | None = None,
+                          seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, beyond-reference
+    mandate): (id_a, id_b, cos) for all pairs with cosine >= threshold.
+
+    method="lsh" (the 100 TB path): banded sign-LSH candidates — bands×
+    band_bits hyperplane signs; two vectors are candidates when ANY band of
+    sign bits agrees (recall for near-identical vectors ~1-(1-(1-θ/π)^r)^b),
+    then exact-cosine verified. The banded self-join mirrors
+    dedup.minhash_candidates' slim shape: only (id, band, key) crosses the
+    candidate exchange; vectors join back per confirmed pair.
+
+    method="exact": all-pairs O(n²) verify — the oracle baseline; use only
+    on bounded slices.
+    """
+    slim = df.select(F.col(id_col), F.col(vec_col))
+    if method == "exact":
+        a = slim.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
+        b = slim.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim, bands * band_bits, seed)
+        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        keys = []
+        for bi in range(bands):
+            key = F.lit(0).cast("long")
+            for j in range(band_bits):
+                p = planes[bi * band_bits + j]
+                bit = (_dot(vd, F.array(*[F.lit(float(x)) for x in p])) > 0)
+                key = key + bit.cast("long") * F.lit(2 ** j).cast("long")
+            keys.append(key)
+        banded = slim.select(
+            id_col, F.posexplode(F.array(*keys)).alias("__band__", "__key__"))
+        a = banded.select(F.col(id_col).alias("id_a"), "__band__", "__key__")
+        b = banded.select(F.col(id_col).alias("id_b"), "__band__", "__key__")
+        ids = (a.join(b, ["__band__", "__key__"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+        pairs = (ids.join(slim.select(F.col(id_col).alias("id_a"),
+                                      F.col(vec_col).alias("__va__")), "id_a")
+                    .join(slim.select(F.col(id_col).alias("id_b"),
+                                      F.col(vec_col).alias("__vb__")), "id_b"))
+    return (pairs.withColumn("cos", cosine(F.col("__va__"), F.col("__vb__")))
+                 .filter(F.col("cos") >= threshold)
+                 .select("id_a", "id_b", "cos"))

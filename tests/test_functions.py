@@ -162,3 +162,28 @@ def test_bad_row_policy_csv(spark, tmp_path):
     with pytest.raises(Exception):
         sio.to_dataset(spark, p, schema=schema, header=True,
                        bad_row_policy="error").collect()
+
+
+def test_embedding_dedup_pairs_lsh_recall(spark):
+    """Banded sign-LSH near-dup detection: near-identical vectors (cosine
+    ~0.999) must be caught with recall 1.0 at default banding; unrelated
+    (orthogonal-ish) vectors must not appear."""
+    import random
+    from tech_ml_dataset_spark.functions import similarity as sim
+
+    rng = random.Random(7)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(10)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        # near-duplicate: tiny perturbation
+        rows.append((2 * i + 1, [float(x + rng.gauss(0, 0.01)) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    got = sim.embedding_dedup_pairs(df, threshold=0.99, method="lsh")
+    pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    expected = {(2 * i, 2 * i + 1) for i in range(10)}
+    assert expected <= pairs              # full recall on true near-dups
+    exact = sim.embedding_dedup_pairs(df, threshold=0.99, method="exact")
+    assert pairs <= {(r["id_a"], r["id_b"]) for r in exact.collect()}  # no false positives vs exact
