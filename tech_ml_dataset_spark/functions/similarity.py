@@ -124,10 +124,14 @@ def ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
     """Pick IVF centroids as a deterministic uniform sample of the data
     (IVF-flat with sampled centroids — the standard cheap init; swap in
     pyspark.ml KMeans refinement when centroid quality matters more than
-    build time). One small job; the result is a driver-side list that
-    every probe broadcasts."""
-    rows = (df.select(vec_col).sample(False, min(1.0, (n_cells * 50) / max(1, df.count())), seed)
-              .limit(n_cells).collect())
+    build time). ONE job, no count() pre-scan: rows get a deterministic
+    per-row hash-rank and TakeOrderedAndProject keeps the n_cells
+    smallest — per-partition heaps, uniform over the data, scan stops at
+    nothing but reads each row once (the old fraction-sizing ran a full
+    count first)."""
+    ranked = df.select(F.col(vec_col)) \
+               .withColumn("__rk__", F.xxhash64(F.col(vec_col), F.lit(seed)))
+    rows = ranked.orderBy("__rk__").limit(n_cells).collect()
     return [list(r[0]) for r in rows]
 
 

@@ -208,12 +208,20 @@ def tail(df: DataFrame, n: int = 5, order_by=None) -> DataFrame:
 
 def sample(df: DataFrame, n: int | None = None, *, fraction: float | None = None,
            replacement: bool = False, seed: int | None = None) -> DataFrame:
-    """``sample``/``rand-nth`` (dataset_api.clj:416,504). Fraction sampling is
-    the scalable path (no count job); ``n`` does approximate oversample+limit."""
+    """``sample``/``rand-nth`` (dataset_api.clj:416,504). Fraction sampling
+    is the per-row-coin-flip path; ``n`` without replacement is an exact
+    uniform reservoir in ONE job — rank by rand and keep the n smallest,
+    which Spark plans as TakeOrderedAndProject (per-partition heaps of n,
+    no global sort, no count() pre-scan). With-replacement n falls back to
+    count-based oversampling (a bootstrap needs the population size)."""
     if fraction is not None:
         return df.sample(withReplacement=replacement, fraction=fraction, seed=seed)
     if n is None:
         n = 5
+    if not replacement:
+        rk = _free_name(df.columns, "__rk__")
+        return (df.withColumn(rk, F.rand(seed))
+                  .orderBy(rk).limit(n).drop(rk))
     total = df.count()
     if total == 0:
         return df
