@@ -324,6 +324,22 @@ def doc_fingerprints(spark, sf_dir):
         txt.token_count(F.col("text")).alias("n_tokens"))
 
 
+def chunk_docs(spark, sf_dir):
+    """Document chunking for training pipelines (beyond-reference): 32-token
+    chunks with 8-token overlap, pure Catalyst split/sequence/posexplode."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return txt.chunk_documents(docs, chunk_size=32, overlap=8)
+
+
+def embedding_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters: connected components (min-label
+    propagation, iterative joins + checkpoints) over the exact embedding
+    near-dup pair graph; oracle is a recursive CTE."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = sim.embedding_dedup_pairs(e, threshold=0.35, method="exact")
+    return dd.dedup_clusters(pairs, e, id_col="vec_id")
+
+
 def embedding_dedup_pairs_exact(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact all-pairs verify on a bounded
     slice (the oracle baseline for similarity.embedding_dedup_pairs; the
@@ -870,6 +886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
+        "chunk_docs": chunk_docs,
+        "embedding_dedup_clusters": embedding_dedup_clusters,
         "events_json_extract": events_json_extract,
         "unroll_doc_tokens": unroll_doc_tokens,
         "melt_part_attrs": melt_part_attrs,
@@ -1108,6 +1126,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        "chunk_docs": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+                WHERE doc_id < 50 AND length(trim(text)) > 0
+            ), st AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1, 24)) AS start
+                FROM t
+            )
+            SELECT doc_id, CAST(start / 24 AS INT) AS chunk_idx,
+                   array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
+                   len(toks[start + 1 : start + 32]) AS n_tokens
+            FROM st
+        """,
+        "embedding_dedup_clusters": """
+            WITH RECURSIVE e AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+            ), p AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ), edges AS (
+                SELECT src, dst FROM p UNION SELECT dst, src FROM p
+            ), reach(node, r) AS (
+                SELECT vec_id, vec_id FROM e
+                UNION
+                SELECT edges.dst, reach.r
+                FROM reach JOIN edges ON edges.src = reach.node
+            )
+            SELECT node AS vec_id, min(r) AS cluster
+            FROM reach GROUP BY node
         """,
         "embedding_dedup_pairs_exact": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)

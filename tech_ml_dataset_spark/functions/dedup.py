@@ -314,3 +314,45 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
+
+
+def dedup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
+                   *, max_iter: int = 25) -> DataFrame:
+    """Transitive near-duplicate clusters: connected components over the
+    candidate-pair graph, returning (id, cluster) with cluster = the
+    component's smallest id. Closes the gap noted in :func:`minhash_dedup`
+    (single-pass representative rule misses transitive chains a~b~c).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; fixpoint in
+    <= graph-diameter rounds (near-dup components are shallow). Each round
+    is one join + one groupBy keyed by node id, with an eager
+    localCheckpoint to truncate the iterative lineage (the standard Spark
+    iterative-algorithm pattern) and an early-exit convergence check —
+    the per-round driver cost is one count, bounded by max_iter."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (edges.unionByName(edges.select(F.col("dst").alias("src"),
+                                            F.col("src").alias("dst")))
+                  .distinct())
+    edges = edges.localCheckpoint(eager=False)
+    labels = (nodes.select(F.col(id_col).alias("node")).distinct()
+                   .withColumn("label", F.col("node"))
+                   .localCheckpoint(eager=False))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["src"] == labels["node"])
+                      .groupBy("dst").agg(F.min("label").alias("__nl__")))
+        new_labels = (labels.join(neigh, labels["node"] == neigh["dst"], "left")
+                            .select(F.col("node"),
+                                    F.least(F.col("label"),
+                                            F.coalesce(F.col("__nl__"),
+                                                       F.col("label")))
+                                     .alias("label"))
+                            .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                   .filter(F.col("n.label") != F.col("o.label")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("cluster"))

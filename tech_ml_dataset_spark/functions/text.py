@@ -255,3 +255,33 @@ def with_quality_lang(df: DataFrame, text_col: str = "text", *,
         quality_col: _quality_from(n_tok, pr, atl),
         tokens_col: n_tok,
     }).drop("__t__", "__toks__")
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, chunk_size: int = 128,
+                    overlap: int = 0, chunk_col: str = "chunk",
+                    index_col: str = "chunk_idx") -> DataFrame:
+    """Split documents into fixed-size token chunks with optional overlap —
+    the standard pre-training/RAG preparation step (beyond-reference
+    mandate; the reference has no chunking surface).
+
+    Whitespace tokens; chunk i covers tokens [i*(chunk_size-overlap),
+    ...+chunk_size). Pure Catalyst: split -> sequence of starts ->
+    posexplode(slice) — one scan, rows fan out ~n_tokens/(chunk_size-
+    overlap) per doc with no Python and no shuffle (the explode keeps the
+    input partitioning; downstream groupBys shuffle as usual). Empty/blank
+    docs produce zero chunks."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(starts, lambda s: F.array_join(
+        F.slice(toks, s + 1, chunk_size), " "))
+    out = df.withColumn("__chunks__",
+                        F.when(F.length(F.trim(F.col(text_col))) > 0, chunks)
+                         .otherwise(F.array().cast("array<string>")))
+    return (out.select(id_col,
+                       F.posexplode("__chunks__").alias(index_col, chunk_col))
+               .withColumn("n_tokens", F.size(F.split(F.col(chunk_col), r"\s+"))))

@@ -78,3 +78,23 @@ def test_simhash_df_empty_text(spark):
 def test_hamming(spark):
     df = spark.createDataFrame([(0b1011, 0b0011)], "a bigint, b bigint")
     assert df.select(dd.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0]["h"] == 1
+
+
+def test_dedup_clusters_transitive(spark):
+    """a~b, b~c (no direct a~c) must land in ONE cluster; isolated nodes
+    keep their own label."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    out = {r["doc_id"]: r["cluster"]
+           for r in dd.dedup_clusters(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_chain_diameter(spark):
+    """A 12-node path graph needs >1 propagation rounds — exercises the
+    iterative fixpoint, not just one hop."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    out = {r["doc_id"]: r["cluster"]
+           for r in dd.dedup_clusters(pairs, nodes).collect()}
+    assert set(out.values()) == {0} and len(out) == 12

@@ -187,3 +187,21 @@ def test_embedding_dedup_pairs_lsh_recall(spark):
     assert expected <= pairs              # full recall on true near-dups
     exact = sim.embedding_dedup_pairs(df, threshold=0.99, method="exact")
     assert pairs <= {(r["id_a"], r["id_b"]) for r in exact.collect()}  # no false positives vs exact
+
+
+def test_chunk_documents_overlap(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, ""), (3, "solo")],
+                               ["doc_id", "text"])
+    out = txt.chunk_documents(df, chunk_size=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"], r["n_tokens"]))
+    # step=3: starts 0,3,6,9
+    assert [c for _, c, _ in sorted(by_doc[1])] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9"]
+    assert [n for *_, n in sorted(by_doc[1])] == [4, 4, 4, 1]
+    assert 2 not in by_doc           # empty doc -> no chunks
+    assert by_doc[3] == [(0, "solo", 1)]
