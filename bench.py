@@ -47,6 +47,26 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # TSV-ingest microbench against BASELINE.md's one quantified figure
+    # (2.77M rows x 12 cols .tsv.gz parsed in 8,588 ms with promotional
+    # inference). Same shape here: lineitem exported once to gz TSV
+    # (cached, not timed), then timed read WITH inferSchema (the
+    # promotional-parse analog, schema pass + parse pass) through noop.
+    from tech_ml_dataset_spark.sources.io import read_parquet
+    tsv_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_cache", f"lineitem_tsv_sf{sf}")
+    li = read_parquet(spark, os.path.join(sf_dir, "lineitem.parquet"))
+    # one gz file per core: .gz is non-splittable, so file count IS the
+    # read parallelism (the reference parses its single 44 MB gz serially)
+    if not os.path.isdir(tsv_dir):
+        (li.repartition(cores).write.mode("overwrite")
+           .options(header=True, sep="\t", compression="gzip").csv(tsv_dir))
+    n_rows = li.count()
+    t0 = time.perf_counter()
+    (spark.read.options(header=True, sep="\t", inferSchema=True).csv(tsv_dir)
+          .write.format("noop").mode("overwrite").save())
+    tsv_sec = round(time.perf_counter() - t0, 4)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": f"query_suite_total_sf{sf}",
@@ -54,6 +74,8 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "tsv_ingest": {"rows": n_rows, "sec": tsv_sec,
+                       "rows_per_sec": round(n_rows / max(tsv_sec, 1e-9))},
     }))
 
 
