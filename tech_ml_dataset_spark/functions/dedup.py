@@ -155,11 +155,18 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  **kw) -> DataFrame:
-    """Drop near-duplicates: a doc is removed when it near-matches any doc
-    with a smaller id (single-pass representative rule; full transitive
-    clustering would need iterative connected components)."""
+                  *, transitive: bool = False, **kw) -> DataFrame:
+    """Drop near-duplicates. Default: a doc is removed when it near-matches
+    any doc with a smaller id (single-pass representative rule — cheap, but
+    a chain a~b~c keeps c when only b matched it). ``transitive=True`` runs
+    :func:`dedup_clusters` connected components over the pair graph and
+    keeps exactly one doc (the min id) per transitive cluster."""
     pairs = minhash_dedup_pairs(df, id_col, text_col, **kw)
+    if transitive:
+        clusters = dedup_clusters(pairs, df, id_col)
+        keep = clusters.filter(F.col(id_col) == F.col("cluster")) \
+                       .select(id_col)
+        return df.join(keep, id_col, "left_semi")
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

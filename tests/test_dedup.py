@@ -98,3 +98,17 @@ def test_dedup_clusters_chain_diameter(spark):
     out = {r["doc_id"]: r["cluster"]
            for r in dd.dedup_clusters(pairs, nodes).collect()}
     assert set(out.values()) == {0} and len(out) == 12
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    """a~b~c chain: representative rule keeps the chain's min only if every
+    link reaches it; transitive clustering must always keep exactly one."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away " \
+           "into the deep green forest to hide from every hunter tonight"
+    v2 = base.replace("green", "dark")
+    v3 = v2.replace("quick", "swift")   # near v2, farther from base
+    df = spark.createDataFrame([(1, base), (2, v2), (3, v3)],
+                               ["doc_id", "text"])
+    out = dd.minhash_dedup(df, threshold=0.5, transitive=True)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1]
