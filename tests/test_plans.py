@@ -269,3 +269,57 @@ def test_ngram_inverted_index_carries_no_arrays_and_caps_df(spark, sf_dir):
             seen_gram_exchange = True
             assert "__sh__" not in outp and "array" not in outp.lower()
     assert seen_gram_exchange
+
+
+# Queries whose plans legitimately contain a "suspect" operator, with the
+# reason each is bounded/intentional. Anything NOT listed here must come
+# out clean — this is the 100 TB viability net over the WHOLE query surface.
+_SCALE_AUDIT_EXEMPT = {
+    "single_partition": {
+        # ≤ #partitions rows flow through the offsets running-sum window
+        "take_nth_lineitem": "per-pid offset window over ~32 rows",
+        "reverse_lineitem_slice": "per-pid offset window over ~32 rows",
+        # explicitly-unpartitioned demos over bounded slices; the operator
+        # warns (warn_unpartitioned) when used this way
+        "loess_smooth_events": "bounded sample fit; grid predict is parallel",
+        "concat_slices": "limit() slices funnel through CollectLimit",
+        "topk_orders": "TakeOrderedAndProject merge of k",
+        "quantiles_price": "single sketch merge row",
+        "descriptive_stats_lineitem": "one-row aggregate pivot",
+        "corr_quantity_price": "one-row aggregate",
+        "mean_center_quantity": "one-row stats broadcast back",
+        "pca_project_lineitem": "covariance one-row collect, driver eigh",
+        "regression_price_model": "normal-equation one-row aggregate",
+        "tensor_bridge_stats": "max_rows-guarded driver bridge",
+    },
+    "cartesian": {
+        "embedding_dedup_pairs_exact": "exact baseline on a <200-id slice",
+        "embedding_dedup_clusters": "same bounded exact pair source",
+        "cosine_topk_embeddings": "scored scan, no join — literal query vec",
+        "lsh_topk_embeddings": "bucket join; slice-bounded",
+        "cross_tiny_dims": "intentional cross of two dimension tables",
+    },
+    "python_rowwise": set(),  # row-at-a-time Python: never acceptable
+}
+
+
+def test_all_queries_scale_audit(spark, sf_dir):
+    """Sweep EVERY entry query's physical plan for the three 100 TB
+    killers: Exchange SinglePartition on the data path, cartesian products,
+    and row-at-a-time Python eval. Exemptions are named and justified."""
+    bad = []
+    for name, fn in entry.queries().items():
+        try:
+            plan = _plan(fn(spark, sf_dir))
+        except Exception as ex:  # pragma: no cover - query itself broken
+            bad.append((name, f"build failed: {ex}"))
+            continue
+        if ("Exchange SinglePartition" in plan
+                and name not in _SCALE_AUDIT_EXEMPT["single_partition"]):
+            bad.append((name, "unexempted Exchange SinglePartition"))
+        if (("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+                and name not in _SCALE_AUDIT_EXEMPT["cartesian"]):
+            bad.append((name, "unexempted cartesian/nested-loop join"))
+        if "BatchEvalPython" in plan:
+            bad.append((name, "row-at-a-time Python UDF"))
+    assert not bad, bad
