@@ -936,8 +936,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lsh_topk_oracle() -> str:
+    """Sign-LSH is deterministic (LCG hyperplanes), so the oracle rebuilds
+    the SAME 4 plane vectors as SQL literals and mirrors bucket assignment,
+    bucket join, and per-left top-5 ranking in DuckDB."""
+    planes = sim.random_hyperplanes(64, 4, 42)
+    def lit(p):
+        return "[" + ", ".join(f"{x!r}" for x in p) + "]"
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {lit(p)}) > 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), pairs AS (
+            SELECT l.vec_id, r.vec_id AS neighbor_id,
+                   list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                          CAST(r.embedding AS DOUBLE[])) AS cos
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+            WHERE l.vec_id < 20
+        ), ranked AS (
+            SELECT vec_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM pairs
+        )
+        SELECT vec_id, neighbor_id, round(cos, 4) AS cos, rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lsh_topk_embeddings": _lsh_topk_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
