@@ -138,8 +138,8 @@ class Dataset:
     def aggregate(self, aggs):
         return self._wrap(_agg.aggregate(self.df, aggs))
 
-    def descriptive_stats(self, columns=None):
-        return self._wrap(_agg.descriptive_stats(self.df, columns))
+    def descriptive_stats(self, columns=None, **kw):
+        return self._wrap(_agg.descriptive_stats(self.df, columns, **kw))
 
     def brief(self):
         return _agg.brief(self.df)
@@ -206,6 +206,33 @@ class Dataset:
 
     def with_analytic(self, order_by, exprs, **kw):
         return self._wrap(_win.with_analytic(self.df, order_by, exprs, **kw))
+
+    def rolling_udf(self, order_by, specs, **kw):
+        return self._wrap(_win.rolling_udf(self.df, order_by, specs, **kw))
+
+    def fill_range_replace(self, axis_col, max_span, **kw):
+        from .operators import timeseries as _tss
+        return self._wrap(_tss.fill_range_replace(self.df, axis_col, max_span, **kw))
+
+    # ---- positional ----------------------------------------------------------
+    def take_nth(self, n, order_by=None):
+        return self._wrap(_sel.take_nth(self.df, n, order_by=order_by))
+
+    def reverse_rows(self, order_by=None):
+        return self._wrap(_sel.reverse_rows(self.df, order_by=order_by))
+
+    # ---- LLM-pipeline --------------------------------------------------------
+    def exact_dedup(self, text_col="text", id_col="doc_id", **kw):
+        from .functions import dedup as _dd
+        return self._wrap(_dd.exact_dedup(self.df, text_col, id_col, **kw))
+
+    def minhash_dedup(self, id_col="doc_id", text_col="text", **kw):
+        from .functions import dedup as _dd
+        return self._wrap(_dd.minhash_dedup(self.df, id_col, text_col, **kw))
+
+    def chunk_documents(self, text_col="text", id_col="doc_id", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.chunk_documents(self.df, text_col, id_col, **kw))
 
     # ---- io ---------------------------------------------------------------------
     def write(self, path, **kw):

@@ -244,3 +244,19 @@ def test_read_jdbc_validates_partition_args(spark):
             tio.read_jdbc(spark, "jdbc:postgresql://nohost/db", "t").count()
         except Exception:
             pass  # no DB in the container; the warning is the contract
+
+
+def test_dataset_fluent_r2_surface(spark):
+    """New r2 operators are reachable from the fluent Dataset wrapper."""
+    from tech_ml_dataset_spark.dataset import Dataset
+
+    ds = Dataset(spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "zz yy xx")],
+        ["doc_id", "text"]))
+    assert ds.take_nth(2, order_by="doc_id").row_count() == 2
+    assert ds.exact_dedup().row_count() == 2
+    chunks = ds.chunk_documents(chunk_size=3)
+    assert chunks.columns == ["doc_id", "chunk_idx", "chunk", "n_tokens"]
+    stats = ds.descriptive_stats(["doc_id"], stats=("n-valid", "median"),
+                                 quantile_accuracy="exact")
+    assert stats.to_pandas()["median"].iloc[0] == 2.0
