@@ -72,3 +72,58 @@ def test_replace_missing_downup_fills_everything(spark, vals):
             nxt = next((vals[j] for j in range(i + 1, len(vals))
                         if vals[j] is not None), None)
             assert got[i] == (prev if prev is not None else nxt)
+
+
+_series = hs.lists(
+    hs.one_of(hs.none(), hs.floats(-100, 100, allow_nan=False)),
+    min_size=1, max_size=12)
+
+
+@given(vals=_series)
+@_SET_SETTINGS
+def test_replace_missing_strategies_match_pandas(spark, vals):
+    """:down/:up/:downup/:lerp against pandas ffill/bfill/interpolate on a
+    single ordered series — exact (both are IEEE double pipelines)."""
+    import math
+    import pandas as pd
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "x int, v double")
+    ps = pd.Series(vals, dtype="float64")
+
+    def got(strategy):
+        out = ms.replace_missing(df, "v", strategy, order_by="x", by=())
+        return [r["v"] for r in out.orderBy("x").collect()]
+
+    def eq(a, b):
+        return len(a) == len(b) and all(
+            (x is None and (y is None or (isinstance(y, float) and math.isnan(y))))
+            or (x is not None and y == y and abs(x - y) < 1e-9)
+            for x, y in zip(a, b))
+
+    assert eq(got("down"), ps.ffill().tolist())
+    assert eq(got("up"), ps.bfill().tolist())
+    assert eq(got("downup"), ps.ffill().bfill().tolist())
+    # pandas interpolate = lerp on the integer axis, then edges stay NaN;
+    # our :lerp coalesces edges to prev/next — apply the same to pandas
+    want = ps.interpolate(method="linear", limit_direction="both").tolist()
+    assert eq(got("lerp"), want)
+
+
+@given(vals=hs.lists(hs.floats(-1000, 1000, allow_nan=False, allow_subnormal=False),
+                     min_size=2, max_size=15))
+@_SET_SETTINGS
+def test_descriptive_stats_match_numpy(spark, vals):
+    """mean/min/max/median/quartiles against numpy on random doubles
+    (exact quantile mode; linear interpolation both sides)."""
+    import numpy as np
+    from tech_ml_dataset_spark.operators import aggregate as agg
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = agg.descriptive_stats(
+        df, stats=("min", "max", "mean", "quartile-1", "median", "quartile-3"),
+        quantile_accuracy="exact").collect()[0]
+    assert abs(r["mean"] - np.mean(vals)) < 1e-6 * max(1, abs(np.mean(vals)))
+    assert float(r["min"]) == min(vals) and float(r["max"]) == max(vals)
+    for s, q in (("quartile-1", 25), ("median", 50), ("quartile-3", 75)):
+        assert abs(r[s] - np.percentile(vals, q)) < 1e-7 * max(1.0, abs(np.percentile(vals, q)))
