@@ -324,6 +324,20 @@ def doc_fingerprints(spark, sf_dir):
         txt.token_count(F.col("text")).alias("n_tokens"))
 
 
+def gopher_quality_docs(spark, sf_dir):
+    """Gopher-style quality rules (Rae et al. 2021 A1.1): word-count band,
+    mean-word-length band, alpha-word fraction, stopword hits, top-bigram
+    repetition — per-rule booleans + overall pass, one scan + one linear
+    bigram aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    out = txt.gopher_quality(docs, min_words=30)
+    return out.select("doc_id", "n_words", "rule_word_count",
+                      "rule_mean_word_len", "rule_alpha_words",
+                      "rule_stopwords",
+                      _r4(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+                      "rule_repetition", "quality_pass")
+
+
 def chunk_docs(spark, sf_dir):
     """Document chunking for training pipelines (beyond-reference): 32-token
     chunks with 8-token overlap, pure Catalyst split/sequence/posexplode."""
@@ -886,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
+        "gopher_quality_docs": gopher_quality_docs,
         "chunk_docs": chunk_docs,
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "events_json_extract": events_json_extract,
@@ -1158,6 +1173,50 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        "gopher_quality_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), base AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                           / len(toks) AS mean_len,
+                       CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                            AS DOUBLE) / len(toks) AS alpha_frac,
+                       len(list_filter(toks, x -> x IN ('the','a','an','and','or',
+                                                        'of','to','in','is','it')))
+                           AS sw_hits
+                FROM t
+            ), bg AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id,
+                             unnest([toks[i] || ' ' || toks[i+1]
+                                     FOR i IN range(1, len(toks))]) AS g
+                      FROM t WHERE len(toks) >= 2)
+                GROUP BY doc_id, g
+            ), rep AS (
+                SELECT doc_id, max(c) AS topc FROM bg GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n AS n_words,
+                   b.n BETWEEN 30 AND 100000 AS rule_word_count,
+                   b.mean_len BETWEEN 3.0 AND 10.0 AS rule_mean_word_len,
+                   b.alpha_frac >= 0.8 AS rule_alpha_words,
+                   b.sw_hits >= 2 AS rule_stopwords,
+                   round(CASE WHEN b.n <= 1 THEN 0.0
+                              ELSE coalesce(r.topc, 0) * 2.0 / b.n END, 4)
+                       AS top_bigram_frac,
+                   (CASE WHEN b.n <= 1 THEN 0.0
+                         ELSE coalesce(r.topc, 0) * 2.0 / b.n END) <= 0.2
+                       AS rule_repetition,
+                   (b.n BETWEEN 30 AND 100000)
+                   AND (b.mean_len BETWEEN 3.0 AND 10.0)
+                   AND (b.alpha_frac >= 0.8) AND (b.sw_hits >= 2)
+                   AND ((CASE WHEN b.n <= 1 THEN 0.0
+                              ELSE coalesce(r.topc, 0) * 2.0 / b.n END) <= 0.2)
+                       AS quality_pass
+            FROM base b LEFT JOIN rep r USING (doc_id)
         """,
         "chunk_docs": """
             WITH t AS (

@@ -285,3 +285,76 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     return (out.select(id_col,
                        F.posexplode("__chunks__").alias(index_col, chunk_col))
                .withColumn("n_tokens", F.size(F.split(F.col(chunk_col), r"\s+"))))
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   min_alpha_word_frac: float = 0.8,
+                   min_stopwords: int = 2,
+                   max_top_bigram_frac: float = 0.2) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 — public
+    heuristics used by most LLM data pipelines): per-rule boolean columns
+    plus an overall ``quality_pass``.
+
+    Rules (plain-text subset; line-based rules need newline-preserving
+    corpora): word-count band, mean-word-length band, fraction of words
+    containing an alphabetic character, minimum stop-word hits, and
+    repetition — the fraction of the document covered by its single most
+    frequent word bigram.
+
+    Plan: every rule except repetition is a pure Column expression in ONE
+    scan. Repetition needs a per-doc top-bigram count: explode bigrams ->
+    two-level groupBy (map-side combined) -> max count, broadcast-joined
+    back — the same shuffle-by-id shape as simhash_df, linear in corpus
+    size."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    n = F.size(toks)
+    mean_len = F.coalesce(avg_token_length(F.col(text_col)), F.lit(0.0))
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n)
+    sw_hits = F.size(F.filter(
+        toks, lambda t: F.array_contains(
+            F.array(*[F.lit(w) for w in
+                      ("the", "a", "an", "and", "or", "of", "to", "in",
+                       "is", "it")]), t)))
+
+    out = df.withColumns({
+        "n_words": n,
+        "rule_word_count": (n >= min_words) & (n <= max_words),
+        "rule_mean_word_len": (mean_len >= min_mean_word_len)
+                              & (mean_len <= max_mean_word_len),
+        "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "rule_stopwords": sw_hits >= min_stopwords,
+    })
+
+    bigrams = F.filter(
+        F.transform(F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                          F.element_at(toks, i + 2))),
+        lambda s: s != "")
+    bg = df.select(F.col(id_col), F.size(toks).alias("__nb__"),
+                   F.explode_outer(bigrams).alias("__g__"))
+    top = (bg.groupBy(id_col, "__g__").agg(F.count(F.lit(1)).alias("__c__"),
+                                           F.first("__nb__").alias("__nb__"))
+             .groupBy(id_col).agg(F.max("__c__").alias("__top__"),
+                                  F.first("__nb__").alias("__nb__")))
+    rep = top.select(
+        id_col,
+        F.when(F.col("__nb__") <= 1, F.lit(0.0))
+         .otherwise(F.col("__top__") * 2.0 / F.greatest(F.col("__nb__"), F.lit(1)))
+         .alias("top_bigram_frac"))
+    # rep is one row per document (corpus-sized) — a plain shuffle join,
+    # NEVER a broadcast
+    out = out.join(rep, id_col, "left") \
+             .withColumn("top_bigram_frac",
+                         F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))) \
+             .withColumn("rule_repetition",
+                         F.col("top_bigram_frac") <= max_top_bigram_frac)
+    return out.withColumn(
+        "quality_pass",
+        F.col("rule_word_count") & F.col("rule_mean_word_len")
+        & F.col("rule_alpha_words") & F.col("rule_stopwords")
+        & F.col("rule_repetition"))

@@ -205,3 +205,20 @@ def test_chunk_documents_overlap(spark):
     assert [n for *_, n in sorted(by_doc[1])] == [4, 4, 4, 1]
     assert 2 not in by_doc           # empty doc -> no chunks
     assert by_doc[3] == [(0, "solo", 1)]
+
+
+def test_gopher_quality_rules(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame([
+        (1, " ".join(f"word{i} with the usual and of mix here" for i in range(8))),
+        (2, "too short"),
+        (3, " ".join(["123 456 789 000 111"] * 10)),        # digits only
+        (4, " ".join(["spam ham"] * 30)),                   # one repeated bigram
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in txt.gopher_quality(df, min_words=10).collect()}
+    assert out[1]["rule_word_count"] and out[1]["rule_stopwords"]
+    assert not out[2]["rule_word_count"]
+    assert not out[3]["rule_alpha_words"] and not out[3]["rule_stopwords"]
+    assert not out[4]["rule_repetition"] and out[4]["top_bigram_frac"] > 0.5
+    assert not out[4]["quality_pass"]
