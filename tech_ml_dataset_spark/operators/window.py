@@ -105,8 +105,12 @@ class FrameReducer:
 def _spec_expr(spec: tuple, w: WindowSpec) -> Column:
     """One rolling-spec entry -> Column. Forms:
     ``(reducer_name, src)`` single-column built-in;
+    ``("nth", src, k)`` k-th value inside the frame (rolling.clj:57);
     ``(reducer_name, [src1, src2])`` two-column built-in (corr/covariance);
     ``(callable, [src...])`` custom — callable(FrameReducer, *cols)."""
+    if len(spec) == 3 and spec[0] == "nth":
+        _red, src, k = spec
+        return F.nth_value(F.col(src), int(k) + 1).over(w)  # 0-based like rdr
     red, src = spec
     if callable(red) and not isinstance(red, str):
         srcs = [src] if isinstance(src, (str, Column)) else list(src)

@@ -421,3 +421,16 @@ def test_rolling_udf_median(spark):
                           window_size=3, by="g", position="left")
     got = [r["m"] for r in out.orderBy("t").collect()]
     assert got == [5.0, 3.0, 4.0, 2.0, 4.0]
+
+
+def test_rolling_nth_reducer(spark):
+    """rolling.clj:57 nth reducer: 0-based k-th value inside the frame."""
+    from tech_ml_dataset_spark.operators import window as win
+
+    df = spark.createDataFrame([(1, i, float(i * 10)) for i in range(5)],
+                               ["g", "t", "v"])
+    out = win.rolling(df, "t", {"second": ("nth", "v", 1)},
+                      window_size=3, by="g", position="left")
+    got = {r["t"]: r["second"] for r in out.collect()}
+    # frame = rows [t-2, t]; nth(1) = middle element once frame has >= 2 rows
+    assert got[0] is None and got[1] == 10.0 and got[2] == 10.0 and got[3] == 20.0
