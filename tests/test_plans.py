@@ -278,7 +278,6 @@ _SCALE_AUDIT_EXEMPT = {
     "single_partition": {
         # ≤ #partitions rows flow through the offsets running-sum window
         "take_nth_lineitem": "per-pid offset window over ~32 rows",
-        "reverse_lineitem_slice": "per-pid offset window over ~32 rows",
         # explicitly-unpartitioned demos over bounded slices; the operator
         # warns (warn_unpartitioned) when used this way
         "loess_smooth_events": "bounded sample fit; grid predict is parallel",
@@ -290,17 +289,22 @@ _SCALE_AUDIT_EXEMPT = {
         "mean_center_quantity": "one-row stats broadcast back",
         "pca_project_lineitem": "covariance one-row collect, driver eigh",
         "regression_price_model": "normal-equation one-row aggregate",
-        "tensor_bridge_stats": "max_rows-guarded driver bridge",
     },
     "cartesian": {
         "embedding_dedup_pairs_exact": "exact baseline on a <200-id slice",
         "embedding_dedup_clusters": "same bounded exact pair source",
         "cosine_topk_embeddings": "scored scan, no join — literal query vec",
         "lsh_topk_embeddings": "bucket join; slice-bounded",
-        "cross_tiny_dims": "intentional cross of two dimension tables",
     },
     "python_rowwise": set(),  # row-at-a-time Python: never acceptable
 }
+
+
+def test_scale_audit_exemptions_are_real_queries():
+    names = set(entry.queries())
+    for kind in ("single_partition", "cartesian"):
+        phantom = set(_SCALE_AUDIT_EXEMPT[kind]) - names
+        assert not phantom, f"exemptions for nonexistent queries: {phantom}"
 
 
 def test_all_queries_scale_audit(spark, sf_dir):
