@@ -324,6 +324,16 @@ def doc_fingerprints(spark, sf_dir):
         txt.token_count(F.col("text")).alias("n_tokens"))
 
 
+def unigram_lm_docs(spark, sf_dir):
+    """CCNet-style perplexity proxy: corpus unigram LM (Lidstone-smoothed),
+    mean -log2 p(token) per document. Two linear aggregations, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    out = txt.unigram_logprob_score(docs)
+    return out.select("doc_id",
+                      _r4(F.col("bits_per_token")).alias("bits_per_token"),
+                      "n_scored_tokens")
+
+
 def gopher_quality_docs(spark, sf_dir):
     """Gopher-style quality rules (Rae et al. 2021 A1.1): word-count band,
     mean-word-length band, alpha-word fraction, stopword hits, top-bigram
@@ -900,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
+        "unigram_lm_docs": unigram_lm_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "chunk_docs": chunk_docs,
         "embedding_dedup_clusters": embedding_dedup_clusters,
@@ -1173,6 +1184,26 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        "unigram_lm_docs": """
+            WITH ex AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                FROM documents
+            ), ex2 AS (
+                SELECT doc_id, w FROM ex WHERE length(w) > 0
+            ), freq AS (
+                SELECT w, count(*) AS c FROM ex2 GROUP BY w
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS N,
+                       CAST(count(*) AS DOUBLE) AS V FROM freq
+            )
+            SELECT e.doc_id,
+                   round(-avg(log2((f.c + 0.5) / (tot.N + 0.5 * tot.V))), 4)
+                       AS bits_per_token,
+                   count(*) AS n_scored_tokens
+            FROM ex2 e JOIN freq f USING (w), tot
+            GROUP BY e.doc_id
         """,
         "gopher_quality_docs": """
             WITH t AS (

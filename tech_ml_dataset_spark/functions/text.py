@@ -358,3 +358,32 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
         F.col("rule_word_count") & F.col("rule_mean_word_len")
         & F.col("rule_alpha_words") & F.col("rule_stopwords")
         & F.col("rule_repetition"))
+
+
+def unigram_logprob_score(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", *,
+                          smoothing: float = 0.5) -> DataFrame:
+    """Corpus-relative unigram language-model score per document — the
+    CCNet-style perplexity proxy (Wenzek et al. 2020 score documents with
+    an LM; a unigram model built from the corpus itself is the
+    vocabulary-free analog): mean negative log2 probability per token,
+    lower = more typical of the corpus.
+
+    Plan: one explode->groupBy builds the token frequency table (map-side
+    combined, linear shuffle), one broadcast-less join scores tokens
+    against it, one groupBy(id) averages. p(w) is Lidstone-smoothed:
+    (c_w + a) / (N + a*V). All JVM-side."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    ex = (df.select(F.col(id_col), F.explode(toks).alias("__w__"))
+            .filter(F.length("__w__") > 0))
+    freq = ex.groupBy("__w__").agg(F.count(F.lit(1)).alias("__c__"))
+    totals = freq.agg(F.sum("__c__").alias("__N__"),
+                      F.count(F.lit(1)).alias("__V__")).collect()[0]
+    n_total, vocab = float(totals["__N__"] or 0), float(totals["__V__"] or 1)
+    denom = n_total + smoothing * vocab
+    logp = F.log2((F.col("__c__") + F.lit(smoothing)) / F.lit(denom))
+    scored = (ex.join(freq, "__w__")
+                .groupBy(id_col)
+                .agg((-F.avg(logp)).alias("bits_per_token"),
+                     F.count(F.lit(1)).alias("n_scored_tokens")))
+    return df.join(scored, id_col, "left")

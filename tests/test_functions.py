@@ -222,3 +222,18 @@ def test_gopher_quality_rules(spark):
     assert not out[3]["rule_alpha_words"] and not out[3]["rule_stopwords"]
     assert not out[4]["rule_repetition"] and out[4]["top_bigram_frac"] > 0.5
     assert not out[4]["quality_pass"]
+
+
+def test_unigram_logprob_score(spark):
+    """Rarer tokens -> higher bits/token; common-token doc scores lower."""
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common rareword"),
+         (3, "")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in txt.unigram_logprob_score(df).collect()}
+    assert out[1]["bits_per_token"] < out[2]["bits_per_token"]
+    assert out[3]["bits_per_token"] is None          # empty doc unscored
+    assert out[1]["n_scored_tokens"] == 4
