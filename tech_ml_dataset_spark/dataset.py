@@ -234,6 +234,18 @@ class Dataset:
         from .functions import text as _txt
         return self._wrap(_txt.chunk_documents(self.df, text_col, id_col, **kw))
 
+    def gopher_quality(self, text_col="text", id_col="doc_id", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.gopher_quality(self.df, text_col, id_col, **kw))
+
+    def unigram_logprob_score(self, text_col="text", id_col="doc_id", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.unigram_logprob_score(self.df, text_col, id_col, **kw))
+
+    def embedding_dedup_pairs(self, vec_col="embedding", id_col="vec_id", **kw):
+        from .functions import similarity as _sim
+        return self._wrap(_sim.embedding_dedup_pairs(self.df, vec_col, id_col, **kw))
+
     # ---- io ---------------------------------------------------------------------
     def write(self, path, **kw):
         _io.write(self.df, path, **kw)
