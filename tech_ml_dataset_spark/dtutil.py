@@ -66,3 +66,19 @@ def from_epoch_micros(col: str | Column, target_dtype: str) -> Column:
     """Inverse of :func:`epoch_micros`: epoch-micros long -> ``target_dtype``
     (e.g. ``timestamp_ntz``, ``timestamp``, ``date``)."""
     return F.timestamp_micros(_c(col).cast("long")).cast(target_dtype)
+
+
+def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition up to one partition per core when the input has fewer.
+
+    A stage cannot split an input partition mid-flight: a small parquet
+    file (< maxPartitionBytes) scans as ONE partition, so CPU-heavy
+    per-row work layered on it (tokenize/explode/hash) runs on one core
+    no matter how wide the cluster. Call this BEFORE the heavy expression
+    when the downstream cost is per-row compute, not I/O. No-op when the
+    scan is already wide (the 100 TB case — many splits)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols \
+        else df.repartition(target)

@@ -222,12 +222,8 @@ def simhash_df(df: DataFrame, id_cols, text_col: str = "text", *, k: int = 2,
 
     if isinstance(id_cols, str):
         id_cols = [id_cols]
-    # the explode fans each doc out ~token-count×; a stage can't split an
-    # input partition mid-flight, so make sure the CPU-heavy hash work has
-    # at least one partition per core before it starts
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, *id_cols)
+    from ..dtutil import ensure_parallelism
+    df = ensure_parallelism(df, *id_cols)
     feats = shingles(F.col(text_col), k, mode="word")
     # xxhash64(NULL) yields the seed, not NULL — mask the explode_outer
     # placeholder row of empty docs so it doesn't count as a feature

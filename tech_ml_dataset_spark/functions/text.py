@@ -271,6 +271,8 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     overlap) per doc with no Python and no shuffle (the explode keeps the
     input partitioning; downstream groupBys shuffle as usual). Empty/blank
     docs produce zero chunks."""
+    from ..dtutil import ensure_parallelism
+    df = ensure_parallelism(df)
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     step = chunk_size - overlap
@@ -310,6 +312,8 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     two-level groupBy (map-side combined) -> max count, broadcast-joined
     back — the same shuffle-by-id shape as simhash_df, linear in corpus
     size."""
+    from ..dtutil import ensure_parallelism
+    df = ensure_parallelism(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     n = F.size(toks)
     mean_len = F.coalesce(avg_token_length(F.col(text_col)), F.lit(0.0))
@@ -373,6 +377,8 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     combined, linear shuffle), one broadcast-less join scores tokens
     against it, one groupBy(id) averages. p(w) is Lidstone-smoothed:
     (c_w + a) / (N + a*V). All JVM-side."""
+    from ..dtutil import ensure_parallelism
+    df = ensure_parallelism(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     ex = (df.select(F.col(id_col), F.explode(toks).alias("__w__"))
             .filter(F.length("__w__") > 0))
