@@ -24,13 +24,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 # ---- categorical ------------------------------------------------------------
 
 def fit_categorical_map(df: DataFrame, colname: str, *,
-                        table: dict | None = None) -> dict:
+                        table: dict | None = None,
+                        max_categories: int = 100_000) -> dict:
     """``fit-categorical-map`` (categorical.clj:80): value -> int code.
     Deterministic: codes assigned by sorted value order (the reference
     assigns by first-seen order, which is scan-order-dependent — sorted is
-    the distributed-stable choice). Explicit ``table`` pins codes."""
+    the distributed-stable choice). Explicit ``table`` pins codes.
+
+    The fit collects the DISTINCT domain to the driver (inherent to a code
+    table; the reference holds it in memory too). ``max_categories`` makes
+    an accidental fit on a high-cardinality key fail loudly instead of
+    OOMing the driver — raise it deliberately for big vocabularies."""
     if table is None:
-        vals = [r[0] for r in df.select(colname).distinct().collect()]
+        vals = [r[0] for r in df.select(colname).distinct()
+                                .limit(max_categories + 1).collect()]
+        if len(vals) > max_categories:
+            raise ValueError(
+                f"fit_categorical_map({colname!r}): more than "
+                f"{max_categories} distinct values — this column looks like "
+                "a key, not a category; raise max_categories to override")
         table = {v: i for i, v in enumerate(sorted(v for v in vals if v is not None))}
     return {"column": colname, "table": dict(table)}
 

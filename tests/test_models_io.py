@@ -260,3 +260,12 @@ def test_dataset_fluent_r2_surface(spark):
     stats = ds.descriptive_stats(["doc_id"], stats=("n-valid", "median"),
                                  quantile_accuracy="exact")
     assert stats.to_pandas()["median"].iloc[0] == 2.0
+
+
+def test_fit_categorical_map_caps_cardinality(spark):
+    from tech_ml_dataset_spark.ml import preprocess as mlp
+    df = spark.range(0, 50).withColumn("k", F.col("id").cast("string"))
+    with pytest.raises(ValueError, match="max_categories"):
+        mlp.fit_categorical_map(df, "k", max_categories=10)
+    fitted = mlp.fit_categorical_map(df, "k", max_categories=100)
+    assert len(fitted["table"]) == 50
