@@ -183,6 +183,8 @@ def induction(df: DataFrame, order_by, out_col: str, update_expr: Callable, *,
 
     if by_cols:
         return _grouped_sequential(df, by_cols, run, out_schema)
+    from ..dtutil import warn_unpartitioned
+    warn_unpartitioned("induction")
     return df.coalesce(1).groupBy(F.lit(1).alias("__g__")) \
              .applyInPandas(lambda pdf: run(pdf), schema=out_schema)
 
