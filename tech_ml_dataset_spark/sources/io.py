@@ -171,13 +171,22 @@ def to_dataset(
 
 def write(df: DataFrame, path: str, *, file_type: str | None = None,
           mode: str = "overwrite", partition_by: Iterable[str] | None = None,
+          sort_by: Iterable[str] | None = None,
           **options) -> None:
     """``write!`` (reference io.clj:266-284): path-suffix-dispatched sink.
 
-    ``partition_by`` exposes hive-style partitioning — the scale lever the
-    single-node reference never needed (partition pruning at read time).
+    Layout levers the single-node reference never needed, decisive at scale:
+    ``partition_by`` — hive-style directory partitioning, so reads with a
+    filter on those columns prune whole directories (``PartitionFilters``
+    in the scan); ``sort_by`` — sortWithinPartitions before writing, so
+    parquet row-group min/max statistics become selective and filtered
+    reads skip row groups inside each file (data skipping). Use
+    partition_by for low-cardinality query dimensions, sort_by for the
+    high-cardinality range-filtered axis (time, id).
     """
     fmt = file_type or sniff_format(path)[0]
+    if sort_by:
+        df = df.sortWithinPartitions(*list(sort_by))
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         writer = writer.option("header", options.pop("header", "true"))

@@ -327,3 +327,27 @@ def test_all_queries_scale_audit(spark, sf_dir):
         if "BatchEvalPython" in plan:
             bad.append((name, "row-at-a-time Python UDF"))
     assert not bad, bad
+
+
+def test_partitioned_write_prunes_at_read(spark, sf_dir, tmp_path):
+    """write(partition_by=...) -> a filtered read shows PartitionFilters
+    and scans only the matching directory — the directory-level analog of
+    predicate pushdown, free at 100 TB once the layout exists."""
+    from tech_ml_dataset_spark.sources.io import read_parquet, write
+
+    orders = read_parquet(spark, f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    out = str(tmp_path / "orders_part")
+    write(orders, out, file_type="parquet",
+          partition_by=["o_orderpriority"], sort_by=["o_orderkey"])
+
+    df = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    frag = plan.split("PartitionFilters:", 1)[1][:200]
+    assert "o_orderpriority" in frag
+    # the partition predicate must NOT appear as a data filter (it's
+    # resolved from directory names, reading nothing else)
+    n_match = df.count()
+    n_all = spark.read.parquet(out).count()
+    assert 0 < n_match < n_all
