@@ -197,6 +197,24 @@ def rolling_user_value(spark, sf_dir):
                       _r4(F.col("roll_sum")).alias("roll_sum"))
 
 
+def rolling_center_user(spark, sf_dir):
+    """Center-aligned fixed window (rolling.clj :relative-window-position
+    :center — earlier half before, rest after): 5-row centered mean."""
+    ev = _t(spark, sf_dir, "events")
+    out = win.rolling(ev, ["ts", "event_id"], {"c_mean": ("mean", "value")},
+                      window_size=5, by="user_id", position="center")
+    return out.select("event_id", "user_id",
+                      _r4(F.col("c_mean")).alias("c_mean"))
+
+
+def cross_region_priority(spark, sf_dir):
+    """Explicit cross join (join.py cross): region x distinct order
+    priorities — the reference's cross product on small sides."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    p = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return jn.cross_join(r, p)
+
+
 def rolling_corr_user(spark, sf_dir):
     """Multi-column rolling reducer (rolling.clj:102-111,200-216): Pearson
     correlation of (value, event_id) over a 20-row right-aligned window per
@@ -898,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_slices": concat_slices,
         "lineitem_except": lineitem_except,
         "rolling_user_value": rolling_user_value,
+        "rolling_center_user": rolling_center_user,
+        "cross_region_priority": cross_region_priority,
         "rolling_corr_user": rolling_corr_user,
         "rolling_monthly_orders": rolling_monthly_orders,
         "expanding_user_cumsum": expanding_user_cumsum,
@@ -1088,6 +1108,16 @@ def oracle_sql() -> dict[str, str]:
              AND r.o_orderdate <= l.o_orderdate
              AND r.o_orderdate >= l.o_orderdate - INTERVAL 3 MONTH
             GROUP BY l.o_orderkey, l.o_custkey, l.o_orderdate
+        """,
+        "rolling_center_user": """
+            SELECT event_id, user_id, round(avg(value) OVER w, 4) AS c_mean
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        """,
+        "cross_region_priority": """
+            SELECT r.r_name, p.o_orderpriority
+            FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
         """,
         "rolling_corr_user": """
             SELECT event_id, user_id,

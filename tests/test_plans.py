@@ -291,6 +291,7 @@ _SCALE_AUDIT_EXEMPT = {
         "regression_price_model": "normal-equation one-row aggregate",
     },
     "cartesian": {
+        "cross_region_priority": "intentional cross of two tiny sides",
         "embedding_dedup_pairs_exact": "exact baseline on a <200-id slice",
         "embedding_dedup_clusters": "same bounded exact pair source",
         "cosine_topk_embeddings": "scored scan, no join — literal query vec",
