@@ -197,6 +197,32 @@ def rolling_user_value(spark, sf_dir):
                       _r4(F.col("roll_sum")).alias("roll_sum"))
 
 
+def rolling_clamp_user(spark, sf_dir):
+    """:clamp edge mode (rolling.clj:130-133 — the reference DEFAULT):
+    out-of-range frame positions re-count the partition's boundary value.
+    5-row left window mean with clamp padding, per user."""
+    ev = _t(spark, sf_dir, "events")
+    out = win.rolling(ev, ["ts", "event_id"], {"cl_mean": ("mean", "value")},
+                      window_size=5, by="user_id", position="left",
+                      edge_mode="clamp")
+    return out.select("event_id", "user_id",
+                      _r4(F.col("cl_mean")).alias("cl_mean"))
+
+
+def columnwise_round_lineitem(spark, sf_dir):
+    """update-columnwise (dataset_api.clj:587): one fn over every selected
+    column — here floor() over the monetary doubles."""
+    from tech_ml_dataset_spark.operators import colmap as cm
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+    out = cm.update_columnwise(li, ["l_extendedprice", "l_discount", "l_tax"],
+                               lambda c: F.floor(c * 100) / 100)
+    return out.select("l_orderkey", "l_linenumber",
+                      F.col("l_extendedprice").alias("price_c"),
+                      F.col("l_discount").alias("disc_c"),
+                      F.col("l_tax").alias("tax_c"))
+
+
 def rolling_center_user(spark, sf_dir):
     """Center-aligned fixed window (rolling.clj :relative-window-position
     :center — earlier half before, rest after): 5-row centered mean."""
@@ -916,6 +942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_slices": concat_slices,
         "lineitem_except": lineitem_except,
         "rolling_user_value": rolling_user_value,
+        "rolling_clamp_user": rolling_clamp_user,
+        "columnwise_round_lineitem": columnwise_round_lineitem,
         "rolling_center_user": rolling_center_user,
         "cross_region_priority": cross_region_priority,
         "rolling_corr_user": rolling_corr_user,
@@ -1108,6 +1136,29 @@ def oracle_sql() -> dict[str, str]:
              AND r.o_orderdate <= l.o_orderdate
              AND r.o_orderdate >= l.o_orderdate - INTERVAL 3 MONTH
             GROUP BY l.o_orderkey, l.o_custkey, l.o_orderdate
+        """,
+        "rolling_clamp_user": """
+            WITH b AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER wo AS rn,
+                       sum(value) OVER (wo ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS bs,
+                       count(value) OVER (wo ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS bc,
+                       first_value(value) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND UNBOUNDED FOLLOWING) AS fv
+                FROM events
+                WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   round((bs + greatest(0, 4 - (rn - 1)) * fv)
+                         / (bc + greatest(0, 4 - (rn - 1))), 4) AS cl_mean
+            FROM b
+        """,
+        "columnwise_round_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   floor(l_extendedprice * 100) / 100 AS price_c,
+                   floor(l_discount * 100) / 100 AS disc_c,
+                   floor(l_tax * 100) / 100 AS tax_c
+            FROM lineitem
         """,
         "rolling_center_user": """
             SELECT event_id, user_id, round(avg(value) OVER w, 4) AS c_mean
