@@ -197,6 +197,36 @@ def rolling_user_value(spark, sf_dir):
                       _r4(F.col("roll_sum")).alias("roll_sum"))
 
 
+def nearest_fill_events(spark, sf_dir):
+    """replace-missing :nearest (missing.clj strategy family): fill with
+    whichever of prev/next non-null is closer on the ts axis (ties go to
+    prev)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("value"))
+    out = ms.replace_missing(ev, "value", "nearest",
+                             order_by=["ts", "event_id"], by="user_id")
+    return out.select("event_id", "user_id", _r4(F.col("value")).alias("value"))
+
+
+def cube_orders(spark, sf_dir):
+    """CUBE grouping sets (parity-plus, SURVEY 2.4): all key subsets in a
+    single Expand pass."""
+    o = _t(spark, sf_dir, "orders")
+    return agg.cube_agg(o, ["o_orderstatus", "o_orderpriority"],
+                        {"n": ("row-count", None),
+                         "sum_price": lambda F: F.round(F.sum("o_totalprice"), 4)})
+
+
+def reduce_union_orders(spark, sf_dir):
+    """reduce-union :count (set.clj:118): distinct rows + max multiplicity
+    across two slices, one tagged-union shuffle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    a = o.filter(F.col("o_orderpriority") <= "3-MEDIUM")
+    b = o.filter(F.col("o_orderpriority") >= "3-MEDIUM")
+    return st.reduce_union_counts(a, b)
+
+
 def rolling_clamp_user(spark, sf_dir):
     """:clamp edge mode (rolling.clj:130-133 — the reference DEFAULT):
     out-of-range frame positions re-count the partition's boundary value.
@@ -942,6 +972,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_slices": concat_slices,
         "lineitem_except": lineitem_except,
         "rolling_user_value": rolling_user_value,
+        "nearest_fill_events": nearest_fill_events,
+        "cube_orders": cube_orders,
+        "reduce_union_orders": reduce_union_orders,
         "rolling_clamp_user": rolling_clamp_user,
         "columnwise_round_lineitem": columnwise_round_lineitem,
         "rolling_center_user": rolling_center_user,
@@ -1136,6 +1169,56 @@ def oracle_sql() -> dict[str, str]:
              AND r.o_orderdate <= l.o_orderdate
              AND r.o_orderdate >= l.o_orderdate - INTERVAL 3 MONTH
             GROUP BY l.o_orderkey, l.o_custkey, l.o_orderdate
+        """,
+        "nearest_fill_events": """
+            WITH b AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN value < 5 THEN NULL ELSE value END AS v,
+                       CAST(epoch_us(ts) AS DOUBLE) AS x
+                FROM events
+            ), w AS (
+                SELECT *,
+                       last_value(v IGNORE NULLS) OVER wd AS prev_v,
+                       first_value(v IGNORE NULLS) OVER wu AS next_v,
+                       last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+                           OVER wd AS prev_x,
+                       first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+                           OVER wu AS next_x
+                FROM b
+                WINDOW wd AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wu AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN prev_v IS NULL THEN next_v
+                              WHEN next_v IS NULL THEN prev_v
+                              WHEN (x - prev_x) <= (next_x - x) THEN prev_v
+                              ELSE next_v END, 4) AS value
+            FROM w
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 4) AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "reduce_union_orders": """
+            WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders
+                       WHERE o_orderpriority <= '3-MEDIUM'),
+                 b AS (SELECT o_orderstatus, o_orderpriority FROM orders
+                       WHERE o_orderpriority >= '3-MEDIUM'),
+                 ca AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c
+                        FROM a GROUP BY ALL),
+                 cb AS (SELECT o_orderstatus, o_orderpriority, count(*) AS c
+                        FROM b GROUP BY ALL)
+            SELECT coalesce(ca.o_orderstatus, cb.o_orderstatus) AS o_orderstatus,
+                   coalesce(ca.o_orderpriority, cb.o_orderpriority) AS o_orderpriority,
+                   greatest(coalesce(ca.c, 0), coalesce(cb.c, 0)) AS count
+            FROM ca FULL OUTER JOIN cb
+              ON ca.o_orderstatus = cb.o_orderstatus
+             AND ca.o_orderpriority = cb.o_orderpriority
         """,
         "rolling_clamp_user": """
             WITH b AS (
