@@ -197,6 +197,23 @@ def rolling_user_value(spark, sf_dir):
                       _r4(F.col("roll_sum")).alias("roll_sum"))
 
 
+def corpus_composition(spark, sf_dir):
+    """Training-mixture composition report: docs and token budget per
+    (language, quality bucket) — the summary a data pipeline publishes
+    before sampling a training mix. Composes lang column + gopher word
+    count + quality_pass in one scan + one groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    q = txt.gopher_quality(docs, min_words=30)
+    out = agg.group_by_column_agg(
+        q.select("lang", "n_words", "quality_pass"),
+        ["lang", "quality_pass"],
+        {"n_docs": ("row-count", None),
+         "total_tokens": ("sum", "n_words"),
+         "avg_tokens": ("mean", "n_words")})
+    return st.sort_by_column(out.withColumn("avg_tokens", _r4(F.col("avg_tokens"))),
+                             "lang").orderBy("lang", "quality_pass")
+
+
 def nearest_fill_events(spark, sf_dir):
     """replace-missing :nearest (missing.clj strategy family): fill with
     whichever of prev/next non-null is closer on the ts axis (ties go to
@@ -972,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_slices": concat_slices,
         "lineitem_except": lineitem_except,
         "rolling_user_value": rolling_user_value,
+        "corpus_composition": corpus_composition,
         "nearest_fill_events": nearest_fill_events,
         "cube_orders": cube_orders,
         "reduce_union_orders": reduce_union_orders,
@@ -1169,6 +1187,44 @@ def oracle_sql() -> dict[str, str]:
              AND r.o_orderdate <= l.o_orderdate
              AND r.o_orderdate >= l.o_orderdate - INTERVAL 3 MONTH
             GROUP BY l.o_orderkey, l.o_custkey, l.o_orderdate
+        """,
+        "corpus_composition": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), base AS (
+                SELECT doc_id, lang, len(toks) AS n,
+                       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                           / len(toks) AS mean_len,
+                       CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                            AS DOUBLE) / len(toks) AS alpha_frac,
+                       len(list_filter(toks, x -> x IN ('the','a','an','and','or',
+                                                        'of','to','in','is','it')))
+                           AS sw_hits
+                FROM t
+            ), bg AS (
+                SELECT doc_id, g, count(*) AS c
+                FROM (SELECT doc_id,
+                             unnest([toks[i] || ' ' || toks[i+1]
+                                     FOR i IN range(1, len(toks))]) AS g
+                      FROM t WHERE len(toks) >= 2)
+                GROUP BY doc_id, g
+            ), rep AS (
+                SELECT doc_id, max(c) AS topc FROM bg GROUP BY doc_id
+            ), q AS (
+                SELECT b.lang, b.n,
+                       (b.n BETWEEN 30 AND 100000)
+                       AND (b.mean_len BETWEEN 3.0 AND 10.0)
+                       AND (b.alpha_frac >= 0.8) AND (b.sw_hits >= 2)
+                       AND ((CASE WHEN b.n <= 1 THEN 0.0
+                                  ELSE coalesce(r.topc, 0) * 2.0 / b.n END) <= 0.2)
+                           AS quality_pass
+                FROM base b LEFT JOIN rep r USING (doc_id)
+            )
+            SELECT lang, quality_pass, count(*) AS n_docs,
+                   sum(n) AS total_tokens, round(avg(n), 4) AS avg_tokens
+            FROM q GROUP BY lang, quality_pass
         """,
         "nearest_fill_events": """
             WITH b AS (
