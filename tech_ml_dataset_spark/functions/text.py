@@ -393,3 +393,47 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
                 .agg((-F.avg(logp)).alias("bits_per_token"),
                      F.count(F.lit(1)).alias("n_scored_tokens")))
     return df.join(scored, id_col, "left")
+
+
+def sample_mixture(df: DataFrame, weights: dict, *, total_tokens: int,
+                   key_cols: tuple = ("lang",), token_col: str = "n_tokens",
+                   seed: int = 42) -> DataFrame:
+    """Token-budget mixture sampling: draw documents so each bucket
+    contributes ~``weights[bucket]`` of ``total_tokens`` — the step right
+    after a composition report when assembling a training mix.
+
+    ``weights``: {bucket_key: fraction} where bucket_key is the value of
+    ``key_cols`` (scalar for one column, tuple for several); fractions
+    need not sum to 1 (they're normalized). Buckets absent from
+    ``weights`` are dropped.
+
+    Plan: ONE small aggregation collects per-bucket token totals
+    (#buckets rows), converts each budget into a Bernoulli fraction, and
+    applies per-bucket coin flips via ``sampleBy`` semantics — one scan,
+    no shuffle, no per-bucket jobs. Expected (not exact) budgets, like
+    every scalable sampler; a bucket with fewer tokens than its budget is
+    taken whole."""
+    kc = list(key_cols)
+    totals = {tuple(r[c] for c in kc): r["__tok__"]
+              for r in df.groupBy(*kc)
+                         .agg(F.sum(token_col).alias("__tok__")).collect()}
+    norm = sum(weights.values())
+    fractions = {}
+    for bucket, w in weights.items():
+        bk = bucket if isinstance(bucket, tuple) else (bucket,)
+        have = totals.get(bk, 0)
+        want = total_tokens * (w / norm)
+        fractions[bk] = min(1.0, want / have) if have else 0.0
+
+    key_struct = F.struct(*[F.col(c) for c in kc])
+    expr = F.lit(False)
+    r = F.rand(seed)
+    cond = None
+    for bk, frac in fractions.items():
+        match = None
+        for c, v in zip(kc, bk):
+            m = F.col(c) == F.lit(v)
+            match = m if match is None else (match & m)
+        keep = match & (r < F.lit(frac))
+        cond = keep if cond is None else (cond | keep)
+    return df.filter(cond if cond is not None else F.lit(False))

@@ -237,3 +237,23 @@ def test_unigram_logprob_score(spark):
     assert out[1]["bits_per_token"] < out[2]["bits_per_token"]
     assert out[3]["bits_per_token"] is None          # empty doc unscored
     assert out[1]["n_scored_tokens"] == 4
+
+
+def test_sample_mixture_hits_token_budget(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+
+    rows = [(i, "en" if i % 2 == 0 else "de", 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    out = txt.sample_mixture(df, {"en": 0.8, "de": 0.2},
+                             total_tokens=50_000, seed=7)
+    got = {r["lang"]: r["t"] for r in
+           out.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    # expected 40k en / 10k de; Bernoulli sampling -> allow 25% slack
+    assert abs(got["en"] - 40_000) < 10_000
+    assert abs(got["de"] - 10_000) < 5_000
+    # unknown bucket dropped entirely
+    out2 = txt.sample_mixture(df, {"en": 1.0}, total_tokens=10_000, seed=7)
+    assert out2.filter(F.col("lang") == "de").count() == 0
+    # bucket smaller than its budget is taken whole
+    out3 = txt.sample_mixture(df, {"de": 1.0}, total_tokens=10**9, seed=7)
+    assert out3.count() == 1000
