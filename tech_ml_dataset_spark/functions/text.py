@@ -425,8 +425,6 @@ def sample_mixture(df: DataFrame, weights: dict, *, total_tokens: int,
         want = total_tokens * (w / norm)
         fractions[bk] = min(1.0, want / have) if have else 0.0
 
-    key_struct = F.struct(*[F.col(c) for c in kc])
-    expr = F.lit(False)
     r = F.rand(seed)
     cond = None
     for bk, frac in fractions.items():
