@@ -126,8 +126,10 @@ def rolling(df: DataFrame, order_by, specs: Mapping[str, tuple], *,
             edge_mode: str = "shrink") -> DataFrame:
     """Fixed-size rolling windows (rolling.clj:116-304).
 
-    ``specs``: {out_col: (reducer_name, src_col)}. ``position`` ∈
-    left|center|right. ``edge_mode``:
+    ``specs``: {out_col: spec} where spec is any :func:`_spec_expr` form —
+    ``(name, src)``, ``("nth", src, k)``, ``(name, [x, y])`` (corr /
+    covariance), or ``(callable, [srcs])`` with a :class:`FrameReducer`.
+    ``position`` ∈ left|center|right. ``edge_mode``:
       "shrink" — Spark-native: frames truncate at partition edges (this is
                  what SQL gives for free);
       "clamp"  — reference :clamp (rolling.clj:130-133): out-of-range
