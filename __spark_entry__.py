@@ -197,6 +197,21 @@ def rolling_user_value(spark, sf_dir):
                       _r4(F.col("roll_sum")).alias("roll_sum"))
 
 
+def validate_orders(spark, sf_dir):
+    """Expectation-check report (data-quality gate before a training run):
+    row rules fuse into ONE aggregate pass; the uniqueness rule is one
+    groupBy — all inside a single returned plan."""
+    from tech_ml_dataset_spark.operators import validate as dv
+    o = _t(spark, sf_dir, "orders")
+    return dv.validate(o, [
+        dv.not_null("o_orderkey", "o_custkey"),
+        dv.in_range("o_totalprice", 0, 1e7),
+        dv.one_of("o_orderstatus", ["O", "F", "P"]),
+        dv.matches("o_orderpriority", "^[1-5]-"),
+        dv.unique("o_orderkey"),
+    ])
+
+
 def corpus_composition(spark, sf_dir):
     """Training-mixture composition report: docs and token budget per
     (language, quality bucket) — the summary a data pipeline publishes
@@ -989,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_slices": concat_slices,
         "lineitem_except": lineitem_except,
         "rolling_user_value": rolling_user_value,
+        "validate_orders": validate_orders,
         "corpus_composition": corpus_composition,
         "nearest_fill_events": nearest_fill_events,
         "cube_orders": cube_orders,
@@ -1187,6 +1203,46 @@ def oracle_sql() -> dict[str, str]:
              AND r.o_orderdate <= l.o_orderdate
              AND r.o_orderdate >= l.o_orderdate - INTERVAL 3 MONTH
             GROUP BY l.o_orderkey, l.o_custkey, l.o_orderdate
+        """,
+        "validate_orders": """
+            SELECT 'not_null(o_orderkey,o_custkey)' AS rule,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   sum(CASE WHEN o_orderkey IS NULL OR o_custkey IS NULL
+                       THEN 1 ELSE 0 END) = 0 AS passed
+            FROM orders
+            UNION ALL
+            SELECT 'in_range(o_totalprice,0,10000000.0)',
+                   CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                                  AND (o_totalprice < 0 OR o_totalprice > 1e7)
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN o_totalprice IS NOT NULL
+                             AND (o_totalprice < 0 OR o_totalprice > 1e7)
+                       THEN 1 ELSE 0 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'one_of(o_orderstatus)',
+                   CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                  AND o_orderstatus NOT IN ('O','F','P')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('O','F','P')
+                       THEN 1 ELSE 0 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'matches(o_orderpriority)',
+                   CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                                  AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   sum(CASE WHEN o_orderpriority IS NOT NULL
+                             AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                       THEN 1 ELSE 0 END) = 0
+            FROM orders
+            UNION ALL
+            SELECT 'unique(o_orderkey)',
+                   CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+                   coalesce(sum(n - 1), 0) = 0
+            FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey)
         """,
         "corpus_composition": """
             WITH t AS (

@@ -246,6 +246,15 @@ class Dataset:
         from .functions import similarity as _sim
         return self._wrap(_sim.embedding_dedup_pairs(self.df, vec_col, id_col, **kw))
 
+    def validate(self, rules):
+        from .operators import validate as _dv
+        return self._wrap(_dv.validate(self.df, rules))
+
+    def expect(self, rules):
+        from .operators import validate as _dv
+        _dv.expect(self.df, rules)
+        return self
+
     # ---- io ---------------------------------------------------------------------
     def write(self, path, **kw):
         _io.write(self.df, path, **kw)

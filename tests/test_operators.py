@@ -434,3 +434,24 @@ def test_rolling_nth_reducer(spark):
     got = {r["t"]: r["second"] for r in out.collect()}
     # frame = rows [t-2, t]; nth(1) = middle element once frame has >= 2 rows
     assert got[0] is None and got[1] == 10.0 and got[2] == 10.0 and got[3] == 20.0
+
+
+def test_validate_and_expect(spark):
+    from tech_ml_dataset_spark.operators import validate as dv
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (2, "z", 3.0), (None, "a", 2.0)],
+        "id int, cat string, v double")
+    rep = {r["rule"]: r["n_violations"] for r in dv.validate(df, [
+        dv.not_null("id"),
+        dv.in_range("v", 0, 10),
+        dv.one_of("cat", ["a", "b"]),
+        dv.unique("id"),
+    ]).collect()}
+    assert rep["not_null(id)"] == 1
+    assert rep["in_range(v,0,10)"] == 1
+    assert rep["one_of(cat)"] == 1
+    assert rep["unique(id)"] == 1   # id=2 twice -> 1 extra row
+    with pytest.raises(ValueError, match="not_null"):
+        dv.expect(df, [dv.not_null("id")])
+    dv.expect(df.na.drop(), [dv.not_null("id")])  # clean subset passes
