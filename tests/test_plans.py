@@ -289,6 +289,7 @@ _SCALE_AUDIT_EXEMPT = {
         "mean_center_quantity": "one-row stats broadcast back",
         "pca_project_lineitem": "covariance one-row collect, driver eigh",
         "regression_price_model": "normal-equation one-row aggregate",
+        "validate_orders": "per-rule violation counts: one-row report aggregates",
     },
     "cartesian": {
         "cross_region_priority": "intentional cross of two tiny sides",
