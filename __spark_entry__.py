@@ -389,7 +389,8 @@ def sessionize_events(spark, sf_dir):
     out = sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         _r4(F.sum("value")).alias("session_value"))
-    return out
+    # Deterministic row order: the driver's value hash is order-sensitive.
+    return out.orderBy("user_id", "session_seq")
 
 
 # --------------------------------------------------------------------------
@@ -1279,8 +1280,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM base b LEFT JOIN rep r USING (doc_id)
             )
             SELECT lang, quality_pass, count(*) AS n_docs,
-                   sum(n) AS total_tokens, round(avg(n), 4) AS avg_tokens
+                   CAST(sum(n) AS BIGINT) AS total_tokens,
+                   round(avg(n), 4) AS avg_tokens
             FROM q GROUP BY lang, quality_pass
+            ORDER BY lang NULLS FIRST, quality_pass NULLS FIRST
         """,
         "nearest_fill_events": """
             WITH b AS (
@@ -1421,7 +1424,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize_events": """
             WITH gaps AS (
-                SELECT user_id, ts, value,
+                SELECT user_id, event_id, ts, value,
                        CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                                  OR lag(ts) OVER w IS NULL
                             THEN 1 ELSE 0 END AS new_sess
@@ -1429,14 +1432,16 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sessions AS (
                 SELECT user_id, value,
-                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                            AS session_seq
                 FROM gaps
             )
-            SELECT user_id, session_seq, count(*) AS n_events,
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   count(*) AS n_events,
                    round(sum(value), 4) AS session_value
             FROM sessions GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "text_stats_by_lang": """
             SELECT lang, count(*) AS n_docs,
@@ -1532,7 +1537,8 @@ def oracle_sql() -> dict[str, str]:
                 WHERE doc_id < 50 AND length(trim(text)) > 0
             ), st AS (
                 SELECT doc_id, toks,
-                       unnest(generate_series(0, len(toks) - 1, 24)) AS start
+                       unnest(generate_series(0, greatest(len(toks) - 9, 0), 24))
+                           AS start
                 FROM t
             )
             SELECT doc_id, CAST(start / 24 AS INT) AS chunk_idx,

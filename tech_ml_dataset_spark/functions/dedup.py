@@ -341,6 +341,7 @@ def dedup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
     labels = (nodes.select(F.col(id_col).alias("node")).distinct()
                    .withColumn("label", F.col("node"))
                    .localCheckpoint(eager=False))
+    changed = 0
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["src"] == labels["node"])
                       .groupBy("dst").agg(F.min("label").alias("__nl__")))
@@ -357,5 +358,12 @@ def dedup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+        warnings.warn(
+            f"dedup_clusters: label propagation did NOT converge within "
+            f"max_iter={max_iter} rounds — returned cluster labels are "
+            f"incomplete for components whose diameter exceeds max_iter; "
+            f"raise max_iter.", RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias(id_col),
                          F.col("label").alias("cluster"))

@@ -278,7 +278,12 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     step = chunk_size - overlap
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    # Upper bound n - overlap - 1 (not n - 1): a start s with s + overlap >= n
+    # yields a chunk fully contained in its predecessor (the predecessor
+    # already covers through s + overlap - 1), which would duplicate tokens
+    # in training data. s = 0 is always kept via greatest(..., 0).
+    starts = F.sequence(F.lit(0), F.greatest(n - F.lit(overlap) - 1, F.lit(0)),
+                        F.lit(step))
     chunks = F.transform(starts, lambda s: F.array_join(
         F.slice(toks, s + 1, chunk_size), " "))
     out = df.withColumn("__chunks__",
@@ -366,7 +371,8 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
 
 def unigram_logprob_score(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", *,
-                          smoothing: float = 0.5) -> DataFrame:
+                          smoothing: float = 0.5,
+                          broadcast_vocab_max: int = 30_000_000) -> DataFrame:
     """Corpus-relative unigram language-model score per document — the
     CCNet-style perplexity proxy (Wenzek et al. 2020 score documents with
     an LM; a unigram model built from the corpus itself is the
@@ -374,8 +380,16 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     lower = more typical of the corpus.
 
     Plan: one explode->groupBy builds the token frequency table (map-side
-    combined, linear shuffle), one broadcast-less join scores tokens
-    against it, one groupBy(id) averages. p(w) is Lidstone-smoothed:
+    combined, linear shuffle), then the scoring join BROADCASTS the
+    frequency table: it is vocab-sized (tokens are Zipfian — vocab grows
+    ~O(corpus^0.5), tens of millions of entries at 100 TB, a few hundred
+    MB of (token, count) pairs), while the exploded corpus side is
+    petabyte-scale with mega-hot stopword keys ("the"/"and"). A shuffled
+    token-keyed join would funnel every occurrence of "the" through one
+    reducer; the broadcast map-side join has no shuffle and no skew by
+    construction. ``broadcast_vocab_max`` guards executor memory: above
+    it we fall back to a shuffle join with salt-free AQE skew handling and
+    warn. One groupBy(id) then averages. p(w) is Lidstone-smoothed:
     (c_w + a) / (N + a*V). All JVM-side."""
     from ..dtutil import ensure_parallelism
     df = ensure_parallelism(df)
@@ -386,6 +400,15 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     totals = freq.agg(F.sum("__c__").alias("__N__"),
                       F.count(F.lit(1)).alias("__V__")).collect()[0]
     n_total, vocab = float(totals["__N__"] or 0), float(totals["__V__"] or 1)
+    if vocab <= broadcast_vocab_max:
+        freq = F.broadcast(freq)
+    else:
+        import warnings
+        warnings.warn(
+            f"unigram_logprob_score: vocabulary ({int(vocab)} tokens) exceeds "
+            f"broadcast_vocab_max={broadcast_vocab_max}; falling back to a "
+            f"shuffled token-keyed join — expect stopword skew (enable AQE "
+            f"skew-join mitigation).", RuntimeWarning, stacklevel=2)
     denom = n_total + smoothing * vocab
     logp = F.log2((F.col("__c__") + F.lit(smoothing)) / F.lit(denom))
     scored = (ex.join(freq, "__w__")

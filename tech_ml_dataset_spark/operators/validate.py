@@ -63,7 +63,10 @@ def validate(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
 
     parts = []
     if row_rules:
-        aggs = [F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        # coalesce: sum over ZERO rows is NULL — an empty-but-clean input
+        # must report 0 violations / passed, not a NULL that fails expect()
+        aggs = [F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+                 .cast("long").alias(name)
                 for name, cond in row_rules]
         one = df.agg(*aggs)
         structs = [F.struct(F.lit(name).alias("rule"),

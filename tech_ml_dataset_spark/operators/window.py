@@ -264,17 +264,32 @@ def rolling_range_months(df: DataFrame, order_by: str,
               else F.timestamp_add("MONTH", F.lit(-window_size), l_axis))
     cond = F.lit(True)
     for c in by_cols:
-        cond = cond & (F.col(c) == F.col(f"__r_{c}__"))
+        # null-safe: a NULL by-key must still match its own partition, like
+        # the rangeBetween path's partitionBy does (NULL keys group together)
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__r_{c}__"))
     cond = cond & (r_axis >= anchor) & (r_axis <= l_axis)
-    # inner join is safe: every row matches itself, windows are never empty
-    joined = left.join(right, cond, "inner")
-    aggs = [_AGG_REDUCERS[red](F.col(f"__r_{src}__")).alias(name)
-            for name, (red, src) in specs.items()]
+    axis_nullable = df.schema[order_by].nullable
+    src = left.filter(F.col(order_by).isNotNull()) if axis_nullable else left
+    # inner join is safe for non-NULL axes: every row matches itself
+    joined = src.join(right, cond, "inner")
+    aggs = [_AGG_REDUCERS[red](F.col(f"__r_{src_}__")).alias(name)
+            for name, (red, src_) in specs.items()]
     # regroup on (rid, *left cols): rid makes the key unique, carrying the
     # left columns through the groupBy keeps the plan LINEAR — no second
     # branch re-reading the mono-id source (see _contiguous_index on why
     # forked lineage over nondeterministic ids is dangerous)
     out = joined.groupBy(rid, *df.columns).agg(*aggs)
+    if axis_nullable:
+        # A NULL axis can't anchor a calendar interval: instead of silently
+        # dropping the row (the pre-r3 behavior), keep it with NULL
+        # aggregates — mirroring how the rangeBetween path retains
+        # NULL-ordered rows rather than erasing them from the output.
+        agg_types = {name: out.schema[name].dataType for name in specs}
+        null_out = (left.filter(F.col(order_by).isNull())
+                        .select(rid, *df.columns)
+                        .withColumns({n: F.lit(None).cast(t)
+                                      for n, t in agg_types.items()}))
+        out = out.unionByName(null_out.select(*out.columns))
     return out.drop(rid)
 
 

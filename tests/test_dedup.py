@@ -100,6 +100,18 @@ def test_dedup_clusters_chain_diameter(spark):
     assert set(out.values()) == {0} and len(out) == 12
 
 
+def test_dedup_clusters_warns_on_nonconvergence(spark):
+    """ADVICE r2 (low): exhausting max_iter used to return silently wrong
+    (non-converged) labels; now it warns so callers can raise max_iter."""
+    import warnings
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(7)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dd.dedup_clusters(pairs, nodes, max_iter=2).collect()
+    assert any("did NOT converge" in str(x.message) for x in w)
+
+
 def test_minhash_dedup_transitive_chain(spark):
     """a~b~c chain: representative rule keeps the chain's min only if every
     link reaches it; transitive clustering must always keep exactly one."""

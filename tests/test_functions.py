@@ -199,10 +199,11 @@ def test_chunk_documents_overlap(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"], r["n_tokens"]))
-    # step=3: starts 0,3,6,9
+    # step=3: starts 0,3,6 — start 9 is skipped because 9+overlap >= 10
+    # would emit "w9", fully contained in the previous chunk (ADVICE r2)
     assert [c for _, c, _ in sorted(by_doc[1])] == [
-        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9"]
-    assert [n for *_, n in sorted(by_doc[1])] == [4, 4, 4, 1]
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [n for *_, n in sorted(by_doc[1])] == [4, 4, 4]
     assert 2 not in by_doc           # empty doc -> no chunks
     assert by_doc[3] == [(0, "solo", 1)]
 

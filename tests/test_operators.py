@@ -455,3 +455,17 @@ def test_validate_and_expect(spark):
     with pytest.raises(ValueError, match="not_null"):
         dv.expect(df, [dv.not_null("id")])
     dv.expect(df.na.drop(), [dv.not_null("id")])  # clean subset passes
+
+
+def test_validate_empty_input_passes(spark):
+    """ADVICE r2 (medium): sum over zero rows is NULL — an empty-but-clean
+    ingest partition must report 0 violations / passed=true, not fail the
+    gate with NULL counts."""
+    from tech_ml_dataset_spark.operators import validate as dv
+
+    df = spark.createDataFrame([], "id int, v double")
+    rep = dv.validate(df, [dv.not_null("id"), dv.in_range("v", 0, 10),
+                           dv.unique("id")]).collect()
+    assert len(rep) == 3
+    assert all(r["n_violations"] == 0 and r["passed"] for r in rep)
+    dv.expect(df, [dv.not_null("id"), dv.in_range("v", 0, 10)])  # no raise

@@ -331,6 +331,21 @@ def test_all_queries_scale_audit(spark, sf_dir):
     assert not bad, bad
 
 
+def test_unigram_lm_freq_join_is_broadcast(spark, sf_dir):
+    """r2 verdict scale bug: the token-scoring join used to shuffle the
+    fully-exploded corpus keyed by token — at 100 TB "the"/"and" are
+    mega-hot keys through one reducer. The frequency table is vocab-sized;
+    the scoring join must be a broadcast hash join (the only remaining
+    __w__-keyed exchange is the map-side-combined frequency groupBy)."""
+    df = entry.queries()["unigram_lm_docs"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin [__w__" in plan or (
+        "BroadcastHashJoin" in plan and "SortMergeJoin [__w__" not in plan
+        and "ShuffledHashJoin [__w__" not in plan)
+    assert "SortMergeJoin [__w__" not in plan
+    assert "ShuffledHashJoin [__w__" not in plan
+
+
 def test_partitioned_write_prunes_at_read(spark, sf_dir, tmp_path):
     """write(partition_by=...) -> a filtered read shows PartitionFilters
     and scans only the matching directory — the directory-level analog of

@@ -109,3 +109,29 @@ def test_rolling_range_months_window(spark):
     # May 10 anchor = Feb 10: Feb 20 in, Jan 15 out
     assert got[(1, "2024-05-10")] == (6.0, 2)
     assert got[(2, "2024-01-01")] == (9.0, 1)
+
+
+def test_rolling_range_months_keeps_null_keys_and_axis(spark):
+    """ADVICE r2 (medium): NULL by-keys and NULL axis values used to vanish
+    through the inner join's NULL-propagating predicates — switching units
+    to months changed the row count. NULL keys must match their own
+    partition (eqNullSafe, like partitionBy does); NULL-axis rows are kept
+    with NULL aggregates instead of being dropped."""
+    import datetime as dt
+    from tech_ml_dataset_spark.operators.window import rolling_range
+
+    df = spark.createDataFrame(
+        [(None, dt.date(2024, 1, 15), 1.0), (None, dt.date(2024, 2, 20), 2.0),
+         (1, None, 7.0), (1, dt.date(2024, 3, 1), 3.0)],
+        "k int, d date, v double")
+    out = rolling_range(df, "d", {"s": ("sum", "v"), "n": ("count", "v")},
+                        window_size=3, by="k", units="months")
+    rows = out.collect()
+    assert len(rows) == 4, "months path must not drop NULL-key/axis rows"
+    got = {(r["k"], str(r["d"])): (r["s"], r["n"]) for r in rows}
+    # NULL-key partition windows over itself
+    assert got[(None, "2024-01-15")] == (1.0, 1)
+    assert got[(None, "2024-02-20")] == (3.0, 2)
+    # NULL axis anchors nothing: retained with NULL aggregates
+    assert got[(1, "None")] == (None, None)
+    assert got[(1, "2024-03-01")] == (3.0, 1)
