@@ -375,6 +375,78 @@ def asof_purchase_click(spark, sf_dir):
                       _r4(F.col("click_value")).alias("click_value"))
 
 
+def asof_nearest_click(spark, sf_dir):
+    """left-join-asof :nearest (join.clj:716): the click CLOSEST in time to
+    each purchase on either side, ties to the at-or-before match — both
+    directional passes share one union+window shape, then a per-row
+    distance pick (no Python)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .groupBy("user_id", "ts").agg(F.max("value").alias("click_value"))
+    out = jn.left_join_asof(purchases, clicks, "ts", by="user_id",
+                            asof_op="nearest")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("`right.ts`").alias("click_ts"),
+                      _r4(F.col("click_value")).alias("click_value"))
+
+
+def asof_strict_click(spark, sf_dir):
+    """left-join-asof strict '>' (join.clj:643 asof-gt): the EARLIEST click
+    strictly after each purchase — an equal-timestamp click must NOT match
+    (side-order tiebreak inside the descending window)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("event_id", "user_id", "ts", "value")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .groupBy("user_id", "ts").agg(F.max("value").alias("click_value"))
+    out = jn.left_join_asof(purchases, clicks, "ts", by="user_id", asof_op=">")
+    return out.select("event_id", "user_id", "ts",
+                      F.col("`right.ts`").alias("click_ts"),
+                      _r4(F.col("click_value")).alias("click_value"))
+
+
+def concat_widen_lineitem(spark, sf_dir):
+    """concat dtype-widening gauntlet (base.clj:642-655; reference test
+    matrix dataset_test.clj:356-423): int+double -> double, smallint+bigint
+    -> bigint, int+string -> string, date+timestamp -> timestamp, and
+    one-sided columns null-backfilled — all in a single zero-shuffle
+    unionByName after widened casts."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = (li.filter(F.col("l_orderkey") % 7 == 0)
+           .select("l_orderkey", "l_linenumber",
+                   F.col("l_quantity").cast("int").alias("qty"),
+                   F.col("l_linenumber").cast("smallint").alias("lineno_w"),
+                   F.col("l_linenumber").alias("mixed"),
+                   F.col("l_shipdate").cast("date").alias("when_w"),
+                   F.col("l_returnflag").alias("only_a")))
+    b = (li.filter(F.col("l_orderkey") % 7 == 3)
+           .select("l_orderkey", "l_linenumber",
+                   F.col("l_quantity").alias("qty"),
+                   F.col("l_linenumber").cast("bigint").alias("lineno_w"),
+                   F.col("l_linestatus").alias("mixed"),
+                   F.col("l_shipdate").cast("timestamp").alias("when_w"),
+                   F.col("l_extendedprice").alias("only_b")))
+    return st.concat(a, b).orderBy("l_orderkey", "l_linenumber")
+
+
+def kendall_tau_lineitem(spark, sf_dir):
+    """EXACT full-data Kendall tau-b (math.clj:37 computes kendall on all
+    rows; r2 verdict gap vs the sampled correlation_table bound) via the
+    distributed bucketed-rank pair counter — one heavy-ties pair
+    (quantity/discount) and one near-continuous pair (quantity/price) on a
+    bounded slice so the DuckDB oracle can brute-force all O(n^2) pairs."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    r1 = mlp.kendall_tau_exact(li, "l_quantity", "l_discount")
+    r2 = mlp.kendall_tau_exact(li, "l_quantity", "l_extendedprice")
+    rows = [("qty_discount", r1["n"], r1["s"], r1["tau"]),
+            ("qty_price", r2["n"], r2["s"], r2["tau"])]
+    df = spark.createDataFrame(rows, "pair string, n bigint, s bigint, tau double")
+    return df.select("pair", "n", "s", _r4(F.col("tau")).alias("tau")) \
+             .orderBy("pair")
+
+
 def sessionize_events(spark, sf_dir):
     """Batch sessionization (30-min inactivity gap) via lag + cumulative
     window — the batch analog of streaming session windows (SURVEY §2.5)."""
@@ -993,21 +1065,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ORDER is part of the driver contract: the external
+    correctness gate checks the FIRST 50 entries only (ADVICE r2), so the
+    window is allocated to (a) queries changed or added this round, (b)
+    queries that have never had a driver-green row, then (c) a handful of
+    regression stalwarts touching this round's changed operators. Known
+    r2-green queries whose code is untouched rotate to the tail — they stay
+    covered by pytest + tools/verify_local.py."""
     return {
+        # -- changed this round (canonicalization / operator fixes) --
+        "corpus_composition": corpus_composition,
+        "sessionize_events": sessionize_events,
+        "chunk_docs": chunk_docs,
+        "unigram_lm_docs": unigram_lm_docs,
+        "rolling_monthly_orders": rolling_monthly_orders,
+        "validate_orders": validate_orders,
+        # -- new this round --
+        "asof_nearest_click": asof_nearest_click,
+        "asof_strict_click": asof_strict_click,
+        "concat_widen_lineitem": concat_widen_lineitem,
+        "kendall_tau_lineitem": kendall_tau_lineitem,
+        # -- never driver-checked (r2 registry overflow): r1 err fixes first --
+        "lerp_events": lerp_events,
+        "fill_range_events": fill_range_events,
+        "loess_smooth_events": loess_smooth_events,
+        "image_pipeline_docs": image_pipeline_docs,
+        "descriptive_stats_lineitem": descriptive_stats_lineitem,
+        "pd_merge_outer": pd_merge_outer,
+        "grouping_sets_orders": grouping_sets_orders,
+        "row_map_net_price": row_map_net_price,
+        "pipeline_customer_features": pipeline_customer_features,
+        "mean_center_quantity": mean_center_quantity,
+        "sliding_events_12h": sliding_events_12h,
+        "distinct_parts_per_brand": distinct_parts_per_brand,
+        "doc_quality_lang": doc_quality_lang,
+        "bpe_tokens_docs": bpe_tokens_docs,
+        "ewma_user_value": ewma_user_value,
+        "salted_revenue_by_nation": salted_revenue_by_nation,
+        "bfill_updown_events": bfill_updown_events,
+        "rolling_range_events": rolling_range_events,
+        "minmax_scale_acctbal": minmax_scale_acctbal,
+        "one_hot_segment": one_hot_segment,
+        "bag_union_lineitem": bag_union_lineitem,
+        "bag_intersect_lineitem": bag_intersect_lineitem,
+        "rollup_orders": rollup_orders,
+        "quantiles_price": quantiles_price,
+        "reservoir_orders": reservoir_orders,
+        "regression_price_model": regression_price_model,
+        "lsh_topk_embeddings": lsh_topk_embeddings,
+        "pca_project_lineitem": pca_project_lineitem,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
+        "abb_fill_events": abb_fill_events,
+        "winnow_docs": winnow_docs,
+        # -- regression stalwarts over operators touched this round --
+        "asof_purchase_click": asof_purchase_click,
+        "embedding_dedup_clusters": embedding_dedup_clusters,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
         "filter_project": filter_project,
         "topk_orders": topk_orders,
+        "take_nth_lineitem": take_nth_lineitem,
+        "nearest_fill_events": nearest_fill_events,
+        # ---- position > 50: r2-green, code untouched this round ----
         "group_distinct_stats": group_distinct_stats,
         "unique_by_order": unique_by_order,
         "customers_without_orders": customers_without_orders,
         "concat_slices": concat_slices,
         "lineitem_except": lineitem_except,
         "rolling_user_value": rolling_user_value,
-        "validate_orders": validate_orders,
-        "corpus_composition": corpus_composition,
-        "nearest_fill_events": nearest_fill_events,
         "cube_orders": cube_orders,
         "reduce_union_orders": reduce_union_orders,
         "rolling_clamp_user": rolling_clamp_user,
@@ -1015,21 +1141,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_center_user": rolling_center_user,
         "cross_region_priority": cross_region_priority,
         "rolling_corr_user": rolling_corr_user,
-        "rolling_monthly_orders": rolling_monthly_orders,
         "expanding_user_cumsum": expanding_user_cumsum,
         "analytic_lag_rank": analytic_lag_rank,
         "ffill_events": ffill_events,
-        "asof_purchase_click": asof_purchase_click,
-        "sessionize_events": sessionize_events,
         "text_stats_by_lang": text_stats_by_lang,
         "dedup_exact_docs": dedup_exact_docs,
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
-        "unigram_lm_docs": unigram_lm_docs,
         "gopher_quality_docs": gopher_quality_docs,
-        "chunk_docs": chunk_docs,
-        "embedding_dedup_clusters": embedding_dedup_clusters,
         "events_json_extract": events_json_extract,
         "unroll_doc_tokens": unroll_doc_tokens,
         "melt_part_attrs": melt_part_attrs,
@@ -1039,42 +1159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cat_encode_segment": cat_encode_segment,
         "std_scale_acctbal": std_scale_acctbal,
         "corr_quantity_price": corr_quantity_price,
-        "take_nth_lineitem": take_nth_lineitem,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
         "simhash_docs": simhash_docs,
         "media_meta_docs": media_meta_docs,
-        "image_pipeline_docs": image_pipeline_docs,
-        "bfill_updown_events": bfill_updown_events,
-        "lerp_events": lerp_events,
-        "pd_merge_outer": pd_merge_outer,
-        "rolling_range_events": rolling_range_events,
-        "minmax_scale_acctbal": minmax_scale_acctbal,
-        "one_hot_segment": one_hot_segment,
-        "bag_union_lineitem": bag_union_lineitem,
-        "bag_intersect_lineitem": bag_intersect_lineitem,
-        "rollup_orders": rollup_orders,
-        "quantiles_price": quantiles_price,
-        "descriptive_stats_lineitem": descriptive_stats_lineitem,
-        "fill_range_events": fill_range_events,
-        "loess_smooth_events": loess_smooth_events,
-        "reservoir_orders": reservoir_orders,
-        "regression_price_model": regression_price_model,
-        "doc_quality_lang": doc_quality_lang,
-        "lsh_topk_embeddings": lsh_topk_embeddings,
-        "pca_project_lineitem": pca_project_lineitem,
-        "row_map_net_price": row_map_net_price,
-        "ewma_user_value": ewma_user_value,
-        "sliding_events_12h": sliding_events_12h,
-        "distinct_parts_per_brand": distinct_parts_per_brand,
-        "grouping_sets_orders": grouping_sets_orders,
-        "ivf_topk_embeddings": ivf_topk_embeddings,
-        "abb_fill_events": abb_fill_events,
-        "bpe_tokens_docs": bpe_tokens_docs,
-        "winnow_docs": winnow_docs,
-        "mean_center_quantity": mean_center_quantity,
-        "pipeline_customer_features": pipeline_customer_features,
-        "salted_revenue_by_nation": salted_revenue_by_nation,
     }
 
 
@@ -1421,6 +1509,113 @@ def oracle_sql() -> dict[str, str]:
                    m.click_ts, round(c.click_value, 4) AS click_value
             FROM matched m
             LEFT JOIN clicks c ON c.user_id = m.user_id AND c.ts = m.click_ts
+        """,
+        "asof_nearest_click": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, ts, max(value) AS click_value
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), cand AS (
+                SELECT p.event_id, p.user_id, p.ts,
+                       (SELECT max(c.ts) FROM clicks c
+                        WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS back_ts,
+                       (SELECT min(c.ts) FROM clicks c
+                        WHERE c.user_id = p.user_id AND c.ts >= p.ts) AS fwd_ts
+                FROM purchases p
+            ), pick AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN back_ts IS NULL THEN fwd_ts
+                            WHEN fwd_ts IS NULL THEN back_ts
+                            WHEN epoch_us(ts) - epoch_us(back_ts)
+                                 <= epoch_us(fwd_ts) - epoch_us(ts)
+                            THEN back_ts ELSE fwd_ts END AS click_ts
+                FROM cand
+            )
+            SELECT k.event_id, k.user_id, k.ts, k.click_ts,
+                   round(c.click_value, 4) AS click_value
+            FROM pick k
+            LEFT JOIN clicks c ON c.user_id = k.user_id AND c.ts = k.click_ts
+        """,
+        "asof_strict_click": """
+            WITH purchases AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, ts, max(value) AS click_value
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), matched AS (
+                SELECT p.event_id, p.user_id, p.ts,
+                       (SELECT min(c.ts) FROM clicks c
+                        WHERE c.user_id = p.user_id AND c.ts > p.ts) AS click_ts
+                FROM purchases p
+            )
+            SELECT m.event_id, m.user_id, m.ts, m.click_ts,
+                   round(c.click_value, 4) AS click_value
+            FROM matched m
+            LEFT JOIN clicks c ON c.user_id = m.user_id AND c.ts = m.click_ts
+        """,
+        "concat_widen_lineitem": """
+            WITH a AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(l_quantity AS INT) AS qty,
+                       CAST(l_linenumber AS SMALLINT) AS lineno_w,
+                       CAST(l_linenumber AS VARCHAR) AS mixed,
+                       CAST(l_shipdate AS DATE) AS when_w,
+                       l_returnflag AS only_a,
+                       CAST(NULL AS DOUBLE) AS only_b
+                FROM lineitem WHERE l_orderkey % 7 = 0
+            ), b AS (
+                SELECT l_orderkey, l_linenumber,
+                       l_quantity AS qty,
+                       CAST(l_linenumber AS BIGINT) AS lineno_w,
+                       l_linestatus AS mixed,
+                       l_shipdate AS when_w,
+                       CAST(NULL AS VARCHAR) AS only_a,
+                       l_extendedprice AS only_b
+                FROM lineitem WHERE l_orderkey % 7 = 3
+            ), u AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(qty AS DOUBLE) AS qty,
+                       CAST(lineno_w AS BIGINT) AS lineno_w,
+                       mixed,
+                       CAST(when_w AS TIMESTAMP) AS when_w,
+                       only_a, only_b
+                FROM (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+            )
+            SELECT * FROM u ORDER BY l_orderkey, l_linenumber
+        """,
+        "kendall_tau_lineitem": """
+            WITH base AS (
+                SELECT l_quantity, l_discount, l_extendedprice
+                FROM lineitem WHERE l_orderkey < 300
+            ), pairdef AS (
+                SELECT 'qty_discount' AS pair, l_quantity AS x, l_discount AS y
+                FROM base WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                UNION ALL
+                SELECT 'qty_price', l_quantity, l_extendedprice
+                FROM base WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), spair AS (
+                SELECT a.pair, sum(sign(b.x - a.x) * sign(b.y - a.y)) / 2 AS s
+                FROM pairdef a JOIN pairdef b USING (pair)
+                GROUP BY a.pair
+            ), nn AS (
+                SELECT pair, count(*) AS n FROM pairdef GROUP BY pair
+            ), tx AS (
+                SELECT pair, sum(t * (t - 1) / 2) AS n1
+                FROM (SELECT pair, x, count(*) AS t FROM pairdef GROUP BY pair, x)
+                GROUP BY pair
+            ), ty AS (
+                SELECT pair, sum(t * (t - 1) / 2) AS n2
+                FROM (SELECT pair, y, count(*) AS t FROM pairdef GROUP BY pair, y)
+                GROUP BY pair
+            )
+            SELECT nn.pair, nn.n, CAST(spair.s AS BIGINT) AS s,
+                   round(spair.s / sqrt((nn.n * (nn.n - 1) / 2.0 - tx.n1)
+                                        * (nn.n * (nn.n - 1) / 2.0 - ty.n2)), 4)
+                       AS tau
+            FROM nn JOIN spair USING (pair) JOIN tx USING (pair)
+                    JOIN ty USING (pair)
+            ORDER BY pair
         """,
         "sessionize_events": """
             WITH gaps AS (

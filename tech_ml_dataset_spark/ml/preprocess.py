@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 # ---- categorical ------------------------------------------------------------
@@ -222,10 +222,10 @@ def correlation_table(df: DataFrame, columns: Sequence[str] | None = None,
     ml.stat.Correlation on an assembled vector (single distributed pass).
     method: 'pearson' | 'spearman' | 'kendall'.
 
-    Kendall has no distributed MLlib implementation (O(n^2) rank pairs); as
-    in the reference's guidance it runs driver-side over a bounded sample
-    (5k rows; numpy tau-b, scipy-free) — documented approximation for
-    larger inputs."""
+    Kendall has no distributed MLlib implementation; this table runs
+    driver-side over a bounded sample (5k rows; numpy tau-b, scipy-free) and
+    WARNS when it truncates — use :func:`kendall_tau_exact` for the exact
+    full-data distributed path (bucketed-rank pair counting)."""
     cols = list(columns) if columns else [c for c, t in df.dtypes
                                           if t in ("double", "float", "int", "bigint",
                                                    "smallint", "tinyint")]
@@ -234,6 +234,13 @@ def correlation_table(df: DataFrame, columns: Sequence[str] | None = None,
 
         cap = 5_000
         n = df.count()
+        if n > cap:
+            import warnings
+            warnings.warn(
+                f"correlation_table(method='kendall'): input has {n} rows; "
+                f"tau is computed on a {cap}-row sample (approximation). "
+                f"Use kendall_tau_exact() for the exact distributed path.",
+                RuntimeWarning, stacklevel=2)
         pdf = (df.select(*cols).sample(False, min(1.0, cap / max(1, n)), 42)
                  .limit(cap).toPandas())
 
@@ -259,6 +266,136 @@ def correlation_table(df: DataFrame, columns: Sequence[str] | None = None,
     mat = Correlation.corr(assembled, "__vec__", method).collect()[0][0].toArray()
     return {ci: {cj: float(mat[i][j]) for j, cj in enumerate(cols)}
             for i, ci in enumerate(cols)}
+
+
+def kendall_tau_exact(df: DataFrame, xcol: str, ycol: str, *,
+                      n_buckets: int = 32) -> dict:
+    """EXACT Kendall's tau-b on the FULL data, distributed — parity with the
+    reference, which computes kendall on all rows (math.clj:37), instead of
+    :func:`correlation_table`'s sampled bound.
+
+    Algorithm (bucketed-rank pair counting). tau-b needs S = sum over pairs
+    of sign(dx)*sign(dy) plus the x/y tie terms. Work happens on the
+    DISTINCT (x, y) cell table (count w per cell) — Zipfian/measure-like
+    columns collapse heavily, so |cells| <= n and usually << n:
+
+    1. dense ranks rx, ry from the distinct-value tables via the
+       distributed contiguous index (range-partitioned numbering +
+       broadcast offsets — never a single-partition global window).
+    2. x-buckets: xb = rx // ceil(Dx/n_buckets). Equal x never spans two
+       buckets, so every cross-bucket pair has sign(dx) = +1.
+    3. cross-bucket S: each cell fans its weight out to LATER buckets
+       (<= n_buckets copies); one window per target bucket ordered by ry
+       — rangeBetween(-inf, -1) counts strictly-smaller-y mass, the
+       partition total minus rangeBetween(-inf, 0) counts strictly-larger
+       — S_cross = sum(w_query * (less - greater)). All JVM-side; the
+       shuffle carries O(|cells| * n_buckets) slim rows; parallelism =
+       n_buckets (raise it for bigger clusters).
+    4. within-bucket S: per-bucket applyInPandas runs Knight's
+       O(c log c) Fenwick sweep over the bucket's cells (c ~ |cells| /
+       n_buckets per task, bounded Python; arbitrarily precise ints).
+    5. tie terms n1/n2 from per-value groupBys; tau = S / sqrt((n0-n1)(n0-n2)).
+
+    Returns {"tau": float, "n": int, "s": int, "n_cells": int}. Runs a
+    bounded number of jobs (rank indexes + three small aggregates) — the
+    price of exactness; every per-row structure stays distributed."""
+    import math
+
+    from ..operators.selection import with_row_index
+
+    pts = (df.select(F.col(xcol).alias("x"), F.col(ycol).alias("y"))
+             .filter(F.col(xcol).isNotNull() & F.col(ycol).isNotNull()))
+    cells = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
+    cells = cells.localCheckpoint(eager=True)  # reused by 4 downstream jobs
+
+    xr = with_row_index(cells.select("x").distinct(), order_by="x", name="rx")
+    yr = with_row_index(cells.select("y").distinct(), order_by="y", name="ry")
+    d_x = xr.count()
+    bsize = max(1, math.ceil(d_x / n_buckets))
+    n_b = math.ceil(d_x / bsize)
+    ranked = (cells.join(xr, "x").join(yr, "y")
+                   .withColumn("xb", F.floor(F.col("rx") / bsize))
+                   .select("rx", "ry", "w", "xb")
+                   .localCheckpoint(eager=True))
+
+    # --- cross-bucket sweep (sign(dx) = +1 by construction) ---
+    mass = (ranked.filter(F.col("xb") < n_b - 1)
+                  .select(F.explode(F.sequence(F.col("xb") + 1,
+                                               F.lit(n_b - 1))).alias("xb2"),
+                          "ry", F.col("w").alias("mw"))
+                  .withColumn("qw", F.lit(0).cast("long")))
+    query = ranked.select(F.col("xb").alias("xb2"), "ry",
+                          F.lit(0).cast("long").alias("mw"),
+                          F.col("w").alias("qw"))
+    u = mass.unionByName(query)
+    ws = W.partitionBy("xb2").orderBy("ry")
+    less = F.coalesce(F.sum("mw").over(ws.rangeBetween(W.unboundedPreceding, -1)),
+                      F.lit(0))
+    le = F.coalesce(F.sum("mw").over(ws.rangeBetween(W.unboundedPreceding, 0)),
+                    F.lit(0))
+    tot = F.coalesce(F.sum("mw").over(W.partitionBy("xb2")), F.lit(0))
+    s_cross = (u.withColumn("__c__", F.col("qw") * (less - (tot - le)))
+                .agg(F.coalesce(F.sum("__c__"), F.lit(0)).alias("s"))
+                .collect()[0]["s"])
+
+    # --- within-bucket Fenwick sweep (exact, per-bucket Python) ---
+    def _bucket_s(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values(["rx", "ry"])
+        ry_codes = pdf["ry"].rank(method="dense").astype(int).to_numpy()
+        ws_ = pdf["w"].to_numpy()
+        rxs = pdf["rx"].to_numpy()
+        size = int(ry_codes.max()) if len(ry_codes) else 0
+        tree = [0] * (size + 1)
+
+        def bit_add(i, v):
+            while i <= size:
+                tree[i] += v
+                i += i & (-i)
+
+        def bit_sum(i):  # sum of codes 1..i
+            s = 0
+            while i > 0:
+                s += tree[i]
+                i -= i & (-i)
+            return s
+
+        s_val, inserted, i = 0, 0, 0
+        while i < len(rxs):
+            j = i
+            while j < len(rxs) and rxs[j] == rxs[i]:
+                j += 1
+            for k in range(i, j):  # query before inserting the tied-x group
+                lt = bit_sum(int(ry_codes[k]) - 1)
+                gt = inserted - bit_sum(int(ry_codes[k]))
+                s_val += int(ws_[k]) * (lt - gt)
+            for k in range(i, j):
+                bit_add(int(ry_codes[k]), int(ws_[k]))
+                inserted += int(ws_[k])
+            i = j
+        return pd.DataFrame({"s": [s_val]})
+
+    s_within = (ranked.groupBy("xb").applyInPandas(_bucket_s, "s long")
+                      .agg(F.coalesce(F.sum("s"), F.lit(0)).alias("s"))
+                      .collect()[0]["s"])
+
+    ties = cells.agg(
+        F.coalesce(F.sum(F.col("w") * (F.col("w") - 1)), F.lit(0)).alias("txy2"),
+        F.coalesce(F.sum("w"), F.lit(0)).alias("n"),
+        F.count(F.lit(1)).alias("n_cells")).collect()[0]
+    tx = (cells.groupBy("x").agg(F.sum("w").alias("t"))
+               .agg(F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0))
+                     .alias("t2")).collect()[0]["t2"])
+    ty = (cells.groupBy("y").agg(F.sum("w").alias("t"))
+               .agg(F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0))
+                     .alias("t2")).collect()[0]["t2"])
+    n = int(ties["n"])
+    n0 = n * (n - 1) // 2
+    n1, n2 = int(tx) // 2, int(ty) // 2
+    s = int(s_cross) + int(s_within)
+    denom = math.sqrt(float(n0 - n1) * float(n0 - n2))
+    tau = (s / denom) if denom else float("nan")
+    return {"tau": tau, "n": n, "s": s, "n_cells": int(ties["n_cells"])}
 
 
 # ---- splits --------------------------------------------------------------------

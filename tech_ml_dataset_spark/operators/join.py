@@ -220,8 +220,12 @@ def _nearest_combine(left: DataFrame, fwd: DataFrame, bwd: DataFrame,
     f = fwd.select(*key, *[F.col(f"`{c}`").alias(fa[c]) for c in val_cols])
     b = bwd.select(*key, *[F.col(f"`{c}`").alias(ba[c]) for c in val_cols])
     j = f.join(b, key)
-    d_f = F.abs(F.col(on).cast("double") - F.col(fa[axis]).cast("double"))
-    d_b = F.abs(F.col(on).cast("double") - F.col(ba[axis]).cast("double"))
+    # NTZ-safe numeric view of the axis (TIMESTAMP_NTZ forbids direct
+    # numeric casts — dtutil module docstring; r1 hard-error class)
+    from ..dtutil import axis_double
+    ax_on, ax_f, ax_b = (axis_double(j, c) for c in (on, fa[axis], ba[axis]))
+    d_f = F.abs(ax_on - ax_f)
+    d_b = F.abs(ax_on - ax_b)
     use_f = F.when(F.col(ba[axis]).isNull(), True) \
              .when(F.col(fa[axis]).isNull(), False) \
              .otherwise(d_f <= d_b)

@@ -457,6 +457,45 @@ def test_validate_and_expect(spark):
     dv.expect(df.na.drop(), [dv.not_null("id")])  # clean subset passes
 
 
+def test_asof_nearest_ntz_axis(spark):
+    """asof 'nearest' on a TIMESTAMP_NTZ axis: the distance compare must
+    route through the NTZ-safe epoch helpers (direct numeric casts on NTZ
+    throw DATATYPE_MISMATCH — the r1 hard-error class)."""
+    from pyspark.sql import functions as F
+    from tech_ml_dataset_spark.operators import join as jn
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:01:00")],
+        "id int, t string").withColumn("t", F.col("t").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0), ("2024-01-01 00:00:30", 2.0)],
+        "t string, v double").withColumn("t", F.col("t").cast("timestamp_ntz"))
+    out = {r["id"]: r["v"]
+           for r in jn.left_join_asof(left, right, "t", asof_op="nearest").collect()}
+    assert out == {1: 1.0, 2: 2.0}  # 10s->t0 (10 vs 20), 60s->t30
+
+
+def test_kendall_tau_exact_matches_bruteforce(spark):
+    """Distributed bucketed-rank Kendall vs O(n^2) numpy brute force,
+    including heavy ties in both columns."""
+    import numpy as np
+    from tech_ml_dataset_spark.ml.preprocess import kendall_tau_exact
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 8, 400).astype(float)
+    y = (x * 0.5 + rng.integers(0, 4, 400)).astype(float)
+    sx = np.sign(x[:, None] - x[None, :]); sy = np.sign(y[:, None] - y[None, :])
+    iu = np.triu_indices(len(x), 1); sx, sy = sx[iu], sy[iu]
+    s = float((sx * sy).sum())
+    want = s / np.sqrt(float((sx != 0).sum()) * float((sy != 0).sum()))
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double")
+    got = kendall_tau_exact(df, "x", "y", n_buckets=5)
+    assert got["s"] == int(s) and abs(got["tau"] - want) < 1e-12
+    assert got["n"] == 400
+
+
 def test_validate_empty_input_passes(spark):
     """ADVICE r2 (medium): sum over zero rows is NULL — an empty-but-clean
     ingest partition must report 0 violations / passed=true, not fail the
