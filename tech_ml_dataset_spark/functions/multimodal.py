@@ -9,12 +9,15 @@ resize, frame sampling, feature extraction) run as Arrow-batched
 ``mapInPandas`` passes so each executor processes whole record batches,
 never row-at-a-time.
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so :func:`decode_image` tries Pillow and falls back to a
-clearly-marked deterministic fake decoder (pixels derived from the md5 of
-the bytes). Everything around it — schemas, batch shapes, partitioning,
-UDF signatures, resize/sample/feature math (pure numpy) — is real and
-tested, so swapping in a real codec is a one-function change.
+Codec: PNG decoding is REAL — Pillow when importable, else the vendored
+pure-python codec (:mod:`.png`, stdlib zlib; all five scanline filters).
+Non-PNG formats (jpeg etc.) still fall back to a clearly-marked
+deterministic fake decoder (pixels derived from the md5 of the bytes)
+since their codecs aren't in this container; everything around the codec
+— schemas, batch shapes, partitioning, UDF signatures, resize/sample/
+feature math (pure numpy) — is identical for real and fake paths, so
+adding another real codec is a one-function change
+(:func:`decode_image_bytes`).
 """
 
 from __future__ import annotations
@@ -107,10 +110,29 @@ def _try_real_decode(data: bytes):
         import io
         from PIL import Image
         arr = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
-                         dtype=np.float32) / 255.0
+                         dtype=np.float64) / 255.0
         return arr
     except Exception:
-        return None
+        pass
+    from . import png
+    if data[:8] == png.SIGNATURE:
+        try:  # vendored pure-python codec — REAL decode
+            arr = png.decode(data)
+        except Exception:  # magic matched but payload malformed -> fake path
+            return None
+        if arr.shape[2] == 1:   # match Pillow's convert("RGB") surface
+            arr = np.repeat(arr, 3, axis=2)
+        elif arr.shape[2] == 4:
+            arr = arr[:, :, :3]
+        return arr.astype(np.float64) / 255.0
+    return None
+
+
+def decode_image_bytes(data: bytes):
+    """Single-image codec hook: float64 HWC array in [0, 1], or None when
+    no real codec handles the payload (callers then use the marked fake).
+    Swap-in point for additional codecs (jpeg via Pillow etc.)."""
+    return _try_real_decode(data)
 
 
 def decode_image(df: DataFrame, bin_col: str, out_col: str = "image", *,
@@ -196,7 +218,8 @@ def image_features(df: DataFrame, image_col: str, out_col: str = "features"
 
 def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
                    fake_hw: tuple[int, int] = (8, 8),
-                   out_col: str = "features") -> DataFrame:
+                   out_col: str = "features",
+                   feature_dtype: str = "float32") -> DataFrame:
     """Fused decode -> resize -> features in ONE ``mapInPandas`` pass.
 
     The composable stages above are correct but each one ships the full
@@ -209,8 +232,10 @@ def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
     """
     h, w = fake_hw
     rh, rw = resize_hw
+    ftype = T.DoubleType() if feature_dtype == "float64" else T.FloatType()
+    np_ftype = np.float64 if feature_dtype == "float64" else np.float32
     out_schema = T.StructType(df.schema.fields +
-                              [T.StructField(out_col, T.ArrayType(T.FloatType()))])
+                              [T.StructField(out_col, T.ArrayType(ftype))])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ri_cache = {}
@@ -232,8 +257,35 @@ def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
                 hist, _ = np.histogram(arr.mean(axis=2), bins=8, range=(0.0, 1.0))
                 hist = hist / max(1, rh * rw)
                 feats.append(np.concatenate([mean, std, hist])
-                             .astype(np.float32).tolist())
+                             .astype(np_ftype).tolist())
             pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def synthesize_png(df: DataFrame, id_col: str, *, height: int = 8,
+                   width: int = 8, out_col: str = "png") -> DataFrame:
+    """Deterministic PNG fixture column: pixel ``i`` of row ``id`` is
+    ``(id*31 + i*7) % 256`` (row-major HWC, RGB), encoded with the vendored
+    codec cycling through all five PNG filter types. The closed-form pixel
+    law lets a SQL oracle recompute any downstream feature without a codec
+    — proving the real encode->decode path end-to-end."""
+    from . import png
+
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.BinaryType())])
+    n = height * width * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            payloads = []
+            for did in pdf[id_col]:
+                arr = ((int(did) * 31 + idx * 7) % 256).astype(np.uint8) \
+                    .reshape(height, width, 3)
+                payloads.append(png.encode(arr, filter_mode="cycle"))
+            pdf[out_col] = payloads
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
