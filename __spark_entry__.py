@@ -447,6 +447,49 @@ def kendall_tau_lineitem(spark, sf_dir):
              .orderBy("pair")
 
 
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py decontaminate; the
+    published GPT-3 appendix-C / PaLM n-gram-overlap procedure — 13-grams
+    in production, k=3 here so the synthetic corpus yields non-vacuous
+    hits): every corpus doc sharing a distinct 3-gram with the held-out
+    eval slice is flagged, with the shared-gram count for auditing."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    out = dd.decontaminate(corpus, bench, k=3, min_hits=1)
+    return (out.select("doc_id", F.col("contam_hits").cast("long").alias("contam_hits"),
+                       "contaminated")
+               .orderBy("doc_id"))
+
+
+def pii_redact_docs(spark, sf_dir):
+    """PII detect + redact (functions/text.py PII_PATTERNS; the standard
+    pre-training scrub). Patterns are restricted to Java-regex ∩ RE2
+    syntax so the DuckDB oracle runs the SAME regexes. The corpus has no
+    natural PII, so the query plants one deterministic email/IPv4/phone
+    per document, then counts matches and hashes the redacted text."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1415"),
+            F.lpad((F.col("doc_id") % 1000000).cast("string"), 6, "0"),
+        ).alias("t"))
+    counts = txt.pii_counts(F.col("t"))
+    return (planted.select(
+                "doc_id",
+                counts["email"].alias("n_email"),
+                counts["ipv4"].alias("n_ipv4"),
+                counts["phone"].alias("n_phone"),
+                F.md5(txt.redact_pii(F.col("t"))).alias("redact_md5"),
+                F.length(txt.redact_pii(F.col("t"))).alias("n_chars_redacted"))
+            .orderBy("doc_id"))
+
+
 def image_pipeline_png_docs(spark, sf_dir):
     """REAL-codec image pipeline (closes r2 verdict weakness #2, stubbed
     codec): synthesize a deterministic 8x8 RGB PNG per document (pixel i =
@@ -1108,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_widen_lineitem": concat_widen_lineitem,
         "kendall_tau_lineitem": kendall_tau_lineitem,
         "image_pipeline_png_docs": image_pipeline_png_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "pii_redact_docs": pii_redact_docs,
         # -- never driver-checked (r2 registry overflow): r1 err fixes first --
         "lerp_events": lerp_events,
         "fill_range_events": fill_range_events,
@@ -1532,6 +1577,65 @@ def oracle_sql() -> dict[str, str]:
                    m.click_ts, round(c.click_value, 4) AS click_value
             FROM matched m
             LEFT JOIN clicks c ON c.user_id = m.user_id AND c.ts = m.click_ts
+        """,
+        "decontaminate_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           [array_to_string(t[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(t) - 2, 1) + 1)],
+                           x -> length(x) > 0)) AS gs
+                FROM toks
+            ), ev AS (
+                SELECT DISTINCT unnest(gs) AS gm FROM g WHERE doc_id % 50 = 0
+            ), corp AS (
+                SELECT doc_id, unnest(gs) AS gm FROM g WHERE doc_id % 50 <> 0
+            ), hits AS (
+                SELECT c.doc_id, count(*) AS contam_hits
+                FROM corp c JOIN ev USING (gm) GROUP BY c.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.contam_hits, 0) AS BIGINT) AS contam_hits,
+                   coalesce(h.contam_hits, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "pii_redact_docs": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail.example.com from 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 call +1415'
+                            || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+                           AS t
+                FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+'))
+                        AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(t,
+                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t,
+                        '\\+[0-9]{9,14}\\b')) AS INT) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
+                        '[EMAIL]', 'g'),
+                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g'),
+                        '\\+[0-9]{9,14}\\b', '[PHONE]', 'g')) AS redact_md5,
+                   CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
+                        '[EMAIL]', 'g'),
+                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g'),
+                        '\\+[0-9]{9,14}\\b', '[PHONE]', 'g')) AS INT)
+                       AS n_chars_redacted
+            FROM planted ORDER BY doc_id
         """,
         "image_pipeline_png_docs": """
             WITH ids AS (

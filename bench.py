@@ -67,6 +67,20 @@ def main():
           .write.format("noop").mode("overwrite").save())
     tsv_sec = round(time.perf_counter() - t0, 4)
 
+    # wide-aggregate canary (r2 verdict): descriptive_stats builds ~8 agg
+    # exprs PER COLUMN in one pass — a 40-column synthetic catches
+    # agg-buffer-width regressions before real tables hit them. Build cost
+    # (projection of 40 exprs) is inside the timing; it is negligible next
+    # to the wide aggregate itself.
+    from pyspark.sql import functions as F
+    from tech_ml_dataset_spark.operators.aggregate import descriptive_stats
+    li40 = li.select(*[((F.col("l_extendedprice") * (1 + i / 40.0))
+                        + F.col("l_quantity") * i).alias(f"c{i:02d}")
+                       for i in range(40)])
+    t0 = time.perf_counter()
+    descriptive_stats(li40).write.format("noop").mode("overwrite").save()
+    timings["descriptive_stats_40col"] = round(time.perf_counter() - t0, 4)
+
     total = round(sum(timings.values()), 4)
     print(json.dumps({
         "metric": f"query_suite_total_sf{sf}",

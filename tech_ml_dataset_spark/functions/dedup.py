@@ -319,6 +319,46 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text", *,
+                  k: int = 13, min_hits: int = 1,
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose text shares
+    >= ``min_hits`` distinct word ``k``-grams with an evaluation set — the
+    published GPT-3 appendix-C / PaLM procedure (13-gram overlap) every
+    serious pre-training pipeline runs before training.
+
+    Scale shape: the BENCHMARK side is distinct-exploded (eval suites are
+    tiny next to a 100 TB corpus) and broadcast by default, so the corpus
+    side — exploded to (id, gram) with no arrays through any exchange —
+    meets it in a map-side join; one groupBy(id) counts hits. The corpus
+    is scanned twice (grams + the final annotate join on ``id_col``); no
+    self-join, no skew (hot grams fan out only within the broadcast hash
+    lookup). Set ``broadcast_benchmark=False`` for eval sets too big to
+    broadcast (falls back to a shuffle join keyed by gram).
+
+    Returns the corpus plus ``contam_hits`` (distinct shared k-grams, 0
+    when clean) and ``contaminated``. Callers filter; keeping the flag
+    (not dropping rows) preserves audit trails."""
+    ev = (benchmark
+          .select(F.explode(shingles(F.col(text_col), k, mode="word"))
+                   .alias("__g__"))
+          .distinct())
+    if broadcast_benchmark:
+        ev = F.broadcast(ev)
+    cg = corpus.select(F.col(id_col),
+                       F.explode(shingles(F.col(text_col), k, mode="word"))
+                        .alias("__g__"))
+    hits = (cg.join(ev, "__g__")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("contam_hits")))
+    return (corpus.join(hits, id_col, "left")
+                  .withColumn("contam_hits",
+                              F.coalesce(F.col("contam_hits"), F.lit(0)))
+                  .withColumn("contaminated",
+                              F.col("contam_hits") >= min_hits))
+
+
 def dedup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
                    *, max_iter: int = 25) -> DataFrame:
     """Transitive near-duplicate clusters: connected components over the

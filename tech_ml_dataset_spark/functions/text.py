@@ -458,3 +458,34 @@ def sample_mixture(df: DataFrame, weights: dict, *, total_tokens: int,
         keep = match & (r < F.lit(frac))
         cond = keep if cond is None else (cond | keep)
     return df.filter(cond if cond is not None else F.lit(False))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (beyond-reference: standard pre-training scrub)
+# ---------------------------------------------------------------------------
+
+# Conservative patterns restricted to syntax shared by Java regex (Spark)
+# and RE2 (DuckDB oracles): character classes + bounded repetition only —
+# no lookaround, no backrefs. Redaction applies them in THIS order, so an
+# email's digits can never re-match as a phone number.
+PII_PATTERNS: "dict[str, str]" = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{9,14}\b",   # strict international form
+}
+
+
+def pii_counts(text: Column) -> "dict[str, Column]":
+    """Per-category PII match counts — one ``regexp_count`` expression per
+    pattern, all inside the same JVM-side scan."""
+    return {name: F.regexp_count(text, F.lit(pat))
+            for name, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with ``[CATEGORY]`` in the fixed pattern
+    order. Pure ``regexp_replace`` chain: no UDF, vectorized, one scan."""
+    out = text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out

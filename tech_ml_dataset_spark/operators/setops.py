@@ -69,6 +69,16 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType:
     order = {t: i for i, t in enumerate(_WIDEN_ORDER)}
     numerics = {"boolean", "tinyint", "smallint", "int", "bigint", "float", "double"}
     if sa in numerics and sb in numerics:
+        ints = {"boolean", "tinyint", "smallint", "int", "bigint"}
+        if {sa, sb} & ints and {sa, sb} & {"float", "double"}:
+            # int/float mix: float32's 24-bit mantissa cannot hold int32/64
+            # exactly — promote to double unless the int side fits a float
+            # (reference widens long+float32 to float64, dataset_test.clj:363)
+            it = sa if sa in ints else sb
+            ft = sb if sa in ints else sa
+            if ft == "float" and it in ("boolean", "tinyint", "smallint"):
+                return T.FloatType()
+            return T.DoubleType()
         wide = _WIDEN_ORDER[max(order[sa], order[sb])]
         return {"tinyint": T.ByteType(), "smallint": T.ShortType(), "int": T.IntegerType(),
                 "bigint": T.LongType(), "float": T.FloatType(), "double": T.DoubleType(),

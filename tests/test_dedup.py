@@ -124,3 +124,32 @@ def test_minhash_dedup_transitive_chain(spark):
     out = dd.minhash_dedup(df, threshold=0.5, transitive=True)
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1]
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """GPT-3 appx-C style decontamination: corpus docs sharing a k-gram
+    with the benchmark are flagged; clean docs keep contam_hits=0."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"])
+    corpus = spark.createDataFrame([
+        (1, "something the quick brown fox saw"),   # shares 'the quick brown'
+        (2, "totally unrelated words here now"),
+        (3, "quick brown fox jumps again today"),   # two shared 3-grams
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: (r["contam_hits"], r["contaminated"])
+           for r in dd.decontaminate(corpus, bench, k=3).collect()}
+    assert out[1][1] and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3][1] and out[3][0] >= 2
+
+
+def test_decontaminate_shuffle_fallback_matches(spark):
+    bench = spark.createDataFrame([(9, "a b c d e")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "x a b c y"), (2, "no overlap at all")], ["doc_id", "text"])
+    a = sorted(map(tuple, dd.decontaminate(corpus, bench, k=3).select(
+        "doc_id", "contam_hits").collect()))
+    b = sorted(map(tuple, dd.decontaminate(
+        corpus, bench, k=3, broadcast_benchmark=False).select(
+        "doc_id", "contam_hits").collect()))
+    assert a == b

@@ -258,3 +258,25 @@ def test_sample_mixture_hits_token_budget(spark):
     # bucket smaller than its budget is taken whole
     out3 = txt.sample_mixture(df, {"de": 1.0}, total_tokens=10**9, seed=7)
     assert out3.count() == 1000
+
+
+def test_pii_counts_and_redact(spark):
+    from pyspark.sql import functions as F
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame([
+        (1, "mail me at jo.doe+x@sub.example.org or call +14155551234"),
+        (2, "server 192.168.1.100 and 10.0.0.1 are internal"),
+        (3, "no pii here"),
+    ], ["id", "t"])
+    c = txt.pii_counts(F.col("t"))
+    out = {r["id"]: r for r in df.select(
+        "id", c["email"].alias("e"), c["ipv4"].alias("i"),
+        c["phone"].alias("p"),
+        txt.redact_pii(F.col("t")).alias("red")).collect()}
+    assert (out[1]["e"], out[1]["p"]) == (1, 1)
+    assert out[1]["red"] == "mail me at [EMAIL] or call [PHONE]"
+    assert out[2]["i"] == 2
+    assert out[2]["red"] == "server [IPV4] and [IPV4] are internal"
+    assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (0, 0, 0)
+    assert out[3]["red"] == "no pii here"

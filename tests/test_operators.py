@@ -106,6 +106,39 @@ def test_concat_widening_and_backfill(spark):
     assert got[1] == (1.5, None) and got[2**35] == (None, "s")
 
 
+@pytest.mark.parametrize("ta,tb,twide", [
+    ("int", "tinyint", "int"),        # reference widens int+byte (int64 there:
+    ("smallint", "bigint", "bigint"), # TMD over-widens ints to int64; we take
+    ("int", "double", "double"),      # the MINIMAL containing type — values agree)
+    ("float", "bigint", "double"),
+    ("int", "string", "string"),
+    ("boolean", "int", "int"),
+    ("date", "timestamp", "timestamp"),
+])
+def test_concat_widening_matrix(spark, ta, tb, twide):
+    """Reference concat widening gauntlet (dataset_test.clj:356-423 +
+    base.clj:642-655): pairwise dtype promotion, both concat orders."""
+    va = "1970-01-05" if ta in ("date", "timestamp") else "1"
+    vb = "1970-01-07" if tb in ("date", "timestamp") else "0"
+    a = spark.createDataFrame([(va,)], "x string").select(
+        F.col("x").cast(ta).alias("x"))
+    b = spark.createDataFrame([(vb,)], "x string").select(
+        F.col("x").cast(tb).alias("x"))
+    for pair in ((a, b), (b, a)):
+        out = st.concat(*pair)
+        assert dict(out.dtypes)["x"] == twide, (ta, tb)
+        assert out.count() == 2
+
+
+def test_concat_missing_column_backfill_order(spark):
+    """dataset_test.clj:365-375: [{:a 1}{:b _}] ++ [{:a 2}] -> a = [1 nil 2]."""
+    a = spark.createDataFrame([(1, 1.5), (None, 2.5)], "a int, b double")
+    b = spark.createDataFrame([(2,)], "a tinyint")
+    out = st.concat(a, b)
+    assert [r["a"] for r in out.collect()] == [1, None, 2]
+    assert dict(out.dtypes)["a"] == "int"
+
+
 def test_bag_union_max_multiplicity(spark):
     # reference set.clj:166: multiplicity = max(a, b), not sum
     a = spark.createDataFrame([(1,), (1,), (2,)], ["x"])
