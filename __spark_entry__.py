@@ -108,6 +108,103 @@ def q5_nation_revenue(spark, sf_dir):
     return st.sort_by_column(out, "revenue", desc=True)
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: fact → two independent dim chains (supplier-nation
+    and customer-nation, both broadcast), symmetric nation-pair predicate,
+    group by (nation, nation, year). Exercises multi-hop join planning:
+    the only shuffle is the final 3-key aggregate."""
+    nation = _t(spark, sf_dir, "nation")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    supp = jn.inner_join(_t(spark, sf_dir, "supplier"),
+                         nation.filter(pair).select(
+                             "n_nationkey",
+                             F.col("n_name").alias("supp_nation")),
+                         ("s_nationkey", "n_nationkey"), broadcast_right=True)
+    cust = jn.inner_join(_t(spark, sf_dir, "customer"),
+                         nation.filter(pair).select(
+                             F.col("n_nationkey").alias("cn_key"),
+                             F.col("n_name").alias("cust_nation")),
+                         ("c_nationkey", "cn_key"), broadcast_right=True)
+    orders = jn.inner_join(_t(spark, sf_dir, "orders"), cust,
+                           ("o_custkey", "c_custkey"), broadcast_right=True)
+    li = _t(spark, sf_dir, "lineitem")
+    j = jn.inner_join(li, supp.select("s_suppkey", "supp_nation"),
+                      ("l_suppkey", "s_suppkey"), broadcast_right=True)
+    j = jn.inner_join(j, orders.select("o_orderkey", "cust_nation"),
+                      ("l_orderkey", "o_orderkey"))
+    j = j.filter(F.col("supp_nation") != F.col("cust_nation"))
+    out = agg.group_by_column_agg(
+        j.withColumn("l_year", F.year("l_shipdate")),
+        ["supp_nation", "cust_nation", "l_year"],
+        {"revenue": lambda F: F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+         "n_items": ("row-count", None)})
+    out = out.withColumn("revenue", _r4(F.col("revenue")))
+    return st.sort_by(out, "supp_nation", "cust_nation", "l_year")
+
+
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-lineitem revenue per customer, top 20.
+    One fact-fact shuffle join (lineitem ⋈ orders) with the returnflag
+    filter pushed below it; customer+nation dims broadcast onto the
+    aggregated (already customer-grained, small) side."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    j = jn.inner_join(li, orders.select("o_orderkey", "o_custkey"),
+                      ("l_orderkey", "o_orderkey"))
+    rev = agg.group_by_column_agg(
+        j, "o_custkey",
+        {"revenue": lambda F: F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")))})
+    cust = jn.inner_join(_t(spark, sf_dir, "customer"),
+                         _t(spark, sf_dir, "nation"),
+                         ("c_nationkey", "n_nationkey"), broadcast_right=True)
+    out = jn.inner_join(rev, cust.select("c_custkey", "c_name", "n_name",
+                                         "c_acctbal"),
+                        ("o_custkey", "c_custkey"), broadcast_right=True)
+    out = out.select(F.col("o_custkey").alias("c_custkey"), "c_name",
+                     "n_name", _r4(F.col("c_acctbal")).alias("c_acctbal"),
+                     _r4(F.col("revenue")).alias("revenue"))
+    return out.orderBy(F.col("revenue").desc(),
+                       F.col("c_custkey").asc()).limit(20)
+
+
+def matmul_lineitem(spark, sf_dir):
+    """Distributed GEMM (tensor.clj:104): lineitem numeric block × fixed
+    (3,2) matrix, entirely inside whole-stage codegen (ml/tensor.py)."""
+    from tech_ml_dataset_spark.ml import tensor as tn
+    li = _t(spark, sf_dir, "lineitem")
+    proj = tn.matmul(li, [[1.0, 0.5], [0.001, -0.25], [100.0, 2.0]],
+                     columns=["l_quantity", "l_extendedprice", "l_discount"],
+                     output_cols=["u", "v"])
+    out = proj.select(_r4b(F.col("u")).alias("u"),
+                      _r4b(F.col("v")).alias("v"))
+    return out.orderBy("u", "v")
+
+
+def gram_lineitem(spark, sf_dir):
+    """Distributed Gramian AᵀA (tensor.clj:70,104 / PCA covariance spine):
+    k²-partial reduction, n never leaves the executors. Emitted as one
+    row per matrix cell so the oracle can recompute each sum(ci*cj)."""
+    from tech_ml_dataset_spark.ml import tensor as tn
+    li = _t(spark, sf_dir, "lineitem")
+    # small-magnitude columns + mean normalization keep the cross-engine
+    # float tolerance inside _r4 (sum-of-products over 1e15-scale values
+    # would amplify association differences past any fixed rounding)
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    n = li.na.drop(subset=cols).count()  # gram_matrix drops null rows
+    g = tn.gram_matrix(li, cols)
+    g2 = tn.gram_matrix(li, cols, arrow_threshold=1)  # Arrow strategy
+    import numpy as np
+    assert np.allclose(g, g2), "gram strategies disagree"
+    rows = [(cols[i], cols[j], round(float(g[i, j]) / n, 4))
+            for i in range(len(cols)) for j in range(len(cols))]
+    return spark.createDataFrame(rows, "ci string, cj string, g double") \
+                .orderBy("ci", "cj")
+
+
 def filter_project(spark, sf_dir):
     """Projection + predicate — verifies scan pruning/pushdown semantics."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1146,6 +1243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_monthly_orders": rolling_monthly_orders,
         "validate_orders": validate_orders,
         # -- new this round --
+        "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_items": q10_returned_items,
+        "matmul_lineitem": matmul_lineitem,
+        "gram_lineitem": gram_lineitem,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
         "concat_widen_lineitem": concat_widen_lineitem,
@@ -1301,6 +1402,66 @@ def oracle_sql() -> dict[str, str]:
               AND n_regionkey = r_regionkey AND r_name = 'ASIA'
             GROUP BY n_name
             ORDER BY revenue DESC
+        """,
+        "q7_volume_shipping": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+              AND cn.n_name IN ('NATION_1', 'NATION_2')
+              AND sn.n_name <> cn.n_name
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(c_acctbal, 4) AS c_acctbal,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+            GROUP BY c_custkey, c_name, n_name, c_acctbal
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "matmul_lineitem": """
+            SELECT round((l_quantity * 1.0 + l_extendedprice * 0.001
+                          + l_discount * 100.0) * 10000) / 10000 AS u,
+                   round((l_quantity * 0.5 + l_extendedprice * -0.25
+                          + l_discount * 2.0) * 10000) / 10000 AS v
+            FROM lineitem
+            ORDER BY u, v
+        """,
+        "gram_lineitem": """
+            WITH c AS (
+                SELECT l_quantity AS q, l_discount AS d, l_tax AS t,
+                       count(*) OVER () AS n
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                  AND l_tax IS NOT NULL
+            ), cells AS (
+                SELECT 'l_quantity' ci, 'l_quantity' cj, sum(q*q)/any_value(n) g FROM c
+                UNION ALL SELECT 'l_quantity', 'l_discount', sum(q*d)/any_value(n) FROM c
+                UNION ALL SELECT 'l_quantity', 'l_tax', sum(q*t)/any_value(n) FROM c
+                UNION ALL SELECT 'l_discount', 'l_quantity', sum(d*q)/any_value(n) FROM c
+                UNION ALL SELECT 'l_discount', 'l_discount', sum(d*d)/any_value(n) FROM c
+                UNION ALL SELECT 'l_discount', 'l_tax', sum(d*t)/any_value(n) FROM c
+                UNION ALL SELECT 'l_tax', 'l_quantity', sum(t*q)/any_value(n) FROM c
+                UNION ALL SELECT 'l_tax', 'l_discount', sum(t*d)/any_value(n) FROM c
+                UNION ALL SELECT 'l_tax', 'l_tax', sum(t*t)/any_value(n) FROM c
+            )
+            SELECT ci, cj, round(g, 4) AS g FROM cells ORDER BY ci, cj
         """,
         "filter_project": """
             SELECT l_orderkey, round(l_quantity, 4) AS l_quantity,

@@ -361,22 +361,56 @@ def read_excel(spark: SparkSession, path: str, *, sheet=0,
     """Excel read (reference fastexcel.clj:139 / poi.clj:138).
 
     Like the reference — which shells out to POI/fastexcel — this delegates
-    to a spreadsheet library (pandas + openpyxl/xlrd) on the DRIVER and
-    hands the frame to Spark. Spreadsheets are single-machine artifacts
-    (xlsx caps at ~1M rows); they are an ingest convenience, never a scan
-    path. Gated on the optional dependency being installed."""
+    to a spreadsheet library on the DRIVER and hands the frame to Spark.
+    Spreadsheets are single-machine artifacts (xlsx caps at ~1M rows);
+    they are an ingest convenience, never a scan path. Prefers pandas'
+    engines (openpyxl/xlrd) when installed; otherwise .xlsx falls through
+    to the vendored stdlib codec (:mod:`.xlsx`), so xlsx ingest works in
+    a bare environment — only legacy binary .xls still needs xlrd."""
+    import pandas as pd
     try:
-        import pandas as pd
         frame = pd.read_excel(path, sheet_name=sheet,
                               header=0 if header else None)
-    except ImportError as ex:
-        raise ImportError(
-            "read_excel needs pandas plus an engine (openpyxl for .xlsx, "
-            "xlrd for legacy .xls); install one to ingest spreadsheets"
-        ) from ex
-    if not header:
+    except ImportError:
+        if path.lower().endswith(".xls"):
+            raise ImportError(
+                "legacy .xls needs the xlrd engine; the built-in codec "
+                "reads .xlsx only") from None
+        from . import xlsx as _xlsx
+        book = _xlsx.read_workbook(path)
+        names = list(book)
+        key = names[sheet] if isinstance(sheet, int) else sheet
+        cols, rows = book[key]
+        if not header:
+            rows = [cols] + rows  # codec split a header; put it back
+            cols = [f"column-{i}" for i in range(len(cols))]
+        frame = pd.DataFrame(rows, columns=cols)
+    if not header and frame.columns.dtype != object:
         frame.columns = [f"column-{i}" for i in range(len(frame.columns))]
     return spark.createDataFrame(frame)
+
+
+def write_excel(df: DataFrame, path: str, *, sheet_name: str = "Sheet1",
+                max_rows: int = 1_048_575) -> None:
+    """Excel write (reference poi.clj:138 family ``dataset->workbook!`` /
+    ``workbook->file!``).
+
+    DRIVER-side bridge like :func:`read_excel` and like the reference's
+    POI path: xlsx hard-caps at ~1M rows, so a distributed sink is
+    meaningless — this is an egress convenience for bounded results
+    (reports, summaries), guarded loudly at ``max_rows``. Uses the
+    vendored stdlib codec (:mod:`.xlsx`), so it needs no openpyxl.
+    Dates/timestamps are written as ISO-8601 strings (documented codec
+    policy); numbers and booleans keep their types."""
+    from . import xlsx as _xlsx
+
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_excel: result exceeds max_rows={max_rows}; xlsx is a "
+            f"bounded-egress format — write parquet/csv for data this size")
+    _xlsx.write_workbook(path, {sheet_name: (df.columns,
+                                             [tuple(r) for r in rows])})
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, *,

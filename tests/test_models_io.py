@@ -236,20 +236,87 @@ def test_mean_center_columns(spark):
     assert got == [-1.0, 0.0, 1.0]  # std of {1,2,3} is 1.0
 
 
-def test_read_excel_gated(spark, tmp_path):
-    """Excel ingest is gated on the optional engine; without it the error
-    must be actionable, not an AttributeError from deep inside pandas."""
+def test_matmul_native_and_arrow_agree(spark):
+    """Distributed GEMM: codegen path == Arrow path == numpy."""
+    import numpy as np
+    from tech_ml_dataset_spark.ml import tensor as tn
+    rows = [(float(i), float(i * 2), float(i % 3)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"]).repartition(4)
+    B = np.array([[1.0, 0.5], [-1.0, 2.0], [0.25, 0.0]])
+    want = np.array(rows) @ B
+    for fn in (tn.matmul, tn.matmul_arrow):
+        got = np.array(sorted(
+            (r["p0"], r["p1"]) for r in fn(df, B).collect()))
+        assert np.allclose(got, want[np.lexsort((want[:, 1], want[:, 0]))])
+
+
+def test_gram_matrix_both_strategies(spark):
+    import numpy as np
+    from tech_ml_dataset_spark.ml import tensor as tn
+    rows = [(float(i), float(3 - i), float(i * i % 7)) for i in range(40)]
+    a = np.array(rows)
+    df = spark.createDataFrame(rows, ["x", "y", "z"]).repartition(5)
+    want = a.T @ a
+    assert np.allclose(tn.gram_matrix(df), want)                    # codegen
+    assert np.allclose(tn.gram_matrix(df, arrow_threshold=1), want)  # arrow
+    # null rows are dropped consistently in both strategies
+    df2 = df.unionByName(spark.createDataFrame(
+        [(1.0, None, 2.0)], "x double, y double, z double"))
+    assert np.allclose(tn.gram_matrix(df2), want)
+    assert np.allclose(tn.gram_matrix(df2, arrow_threshold=1), want)
+
+
+def test_excel_roundtrip(spark, tmp_path):
+    """write_excel -> read_excel round-trips types through the vendored
+    stdlib xlsx codec (no openpyxl in this environment)."""
     from tech_ml_dataset_spark.sources import io as tio
-    p = tmp_path / "t.xlsx"
-    p.write_bytes(b"PK\x03\x04 not really a workbook")
-    try:
-        df = tio.read_excel(spark, str(p))
-    except ImportError as ex:
-        assert "openpyxl" in str(ex)
-    except Exception:
-        pass  # engine present: invalid file fails its own way
-    else:
-        assert df.columns
+    df = spark.createDataFrame(
+        [(1, 1.5, "héllo <&> world", True), (2, float("nan"), None, False)],
+        ["i", "f", "s", "b"])
+    p = str(tmp_path / "rt.xlsx")
+    tio.write_excel(df, p, sheet_name="data")
+    back = tio.read_excel(spark, p).orderBy("i").collect()
+    assert [r["i"] for r in back] == [1, 2]
+    assert back[0]["f"] == 1.5 and back[0]["s"] == "héllo <&> world"
+    assert back[0]["b"] is True and back[1]["b"] is False
+    assert back[1]["s"] is None  # blank cell -> null
+
+
+def test_excel_write_cap(spark, tmp_path):
+    from tech_ml_dataset_spark.sources import io as tio
+    import pytest as _pt
+    df = spark.range(10).toDF("n")
+    with _pt.raises(ValueError, match="max_rows"):
+        tio.write_excel(df, str(tmp_path / "cap.xlsx"), max_rows=5)
+
+
+def test_xlsx_codec_shared_strings_and_sparse(tmp_path):
+    """Reader handles sharedStrings (the form real Excel emits) and sparse
+    rows positioned by cell ref — not just our own writer's output."""
+    import zipfile
+    from tech_ml_dataset_spark.sources import xlsx as x
+    p = str(tmp_path / "ext.xlsx")
+    x.write_workbook(p, {"s": (["a", "b", "c"], [[1, None, "z"]])})
+    # splice in a sharedStrings part + a sheet using it (cell C2 via t="s")
+    with zipfile.ZipFile(p) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    parts["xl/sharedStrings.xml"] = (
+        f'<sst xmlns="{ns}"><si><t>sh</t></si>'
+        f'<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>').encode()
+    parts["xl/worksheets/sheet1.xml"] = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+        '<c r="C1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="C2"><v>7</v></c></row>'
+        '</sheetData></worksheet>').encode()
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, data)
+    book = x.read_workbook(p)
+    cols, rows = book["s"]
+    assert cols == ["sh", "column-1", "rich"]
+    assert rows == [[None, None, 7]]
 
 
 def test_read_jdbc_validates_partition_args(spark):
