@@ -675,6 +675,20 @@ def unigram_lm_docs(spark, sf_dir):
                       "n_scored_tokens")
 
 
+def tfidf_docs(spark, sf_dir):
+    """Per-doc TF-IDF top terms (keyword extraction): explode -> (doc,term)
+    tf shuffle, vocab-sized idf broadcast back, windowed top-3 per doc.
+    Same broadcast-the-small-corpus-statistic shape as unigram_lm_docs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = txt.tfidf_top_terms(docs, top_k=3)
+    return out.select("doc_id", "term",
+                      _r4(F.col("tf")).alias("tf"),
+                      _r4(F.col("idf")).alias("idf"),
+                      _r4(F.col("tfidf")).alias("tfidf"),
+                      "term_rank") \
+              .orderBy("doc_id", "term_rank")
+
+
 def gopher_quality_docs(spark, sf_dir):
     """Gopher-style quality rules (Rae et al. 2021 A1.1): word-count band,
     mean-word-length band, alpha-word fraction, stopword hits, top-bigram
@@ -1247,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "matmul_lineitem": matmul_lineitem,
         "gram_lineitem": gram_lineitem,
+        "tfidf_docs": tfidf_docs,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
         "concat_widen_lineitem": concat_widen_lineitem,
@@ -1983,6 +1998,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        "tfidf_docs": """
+            WITH ex AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                FROM documents WHERE doc_id < 200
+            ), ex2 AS (
+                SELECT doc_id, term FROM ex WHERE length(term) > 0
+            ), tfr AS (
+                SELECT doc_id, term, count(*) AS tc FROM ex2 GROUP BY doc_id, term
+            ), tfn AS (
+                SELECT doc_id, term, tc,
+                       CAST(tc AS DOUBLE) / sum(tc) OVER (PARTITION BY doc_id) AS tf
+                FROM tfr
+            ), nd AS (
+                -- D = all docs in the corpus slice (docs with no tokens
+                -- still count), matching tfidf_top_terms' df.count()
+                SELECT CAST(count(*) AS DOUBLE) AS d
+                FROM documents WHERE doc_id < 200
+            ), idf AS (
+                SELECT term, ln((1 + d) / (1 + count(*))) + 1 AS idf
+                FROM tfr, nd GROUP BY term, d
+            ), sc AS (
+                SELECT t.doc_id, t.term, t.tf, i.idf, t.tf * i.idf AS tfidf
+                FROM tfn t JOIN idf i USING (term)
+            ), rk AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+                FROM sc
+            )
+            SELECT doc_id, term, round(tf, 4) AS tf, round(idf, 4) AS idf,
+                   round(tfidf, 4) AS tfidf, term_rank
+            FROM rk WHERE term_rank <= 3
+            ORDER BY doc_id, term_rank
         """,
         "unigram_lm_docs": """
             WITH ex AS (

@@ -340,15 +340,19 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     Returns the corpus plus ``contam_hits`` (distinct shared k-grams, 0
     when clean) and ``contaminated``. Callers filter; keeping the flag
     (not dropping rows) preserves audit trails."""
+    from ..dtutil import ensure_parallelism
+
     ev = (benchmark
           .select(F.explode(shingles(F.col(text_col), k, mode="word"))
                    .alias("__g__"))
           .distinct())
     if broadcast_benchmark:
         ev = F.broadcast(ev)
-    cg = corpus.select(F.col(id_col),
-                       F.explode(shingles(F.col(text_col), k, mode="word"))
-                        .alias("__g__"))
+    # shingling is per-row CPU; a single-file corpus scan must not run the
+    # k-gram transform on one core
+    cg = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), k, mode="word")).alias("__g__"))
     hits = (cg.join(ev, "__g__")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("contam_hits")))

@@ -418,6 +418,72 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     return df.join(scored, id_col, "left")
 
 
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, top_k: int = 5,
+                    min_df: int = 1, max_df_ratio: float = 1.0,
+                    broadcast_idf: bool = True) -> DataFrame:
+    """Per-document TF-IDF with top-``top_k`` characteristic terms — the
+    classic corpus-analytics primitive (keyword extraction, topic
+    labeling, near-dup triage).
+
+    tf(t, d) = count(t in d) / len(d); idf(t) = ln((1 + D) / (1 + df_t)) + 1
+    (smoothed, sklearn-convention); score = tf · idf.
+
+    Plan shape (same scale discipline as :func:`unigram_logprob_score`):
+
+    1. one explode -> groupBy(id, token) computes every tf — map-side
+       combined, the shuffle is keyed by (doc, token) so stopwords can't
+       hot-key a single reducer (doc id spreads them);
+    2. the DOCUMENT-FREQUENCY table is vocab-sized -> built by a second
+       groupBy over the (already aggregated, one row per doc×distinct-term)
+       tf table, never by re-exploding the corpus;
+    3. idf joins back BROADCAST by default (vocab-sized vs corpus-sized,
+       identical skew argument to the unigram LM); pass
+       ``broadcast_idf=False`` for a pathological vocabulary that cannot
+       fit executor memory (the join then shuffles, but its left side is
+       the aggregated tf table — one row per doc×distinct-term — not the
+       raw exploded corpus, so stopword keys are already doc-spread);
+    4. top-k per document via a window over (doc) — partition-pruned,
+       k rows survive per doc.
+
+    ``min_df`` / ``max_df_ratio`` drop too-rare / too-common terms BEFORE
+    the join (the standard vocabulary pruning — also the skew guard for
+    degenerate corpora where one token dominates). ``n_docs`` is taken
+    from ``df.count()`` — a metadata-cheap action (docs with no tokens
+    still count toward D, the sklearn convention) — so building the plan
+    never triggers the corpus explode."""
+    from pyspark.sql import Window as W
+
+    from ..dtutil import ensure_parallelism
+    df = ensure_parallelism(df)
+    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    ex = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+            .filter(F.length("term") > 0))
+    tf = (ex.groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("__tc__")))
+    doclen = W.partitionBy(id_col)
+    tf = tf.withColumn("tf", F.col("__tc__")
+                       / F.sum("__tc__").over(doclen))
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
+    dfreq = dfreq.filter(
+        (F.col("__df__") >= min_df)
+        & (F.col("__df__") <= int(max_df_ratio * n_docs)))
+    idf = dfreq.withColumn(
+        "idf", F.log((1.0 + n_docs) / (1.0 + F.col("__df__"))) + 1.0) \
+        .select("term", "idf")
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+    scored = tf.join(idf, "term").withColumn(
+        "tfidf", F.col("tf") * F.col("idf"))
+    rank = F.row_number().over(
+        W.partitionBy(id_col).orderBy(F.col("tfidf").desc(),
+                                      F.col("term").asc()))
+    return (scored.withColumn("term_rank", rank)
+                  .filter(F.col("term_rank") <= top_k)
+                  .select(id_col, "term", "tf", "idf", "tfidf", "term_rank"))
+
+
 def sample_mixture(df: DataFrame, weights: dict, *, total_tokens: int,
                    key_cols: tuple = ("lang",), token_col: str = "n_tokens",
                    seed: int = 42) -> DataFrame:

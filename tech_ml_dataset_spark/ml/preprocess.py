@@ -268,8 +268,65 @@ def correlation_table(df: DataFrame, columns: Sequence[str] | None = None,
             for i, ci in enumerate(cols)}
 
 
+def _kendall_driver(cell_rows, n_cells: int) -> dict:
+    """Knight's weighted O(c log c) tau-b over collected (x, y, w) cells:
+    sort by (x, y), walk equal-x groups querying a Fenwick tree over
+    y-order BEFORE inserting the group (tied-x pairs contribute 0), then
+    closed-form tie terms. Exact with python ints — no overflow bound."""
+    import math
+
+    cells = sorted((r["x"], r["y"], int(r["w"])) for r in cell_rows)
+    ys = sorted({y for _, y, _ in cells})
+    y_code = {y: i + 1 for i, y in enumerate(ys)}
+    size = len(ys)
+    tree = [0] * (size + 1)
+
+    def bit_add(i, v):
+        while i <= size:
+            tree[i] += v
+            i += i & (-i)
+
+    def bit_sum(i):
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    s_val, inserted, i = 0, 0, 0
+    while i < len(cells):
+        j = i
+        while j < len(cells) and cells[j][0] == cells[i][0]:
+            j += 1
+        for k in range(i, j):
+            code = y_code[cells[k][1]]
+            lt = bit_sum(code - 1)
+            gt = inserted - bit_sum(code)
+            s_val += cells[k][2] * (lt - gt)
+        for k in range(i, j):
+            bit_add(y_code[cells[k][1]], cells[k][2])
+            inserted += cells[k][2]
+        i = j
+
+    n = sum(w for _, _, w in cells)
+    txy2 = sum(w * (w - 1) for _, _, w in cells)
+    from collections import defaultdict
+    gx, gy = defaultdict(int), defaultdict(int)
+    for x, y, w in cells:
+        gx[x] += w
+        gy[y] += w
+    tx = sum(t * (t - 1) for t in gx.values())
+    ty = sum(t * (t - 1) for t in gy.values())
+    n0 = n * (n - 1) // 2
+    n1, n2 = tx // 2, ty // 2
+    denom = math.sqrt(float(n0 - n1) * float(n0 - n2))
+    tau = (s_val / denom) if denom else float("nan")
+    return {"tau": tau, "n": n, "s": s_val, "n_cells": n_cells}
+
+
 def kendall_tau_exact(df: DataFrame, xcol: str, ycol: str, *,
-                      n_buckets: int = 32) -> dict:
+                      n_buckets: int = 32,
+                      driver_threshold: int = 20_000) -> dict:
     """EXACT Kendall's tau-b on the FULL data, distributed — parity with the
     reference, which computes kendall on all rows (math.clj:37), instead of
     :func:`correlation_table`'s sampled bound.
@@ -298,8 +355,12 @@ def kendall_tau_exact(df: DataFrame, xcol: str, ycol: str, *,
 
     Returns {"tau": float, "n": int, "s": int, "n_cells": int}. Runs a
     bounded number of jobs (rank indexes + three small aggregates) — the
-    price of exactness; every per-row structure stays distributed."""
+    price of exactness; every per-row structure stays distributed. Exact
+    S accumulation uses int64 partials: exact for n up to ~3e9 rows (S is
+    bounded by n²; beyond that the tau denominator is float anyway)."""
     import math
+
+    import numpy as np
 
     from ..operators.selection import with_row_index
 
@@ -308,35 +369,100 @@ def kendall_tau_exact(df: DataFrame, xcol: str, ycol: str, *,
     cells = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("w"))
     cells = cells.localCheckpoint(eager=True)  # reused by 4 downstream jobs
 
+    # Small-cell fast path: the distributed pipeline costs ~8 scheduler
+    # round-trips (checkpoints, range-partition sampling, two pandas
+    # stages) — pure overhead when the DISTINCT (x,y) table is tiny (the
+    # reference computes fully in memory, math.clj:37). The aggregation
+    # above already collapsed the data, so collecting ≤ driver_threshold
+    # cells is bounded regardless of row count; Knight's O(c log c) sweep
+    # finishes in milliseconds. Set driver_threshold=0 to force the
+    # distributed path.
+    n_cells = cells.count()
+    if n_cells <= driver_threshold:
+        rows = cells.collect()
+        return _kendall_driver(rows, n_cells)
+
+    # x needs a DENSE rank (balanced buckets over distinct values, equal x
+    # never split); y needs only an ORDER — the raw value is order-
+    # isomorphic to its rank, so no distinct/index/join on the y side.
     xr = with_row_index(cells.select("x").distinct(), order_by="x", name="rx")
-    yr = with_row_index(cells.select("y").distinct(), order_by="y", name="ry")
     d_x = xr.count()
     bsize = max(1, math.ceil(d_x / n_buckets))
     n_b = math.ceil(d_x / bsize)
-    ranked = (cells.join(xr, "x").join(yr, "y")
+    ranked = (cells.join(xr, "x")
                    .withColumn("xb", F.floor(F.col("rx") / bsize))
-                   .select("rx", "ry", "w", "xb")
+                   .select("rx", F.col("y").alias("ry"), "w", "xb")
                    .localCheckpoint(eager=True))
 
-    # --- cross-bucket sweep (sign(dx) = +1 by construction) ---
-    mass = (ranked.filter(F.col("xb") < n_b - 1)
-                  .select(F.explode(F.sequence(F.col("xb") + 1,
-                                               F.lit(n_b - 1))).alias("xb2"),
-                          "ry", F.col("w").alias("mw"))
-                  .withColumn("qw", F.lit(0).cast("long")))
-    query = ranked.select(F.col("xb").alias("xb2"), "ry",
-                          F.lit(0).cast("long").alias("mw"),
-                          F.col("w").alias("qw"))
-    u = mass.unionByName(query)
-    ws = W.partitionBy("xb2").orderBy("ry")
-    less = F.coalesce(F.sum("mw").over(ws.rangeBetween(W.unboundedPreceding, -1)),
-                      F.lit(0))
-    le = F.coalesce(F.sum("mw").over(ws.rangeBetween(W.unboundedPreceding, 0)),
-                    F.lit(0))
-    tot = F.coalesce(F.sum("mw").over(W.partitionBy("xb2")), F.lit(0))
-    s_cross = (u.withColumn("__c__", F.col("qw") * (less - (tot - le)))
-                .agg(F.coalesce(F.sum("__c__"), F.lit(0)).alias("s"))
-                .collect()[0]["s"])
+    # --- cross-bucket merge pass (sign(dx) = +1 by construction) ---
+    # For every cell q the cross-bucket contribution is
+    #   w_q * (mass{xb < q.xb, ry < q.ry} - mass{xb < q.xb, ry > q.ry}).
+    # Rather than fanning each cell out to every later bucket (O(cells ×
+    # n_buckets) exchange — quadratic-ish when columns are near-continuous
+    # and |cells| ≈ n), range-partition the cells by ry ONCE and run one
+    # mapInPandas merge: each partition keeps per-bucket cumulative masses
+    # as numpy cumsums (a [n_buckets × rows] prefix grid), and mass from
+    # other partitions enters through two tiny broadcast tables — earlier-
+    # partition offsets and global bucket totals (n_part × n_buckets
+    # numbers). O(cells) rows move, exactly once. Equal ry keys never span
+    # partitions (RangePartitioner maps equal keys together), so the
+    # strict </> splits stay exact at partition boundaries.
+    by_ry = (ranked.repartitionByRange(n_buckets, "ry")
+                   .sortWithinPartitions("ry")
+                   .withColumn("__pid__", F.spark_partition_id())
+                   .localCheckpoint(eager=False))  # pass A/B must agree
+    pb = (by_ry.groupBy("__pid__", "xb").agg(F.sum("w").alias("m"))
+               .collect())
+    n_parts = max((r["__pid__"] for r in pb), default=-1) + 1
+    grid = np.zeros((n_parts, n_b), dtype=np.int64)
+    for r in pb:
+        grid[r["__pid__"], r["xb"]] = r["m"]
+    # bucket-prefix (mass in buckets < b), then partition-prefix of that
+    bpref = np.concatenate(
+        [np.zeros((n_parts, 1), np.int64), np.cumsum(grid, axis=1)[:, :-1]],
+        axis=1)
+    earlier = np.concatenate(
+        [np.zeros((1, n_b), np.int64), np.cumsum(bpref, axis=0)[:-1]], axis=0)
+    total_bpref = bpref.sum(axis=0)
+    bc = df.sparkSession.sparkContext.broadcast((earlier, total_bpref))
+
+    def _merge(it):
+        import pandas as pd
+        from pyspark import TaskContext
+        earlier_, total_ = bc.value
+        pid = TaskContext.get().partitionId()
+        chunks = [pdf for pdf in it if not pdf.empty]
+        if not chunks:
+            return
+        # Arrow delivers a partition as multiple batches; the prefix grid
+        # needs the WHOLE ry-sorted partition at once (order is preserved
+        # across batches by sortWithinPartitions).
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 \
+            else chunks[0]
+        ry = pdf["ry"].to_numpy()
+        w = pdf["w"].to_numpy(dtype=np.int64)
+        xb = pdf["xb"].to_numpy()
+        # [n_buckets+1 × rows] prefix grid: cum[b, j] = local mass in
+        # buckets < b among the first j+1 rows
+        onehot = np.zeros((n_b, len(ry)), dtype=np.int64)
+        np.add.at(onehot, (xb, np.arange(len(ry))), w)
+        cum = np.cumsum(np.cumsum(onehot, axis=0), axis=1)
+        cum = np.concatenate(
+            [np.zeros((1, len(ry)), np.int64), cum], axis=0)
+        p_lt = np.searchsorted(ry, ry, side="left")   # rows with ry' < ry
+        p_le = np.searchsorted(ry, ry, side="right")  # rows with ry' <= ry
+        zero = np.zeros(len(ry), dtype=np.int64)
+        local_lt = np.where(p_lt > 0, cum[xb, p_lt - 1], zero)
+        local_le = np.where(p_le > 0, cum[xb, p_le - 1], zero)
+        less = earlier_[pid][xb] + local_lt
+        # later partitions hold only ry' > ry, so global mass below bucket
+        # minus (earlier + local ≤-mass) is exactly the strictly-greater mass
+        greater = total_[xb] - (earlier_[pid][xb] + local_le)
+        yield pd.DataFrame({"s": [int(np.dot(w, less - greater))]})
+
+    s_cross = (by_ry.mapInPandas(_merge, "s long")
+                    .agg(F.coalesce(F.sum("s"), F.lit(0)).alias("s"))
+                    .collect()[0]["s"])
 
     # --- within-bucket Fenwick sweep (exact, per-bucket Python) ---
     def _bucket_s(pdf):

@@ -240,6 +240,34 @@ def test_unigram_logprob_score(spark):
     assert out[1]["n_scored_tokens"] == 4
 
 
+def test_tfidf_top_terms(spark):
+    """Doc-characteristic (rare) terms outrank corpus-wide (common) ones;
+    tf/idf values match the closed form."""
+    import math
+
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [(1, "shared apple apple"),
+         (2, "shared banana"),
+         (3, "shared shared cherry")],
+        ["doc_id", "text"])
+    out = txt.tfidf_top_terms(df, top_k=2)
+    rows = {(r["doc_id"], r["term"]): r for r in out.collect()}
+    # doc 1: 'apple' (df=1) must beat 'shared' (df=3)
+    assert rows[(1, "apple")]["term_rank"] == 1
+    assert rows[(1, "apple")]["tf"] == 2 / 3
+    assert abs(rows[(1, "apple")]["idf"] - (math.log(4 / 2) + 1)) < 1e-12
+    assert rows[(1, "shared")]["term_rank"] == 2
+    assert abs(rows[(1, "shared")]["idf"] - (math.log(4 / 4) + 1)) < 1e-12
+    # min_df pruning removes singletons entirely
+    pruned = txt.tfidf_top_terms(df, top_k=2, min_df=2)
+    assert {r["term"] for r in pruned.collect()} == {"shared"}
+    # max_df_ratio prunes corpus-wide terms
+    nomax = txt.tfidf_top_terms(df, top_k=2, max_df_ratio=0.67)
+    assert "shared" not in {r["term"] for r in nomax.collect()}
+
+
 def test_sample_mixture_hits_token_budget(spark):
     from tech_ml_dataset_spark.functions import text as txt
 

@@ -311,6 +311,25 @@ def test_descriptive_stats(spark):
     assert stats["s"]["n-valid"] == 2
 
 
+def test_descriptive_stats_grouped_agg_matches_single(spark):
+    """Wide-aggregate splitting (agg_expr_budget) must not change any value:
+    a tiny budget forces one crossJoined branch per column; results must be
+    identical to the single-agg plan, including first/last scan-order stats
+    recomputed per branch."""
+    rows = [(float(i), float(i * i % 7), f"s{i % 3}",
+             None if i % 5 == 0 else float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "a double, b double, c string, d double")
+    kw = dict(stats=("n-valid", "n-missing", "min", "quartile-1", "mean",
+                     "mode", "median", "quartile-3", "max", "stddev", "skew",
+                     "n-values", "first", "last"),
+              quantile_accuracy="exact")
+    split = sorted(map(str, agg.descriptive_stats(
+        df, agg_expr_budget=4, **kw).collect()))
+    single = sorted(map(str, agg.descriptive_stats(
+        df, agg_expr_budget=10**9, **kw).collect()))
+    assert split == single
+
+
 def test_grouping_sets_matches_unioned_groupbys(spark):
     df = spark.createDataFrame(
         [("a", "x", 1), ("a", "y", 2), ("b", "x", 4)], ["g", "h", "v"])
@@ -524,9 +543,14 @@ def test_kendall_tau_exact_matches_bruteforce(spark):
 
     df = spark.createDataFrame(
         [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double")
-    got = kendall_tau_exact(df, "x", "y", n_buckets=5)
-    assert got["s"] == int(s) and abs(got["tau"] - want) < 1e-12
-    assert got["n"] == 400
+    # distributed bucketed path AND the small-cell driver fast path must
+    # both match brute force exactly
+    dist = kendall_tau_exact(df, "x", "y", n_buckets=5, driver_threshold=0)
+    drv = kendall_tau_exact(df, "x", "y")
+    for got in (dist, drv):
+        assert got["s"] == int(s) and abs(got["tau"] - want) < 1e-12
+        assert got["n"] == 400
+    assert dist["n_cells"] == drv["n_cells"]
 
 
 def test_validate_empty_input_passes(spark):
