@@ -689,6 +689,18 @@ def tfidf_docs(spark, sf_dir):
               .orderBy("doc_id", "term_rank")
 
 
+def kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd's k-means (functions/similarity.py kmeans_lloyd):
+    k=4, one update round, deterministic init from vec_ids 0-3; the DuckDB
+    oracle unrolls the round (assign -> per-dim means -> assign). Multi-
+    round convergence is pinned in pytest against numpy Lloyd's."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    out, _ = sim.kmeans_lloyd(emb, "embedding", "vec_id", k=4, max_iter=1,
+                              init_ids=(0, 1, 2, 3))
+    return out.select("vec_id", "cluster",
+                      _r4(F.col("dist2")).alias("dist2")).orderBy("vec_id")
+
+
 def gopher_quality_docs(spark, sf_dir):
     """Gopher-style quality rules (Rae et al. 2021 A1.1): word-count band,
     mean-word-length band, alpha-word fraction, stopword hits, top-bigram
@@ -1262,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matmul_lineitem": matmul_lineitem,
         "gram_lineitem": gram_lineitem,
         "tfidf_docs": tfidf_docs,
+        "kmeans_embeddings": kmeans_embeddings,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
         "concat_widen_lineitem": concat_widen_lineitem,
@@ -1998,6 +2011,48 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        "kmeans_embeddings": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 200
+            ), c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                FROM e WHERE vec_id IN (0, 1, 2, 3)
+            ), a1 AS (
+                SELECT vec_id, c FROM (
+                    SELECT e.vec_id, c0.c,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               (SELECT sum((e.v[s.i] - c0.v[s.i])
+                                           * (e.v[s.i] - c0.v[s.i]))
+                                FROM generate_series(1, 64) s(i)), c0.c) AS rn
+                    FROM e, c0) t
+                WHERE rn = 1
+            ), m1 AS (
+                SELECT a1.c, s.i, avg(e.v[s.i]) AS m
+                FROM a1 JOIN e USING (vec_id), generate_series(1, 64) s(i)
+                GROUP BY a1.c, s.i
+            ), c1 AS (
+                SELECT c0.c,
+                       CASE WHEN mm.vv IS NULL THEN c0.v ELSE mm.vv END AS v
+                FROM c0 LEFT JOIN (
+                    SELECT c, list(m ORDER BY i) AS vv FROM m1 GROUP BY c
+                ) mm USING (c)
+            ), a2 AS (
+                SELECT e.vec_id, c1.c,
+                       (SELECT sum((e.v[s.i] - c1.v[s.i])
+                                   * (e.v[s.i] - c1.v[s.i]))
+                        FROM generate_series(1, 64) s(i)) AS d2
+                FROM e, c1
+            ), fin AS (
+                SELECT vec_id, c, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, c) AS rn
+                FROM a2
+            )
+            SELECT vec_id, c AS cluster, round(d2, 4) AS dist2
+            FROM fin WHERE rn = 1
+            ORDER BY vec_id
         """,
         "tfidf_docs": """
             WITH ex AS (

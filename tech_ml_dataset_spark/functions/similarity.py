@@ -135,6 +135,80 @@ def ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
     return [list(r[0]) for r in rows]
 
 
+def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id", *, k: int = 4, max_iter: int = 5,
+                 init_ids: Sequence | None = None
+                 ) -> "tuple[DataFrame, list[list[float]]]":
+    """Distributed Lloyd's k-means over an embedding column (Euclidean) —
+    the topic-balance / corpus-clustering primitive (and an exact-k
+    refinement over :func:`ivf_centroids` sampling).
+
+    Fully deterministic so it can be oracle-checked: initial centroids are
+    the vectors of ``init_ids`` (default: the k smallest ids), clusters are
+    numbered by init order, and the argmin tie-breaks toward the lower
+    cluster id via struct ordering.
+
+    Scale shape per iteration (the standard Spark Lloyd's):
+
+    * ASSIGN — centroids ride into the plan as literals, so the k squared
+      distances are pure Catalyst expressions (``zip_with`` +
+      ``aggregate``) and ``array_min`` over (dist, cluster) structs picks
+      the winner: no UDF, no shuffle, embarrassingly parallel.
+    * UPDATE — ``posexplode`` the vector, groupBy (cluster, dim) mean:
+      one map-side-combined shuffle of (k·d) keys; only the k×d centroid
+      matrix is collected to the driver. Empty clusters keep their
+      previous centroid.
+
+    ``max_iter`` bounded driver rounds (iterative by nature — same
+    contract as dedup_clusters' label propagation). Returns
+    ``(assignments, centroids)`` where assignments has ``id_col,
+    cluster, dist2`` (squared Euclidean to the FINAL centroid)."""
+    base = df.select(F.col(id_col), F.col(vec_col).alias("__v__"))
+    if init_ids is None:
+        rows = base.orderBy(id_col).limit(k).collect()
+    else:
+        want = list(init_ids)
+        got = {r[0]: r for r in
+               base.filter(F.col(id_col).isin(want)).collect()}
+        rows = [got[i] for i in want]
+    cents = [[float(x) for x in r["__v__"]] for r in rows]
+    if len(cents) < k:
+        raise ValueError(f"init needs {k} vectors, found {len(cents)}")
+
+    def _assign(cs):
+        dists = []
+        for j, c in enumerate(cs):
+            arr = F.array(*[F.lit(x) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(F.col("__v__"), arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            dists.append(F.struct(d2.alias("d"), F.lit(j).alias("c")))
+        best = F.array_min(F.array(*dists))
+        return base.withColumn("cluster", best["c"]) \
+                   .withColumn("dist2", best["d"])
+
+    for _ in range(max_iter):
+        assigned = _assign(cents)
+        mean_rows = (assigned
+                     .select("cluster", F.posexplode("__v__")
+                              .alias("__i__", "__x__"))
+                     .groupBy("cluster", "__i__")
+                     .agg(F.avg("__x__").alias("__m__"))
+                     .collect())
+        new = [list(c) for c in cents]  # empty cluster -> keep previous
+        dims: dict[int, dict[int, float]] = {}
+        for r in mean_rows:
+            dims.setdefault(r["cluster"], {})[r["__i__"]] = r["__m__"]
+        for j, dvals in dims.items():
+            new[j] = [dvals[i] for i in range(len(dvals))]
+        if new == cents:
+            break
+        cents = new
+
+    out = _assign(cents).select(id_col, "cluster", "dist2")
+    return out, cents
+
+
 def ivf_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
              centroids: Sequence[Sequence[float]], n_probe: int = 2,
              id_col: str = "vec_id", score_col: str = "cos") -> DataFrame:

@@ -164,6 +164,50 @@ def test_bad_row_policy_csv(spark, tmp_path):
                        bad_row_policy="error").collect()
 
 
+def test_kmeans_lloyd_matches_numpy(spark):
+    """Distributed Lloyd's vs a numpy reference over several rounds,
+    including the deterministic init and lower-cluster tie-break."""
+    import numpy as np
+    from tech_ml_dataset_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0, 0.0], [5.0, 5.0], [0.0, 5.0]])
+    pts = np.vstack([c + rng.normal(0, 0.4, (30, 2)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(pts)],
+        "vec_id int, embedding array<double>")
+
+    # numpy Lloyd's with identical init (ids 0..2) and 4 rounds
+    cents = pts[[0, 1, 2]].copy()
+    for _ in range(4):
+        d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(3):
+            if (assign == j).any():
+                cents[j] = pts[assign == j].mean(axis=0)
+    d = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want_assign, want_d2 = d.argmin(axis=1), d.min(axis=1)
+
+    out, got_cents = sim.kmeans_lloyd(df, k=3, max_iter=4,
+                                      init_ids=(0, 1, 2))
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert np.allclose(np.array(got_cents), cents)
+    for i in range(len(pts)):
+        assert rows[i]["cluster"] == want_assign[i]
+        assert abs(rows[i]["dist2"] - want_d2[i]) < 1e-9
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
+    from tech_ml_dataset_spark.functions import similarity as sim
+    # centroid 2 initialized far away captures nothing after round 1
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0]), (2, [100.0]), (3, [0.5])],
+        "vec_id int, embedding array<double>")
+    out, cents = sim.kmeans_lloyd(df, k=2, max_iter=3, init_ids=(0, 2))
+    rows = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert rows[2] == 1 and rows[0] == 0 and rows[1] == 0
+
+
 def test_embedding_dedup_pairs_lsh_recall(spark):
     """Banded sign-LSH near-dup detection: near-identical vectors (cosine
     ~0.999) must be caught with recall 1.0 at default banding; unrelated
