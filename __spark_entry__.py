@@ -689,6 +689,28 @@ def tfidf_docs(spark, sf_dir):
               .orderBy("doc_id", "term_rank")
 
 
+def attribution_range_join(spark, sf_dir):
+    """Bucketized interval join (operators/join.py range_join; SURVEY §2.3
+    theta-join gap, parity-plus): click-to-purchase attribution — count
+    clicks by the same user in the 30 minutes before each purchase. The
+    bucket width equals the window, so every interval explodes to ≤ 2
+    buckets and the plan is an equi shuffle join, never a nested loop."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"))
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("lo"))
+    j = jn.range_join(clicks, purch, "c_ts", "lo", "ts",
+                      on=[("c_user", "user_id")], bounds="[)",
+                      bucket=1_800_000_000.0)
+    out = j.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        _r4(F.sum("c_value")).alias("click_value"))
+    return out.orderBy("event_id")
+
+
 def kmeans_embeddings(spark, sf_dir):
     """Distributed Lloyd's k-means (functions/similarity.py kmeans_lloyd):
     k=4, one update round, deterministic init from vec_ids 0-3; the DuckDB
@@ -1057,6 +1079,23 @@ def regression_price_model(spark, sf_dir):
                        _r4(F.col("price_hat")).alias("price_hat"))
 
 
+def ols_price_by_qty(spark, sf_dir):
+    """Single-feature OLS through the full train-regression/predict path
+    (tribuo.clj:285,292 analog): pyspark.ml LinearRegression (normal-
+    equation solver, no regularization) is exact OLS, so DuckDB's
+    regr_slope/regr_intercept reproduce the fitted line closed-form —
+    promoting the train/predict family from rows-only to oracle-checked."""
+    from tech_ml_dataset_spark.ml import models as mdl
+    li = _t(spark, sf_dir, "lineitem")
+    fit = mdl.train_regression(li, "l_extendedprice", ["l_quantity"],
+                               solver="normal", regParam=0.0)
+    pred = mdl.predict(li.filter(F.col("l_orderkey") < 100), fit,
+                       out_col="price_hat")
+    return pred.select("l_orderkey", "l_linenumber",
+                       _r4b(F.col("price_hat")).alias("price_hat")) \
+               .orderBy("l_orderkey", "l_linenumber", "price_hat")
+
+
 def doc_quality_lang(spark, sf_dir):
     """Language-ID + composite quality score (beyond-reference text
     analysis) — pure Catalyst expressions via the fused single-tokenize
@@ -1275,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_lineitem": gram_lineitem,
         "tfidf_docs": tfidf_docs,
         "kmeans_embeddings": kmeans_embeddings,
+        "ols_price_by_qty": ols_price_by_qty,
+        "attribution_range_join": attribution_range_join,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
         "concat_widen_lineitem": concat_widen_lineitem,
@@ -1307,16 +1348,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bag_intersect_lineitem": bag_intersect_lineitem,
         "rollup_orders": rollup_orders,
         "quantiles_price": quantiles_price,
-        "reservoir_orders": reservoir_orders,
-        "regression_price_model": regression_price_model,
         "lsh_topk_embeddings": lsh_topk_embeddings,
-        "pca_project_lineitem": pca_project_lineitem,
-        "ivf_topk_embeddings": ivf_topk_embeddings,
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
         # -- regression stalwarts over operators touched this round --
         "asof_purchase_click": asof_purchase_click,
         "embedding_dedup_clusters": embedding_dedup_clusters,
+        # ---- position > 50: rows-only with prior driver rows, then
+        # r2-green queries whose code is untouched this round ----
+        "reservoir_orders": reservoir_orders,
+        "regression_price_model": regression_price_model,
+        "pca_project_lineitem": pca_project_lineitem,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
@@ -2011,6 +2054,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
             FROM documents
+        """,
+        "attribution_range_join": """
+            SELECT p.event_id, count(*) AS n_clicks,
+                   round(sum(c.value), 4) AS click_value
+            FROM events p
+            JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type = 'click'
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE
+             AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id
+            ORDER BY p.event_id
+        """,
+        "ols_price_by_qty": """
+            WITH fit AS (
+                SELECT regr_slope(l_extendedprice, l_quantity) AS b,
+                       regr_intercept(l_extendedprice, l_quantity) AS a
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round((a + b * l_quantity) * 10000) / 10000 AS price_hat
+            FROM lineitem, fit
+            WHERE l_orderkey < 100
+            ORDER BY l_orderkey, l_linenumber, price_hat
         """,
         "kmeans_embeddings": """
             WITH e AS (

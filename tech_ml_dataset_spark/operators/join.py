@@ -17,6 +17,7 @@ Spark-first notes:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
@@ -232,6 +233,67 @@ def _nearest_combine(left: DataFrame, fwd: DataFrame, bwd: DataFrame,
     for c in val_cols:
         j = j.withColumn(c, F.when(use_f, F.col(fa[c])).otherwise(F.col(ba[c])))
     return j.drop(*fa.values(), *ba.values())
+
+
+def range_join(left: DataFrame, right: DataFrame, point_col: str,
+               lo_col: str, hi_col: str, *, on=None, how: str = "inner",
+               bucket: float | None = None, bounds: str = "[]") -> DataFrame:
+    """Interval/theta join (SURVEY §2.3 "absent — range predicates if we
+    want them"; parity-plus): match left rows whose ``point_col`` falls in
+    right's ``[lo_col, hi_col]``, optionally with equi-keys ``on``
+    (``"k"`` / ``[("lk","rk"), ...]``).
+
+    Spark plans a bare non-equi join as BroadcastNestedLoop (or a
+    cartesian product) — the canonical 100 TB killer. ``bucket`` turns it
+    into an EQUI join: points map to ``floor(point/bucket)``, each
+    interval explodes to the buckets it covers (fan-out bounded by
+    interval-width/bucket + 1 — pick bucket ≈ the typical interval
+    width), the join keys on (bucket + equi-keys) and the exact range
+    predicate filters residually. This is the published range-join
+    binning optimization, expressed with plain DataFrame ops. Temporal
+    columns are bucketed in EPOCH-MICROS space (``dtutil.axis_double``),
+    so ``bucket`` for timestamps is in microseconds (30 min =
+    ``1_800_000_000.0``).
+
+    ``bounds`` picks interval closure: ``"[]" "[)" "(]" "()"``.
+    Intervals with ``hi < lo`` or NULL endpoints match nothing; NULL
+    points match nothing (and survive with NULL right columns under
+    ``how="left"``). Right-side column names must not collide with left's
+    (alias before joining — same contract as a plain ``df.join``).
+    Without ``bucket`` the non-equi plan is used as-is (fine when one
+    side broadcasts; a loud anti-pattern otherwise)."""
+    from ..dtutil import axis_double
+
+    if bounds not in ("[]", "[)", "(]", "()"):
+        raise ValueError(f"bounds must be one of [] [) (] (); got {bounds!r}")
+    keys = _normalize_keys(on) if on is not None else []
+    p = left[point_col]
+    lo_ok = (p >= right[lo_col]) if bounds[0] == "[" else (p > right[lo_col])
+    hi_ok = (p <= right[hi_col]) if bounds[1] == "]" else (p < right[hi_col])
+    cond = [left[lk] == right[rk] for lk, rk in keys] + [lo_ok, hi_ok]
+
+    if bucket is None:
+        return left.join(right, functools.reduce(lambda a, b: a & b, cond), how)
+
+    bw = float(bucket)
+    lb = left.withColumn("__rb__", F.floor(axis_double(left, point_col) / bw))
+    # hi < lo would make sequence() count DOWN and fabricate buckets;
+    # such intervals match nothing by definition, so drop them here.
+    rkept = right.filter(F.col(lo_col).isNotNull()
+                         & F.col(hi_col).isNotNull()
+                         & (F.col(lo_col) <= F.col(hi_col)))
+    rb = rkept.withColumn(
+        "__rb__",
+        F.explode(F.sequence(
+            F.floor(axis_double(rkept, lo_col) / bw),
+            F.floor(axis_double(rkept, hi_col) / bw))))
+    p = lb[point_col]
+    lo_ok = (p >= rb[lo_col]) if bounds[0] == "[" else (p > rb[lo_col])
+    hi_ok = (p <= rb[hi_col]) if bounds[1] == "]" else (p < rb[hi_col])
+    cond = [lb["__rb__"] == rb["__rb__"]] \
+        + [lb[lk] == rb[rk] for lk, rk in keys] + [lo_ok, hi_ok]
+    out = lb.join(rb, functools.reduce(lambda a, b: a & b, cond), how)
+    return out.drop(lb["__rb__"]).drop(rb["__rb__"])
 
 
 def salted_join(left: DataFrame, right: DataFrame, on, how: str = "inner", *,

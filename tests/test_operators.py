@@ -69,6 +69,46 @@ def test_pd_merge_outer_and_cross(spark):
     assert jn.pd_merge(a, b, how="cross").count() == 1
 
 
+def test_range_join_bucketed_matches_plain(spark):
+    """Bucketized equi-rewrite must equal the bare non-equi join for every
+    bounds mode, including boundary points and multi-bucket intervals."""
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 5, 10, 15, 20, 25])],
+        ["pid", "p"])
+    iv = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 10.0, 10.0), (300, 14.0, 27.0),
+         (400, 30.0, 40.0)], ["iid", "lo", "hi"])
+    for bounds in ("[]", "[)", "(]", "()"):
+        plain = {(r["pid"], r["iid"]) for r in jn.range_join(
+            pts, iv, "p", "lo", "hi", bounds=bounds).collect()}
+        for bucket in (1.0, 4.0, 100.0):
+            bucketed = {(r["pid"], r["iid"]) for r in jn.range_join(
+                pts, iv, "p", "lo", "hi", bounds=bounds,
+                bucket=bucket).collect()}
+            assert bucketed == plain, (bounds, bucket)
+    # point-on-boundary sanity: p=10 in [0,10] only under closed-hi
+    closed = {(r["pid"], r["iid"]) for r in jn.range_join(
+        pts, iv, "p", "lo", "hi", bucket=4.0).collect()}
+    assert (2, 100) in closed and (2, 200) in closed
+
+
+def test_range_join_equi_keys_left_and_degenerate(spark):
+    pts = spark.createDataFrame(
+        [(1, "u", 5.0), (2, "u", 50.0), (3, "w", 5.0), (4, "u", None)],
+        "pid int, user string, p double")
+    iv = spark.createDataFrame(
+        [("u", 0.0, 10.0, "in"), ("u", 9.0, 1.0, "inverted"),
+         ("u", None, 10.0, "nulllo")],
+        "user string, lo double, hi double, tag string")
+    out = jn.range_join(pts, iv, "p", "lo", "hi",
+                        on=[("user", "user")], how="left", bucket=5.0)
+    got = {(r["pid"], r["tag"]) for r in out.collect()}
+    # pid 1 matches the valid interval; inverted/null intervals match
+    # nothing; pid 2 out of range, pid 3 wrong key, pid 4 null point —
+    # all survive how="left" with null right side
+    assert got == {(1, "in"), (2, None), (3, None), (4, None)}
+
+
 def test_asof_backward(spark):
     left = spark.createDataFrame([(1, 5), (1, 10), (1, 2)], ["g", "t"])
     right = spark.createDataFrame([(1, 3, "a"), (1, 7, "b"), (1, 10, "c")], ["g", "t", "v"])
