@@ -368,3 +368,63 @@ def test_partitioned_write_prunes_at_read(spark, sf_dir, tmp_path):
     n_match = df.count()
     n_all = spark.read.parquet(out).count()
     assert 0 < n_match < n_all
+
+
+def test_zorder_interleave_matches_reference(spark):
+    """Catalyst bit-interleave == python Morton reference."""
+    from tech_ml_dataset_spark.sources import zorder as zo
+    from pyspark.sql import functions as F
+
+    def morton(vals, bits):
+        out = 0
+        for j in range(bits):
+            for i, v in enumerate(vals):
+                out |= ((v >> j) & 1) << (j * len(vals) + i)
+        return out
+
+    rows = [(5, 9), (0, 0), (15, 15), (7, 8)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = df.select(zo.interleave_bits(
+        [F.col("a"), F.col("b")], 4).alias("z")).collect()
+    assert [r["z"] for r in got] == [morton(v, 4) for v in rows]
+
+
+def test_zorder_write_prunes_on_every_column(spark, tmp_path):
+    """Z-ordered files keep per-file min/max narrow on BOTH columns
+    (multi-dim skipping); a plain single-column sort leaves the other
+    column's spans at full width."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from tech_ml_dataset_spark.sources import zorder as zo
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.hash(F.col("id")) % 1000).alias("x"),
+        (F.hash(F.col("id") + 7) % 1000).alias("y"))
+
+    def spans(path):
+        out = {"x": [], "y": []}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            sch = {md.row_group(0).column(i).path_in_schema: i
+                   for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                for c in ("x", "y"):
+                    st = md.row_group(rg).column(sch[c]).statistics
+                    out[c].append(st.max - st.min)
+        return {c: sum(v) / len(v) for c, v in out.items()}
+
+    zpath = str(tmp_path / "zord")
+    zo.write_zordered(df, zpath, ["x", "y"], bits=10, num_files=16)
+    spath = str(tmp_path / "xsort")
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(spath))
+
+    zs, ss = spans(zpath), spans(spath)
+    full = 2000  # hash % 1000 spans about [-999, 999]
+    # plain x-sort: x clusters, y stays near full width
+    assert ss["x"] < 0.2 * full and ss["y"] > 0.8 * full
+    # z-order: BOTH columns cluster well below full width
+    assert zs["x"] < 0.5 * full and zs["y"] < 0.5 * full
