@@ -205,6 +205,51 @@ def gram_lineitem(spark, sf_dir):
                 .orderBy("ci", "cj")
 
 
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS subquery as a left-semi join (set.clj
+    difference analog is the anti side; semi is free in Spark) — orders
+    with at least one late lineitem, counted per priority. Synthetic
+    lineitem has no commitdate/receiptdate, so 'late' = shipped > 60 days
+    after the order date; the date-range filter pushes to the orders scan
+    and the semi join never materializes lineitem columns."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    late = jn.inner_join(li.select("l_orderkey", "l_shipdate"),
+                         orders.select(F.col("o_orderkey").alias("__ok__"),
+                                       F.col("o_orderdate").alias("__od__")),
+                         ("l_orderkey", "__ok__")) \
+             .filter(F.col("l_shipdate") > F.date_add(F.col("__od__"), 60)) \
+             .select(F.col("l_orderkey"))
+    sel = jn.semi_join(orders, late, ("o_orderkey", "l_orderkey"))
+    out = agg.group_by_column_agg(sel, "o_orderpriority",
+                                  {"order_count": ("row-count", None)})
+    return st.sort_by_column(out, "o_orderpriority")
+
+
+def q12_shipmode_buckets(spark, sf_dir):
+    """TPC-H Q12 shape: conditional CASE aggregation over a fact-fact
+    join — high/low-priority counts per return flag. One shuffle join +
+    one groupBy; the CASE sums are map-side combined."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    orders = _t(spark, sf_dir, "orders")
+    j = jn.inner_join(li.select("l_orderkey", "l_returnflag"),
+                      orders.select("o_orderkey", "o_orderpriority"),
+                      ("l_orderkey", "o_orderkey"))
+    out = agg.group_by_column_agg(
+        j, "l_returnflag",
+        {"high_line_count": lambda F: F.sum(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+             .otherwise(0)),
+         "low_line_count": lambda F: F.sum(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0)
+             .otherwise(1))})
+    return st.sort_by_column(out, "l_returnflag")
+
+
 def filter_project(spark, sf_dir):
     """Projection + predicate — verifies scan pruning/pushdown semantics."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1310,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "q7_volume_shipping": q7_volume_shipping,
         "q10_returned_items": q10_returned_items,
+        "q4_order_priority": q4_order_priority,
+        "q12_shipmode_buckets": q12_shipmode_buckets,
         "matmul_lineitem": matmul_lineitem,
         "gram_lineitem": gram_lineitem,
         "tfidf_docs": tfidf_docs,
@@ -1349,13 +1396,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": rollup_orders,
         "quantiles_price": quantiles_price,
         "lsh_topk_embeddings": lsh_topk_embeddings,
-        "abb_fill_events": abb_fill_events,
-        "winnow_docs": winnow_docs,
         # -- regression stalwarts over operators touched this round --
         "asof_purchase_click": asof_purchase_click,
         "embedding_dedup_clusters": embedding_dedup_clusters,
         # ---- position > 50: rows-only with prior driver rows, then
         # r2-green queries whose code is untouched this round ----
+        "abb_fill_events": abb_fill_events,
+        "winnow_docs": winnow_docs,
         "reservoir_orders": reservoir_orders,
         "regression_price_model": regression_price_model,
         "pca_project_lineitem": pca_project_lineitem,
@@ -1473,6 +1520,30 @@ def oracle_sql() -> dict[str, str]:
               AND n_regionkey = r_regionkey AND r_name = 'ASIA'
             GROUP BY n_name
             ORDER BY revenue DESC
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND EXISTS (
+                    SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q12_shipmode_buckets": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q7_volume_shipping": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -142,6 +142,42 @@ def stream_static_join(stream: DataFrame, dim: DataFrame, on, *,
     return stream.join(d, on, how)
 
 
+def stream_stream_join(left: DataFrame, right: DataFrame, on, *,
+                       left_ts: str, right_ts: str,
+                       left_delay: str, right_delay: str,
+                       max_gap: str, how: str = "inner") -> DataFrame:
+    """Stream-stream equi join with bounded state — the watermarked
+    interval-join contract Structured Streaming requires.
+
+    Both sides get event-time watermarks, and the join condition carries
+    a TIME-RANGE predicate (|left.ts − right.ts| ≤ ``max_gap``) on top of
+    the equi keys. The range bound is what lets Spark EVICT state: a
+    buffered left row can only ever match right rows within the gap, so
+    once the right watermark passes ``row.ts + max_gap`` the row is
+    dropped from the join state. Without it, stream-stream state grows
+    without bound — the canonical streaming-join OOM. Outer variants
+    additionally emit the unmatched row when its watermark expires.
+
+    ``on`` is a key name or [(left_key, right_key), ...]. The two
+    timestamp columns must be distinct names (rename before joining —
+    stream-stream joins can't disambiguate same-name event-time
+    columns)."""
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must be distinct column names")
+    lw = left.withWatermark(left_ts, left_delay)
+    rw = right.withWatermark(right_ts, right_delay)
+    keys = [(on, on)] if isinstance(on, str) else list(on)
+    cond = None
+    for lk, rk in keys:
+        c = lw[lk] == rw[rk]
+        cond = c if cond is None else (cond & c)
+    gap = F.expr(f"INTERVAL {max_gap}")
+    cond = cond & (rw[right_ts] >= lw[left_ts] - gap) \
+                & (rw[right_ts] <= lw[left_ts] + gap)
+    return lw.join(rw, cond, how)
+
+
 def foreach_batch_sink(df: DataFrame, batch_fn, *, checkpoint: str,
                        output_mode: str = "update"):
     """``foreachBatch`` sink: the exactly-once escape hatch for sinks Spark

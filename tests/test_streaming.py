@@ -118,3 +118,42 @@ def test_parser_fn_pins_types_and_nulls_bad_parses(spark, tmp_path):
     rows = {r["a"]: r for r in df.collect()}
     assert str(rows[1]["d"]) == "2024-01-02" and rows[1]["x"] == 5.0
     assert rows[2]["d"] is None and rows[2]["x"] is None
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream equi join with the bounded time-gap predicate: pairs
+    within the gap match; pairs outside it don't; batch semantics parity."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return base + timedelta(minutes=minutes)
+
+    clicks = [("u1", ts(0), "c1"), ("u1", ts(40), "c2"), ("u2", ts(5), "c3")]
+    buys = [("u1", ts(10), "b1"),   # within 15 min of c1 only
+            ("u2", ts(30), "b2")]   # 25 min after c3 — outside gap
+    csrc, bsrc = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    cdf = spark.createDataFrame(clicks, "user string, c_ts timestamp, click string")
+    bdf = spark.createDataFrame(buys, "buser string, b_ts timestamp, buy string")
+    cdf.coalesce(1).write.mode("overwrite").parquet(csrc)
+    bdf.coalesce(1).write.mode("overwrite").parquet(bsrc)
+
+    cs = sw.read_stream(spark, csrc, cdf.schema)
+    bs = sw.read_stream(spark, bsrc, bdf.schema)
+    j = sw.stream_stream_join(cs, bs, [("user", "buser")],
+                              left_ts="c_ts", right_ts="b_ts",
+                              left_delay="1 minute", right_delay="1 minute",
+                              max_gap="15 MINUTES")
+    assert j.isStreaming
+    sw.run_to_memory(j.select("click", "buy"), "ss_join",
+                     output_mode="append")
+    got = {(r["click"], r["buy"]) for r in spark.table("ss_join").collect()}
+    assert got == {("c1", "b1")}
+
+    # same-name event-time columns are rejected loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="distinct"):
+        sw.stream_stream_join(cs, bs, "user", left_ts="ts", right_ts="ts",
+                              left_delay="1 minute", right_delay="1 minute",
+                              max_gap="5 MINUTES")
