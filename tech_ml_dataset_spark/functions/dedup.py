@@ -364,7 +364,8 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
 
 
 def dedup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
-                   *, max_iter: int = 25) -> DataFrame:
+                   *, max_iter: int = 25,
+                   driver_threshold: int = 500_000) -> DataFrame:
     """Transitive near-duplicate clusters: connected components over the
     candidate-pair graph, returning (id, cluster) with cluster = the
     component's smallest id. Closes the gap noted in :func:`minhash_dedup`
@@ -376,7 +377,46 @@ def dedup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
     is one join + one groupBy keyed by node id, with an eager
     localCheckpoint to truncate the iterative lineage (the standard Spark
     iterative-algorithm pattern) and an early-exit convergence check —
-    the per-round driver cost is one count, bounded by max_iter."""
+    the per-round driver cost is one count, bounded by max_iter.
+
+    Small-graph fast path: near-dup candidate pairs are SPARSE relative
+    to the corpus (banded LSH emits a sliver of n²); when the pair count
+    is ≤ ``driver_threshold`` the component structure fits the driver, so
+    a union-find over the collected edges replaces max_iter×3 distributed
+    jobs — the node table itself is never collected (singletons label
+    themselves through a broadcast left join). The propagation path
+    remains for genuinely huge pair sets; ``driver_threshold=0`` forces
+    it."""
+    n_pairs = pairs.limit(driver_threshold + 1).count() \
+        if driver_threshold else driver_threshold + 1
+    if n_pairs <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs.select("id_a", "id_b").collect():
+            ra, rb = find(row["id_a"]), find(row["id_b"])
+            if ra != rb:
+                # root at the smaller id so cluster = component min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        lab = [(x, find(x)) for x in list(parent)]
+        ndf = nodes.select(F.col(id_col)).distinct()
+        if not lab:
+            return ndf.withColumn("cluster", F.col(id_col))
+        ldf = ndf.sparkSession.createDataFrame(
+            lab, [id_col, "__lab__"])
+        return (ndf.join(F.broadcast(ldf), id_col, "left")
+                   .select(id_col,
+                           F.coalesce(F.col("__lab__"), F.col(id_col))
+                            .alias("cluster")))
+
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = (edges.unionByName(edges.select(F.col("dst").alias("src"),
                                             F.col("src").alias("dst")))

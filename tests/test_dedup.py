@@ -85,9 +85,13 @@ def test_dedup_clusters_transitive(spark):
     keep their own label."""
     pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"])
     nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
-    out = {r["doc_id"]: r["cluster"]
-           for r in dd.dedup_clusters(pairs, nodes).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+    # both the driver union-find fast path and the distributed
+    # label-propagation path must agree
+    for thr in (500_000, 0):
+        out = {r["doc_id"]: r["cluster"]
+               for r in dd.dedup_clusters(pairs, nodes,
+                                          driver_threshold=thr).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
 
 
 def test_dedup_clusters_chain_diameter(spark):
@@ -95,9 +99,11 @@ def test_dedup_clusters_chain_diameter(spark):
     iterative fixpoint, not just one hop."""
     pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], ["id_a", "id_b"])
     nodes = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
-    out = {r["doc_id"]: r["cluster"]
-           for r in dd.dedup_clusters(pairs, nodes).collect()}
-    assert set(out.values()) == {0} and len(out) == 12
+    for thr in (500_000, 0):
+        out = {r["doc_id"]: r["cluster"]
+               for r in dd.dedup_clusters(pairs, nodes,
+                                          driver_threshold=thr).collect()}
+        assert set(out.values()) == {0} and len(out) == 12
 
 
 def test_dedup_clusters_warns_on_nonconvergence(spark):
@@ -108,7 +114,7 @@ def test_dedup_clusters_warns_on_nonconvergence(spark):
     nodes = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        dd.dedup_clusters(pairs, nodes, max_iter=2).collect()
+        dd.dedup_clusters(pairs, nodes, max_iter=2, driver_threshold=0).collect()
     assert any("did NOT converge" in str(x.message) for x in w)
 
 
