@@ -756,6 +756,24 @@ def attribution_range_join(spark, sf_dir):
     return out.orderBy("event_id")
 
 
+def boilerplate_removal_docs(spark, sf_dir):
+    """C4/CCNet-style corpus line dedup (functions/text.py
+    remove_boilerplate_lines): a footer line planted on every document
+    (and a banner on even ones) must be stripped, per-doc unique lines
+    survive; docs reassemble in line order. md5 of the rebuilt text keeps
+    the compared payload small."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit("\nAll Rights Reserved Footer"),
+                 F.when(F.col("doc_id") % 2 == 0,
+                        F.lit("\nCookie Banner Text")).otherwise(F.lit("")))
+         .alias("text"))
+    out = txt.remove_boilerplate_lines(docs, max_doc_frac=0.01, min_docs=2)
+    return out.select("doc_id", F.md5(F.col("text")).alias("clean_md5")) \
+              .orderBy("doc_id")
+
+
 def kmeans_embeddings(spark, sf_dir):
     """Distributed Lloyd's k-means (functions/similarity.py kmeans_lloyd):
     k=4, one update round, deterministic init from vec_ids 0-3; the DuckDB
@@ -1363,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": kmeans_embeddings,
         "ols_price_by_qty": ols_price_by_qty,
         "attribution_range_join": attribution_range_join,
+        "boilerplate_removal_docs": boilerplate_removal_docs,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
         "concat_widen_lineitem": concat_widen_lineitem,
@@ -2150,6 +2169,41 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, fit
             WHERE l_orderkey < 100
             ORDER BY l_orderkey, l_linenumber, price_hat
+        """,
+        "boilerplate_removal_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || chr(10) || 'All Rights Reserved Footer'
+                            || CASE WHEN doc_id % 2 = 0
+                                    THEN chr(10) || 'Cookie Banner Text'
+                                    ELSE '' END AS text
+                FROM documents
+            ), t AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+            ), l0 AS (
+                -- unnest + generate_subscripts zip positionally in DuckDB
+                SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                       unnest(ls) AS ln
+                FROM t
+            ), lines AS (
+                SELECT doc_id, pos, ln, lower(trim(ln)) AS norm FROM l0
+            ), nd AS (
+                SELECT count(*) AS n FROM d
+            ), dfq AS (
+                SELECT norm, count(DISTINCT doc_id) AS dfc
+                FROM lines WHERE length(norm) >= 1 GROUP BY norm
+            ), boiler AS (
+                SELECT norm FROM dfq, nd WHERE dfc >= 2 AND dfc > 0.01 * n
+            ), kept AS (
+                SELECT l.* FROM lines l LEFT JOIN boiler b USING (norm)
+                WHERE b.norm IS NULL
+            ), rebuilt AS (
+                SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, md5(coalesce(r.text, '')) AS clean_md5
+            FROM d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "kmeans_embeddings": """
             WITH e AS (

@@ -526,6 +526,77 @@ def sample_mixture(df: DataFrame, weights: dict, *, total_tokens: int,
     return df.filter(cond if cond is not None else F.lit(False))
 
 
+def temperature_weights(token_counts: dict, *, alpha: float = 0.3) -> dict:
+    """Temperature-scaled mixture weights from observed bucket sizes —
+    the multilingual-LM upsampling rule (p_i ∝ n_i^alpha; XLM-R/mT5 use
+    alpha≈0.3): alpha=1 keeps natural proportions, alpha→0 approaches
+    uniform, boosting low-resource buckets. Feed the result straight into
+    :func:`sample_mixture`. Driver-side arithmetic over the (tiny)
+    per-bucket totals — pair with one groupBy to obtain them."""
+    if not token_counts:
+        return {}
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    powed = {k: float(v) ** alpha for k, v in token_counts.items() if v > 0}
+    total = sum(powed.values())
+    return {k: v / total for k, v in powed.items()}
+
+
+def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", *,
+                             max_doc_frac: float = 0.01, min_docs: int = 2,
+                             min_line_chars: int = 1,
+                             out_col: str | None = None) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/CCNet line-dedup step):
+    drop every LINE that appears (normalized) in more than
+    ``max_doc_frac`` of documents (and at least ``min_docs``) — cookie
+    banners, nav menus, license footers — and reassemble each document
+    from its surviving lines in order.
+
+    Plan shape (all JVM-side):
+
+    1. posexplode lines, keep per-doc line order; normalize
+       (trim+lower) for matching while preserving the original text;
+    2. line document-frequency via groupBy(norm) over the per-doc
+       DISTINCT line set (a line repeated inside one doc counts once);
+    3. the boilerplate set is df-filtered and therefore SMALL (lines
+       crossing a document-fraction threshold are by definition few
+       distinct strings) -> broadcast anti-join against the exploded
+       corpus;
+    4. re-aggregate with ``array_join(sort by pos)`` — one
+       groupBy(doc) shuffle, same linear shape as every corpus pass.
+
+    Documents whose every line is boilerplate yield an empty string.
+    Returns ``df`` with ``out_col`` (default: replace ``text_col``)."""
+    from ..dtutil import ensure_parallelism
+    out_col = out_col or text_col
+    df = ensure_parallelism(df)
+    n_docs = df.count()
+    lines = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), r"\n"))
+                        .alias("__pos__", "__line__"))
+               .withColumn("__norm__", F.lower(F.trim(F.col("__line__")))))
+    dfreq = (lines.filter(F.length("__norm__") >= min_line_chars)
+                  .select(id_col, "__norm__").distinct()
+                  .groupBy("__norm__")
+                  .agg(F.count(F.lit(1)).alias("__df__")))
+    boiler = dfreq.filter(
+        (F.col("__df__") >= min_docs)
+        & (F.col("__df__") > max_doc_frac * n_docs)).select("__norm__")
+    kept = lines.join(F.broadcast(boiler), "__norm__", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+                   .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("__pos__").alias("p"),
+                                         F.col("__line__").alias("l")))),
+                            lambda s: s["l"]),
+                        "\n").alias(out_col)))
+    base = df.drop(out_col) if out_col != text_col else df.drop(text_col)
+    return (base.join(rebuilt, id_col, "left")
+                .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(""))))
+
+
 # ---------------------------------------------------------------------------
 # PII detection / redaction (beyond-reference: standard pre-training scrub)
 # ---------------------------------------------------------------------------

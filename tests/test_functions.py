@@ -164,6 +164,39 @@ def test_bad_row_policy_csv(spark, tmp_path):
                        bad_row_policy="error").collect()
 
 
+def test_remove_boilerplate_lines(spark):
+    """Corpus-frequent lines vanish, unique lines survive in order, and a
+    doc that was pure boilerplate comes back empty."""
+    from tech_ml_dataset_spark.functions import text as txt
+
+    docs = [(i, f"unique head {i}\nShared Footer\nunique tail {i}")
+            for i in range(10)] + [(99, "Shared Footer")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"]
+           for r in txt.remove_boilerplate_lines(
+               df, max_doc_frac=0.5, min_docs=2).collect()}
+    assert out[3] == "unique head 3\nunique tail 3"
+    assert out[99] == ""
+    # raising the threshold past the footer's df keeps everything
+    keep = {r["doc_id"]: r["text"]
+            for r in txt.remove_boilerplate_lines(
+                df, max_doc_frac=1.0).collect()}
+    assert keep[3] == docs[3][1]
+
+
+def test_temperature_weights(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+
+    counts = {"en": 1_000_000, "sw": 1_000}
+    nat = txt.temperature_weights(counts, alpha=1.0)
+    assert abs(nat["en"] / nat["sw"] - 1000) < 1e-9  # natural proportions
+    t = txt.temperature_weights(counts, alpha=0.3)
+    assert t["en"] / t["sw"] < 10          # low-resource boosted
+    assert abs(sum(t.values()) - 1.0) < 1e-12
+    uni = txt.temperature_weights(counts, alpha=0.0)
+    assert abs(uni["en"] - uni["sw"]) < 1e-12
+
+
 def test_kmeans_lloyd_matches_numpy(spark):
     """Distributed Lloyd's vs a numpy reference over several rounds,
     including the deterministic init and lower-cluster tie-break."""
