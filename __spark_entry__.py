@@ -756,6 +756,21 @@ def attribution_range_join(spark, sf_dir):
     return out.orderBy("event_id")
 
 
+def dataset_diff_lineitem(spark, sf_dir):
+    """Bag diff (operators/setops.py dataset_diff; validation companion of
+    the reference's dataset equality, dataset_test.clj:796-846): one
+    tagged-union shuffle yields every row with differing multiplicity and
+    the signed delta. Right side drops linenumber-3 rows and duplicates
+    linenumber-1 rows, so both directions appear."""
+    a = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000) \
+        .select("l_orderkey", "l_linenumber",
+                _r4(F.col("l_quantity")).alias("l_quantity"))
+    b = a.filter(F.col("l_linenumber") != 3) \
+         .unionByName(a.filter(F.col("l_linenumber") == 1))
+    out = st.dataset_diff(a, b)
+    return out.orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+
 def boilerplate_removal_docs(spark, sf_dir):
     """C4/CCNet-style corpus line dedup (functions/text.py
     remove_boilerplate_lines): a footer line planted on every document
@@ -1382,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_price_by_qty": ols_price_by_qty,
         "attribution_range_join": attribution_range_join,
         "boilerplate_removal_docs": boilerplate_removal_docs,
+        "dataset_diff_lineitem": dataset_diff_lineitem,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
         "concat_widen_lineitem": concat_widen_lineitem,
@@ -2169,6 +2185,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, fit
             WHERE l_orderkey < 100
             ORDER BY l_orderkey, l_linenumber, price_hat
+        """,
+        "dataset_diff_lineitem": """
+            WITH a AS (
+                SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS l_quantity
+                FROM lineitem WHERE l_orderkey < 2000
+            ), b AS (
+                SELECT * FROM a WHERE l_linenumber <> 3
+                UNION ALL
+                SELECT * FROM a WHERE l_linenumber = 1
+            ), ca AS (
+                SELECT l_orderkey, l_linenumber, l_quantity, count(*) AS c
+                FROM a GROUP BY ALL
+            ), cb AS (
+                SELECT l_orderkey, l_linenumber, l_quantity, count(*) AS c
+                FROM b GROUP BY ALL
+            )
+            SELECT coalesce(ca.l_orderkey, cb.l_orderkey) AS l_orderkey,
+                   coalesce(ca.l_linenumber, cb.l_linenumber) AS l_linenumber,
+                   coalesce(ca.l_quantity, cb.l_quantity) AS l_quantity,
+                   coalesce(ca.c, 0) AS n_left,
+                   coalesce(cb.c, 0) AS n_right,
+                   coalesce(ca.c, 0) - coalesce(cb.c, 0) AS delta
+            FROM ca FULL JOIN cb
+              ON ca.l_orderkey = cb.l_orderkey
+             AND ca.l_linenumber = cb.l_linenumber
+             AND ca.l_quantity = cb.l_quantity
+            WHERE coalesce(ca.c, 0) <> coalesce(cb.c, 0)
+            ORDER BY l_orderkey, l_linenumber, l_quantity
         """,
         "boilerplate_removal_docs": """
             WITH d AS (

@@ -179,6 +179,27 @@ def datasets_equal(a: DataFrame, b: DataFrame) -> bool:
     return counts.filter(F.col("__c0__") != F.col("__c1__")).isEmpty()
 
 
+def dataset_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bag diff between two same-schema datasets — the validation
+    companion to :func:`datasets_equal`: every row whose multiplicity
+    differs, with how many copies each side holds and the signed delta
+    (positive = ``a`` has more). Empty result ⟺ ``datasets_equal``.
+
+    Same single tagged-union shuffle as ``union``/``datasets_equal`` —
+    NOT two ``exceptAll`` passes (which would shuffle both inputs twice
+    and still lose the per-side counts)."""
+    if dict(a.dtypes) != dict(b.dtypes) or len(a.columns) != len(b.columns):
+        raise ValueError(
+            f"dataset_diff needs matching schemas; "
+            f"left={a.dtypes} right={b.dtypes}")
+    counts, keys = _side_counts([a, b.select(*a.columns)])
+    return (counts.filter(F.col("__c0__") != F.col("__c1__"))
+                  .select(*keys,
+                          F.col("__c0__").alias("n_left"),
+                          F.col("__c1__").alias("n_right"),
+                          (F.col("__c0__") - F.col("__c1__")).alias("delta")))
+
+
 def reduce_union_counts(*dfs: DataFrame) -> DataFrame:
     """``reduce-union`` :count mode (set.clj:118): distinct rows + max
     multiplicity as a ``count`` column. Same single-shuffle tagged-union

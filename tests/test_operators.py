@@ -416,6 +416,21 @@ def test_datasets_equal_bag_semantics(spark):
     assert not st.datasets_equal(a, a.withColumn("i", F.col("i").cast("int")))
 
 
+def test_dataset_diff_multiplicity_and_direction(spark):
+    a = spark.createDataFrame([(1, "x"), (1, "x"), (2, "y"), (3, "z")],
+                              ["i", "s"])
+    b = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y"), (4, "w")],
+                              ["i", "s"])
+    got = {(r["i"], r["s"]): (r["n_left"], r["n_right"], r["delta"])
+           for r in st.dataset_diff(a, b).collect()}
+    assert got == {(1, "x"): (2, 1, 1), (2, "y"): (1, 2, -1),
+                   (3, "z"): (1, 0, 1), (4, "w"): (0, 1, -1)}
+    assert st.dataset_diff(a, a).isEmpty()  # empty diff <=> equal
+    import pytest as _pt
+    with _pt.raises(ValueError, match="matching schemas"):
+        st.dataset_diff(a, a.withColumn("i", F.col("i").cast("string")))
+
+
 def test_unpartitioned_window_warns(spark):
     """r1 verdict #5: by=None ordered operators are silent single-task
     funnels; they must emit a UserWarning (and stay silent when 'by' is
