@@ -428,3 +428,32 @@ def test_zorder_write_prunes_on_every_column(spark, tmp_path):
     assert ss["x"] < 0.2 * full and ss["y"] > 0.8 * full
     # z-order: BOTH columns cluster well below full width
     assert zs["x"] < 0.5 * full and zs["y"] < 0.5 * full
+
+
+def test_range_join_plans_equi_not_nested_loop(spark):
+    """range_join with a bucket must plan an EQUI join (hash/sort-merge/
+    broadcast-hash on the bucket key) with the range predicate residual —
+    never BroadcastNestedLoop/cartesian. Without a bucket the non-equi
+    nested-loop plan is the documented fallback."""
+    from tech_ml_dataset_spark.operators import join as jn
+
+    pts = spark.range(0, 10000).select((F.col("id") % 997).cast("double").alias("p"))
+    iv = spark.range(0, 50).select((F.col("id") * 20.0).alias("lo"),
+                                   (F.col("id") * 20.0 + 25.0).alias("hi"))
+    bucketed = _plan(jn.range_join(pts, iv, "p", "lo", "hi", bucket=25.0))
+    assert "NestedLoop" not in bucketed and "Cartesian" not in bucketed
+    assert "Join" in bucketed
+    bare = _plan(jn.range_join(pts, iv, "p", "lo", "hi"))
+    assert "NestedLoop" in bare or "Cartesian" in bare  # the anti-pattern
+
+
+def test_boilerplate_set_joins_broadcast(spark):
+    """remove_boilerplate_lines: the df-filtered boilerplate set is small
+    by construction and must anti-join BROADCAST against the exploded
+    corpus (a shuffled anti-join would re-exchange the whole corpus)."""
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [(i, f"u{i}\nshared") for i in range(20)], ["doc_id", "text"])
+    plan = _plan(txt.remove_boilerplate_lines(df, max_doc_frac=0.1))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
