@@ -169,6 +169,13 @@ class Dataset:
     def left_join_asof(self, other, on, **kw):
         return self._wrap(_join.left_join_asof(self.df, _unwrap(other), on, **kw))
 
+    def range_join(self, other, point_col, lo_col, hi_col, **kw):
+        return self._wrap(_join.range_join(self.df, _unwrap(other),
+                                           point_col, lo_col, hi_col, **kw))
+
+    def salted_join(self, other, on, how="inner", **kw):
+        return self._wrap(_join.salted_join(self.df, _unwrap(other), on, how, **kw))
+
     # ---- sort / distinct / set ops -----------------------------------------
     def sort_by_column(self, colname, **kw):
         return self._wrap(_set.sort_by_column(self.df, colname, **kw))
@@ -193,6 +200,12 @@ class Dataset:
 
     def difference(self, other):
         return self._wrap(_set.difference(self.df, _unwrap(other)))
+
+    def diff(self, other):
+        return self._wrap(_set.dataset_diff(self.df, _unwrap(other)))
+
+    def equals_bag(self, other) -> bool:
+        return _set.datasets_equal(self.df, _unwrap(other))
 
     # ---- windows -------------------------------------------------------------
     def rolling(self, order_by, specs, **kw):
@@ -245,6 +258,20 @@ class Dataset:
     def embedding_dedup_pairs(self, vec_col="embedding", id_col="vec_id", **kw):
         from .functions import similarity as _sim
         return self._wrap(_sim.embedding_dedup_pairs(self.df, vec_col, id_col, **kw))
+
+    def tfidf_top_terms(self, text_col="text", id_col="doc_id", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.tfidf_top_terms(self.df, text_col, id_col, **kw))
+
+    def remove_boilerplate_lines(self, text_col="text", id_col="doc_id", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.remove_boilerplate_lines(
+            self.df, text_col, id_col, **kw))
+
+    def decontaminate(self, benchmark, id_col="doc_id", text_col="text", **kw):
+        from .functions import dedup as _dd
+        return self._wrap(_dd.decontaminate(self.df, _unwrap(benchmark),
+                                            id_col, text_col, **kw))
 
     def validate(self, rules):
         from .operators import validate as _dv

@@ -348,6 +348,28 @@ def test_dataset_fluent_r2_surface(spark):
     assert stats.to_pandas()["median"].iloc[0] == 2.0
 
 
+def test_dataset_fluent_r3_surface(spark):
+    """New r3 operators are reachable from the fluent Dataset wrapper."""
+    from tech_ml_dataset_spark.dataset import Dataset
+
+    docs = Dataset(spark.createDataFrame(
+        [(1, "alpha beta\nshared"), (2, "gamma beta\nshared")],
+        ["doc_id", "text"]))
+    assert docs.equals_bag(docs)
+    assert docs.diff(docs).row_count() == 0
+    assert "tfidf" in docs.tfidf_top_terms(top_k=1).columns
+    clean = docs.remove_boilerplate_lines(max_doc_frac=0.6)
+    assert "shared" not in clean.to_pandas()["text"].iloc[0]
+    bench = Dataset(spark.createDataFrame([(9, "alpha beta zeta")],
+                                          ["doc_id", "text"]))
+    dec = docs.decontaminate(bench, k=2)
+    assert "contaminated" in dec.columns
+
+    pts = Dataset(spark.createDataFrame([(5.0,), (50.0,)], ["p"]))
+    iv = Dataset(spark.createDataFrame([(0.0, 10.0)], ["lo", "hi"]))
+    assert pts.range_join(iv, "p", "lo", "hi", bucket=10.0).row_count() == 1
+
+
 def test_fit_categorical_map_caps_cardinality(spark):
     from tech_ml_dataset_spark.ml import preprocess as mlp
     df = spark.range(0, 50).withColumn("k", F.col("id").cast("string"))
