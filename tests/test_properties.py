@@ -127,3 +127,52 @@ def test_descriptive_stats_match_numpy(spark, vals):
     assert float(r["min"]) == min(vals) and float(r["max"]) == max(vals)
     for s, q in (("quartile-1", 25), ("median", 50), ("quartile-3", 75)):
         assert abs(r[s] - np.percentile(vals, q)) < 1e-7 * max(1.0, abs(np.percentile(vals, q)))
+
+
+_pts = hs.lists(hs.integers(-5, 25), min_size=0, max_size=8)
+_ivs = hs.lists(hs.tuples(hs.integers(-5, 25), hs.integers(-8, 30)),
+                min_size=0, max_size=6)
+
+
+@given(ps=_pts, ivs=_ivs,
+       bucket=hs.sampled_from([1.0, 3.0, 7.0, 100.0]),
+       bounds=hs.sampled_from(["[]", "[)", "(]", "()"]))
+@_SET_SETTINGS
+def test_range_join_matches_python_oracle(spark, ps, ivs, bucket, bounds):
+    """Bucketized range join == pure-Python interval containment for every
+    bounds mode, bucket width, and random (incl. inverted) intervals."""
+    from tech_ml_dataset_spark.operators import join as jn
+
+    pdf = spark.createDataFrame([(i, float(p)) for i, p in enumerate(ps)],
+                                "pid int, p double") if ps else \
+        spark.createDataFrame([], "pid int, p double")
+    idf = spark.createDataFrame(
+        [(j, float(lo), float(hi)) for j, (lo, hi) in enumerate(ivs)],
+        "iid int, lo double, hi double") if ivs else \
+        spark.createDataFrame([], "iid int, lo double, hi double")
+
+    lo_ok = (lambda p, lo: p >= lo) if bounds[0] == "[" else (lambda p, lo: p > lo)
+    hi_ok = (lambda p, hi: p <= hi) if bounds[1] == "]" else (lambda p, hi: p < hi)
+    want = {(i, j) for i, p in enumerate(ps)
+            for j, (lo, hi) in enumerate(ivs)
+            if lo_ok(p, lo) and hi_ok(p, hi)}
+    got = {(r["pid"], r["iid"]) for r in jn.range_join(
+        pdf, idf, "p", "lo", "hi", bounds=bounds, bucket=bucket).collect()}
+    assert got == want
+
+
+@given(xs=_rows, ys=_rows)
+@_SET_SETTINGS
+def test_dataset_diff_matches_counter_delta(spark, xs, ys):
+    from tech_ml_dataset_spark.operators import setops as so
+
+    a = spark.createDataFrame(xs, "i int, s string") if xs else \
+        spark.createDataFrame([], "i int, s string")
+    b = spark.createDataFrame(ys, "i int, s string") if ys else \
+        spark.createDataFrame([], "i int, s string")
+    ca, cb = collections.Counter(xs), collections.Counter(ys)
+    want = {k: (ca[k], cb[k], ca[k] - cb[k])
+            for k in set(ca) | set(cb) if ca[k] != cb[k]}
+    got = {(r["i"], r["s"]): (r["n_left"], r["n_right"], r["delta"])
+           for r in so.dataset_diff(a, b).collect()}
+    assert got == want
