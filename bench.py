@@ -40,7 +40,8 @@ def main():
     for wq in ("corpus_composition", "kendall_tau_lineitem",
                "decontaminate_docs", "gram_lineitem",
                "descriptive_stats_lineitem", "image_pipeline_png_docs",
-               "tfidf_docs"):
+               "tfidf_docs", "gopher_quality_docs", "minhash_pairs_docs",
+               "sessionize_events", "boilerplate_removal_docs"):
         try:
             qs[wq](spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
