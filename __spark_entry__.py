@@ -756,6 +756,22 @@ def attribution_range_join(spark, sf_dir):
     return out.orderBy("event_id")
 
 
+def induction_events(spark, sf_dir):
+    """``induction`` (dataset_api.clj:1402) driver-checked: the per-user
+    decaying accumulator acc = 0.5·acc + value over (ts, event_id) order —
+    inherently sequential within a group, parallel across groups
+    (applyInPandas), replayed by the oracle as a recursive CTE."""
+    from tech_ml_dataset_spark.operators import colmap as cm
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()) \
+        .select("event_id", "user_id", "ts", "value")
+    out = cm.induction(ev, ["ts", "event_id"], "acc",
+                       lambda acc, row: 0.5 * acc + row["value"],
+                       init=0.0, by="user_id")
+    return out.select("event_id", "user_id",
+                      _r4b(F.col("acc")).alias("acc")) \
+              .orderBy("user_id", "event_id")
+
+
 def dataset_diff_lineitem(spark, sf_dir):
     """Bag diff (operators/setops.py dataset_diff; validation companion of
     the reference's dataset equality, dataset_test.clj:796-846): one
@@ -1398,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_range_join": attribution_range_join,
         "boilerplate_removal_docs": boilerplate_removal_docs,
         "dataset_diff_lineitem": dataset_diff_lineitem,
+        "induction_events": induction_events,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
         "concat_widen_lineitem": concat_widen_lineitem,
@@ -1428,9 +1445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "one_hot_segment": one_hot_segment,
         "bag_union_lineitem": bag_union_lineitem,
         "bag_intersect_lineitem": bag_intersect_lineitem,
+        "lsh_topk_embeddings": lsh_topk_embeddings,
         "rollup_orders": rollup_orders,
         "quantiles_price": quantiles_price,
-        "lsh_topk_embeddings": lsh_topk_embeddings,
         # -- regression stalwarts over operators touched this round --
         "asof_purchase_click": asof_purchase_click,
         "embedding_dedup_clusters": embedding_dedup_clusters,
@@ -2185,6 +2202,23 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, fit
             WHERE l_orderkey < 100
             ORDER BY l_orderkey, l_linenumber, price_hat
+        """,
+        "induction_events": """
+            WITH RECURSIVE base AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE value IS NOT NULL
+            ), rec AS (
+                SELECT user_id, event_id, rn, 0.5 * 0.0 + value AS acc
+                FROM base WHERE rn = 1
+                UNION ALL
+                SELECT b.user_id, b.event_id, b.rn, 0.5 * r.acc + b.value
+                FROM rec r JOIN base b
+                  ON b.user_id = r.user_id AND b.rn = r.rn + 1
+            )
+            SELECT event_id, user_id, round(acc * 10000) / 10000 AS acc
+            FROM rec ORDER BY user_id, event_id
         """,
         "dataset_diff_lineitem": """
             WITH a AS (
