@@ -756,6 +756,27 @@ def attribution_range_join(spark, sf_dir):
     return out.orderBy("event_id")
 
 
+def rolling_trimmed_events(spark, sf_dir):
+    """Window-UDF tier driver-checked (window.py rolling_udf; SURVEY §2.8
+    window-UDF): 5-row trailing TRIMMED mean (drop one min and one max)
+    per user — an arbitrary Python frame reducer whose closed form the
+    oracle recomputes as (sum-min-max)/(n-2) over the same SQL window."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()) \
+        .select("event_id", "user_id", "ts", "value")
+
+    def trimmed(s):
+        import numpy as np
+        return s.apply(lambda fr: (sum(fr) - min(fr) - max(fr)) / (len(fr) - 2)
+                       if len(fr) > 2 else float(np.mean(fr)))
+
+    out = win.rolling_udf(ev, ["ts", "event_id"],
+                          {"tmean": (trimmed, "value", "double")},
+                          window_size=5, by="user_id", position="left")
+    return out.select("event_id", "user_id",
+                      _r4b(F.col("tmean")).alias("tmean")) \
+              .orderBy("user_id", "event_id")
+
+
 def induction_events(spark, sf_dir):
     """``induction`` (dataset_api.clj:1402) driver-checked: the per-user
     decaying accumulator acc = 0.5·acc + value over (ts, event_id) order —
@@ -1415,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal_docs": boilerplate_removal_docs,
         "dataset_diff_lineitem": dataset_diff_lineitem,
         "induction_events": induction_events,
+        "rolling_trimmed_events": rolling_trimmed_events,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
         "concat_widen_lineitem": concat_widen_lineitem,
@@ -2202,6 +2224,24 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem, fit
             WHERE l_orderkey < 100
             ORDER BY l_orderkey, l_linenumber, price_hat
+        """,
+        "rolling_trimmed_events": """
+            WITH b AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE value IS NOT NULL
+            ), w AS (
+                SELECT event_id, user_id,
+                       sum(value) OVER fr AS s, min(value) OVER fr AS mn,
+                       max(value) OVER fr AS mx, count(*) OVER fr AS n,
+                       avg(value) OVER fr AS av
+                FROM b
+                WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id,
+                   round((CASE WHEN n > 2 THEN (s - mn - mx) / (n - 2)
+                               ELSE av END) * 10000) / 10000 AS tmean
+            FROM w ORDER BY user_id, event_id
         """,
         "induction_events": """
             WITH RECURSIVE base AS (
