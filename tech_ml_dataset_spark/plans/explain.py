@@ -45,3 +45,42 @@ def pushed_filters(df: DataFrame) -> str:
         return ""
     frag = plan.split("PushedFilters:", 1)[1]
     return frag.split("]", 1)[0] + "]"
+
+
+def skew_report(df: DataFrame, keys, *, top_k: int = 10,
+                sample_fraction: float | None = None, seed: int = 42) -> dict:
+    """Join/aggregation key-skew diagnostic: per-key share of the (optionally
+    sampled) data for the ``top_k`` hottest keys, plus a suggested
+    ``salted_join`` salt sized so the hottest key spreads to roughly the
+    mean key load.
+
+    One groupBy job (on the sample when ``sample_fraction`` is given — at
+    100 TB always sample; shares are ratios, so uniform sampling preserves
+    them). Returns ``{"n_rows", "n_keys", "top": [(key_tuple, count,
+    share)...], "max_share", "suggested_salt"}`` — feed ``suggested_salt``
+    into ``operators.join.salted_join`` when ``max_share`` is material
+    (rule of thumb: > a few times 1/parallelism)."""
+    from pyspark.sql import functions as F
+
+    key_cols = [keys] if isinstance(keys, str) else list(keys)
+    src = df.sample(fraction=sample_fraction, seed=seed) \
+        if sample_fraction else df
+    counts = (src.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c__"))
+                 .orderBy(F.col("__c__").desc(), *key_cols)
+                 .limit(top_k + 1))
+    rows = counts.collect()
+    agg = src.agg(F.count(F.lit(1)).alias("n"),
+                  F.approx_count_distinct(
+                      F.concat_ws("\x00", *[F.col(c).cast("string")
+                                            for c in key_cols])).alias("k")) \
+             .collect()[0]
+    n, k = int(agg["n"]), max(1, int(agg["k"]))
+    top = [(tuple(r[c] for c in key_cols), int(r["__c__"]),
+            (r["__c__"] / n) if n else 0.0) for r in rows[:top_k]]
+    max_share = top[0][2] if top else 0.0
+    mean_load = n / k
+    hot = top[0][1] if top else 0
+    suggested = 1 if mean_load <= 0 or hot <= mean_load \
+        else min(256, max(1, round(hot / mean_load)))
+    return {"n_rows": n, "n_keys": k, "top": top,
+            "max_share": max_share, "suggested_salt": int(suggested)}

@@ -460,3 +460,50 @@ def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH
     """Register each table as a temp view so spark.sql() queries run on them."""
     for n, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(n)
+
+
+def compact_files(spark: SparkSession, path: str, *,
+                  target_file_bytes: int = 512 * 1024 * 1024,
+                  fmt: str = "parquet", sort_within_by=None,
+                  dry_run: bool = False) -> dict:
+    """Small-files compaction — the standing maintenance job of every
+    file-based lake (streaming sinks and fine-grained partitions emit
+    thousands of tiny files; each costs a task + a footer read, and at
+    100 TB the scan becomes scheduler-bound instead of IO-bound).
+
+    Sizes the rewrite from FILE METADATA only (no data scan): target
+    partition count = ceil(total_bytes / target_file_bytes), then one
+    round-robin repartition write to a staging dir, atomically swapped in
+    (rename) on success — the source is never half-deleted. Optional
+    ``sort_within_by`` re-sorts rows within each output file to restore
+    min/max data-skipping after the merge. Returns
+    ``{"n_files_before", "n_files_after", "total_bytes", "target_parts"}``;
+    ``dry_run`` reports without rewriting."""
+    import glob as globmod
+    import math
+    import shutil
+
+    files = [f for f in globmod.glob(os.path.join(path, f"*.{fmt}"))
+             if os.path.isfile(f)] or \
+        [f for f in globmod.glob(os.path.join(path, "part-*")) if os.path.isfile(f)]
+    total = sum(os.path.getsize(f) for f in files)
+    parts = max(1, math.ceil(total / target_file_bytes))
+    report = {"n_files_before": len(files), "total_bytes": total,
+              "target_parts": parts, "n_files_after": len(files)}
+    if dry_run or len(files) <= parts:
+        return report
+    staging = path.rstrip("/") + ".__compact_tmp__"
+    df = spark.read.format(fmt).load(path)
+    out = df.repartition(parts)
+    if sort_within_by is not None:
+        cols = [sort_within_by] if isinstance(sort_within_by, str) \
+            else list(sort_within_by)
+        out = out.sortWithinPartitions(*cols)
+    out.write.format(fmt).mode("overwrite").save(staging)
+    backup = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    report["n_files_after"] = len(
+        [f for f in os.listdir(path) if f.startswith("part-")])
+    return report

@@ -457,3 +457,36 @@ def test_boilerplate_set_joins_broadcast(spark):
         [(i, f"u{i}\nshared") for i in range(20)], ["doc_id", "text"])
     plan = _plan(txt.remove_boilerplate_lines(df, max_doc_frac=0.1))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_skew_report_finds_hot_key_and_salt(spark):
+    from tech_ml_dataset_spark.plans.explain import skew_report
+
+    rows = [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    rep = skew_report(df, "k", top_k=3)
+    assert rep["n_rows"] == 1000
+    assert rep["top"][0][0] == (1,) and rep["top"][0][1] == 900
+    assert rep["max_share"] == 0.9
+    # hot key is ~90x the mean key load -> salt suggestion near that ratio
+    assert 30 <= rep["suggested_salt"] <= 256
+    flat = spark.createDataFrame([(i, 0) for i in range(1000)], ["k", "v"])
+    assert skew_report(flat, "k")["suggested_salt"] <= 2
+
+
+def test_compact_files_merges_and_preserves_rows(spark, tmp_path):
+    from tech_ml_dataset_spark.sources.io import compact_files
+
+    path = str(tmp_path / "frag")
+    spark.range(10000).repartition(40).write.parquet(path)
+    import glob
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    dry = compact_files(spark, path, target_file_bytes=10**9, dry_run=True)
+    assert dry["n_files_before"] == 40 and dry["target_parts"] == 1
+    assert len(glob.glob(f"{path}/*.parquet")) == 40  # dry run: untouched
+    rep = compact_files(spark, path, target_file_bytes=10**9,
+                        sort_within_by="id")
+    assert rep["n_files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg(F.sum("id")).collect()[0][0] == 10000 * 9999 // 2
