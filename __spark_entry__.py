@@ -1993,26 +1993,35 @@ def oracle_sql() -> dict[str, str]:
                            AS t
                 FROM documents WHERE doc_id < 300
             )
+            , s1 AS (
+                SELECT doc_id, t,
+                       regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
+                        '[EMAIL]', 'g') AS t1
+                FROM planted
+            ), s2 AS (
+                SELECT *, regexp_replace(t1,
+                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g')
+                       AS t2
+                FROM s1
+            ), s3 AS (
+                SELECT *, regexp_replace(t2,
+                        '\\+[0-9]{9,14}\\b', '[PHONE]', 'g') AS t3
+                FROM s2
+            )
+            -- sequential counts: each category counted on the text with
+            -- earlier categories already redacted (matches pii_counts)
             SELECT doc_id,
                    CAST(len(regexp_extract_all(t,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+'))
                         AS INT) AS n_email,
-                   CAST(len(regexp_extract_all(t,
+                   CAST(len(regexp_extract_all(t1,
                         '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS INT) AS n_ipv4,
-                   CAST(len(regexp_extract_all(t,
+                   CAST(len(regexp_extract_all(t2,
                         '\\+[0-9]{9,14}\\b')) AS INT) AS n_phone,
-                   md5(regexp_replace(regexp_replace(regexp_replace(t,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
-                        '[EMAIL]', 'g'),
-                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g'),
-                        '\\+[0-9]{9,14}\\b', '[PHONE]', 'g')) AS redact_md5,
-                   CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
-                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+',
-                        '[EMAIL]', 'g'),
-                        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g'),
-                        '\\+[0-9]{9,14}\\b', '[PHONE]', 'g')) AS INT)
-                       AS n_chars_redacted
-            FROM planted ORDER BY doc_id
+                   md5(t3) AS redact_md5,
+                   CAST(length(t3) AS INT) AS n_chars_redacted
+            FROM s3 ORDER BY doc_id
         """,
         "image_pipeline_png_docs": """
             WITH ids AS (

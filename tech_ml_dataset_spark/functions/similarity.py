@@ -170,6 +170,10 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
         want = list(init_ids)
         got = {r[0]: r for r in
                base.filter(F.col(id_col).isin(want)).collect()}
+        missing = [i for i in want if i not in got]
+        if missing:
+            raise ValueError(
+                f"init_ids not present in the data: {missing}")
         rows = [got[i] for i in want]
     cents = [[float(x) for x in r["__v__"]] for r in rows]
     if len(cents) < k:

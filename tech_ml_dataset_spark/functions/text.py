@@ -613,10 +613,19 @@ PII_PATTERNS: "dict[str, str]" = {
 
 
 def pii_counts(text: Column) -> "dict[str, Column]":
-    """Per-category PII match counts — one ``regexp_count`` expression per
-    pattern, all inside the same JVM-side scan."""
-    return {name: F.regexp_count(text, F.lit(pat))
-            for name, pat in PII_PATTERNS.items()}
+    """Per-category PII match counts, SEQUENTIAL like :func:`redact_pii`:
+    each pattern counts on the text with earlier categories already
+    redacted, so counts always agree with the number of redactions (a
+    phone-shaped run inside an email's local part is counted as part of
+    the email, not double-counted — counting every pattern on the raw
+    text over-reports exactly there). Still one JVM-side expression chain,
+    no extra scan."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pat in PII_PATTERNS.items():
+        out[name] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, f"[{name.upper()}]")
+    return out
 
 
 def redact_pii(text: Column) -> Column:

@@ -309,7 +309,6 @@ def _kendall_driver(cell_rows, n_cells: int) -> dict:
         i = j
 
     n = sum(w for _, _, w in cells)
-    txy2 = sum(w * (w - 1) for _, _, w in cells)
     from collections import defaultdict
     gx, gy = defaultdict(int), defaultdict(int)
     for x, y, w in cells:

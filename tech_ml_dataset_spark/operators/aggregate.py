@@ -339,6 +339,12 @@ def descriptive_stats(df: DataFrame, columns: Iterable[str] | None = None,
         if len(groups[-1]) + len(exprs) > agg_expr_budget and len(groups[-1]) > 1:
             groups.append([])
         groups[-1].extend(exprs)
+    if need_order and len(groups) > 1:
+        # first/last rank by the mono-id; with the plan now FORKED across
+        # agg branches a nondeterministic upstream could assign different
+        # ids per branch — materialize once so every branch sees the same
+        # row order (the _contiguous_index discipline)
+        src = src.localCheckpoint(eager=False)
     agg_row = src.agg(*groups[0])
     for g in groups[1:]:
         agg_row = agg_row.crossJoin(src.agg(*g))

@@ -162,10 +162,20 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
     reference's merge-scan, but distributed by the ``by`` keys.
     """
     if asof_op == "nearest":
-        fwd = left_join_asof(left, right, on, by=by, asof_op="<=")
-        bwd = left_join_asof(left, right, on, by=by, asof_op=">=")
+        from .selection import _free_name
+        # The fwd/bwd results must be re-joined per LEFT ROW. Joining on
+        # the left columns themselves silently drops rows containing any
+        # NULL (equality never matches) and cross-multiplies duplicate
+        # left rows — so key on a generated row id instead. The id is a
+        # mono-id over a FORKED lineage (two asof passes), so checkpoint
+        # first — the _contiguous_index discipline.
+        rid = _free_name(list(left.columns) + list(right.columns), "__rid__")
+        tagged = left.withColumn(rid, F.monotonically_increasing_id()) \
+                     .localCheckpoint(eager=False)
+        fwd = left_join_asof(tagged, right, on, by=by, asof_op="<=")
+        bwd = left_join_asof(tagged, right, on, by=by, asof_op=">=")
         # pick per-row whichever matched value is closer on the axis
-        return _nearest_combine(left, fwd, bwd, on, by)
+        return _nearest_combine(tagged, fwd, bwd, on, by, rid).drop(rid)
 
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
     if not by_cols:
@@ -209,18 +219,20 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
 
 
 def _nearest_combine(left: DataFrame, fwd: DataFrame, bwd: DataFrame,
-                     on: str, by) -> DataFrame:
-    """Combine backward/forward asof results picking the closer match."""
+                     on: str, by, rid: str) -> DataFrame:
+    """Combine backward/forward asof results picking the closer match,
+    keyed by the caller-provided unique row id (never by data columns —
+    NULLs/duplicates there would drop or multiply rows)."""
     axis = f"right.{on}"
     val_cols = [c for c in fwd.columns if c not in left.columns]
-    key = list(left.columns)
     # alias matched columns to dot-free names (original names may contain
     # the "right." prefix which Column resolution would parse as a path)
     fa = {c: f"__f{i}__" for i, c in enumerate(val_cols)}
     ba = {c: f"__b{i}__" for i, c in enumerate(val_cols)}
-    f = fwd.select(*key, *[F.col(f"`{c}`").alias(fa[c]) for c in val_cols])
-    b = bwd.select(*key, *[F.col(f"`{c}`").alias(ba[c]) for c in val_cols])
-    j = f.join(b, key)
+    f = fwd.select(*left.columns,
+                   *[F.col(f"`{c}`").alias(fa[c]) for c in val_cols])
+    b = bwd.select(rid, *[F.col(f"`{c}`").alias(ba[c]) for c in val_cols])
+    j = f.join(b, rid)
     # NTZ-safe numeric view of the axis (TIMESTAMP_NTZ forbids direct
     # numeric casts — dtutil module docstring; r1 hard-error class)
     from ..dtutil import axis_double
@@ -266,6 +278,13 @@ def range_join(left: DataFrame, right: DataFrame, point_col: str,
 
     if bounds not in ("[]", "[)", "(]", "()"):
         raise ValueError(f"bounds must be one of [] [) (] (); got {bounds!r}")
+    if bucket is not None and how not in ("inner", "left"):
+        # the bucketed rewrite EXPLODES the right side, so right/full outer
+        # would emit one unmatched copy per covered bucket (and drop
+        # inverted/NULL intervals entirely) — a corrupted bag
+        raise ValueError(
+            f"bucketed range_join supports how='inner'/'left'; got {how!r} "
+            f"(use bucket=None for right/full outer, with a broadcastable side)")
     keys = _normalize_keys(on) if on is not None else []
     p = left[point_col]
     lo_ok = (p >= right[lo_col]) if bounds[0] == "[" else (p > right[lo_col])

@@ -333,6 +333,13 @@ def write_arrow_dataset(df: DataFrame, path: str) -> list[dict]:
 
     os.makedirs(path, exist_ok=True)
 
+    # Fixed Arrow schema derived from the Spark schema — per-batch
+    # pa.Table.from_pandas INFERENCE would crash whenever a partition's
+    # first batch has an all-NULL column (pandas infers null type) and a
+    # later batch doesn't ("table schema does not match").
+    from pyspark.sql.pandas.types import to_arrow_schema
+    arrow_schema = to_arrow_schema(df.schema)
+
     def sink(it):
         pid = TaskContext.get().partitionId()
         out, writer, n = os.path.join(path, f"part-{pid:05d}.arrow"), None, 0
@@ -340,7 +347,8 @@ def write_arrow_dataset(df: DataFrame, path: str) -> list[dict]:
             for pdf in it:
                 if pdf.empty:
                     continue
-                table = pa.Table.from_pandas(pdf, preserve_index=False)
+                table = pa.Table.from_pandas(pdf, schema=arrow_schema,
+                                             preserve_index=False)
                 if writer is None:
                     sink_f = pa.OSFile(out, "wb")
                     writer = pa.ipc.new_file(sink_f, table.schema)
@@ -473,8 +481,12 @@ def compact_files(spark: SparkSession, path: str, *,
 
     Sizes the rewrite from FILE METADATA only (no data scan): target
     partition count = ceil(total_bytes / target_file_bytes), then one
-    round-robin repartition write to a staging dir, atomically swapped in
-    (rename) on success — the source is never half-deleted. Optional
+    round-robin repartition write to a staging dir, swapped in by rename
+    on success. The swap is two renames — source-to-backup then
+    staging-to-source — so a crash in the gap leaves the data intact in
+    ``<path>.__compact_old__`` (never half-deleted, but briefly absent at
+    ``path``); the NEXT run detects and restores it automatically, and
+    stale staging dirs from failed writes are cleaned up front. Optional
     ``sort_within_by`` re-sorts rows within each output file to restore
     min/max data-skipping after the merge. Returns
     ``{"n_files_before", "n_files_after", "total_bytes", "target_parts"}``;
@@ -482,6 +494,18 @@ def compact_files(spark: SparkSession, path: str, *,
     import glob as globmod
     import math
     import shutil
+
+    staging = path.rstrip("/") + ".__compact_tmp__"
+    backup = path.rstrip("/") + ".__compact_old__"
+    # crash recovery: a previous run that died mid-swap left the source at
+    # the backup path; restore it rather than wedging on the next rename
+    if os.path.isdir(backup):
+        if not os.path.isdir(path):
+            os.rename(backup, path)
+        else:
+            shutil.rmtree(backup)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
 
     files = [f for f in globmod.glob(os.path.join(path, f"*.{fmt}"))
              if os.path.isfile(f)] or \
@@ -492,7 +516,6 @@ def compact_files(spark: SparkSession, path: str, *,
               "target_parts": parts, "n_files_after": len(files)}
     if dry_run or len(files) <= parts:
         return report
-    staging = path.rstrip("/") + ".__compact_tmp__"
     df = spark.read.format(fmt).load(path)
     out = df.repartition(parts)
     if sort_within_by is not None:
@@ -500,7 +523,6 @@ def compact_files(spark: SparkSession, path: str, *,
             else list(sort_within_by)
         out = out.sortWithinPartitions(*cols)
     out.write.format(fmt).mode("overwrite").save(staging)
-    backup = path.rstrip("/") + ".__compact_old__"
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

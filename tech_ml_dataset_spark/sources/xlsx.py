@@ -68,8 +68,9 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{1 if value else 0}</v></c>'
     if isinstance(value, (int, float)):
-        if isinstance(value, float) and (value != value):  # NaN: blank cell
-            return ""
+        if isinstance(value, float) and \
+                (value != value or value in (float("inf"), float("-inf"))):
+            return ""  # xlsx numerics have no NaN/Inf: blank cell
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     # everything else (str, date, timestamp, Decimal) -> inline string
     return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
@@ -109,8 +110,10 @@ def write_workbook(path: str, sheets: dict[str, tuple[list[str], list]]):
             f'<Override PartName="/xl/worksheets/sheet{i}.xml" ContentType='
             '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
             'worksheet+xml"/>')
+        # escape() alone leaves double quotes — malformed inside an attribute
         sheet_list.append(
-            f'<sheet name="{escape(name)}" sheetId="{i}" r:id="rId{i}"/>')
+            f'<sheet name="{escape(name, {chr(34): "&quot;"})}" '
+            f'sheetId="{i}" r:id="rId{i}"/>')
         wb_rels.append(
             f'<Relationship Id="rId{i}" Type="{_REL_NS}/worksheet" '
             f'Target="worksheets/sheet{i}.xml"/>')

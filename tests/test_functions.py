@@ -385,3 +385,19 @@ def test_pii_counts_and_redact(spark):
     assert out[2]["red"] == "server [IPV4] and [IPV4] are internal"
     assert (out[3]["e"], out[3]["i"], out[3]["p"]) == (0, 0, 0)
     assert out[3]["red"] == "no pii here"
+
+
+def test_pii_counts_sequential_matches_redaction(spark):
+    """Review r3: a phone-shaped run INSIDE an email local part must count
+    as part of the email only — counts are taken sequentially on the
+    progressively-redacted text, so they always equal the redactions."""
+    from pyspark.sql import functions as F
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame([(1, "write a+14155551234@x.com now")],
+                               ["id", "t"])
+    c = txt.pii_counts(F.col("t"))
+    r = df.select(c["email"].alias("e"), c["phone"].alias("p"),
+                  txt.redact_pii(F.col("t")).alias("red")).collect()[0]
+    assert r["e"] == 1 and r["p"] == 0       # not double-counted
+    assert r["red"] == "write [EMAIL] now"

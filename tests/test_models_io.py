@@ -290,6 +290,55 @@ def test_excel_write_cap(spark, tmp_path):
         tio.write_excel(df, str(tmp_path / "cap.xlsx"), max_rows=5)
 
 
+def test_xlsx_sheet_name_with_quotes_and_inf(tmp_path):
+    """Review r3: double quotes in sheet names must survive attribute
+    escaping; Inf has no xlsx numeric form and becomes a blank cell."""
+    from tech_ml_dataset_spark.sources import xlsx as x
+    p = str(tmp_path / "q.xlsx")
+    x.write_workbook(p, {'Q3 "final" <&>': (["v"], [[float("inf")], [2.5]])})
+    book = x.read_workbook(p)
+    cols, rows = book['Q3 "final" <&>']
+    assert cols == ["v"] and rows == [[None], [2.5]]
+
+
+def test_write_arrow_dataset_all_null_column(spark, tmp_path):
+    """Review r3: per-batch schema inference crashed when a partition's
+    leading batch had an all-NULL column; the writer now uses the fixed
+    Spark-derived Arrow schema."""
+    from tech_ml_dataset_spark.sources import io as tio
+    df = spark.createDataFrame([(1, None), (2, None)],
+                               "id bigint, s string").repartition(1)
+    path = str(tmp_path / "nulls_arrow")
+    manifest = tio.write_arrow_dataset(df, path)
+    assert sum(m["n_rows"] for m in manifest) == 2
+    back = tio.read_arrow_dataset(spark, path)
+    assert dict(back.dtypes)["s"] == "string"
+    assert back.count() == 2
+
+
+def test_compact_files_recovers_from_crashed_swap(spark, tmp_path):
+    """Review r3: a crash between the two swap renames left data at the
+    backup path and wedged later runs; compact_files now restores it."""
+    import os
+    from tech_ml_dataset_spark.sources.io import compact_files
+    path = str(tmp_path / "ds")
+    spark.range(100).repartition(4).write.parquet(path)
+    os.rename(path, path + ".__compact_old__")   # simulate mid-swap crash
+    rep = compact_files(spark, path, target_file_bytes=10**9)
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.isdir(path + ".__compact_old__")
+    assert rep["n_files_after"] == 1
+
+
+def test_kmeans_missing_init_id_raises(spark):
+    from tech_ml_dataset_spark.functions import similarity as sim
+    import pytest as _pt
+    df = spark.createDataFrame([(0, [0.0]), (1, [1.0])],
+                               "vec_id int, embedding array<double>")
+    with _pt.raises(ValueError, match="not present"):
+        sim.kmeans_lloyd(df, k=2, init_ids=(0, 99))
+
+
 def test_xlsx_codec_shared_strings_and_sparse(tmp_path):
     """Reader handles sharedStrings (the form real Excel emits) and sparse
     rows positioned by cell ref — not just our own writer's output."""

@@ -90,6 +90,11 @@ def test_range_join_bucketed_matches_plain(spark):
     closed = {(r["pid"], r["iid"]) for r in jn.range_join(
         pts, iv, "p", "lo", "hi", bucket=4.0).collect()}
     assert (2, 100) in closed and (2, 200) in closed
+    # review r3: outer modes under the bucketed rewrite would duplicate
+    # unmatched right rows per covered bucket — rejected loudly
+    import pytest as _pt
+    with _pt.raises(ValueError, match="inner.*left"):
+        jn.range_join(pts, iv, "p", "lo", "hi", bucket=4.0, how="full")
 
 
 def test_range_join_equi_keys_left_and_degenerate(spark):
@@ -132,6 +137,22 @@ def test_asof_forward_and_nearest(spark):
     assert fwd.collect()[0]["v"] == "soon"
     near = jn.left_join_asof(left, right, "t", by="g", asof_op="nearest")
     assert near.collect()[0]["v"] == "soon"  # |6-5| < |5-3|
+
+
+def test_asof_nearest_null_and_duplicate_left_rows(spark):
+    """Review r3: the fwd/bwd combine used to key on every left column —
+    a NULL in any left column silently dropped the row (NULL equality),
+    and duplicate left rows cross-multiplied. Both must round-trip 1:1."""
+    left = spark.createDataFrame(
+        [(1, 10, None), (1, 20, 5.0), (1, 20, 5.0)],
+        "g int, t int, payload double")
+    right = spark.createDataFrame(
+        [(1, 9, "a"), (1, 21, "b")], ["g", "t", "v"])
+    out = jn.left_join_asof(left, right, "t", by="g", asof_op="nearest")
+    rows = out.collect()
+    assert len(rows) == 3                      # no dropped, no multiplied
+    got = sorted((r["t"], r["payload"], r["v"]) for r in rows)
+    assert got == [(10, None, "a"), (20, 5.0, "b"), (20, 5.0, "b")]
 
 
 # ---- set ops / concat -------------------------------------------------------
