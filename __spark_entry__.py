@@ -826,6 +826,23 @@ def boilerplate_removal_docs(spark, sf_dir):
               .orderBy("doc_id")
 
 
+def pq_encode_embeddings(spark, sf_dir):
+    """Product-quantization encode (similarity.py pq_encode; Jégou 2011
+    ADC compression): m=4 subspaces × 16 dims, codebooks fixed to the
+    first 8 vectors' subvectors so the oracle can rebuild the argmin from
+    the embeddings table itself. Assignment is pure Catalyst (centroid
+    literals + zip_with/aggregate + struct argmin)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    seed_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    books = [[[float(x) for x in r["embedding"][s * 16:(s + 1) * 16]]
+              for r in seed_rows] for s in range(4)]
+    out = sim.pq_encode(emb, books)
+    return out.select("vec_id",
+                      *[F.element_at("pq_code", s + 1).alias(f"c{s}")
+                        for s in range(4)]) \
+              .orderBy("vec_id")
+
+
 def kmeans_embeddings(spark, sf_dir):
     """Distributed Lloyd's k-means (functions/similarity.py kmeans_lloyd):
     k=4, one update round, deterministic init from vec_ids 0-3; the DuckDB
@@ -1437,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_diff_lineitem": dataset_diff_lineitem,
         "induction_events": induction_events,
         "rolling_trimmed_events": rolling_trimmed_events,
+        "pq_encode_embeddings": pq_encode_embeddings,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
         "concat_widen_lineitem": concat_widen_lineitem,
@@ -1466,10 +1484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_scale_acctbal": minmax_scale_acctbal,
         "one_hot_segment": one_hot_segment,
         "bag_union_lineitem": bag_union_lineitem,
-        "bag_intersect_lineitem": bag_intersect_lineitem,
+
         "lsh_topk_embeddings": lsh_topk_embeddings,
-        "rollup_orders": rollup_orders,
+        "bag_intersect_lineitem": bag_intersect_lineitem,
         "quantiles_price": quantiles_price,
+        "rollup_orders": rollup_orders,
         # -- regression stalwarts over operators touched this round --
         "asof_purchase_click": asof_purchase_click,
         "embedding_dedup_clusters": embedding_dedup_clusters,
@@ -2331,6 +2350,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, md5(coalesce(r.text, '')) AS clean_md5
             FROM d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "pq_encode_embeddings": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 150
+            ), cb AS (
+                SELECT vec_id AS c, v FROM e WHERE vec_id < 8
+            ), sp AS (
+                SELECT unnest([0, 1, 2, 3]) AS s
+            ), d AS (
+                SELECT e.vec_id, sp.s, cb.c,
+                       (SELECT sum((e.v[sp.s * 16 + i] - cb.v[sp.s * 16 + i])
+                                   * (e.v[sp.s * 16 + i] - cb.v[sp.s * 16 + i]))
+                        FROM generate_series(1, 16) g(i)) AS d2
+                FROM e, cb, sp
+            ), a AS (
+                SELECT vec_id, s, c,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, c) AS rn
+                FROM d
+            )
+            SELECT vec_id,
+                   CAST(max(CASE WHEN s = 0 THEN c END) AS INT) AS c0,
+                   CAST(max(CASE WHEN s = 1 THEN c END) AS INT) AS c1,
+                   CAST(max(CASE WHEN s = 2 THEN c END) AS INT) AS c2,
+                   CAST(max(CASE WHEN s = 3 THEN c END) AS INT) AS c3
+            FROM a WHERE rn = 1
+            GROUP BY vec_id ORDER BY vec_id
         """,
         "kmeans_embeddings": """
             WITH e AS (

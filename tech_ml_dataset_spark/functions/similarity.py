@@ -213,6 +213,87 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
     return out, cents
 
 
+def pq_train(df: DataFrame, vec_col: str = "embedding", *,
+             dim: int, m: int = 4, k: int = 16, max_iter: int = 3,
+             id_col: str = "vec_id") -> "list[list[list[float]]]":
+    """Train product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m`` subvectors and run :func:`kmeans_lloyd` per
+    subspace (deterministic init -> reproducible codebooks). Returns
+    ``codebooks[s][c] = centroid`` — an m×k×(dim/m) nest small enough to
+    ride into every later plan as literals. Training cost: m bounded
+    k-means runs; at 100 TB train on a uniform sample."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sdf = df.select(F.col(id_col),
+                        F.slice(F.col(vec_col), s * sub + 1, sub)
+                         .alias("__sv__"))
+        _, cents = kmeans_lloyd(sdf, "__sv__", id_col, k=k,
+                                max_iter=max_iter)
+        books.append(cents)
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, argmin squared distance
+    over the codebook centroids — centroid literals in-plan, zip_with +
+    aggregate + array_min struct tie-break (the :func:`kmeans_lloyd`
+    assignment expression, once per subspace). Output is an
+    ``array<int>`` of length m: a 64-dim float vector compresses to m
+    bytes-ish of code — the representation that makes billion-vector ANN
+    fit in memory. No UDF, no shuffle."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        sv = F.slice(F.col(vec_col), s * sub + 1, sub)
+        dists = []
+        for j, c in enumerate(codebooks[s]):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(sv, arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            dists.append(F.struct(d2.alias("d"), F.lit(j).alias("c")))
+        codes.append(F.array_min(F.array(*dists))["c"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(df: DataFrame, codebooks, query: Sequence[float], k: int = 10,
+            *, vec_col: str = "embedding", id_col: str = "vec_id",
+            code_col: str | None = None) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): precompute the
+    query's distance to every centroid of every subspace (an m×K table —
+    driver-side, tiny), then each row's approximate distance is m array
+    lookups + adds over its code. The scan touches only the code column —
+    the point of PQ: the full vectors never need to be read. Encodes
+    on the fly when ``code_col`` is None (one in-plan expression)."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = np.asarray(query, dtype=np.float64)
+    tables = []
+    for s in range(m):
+        qs = q[s * sub:(s + 1) * sub]
+        tables.append([float(((qs - np.asarray(c)) ** 2).sum())
+                       for c in codebooks[s]])
+    src = df if code_col else pq_encode(df, codebooks, vec_col,
+                                        out_col="__pq__")
+    code = F.col(code_col or "__pq__")
+    dist = None
+    for s in range(m):
+        t = F.array(*[F.lit(v) for v in tables[s]])
+        term = F.element_at(t, F.element_at(code, s + 1) + 1)
+        dist = term if dist is None else dist + term
+    out = (src.withColumn("pq_dist2", dist)
+              .orderBy(F.col("pq_dist2").asc(), F.col(id_col).asc())
+              .limit(k))
+    return out.select(id_col, "pq_dist2")
+
+
 def ivf_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
              centroids: Sequence[Sequence[float]], n_probe: int = 2,
              id_col: str = "vec_id", score_col: str = "cos") -> DataFrame:

@@ -241,6 +241,43 @@ def test_kmeans_lloyd_empty_cluster_keeps_centroid(spark):
     assert rows[2] == 1 and rows[0] == 0 and rows[1] == 0
 
 
+def test_pq_encode_matches_numpy_and_adc_ranks(spark):
+    """PQ codes equal the numpy argmin per subspace; ADC distance equals
+    the table-sum closed form; an exact duplicate of the query ranks
+    first in pq_topk."""
+    import numpy as np
+    from tech_ml_dataset_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(0, 1, (60, 8)).round(3)
+    vecs[17] = vecs[3]  # exact dup pair
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>")
+    books = sim.pq_train(df, dim=8, m=2, k=4, max_iter=2)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+
+    enc = {r["vec_id"]: list(r["pq_code"])
+           for r in sim.pq_encode(df, books).collect()}
+    for i, v in enumerate(vecs):
+        for s in range(2):
+            sv = v[s * 4:(s + 1) * 4]
+            d = [((sv - np.asarray(c)) ** 2).sum() for c in books[s]]
+            assert enc[i][s] == int(np.argmin(d)), (i, s)
+    assert enc[17] == enc[3]  # identical vectors -> identical codes
+
+    q = [float(x) for x in vecs[3]]
+    top = sim.pq_topk(df, books, q, k=5).collect()
+    ids = [r["vec_id"] for r in top]
+    assert set(ids[:2]) == {3, 17}  # the query's duplicates lead
+    # ADC distance closed form for row 3
+    want = sum(((np.asarray(q[s*4:(s+1)*4])
+                 - np.asarray(books[s][enc[3][s]])) ** 2).sum()
+               for s in range(2))
+    got = [r["pq_dist2"] for r in top if r["vec_id"] == 3][0]
+    assert abs(got - want) < 1e-9
+
+
 def test_embedding_dedup_pairs_lsh_recall(spark):
     """Banded sign-LSH near-dup detection: near-identical vectors (cosine
     ~0.999) must be caught with recall 1.0 at default banding; unrelated
