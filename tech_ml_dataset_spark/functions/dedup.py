@@ -422,9 +422,12 @@ def dedup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
                                             F.col("src").alias("dst")))
                   .distinct())
     edges = edges.localCheckpoint(eager=False)
+    # eager: iteration 1's action references `labels` in BOTH the neighbor
+    # join and the new-labels join — a lazy checkpoint could let the forked
+    # branches race on an uncached nondeterministic source (review r3)
     labels = (nodes.select(F.col(id_col).alias("node")).distinct()
                    .withColumn("label", F.col("node"))
-                   .localCheckpoint(eager=False))
+                   .localCheckpoint(eager=True))
     changed = 0
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["src"] == labels["node"])

@@ -135,6 +135,23 @@ def ivf_centroids(df: DataFrame, vec_col: str, n_cells: int,
     return [list(r[0]) for r in rows]
 
 
+def _argmin_centroids(vec, centroids) -> Column:
+    """Shared nearest-centroid expression (kmeans assign / PQ encode):
+    squared Euclidean to each centroid literal via zip_with + aggregate,
+    ``array_min`` over (dist, index) structs — ties break toward the lower
+    index by struct ordering. Returns the winning struct; take ``["c"]``
+    for the index, ``["d"]`` for the squared distance. Both consumers MUST
+    keep this single definition so their oracles stay tie-break-identical."""
+    dists = []
+    for j, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        dists.append(F.struct(d2.alias("d"), F.lit(j).alias("c")))
+    return F.array_min(F.array(*dists))
+
+
 def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id", *, k: int = 4, max_iter: int = 5,
                  init_ids: Sequence | None = None
@@ -180,14 +197,7 @@ def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
         raise ValueError(f"init needs {k} vectors, found {len(cents)}")
 
     def _assign(cs):
-        dists = []
-        for j, c in enumerate(cs):
-            arr = F.array(*[F.lit(x) for x in c])
-            d2 = F.aggregate(
-                F.zip_with(F.col("__v__"), arr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            dists.append(F.struct(d2.alias("d"), F.lit(j).alias("c")))
-        best = F.array_min(F.array(*dists))
+        best = _argmin_centroids(F.col("__v__"), cs)
         return base.withColumn("cluster", best["c"]) \
                    .withColumn("dist2", best["d"])
 
@@ -250,14 +260,7 @@ def pq_encode(df: DataFrame, codebooks, vec_col: str = "embedding",
     codes = []
     for s in range(m):
         sv = F.slice(F.col(vec_col), s * sub + 1, sub)
-        dists = []
-        for j, c in enumerate(codebooks[s]):
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            d2 = F.aggregate(
-                F.zip_with(sv, arr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            dists.append(F.struct(d2.alias("d"), F.lit(j).alias("c")))
-        codes.append(F.array_min(F.array(*dists))["c"])
+        codes.append(_argmin_centroids(sv, codebooks[s])["c"])
     return df.withColumn(out_col, F.array(*codes))
 
 
@@ -270,8 +273,6 @@ def pq_topk(df: DataFrame, codebooks, query: Sequence[float], k: int = 10,
     lookups + adds over its code. The scan touches only the code column —
     the point of PQ: the full vectors never need to be read. Encodes
     on the fly when ``code_col`` is None (one in-plan expression)."""
-    import numpy as np
-
     m = len(codebooks)
     sub = len(codebooks[0][0])
     q = np.asarray(query, dtype=np.float64)

@@ -342,9 +342,11 @@ def descriptive_stats(df: DataFrame, columns: Iterable[str] | None = None,
     if need_order and len(groups) > 1:
         # first/last rank by the mono-id; with the plan now FORKED across
         # agg branches a nondeterministic upstream could assign different
-        # ids per branch — materialize once so every branch sees the same
-        # row order (the _contiguous_index discipline)
-        src = src.localCheckpoint(eager=False)
+        # ids per branch — materialize once (EAGERLY: a lazy checkpoint
+        # materializes inside the forked action itself, where concurrent
+        # branch tasks on different executors could still race) so every
+        # branch sees the same row order
+        src = src.localCheckpoint(eager=True)
     agg_row = src.agg(*groups[0])
     for g in groups[1:]:
         agg_row = agg_row.crossJoin(src.agg(*g))

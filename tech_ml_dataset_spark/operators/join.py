@@ -170,8 +170,12 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
         # mono-id over a FORKED lineage (two asof passes), so checkpoint
         # first — the _contiguous_index discipline.
         rid = _free_name(list(left.columns) + list(right.columns), "__rid__")
+        # eager: a LAZY checkpoint materializes inside the same action that
+        # forks, so two branch tasks on different executors could compute a
+        # nondeterministic source partition concurrently and bind different
+        # ids before any cached block exists (review r3)
         tagged = left.withColumn(rid, F.monotonically_increasing_id()) \
-                     .localCheckpoint(eager=False)
+                     .localCheckpoint(eager=True)
         fwd = left_join_asof(tagged, right, on, by=by, asof_op="<=")
         bwd = left_join_asof(tagged, right, on, by=by, asof_op=">=")
         # pick per-row whichever matched value is closer on the axis
@@ -194,11 +198,18 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
     for c in left.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    # The matched right row travels as ONE STRUCT (non-null for every
+    # right row even when its fields are NULL) and is filled as a unit:
+    # filling each value column independently would stitch together a
+    # composite "row" from DIFFERENT right rows whenever the true match
+    # holds a NULL in some value column (review r3).
+    rt = rt.withColumn("__rrow__", F.struct(
+        F.col(on).alias("__r_on__"),
+        *[F.col(f"`{c}`").alias(f"v{i}") for i, c in enumerate(rval_cols)]))
+    rstruct_type = dict(rt.dtypes)["__rrow__"]
+    lt = lt.withColumn("__rrow__", F.lit(None).cast(rstruct_type))
     for c in rval_cols:
         lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
-    # carry the right axis value so we can expose/strict-compare it
-    rt = rt.withColumn("__r_on__", F.col(on))
-    lt = lt.withColumn("__r_on__", F.lit(None).cast(dict(right.dtypes)[on]))
     u = lt.unionByName(rt.select(*lt.columns))
 
     on_sort = F.col(on).desc() if descending else F.col(on).asc()
@@ -211,11 +222,13 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
         .orderBy(on_sort, side_sort) \
         .rowsBetween(W.unboundedPreceding, 0)
 
-    filled = u
-    for c in rval_cols + ["__r_on__"]:
-        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    filled = u.withColumn("__rrow__",
+                          F.last("__rrow__", ignorenulls=True).over(w))
     out = filled.filter(F.col("__side__") == 1).drop("__side__")
-    return out.withColumnRenamed("__r_on__", f"right.{on}")
+    for i, c in enumerate(rval_cols):
+        out = out.withColumn(c, F.col("__rrow__")[f"v{i}"])
+    return out.withColumn(f"right.{on}", F.col("__rrow__")["__r_on__"]) \
+              .drop("__rrow__")
 
 
 def _nearest_combine(left: DataFrame, fwd: DataFrame, bwd: DataFrame,
@@ -278,13 +291,18 @@ def range_join(left: DataFrame, right: DataFrame, point_col: str,
 
     if bounds not in ("[]", "[)", "(]", "()"):
         raise ValueError(f"bounds must be one of [] [) (] (); got {bounds!r}")
-    if bucket is not None and how not in ("inner", "left"):
+    if bucket is not None and how not in ("inner", "left",
+                                          "left_semi", "leftsemi",
+                                          "left_anti", "leftanti"):
         # the bucketed rewrite EXPLODES the right side, so right/full outer
         # would emit one unmatched copy per covered bucket (and drop
-        # inverted/NULL intervals entirely) — a corrupted bag
+        # inverted/NULL intervals entirely) — a corrupted bag. Left-keyed
+        # modes are safe: inner/left multiply only by true matches,
+        # semi/anti never duplicate left rows.
         raise ValueError(
-            f"bucketed range_join supports how='inner'/'left'; got {how!r} "
-            f"(use bucket=None for right/full outer, with a broadcastable side)")
+            f"bucketed range_join supports how='inner'/'left'/'left_semi'/"
+            f"'left_anti'; got {how!r} (use bucket=None for right/full "
+            f"outer, with a broadcastable side)")
     keys = _normalize_keys(on) if on is not None else []
     p = left[point_col]
     lo_ok = (p >= right[lo_col]) if bounds[0] == "[" else (p > right[lo_col])

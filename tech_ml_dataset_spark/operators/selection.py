@@ -69,7 +69,12 @@ def _contiguous_index(df: DataFrame, order_within, name: str, *,
     off = _free_name(df.columns, "__off__")
     tagged = df.withColumn(pid, F.spark_partition_id())
     if materialize:
-        tagged = tagged.localCheckpoint(eager=False)
+        # eager: the offsets branch and the data branch fork inside ONE
+        # action; a lazy checkpoint would let tasks of both branches
+        # compute an uncached nondeterministic partition concurrently on
+        # different executors and disagree (review r3) — materialize as
+        # its own job first
+        tagged = tagged.localCheckpoint(eager=True)
     woff = W.orderBy(pid).rowsBetween(W.unboundedPreceding, -1)
     off_df = (tagged.groupBy(pid)
                     .agg(F.count(F.lit(1)).alias("__cnt__"))

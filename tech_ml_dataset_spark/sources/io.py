@@ -498,14 +498,19 @@ def compact_files(spark: SparkSession, path: str, *,
     staging = path.rstrip("/") + ".__compact_tmp__"
     backup = path.rstrip("/") + ".__compact_old__"
     # crash recovery: a previous run that died mid-swap left the source at
-    # the backup path; restore it rather than wedging on the next rename
-    if os.path.isdir(backup):
-        if not os.path.isdir(path):
-            os.rename(backup, path)
-        else:
-            shutil.rmtree(backup)
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
+    # the backup path; restore it rather than wedging on the next rename.
+    # dry_run performs NO filesystem mutation (its contract), so recovery
+    # and stale-staging cleanup only run on a real compaction. Compaction
+    # is a single-maintainer job: concurrent runs against one path are
+    # not supported (the staging/backup dirs are per-path).
+    if not dry_run:
+        if os.path.isdir(backup):
+            if not os.path.isdir(path):
+                os.rename(backup, path)
+            else:
+                shutil.rmtree(backup)
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
 
     files = [f for f in globmod.glob(os.path.join(path, f"*.{fmt}"))
              if os.path.isfile(f)] or \

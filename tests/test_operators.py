@@ -139,6 +139,22 @@ def test_asof_forward_and_nearest(spark):
     assert near.collect()[0]["v"] == "soon"  # |6-5| < |5-3|
 
 
+def test_asof_match_with_null_value_column_stays_one_row(spark):
+    """Review r3: per-column last(ignorenulls) used to stitch a composite
+    'match' from DIFFERENT right rows when the true asof match held a NULL
+    value — the matched right row must come through as a unit."""
+    left = spark.createDataFrame([(1, 10)], ["g", "t"])
+    right = spark.createDataFrame(
+        [(1, 5, "x", 1.0), (1, 9, None, 2.0)],
+        "g int, t int, v string, w double")
+    r = jn.left_join_asof(left, right, "t", by="g", asof_op="<=").collect()[0]
+    assert r["w"] == 2.0 and r["right.t"] == 9
+    assert r["v"] is None          # NOT 'x' leaked from the t=5 row
+    # strict-forward: no matching right row at all -> all-null match
+    r2 = jn.left_join_asof(left, right, "t", by="g", asof_op=">").collect()[0]
+    assert r2["v"] is None and r2["w"] is None and r2["right.t"] is None
+
+
 def test_asof_nearest_null_and_duplicate_left_rows(spark):
     """Review r3: the fwd/bwd combine used to key on every left column —
     a NULL in any left column silently dropped the row (NULL equality),
