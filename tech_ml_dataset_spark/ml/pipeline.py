@@ -120,3 +120,83 @@ class FittedPipeline:
     def states(self) -> list:
         """Per-stage fitted state (None for stateless stages) — the ctx map."""
         return [getattr(s, "state", None) for s in self.stages]
+
+
+def _fn_ref(fn) -> str:
+    mod, qn = getattr(fn, "__module__", None), getattr(fn, "__qualname__", None)
+    if not mod or not qn or "<" in qn:   # lambdas / locals aren't importable
+        raise ValueError(
+            f"stage function {fn!r} is not importable (module-level named "
+            f"functions only) — lambdas cannot be persisted")
+    import importlib
+    resolved = importlib.import_module(mod)
+    for part in qn.split("."):
+        resolved = getattr(resolved, part)
+    if resolved is not fn:
+        raise ValueError(f"{mod}:{qn} does not resolve back to {fn!r}")
+    return f"{mod}:{qn}"
+
+
+def _fn_load(ref: str):
+    import importlib
+    mod, qn = ref.split(":")
+    obj = importlib.import_module(mod)
+    for part in qn.split("."):
+        obj = getattr(obj, part)
+    return obj
+
+
+def save_pipeline(fitted: FittedPipeline, path: str) -> None:
+    """Persist a fitted pipeline to a directory — the analog of the
+    reference serializing datasets+fitted transforms with nippy
+    (nippy.clj round-trips any fitted state): dict-state stages store
+    (importable transform-fn reference, JSON state); stateless stages
+    store their fn reference; ``pyspark.ml`` models delegate to their own
+    ``save`` into a subdirectory. A pipeline fitted at sf0.01 reloads
+    unchanged for a 1000-executor job — fit once, ship the artifact."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    records = []
+    for i, s in enumerate(fitted.stages):
+        if isinstance(s, _FittedStage):
+            records.append({"kind": "state",
+                            "fn": _fn_ref(s.transform_fn),
+                            "state": s.state})
+        elif isinstance(s, _StatelessStage):
+            records.append({"kind": "stateless", "fn": _fn_ref(s.fn)})
+        elif hasattr(s, "write") and hasattr(s, "transform"):
+            # a fitted pyspark.ml model lands in fitted.stages as itself
+            sub = f"stage_{i}_mllib"
+            s.write().overwrite().save(os.path.join(path, sub))
+            records.append({"kind": "mllib",
+                            "cls": f"{type(s).__module__}:"
+                                   f"{type(s).__qualname__}",
+                            "dir": sub})
+        else:
+            raise ValueError(f"cannot persist stage {s!r}")
+    with open(os.path.join(path, "pipeline.json"), "w") as f:
+        json.dump({"version": 1, "stages": records}, f, indent=1,
+                  default=float)  # numpy scalars in states -> plain floats
+
+
+def load_pipeline(path: str) -> FittedPipeline:
+    """Reload a :func:`save_pipeline` artifact; transforms replay exactly
+    (states are plain data, transform fns resolve by import reference)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "pipeline.json")) as f:
+        meta = json.load(f)
+    stages = []
+    for rec in meta["stages"]:
+        if rec["kind"] == "state":
+            stages.append(_FittedStage(_fn_load(rec["fn"]), rec["state"]))
+        elif rec["kind"] == "stateless":
+            stages.append(_StatelessStage(_fn_load(rec["fn"])).fit(None))
+        else:
+            cls = _fn_load(rec["cls"].replace(":", ":"))
+            model = cls.load(os.path.join(path, rec["dir"]))
+            stages.append(_PrefittedStage(model).fit(None))
+    return FittedPipeline(stages, output=None)

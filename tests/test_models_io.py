@@ -426,3 +426,35 @@ def test_fit_categorical_map_caps_cardinality(spark):
         mlp.fit_categorical_map(df, "k", max_categories=10)
     fitted = mlp.fit_categorical_map(df, "k", max_categories=100)
     assert len(fitted["table"]) == 50
+
+
+def test_pipeline_save_load_roundtrip(spark, tmp_path):
+    """save_pipeline/load_pipeline: dict-state + stateless + mllib stages
+    all reload and transform identically (the nippy fitted-state analog)."""
+    from pyspark.sql import functions as F
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from tech_ml_dataset_spark.ml import pipeline as pl
+    from tech_ml_dataset_spark.ml.preprocess import (
+        fit_std_scale, transform_std_scale)
+    from tests.pipeline_helpers import drop_nulls_v
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,)], ["v"])
+    pipe = pl.Pipeline(
+        drop_nulls_v,
+        pl.stage(fit_std_scale, transform_std_scale, ["v"]),
+        VectorAssembler(inputCols=["v"], outputCol="fv"),
+        StandardScaler(inputCol="fv", outputCol="sv"))
+    fitted = pipe.fit(df)
+    want = sorted(str(r) for r in fitted.transform(df).collect())
+
+    path = str(tmp_path / "pipe")
+    pl.save_pipeline(fitted, path)
+    back = pl.load_pipeline(path)
+    got = sorted(str(r) for r in back.transform(df).collect())
+    assert got == want
+
+    # lambdas are rejected with an actionable error
+    import pytest as _pt
+    bad = pl.Pipeline(lambda d: d).fit(df)
+    with _pt.raises(ValueError, match="lambda"):
+        pl.save_pipeline(bad, str(tmp_path / "bad"))
