@@ -788,9 +788,11 @@ def induction_events(spark, sf_dir):
     out = cm.induction(ev, ["ts", "event_id"], "acc",
                        lambda acc, row: 0.5 * acc + row["value"],
                        init=0.0, by="user_id")
-    return out.select("event_id", "user_id",
-                      _r4b(F.col("acc")).alias("acc")) \
-              .orderBy("user_id", "event_id")
+    out = out.select("event_id", "user_id",
+                     _r4b(F.col("acc")).alias("acc"))
+    # checkpoint before the deterministic sort: the range partitioner's
+    # bounds sampling would otherwise re-run the whole Python recurrence
+    return out.localCheckpoint(eager=False).orderBy("user_id", "event_id")
 
 
 def dataset_diff_lineitem(spark, sf_dir):

@@ -161,6 +161,14 @@ def induction(df: DataFrame, order_by, out_col: str, update_expr: Callable, *,
     """
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     by_cols = [by] if isinstance(by, str) else (list(by) if by else [])
+    if by_cols:
+        # The stage is PYTHON-compute-bound, but AQE sizes post-shuffle
+        # partitions by BYTES and coalesces small groups onto a couple of
+        # tasks. An explicit numbered repartition on the group keys is
+        # exempt from AQE coalescing and already satisfies applyInPandas'
+        # required distribution, so the recurrence runs one task per core.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(par, *[F.col(c) for c in by_cols])
 
     out_schema = T.StructType(df.schema.fields +
                               [T.StructField(out_col, getattr(T, {
@@ -175,8 +183,14 @@ def induction(df: DataFrame, order_by, out_col: str, update_expr: Callable, *,
             return pdf
         acc = init
         vals = []
-        for rec in pdf.to_dict("records"):
-            acc = update_expr(acc, rec)
+        # zip over column lists instead of DataFrame.to_dict("records")
+        # (which materializes pandas scalars row-by-row, ~3x slower);
+        # .tolist() yields plain python scalars, so the per-row dict
+        # contract for update_expr is unchanged
+        names = list(pdf.columns)
+        cols_py = [pdf[c].tolist() for c in names]
+        for tup in zip(*cols_py):
+            acc = update_expr(acc, dict(zip(names, tup)))
             vals.append(acc)
         pdf[out_col] = vals
         return pdf

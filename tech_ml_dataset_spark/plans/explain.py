@@ -84,3 +84,30 @@ def skew_report(df: DataFrame, keys, *, top_k: int = 10,
         else min(256, max(1, round(hot / mean_load)))
     return {"n_rows": n, "n_keys": k, "top": top,
             "max_share": max_share, "suggested_salt": int(suggested)}
+
+
+def plan_digest(df: DataFrame) -> dict:
+    """One-glance physical-plan audit for users: counts of scans,
+    shuffles, broadcast/sort-merge joins, nested-loop/cartesian joins
+    (the 100 TB red flag), Python stages, and whole-stage-codegen spans.
+    The same predicates the plan test suite pins, packaged for
+    interactive `explain`-style checks."""
+    plan = physical_plan(df)
+    def count(token):
+        return plan.count(token)
+    return {
+        "scans": count("FileScan") + count("BatchScan"),
+        "exchanges": count("Exchange"),
+        "broadcast_joins": count("BroadcastHashJoin"),
+        "sort_merge_joins": count("SortMergeJoin"),
+        "shuffled_hash_joins": count("ShuffledHashJoin"),
+        "nested_loop_or_cartesian": count("BroadcastNestedLoopJoin")
+                                    + count("CartesianProduct"),
+        "python_stages": count("ArrowEvalPython") + count("MapInPandas")
+                         + count("FlatMapGroupsInPandas")
+                         + count("BatchEvalPython"),
+        # '*(n)' marks WholeStageCodegen spans in the compact plan string
+        # (AQE inserts them at execution — run an action first for the
+        # final count); "WholeStageCodegen" appears only in formatted mode
+        "codegen_spans": len(set(__import__("re").findall(r"\*\((\d+)\)", plan))),
+    }

@@ -490,3 +490,14 @@ def test_compact_files_merges_and_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10000
     assert back.agg(F.sum("id")).collect()[0][0] == 10000 * 9999 // 2
+
+
+def test_plan_digest_counts(spark, sf_dir):
+    from tech_ml_dataset_spark.plans.explain import plan_digest
+
+    q5 = entry.queries()["q5_nation_revenue"](spark, sf_dir)
+    q5.collect()  # AQE finalizes codegen spans at execution
+    d = plan_digest(q5)
+    assert d["scans"] >= 4 and d["broadcast_joins"] >= 3
+    assert d["nested_loop_or_cartesian"] == 0
+    assert d["python_stages"] == 0 and d["codegen_spans"] > 0
