@@ -290,9 +290,16 @@ _SCALE_AUDIT_EXEMPT = {
         "pca_project_lineitem": "covariance one-row collect, driver eigh",
         "regression_price_model": "normal-equation one-row aggregate",
         "validate_orders": "per-rule violation counts: one-row report aggregates",
+        "q6_forecast_revenue": "one-row global aggregate (partial agg distributed)",
+        "q14_promo_revenue": "one-row promo-share aggregate",
+        "q15_top_supplier": "one-row max-revenue aggregate broadcast back",
+        "q17_small_quantity_revenue": "one-row avg_yearly aggregate",
+        "q19_disjunctive_predicates": "one-row revenue aggregate",
+        "q22_sales_opportunity": "one-row global avg(acctbal) scalar subquery",
     },
     "cartesian": {
         "cross_region_priority": "intentional cross of two tiny sides",
+        "q22_sales_opportunity": "one-row avg broadcast to every customer row",
         "embedding_dedup_pairs_exact": "exact baseline on a <200-id slice",
         "embedding_dedup_clusters": "same bounded exact pair source",
         "cosine_topk_embeddings": "scored scan, no join — literal query vec",
