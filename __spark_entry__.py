@@ -1211,6 +1211,31 @@ def ngram_jaccard_docs(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, k=2, threshold=0.1, max_df=8)
 
 
+def similarity_join_docs(spark, sf_dir):
+    """Cross-table set-similarity join (dedup.py similarity_join): a
+    'curated' slice (doc_id < 50) fuzzy-matched against the rest of the
+    corpus by word-2-gram Jaccard with PPJoin-style ascending-DF prefix
+    filtering. threshold=0.08 sits below the cross-slice max similarity
+    so the oracle proves a non-empty result."""
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") < 50)
+    right = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 500))
+    out = dd.similarity_join(left, right, "text", k=2, threshold=0.08)
+    return out.orderBy("left_id", "right_id")
+
+
+def heavy_tokens_docs(spark, sf_dir):
+    """Corpus heavy hitters (text.py heavy_hitters): top-25 most frequent
+    tokens. Exact path — groupBy with map-side partials, TakeOrdered k.
+    The Misra-Gries bounded-memory path is pytest-pinned against this one
+    (mergeable-summaries guarantee)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+         .alias("tok")).filter(F.length("tok") > 0)
+    return txt.heavy_hitters(toks, "tok", k=25, method="exact")
+
+
 def minhash_pairs_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (rows-only check: the banding
     scheme is not ANSI-SQL-expressible)."""
@@ -1688,9 +1713,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens_docs": bpe_tokens_docs,
         "ewma_user_value": ewma_user_value,
         "salted_revenue_by_nation": salted_revenue_by_nation,
-        # ---- position > 50 from here: r1/r2-green or rows-only queries
-        # whose code is untouched (unigram's r3 broadcast change is
-        # plan-only and plan-asserted in tests); pytest + verify_local ----
+        # ---- position > 50 from here (window is fully subscribed this
+        # round): newest additions first so they rotate into the window
+        # next round; then r1/r2-green or rows-only queries whose code is
+        # untouched (unigram's r3 broadcast change is plan-only and
+        # plan-asserted in tests); pytest + verify_local cover the tail ----
+        "similarity_join_docs": similarity_join_docs,
+        "heavy_tokens_docs": heavy_tokens_docs,
         "unigram_lm_docs": unigram_lm_docs,
         "validate_orders": validate_orders,
         "loess_smooth_events": loess_smooth_events,
@@ -1968,6 +1997,40 @@ def oracle_sql() -> dict[str, str]:
                     AND o.o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "similarity_join_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                         range(1, greatest(len(w) - 1, 1) + 1),
+                         i -> array_to_string(w[i:i+1], ' '))) AS gr
+              FROM t
+            ), pairs AS (
+              SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                     len(list_intersect(l.gr, r.gr)) * 1.0
+                       / len(list_distinct(list_concat(l.gr, r.gr))) AS j
+              FROM g l, g r
+              WHERE l.doc_id < 50 AND r.doc_id >= 50 AND r.doc_id < 500
+            )
+            SELECT left_id, right_id, round(j, 4) AS jaccard
+            FROM pairs WHERE j >= 0.08 ORDER BY left_id, right_id
+        """,
+        "heavy_tokens_docs": r"""
+            WITH tok AS (
+              SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS tok
+              FROM documents
+            ), c AS (
+              SELECT tok AS value, count(*) AS count
+              FROM tok WHERE len(tok) > 0 GROUP BY tok
+            )
+            SELECT value, count,
+                   row_number() OVER (ORDER BY count DESC, value ASC) AS rank
+            FROM c ORDER BY count DESC, value ASC LIMIT 25
         """,
         "q7_volume_shipping": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -273,6 +273,15 @@ class Dataset:
         return self._wrap(_dd.decontaminate(self.df, _unwrap(benchmark),
                                             id_col, text_col, **kw))
 
+    def similarity_join(self, right, text_col="text", **kw):
+        from .functions import dedup as _dd
+        return self._wrap(_dd.similarity_join(self.df, _unwrap(right),
+                                              text_col, **kw))
+
+    def heavy_hitters(self, col, **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.heavy_hitters(self.df, col, **kw))
+
     def validate(self, rules):
         from .operators import validate as _dv
         return self._wrap(_dv.validate(self.df, rules))

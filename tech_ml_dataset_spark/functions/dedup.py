@@ -319,6 +319,73 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
+def similarity_join(left: DataFrame, right: DataFrame,
+                    text_col: str = "text", *,
+                    left_id: str = "doc_id", right_id: str = "doc_id",
+                    k: int = 2, threshold: float = 0.5,
+                    prefix_filter: bool = True,
+                    max_df: int | None = None) -> DataFrame:
+    """Cross-table fuzzy (set-similarity) join: pairs (left row, right row)
+    whose word-``k``-gram Jaccard similarity is >= ``threshold``. The
+    entity-matching / record-linkage primitive (e.g. match a crawl against
+    a curated corpus) — reference has no analog; the per-corpus variant is
+    :func:`ngram_jaccard_pairs`.
+
+    Scale design — prefix filtering (PPJoin family: Chaudhuri et al.
+    ICDE'06, Xiao et al. WWW'08): if J(A,B) >= t then A and B must share a
+    token among the first ``|A| - ceil(t*|A|) + 1`` of their tokens under
+    ANY global total order. Ordering by ascending document frequency makes
+    those prefix tokens the RAREST ones, so the inverted-index join fans
+    out on cold keys instead of stopwords. The candidate join carries only
+    (id, token); full token arrays join back per side for the exact
+    Jaccard verify, so document-sized arrays never enter the token
+    exchange. The DF table is vocab-sized and joined by token; pass
+    ``max_df`` to additionally drop ubiquitous tokens from the index
+    entirely (candidates must then share a token in <= max_df docs).
+
+    With ``prefix_filter=False`` the index holds ALL tokens
+    (share-any-token candidates) — exact even for threshold 0, at the cost
+    of stopword-sized fan-out."""
+    lt = left.select(F.col(left_id).alias("__lid__"),
+                     shingles(F.col(text_col), k, mode="word").alias("__sh__"))
+    rt = right.select(F.col(right_id).alias("__rid__"),
+                      shingles(F.col(text_col), k, mode="word").alias("__sh__"))
+    linv = lt.select("__lid__", F.explode("__sh__").alias("__g__"))
+    rinv = rt.select("__rid__", F.explode("__sh__").alias("__g__"))
+
+    # global document frequency over BOTH sides: the prefix order must be
+    # one total order shared by the two tables or the filter loses pairs
+    dfreq = (linv.select(F.col("__g__"))
+                 .unionAll(rinv.select("__g__"))
+                 .groupBy("__g__").agg(F.count(F.lit(1)).alias("__df__")))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df__") <= max_df)
+
+    def _prefix(inv: DataFrame, id_name: str) -> DataFrame:
+        toks = inv.join(dfreq, "__g__")
+        if not prefix_filter:
+            return toks.select(id_name, "__g__")
+        w = W.partitionBy(id_name).orderBy("__df__", "__g__")
+        ranked = toks.select(
+            id_name, "__g__",
+            F.row_number().over(w).alias("__rk__"),
+            F.count(F.lit(1)).over(W.partitionBy(id_name)).alias("__n__"))
+        keep = F.col("__rk__") <= (
+            F.col("__n__") - F.ceil(F.lit(threshold) * F.col("__n__")) + 1)
+        return ranked.filter(keep).select(id_name, "__g__")
+
+    ids = (_prefix(linv, "__lid__").join(_prefix(rinv, "__rid__"), "__g__")
+           .select("__lid__", "__rid__").distinct())
+    la = lt.select("__lid__", F.col("__sh__").alias("__sha__"))
+    rb = rt.select("__rid__", F.col("__sh__").alias("__shb__"))
+    out = (ids.join(la, "__lid__").join(rb, "__rid__")
+              .withColumn("jaccard", jaccard(F.col("__sha__"), F.col("__shb__")))
+              .filter(F.col("jaccard") >= threshold))
+    return out.select(F.col("__lid__").alias("left_id"),
+                      F.col("__rid__").alias("right_id"),
+                      F.round("jaccard", 4).alias("jaccard"))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text", *,
                   k: int = 13, min_hits: int = 1,

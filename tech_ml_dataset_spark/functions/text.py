@@ -484,6 +484,72 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                   .select(id_col, "term", "tf", "idf", "tfidf", "term_rank"))
 
 
+def heavy_hitters(df: DataFrame, col: str, *, k: int = 20,
+                  method: str = "exact",
+                  counters: int | None = None) -> DataFrame:
+    """Top-``k`` most frequent values of ``col`` (corpus heavy hitters —
+    vocabulary heads, hot keys, dominant sources). Two strategies:
+
+    - ``method="exact"``: groupBy count → TakeOrdered k. One shuffle whose
+      reduce side is vocab-sized; map-side partial aggregation means the
+      exchange carries one row per (partition, distinct value), NOT per
+      input row. The right default whenever the value domain fits a
+      reducer (vocabularies, keys, categories).
+    - ``method="mg"``: Misra-Gries summaries — each partition keeps at
+      most ``counters`` (default 8k) counters in one Python pass, then the
+      per-partition summaries (≤ counters × partitions rows, independent
+      of input size) merge in one tiny groupBy. Mergeable-summaries
+      guarantee (Agarwal et al., PODS'12): every value with true count
+      > n/counters survives, and each reported count understates the true
+      count by at most n/counters. For domains too wide to shuffle
+      (URLs, raw n-grams at corpus scale), this bounds memory AND
+      exchange size at the cost of approximate counts.
+
+    Returns (value, count, rank) — for "mg", count is the guaranteed
+    LOWER bound described above. Ties break on value ascending for
+    deterministic output."""
+    src = df.select(F.col(col).alias("value")).filter(F.col("value").isNotNull())
+    if method == "exact":
+        counts = src.groupBy("value").agg(F.count(F.lit(1)).alias("count"))
+    elif method == "mg":
+        m = counters or 8 * k
+        import pandas as pd
+
+        def _mg(batches):
+            cnt: dict = {}
+            for pdf in batches:
+                for v in pdf["value"]:
+                    if v in cnt:
+                        cnt[v] += 1
+                    elif len(cnt) < m:
+                        cnt[v] = 1
+                    else:
+                        # decrement-all step; drop zeros (classic MG)
+                        dead = []
+                        for key in cnt:
+                            cnt[key] -= 1
+                            if cnt[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del cnt[key]
+            if cnt:
+                yield pd.DataFrame({"value": list(cnt.keys()),
+                                    "count": list(cnt.values())})
+
+        schema = f"value {df.schema[col].dataType.simpleString()}, count long"
+        summaries = src.mapInPandas(_mg, schema)
+        counts = summaries.groupBy("value").agg(F.sum("count").alias("count"))
+    else:
+        raise ValueError(f"unknown heavy_hitters method: {method!r}")
+    from pyspark.sql import Window as W
+    ranked = counts.orderBy(F.col("count").desc(), F.col("value").asc()) \
+                   .limit(k)
+    # rank window runs over the k surviving rows only (post-TakeOrdered)
+    return ranked.withColumn(
+        "rank", F.row_number().over(
+            W.orderBy(F.col("count").desc(), F.col("value").asc())))
+
+
 def sample_mixture(df: DataFrame, weights: dict, *, total_tokens: int,
                    key_cols: tuple = ("lang",), token_col: str = "n_tokens",
                    seed: int = 42) -> DataFrame:

@@ -159,3 +159,39 @@ def test_decontaminate_shuffle_fallback_matches(spark):
         corpus, bench, k=3, broadcast_benchmark=False).select(
         "doc_id", "contam_hits").collect()))
     assert a == b
+
+
+def test_similarity_join_finds_cross_table_match(spark, docs):
+    left = docs.filter(F.col("doc_id") <= 2)
+    right = docs.filter(F.col("doc_id") >= 3)
+    out = {(r["left_id"], r["right_id"]): r["jaccard"]
+           for r in dd.similarity_join(left, right, k=2,
+                                       threshold=0.5).collect()}
+    # doc 3 is a whitespace/case variant of doc 1 -> jaccard 1.0
+    assert out[(1, 3)] == 1.0
+    # near-dup of doc 1 -> high but < 1; unrelated doc 4 never matches
+    assert (2, 3) in out and out[(2, 3)] < 1.0
+    assert not any(rid == 4 for (_, rid) in out)
+
+
+def test_similarity_join_prefix_filter_is_lossless(spark, sf_dir):
+    """The PPJoin prefix filter must return EXACTLY the share-all-tokens
+    result: verified on a real corpus slice at several thresholds."""
+    from tech_ml_dataset_spark.sources.io import read_parquet
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
+    left = docs.filter(F.col("doc_id") < 20)
+    right = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 80))
+    for t in (0.05, 0.1):
+        fast = sorted(map(tuple, dd.similarity_join(
+            left, right, k=2, threshold=t).collect()))
+        slow = sorted(map(tuple, dd.similarity_join(
+            left, right, k=2, threshold=t, prefix_filter=False).collect()))
+        assert fast == slow and len(fast) > 0
+
+
+def test_similarity_join_max_df_bounds_index(spark, docs):
+    # with max_df=1 no shared gram is admitted -> no candidates at all
+    left = docs.filter(F.col("doc_id") <= 2)
+    right = docs.filter(F.col("doc_id") >= 3)
+    out = dd.similarity_join(left, right, k=2, threshold=0.1, max_df=1)
+    assert out.count() == 0

@@ -438,3 +438,32 @@ def test_pii_counts_sequential_matches_redaction(spark):
                   txt.redact_pii(F.col("t")).alias("red")).collect()[0]
     assert r["e"] == 1 and r["p"] == 0       # not double-counted
     assert r["red"] == "write [EMAIL] now"
+
+
+def test_heavy_hitters_exact_and_mg(spark):
+    # skewed stream: value i appears (41-i)*10 times, i in 0..40
+    rows = [(f"v{i:02d}",) for i in range(41) for _ in range((41 - i) * 10)]
+    df = spark.createDataFrame(rows, ["tok"]).repartition(8)
+    exact = txt.heavy_hitters(df, "tok", k=5, method="exact").collect()
+    assert [r["value"] for r in exact] == ["v00", "v01", "v02", "v03", "v04"]
+    assert exact[0]["count"] == 410 and exact[0]["rank"] == 1
+
+    n = len(rows)
+    m = 64
+    mg = txt.heavy_hitters(df, "tok", k=5, method="mg", counters=m).collect()
+    exact_counts = {f"v{i:02d}": (41 - i) * 10 for i in range(41)}
+    # mergeable-summaries guarantee: reported counts are lower bounds and
+    # understate by at most n/m; the true heavy head must survive
+    got = {r["value"]: r["count"] for r in mg}
+    for v, c in got.items():
+        assert c <= exact_counts[v]
+        assert exact_counts[v] - c <= n // m + 1
+    assert "v00" in got and "v01" in got
+
+
+def test_heavy_hitters_mg_small_domain_is_exact(spark):
+    # domain smaller than the counter budget -> MG == exact
+    rows = [("a",)] * 7 + [("b",)] * 5 + [("c",)] * 2
+    df = spark.createDataFrame(rows, ["tok"])
+    mg = txt.heavy_hitters(df, "tok", k=3, method="mg", counters=100).collect()
+    assert [(r["value"], r["count"]) for r in mg] == [("a", 7), ("b", 5), ("c", 2)]
