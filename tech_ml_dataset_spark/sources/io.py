@@ -534,3 +534,81 @@ def compact_files(spark: SparkSession, path: str, *,
     report["n_files_after"] = len(
         [f for f in os.listdir(path) if f.startswith("part-")])
     return report
+
+
+def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
+                 keys, *, fmt: str = "parquet",
+                 when_matched: str = "update",
+                 insert_unmatched: bool = True) -> dict:
+    """MERGE INTO for plain file targets (Delta/Iceberg MERGE subset,
+    copy-on-write): rows in ``source`` whose ``keys`` match a row at
+    ``target_path`` update ("update"), are skipped ("ignore"), or delete
+    the target row ("delete"); unmatched source rows are inserted when
+    ``insert_unmatched``. Unmatched target rows always survive.
+
+    Plan shape: ONE key-hashed anti/semi join between target and the
+    (usually much smaller) source — Spark broadcasts the source key set
+    when it fits — then a full rewrite to a staging dir swapped in by the
+    same two-rename crash-safe protocol as :func:`compact_files` (backup
+    dir restored automatically by the next run if a crash lands between
+    renames). Copy-on-write rewrites the whole target: the right shape
+    for bulk daily upserts; high-frequency trickle updates belong in a
+    table format with file-level pruning (Delta/Iceberg), not raw parquet.
+
+    Source must be key-unique (checked with one tiny aggregate action —
+    ambiguous multi-update otherwise). Column sets must match by name
+    (order-insensitive). Returns {"matched", "inserted", "rows_after"}."""
+    import shutil
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if when_matched not in ("update", "ignore", "delete"):
+        raise ValueError(f"when_matched must be update/ignore/delete, "
+                         f"got {when_matched!r}")
+    target = spark.read.format(fmt).load(target_path)
+    if set(target.columns) != set(source.columns):
+        raise ValueError(
+            f"merge_upsert: column sets differ: target-only "
+            f"{sorted(set(target.columns) - set(source.columns))}, "
+            f"source-only {sorted(set(source.columns) - set(target.columns))}")
+    source = source.select(*target.columns)  # align order for unionByName
+    from pyspark.sql import functions as F
+    dup = (source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+                 .filter(F.col("__n__") > 1).limit(1).count())
+    if dup:
+        raise ValueError("merge_upsert: source has duplicate merge keys — "
+                         "ambiguous update; dedupe the source first "
+                         "(e.g. unique_by_column with keep_order_by)")
+
+    src_keys = source.select(*keys)
+    # count actions run BEFORE the swap: every lazy plan here reads the
+    # original files at target_path, which the rename protocol replaces
+    matched_cnt = target.join(src_keys, keys, "left_semi").count()
+    unmatched_src = source.join(target.select(*keys), keys, "left_anti")
+    inserted = unmatched_src.count() if insert_unmatched else 0
+    survivors = (target if when_matched == "ignore"
+                 else target.join(src_keys, keys, "left_anti"))
+    parts = [survivors]
+    if when_matched == "update":
+        parts.append(source.join(target.select(*keys), keys, "left_semi"))
+    if insert_unmatched:
+        parts.append(unmatched_src)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
+    staging = target_path.rstrip("/") + ".__merge_tmp__"
+    backup = target_path.rstrip("/") + ".__merge_old__"
+    if os.path.isdir(backup):  # crash recovery, same contract as compaction
+        if not os.path.isdir(target_path):
+            os.rename(backup, target_path)
+        else:
+            shutil.rmtree(backup)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    out.write.format(fmt).mode("overwrite").save(staging)
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    shutil.rmtree(backup)
+    rows_after = spark.read.format(fmt).load(target_path).count()
+    return {"matched": matched_cnt, "inserted": inserted,
+            "rows_after": rows_after}

@@ -458,3 +458,55 @@ def test_pipeline_save_load_roundtrip(spark, tmp_path):
     bad = pl.Pipeline(lambda d: d).fit(df)
     with _pt.raises(ValueError, match="lambda"):
         pl.save_pipeline(bad, str(tmp_path / "bad"))
+
+
+def test_merge_upsert_update_and_insert(spark, tmp_path):
+    from tech_ml_dataset_spark.sources.io import merge_upsert
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        ["id", "name", "v"]).write.parquet(tgt)
+    src = spark.createDataFrame(
+        [(2, "B2", 99.0), (4, "d", 40.0)], ["id", "name", "v"])
+    rep = merge_upsert(spark, tgt, src, "id")
+    assert rep == {"matched": 1, "inserted": 1, "rows_after": 4}
+    rows = {r["id"]: (r["name"], r["v"])
+            for r in spark.read.parquet(tgt).collect()}
+    assert rows[2] == ("B2", 99.0)          # updated
+    assert rows[4] == ("d", 40.0)           # inserted
+    assert rows[1] == ("a", 10.0) and rows[3] == ("c", 30.0)  # untouched
+
+
+def test_merge_upsert_modes(spark, tmp_path):
+    from tech_ml_dataset_spark.sources.io import merge_upsert
+    base = [(1, 10.0), (2, 20.0)]
+    src = spark.createDataFrame([(2, 99.0), (3, 30.0)], ["id", "v"])
+
+    t1 = str(tmp_path / "t_ignore")
+    spark.createDataFrame(base, ["id", "v"]).write.parquet(t1)
+    merge_upsert(spark, t1, src, "id", when_matched="ignore")
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(t1).collect()}
+    assert rows == {1: 10.0, 2: 20.0, 3: 30.0}  # 2 kept, 3 inserted
+
+    t2 = str(tmp_path / "t_delete")
+    spark.createDataFrame(base, ["id", "v"]).write.parquet(t2)
+    merge_upsert(spark, t2, src, "id", when_matched="delete",
+                 insert_unmatched=False)
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(t2).collect()}
+    assert rows == {1: 10.0}                    # 2 deleted, 3 not inserted
+
+
+def test_merge_upsert_guards(spark, tmp_path):
+    import pytest as _pt
+
+    from tech_ml_dataset_spark.sources.io import merge_upsert
+    tgt = str(tmp_path / "tg")
+    spark.createDataFrame([(1, 1.0)], ["id", "v"]).write.parquet(tgt)
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], ["id", "v"])
+    with _pt.raises(ValueError, match="duplicate merge keys"):
+        merge_upsert(spark, tgt, dup, "id")
+    bad_cols = spark.createDataFrame([(1, 2.0)], ["id", "other"])
+    with _pt.raises(ValueError, match="column sets differ"):
+        merge_upsert(spark, tgt, bad_cols, "id")
+    # guards must not have touched the target
+    assert spark.read.parquet(tgt).count() == 1

@@ -296,10 +296,12 @@ _SCALE_AUDIT_EXEMPT = {
         "q17_small_quantity_revenue": "one-row avg_yearly aggregate",
         "q19_disjunctive_predicates": "one-row revenue aggregate",
         "q22_sales_opportunity": "one-row global avg(acctbal) scalar subquery",
+        "q11_important_stock": "one-row value-threshold scalar subquery",
     },
     "cartesian": {
         "cross_region_priority": "intentional cross of two tiny sides",
         "q22_sales_opportunity": "one-row avg broadcast to every customer row",
+        "q11_important_stock": "one-row threshold broadcast to part-grained agg",
         "embedding_dedup_pairs_exact": "exact baseline on a <200-id slice",
         "embedding_dedup_clusters": "same bounded exact pair source",
         "cosine_topk_embeddings": "scored scan, no join — literal query vec",
