@@ -1417,6 +1417,34 @@ def heavy_tokens_docs(spark, sf_dir):
     return txt.heavy_hitters(toks, "tok", k=25, method="exact")
 
 
+def incremental_dedup_docs(spark, sf_dir):
+    """Incremental dedup of a new crawl batch against a historical corpus
+    (dedup.py incremental_dedup): broadcast bloom bitmap built from one
+    historical scan, vectorized probe on the new batch — neither side
+    shuffles. The id ranges overlap (historical < 300, batch >= 200) to
+    model re-crawl overlap: the 100 shared docs are exact dups and must
+    drop. exact_verify=True makes the result exact, hence SQL-oracleable
+    as NOT IN over normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") < 300)
+    new = docs.filter(F.col("doc_id") >= 200)
+    out = dd.incremental_dedup(new, hist, "text", fpp=0.01,
+                               exact_verify=True)
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def pack_docs(spark, sf_dir):
+    """Greedy sequence packing (text.py pack_sequences): whitespace token
+    counts, packed per language in doc_id order with a 256-token budget.
+    Oracle replays the same next-fit recurrence as a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang",
+                    txt.token_count(F.col("text")).cast("long")
+                       .alias("n_tokens"))
+    out = txt.pack_sequences(d, 256, by="lang", order_by="doc_id")
+    return out.orderBy("lang", "doc_id")
+
+
 def minhash_pairs_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (rows-only check: the banding
     scheme is not ANSI-SQL-expressible)."""
@@ -1859,11 +1887,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "similarity_join_docs": similarity_join_docs,
         "heavy_tokens_docs": heavy_tokens_docs,
-        "q8_market_share": q8_market_share,
+        "incremental_dedup_docs": incremental_dedup_docs,
+        "pack_docs": pack_docs,
         "q15_top_supplier": q15_top_supplier,
         "q18_large_orders": q18_large_orders,
         "q22_sales_opportunity": q22_sales_opportunity,
-        "q7_volume_shipping": q7_volume_shipping,
         "matmul_lineitem": matmul_lineitem,
         "gram_lineitem": gram_lineitem,
         "tfidf_docs": tfidf_docs,
@@ -1902,6 +1930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round; then r1/r2-green or rows-only queries whose code is
         # untouched (unigram's r3 broadcast change is plan-only and
         # plan-asserted in tests); pytest + verify_local cover the tail ----
+        "q8_market_share": q8_market_share,
+        "q7_volume_shipping": q7_volume_shipping,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
@@ -2298,6 +2328,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        "incremental_dedup_docs": r"""
+            WITH norm AS (
+                SELECT doc_id, lang, n_chars,
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                           AS t
+                FROM documents)
+            SELECT doc_id, lang, n_chars
+            FROM norm
+            WHERE doc_id >= 200
+              AND t NOT IN (SELECT t FROM norm WHERE doc_id < 300)
+            ORDER BY doc_id
+        """,
+        "pack_docs": r"""
+            WITH RECURSIVE ordered AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE CAST(length(string_split_regex(
+                                trim(text), '\s+')) AS BIGINT) END
+                           AS n_tokens,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            rec AS (
+                SELECT lang, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT) AS pack_id, n_tokens AS fill
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.lang, o.rn, o.doc_id, o.n_tokens,
+                       CASE WHEN r.fill > 0 AND r.fill + o.n_tokens > 256
+                            THEN r.pack_id + 1 ELSE r.pack_id END,
+                       CASE WHEN r.fill > 0 AND r.fill + o.n_tokens > 256
+                            THEN o.n_tokens ELSE r.fill + o.n_tokens END
+                FROM rec r
+                JOIN ordered o ON o.lang = r.lang AND o.rn = r.rn + 1)
+            SELECT doc_id, lang, n_tokens, pack_id
+            FROM rec ORDER BY lang, doc_id
         """,
         "similarity_join_docs": r"""
             WITH t AS (

@@ -701,3 +701,53 @@ def redact_pii(text: Column) -> Column:
     for name, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"[{name.upper()}]")
     return out
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (training-batch construction)
+# --------------------------------------------------------------------------
+
+def pack_sequences(df: DataFrame, budget: int, *, by, order_by,
+                   token_col: str = "n_tokens",
+                   pack_col: str = "pack_id") -> DataFrame:
+    """Greedy sequential sequence packing: within each ``by`` group, walk
+    rows in ``order_by`` order accumulating ``token_col``; a row starts a
+    new pack iff the current pack is non-empty AND adding it would exceed
+    ``budget``. Oversized rows (> budget) therefore occupy a pack alone.
+    Adds ``pack_col`` (0-based per group).
+
+    The pre-tokenized-shard packing step of an LLM training pipeline —
+    inherently sequential within a shard, so it runs as one applyInPandas
+    per group: one shuffle on ``by``, then an O(rows) scan per shard. Size
+    shards (the ``by`` key) so one fits in executor memory — exactly the
+    contract the downstream sequence writer imposes anyway. Deterministic
+    given (by, order_by); ties in ``order_by`` should be broken by a
+    unique id column for reproducible packs.
+
+    Beyond-reference (training-pipeline mandate); greedy next-fit matches
+    the common streaming packer (e.g. T5/GPT data pipelines), not optimal
+    bin packing — the ~budget/2 worst-case waste is the accepted trade
+    for a single ordered pass."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    by = [by] if isinstance(by, str) else list(by)
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    # copy the field list: StructType.add mutates the df's cached schema
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(pack_col, LongType())])
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by, kind="mergesort")
+        toks = pdf[token_col].to_numpy()
+        packs = np.empty(len(toks), dtype=np.int64)
+        pack, fill = 0, 0
+        for i, t in enumerate(toks):
+            t = int(t) if not pd.isna(t) else 0
+            if fill > 0 and fill + t > budget:
+                pack += 1
+                fill = 0
+            fill += t
+            packs[i] = pack
+        pdf[pack_col] = packs
+        return pdf
+
+    return df.groupBy(*by).applyInPandas(_pack, out_schema)

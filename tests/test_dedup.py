@@ -195,3 +195,41 @@ def test_similarity_join_max_df_bounds_index(spark, docs):
     right = docs.filter(F.col("doc_id") >= 3)
     out = dd.similarity_join(left, right, k=2, threshold=0.1, max_df=1)
     assert out.count() == 0
+
+
+def test_incremental_dedup_bloom_exact_verify(spark):
+    hist = spark.createDataFrame(
+        [(i, f"historical document number {i} about topic {i % 7}")
+         for i in range(100)], ["doc_id", "text"])
+    # 40 rows overlap historical exactly (mod whitespace/case), 20 are new
+    new = spark.createDataFrame(
+        [(1000 + i, f"  Historical  document number {i} about topic {i % 7}")
+         for i in range(40)]
+        + [(2000 + i, f"fresh never-seen article {i}") for i in range(20)],
+        ["doc_id", "text"])
+    out = dd.incremental_dedup(new, hist, fpp=0.01, exact_verify=True)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [2000 + i for i in range(20)]
+    assert out.columns == ["doc_id", "text"]  # helper columns dropped
+
+
+def test_incremental_dedup_bloom_probabilistic(spark):
+    """Without exact_verify: no false negatives (every true dup drops);
+    false-positive rate on fresh rows stays within a loose fpp bound."""
+    hist = spark.createDataFrame(
+        [(i, f"seen text {i}") for i in range(500)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(i, f"seen text {i}") for i in range(250)]          # all dups
+        + [(10_000 + i, f"unseen text {i}") for i in range(500)],
+        ["doc_id", "text"])
+    out = dd.incremental_dedup(new, hist, fpp=0.001, exact_verify=False)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert not any(i in kept for i in range(250))            # no false negs
+    n_fresh_kept = sum(1 for i in kept if i >= 10_000)
+    assert n_fresh_kept >= 490  # <=2% false-positive drop at fpp=1e-3
+
+
+def test_build_bloom_params_monotone(spark):
+    m1, k1 = dd._bloom_params(1000, 0.01)
+    m2, _ = dd._bloom_params(1000, 0.0001)
+    assert m2 > m1 and m1 % 64 == 0 and k1 >= 1

@@ -467,3 +467,30 @@ def test_heavy_hitters_mg_small_domain_is_exact(spark):
     df = spark.createDataFrame(rows, ["tok"])
     mg = txt.heavy_hitters(df, "tok", k=3, method="mg", counters=100).collect()
     assert [(r["value"], r["count"]) for r in mg] == [("a", 7), ("b", 5), ("c", 2)]
+
+
+def test_pack_sequences_greedy_next_fit(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+    rows = [  # (id, grp, tokens) — budget 100
+        (1, "a", 60), (2, "a", 50),   # 60 | 50.. (60+50>100 -> new pack)
+        (3, "a", 40), (4, "a", 10),   # pack1: 50+40+10 = 100 exactly
+        (5, "a", 250),                # oversized -> own pack
+        (6, "a", 5),                  # after oversized -> new pack
+        (7, "b", 100), (8, "b", 1),   # full pack, then new
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tokens"])
+    out = txt.pack_sequences(df, 100, by="grp", order_by="doc_id")
+    got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2, 6: 3, 7: 0, 8: 1}
+
+
+def test_pack_sequences_zero_and_null_tokens(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+    df = spark.createDataFrame(
+        [(1, "a", 0), (2, "a", None), (3, "a", 7)],
+        "doc_id long, grp string, n_tokens long")
+    out = txt.pack_sequences(df, 5, by="grp", order_by="doc_id")
+    got = {r["doc_id"]: r["pack_id"] for r in out.collect()}
+    # 0 and null contribute nothing; the oversized row lands in the still-
+    # empty pack 0 (a new pack only opens when the current one is non-empty)
+    assert got == {1: 0, 2: 0, 3: 0}
