@@ -176,3 +176,31 @@ def test_dataset_diff_matches_counter_delta(spark, xs, ys):
     got = {(r["i"], r["s"]): (r["n_left"], r["n_right"], r["delta"])
            for r in so.dataset_diff(a, b).collect()}
     assert got == want
+
+
+@given(toks=hs.lists(hs.integers(0, 12), min_size=1, max_size=12),
+       budget=hs.integers(1, 10))
+@_SET_SETTINGS
+def test_pack_sequences_matches_python_next_fit(spark, toks, budget):
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [(i, "g", t) for i, t in enumerate(toks)],
+        "doc_id int, grp string, n_tokens long")
+    got = {r["doc_id"]: r["pack_id"] for r in txt.pack_sequences(
+        df, budget, by="grp", order_by="doc_id").collect()}
+
+    pack, fill, want = 0, 0, {}
+    for i, t in enumerate(toks):
+        if fill > 0 and fill + t > budget:
+            pack, fill = pack + 1, 0
+        fill += t
+        want[i] = pack
+    assert got == want
+    # invariants: pack ids contiguous from 0; no pack exceeds budget
+    # unless it holds a single oversized row
+    by_pack = collections.Counter(got.values())
+    assert sorted(by_pack) == list(range(len(by_pack)))
+    for p in by_pack:
+        members = [toks[i] for i, q in got.items() if q == p]
+        assert sum(members) <= budget or len(members) == 1
