@@ -617,8 +617,10 @@ def q21_waiting_suppliers(spark, sf_dir):
                          broadcast_right=True)
     l1 = jn.inner_join(base.filter(late), supp.select("s_suppkey", "s_name"),
                        ("l_suppkey", "s_suppkey"), broadcast_right=True)
-    others = base.select(F.col("l_orderkey").alias("__ok__"),
-                         F.col("l_suppkey").alias("__sk__"))
+    # EXISTS side needs no orders join: l2 shares l1's orderkey, so its
+    # order is the same F-status order — raw lineitem suffices
+    others = li.select(F.col("l_orderkey").alias("__ok__"),
+                       F.col("l_suppkey").alias("__sk__"))
     late_others = base.filter(late).select(
         F.col("l_orderkey").alias("__lok__"),
         F.col("l_suppkey").alias("__lsk__"))
