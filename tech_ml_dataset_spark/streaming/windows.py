@@ -198,3 +198,41 @@ def run_to_memory(df: DataFrame, name: str, *, output_mode: str = "complete"):
            .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def streaming_upsert_sink(df: DataFrame, target_path: str, keys, *,
+                          checkpoint: str, fmt: str = "parquet",
+                          when_matched: str = "update",
+                          dedupe_batch: bool = True):
+    """Continuously MERGE a change stream into a parquet target: each
+    micro-batch runs :func:`~tech_ml_dataset_spark.sources.io.merge_upsert`
+    (copy-on-write, crash-safe two-rename swap) via foreachBatch — the
+    streaming CDC-apply pattern for targets without a Delta/Iceberg log.
+
+    Within a batch, the LAST change per key wins (``dedupe_batch``
+    orders by batch arrival — pass pre-deduped batches for a stronger
+    contract). Exactly-once: batch replays re-run the same MERGE, which
+    is idempotent for update/ignore/delete semantics. Copy-on-write
+    rewrites the target per batch — the right shape for minutes-cadence
+    upserts of dimension-sized targets; high-frequency trickle belongs in
+    a real table format.
+
+    Returns the started query handle (availableNow trigger)."""
+    from ..sources.io import merge_upsert
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def _apply(batch_df: DataFrame, batch_id: int):
+        if not batch_df.take(1):
+            return
+        src = batch_df
+        if dedupe_batch:
+            from pyspark.sql import Window as W, functions as SF
+            w = W.partitionBy(*keys).orderBy(
+                SF.monotonically_increasing_id().desc())
+            src = (src.withColumn("__rn__", SF.row_number().over(w))
+                      .filter(SF.col("__rn__") == 1).drop("__rn__"))
+        merge_upsert(batch_df.sparkSession, target_path, src, keys,
+                     fmt=fmt, when_matched=when_matched)
+
+    return foreach_batch_sink(df, _apply, checkpoint=checkpoint)

@@ -157,3 +157,32 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
         sw.stream_stream_join(cs, bs, "user", left_ts="ts", right_ts="ts",
                               left_delay="1 minute", right_delay="1 minute",
                               max_gap="5 MINUTES")
+
+
+def test_streaming_upsert_sink_merges_batches(spark, tmp_path):
+    """Change stream → streaming_upsert_sink: updates overwrite matched
+    keys, inserts append, untouched target rows survive; last-in-batch
+    wins for duplicate keys within one batch."""
+    tgt = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], ["id", "name", "v"]
+    ).write.parquet(tgt)
+
+    src_dir = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [(2, "b-new", 20.0), (3, "c", 3.0), (3, "c-final", 30.0)],
+        ["id", "name", "v"],
+    ).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    stream = sw.read_stream(spark, src_dir,
+                            "id long, name string, v double")
+    q = sw.streaming_upsert_sink(stream, tgt, "id",
+                                 checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    rows = {r["id"]: (r["name"], r["v"])
+            for r in spark.read.parquet(tgt).collect()}
+    assert rows[1] == ("a", 1.0)            # untouched
+    assert rows[2] == ("b-new", 20.0)       # updated
+    assert rows[3][1] == 30.0               # inserted, last dup wins
+    assert len(rows) == 3
