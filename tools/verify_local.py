@@ -48,10 +48,21 @@ def rows_multiset(cols, rows):
 
 def main():
     args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    args = [a for a in args if a != "--vanilla"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
-    spark = get_spark("verify-local")
+    if vanilla:
+        # Mimic the external driver exactly: a PLAIN session — Spark 4
+        # defaults (ANSI on, no tuned confs). Queries must survive both.
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .appName("verify-vanilla").getOrCreate())
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true", \
+            "vanilla session unexpectedly has ANSI off"
+    else:
+        spark = get_spark("verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
