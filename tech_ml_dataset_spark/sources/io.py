@@ -564,6 +564,19 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
     if when_matched not in ("update", "ignore", "delete"):
         raise ValueError(f"when_matched must be update/ignore/delete, "
                          f"got {when_matched!r}")
+    staging = target_path.rstrip("/") + ".__merge_tmp__"
+    backup = target_path.rstrip("/") + ".__merge_old__"
+    # crash recovery FIRST — before any read of target_path: a run that
+    # died between the two renames left the (intact) target at the backup
+    # path and possibly no target dir at all (same contract as
+    # compact_files; single-maintainer per path).
+    if os.path.isdir(backup):
+        if not os.path.isdir(target_path):
+            os.rename(backup, target_path)
+        else:
+            shutil.rmtree(backup)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
     target = spark.read.format(fmt).load(target_path)
     if set(target.columns) != set(source.columns):
         raise ValueError(
@@ -596,15 +609,6 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
     for p in parts[1:]:
         out = out.unionByName(p)
 
-    staging = target_path.rstrip("/") + ".__merge_tmp__"
-    backup = target_path.rstrip("/") + ".__merge_old__"
-    if os.path.isdir(backup):  # crash recovery, same contract as compaction
-        if not os.path.isdir(target_path):
-            os.rename(backup, target_path)
-        else:
-            shutil.rmtree(backup)
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
     out.write.format(fmt).mode("overwrite").save(staging)
     os.rename(target_path, backup)
     os.rename(staging, target_path)

@@ -510,3 +510,31 @@ def test_merge_upsert_guards(spark, tmp_path):
         merge_upsert(spark, tgt, bad_cols, "id")
     # guards must not have touched the target
     assert spark.read.parquet(tgt).count() == 1
+
+
+def test_merge_upsert_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between the two renames leaves only the backup dir; the
+    next merge_upsert must restore it before proceeding."""
+    import os
+    import shutil
+
+    from tech_ml_dataset_spark.sources.io import merge_upsert
+    tgt = str(tmp_path / "t")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], ["id", "v"]) \
+         .write.parquet(tgt)
+    # simulate the window after `rename(target, backup)` and before
+    # `rename(staging, target)` with no staging written
+    os.rename(tgt, tgt + ".__merge_old__")
+    src = spark.createDataFrame([(2, 20.0)], ["id", "v"])
+    rep = merge_upsert(spark, tgt, src, "id")
+    assert rep["matched"] == 1 and rep["rows_after"] == 2
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(tgt).collect()}
+    assert rows == {1: 1.0, 2: 20.0}
+    assert not os.path.isdir(tgt + ".__merge_old__")
+
+    # stale backup alongside an intact target: backup is discarded
+    shutil.copytree(tgt, tgt + ".__merge_old__")
+    rep = merge_upsert(spark, tgt, spark.createDataFrame(
+        [(3, 3.0)], ["id", "v"]), "id")
+    assert rep["inserted"] == 1 and rep["rows_after"] == 3
+    assert not os.path.isdir(tgt + ".__merge_old__")
