@@ -633,6 +633,34 @@ def q21_waiting_suppliers(spark, sf_dir):
     return out.orderBy(F.col("numwait").desc(), "s_name").limit(20)
 
 
+def cast_failures_orders(spark, sf_dir):
+    """column-cast with parse-failure tracking (dataset_api.clj:1026 /
+    column_parsers.clj:92-102 ::parse-failure -> missing): corrupt every
+    7th price string, try_cast back to double, count failures and sum the
+    survivors — the oracle replays it with DuckDB TRY_CAST."""
+    from tech_ml_dataset_spark.operators import colmap as cm
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price_str",
+        F.when(F.col("o_orderkey") % 7 == 0,
+               F.concat(F.lit("#"), F.col("o_totalprice").cast("string")))
+         .otherwise(F.col("o_totalprice").cast("string")))
+    c = cm.column_cast(o, "price_str", "double", failure_col="bad_src")
+    return agg.aggregate(c, {
+        "n_failed": lambda F: F.count("bad_src"),
+        "n_parsed": lambda F: F.count("price_str"),
+        "sum_parsed": lambda F: _r4(F.sum("price_str"))})
+
+
+def select_rows_orders(spark, sf_dir):
+    """select-rows by index collection (base.clj:397) under a total order:
+    computed index semi-joined against the broadcast wanted set."""
+    o = _t(spark, sf_dir, "orders")
+    out = sel.select_rows(o, [0, 1, 7, 50, 99], order_by="o_orderkey")
+    return out.select("o_orderkey", "o_custkey", "o_orderstatus",
+                      _r4(F.col("o_totalprice")).alias("o_totalprice")) \
+              .orderBy("o_orderkey")
+
+
 def filter_project(spark, sf_dir):
     """Projection + predicate — verifies scan pruning/pushdown semantics."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1932,6 +1960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round; then r1/r2-green or rows-only queries whose code is
         # untouched (unigram's r3 broadcast change is plan-only and
         # plan-asserted in tests); pytest + verify_local cover the tail ----
+        "cast_failures_orders": cast_failures_orders,
+        "select_rows_orders": select_rows_orders,
         "q8_market_share": q8_market_share,
         "q7_volume_shipping": q7_volume_shipping,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2219,6 +2249,28 @@ def oracle_sql() -> dict[str, str]:
                     AND o.o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "cast_failures_orders": """
+            WITH s AS (
+                SELECT CASE WHEN o_orderkey % 7 = 0
+                            THEN '#' || CAST(o_totalprice AS VARCHAR)
+                            ELSE CAST(o_totalprice AS VARCHAR) END AS ps
+                FROM orders),
+            c AS (SELECT ps, TRY_CAST(ps AS DOUBLE) AS d FROM s)
+            SELECT count(CASE WHEN d IS NULL AND ps IS NOT NULL
+                              THEN 1 END) AS n_failed,
+                   count(d) AS n_parsed,
+                   round(sum(d), 4) AS sum_parsed
+            FROM c
+        """,
+        "select_rows_orders": """
+            WITH o AS (
+                SELECT *, row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+                FROM orders)
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice, 4) AS o_totalprice
+            FROM o WHERE rn IN (0, 1, 7, 50, 99)
+            ORDER BY o_orderkey
         """,
         "q2_min_cost_supplier": """
             WITH pair AS (

@@ -278,6 +278,7 @@ _SCALE_AUDIT_EXEMPT = {
     "single_partition": {
         # ≤ #partitions rows flow through the offsets running-sum window
         "take_nth_lineitem": "per-pid offset window over ~32 rows",
+        "select_rows_orders": "same contiguous-index offsets window",
         # explicitly-unpartitioned demos over bounded slices; the operator
         # warns (warn_unpartitioned) when used this way
         "loess_smooth_events": "bounded sample fit; grid predict is parallel",
@@ -297,6 +298,7 @@ _SCALE_AUDIT_EXEMPT = {
         "q19_disjunctive_predicates": "one-row revenue aggregate",
         "q22_sales_opportunity": "one-row global avg(acctbal) scalar subquery",
         "q11_important_stock": "one-row value-threshold scalar subquery",
+        "cast_failures_orders": "one-row failure-count aggregate",
     },
     "cartesian": {
         "cross_region_priority": "intentional cross of two tiny sides",
