@@ -1475,6 +1475,19 @@ def pack_docs(spark, sf_dir):
     return out.orderBy("lang", "doc_id")
 
 
+def dsir_docs(spark, sf_dir):
+    """DSIR importance log-weights (text.py dsir_logweights; Xie et al.
+    2023): English docs as the target domain, whole corpus scored by
+    bigram LM log-ratio. The oracle replays the two Lidstone LMs and the
+    ratio sum closed-form in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = txt.dsir_logweights(docs, target, k=2)
+    return out.select("doc_id",
+                      _r4b(F.col("dsir_logweight")).alias("dsir_logweight"),
+                      "n_grams").orderBy("doc_id")
+
+
 def minhash_pairs_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (rows-only check: the banding
     scheme is not ANSI-SQL-expressible)."""
@@ -1919,7 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_tokens_docs": heavy_tokens_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
         "pack_docs": pack_docs,
-        "q15_top_supplier": q15_top_supplier,
+        "dsir_docs": dsir_docs,
         "q18_large_orders": q18_large_orders,
         "q22_sales_opportunity": q22_sales_opportunity,
         "matmul_lineitem": matmul_lineitem,
@@ -1962,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan-asserted in tests); pytest + verify_local cover the tail ----
         "cast_failures_orders": cast_failures_orders,
         "select_rows_orders": select_rows_orders,
+        "q15_top_supplier": q15_top_supplier,
         "q8_market_share": q8_market_share,
         "q7_volume_shipping": q7_volume_shipping,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2382,6 +2396,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        "dsir_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\s+'),
+                                   t -> len(t) > 0) AS w
+                FROM documents),
+            cg AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           list_filter(range(1, greatest(len(w) - 1, 1) + 1),
+                                       i -> i <= len(w) - 1),
+                           i -> array_to_string(w[i:i+1], ' '))) AS g
+                FROM toks),
+            tg AS (
+                SELECT cg.g FROM cg
+                JOIN toks ON cg.doc_id = toks.doc_id
+                WHERE toks.lang = 'en'),
+            fc AS (SELECT g, count(*) AS cc FROM cg GROUP BY g),
+            ft AS (SELECT g, count(*) AS ct FROM tg GROUP BY g),
+            lm AS (
+                SELECT coalesce(fc.g, ft.g) AS g,
+                       coalesce(cc, 0) AS cc, coalesce(ct, 0) AS ct
+                FROM fc FULL OUTER JOIN ft ON fc.g = ft.g),
+            tot AS (SELECT sum(cc) AS nc, sum(ct) AS nt,
+                           count(*) AS v FROM lm),
+            r AS (
+                SELECT g, ln((ct + 0.5) / (nt + 0.5 * v))
+                          - ln((cc + 0.5) / (nc + 0.5 * v)) AS lr
+                FROM lm, tot),
+            sc AS (
+                SELECT doc_id, sum(lr) AS wsum,
+                       count(*) AS n_grams
+                FROM cg JOIN r USING (g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(coalesce(sc.wsum, 0) * 10000) / 10000
+                       AS dsir_logweight,
+                   coalesce(sc.n_grams, 0) AS n_grams
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+            ORDER BY d.doc_id
         """,
         "incremental_dedup_docs": r"""
             WITH norm AS (

@@ -751,3 +751,80 @@ def pack_sequences(df: DataFrame, budget: int, *, by, order_by,
         return pdf
 
     return df.groupBy(*by).applyInPandas(_pack, out_schema)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (data selection for a target domain)
+# --------------------------------------------------------------------------
+
+def _word_ngrams(text: Column, k: int) -> Column:
+    """Word k-grams WITH multiplicity (no dedup — importance weights count
+    every occurrence), over lowercased whitespace-split tokens."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), _WS),
+                    lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    # greatest(...,1) keeps the sequence ascending (sequence(1,0) would
+    # DESCEND in Spark); the filter drops the padding index for docs with
+    # fewer than k tokens, leaving an empty gram list
+    idx = F.filter(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+                   lambda i: i <= n - (k - 1))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def dsir_logweights(corpus: DataFrame, target: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id", *,
+                    k: int = 2, smoothing: float = 0.5,
+                    broadcast_vocab_max: int = 30_000_000) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per corpus document,
+    ``sum over gram occurrences of log p_target(g) - log p_corpus(g)`` —
+    documents resembling the target domain score high; feed the weights
+    to Gumbel-top-k / :func:`sample_mixture` to select a training subset.
+    DSIR hashes n-grams into buckets for speed; raw n-grams keep the same
+    estimator exactly (hashing only controls feature-table size).
+
+    Plan: one explode->groupBy per side builds the two Lidstone-smoothed
+    gram LMs (map-side combined, linear shuffles); the two vocab-sized
+    count tables full-outer join into one log-ratio table, which
+    BROADCASTS into the corpus scoring join — the exploded corpus side
+    (petabyte-scale, Zipf-hot stopword grams) never shuffles on the gram
+    key, same skew argument as :func:`unigram_logprob_score`. Above
+    ``broadcast_vocab_max`` it falls back to a shuffled join and warns.
+
+    Returns corpus columns + ``dsir_logweight`` (0.0 for docs with no
+    grams) + ``n_grams``."""
+    grams_c = corpus.select(F.col(id_col),
+                            F.explode(_word_ngrams(F.col(text_col), k))
+                             .alias("__g__"))
+    grams_t = target.select(F.explode(_word_ngrams(F.col(text_col), k))
+                             .alias("__g__"))
+    fc = grams_c.groupBy("__g__").agg(F.count(F.lit(1)).alias("__cc__"))
+    ft = grams_t.groupBy("__g__").agg(F.count(F.lit(1)).alias("__ct__"))
+    lm = (fc.join(ft, "__g__", "full_outer")
+            .select("__g__",
+                    F.coalesce("__cc__", F.lit(0)).alias("__cc__"),
+                    F.coalesce("__ct__", F.lit(0)).alias("__ct__")))
+    tot = lm.agg(F.sum("__cc__").alias("nc"), F.sum("__ct__").alias("nt"),
+                 F.count(F.lit(1)).alias("v")).collect()[0]
+    nc, nt = float(tot["nc"] or 0), float(tot["nt"] or 0)
+    vocab = float(tot["v"] or 1)
+    a = float(smoothing)
+    ratio = (F.log((F.col("__ct__") + a) / F.lit(nt + a * vocab))
+             - F.log((F.col("__cc__") + a) / F.lit(nc + a * vocab)))
+    lm = lm.select("__g__", ratio.alias("__r__"))
+    if vocab <= broadcast_vocab_max:
+        lm = F.broadcast(lm)
+    else:
+        import warnings
+        warnings.warn(
+            f"dsir_logweights: vocabulary ({int(vocab)} grams) exceeds "
+            f"broadcast_vocab_max={broadcast_vocab_max}; shuffled gram join "
+            f"— expect stopword skew.", RuntimeWarning, stacklevel=2)
+    scored = (grams_c.join(lm, "__g__")
+                     .groupBy(id_col)
+                     .agg(F.sum("__r__").alias("dsir_logweight"),
+                          F.count(F.lit(1)).alias("n_grams")))
+    out = corpus.join(scored, id_col, "left")
+    return out.withColumn("dsir_logweight",
+                          F.coalesce("dsir_logweight", F.lit(0.0))) \
+              .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))

@@ -494,3 +494,30 @@ def test_pack_sequences_zero_and_null_tokens(spark):
     # 0 and null contribute nothing; the oversized row lands in the still-
     # empty pack 0 (a new pack only opens when the current one is non-empty)
     assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_dsir_logweights_favor_target_domain(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+    en = [(i, f"the quick brown fox number {i} jumps over the lazy dog")
+          for i in range(10)]
+    de = [(100 + i, f"der schnelle braune fuchs nummer {i} springt hoch")
+          for i in range(10)]
+    corpus = spark.createDataFrame(en + de, ["doc_id", "text"])
+    target = corpus.filter(F.col("doc_id") < 100)     # English target
+    out = txt.dsir_logweights(corpus, target, k=2)
+    w = {r["doc_id"]: r["dsir_logweight"] for r in out.collect()}
+    avg_en = sum(w[i] for i in range(10)) / 10
+    avg_de = sum(w[100 + i] for i in range(10)) / 10
+    assert avg_en > avg_de            # target-domain docs weigh more
+    assert out.columns[-2:] == ["dsir_logweight", "n_grams"]
+
+
+def test_dsir_logweights_short_doc_zero(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+    corpus = spark.createDataFrame(
+        [(1, "one"), (2, "two words here")], ["doc_id", "text"])
+    out = txt.dsir_logweights(corpus, corpus, k=2)
+    rows = {r["doc_id"]: (r["dsir_logweight"], r["n_grams"])
+            for r in out.collect()}
+    assert rows[1] == (0.0, 0)        # < k tokens -> no grams, weight 0
+    assert rows[2][1] == 2
