@@ -828,3 +828,24 @@ def dsir_logweights(corpus: DataFrame, target: DataFrame,
     return out.withColumn("dsir_logweight",
                           F.coalesce("dsir_logweight", F.lit(0.0))) \
               .withColumn("n_grams", F.coalesce("n_grams", F.lit(0)))
+
+
+def weighted_sample_topk(df: DataFrame, logweight_col: str, n: int, *,
+                         seed: int = 42) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``n`` rows, probability
+    ∝ exp(logweight): the Gumbel-top-k trick (Kool et al. 2019) — perturb
+    each log-weight with independent Gumbel noise and take the global
+    top-n. One scan + TakeOrderedAndProject(n); no shuffle of the data,
+    no driver-side weight table — THE way to draw a DSIR-selected subset
+    at corpus scale (pair with :func:`dsir_logweights`).
+
+    Deterministic for a fixed seed AND fixed partitioning (Spark's rand()
+    seeds per partition, like every distributed sampler here). NULL
+    log-weights are excluded."""
+    u = F.rand(seed)
+    # clamp away u=0: log(-log(u)) must stay finite
+    gumbel = -F.log(-F.log(F.greatest(u, F.lit(1e-12))))
+    key = F.col(logweight_col) + gumbel
+    return (df.filter(F.col(logweight_col).isNotNull())
+              .withColumn("__gk__", key)
+              .orderBy(F.col("__gk__").desc()).limit(n).drop("__gk__"))

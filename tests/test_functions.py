@@ -521,3 +521,20 @@ def test_dsir_logweights_short_doc_zero(spark):
             for r in out.collect()}
     assert rows[1] == (0.0, 0)        # < k tokens -> no grams, weight 0
     assert rows[2][1] == 2
+
+
+def test_weighted_sample_topk_gumbel(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+    import math
+    # two weight classes: logw 3.0 vs 0.0 (~20x likelier); 40 docs each
+    rows = [(i, 3.0) for i in range(40)] + [(100 + i, 0.0) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "lw"]).repartition(4)
+    out = txt.weighted_sample_topk(df, "lw", 20, seed=7)
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == len(set(got)) == 20          # without replacement
+    heavy = sum(1 for i in got if i < 100)
+    assert heavy >= 15                               # ~20x likelier class
+    # deterministic under fixed seed + partitioning
+    again = [r["doc_id"] for r in txt.weighted_sample_topk(
+        df, "lw", 20, seed=7).collect()]
+    assert sorted(got) == sorted(again)
