@@ -1475,6 +1475,25 @@ def pack_docs(spark, sf_dir):
     return out.orderBy("lang", "doc_id")
 
 
+def audio_features_docs(spark, sf_dir):
+    """Real WAV codec end-to-end (multimodal.py synthesize_wav /
+    audio_features): encode an integer-law PCM16 fixture per doc, decode
+    with stdlib wave, extract features in one fused Python pass. The
+    integer PCM law makes the oracle exact (sum of squares < 2^53 —
+    no float-associativity drift)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wav = mmod.synthesize_wav(docs, "doc_id", n_samples=2048,
+                              sample_rate=8000)
+    out = mmod.audio_features(wav, "wav")
+    a = F.col("audio")
+    return out.select(
+        "doc_id", a["sample_rate"].alias("sample_rate"),
+        a["n_samples"].alias("n_samples"),
+        _r4(a["duration_s"]).alias("duration_s"),
+        _r4b(a["rms"]).alias("rms"),
+        a["zero_crossings"].alias("zero_crossings")).orderBy("doc_id")
+
+
 def dsir_docs(spark, sf_dir):
     """DSIR importance log-weights (text.py dsir_logweights; Xie et al.
     2023): English docs as the target domain, whole corpus scored by
@@ -1933,7 +1952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "pack_docs": pack_docs,
         "dsir_docs": dsir_docs,
-        "q18_large_orders": q18_large_orders,
+        "audio_features_docs": audio_features_docs,
         "q22_sales_opportunity": q22_sales_opportunity,
         "matmul_lineitem": matmul_lineitem,
         "gram_lineitem": gram_lineitem,
@@ -1975,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan-asserted in tests); pytest + verify_local cover the tail ----
         "cast_failures_orders": cast_failures_orders,
         "select_rows_orders": select_rows_orders,
+        "q18_large_orders": q18_large_orders,
         "q15_top_supplier": q15_top_supplier,
         "q8_market_share": q8_market_share,
         "q7_volume_shipping": q7_volume_shipping,
@@ -2396,6 +2416,28 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name
             LIMIT 20
+        """,
+        "audio_features_docs": """
+            WITH s AS (
+                SELECT d.doc_id, i.i,
+                       ((d.doc_id * 31 + i.i * 17) % 2001) - 1000 AS v
+                FROM documents d, range(0, 2048) i(i)),
+            w AS (
+                SELECT doc_id, i, v,
+                       lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+                FROM s)
+            SELECT doc_id,
+                   8000 AS sample_rate,
+                   2048 AS n_samples,
+                   round(2048.0 / 8000.0, 4) AS duration_s,
+                   round(sqrt(avg(CAST(v AS DOUBLE) * v)) / 32768.0
+                         * 10000) / 10000 AS rms,
+                   CAST(count(CASE WHEN pv IS NOT NULL
+                                    AND (v < 0) <> (pv < 0)
+                              THEN 1 END) AS INTEGER) AS zero_crossings
+            FROM w
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "dsir_docs": r"""
             WITH toks AS (

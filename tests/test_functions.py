@@ -538,3 +538,24 @@ def test_weighted_sample_topk_gumbel(spark):
     again = [r["doc_id"] for r in txt.weighted_sample_topk(
         df, "lw", 20, seed=7).collect()]
     assert sorted(got) == sorted(again)
+
+
+def test_wav_roundtrip_and_features(spark):
+    from tech_ml_dataset_spark.functions import multimodal as mm
+    df = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    wav = mm.synthesize_wav(df, "doc_id", n_samples=100, sample_rate=50)
+    out = mm.audio_features(wav, "wav").collect()
+    by_id = {r["doc_id"]: r["audio"] for r in out}
+    a = by_id[1]
+    assert (a["sample_rate"], a["n_samples"], a["channels"]) == (50, 100, 1)
+    assert abs(a["duration_s"] - 2.0) < 1e-12
+    assert 0.0 < a["rms"] < 1.0 and a["zero_crossings"] > 0
+    assert by_id[1]["rms"] != by_id[2]["rms"]   # law depends on id
+
+
+def test_audio_features_bad_bytes_null(spark):
+    from tech_ml_dataset_spark.functions import multimodal as mm
+    df = spark.createDataFrame([(1, bytearray(b"not a wav"))],
+                               ["doc_id", "wav"])
+    row = mm.audio_features(df, "wav").collect()[0]
+    assert row["audio"] is None
