@@ -1937,10 +1937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracled in r1 but never driver-green (r1 ran pre-oracle rows-only)
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "rolling_monthly_orders": rolling_monthly_orders,
-        # -- new this round (r3: the six remaining TPC-H shapes — the
-        # complex correlated/semi/anti ones — plus the two r2-tail
-        # orphans; the eight simplest TPC-H shapes defer past the window
-        # until r4, covered by today's full verify_local run) --
+        # -- new this round (r3): the six remaining TPC-H shapes (the
+        # complex correlated/semi/anti ones) and the six new operator
+        # queries (similarity join, heavy hitters, bloom incremental
+        # dedup, sequence packing, DSIR weights, WAV audio features).
+        # Eleven simpler TPC-H family members + cast_failures/select_rows
+        # defer past the window until r4 — all green in this round's full
+        # vanilla verify_local run --
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q9_product_profit": q9_product_profit,
         "q11_important_stock": q11_important_stock,

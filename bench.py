@@ -41,7 +41,9 @@ def main():
                "decontaminate_docs", "gram_lineitem",
                "descriptive_stats_lineitem", "image_pipeline_png_docs",
                "tfidf_docs", "gopher_quality_docs", "minhash_pairs_docs",
-               "sessionize_events", "boilerplate_removal_docs"):
+               "sessionize_events", "boilerplate_removal_docs",
+               "dsir_docs", "similarity_join_docs", "q21_waiting_suppliers",
+               "audio_features_docs"):
         try:
             qs[wq](spark, sf_dir).write.format("noop") \
                 .mode("overwrite").save()
