@@ -282,6 +282,31 @@ class Dataset:
         from .functions import text as _txt
         return self._wrap(_txt.heavy_hitters(self.df, col, **kw))
 
+    def incremental_dedup(self, historical, text_col="text", **kw):
+        from .functions import dedup as _dd
+        return self._wrap(_dd.incremental_dedup(self.df, _unwrap(historical),
+                                                text_col, **kw))
+
+    def pack_sequences(self, budget, *, by, order_by, **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.pack_sequences(self.df, budget, by=by,
+                                              order_by=order_by, **kw))
+
+    def dsir_logweights(self, target, text_col="text", id_col="doc_id",
+                        **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.dsir_logweights(self.df, _unwrap(target),
+                                               text_col, id_col, **kw))
+
+    def weighted_sample_topk(self, logweight_col, n, **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.weighted_sample_topk(self.df, logweight_col,
+                                                    n, **kw))
+
+    def audio_features(self, bin_col, **kw):
+        from .functions import multimodal as _mm
+        return self._wrap(_mm.audio_features(self.df, bin_col, **kw))
+
     def validate(self, rules):
         from .operators import validate as _dv
         return self._wrap(_dv.validate(self.df, rules))
