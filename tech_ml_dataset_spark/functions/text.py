@@ -764,10 +764,12 @@ def _word_ngrams(text: Column, k: int) -> Column:
                     lambda t: F.length(t) > 0)
     n = F.size(toks)
     # greatest(...,1) keeps the sequence ascending (sequence(1,0) would
-    # DESCEND in Spark); the filter drops the padding index for docs with
-    # fewer than k tokens, leaving an empty gram list
-    idx = F.filter(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-                   lambda i: i <= n - (k - 1))
+    # DESCEND in Spark); the scalar slice trims the padding index away for
+    # docs with fewer than k tokens (slice length 0 -> empty gram list).
+    # A per-element filter lambda would re-evaluate n per index — scalar
+    # slice keeps the row-level work O(n·k).
+    idx = F.slice(F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+                  1, F.greatest(n - (k - 1), F.lit(0)))
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
 
 
@@ -793,17 +795,28 @@ def dsir_logweights(corpus: DataFrame, target: DataFrame,
 
     Returns corpus columns + ``dsir_logweight`` (0.0 for docs with no
     grams) + ``n_grams``."""
-    grams_c = corpus.select(F.col(id_col),
-                            F.explode(_word_ngrams(F.col(text_col), k))
-                             .alias("__g__"))
-    grams_t = target.select(F.explode(_word_ngrams(F.col(text_col), k))
-                             .alias("__g__"))
+    from ..dtutil import ensure_parallelism
+    # single-file parquet arrives as ONE partition; gram generation is the
+    # expensive per-row work, so spread it across cores first
+    corpus_p = ensure_parallelism(corpus)
+    target_p = ensure_parallelism(target)
+    grams_c = (corpus_p.select(F.col(id_col),
+                               _word_ngrams(F.col(text_col), k)
+                               .alias("__ga__"))
+                       .select(id_col, F.explode("__ga__").alias("__g__")))
+    grams_t = (target_p.select(_word_ngrams(F.col(text_col), k)
+                               .alias("__ga__"))
+                       .select(F.explode("__ga__").alias("__g__")))
     fc = grams_c.groupBy("__g__").agg(F.count(F.lit(1)).alias("__cc__"))
     ft = grams_t.groupBy("__g__").agg(F.count(F.lit(1)).alias("__ct__"))
     lm = (fc.join(ft, "__g__", "full_outer")
             .select("__g__",
                     F.coalesce("__cc__", F.lit(0)).alias("__cc__"),
                     F.coalesce("__ct__", F.lit(0)).alias("__ct__")))
+    # vocab-sized: checkpoint so the totals action and the scoring join
+    # don't each re-run both explode+groupBy LM builds (the corpus-sized
+    # gram streams are never materialized — only this table is)
+    lm = lm.localCheckpoint(eager=True)
     tot = lm.agg(F.sum("__cc__").alias("nc"), F.sum("__ct__").alias("nt"),
                  F.count(F.lit(1)).alias("v")).collect()[0]
     nc, nt = float(tot["nc"] or 0), float(tot["nt"] or 0)
