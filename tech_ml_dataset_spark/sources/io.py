@@ -616,3 +616,56 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
     rows_after = spark.read.format(fmt).load(target_path).count()
     return {"matched": matched_cnt, "inserted": inserted,
             "rows_after": rows_after}
+
+
+def write_training_shards(df: DataFrame, path: str, *, n_shards: int,
+                          order_by, token_col: str | None = None,
+                          fmt: str = "parquet") -> dict:
+    """Export a training set as ``n_shards`` deterministic, globally
+    ordered shard files plus a ``manifest.json`` (per-shard rows, token
+    sums, byte sizes) — the contract a downstream tokenizer/loader
+    consumes.
+
+    Plan: one ``repartitionByRange(n_shards, order_by)`` range exchange
+    (contiguous, ordered shards — NOT round-robin, so resuming/selecting
+    a shard range preserves global order) + ``sortWithinPartitions`` +
+    one write; the manifest comes from reading the written files' footers
+    back with ``input_file_name()`` — one metadata-cheap aggregate over
+    the output, no second pass over the input. Written as
+    ``_manifest.json``: the underscore prefix keeps it invisible to
+    Spark's file index (same convention as ``_SUCCESS``), so the shard
+    dir stays loadable as a plain table. Shard boundaries come
+    from Spark's range sampler, so shards are approximately (not exactly)
+    equal-row."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    (df.repartitionByRange(n_shards, *[F.col(c) for c in order_by])
+       .sortWithinPartitions(*order_by)
+       .write.format(fmt).mode("overwrite").save(path))
+
+    spark = df.sparkSession
+    back = spark.read.format(fmt).load(path) \
+        .withColumn("__file__", F.input_file_name())
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("tokens"))
+    stats = back.groupBy("__file__").agg(*aggs).collect()
+    shards = sorted(
+        ({"file": os.path.basename(r["__file__"]), "rows": r["rows"],
+          **({"tokens": r["tokens"]} if token_col else {})}
+         for r in stats), key=lambda s: s["file"])
+    for s in shards:
+        fp = os.path.join(path, s["file"])
+        if os.path.exists(fp):
+            s["bytes"] = os.path.getsize(fp)
+    manifest = {"n_shards": len(shards), "order_by": order_by,
+                "format": fmt, "total_rows": sum(s["rows"] for s in shards),
+                **({"total_tokens": sum(s.get("tokens", 0) for s in shards)}
+                   if token_col else {}),
+                "shards": shards}
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=2)
+    return manifest

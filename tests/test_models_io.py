@@ -538,3 +538,35 @@ def test_merge_upsert_recovers_from_crashed_swap(spark, tmp_path):
         [(3, 3.0)], ["id", "v"]), "id")
     assert rep["inserted"] == 1 and rep["rows_after"] == 3
     assert not os.path.isdir(tgt + ".__merge_old__")
+
+
+def test_write_training_shards_manifest(spark, tmp_path):
+    import json
+    import os
+
+    from tech_ml_dataset_spark.sources.io import write_training_shards
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", 10 + i % 5) for i in range(200)],
+        ["doc_id", "text", "n_tokens"])
+    path = str(tmp_path / "shards")
+    man = write_training_shards(df, path, n_shards=4, order_by="doc_id",
+                                token_col="n_tokens")
+    assert man["total_rows"] == 200
+    assert man["total_tokens"] == sum(10 + i % 5 for i in range(200))
+    assert man["n_shards"] >= 2          # range sampler may merge a bit
+    assert sum(s["rows"] for s in man["shards"]) == 200
+    assert all(s["bytes"] > 0 for s in man["shards"])
+    on_disk = json.load(open(os.path.join(path, "_manifest.json")))
+    assert on_disk == man
+
+    # global order across shards: every row in shard i < every row in i+1
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    import pyspark.sql.functions as F
+    ranges = sorted(
+        (r["mn"], r["mx"]) for r in back
+        .withColumn("f", F.input_file_name())
+        .groupBy("f").agg(F.min("doc_id").alias("mn"),
+                          F.max("doc_id").alias("mx")).collect())
+    for (mn1, mx1), (mn2, mx2) in zip(ranges, ranges[1:]):
+        assert mx1 < mn2
