@@ -316,6 +316,11 @@ class Dataset:
         _dv.expect(self.df, rules)
         return self
 
+    def write_training_shards(self, path, *, n_shards, order_by, **kw):
+        from .sources.io import write_training_shards as _wts
+        return _wts(self.df, path, n_shards=n_shards, order_by=order_by,
+                    **kw)
+
     # ---- io ---------------------------------------------------------------------
     def write(self, path, **kw):
         _io.write(self.df, path, **kw)
