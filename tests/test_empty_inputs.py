@@ -1,0 +1,88 @@
+"""Empty-input hardening: at 100 TB an upstream filter routinely yields an
+empty frame (an empty ingest batch, a partition with no matches). Every
+operator must degrade to an empty/identity result — not throw. The
+reference pins several of these (dataset_test.clj empty-dataset cases)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tech_ml_dataset_spark.functions import dedup as dd
+from tech_ml_dataset_spark.functions import text as txt
+from tech_ml_dataset_spark.operators import aggregate as agg
+from tech_ml_dataset_spark.operators import missing as ms
+from tech_ml_dataset_spark.operators import selection as sel
+from tech_ml_dataset_spark.operators import setops as st
+from tech_ml_dataset_spark.operators import window as win
+
+
+@pytest.fixture(scope="module")
+def empty_li(spark):
+    return spark.createDataFrame(
+        [], "k string, v double, ts timestamp, doc_id long, text string")
+
+
+def test_empty_group_agg_and_whole_table(spark, empty_li):
+    out = agg.group_by_column_agg(empty_li, "k", {"s": ("sum", "v")})
+    assert out.count() == 0
+    row = agg.aggregate(empty_li, {"s": ("sum", "v"),
+                                   "n": ("row-count", None)}).collect()[0]
+    assert row["n"] == 0 and row["s"] is None
+
+
+def test_empty_descriptive_stats(spark, empty_li):
+    out = agg.descriptive_stats(empty_li.select("v")).collect()
+    assert len(out) == 1           # one row per column, n-valid 0
+    assert out[0]["n-valid"] == 0
+
+
+def test_empty_rolling_and_missing(spark, empty_li):
+    assert win.rolling(empty_li, "ts", {"m": ("mean", "v")},
+                       window_size=3, by="k").count() == 0
+    assert ms.replace_missing(empty_li, ["v"], strategy="down",
+                              by="k", order_by="ts").count() == 0
+    assert ms.replace_missing(empty_li, ["v"],
+                              strategy="mean").count() == 0
+
+
+def test_empty_setops_and_selection(spark, empty_li):
+    assert st.concat(empty_li, empty_li).count() == 0
+    assert st.unique_by_column(empty_li, "k").count() == 0
+    assert sel.head(empty_li, 5).count() == 0
+    assert sel.take_nth(empty_li, 3, order_by="doc_id").count() == 0
+    assert sel.select_rows(empty_li, [0, 1], order_by="doc_id").count() == 0
+
+
+def test_empty_dedup_family(spark, empty_li):
+    docs = empty_li.select("doc_id", "text")
+    assert dd.exact_dedup(docs).count() == 0
+    assert dd.minhash_dedup_pairs(docs, k=3, n_hashes=8,
+                                  bands=4).count() == 0
+    assert dd.ngram_jaccard_pairs(docs, k=2).count() == 0
+
+
+def test_empty_incremental_dedup_both_ways(spark, empty_li):
+    docs = empty_li.select("doc_id", "text")
+    full = spark.createDataFrame([(1, "some text here")],
+                                 ["doc_id", "text"])
+    # empty NEW batch vs non-empty historical
+    assert dd.incremental_dedup(docs, full).count() == 0
+    # non-empty new batch vs EMPTY historical: everything is fresh
+    assert dd.incremental_dedup(full, docs).count() == 1
+    assert dd.incremental_dedup(full, docs,
+                                exact_verify=True).count() == 1
+
+
+def test_empty_text_pipeline(spark, empty_li):
+    docs = empty_li.select("doc_id", "text")
+    assert txt.heavy_hitters(
+        docs.select(F.col("text").alias("tok")), "tok", k=5).count() == 0
+    assert txt.pack_sequences(
+        empty_li.select("doc_id", "k",
+                        F.col("doc_id").alias("n_tokens")),
+        10, by="k", order_by="doc_id").count() == 0
+    out = txt.dsir_logweights(docs, docs, k=2)
+    assert out.count() == 0
+    full = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    # empty TARGET: every gram is OOV in the target LM — finite weights
+    w = txt.dsir_logweights(full, docs, k=2).collect()[0]
+    assert w["dsir_logweight"] is not None
