@@ -27,12 +27,19 @@ def normalize_text(text: Column) -> Column:
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 *, keep: str = "min") -> DataFrame:
     """Exact dedup on normalized text hash: one hash-groupBy shuffle; the
-    smallest (or largest) id per fingerprint survives."""
+    smallest (or largest) id per fingerprint survives.
+
+    NULL text is NOT a duplicate of other NULL text: missing-content rows
+    route around the dedup untouched (pre-r3 they vanished entirely — the
+    NULL fingerprint never matched the semi join's equality)."""
     keep_fn = F.min if keep == "min" else F.max
     fp = df.withColumn("__fp__", F.md5(normalize_text(F.col(text_col))))
-    survivors = fp.groupBy("__fp__").agg(keep_fn(id_col).alias(id_col))
-    return (fp.join(survivors, [ "__fp__", id_col], "left_semi")
-              .drop("__fp__"))
+    nulls = fp.filter(F.col("__fp__").isNull()).drop("__fp__")
+    nn = fp.filter(F.col("__fp__").isNotNull())
+    survivors = nn.groupBy("__fp__").agg(keep_fn(id_col).alias(id_col))
+    out = (nn.join(survivors, ["__fp__", id_col], "left_semi")
+             .drop("__fp__"))
+    return out.unionByName(nulls)
 
 
 def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
@@ -612,10 +619,16 @@ def incremental_dedup(new_batch: DataFrame, historical: DataFrame,
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    fp_new = new_batch.withColumn(
+    # NULL text never counts as a duplicate: xxhash64 maps NULL input to
+    # the seed hash, which would falsely match every other NULL — route
+    # NULL-text rows straight through and keep them out of the bloom
+    norm_new = normalize_text(F.col(text_col))
+    null_new = new_batch.filter(norm_new.isNull())
+    fp_new = new_batch.filter(norm_new.isNotNull()).withColumn(
         "__h__", F.xxhash64(normalize_text(F.col(text_col))))
     hist_norm = historical.select(
-        normalize_text(F.col(text_col)).alias("__t__"))
+        normalize_text(F.col(text_col)).alias("__t__")) \
+        .filter(F.col("__t__").isNotNull())
     bitmap, m, k = build_bloom(hist_norm, "__t__",
                                expected_items=expected_items, fpp=fpp)
     spark = new_batch.sparkSession
@@ -636,10 +649,12 @@ def incremental_dedup(new_batch: DataFrame, historical: DataFrame,
     flagged = fp_new.withColumn("__maybe__", _maybe_seen(F.col("__h__")))
     if not exact_verify:
         return flagged.filter(~F.col("__maybe__")) \
-                      .drop("__h__", "__maybe__")
+                      .drop("__h__", "__maybe__") \
+                      .unionByName(null_new)
     fresh = flagged.filter(~F.col("__maybe__"))
     maybe = flagged.filter(F.col("__maybe__"))
     hist_h = historical.select(
         F.xxhash64(normalize_text(F.col(text_col))).alias("__h__")).distinct()
     confirmed_new = maybe.join(hist_h, "__h__", "left_anti")
-    return fresh.unionByName(confirmed_new).drop("__h__", "__maybe__")
+    return fresh.unionByName(confirmed_new).drop("__h__", "__maybe__") \
+                .unionByName(null_new)

@@ -233,3 +233,25 @@ def test_build_bloom_params_monotone(spark):
     m1, k1 = dd._bloom_params(1000, 0.01)
     m2, _ = dd._bloom_params(1000, 0.0001)
     assert m2 > m1 and m1 % 64 == 0 and k1 >= 1
+
+
+def test_null_text_is_never_a_duplicate(spark):
+    """Missing content routes around dedup untouched: NULL text rows all
+    survive exact_dedup AND incremental_dedup (pre-r3, exact_dedup
+    dropped every NULL-text row — NULL fp never matched the semi join —
+    and the bloom's seed-hash of NULL matched every other NULL)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text"), (4, "real text")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dd.exact_dedup(df).collect())
+    assert kept == [1, 2, 3]        # both nulls kept; 4 dups 3
+
+    hist = spark.createDataFrame([(9, None), (10, "seen")],
+                                 "doc_id long, text string")
+    new = spark.createDataFrame([(1, None), (2, "seen"), (3, "fresh")],
+                                "doc_id long, text string")
+    for ev in (False, True):
+        kept = sorted(r["doc_id"] for r in
+                      dd.incremental_dedup(new, hist,
+                                           exact_verify=ev).collect())
+        assert kept == [1, 3], f"exact_verify={ev}: {kept}"
