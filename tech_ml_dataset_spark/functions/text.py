@@ -17,9 +17,13 @@ _WS = r"\s+"
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count; empty/blank text counts 0."""
+    """Whitespace token count; empty/blank counts 0, NULL stays NULL
+    (explicit guard: non-ANSI size(NULL) is -1, ANSI is NULL — the guard
+    makes the result session-independent)."""
     t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, _WS)))
+    return F.when(text.isNull(), F.lit(None).cast("int")) \
+            .when(F.length(t) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(t, _WS)))
 
 
 def char_count(text: Column) -> Column:
@@ -54,7 +58,9 @@ def stopword_ratio(text: Column, stopwords: tuple[str, ...] = (
     toks = F.split(F.lower(F.trim(text)), _WS)
     sw = F.array(*[F.lit(w) for w in stopwords])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return F.when(F.size(toks) == 0, F.lit(None).cast("double")) \
+    # <= 0 guard: non-ANSI size(NULL) is -1, which would yield -1/-1 = 1.0
+    return F.when(text.isNull() | (F.size(toks) <= 0),
+                  F.lit(None).cast("double")) \
             .otherwise(n_sw.cast("double") / F.size(toks))
 
 
@@ -64,6 +70,8 @@ def quality_score(text: Column) -> Column:
     classifier-based scores real pipelines train."""
     n_tok = token_count(text)
     len_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    len_ok = F.when(text.isNull(), F.lit(None).cast("double")) \
+              .otherwise(len_ok)  # NULL text -> NULL score, not a number
     pr = F.coalesce(punct_ratio(text), F.lit(0.0))
     punct_ok = F.when(pr <= 0.2, 1.0).otherwise(F.greatest(F.lit(0.0), 1.0 - (pr - 0.2) * 4.0))
     atl = F.coalesce(avg_token_length(text), F.lit(0.0))

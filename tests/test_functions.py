@@ -559,3 +559,18 @@ def test_audio_features_bad_bytes_null(spark):
                                ["doc_id", "wav"])
     row = mm.audio_features(df, "wav").collect()[0]
     assert row["audio"] is None
+
+
+def test_text_stats_null_semantics(spark):
+    """NULL text yields NULL stats in EVERY session mode (non-ANSI
+    size(NULL) is -1, which used to leak out as token_count=-1 and
+    stopword_ratio=1.0)."""
+    df = spark.createDataFrame([(1, None), (2, "the cat sat on a mat ok")],
+                               "id long, t string")
+    r = {x["id"]: x for x in df.select(
+        "id",
+        txt.token_count(F.col("t")).alias("tc"),
+        txt.stopword_ratio(F.col("t")).alias("sw"),
+        txt.quality_score(F.col("t")).alias("q")).collect()}
+    assert r[1]["tc"] is None and r[1]["sw"] is None and r[1]["q"] is None
+    assert r[2]["tc"] == 7 and r[2]["q"] > 0.5 and 0 < r[2]["sw"] < 1
