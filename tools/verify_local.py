@@ -49,7 +49,8 @@ def rows_multiset(cols, rows):
 def main():
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
-    args = [a for a in args if a != "--vanilla"]
+    strict = "--strict" in args
+    args = [a for a in args if a not in ("--vanilla", "--strict")]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
@@ -99,6 +100,22 @@ def main():
             print(f"FAIL  {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
             fails.append(name)
             continue
+        if strict:
+            # driver-hash mimic: compare rows IN ORDER (columns sorted by
+            # name) — catches nondeterministic/mismatched final ordering
+            # that the multiset compare forgives (r2's sessionize lesson)
+            so = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            do = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            sl = [tuple(_norm(r[i]) for i in so) for r in s_rows]
+            dl = [tuple(_norm(r[i]) for i in do) for r in d_rows]
+            if sl != dl:
+                first = next((j for j, (a, b) in enumerate(zip(sl, dl))
+                              if a != b), None)
+                print(f"FAIL  {name}: ORDER mismatch at row {first}: "
+                      f"spark={sl[first] if first is not None else '?'} "
+                      f"duckdb={dl[first] if first is not None else '?'}")
+                fails.append(name)
+                continue
         sm, dm = rows_multiset(s_cols, s_rows), rows_multiset(d_cols, d_rows)
         if sm != dm:
             diff_s = list((sm - dm).items())[:3]
