@@ -870,3 +870,61 @@ def weighted_sample_topk(df: DataFrame, logweight_col: str, n: int, *,
     return (df.filter(F.col(logweight_col).isNotNull())
               .withColumn("__gk__", key)
               .orderBy(F.col("__gk__").desc()).limit(n).drop("__gk__"))
+
+
+# --------------------------------------------------------------------------
+# Trained quality classifier (fastText-style filtering model)
+# --------------------------------------------------------------------------
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """The feature set behind the trained quality filter: cheap, pure
+    Catalyst expressions (one scan, no tokenizer model). NULL-safe — each
+    feature is coalesced so the assembled vector never drops rows for
+    missing components."""
+    return {
+        "f_n_tokens": F.coalesce(token_count(text).cast("double"),
+                                 F.lit(0.0)),
+        "f_avg_tok_len": F.coalesce(avg_token_length(text), F.lit(0.0)),
+        "f_punct_ratio": F.coalesce(punct_ratio(text), F.lit(0.0)),
+        "f_upper_ratio": F.coalesce(uppercase_ratio(text), F.lit(0.0)),
+        "f_stopword_ratio": F.coalesce(stopword_ratio(text), F.lit(0.0)),
+        "f_digit_ratio": F.coalesce(
+            (F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", "")))
+            .cast("double") / F.nullif(F.length(text), F.lit(0)),
+            F.lit(0.0)),
+        "f_bpe_per_word": F.coalesce(
+            token_count_bpe(text).cast("double")
+            / F.nullif(token_count(text).cast("double"), F.lit(0.0)),
+            F.lit(0.0)),
+    }
+
+
+def train_quality_classifier(labeled: DataFrame, text_col: str = "text",
+                             label_col: str = "label", *,
+                             algorithm: str = "logistic-regression",
+                             **params) -> dict:
+    """Train the classifier-based quality filter real pipelines use (the
+    fastText-style model of GPT-3/LLaMA data curation: label a seed set
+    good/bad, train a cheap linear model on shallow text features, score
+    the whole corpus). Features from :func:`quality_features` — no
+    external tokenizer/embedding, so train AND inference stay one-scan.
+    Returns the ml.models trained dict (+ the feature spec)."""
+    from ..ml import models as mdl
+    feats = quality_features(F.col(text_col))
+    train_df = labeled.withColumns(feats)
+    trained = mdl.train_classification(train_df, label_col,
+                                       list(feats), algorithm=algorithm,
+                                       **params)
+    trained["text_col"] = text_col
+    return trained
+
+
+def score_quality(df: DataFrame, trained: dict, *,
+                  out_col: str = "quality_pred") -> DataFrame:
+    """Apply a :func:`train_quality_classifier` model to a corpus: derive
+    the same features in-plan and predict — a narrow, shuffle-free pass
+    (MLlib broadcasts the model)."""
+    from ..ml import models as mdl
+    feats = quality_features(F.col(trained["text_col"]))
+    scored = mdl.predict(df.withColumns(feats), trained, out_col=out_col)
+    return scored.drop(*feats)

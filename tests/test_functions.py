@@ -574,3 +574,25 @@ def test_text_stats_null_semantics(spark):
         txt.quality_score(F.col("t")).alias("q")).collect()}
     assert r[1]["tc"] is None and r[1]["sw"] is None and r[1]["q"] is None
     assert r[2]["tc"] == 7 and r[2]["q"] > 0.5 and 0 < r[2]["sw"] < 1
+
+
+def test_quality_classifier_separates_good_from_garbage(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+    good = [(i, f"a clear readable sentence about topic {i} with "
+                f"several normal words and reasonable structure", 1.0)
+            for i in range(25)]
+    bad = [(100 + i, "#@!$ 0101 ##" * (2 + i % 3), 0.0)
+           for i in range(25)]
+    labeled = spark.createDataFrame(good + bad, ["doc_id", "text", "label"])
+    model = txt.train_quality_classifier(labeled)
+    test = spark.createDataFrame(
+        [(1, "another perfectly ordinary readable document with words"),
+         (2, "$$$ ### 123 !!! ###"), (3, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["quality_pred"]
+           for r in txt.score_quality(test, model).collect()}
+    assert got[1] == 1.0 and got[2] == 0.0
+    assert 3 in got                       # NULL text scores (coalesced), kept
+    # feature helper columns must not leak into the output
+    assert not any(c.startswith("f_") for c in
+                   txt.score_quality(test, model).columns)
