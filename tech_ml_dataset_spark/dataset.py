@@ -307,6 +307,10 @@ class Dataset:
         from .functions import multimodal as _mm
         return self._wrap(_mm.audio_features(self.df, bin_col, **kw))
 
+    def score_quality(self, trained, **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.score_quality(self.df, trained, **kw))
+
     def validate(self, rules):
         from .operators import validate as _dv
         return self._wrap(_dv.validate(self.df, rules))
