@@ -1066,20 +1066,15 @@ def image_pipeline_png_docs(spark, sf_dir):
 
 
 def sessionize_events(spark, sf_dir):
-    """Batch sessionization (30-min inactivity gap) via lag + cumulative
-    window — the batch analog of streaming session windows (SURVEY §2.5)."""
-    from pyspark.sql import Window as W
+    """Batch sessionization (30-min inactivity gap) via the reusable
+    tss.sessionize operator (lag + cumulative sum sharing one window
+    sort) — the batch analog of streaming session windows (SURVEY §2.5)."""
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_sec = dtu.epoch_seconds("ts")
-    gap = ts_sec - F.lag(ts_sec).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = ev.withColumn("session_seq",
-                         F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)))
+    sess = tss.sessionize(ev, "ts", gap_seconds=1800, by="user_id",
+                          order_tiebreak=["event_id"])
     out = sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         _r4(F.sum("value")).alias("session_value"))
-    # Deterministic row order: the driver's value hash is order-sensitive.
     return out.orderBy("user_id", "session_seq")
 
 

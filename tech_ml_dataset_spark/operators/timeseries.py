@@ -218,3 +218,28 @@ def interpolate_loess(df: DataFrame, x_col: str, y_col: str, *,
         return pd.Series(np.interp(xs.astype(float).to_numpy(), gg, ff))
 
     return df.withColumn(out_col, _predict(F.col(x_col).cast("double")))
+
+
+def sessionize(df: DataFrame, ts_col: str, *, gap_seconds: int,
+               by, order_tiebreak: Sequence[str] = (),
+               out_col: str = "session_seq") -> DataFrame:
+    """Batch sessionization: rows within one ``by`` partition belong to
+    the same session while consecutive ``ts_col`` gaps stay <=
+    ``gap_seconds``; a longer gap (or the first row) starts a new session.
+    Adds ``out_col`` (1-based per partition) — the batch analog of
+    streaming session windows (streaming/windows.py session_window_agg).
+
+    Plan: one shuffle on ``by``; lag + a cumulative sum over the same
+    window spec, so both window functions share one sort. Pass
+    ``order_tiebreak`` (e.g. an event id) whenever ``ts_col`` can tie —
+    the cumulative sum is order-sensitive and ties would otherwise
+    assign session numbers nondeterministically."""
+    from ..dtutil import epoch_seconds
+
+    by = [by] if isinstance(by, str) else list(by)
+    w = W.partitionBy(*by).orderBy(ts_col, *order_tiebreak)
+    ts_sec = epoch_seconds(ts_col)
+    gap = ts_sec - F.lag(ts_sec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        out_col, F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)))

@@ -657,3 +657,20 @@ def test_validate_empty_input_passes(spark):
     assert len(rep) == 3
     assert all(r["n_violations"] == 0 and r["passed"] for r in rep)
     dv.expect(df, [dv.not_null("id"), dv.in_range("v", 0, 10)])  # no raise
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime as DT
+
+    from tech_ml_dataset_spark.operators import timeseries as tss
+    rows = [
+        ("u1", DT(2024, 1, 1, 10, 0, 0), 1),
+        ("u1", DT(2024, 1, 1, 10, 10, 0), 2),   # 10 min -> same session
+        ("u1", DT(2024, 1, 1, 11, 0, 0), 3),    # 50 min -> new session
+        ("u2", DT(2024, 1, 1, 10, 0, 0), 4),    # own partition
+    ]
+    df = spark.createDataFrame(rows, ["user", "ts", "eid"])
+    out = tss.sessionize(df, "ts", gap_seconds=1800, by="user",
+                         order_tiebreak=["eid"])
+    got = {r["eid"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
