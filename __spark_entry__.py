@@ -1489,6 +1489,33 @@ def audio_features_docs(spark, sf_dir):
         a["zero_crossings"].alias("zero_crossings")).orderBy("doc_id")
 
 
+def url_dedup_docs(spark, sf_dir):
+    """Crawl-level URL dedup (text.py canonical_url/url_dedup — the
+    C4/RefinedWeb stage before content dedup): deterministic fixture URLs
+    per doc (tracking params, fragments, WWW/case aliases) whose CANONICAL
+    form is closed-form from doc_id — the oracle derives it directly from
+    the law, proving the full regexp canonicalization chain end-to-end."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    url = (F.when(d % 4 == 0,
+                  F.concat(F.lit("https://WWW.Site"), (d % 7).cast("string"),
+                           F.lit(".com/page/"), (d % 20).cast("string"),
+                           F.lit("/?utm_source=a&n="), (d % 20).cast("string"),
+                           F.lit("#sec")))
+            .when(d % 4 == 1,
+                  F.concat(F.lit("https://site"), (d % 7).cast("string"),
+                           F.lit(".com/page/"), (d % 20).cast("string"),
+                           F.lit("?n="), (d % 20).cast("string")))
+            .when(d % 4 == 2,
+                  F.concat(F.lit("http://Other.org/item/"),
+                           d.cast("string")))
+            .otherwise(
+                F.concat(F.lit("http://other.org/item/"), d.cast("string"),
+                         F.lit("?gclid=xyz"))))
+    out = txt.url_dedup(docs.withColumn("url", url), "url", "doc_id")
+    return out.select("doc_id", "url").orderBy("doc_id")
+
+
 def dsir_docs(spark, sf_dir):
     """DSIR importance log-weights (text.py dsir_logweights; Xie et al.
     2023): English docs as the target domain, whole corpus scored by
@@ -1996,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q8_market_share": q8_market_share,
         "q7_volume_shipping": q7_volume_shipping,
+        "url_dedup_docs": url_dedup_docs,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
@@ -2435,6 +2463,36 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 END) AS INTEGER) AS zero_crossings
             FROM w
             GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "url_dedup_docs": """
+            WITH u AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 4 = 0 THEN
+                           'https://WWW.Site' || (doc_id % 7) ||
+                           '.com/page/' || (doc_id % 20) ||
+                           '/?utm_source=a&n=' || (doc_id % 20) || '#sec'
+                         WHEN doc_id % 4 = 1 THEN
+                           'https://site' || (doc_id % 7) ||
+                           '.com/page/' || (doc_id % 20) ||
+                           '?n=' || (doc_id % 20)
+                         WHEN doc_id % 4 = 2 THEN
+                           'http://Other.org/item/' || doc_id
+                         ELSE
+                           'http://other.org/item/' || doc_id || '?gclid=xyz'
+                       END AS url,
+                       CASE
+                         WHEN doc_id % 4 IN (0, 1) THEN
+                           'https://site' || (doc_id % 7) ||
+                           '.com/page/' || (doc_id % 20) ||
+                           '?n=' || (doc_id % 20)
+                         ELSE 'http://other.org/item/' || doc_id
+                       END AS canon
+                FROM documents)
+            SELECT doc_id, url FROM u
+            WHERE doc_id = (SELECT min(doc_id) FROM u u2
+                            WHERE u2.canon = u.canon)
             ORDER BY doc_id
         """,
         "dsir_docs": r"""

@@ -928,3 +928,43 @@ def score_quality(df: DataFrame, trained: dict, *,
     feats = quality_features(F.col(trained["text_col"]))
     scored = mdl.predict(df.withColumns(feats), trained, out_col=out_col)
     return scored.drop(*feats)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (crawl-pipeline stage)
+# --------------------------------------------------------------------------
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL for crawl dedup (the C4/RefinedWeb URL-dedup
+    normalizer): drop the fragment, strip tracking params (utm_*, fbclid,
+    gclid, ref), lowercase scheme+host (path/query case is preserved —
+    it is significant), strip a leading ``www.`` and a trailing ``/``.
+    Pure Catalyst regexp chain (Java∩RE2 syntax — no lookahead), one
+    scan; NULL in -> NULL out."""
+    u = F.regexp_replace(url, r"#.*$", "")                   # fragment
+    u = F.regexp_replace(u, r"[?&](?:utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*",
+                         "?")                                # tracking -> ?
+    u = F.regexp_replace(u, r"\?+", "?")                     # ?? runs
+    u = F.regexp_replace(u, r"\?&", "?")                     # ?&rest
+    u = F.regexp_replace(u, r"[?&]$", "")                    # dangling ?/&
+    host = F.lower(F.regexp_extract(u, r"^([A-Za-z]+://[^/?]*)", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z]+://[^/?]*", "")
+    u = F.concat(F.regexp_replace(host, r"^([a-z]+://)www\.", r"$1"), rest)
+    u = F.regexp_replace(u, r"/\?", "?")                     # path/?q -> path?q
+    return F.regexp_replace(u, r"/$", "")
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str = "doc_id", *,
+              keep: str = "min") -> DataFrame:
+    """Keep one row per canonical URL (smallest/largest ``id_col`` wins)
+    — the crawl-level dedup that runs BEFORE content dedup (same page
+    fetched via different tracking links / fragments / www aliases).
+    One hash-groupBy shuffle on the canonical URL; NULL urls pass
+    through untouched (never duplicates of each other)."""
+    keep_fn = F.min if keep == "min" else F.max
+    cu = df.withColumn("__cu__", canonical_url(F.col(url_col)))
+    nulls = cu.filter(F.col("__cu__").isNull()).drop("__cu__")
+    nn = cu.filter(F.col("__cu__").isNotNull())
+    survivors = nn.groupBy("__cu__").agg(keep_fn(id_col).alias(id_col))
+    return (nn.join(survivors, ["__cu__", id_col], "left_semi")
+              .drop("__cu__").unionByName(nulls))

@@ -596,3 +596,24 @@ def test_quality_classifier_separates_good_from_garbage(spark):
     # feature helper columns must not leak into the output
     assert not any(c.startswith("f_") for c in
                    txt.score_quality(test, model).columns)
+
+
+def test_canonical_url_and_dedup(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+    urls = [
+        (0, "https://WWW.Example.com/Path/Page/?utm_source=x&id=5#frag"),
+        (1, "https://example.com/Path/Page?id=5"),      # alias of 0
+        (2, "http://site.org/a?utm_campaign=z&ref=nav"),
+        (3, "http://site.org/a"),                       # alias of 2
+        (4, "https://example.com/"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    canon = {r["id"]: r["c"] for r in df.select(
+        "id", txt.canonical_url(F.col("url")).alias("c")).collect()}
+    assert canon[0] == canon[1] == "https://example.com/Path/Page?id=5"
+    assert canon[2] == canon[3] == "http://site.org/a"
+    assert canon[4] == "https://example.com"
+    assert canon[5] is None
+    kept = sorted(r["id"] for r in txt.url_dedup(df, "url", "id").collect())
+    assert kept == [0, 2, 4, 5]       # min-id survivor per alias; NULL kept
