@@ -1492,20 +1492,23 @@ def audio_features_docs(spark, sf_dir):
 def url_dedup_docs(spark, sf_dir):
     """Crawl-level URL dedup (text.py canonical_url/url_dedup — the
     C4/RefinedWeb stage before content dedup): deterministic fixture URLs
-    per doc (tracking params, fragments, WWW/case aliases) whose CANONICAL
-    form is closed-form from doc_id — the oracle derives it directly from
-    the law, proving the full regexp canonicalization chain end-to-end."""
+    per doc (MID-position tracking params between kept params — the r3
+    separator-bug class — plus fragments and WWW/case aliases) whose
+    CANONICAL form is closed-form from doc_id — the oracle derives it
+    directly from the law, proving the full regexp chain end-to-end."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     url = (F.when(d % 4 == 0,
                   F.concat(F.lit("https://WWW.Site"), (d % 7).cast("string"),
                            F.lit(".com/page/"), (d % 20).cast("string"),
-                           F.lit("/?utm_source=a&n="), (d % 20).cast("string"),
+                           F.lit("/?m="), (d % 3).cast("string"),
+                           F.lit("&utm_source=a&n="), (d % 20).cast("string"),
                            F.lit("#sec")))
             .when(d % 4 == 1,
                   F.concat(F.lit("https://site"), (d % 7).cast("string"),
                            F.lit(".com/page/"), (d % 20).cast("string"),
-                           F.lit("?n="), (d % 20).cast("string")))
+                           F.lit("?m="), (d % 3).cast("string"),
+                           F.lit("&n="), (d % 20).cast("string")))
             .when(d % 4 == 2,
                   F.concat(F.lit("http://Other.org/item/"),
                            d.cast("string")))
@@ -2472,11 +2475,12 @@ def oracle_sql() -> dict[str, str]:
                          WHEN doc_id % 4 = 0 THEN
                            'https://WWW.Site' || (doc_id % 7) ||
                            '.com/page/' || (doc_id % 20) ||
-                           '/?utm_source=a&n=' || (doc_id % 20) || '#sec'
+                           '/?m=' || (doc_id % 3) ||
+                           '&utm_source=a&n=' || (doc_id % 20) || '#sec'
                          WHEN doc_id % 4 = 1 THEN
                            'https://site' || (doc_id % 7) ||
                            '.com/page/' || (doc_id % 20) ||
-                           '?n=' || (doc_id % 20)
+                           '?m=' || (doc_id % 3) || '&n=' || (doc_id % 20)
                          WHEN doc_id % 4 = 2 THEN
                            'http://Other.org/item/' || doc_id
                          ELSE
@@ -2486,7 +2490,7 @@ def oracle_sql() -> dict[str, str]:
                          WHEN doc_id % 4 IN (0, 1) THEN
                            'https://site' || (doc_id % 7) ||
                            '.com/page/' || (doc_id % 20) ||
-                           '?n=' || (doc_id % 20)
+                           '?m=' || (doc_id % 3) || '&n=' || (doc_id % 20)
                          ELSE 'http://other.org/item/' || doc_id
                        END AS canon
                 FROM documents)

@@ -58,12 +58,21 @@ def main():
         lambda it: (pdf for pdf in it), "id long").write.format("noop") \
         .mode("overwrite").save()
 
+    # Each query is timed TWICE and the MIN recorded: this host carries
+    # invisible co-tenant CPU steal (r3: a contiguous noise burst inflated
+    # 8 queries 4-10x and read as false regressions) — min-of-2 rejects a
+    # one-off steal burst while still charging any real plan cost. The
+    # first run also absorbs residual codegen compile for plans the
+    # warm-up list missed.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     # TSV-ingest microbench against BASELINE.md's one quantified figure
     # (2.77M rows x 12 cols .tsv.gz parsed in 8,588 ms with promotional
@@ -80,10 +89,13 @@ def main():
         (li.repartition(cores).write.mode("overwrite")
            .options(header=True, sep="\t", compression="gzip").csv(tsv_dir))
     n_rows = li.count()
-    t0 = time.perf_counter()
-    (spark.read.options(header=True, sep="\t", inferSchema=True).csv(tsv_dir)
-          .write.format("noop").mode("overwrite").save())
-    tsv_sec = round(time.perf_counter() - t0, 4)
+    tsv_sec = float("inf")
+    for _ in range(2):  # min-of-2, same noise rejection as the suite
+        t0 = time.perf_counter()
+        (spark.read.options(header=True, sep="\t", inferSchema=True)
+              .csv(tsv_dir).write.format("noop").mode("overwrite").save())
+        tsv_sec = min(tsv_sec, time.perf_counter() - t0)
+    tsv_sec = round(tsv_sec, 4)
 
     # wide-aggregate canary (r2 verdict): descriptive_stats builds ~8 agg
     # exprs PER COLUMN in one pass — a 40-column synthetic catches
@@ -95,9 +107,12 @@ def main():
     li40 = li.select(*[((F.col("l_extendedprice") * (1 + i / 40.0))
                         + F.col("l_quantity") * i).alias(f"c{i:02d}")
                        for i in range(40)])
-    t0 = time.perf_counter()
-    descriptive_stats(li40).write.format("noop").mode("overwrite").save()
-    timings["descriptive_stats_40col"] = round(time.perf_counter() - t0, 4)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        descriptive_stats(li40).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["descriptive_stats_40col"] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(json.dumps({

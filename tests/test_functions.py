@@ -607,6 +607,17 @@ def test_canonical_url_and_dedup(spark):
         (3, "http://site.org/a"),                       # alias of 2
         (4, "https://example.com/"),
         (5, None),
+        # mid-position tracking param between two kept params (the r3
+        # separator bug: '?a=1&utm_x=2&b=3' used to canonicalize to the
+        # malformed '?a=1?b=3' and never matched its clean alias)
+        (6, "https://m.example.com/p?a=1&utm_x=2&b=3"),
+        (7, "https://m.example.com/p?a=1&b=3"),         # alias of 6
+        # consecutive mid tracking params + leading tracking param
+        (8, "http://x.io/q?utm_a=1&k=2&fbclid=z&gclid=w&v=3"),
+        (9, "http://x.io/q?k=2&v=3"),                   # alias of 8
+        # all-tracking query -> bare path
+        (10, "http://x.io/r?utm_a=1&utm_b=2"),
+        (11, "http://x.io/r"),                          # alias of 10
     ]
     df = spark.createDataFrame(urls, "id long, url string")
     canon = {r["id"]: r["c"] for r in df.select(
@@ -615,5 +626,8 @@ def test_canonical_url_and_dedup(spark):
     assert canon[2] == canon[3] == "http://site.org/a"
     assert canon[4] == "https://example.com"
     assert canon[5] is None
+    assert canon[6] == canon[7] == "https://m.example.com/p?a=1&b=3"
+    assert canon[8] == canon[9] == "http://x.io/q?k=2&v=3"
+    assert canon[10] == canon[11] == "http://x.io/r"
     kept = sorted(r["id"] for r in txt.url_dedup(df, "url", "id").collect())
-    assert kept == [0, 2, 4, 5]       # min-id survivor per alias; NULL kept
+    assert kept == [0, 2, 4, 5, 6, 8, 10]  # min-id survivor; NULL kept

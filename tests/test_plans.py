@@ -357,6 +357,23 @@ def test_unigram_lm_freq_join_is_broadcast(spark, sf_dir):
     assert "ShuffledHashJoin [__w__" not in plan
 
 
+def test_unigram_lm_freq_table_checkpointed_single_scan(spark, sf_dir):
+    """r3 verdict "What's wrong #2": the freq table lineage used to run
+    twice — once for the totals collect and again (recomputed) for the
+    scoring join — a full duplicate corpus pass at 100 TB. The fix
+    localCheckpoints freq (as dsir_logweights does), so the final plan
+    must read the TEXT column exactly once (the explode side; the final
+    doc_id rejoin scan is column-pruned to the key and cheap) and show
+    the checkpointed freq table as an ExistingRDD — not a second
+    Aggregate over a second text scan."""
+    df = entry.queries()["unigram_lm_docs"](spark, sf_dir)
+    plan = _plan(df)
+    text_scans = len([ln for ln in plan.splitlines()
+                      if "parquet" in ln and "text:string" in ln])
+    assert text_scans == 1, f"expected 1 text scan, plan has {text_scans}"
+    assert "ExistingRDD" in plan      # the checkpointed freq table
+
+
 def test_partitioned_write_prunes_at_read(spark, sf_dir, tmp_path):
     """write(partition_by=...) -> a filtered read shows PartitionFilters
     and scans only the matching directory — the directory-level analog of
