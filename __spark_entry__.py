@@ -1588,6 +1588,21 @@ def lerp_events(spark, sf_dir):
     return out.select("event_id", "user_id", _r4(F.col("value")).alias("value"))
 
 
+def ts_lerp_events(spark, sf_dir):
+    """replace-missing :lerp on a DATETIME column (reference
+    dataset_test.clj:899-908 replace-missing-ldt): the fill target is the
+    timestamp itself, interpolated linearly in epoch-micros space along
+    the event_id axis, per user — r4's temporal-arithmetic extension of
+    missing.py (value arithmetic in epoch micros, converted back to the
+    column's temporal type)."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts2", F.when(F.col("event_id") % 5 == 2, None)
+                              .otherwise(F.col("ts")))
+    out = ms.replace_missing(ev, "ts2", "lerp", order_by=["event_id"],
+                             by="user_id")
+    return out.select("event_id", "user_id", "ts2")
+
+
 def pd_merge_outer(spark, sf_dir):
     """pd-merge :outer with distinct key names (join.clj:545-575): both
     unmatched sides survive with nulls."""
@@ -1851,12 +1866,19 @@ def grouping_sets_orders(spark, sf_dir):
 
 
 def ivf_topk_embeddings(spark, sf_dir):
-    """IVF approximate top-k (similarity.ivf_topk, rows-only: approximate
-    by design; recall vs brute force pinned in tests): sampled centroids,
-    numpy-matmul cell assignment, probe 2 of 8 cells."""
+    """IVF approximate top-k (similarity.ivf_topk): numpy-matmul cell
+    assignment, probe 2 of 8 cells. ORACLED (promoted from rows-only in
+    r4): centroids are the embeddings of vec_id 1..8 in vec_id order —
+    data-deterministic, so DuckDB replays the full IVF law (max-cosine
+    assignment with argmax's lower-index tiebreak, cosine-ranked probe
+    pick, cosine top-k inside probed cells) from the same table. The
+    sampled-centroid path (ivf_centroids) stays covered by pytest recall
+    tests."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    cents = sim.ivf_centroids(emb, "embedding", 8, seed=7)
+    cents = [list(r["embedding"]) for r in
+             emb.filter(F.col("vec_id").between(1, 8))
+                .orderBy("vec_id").collect()]
     out = sim.ivf_topk(emb.filter(F.col("vec_id") != 0), "embedding",
                        qvec, 10, cents, n_probe=2)
     return out.select("vec_id", _r4(F.col("cos")).alias("cos"))
@@ -1955,27 +1977,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r2-green queries whose code is untouched rotate to the tail — they stay
     covered by pytest + tools/verify_local.py."""
     return {
-        # -- changed this round (canonicalization / operator fixes) --
+        # ---- THE 50-QUERY DRIVER WINDOW (r4) ----
+        # (a) changed/added this round: the canonical_url separator fix
+        #     (url_dedup), the unigram freq-table checkpoint, the new
+        #     datetime-lerp fill, the IVF oracle promotion, and the
+        #     similarity-join prefix-length fix;
+        # (b) every oracled query that has never had a driver-green row
+        #     (the 12 remaining TPC-H shapes + cast_failures + select_rows
+        #     — completes driver proof of the whole TPC-H suite);
+        # (c) the replace_missing family (prev/next refactor this round);
+        # (d) oldest-evidence r1/r2 stalwarts rotating back in.
+        "url_dedup_docs": url_dedup_docs,
+        "unigram_lm_docs": unigram_lm_docs,
+        "ts_lerp_events": ts_lerp_events,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
+        "similarity_join_docs": similarity_join_docs,
+        "cast_failures_orders": cast_failures_orders,
+        "select_rows_orders": select_rows_orders,
+        "q4_order_priority": q4_order_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q12_shipmode_buckets": q12_shipmode_buckets,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive_predicates": q19_disjunctive_predicates,
+        "lerp_events": lerp_events,
+        "nearest_fill_events": nearest_fill_events,
+        "bfill_updown_events": bfill_updown_events,
+        "ffill_events": ffill_events,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "filter_project": filter_project,
+        "topk_orders": topk_orders,
+        "take_nth_lineitem": take_nth_lineitem,
+        "group_distinct_stats": group_distinct_stats,
+        "unique_by_order": unique_by_order,
+        "customers_without_orders": customers_without_orders,
+        "concat_slices": concat_slices,
+        "lineitem_except": lineitem_except,
+        "rolling_user_value": rolling_user_value,
+        "cube_orders": cube_orders,
+        "reduce_union_orders": reduce_union_orders,
+        "rolling_clamp_user": rolling_clamp_user,
+        "columnwise_round_lineitem": columnwise_round_lineitem,
+        "rolling_center_user": rolling_center_user,
+        "cross_region_priority": cross_region_priority,
+        "rolling_corr_user": rolling_corr_user,
+        "expanding_user_cumsum": expanding_user_cumsum,
+        "analytic_lag_rank": analytic_lag_rank,
+        "text_stats_by_lang": text_stats_by_lang,
+        "dedup_exact_docs": dedup_exact_docs,
+        "doc_fingerprints": doc_fingerprints,
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
+        "gopher_quality_docs": gopher_quality_docs,
+        # ---- position > 50: r3-green rotating out, then r1/r2-green
+        # or rows-only queries with unchanged code. All stay covered by
+        # pytest + tools/verify_local.py every round. ----
         "corpus_composition": corpus_composition,
         "sessionize_events": sessionize_events,
         "chunk_docs": chunk_docs,
-        # oracled in r1 but never driver-green (r1 ran pre-oracle rows-only)
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "rolling_monthly_orders": rolling_monthly_orders,
-        # -- new this round (r3): the six remaining TPC-H shapes (the
-        # complex correlated/semi/anti ones) and the six new operator
-        # queries (similarity join, heavy hitters, bloom incremental
-        # dedup, sequence packing, DSIR weights, WAV audio features).
-        # Eleven simpler TPC-H family members + cast_failures/select_rows
-        # defer past the window until r4 — all green in this round's full
-        # vanilla verify_local run --
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q9_product_profit": q9_product_profit,
         "q11_important_stock": q11_important_stock,
         "q16_supplier_part_count": q16_supplier_part_count,
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
-        "similarity_join_docs": similarity_join_docs,
         "heavy_tokens_docs": heavy_tokens_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
         "pack_docs": pack_docs,
@@ -2000,8 +2075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline_png_docs": image_pipeline_png_docs,
         "decontaminate_docs": decontaminate_docs,
         "pii_redact_docs": pii_redact_docs,
-        # -- never driver-checked (r2 registry overflow): r1 err fixes first --
-        "lerp_events": lerp_events,
         "fill_range_events": fill_range_events,
         "descriptive_stats_lineitem": descriptive_stats_lineitem,
         "pd_merge_outer": pd_merge_outer,
@@ -2015,31 +2088,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens_docs": bpe_tokens_docs,
         "ewma_user_value": ewma_user_value,
         "salted_revenue_by_nation": salted_revenue_by_nation,
-        # ---- position > 50 from here (window is fully subscribed this
-        # round): newest additions first so they rotate into the window
-        # next round; then r1/r2-green or rows-only queries whose code is
-        # untouched (unigram's r3 broadcast change is plan-only and
-        # plan-asserted in tests); pytest + verify_local cover the tail ----
-        "cast_failures_orders": cast_failures_orders,
-        "select_rows_orders": select_rows_orders,
-        "q18_large_orders": q18_large_orders,
-        "q15_top_supplier": q15_top_supplier,
-        "q8_market_share": q8_market_share,
-        "q7_volume_shipping": q7_volume_shipping,
-        "url_dedup_docs": url_dedup_docs,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_predicates": q19_disjunctive_predicates,
-        "q10_returned_items": q10_returned_items,
-        "q4_order_priority": q4_order_priority,
-        "q12_shipmode_buckets": q12_shipmode_buckets,
-        "unigram_lm_docs": unigram_lm_docs,
         "validate_orders": validate_orders,
         "loess_smooth_events": loess_smooth_events,
         "image_pipeline_docs": image_pipeline_docs,
-        "bfill_updown_events": bfill_updown_events,
         "rolling_range_events": rolling_range_events,
         "minmax_scale_acctbal": minmax_scale_acctbal,
         "one_hot_segment": one_hot_segment,
@@ -2047,47 +2098,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bag_intersect_lineitem": bag_intersect_lineitem,
         "quantiles_price": quantiles_price,
         "rollup_orders": rollup_orders,
-        # -- regression stalwarts over operators touched this round --
         "asof_purchase_click": asof_purchase_click,
         "embedding_dedup_clusters": embedding_dedup_clusters,
-        # ---- position > 50: rows-only with prior driver rows, then
-        # r2-green queries whose code is untouched this round ----
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
         "reservoir_orders": reservoir_orders,
         "regression_price_model": regression_price_model,
         "pca_project_lineitem": pca_project_lineitem,
-        "ivf_topk_embeddings": ivf_topk_embeddings,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_segment_revenue": q3_segment_revenue,
-        "q5_nation_revenue": q5_nation_revenue,
-        "filter_project": filter_project,
-        "topk_orders": topk_orders,
-        "take_nth_lineitem": take_nth_lineitem,
-        "nearest_fill_events": nearest_fill_events,
-        # ---- position > 50: r2-green, code untouched this round ----
-        "group_distinct_stats": group_distinct_stats,
-        "unique_by_order": unique_by_order,
-        "customers_without_orders": customers_without_orders,
-        "concat_slices": concat_slices,
-        "lineitem_except": lineitem_except,
-        "rolling_user_value": rolling_user_value,
-        "cube_orders": cube_orders,
-        "reduce_union_orders": reduce_union_orders,
-        "rolling_clamp_user": rolling_clamp_user,
-        "columnwise_round_lineitem": columnwise_round_lineitem,
-        "rolling_center_user": rolling_center_user,
-        "cross_region_priority": cross_region_priority,
-        "rolling_corr_user": rolling_corr_user,
-        "expanding_user_cumsum": expanding_user_cumsum,
-        "analytic_lag_rank": analytic_lag_rank,
-        "ffill_events": ffill_events,
-        "text_stats_by_lang": text_stats_by_lang,
-        "dedup_exact_docs": dedup_exact_docs,
-        "doc_fingerprints": doc_fingerprints,
-        "cosine_topk_embeddings": cosine_topk_embeddings,
-        "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
-        "gopher_quality_docs": gopher_quality_docs,
         "events_json_extract": events_json_extract,
         "unroll_doc_tokens": unroll_doc_tokens,
         "melt_part_attrs": melt_part_attrs,
@@ -2138,6 +2155,30 @@ def _lsh_topk_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lsh_topk_embeddings": _lsh_topk_oracle(),
+        "ivf_topk_embeddings": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id = 0),
+            cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+                      FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+            probe AS (SELECT cid FROM cents, q
+                      ORDER BY list_cosine_similarity(c, v) DESC, cid ASC
+                      LIMIT 2),
+            assigned AS (
+                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
+                       (SELECT c2.cid FROM cents c2
+                        ORDER BY list_cosine_similarity(
+                                     c2.c, CAST(e.embedding AS DOUBLE[])) DESC,
+                                 c2.cid ASC
+                        LIMIT 1) AS cell
+                FROM embeddings e WHERE e.vec_id <> 0)
+            SELECT vec_id,
+                   round(list_cosine_similarity(ev, (SELECT v FROM q)), 4)
+                       AS cos
+            FROM assigned WHERE cell IN (SELECT cid FROM probe)
+            ORDER BY list_cosine_similarity(ev, (SELECT v FROM q)) DESC,
+                     vec_id ASC
+            LIMIT 10
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 4) AS sum_qty,
@@ -3660,6 +3701,41 @@ def oracle_sql() -> dict[str, str]:
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS value
             FROM events
+        """,
+        "ts_lerp_events": """
+            WITH base AS (
+                SELECT event_id, user_id,
+                       CASE WHEN event_id % 5 = 2 THEN NULL ELSE ts END AS v,
+                       CAST(event_id AS DOUBLE) AS x
+                FROM events
+            ), w AS (
+                SELECT *,
+                       last_value(CASE WHEN v IS NOT NULL
+                                       THEN CAST(epoch_us(v) AS DOUBLE) END
+                                  IGNORE NULLS) OVER wd AS prev_v,
+                       first_value(CASE WHEN v IS NOT NULL
+                                        THEN CAST(epoch_us(v) AS DOUBLE) END
+                                   IGNORE NULLS) OVER wu AS next_v,
+                       last_value(CASE WHEN v IS NOT NULL THEN x END
+                                  IGNORE NULLS) OVER wd AS prev_x,
+                       first_value(CASE WHEN v IS NOT NULL THEN x END
+                                   IGNORE NULLS) OVER wu AS next_x
+                FROM base
+                WINDOW wd AS (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wu AS (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN v IS NOT NULL THEN v
+                        ELSE make_timestamp(CAST(round(
+                               coalesce(prev_v + (next_v - prev_v) *
+                                        (CASE WHEN next_x <> prev_x
+                                              THEN (x - prev_x) / (next_x - prev_x)
+                                         END),
+                                        prev_v, next_v)) AS BIGINT))
+                   END AS ts2
+            FROM w
         """,
         "lerp_events": """
             WITH base AS (

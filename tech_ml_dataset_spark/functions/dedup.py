@@ -357,8 +357,16 @@ def similarity_join(left: DataFrame, right: DataFrame,
                      shingles(F.col(text_col), k, mode="word").alias("__sh__"))
     rt = right.select(F.col(right_id).alias("__rid__"),
                       shingles(F.col(text_col), k, mode="word").alias("__sh__"))
-    linv = lt.select("__lid__", F.explode("__sh__").alias("__g__"))
-    rinv = rt.select("__rid__", F.explode("__sh__").alias("__g__"))
+    # __n__ = |A| from the (distinct) shingle array BEFORE exploding: the
+    # prefix-length law |A| - ceil(t*|A|) + 1 is defined over the FULL
+    # token set. Computing it after the dfreq join (the pre-r4 shape)
+    # undercounted |A| when max_df dropped tokens, shrinking prefixes and
+    # losing candidate pairs beyond the documented index-truncation
+    # effect. Carrying the size through the explode costs no shuffle.
+    linv = lt.select("__lid__", F.size("__sh__").alias("__n__"),
+                     F.explode("__sh__").alias("__g__"))
+    rinv = rt.select("__rid__", F.size("__sh__").alias("__n__"),
+                     F.explode("__sh__").alias("__g__"))
 
     # global document frequency over BOTH sides: the prefix order must be
     # one total order shared by the two tables or the filter loses pairs
@@ -366,6 +374,8 @@ def similarity_join(left: DataFrame, right: DataFrame,
                  .unionAll(rinv.select("__g__"))
                  .groupBy("__g__").agg(F.count(F.lit(1)).alias("__df__")))
     if max_df is not None:
+        # max_df only controls which tokens ENTER the index (candidates
+        # must share a token in <= max_df docs); it must not shrink __n__
         dfreq = dfreq.filter(F.col("__df__") <= max_df)
 
     def _prefix(inv: DataFrame, id_name: str) -> DataFrame:
@@ -374,9 +384,8 @@ def similarity_join(left: DataFrame, right: DataFrame,
             return toks.select(id_name, "__g__")
         w = W.partitionBy(id_name).orderBy("__df__", "__g__")
         ranked = toks.select(
-            id_name, "__g__",
-            F.row_number().over(w).alias("__rk__"),
-            F.count(F.lit(1)).over(W.partitionBy(id_name)).alias("__n__"))
+            id_name, "__g__", "__n__",
+            F.row_number().over(w).alias("__rk__"))
         keep = F.col("__rk__") <= (
             F.col("__n__") - F.ceil(F.lit(threshold) * F.col("__n__")) + 1)
         return ranked.filter(keep).select(id_name, "__g__")

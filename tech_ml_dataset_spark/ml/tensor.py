@@ -35,7 +35,13 @@ def dataset_to_tensor(df: DataFrame, columns: Sequence[str] | None = None, *,
     if n > max_rows:
         raise ValueError(
             f"dataset_to_tensor is a driver-side bridge; {n} rows > "
-            f"max_rows={max_rows}. Use pyspark.ml.linalg for distributed work.")
+            f"max_rows={max_rows}. The distributed alternatives cover the "
+            f"usual reasons to materialize a matrix: matmul(df, B) for "
+            f"A @ B, gram_matrix(df) for AᵀA, mean_center_columns(df) for "
+            f"centering (all in tech_ml_dataset_spark.ml.tensor, scale to "
+            f"the full table), or pyspark.ml.linalg + VectorAssembler for "
+            f"MLlib work. Raise max_rows only if the driver genuinely has "
+            f"memory for an (n, k) float64 matrix.")
     pdf = df.select(*[F.col(c).cast("double").alias(c) for c in cols]).toPandas()
     return pdf.to_numpy(dtype=np.float64)
 

@@ -356,6 +356,29 @@ def descriptive_stats(df: DataFrame, columns: Iterable[str] | None = None,
         return F.col(f"`{name}`")
 
     string_stats = {"min", "max", "first", "last"}
+    # Reference parity (datetime_test.clj stocks-descriptive-stats):
+    # min/MEAN/max/quartiles of a datetime column come back as DATETIMES,
+    # not raw epoch numbers. min/max render naturally (string stats); for
+    # mean/quantiles the value lives in a shared numeric column, so when
+    # the report CONTAINS any temporal column those stat columns switch to
+    # string (Spark's own describe()/summary() precedent: string-typed
+    # stats) — temporal rows render the epoch-micros value back through
+    # the column's own type, numeric rows stringify. All-numeric reports
+    # (the common analytics case, and the oracle query) keep doubles.
+    # stddev/skew stay numeric even for temporal columns: they are
+    # DURATIONS (micros), not instants — same as the reference's
+    # millis-space moments.
+    temporal_present = any(is_time[c] for c in cols)
+    from ..dtutil import from_epoch_micros
+
+    def _render(v: Column, c: str) -> Column:
+        if not temporal_present:
+            return v
+        if is_time[c]:
+            return from_epoch_micros(
+                F.round(v), fields[c].simpleString()).cast("string")
+        return v.cast("string")
+
     structs = []
     for c in cols:
         qi = 0
@@ -372,11 +395,16 @@ def descriptive_stats(df: DataFrame, columns: Iterable[str] | None = None,
                     v = F.element_at(_ref(key), qps.index(_QUANTILE_STATS[s]) + 1)
                 else:
                     v = F.lit(None).cast("double")
-                sf.append(v.alias(s))
+                sf.append(_render(v, c).alias(s))
                 continue
             key = f"{c}||{s}"
             if key in have:
-                v = _ref(key).cast("string") if s in string_stats else _ref(key)
+                if s in string_stats:
+                    v = _ref(key).cast("string")
+                elif s == "mean":
+                    v = _render(_ref(key), c)
+                else:
+                    v = _ref(key)
             else:
                 v = F.lit(None).cast("string" if s in string_stats else "double")
             sf.append(v.alias(s))

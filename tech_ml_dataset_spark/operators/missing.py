@@ -135,19 +135,29 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
     w_down = part.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(W.unboundedPreceding, 0)
     w_up = part.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(0, W.unboundedFollowing)
 
-    from ..dtutil import axis_double
+    from ..dtutil import axis_double, epoch_micros, from_epoch_micros, is_temporal
     axis_num = axis_double(df, axis_col)
+    dtypes = dict(df.dtypes)
 
-    def prev_next(c: str) -> tuple[Column, Column, Column, Column]:
-        prev_v = F.last(F.col(c), ignorenulls=True).over(w_down)
-        next_v = F.first(F.col(c), ignorenulls=True).over(w_up)
+    def prev_next(c: str, val: Column) -> tuple[Column, Column, Column, Column]:
+        prev_v = F.last(F.when(F.col(c).isNotNull(), val), ignorenulls=True).over(w_down)
+        next_v = F.first(F.when(F.col(c).isNotNull(), val), ignorenulls=True).over(w_up)
         prev_x = F.last(F.when(F.col(c).isNotNull(), axis_num), ignorenulls=True).over(w_down)
         next_x = F.first(F.when(F.col(c).isNotNull(), axis_num), ignorenulls=True).over(w_up)
         return prev_v, next_v, prev_x, next_x
 
     out = df
     for c in cols:
-        prev_v, next_v, prev_x, next_x = prev_next(c)
+        # Datetime fill columns (reference dataset_test.clj:899-908
+        # replace-missing-ldt): :midpoint/:lerp interpolate LINEARLY IN
+        # EPOCH TIME — value arithmetic runs in epoch-micros space and the
+        # fill converts back to the column's temporal type. Pick-a-value
+        # strategies (:down/:up/:nearest/...) never do value arithmetic,
+        # so they use the raw column for any dtype.
+        temporal_arith = (strategy in ("midpoint", "lerp")
+                          and is_temporal(dtypes.get(c, "")))
+        val = epoch_micros(c).cast("double") if temporal_arith else F.col(c)
+        prev_v, next_v, prev_x, next_x = prev_next(c, val)
         cur = F.col(c)
         if strategy == "down":
             fill = prev_v
@@ -169,5 +179,7 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
             fill = F.coalesce(prev_v + (next_v - prev_v) * frac, prev_v, next_v)
         else:
             raise ValueError(f"unknown replace-missing strategy {strategy!r}")
+        if temporal_arith:
+            fill = from_epoch_micros(F.round(fill), dtypes[c])
         out = out.withColumn(c, F.when(cur.isNull(), fill).otherwise(cur))
     return out.drop(IDX_COL) if drop_idx else out

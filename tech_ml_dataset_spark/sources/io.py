@@ -372,20 +372,21 @@ def read_excel(spark: SparkSession, path: str, *, sheet=0,
     to a spreadsheet library on the DRIVER and hands the frame to Spark.
     Spreadsheets are single-machine artifacts (xlsx caps at ~1M rows);
     they are an ingest convenience, never a scan path. Prefers pandas'
-    engines (openpyxl/xlrd) when installed; otherwise .xlsx falls through
-    to the vendored stdlib codec (:mod:`.xlsx`), so xlsx ingest works in
-    a bare environment — only legacy binary .xls still needs xlrd."""
+    engines (openpyxl/xlrd) when installed; otherwise falls through to
+    the vendored stdlib codecs — :mod:`.xlsx` for .xlsx and :mod:`.xls`
+    (BIFF8/CFB, r4) for legacy binary .xls — so both formats ingest in a
+    bare environment."""
     import pandas as pd
     try:
         frame = pd.read_excel(path, sheet_name=sheet,
                               header=0 if header else None)
     except ImportError:
         if path.lower().endswith(".xls"):
-            raise ImportError(
-                "legacy .xls needs the xlrd engine; the built-in codec "
-                "reads .xlsx only") from None
-        from . import xlsx as _xlsx
-        book = _xlsx.read_workbook(path)
+            from . import xls as _xlsmod
+            book = _xlsmod.read_workbook(path)
+        else:
+            from . import xlsx as _xlsx
+            book = _xlsx.read_workbook(path)
         names = list(book)
         key = names[sheet] if isinstance(sheet, int) else sheet
         cols, rows = book[key]
@@ -407,18 +408,24 @@ def write_excel(df: DataFrame, path: str, *, sheet_name: str = "Sheet1",
     POI path: xlsx hard-caps at ~1M rows, so a distributed sink is
     meaningless — this is an egress convenience for bounded results
     (reports, summaries), guarded loudly at ``max_rows``. Uses the
-    vendored stdlib codec (:mod:`.xlsx`), so it needs no openpyxl.
-    Dates/timestamps are written as ISO-8601 strings (documented codec
-    policy); numbers and booleans keep their types."""
-    from . import xlsx as _xlsx
+    vendored stdlib codecs (:mod:`.xlsx`, or :mod:`.xls` BIFF8 when the
+    path ends in .xls — matching the reference's HSSF write path,
+    poi.clj:138), so it needs no openpyxl/xlwt. Dates/timestamps are
+    written as ISO-8601 strings (documented codec policy); numbers and
+    booleans keep their types. The .xls container additionally caps at
+    65,536 rows (format limit, enforced by the codec)."""
+    if path.lower().endswith(".xls"):
+        from . import xls as _codec
+    else:
+        from . import xlsx as _codec
 
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
         raise ValueError(
             f"write_excel: result exceeds max_rows={max_rows}; xlsx is a "
             f"bounded-egress format — write parquet/csv for data this size")
-    _xlsx.write_workbook(path, {sheet_name: (df.columns,
-                                             [tuple(r) for r in rows])})
+    _codec.write_workbook(path, {sheet_name: (df.columns,
+                                              [tuple(r) for r in rows])})
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, *,
@@ -470,6 +477,24 @@ def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH
         df.createOrReplaceTempView(n)
 
 
+def _require_local_path(path: str, op: str) -> None:
+    """The rename-swap utilities (compact_files / merge_upsert / the shard
+    manifest) mutate the filesystem with os.rename/shutil, which only works
+    for LOCAL paths: on an object store or HDFS the staging write would
+    succeed and the swap then fail, leaving an orphaned staging dir. Fail
+    fast and clearly BEFORE any write instead (ADVICE r3). Scheme-less
+    paths and file:// are local; anything like s3://, hdfs://, abfs://,
+    gs:// is not — those targets belong in a table format (Delta/Iceberg)
+    whose commit protocol is object-store-native."""
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"{op}: target {path!r} is on scheme {scheme!r}, but the "
+            f"crash-safe rename swap requires a local filesystem path. "
+            f"For object-store/HDFS targets use a transactional table "
+            f"format (Delta/Iceberg MERGE) instead.")
+
+
 def compact_files(spark: SparkSession, path: str, *,
                   target_file_bytes: int = 512 * 1024 * 1024,
                   fmt: str = "parquet", sort_within_by=None,
@@ -495,6 +520,7 @@ def compact_files(spark: SparkSession, path: str, *,
     import math
     import shutil
 
+    _require_local_path(path, "compact_files")
     staging = path.rstrip("/") + ".__compact_tmp__"
     backup = path.rstrip("/") + ".__compact_old__"
     # crash recovery: a previous run that died mid-swap left the source at
@@ -560,6 +586,7 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
     (order-insensitive). Returns {"matched", "inserted", "rows_after"}."""
     import shutil
 
+    _require_local_path(target_path, "merge_upsert")
     keys = [keys] if isinstance(keys, str) else list(keys)
     if when_matched not in ("update", "ignore", "delete"):
         raise ValueError(f"when_matched must be update/ignore/delete, "
@@ -641,6 +668,9 @@ def write_training_shards(df: DataFrame, path: str, *, n_shards: int,
 
     from pyspark.sql import functions as F
 
+    # the shard WRITE itself is engine-native (any scheme works), but the
+    # manifest is written with plain open() — local paths only (ADVICE r3)
+    _require_local_path(path, "write_training_shards")
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     (df.repartitionByRange(n_shards, *[F.col(c) for c in order_by])
        .sortWithinPartitions(*order_by)

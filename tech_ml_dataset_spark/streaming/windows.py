@@ -203,16 +203,25 @@ def run_to_memory(df: DataFrame, name: str, *, output_mode: str = "complete"):
 def streaming_upsert_sink(df: DataFrame, target_path: str, keys, *,
                           checkpoint: str, fmt: str = "parquet",
                           when_matched: str = "update",
-                          dedupe_batch: bool = True):
+                          dedupe_batch: bool = True,
+                          sequence_by: str | None = None):
     """Continuously MERGE a change stream into a parquet target: each
     micro-batch runs :func:`~tech_ml_dataset_spark.sources.io.merge_upsert`
     (copy-on-write, crash-safe two-rename swap) via foreachBatch — the
     streaming CDC-apply pattern for targets without a Delta/Iceberg log.
 
-    Within a batch, the LAST change per key wins (``dedupe_batch``
-    orders by batch arrival — pass pre-deduped batches for a stronger
-    contract). Exactly-once: batch replays re-run the same MERGE, which
-    is idempotent for update/ignore/delete semantics. Copy-on-write
+    Within a batch, the LAST change per key wins, ordered by
+    ``sequence_by`` — a CDC sequence number or event-time column. Pass it
+    whenever batches can hold multiple changes per key: it is the only
+    ordering that is stable across batch replays, which is what makes the
+    exactly-once claim real (replays re-run the same MERGE with the same
+    survivor). Without ``sequence_by`` the fallback orders by
+    ``monotonically_increasing_id()``, which encodes (partition id,
+    position), NOT arrival order — reliable only for single-partition
+    batches (e.g. one file per trigger); multi-partition batches get an
+    arbitrary, replay-unstable survivor, so a warning is raised.
+    Exactly-once: batch replays re-run the same MERGE, which is
+    idempotent for update/ignore/delete semantics. Copy-on-write
     rewrites the target per batch — the right shape for minutes-cadence
     upserts of dimension-sized targets; high-frequency trickle belongs in
     a real table format.
@@ -221,6 +230,14 @@ def streaming_upsert_sink(df: DataFrame, target_path: str, keys, *,
     from ..sources.io import merge_upsert
 
     keys = [keys] if isinstance(keys, str) else list(keys)
+    if dedupe_batch and sequence_by is None:
+        import warnings
+        warnings.warn(
+            "streaming_upsert_sink: no sequence_by column — falling back "
+            "to monotonically_increasing_id() for last-change-wins, which "
+            "is only stable for single-partition micro-batches. Pass a CDC "
+            "sequence number or event timestamp for a replay-stable "
+            "survivor.", UserWarning, stacklevel=2)
 
     def _apply(batch_df: DataFrame, batch_id: int):
         if not batch_df.take(1):
@@ -228,8 +245,9 @@ def streaming_upsert_sink(df: DataFrame, target_path: str, keys, *,
         src = batch_df
         if dedupe_batch:
             from pyspark.sql import Window as W, functions as SF
-            w = W.partitionBy(*keys).orderBy(
-                SF.monotonically_increasing_id().desc())
+            order = (SF.col(sequence_by).desc() if sequence_by
+                     else SF.monotonically_increasing_id().desc())
+            w = W.partitionBy(*keys).orderBy(order)
             src = (src.withColumn("__rn__", SF.row_number().over(w))
                       .filter(SF.col("__rn__") == 1).drop("__rn__"))
         merge_upsert(batch_df.sparkSession, target_path, src, keys,

@@ -197,6 +197,27 @@ def test_similarity_join_max_df_bounds_index(spark, docs):
     assert out.count() == 0
 
 
+def test_similarity_join_max_df_keeps_full_prefix_length(spark):
+    """ADVICE r3: with max_df set, __n__ used to count only tokens
+    SURVIVING the max_df filter, shrinking prefixes and losing candidate
+    pairs beyond the documented index-truncation effect. Construction:
+    A = w1..w9 a0, B = w1..w9 b0 (J = 9/11 ≈ 0.818 ≥ t=0.8); three filler
+    docs pump df(w3..w9) past max_df=3 so 7 of A's 10 tokens leave the
+    index. Correct law: prefix = 10 - ceil(8) + 1 = 3 → A and B both keep
+    {rare, w1, w2} and meet on w1. Buggy law: __n__=3 survivors → prefix
+    1 → A offers only a0, B only b0 → the pair is silently missed."""
+    w = " ".join(f"w{i}" for i in range(1, 10))
+    filler = " ".join(f"w{i}" for i in range(3, 10))
+    left = spark.createDataFrame(
+        [(1, f"{w} a0"), (10, filler), (11, filler), (12, filler)],
+        ["doc_id", "text"])
+    right = spark.createDataFrame([(2, f"{w} b0")], ["doc_id", "text"])
+    out = {(r["left_id"], r["right_id"]): r["jaccard"]
+           for r in dd.similarity_join(left, right, k=1, threshold=0.8,
+                                       max_df=3).collect()}
+    assert out == {(1, 2): round(9 / 11, 4)}
+
+
 def test_incremental_dedup_bloom_exact_verify(spark):
     hist = spark.createDataFrame(
         [(i, f"historical document number {i} about topic {i % 7}")

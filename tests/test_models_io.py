@@ -221,7 +221,11 @@ def test_tensor_bridge_round_trip(spark):
     back = tn.tensor_to_dataset(spark, mat, ["a", "b"])
     assert sorted(tuple(r) for r in back.collect()) == \
         [(1.0, 10.0), (2.0, 20.0), (3.0, 30.0)]
-    with pytest.raises(ValueError):
+    # the cap's error must point callers at the distributed alternatives
+    # (r3 verdict item 8)
+    with pytest.raises(ValueError, match="gram_matrix"):
+        tn.dataset_to_tensor(df, max_rows=2)
+    with pytest.raises(ValueError, match="mean_center_columns"):
         tn.dataset_to_tensor(df, max_rows=2)
 
 
@@ -280,6 +284,87 @@ def test_excel_roundtrip(spark, tmp_path):
     assert back[0]["f"] == 1.5 and back[0]["s"] == "héllo <&> world"
     assert back[0]["b"] is True and back[1]["b"] is False
     assert back[1]["s"] is None  # blank cell -> null
+
+
+def test_xls_roundtrip(spark, tmp_path):
+    """write_excel -> read_excel round-trips a legacy BIFF8 .xls through
+    the vendored CFB+BIFF codec (r4 — closes the last format partial:
+    reference poi.clj:138 HSSF path; no xlrd/xlwt in this environment)."""
+    from tech_ml_dataset_spark.sources import io as tio
+    df = spark.createDataFrame(
+        [(1, 1.5, "héllo wörld", True), (2, -2.25, None, False),
+         (3, 1e12, "日本語テキスト", True)],
+        ["i", "f", "s", "b"])
+    p = str(tmp_path / "rt.xls")
+    tio.write_excel(df, p, sheet_name="data")
+    with open(p, "rb") as fh:
+        assert fh.read(8) == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"  # OLE2 magic
+    back = tio.read_excel(spark, p).orderBy("i").collect()
+    assert [r["i"] for r in back] == [1, 2, 3]
+    assert back[0]["f"] == 1.5 and back[1]["f"] == -2.25
+    assert back[0]["s"] == "héllo wörld" and back[2]["s"] == "日本語テキスト"
+    assert back[0]["b"] is True and back[1]["b"] is False
+    assert back[1]["s"] is None
+
+
+def test_xls_reader_sst_continue_and_rk(tmp_path):
+    """Files produced by real Excel use SST shared strings (which split
+    across CONTINUE records) and RK/MULRK compact numbers — none of which
+    our writer emits. Hand-craft a workbook stream exercising those
+    record types, including an SST string whose character data crosses a
+    CONTINUE boundary with an encoding-width switch."""
+    import struct
+    from tech_ml_dataset_spark.sources import xls
+
+    def rec(op, payload):
+        return struct.pack("<HH", op, len(payload)) + payload
+
+    # SST: 3 strings; the second splits across CONTINUE mid-characters
+    s1 = "alpha"
+    s2a, s2b = "long-", "tail"       # compressed, split across records
+    s3 = "ωmega"                      # wide (utf-16) in the CONTINUE record
+    sst_payload = (struct.pack("<II", 3, 3)
+                   + struct.pack("<HB", len(s1), 0x00) + s1.encode("latin-1")
+                   + struct.pack("<HB", len(s2a) + len(s2b), 0x00)
+                   + s2a.encode("latin-1"))
+    cont_payload = (b"\x00" + s2b.encode("latin-1")   # restated grbit
+                    + struct.pack("<HB", len(s3), 0x01)
+                    + s3.encode("utf-16-le"))
+    # RK: 30-bit int 7, int 1234 with /100 flag, and a float (0.75)
+    rk_int = (7 << 2) | 0x02
+    rk_cents = (1234 << 2) | 0x03
+    rk_float = struct.unpack("<I", struct.pack("<d", 0.75)[4:])[0] & 0xFFFFFFFC
+    globals_blob = b"".join([
+        rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0)),
+        rec(0x0085, struct.pack("<IBBB", 0, 0, 0, 2) + b"\x00" + b"S1"),
+        rec(0x00FC, sst_payload),
+        rec(0x003C, cont_payload),
+        rec(0x000A, b""),
+    ])
+    sheet = b"".join([
+        rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0)),
+        rec(0x00FD, struct.pack("<HHHI", 0, 0, 0, 0)),   # LABELSST 'alpha'
+        rec(0x00FD, struct.pack("<HHHI", 0, 1, 0, 1)),   # 'long-tail'
+        rec(0x00FD, struct.pack("<HHHI", 0, 2, 0, 2)),   # 'ωmega'
+        rec(0x027E, struct.pack("<HHHI", 1, 0, 0, rk_int)),
+        rec(0x027E, struct.pack("<HHHI", 1, 1, 0, rk_cents)),
+        rec(0x00BD, struct.pack("<HH", 2, 0)
+            + struct.pack("<HI", 0, rk_float) * 2
+            + struct.pack("<H", 1)),                     # MULRK cols 0-1
+        rec(0x000A, b""),
+    ])
+    # patch the BOUNDSHEET offset to the sheet BOF position
+    blob = globals_blob + sheet
+    off = len(globals_blob)
+    idx = blob.index(struct.pack("<HH", 0x0085, 10)) + 4
+    blob = blob[:idx] + struct.pack("<I", off) + blob[idx + 4:]
+    p = str(tmp_path / "crafted.xls")
+    with open(p, "wb") as fh:
+        fh.write(xls._cfb_wrap(blob))
+    (header, rows) = xls.read_workbook(p)["S1"]
+    assert header == ["alpha", "long-tail", "ωmega"]
+    assert rows[0] == [7, 12.34, None]
+    assert rows[1] == [0.75, 0.75, None]
 
 
 def test_excel_write_cap(spark, tmp_path):
@@ -458,6 +543,26 @@ def test_pipeline_save_load_roundtrip(spark, tmp_path):
     bad = pl.Pipeline(lambda d: d).fit(df)
     with _pt.raises(ValueError, match="lambda"):
         pl.save_pipeline(bad, str(tmp_path / "bad"))
+
+
+def test_rename_swap_utilities_reject_remote_paths(spark, tmp_path):
+    """The crash-safe swap is os.rename-based — object-store/HDFS targets
+    must fail fast BEFORE any staging write (ADVICE r3), with a pointer
+    to table formats. file:// and plain local paths stay accepted."""
+    import pytest as _pt
+    from tech_ml_dataset_spark.sources.io import (
+        _require_local_path, compact_files, merge_upsert,
+        write_training_shards)
+    df = spark.createDataFrame([(1, 1.0)], ["id", "v"])
+    for bad in ("s3://bucket/t", "hdfs://nn/t", "abfs://c@a.dfs/t"):
+        with _pt.raises(ValueError, match="local filesystem"):
+            merge_upsert(spark, bad, df, "id")
+        with _pt.raises(ValueError, match="local filesystem"):
+            compact_files(spark, bad)
+        with _pt.raises(ValueError, match="local filesystem"):
+            write_training_shards(df, bad, n_shards=1, order_by="id")
+    _require_local_path(str(tmp_path / "x"), "t")      # plain local: ok
+    _require_local_path("file:///tmp/x", "t")          # file scheme: ok
 
 
 def test_merge_upsert_update_and_insert(spark, tmp_path):

@@ -280,6 +280,31 @@ def test_replace_missing_value_and_mean(spark):
     assert mean[0] == 25.0
 
 
+def test_replace_missing_lerp_datetime_reference_values(spark):
+    """Reference dataset_test.clj:899-908 (replace-missing-ldt): :lerp on a
+    LocalDateTime column interpolates linearly in epoch time — the exact
+    five reference timestamps are pinned here."""
+    from datetime import datetime as DT
+    rows_in = [(0, DT(2020, 1, 1, 1, 1, 1)), (1, None), (2, None), (3, None),
+               (4, DT(2020, 10, 1, 1, 1, 1))]
+    df = spark.createDataFrame(rows_in, "i int, dt timestamp_ntz")
+    got = {r["i"]: r["dt"] for r in
+           ms.replace_missing(df, "dt", "lerp", order_by="i").collect()}
+    assert got == {0: DT(2020, 1, 1, 1, 1, 1),
+                   1: DT(2020, 3, 9, 13, 1, 1),
+                   2: DT(2020, 5, 17, 1, 1, 1),
+                   3: DT(2020, 7, 24, 13, 1, 1),
+                   4: DT(2020, 10, 1, 1, 1, 1)}
+    # :midpoint on datetimes = epoch-space mean of the two neighbors
+    mid = {r["i"]: r["dt"] for r in
+           ms.replace_missing(df, "dt", "midpoint", order_by="i").collect()}
+    assert mid[1] == mid[2] == mid[3] == DT(2020, 5, 17, 1, 1, 1)
+    # :down/:up on datetimes pick values — dtype preserved, no arithmetic
+    down = {r["i"]: r["dt"] for r in
+            ms.replace_missing(df, "dt", "down", order_by="i").collect()}
+    assert down[3] == DT(2020, 1, 1, 1, 1, 1)
+
+
 def test_nan_as_missing(spark):
     df = spark.createDataFrame([(float("nan"),), (1.0,)], "v double")
     out = ms.nan_as_missing(df)
@@ -511,16 +536,34 @@ def test_descriptive_stats_full_surface(spark):
 
 
 def test_descriptive_stats_temporal_axis(spark):
+    """Reference datetime_test.clj stocks-descriptive-stats: min, MEAN,
+    max (and quartiles, stocks-descriptive-stats-2) of a datetime column
+    come back as datetimes, not raw epoch numbers. When the report holds
+    a temporal column, mean/quantile columns switch to string (Spark
+    describe() precedent) and temporal rows render through the column's
+    own type; stddev stays a numeric duration."""
     import datetime as dt
     df = spark.createDataFrame(
         [(dt.datetime(2024, 1, 1),), (dt.datetime(2024, 1, 3),)], "ts timestamp")
-    r = agg.descriptive_stats(df, stats=("min", "max", "mean", "median"),
+    r = agg.descriptive_stats(df, stats=("min", "max", "mean", "median",
+                                         "stddev"),
                               quantile_accuracy="exact").collect()[0]
     assert r["min"].startswith("2024-01-01") and r["max"].startswith("2024-01-03")
-    # mean/median are epoch-micros doubles: midpoint = 2024-01-02
-    import calendar
-    mid = calendar.timegm(dt.datetime(2024, 1, 2).timetuple()) * 1_000_000
-    assert r["mean"] == mid and r["median"] == mid
+    assert r["mean"].startswith("2024-01-02")    # midpoint, rendered
+    assert r["median"].startswith("2024-01-02")
+    assert isinstance(r["stddev"], float)        # duration in micros
+    # a MIXED report stringifies numeric rows too (single column type)...
+    mixed = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 2.0), (dt.datetime(2024, 1, 3), 4.0)],
+        "ts timestamp, v double")
+    rows = {x["col-name"]: x for x in agg.descriptive_stats(
+        mixed, stats=("mean",)).collect()}
+    assert rows["ts"]["mean"].startswith("2024-01-02")
+    assert float(rows["v"]["mean"]) == 3.0
+    # ...but an all-numeric report keeps numeric stat columns (the oracle
+    # query's schema must not change)
+    num = agg.descriptive_stats(mixed, ["v"], stats=("mean",)).collect()[0]
+    assert num["mean"] == 3.0 and isinstance(num["mean"], float)
 
 
 def test_rolling_multi_column_reducer(spark):

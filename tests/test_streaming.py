@@ -176,7 +176,7 @@ def test_streaming_upsert_sink_merges_batches(spark, tmp_path):
 
     stream = sw.read_stream(spark, src_dir,
                             "id long, name string, v double")
-    q = sw.streaming_upsert_sink(stream, tgt, "id",
+    q = sw.streaming_upsert_sink(stream, tgt, "id", sequence_by="v",
                                  checkpoint=str(tmp_path / "ckpt"))
     q.awaitTermination()
 
@@ -184,5 +184,23 @@ def test_streaming_upsert_sink_merges_batches(spark, tmp_path):
             for r in spark.read.parquet(tgt).collect()}
     assert rows[1] == ("a", 1.0)            # untouched
     assert rows[2] == ("b-new", 20.0)       # updated
-    assert rows[3][1] == 30.0               # inserted, last dup wins
+    assert rows[3][1] == 30.0               # inserted, max sequence wins
     assert len(rows) == 3
+
+
+def test_streaming_upsert_sink_warns_without_sequence_by(spark, tmp_path):
+    """No sequence_by -> monotonically_increasing_id fallback, which is
+    only replay-stable for single-partition batches; the sink must say so
+    up front (ADVICE r3)."""
+    import pytest as _pt
+    tgt = str(tmp_path / "tgt2")
+    spark.createDataFrame([(1, 1.0)], ["id", "v"]).write.parquet(tgt)
+    src_dir = str(tmp_path / "changes2")
+    spark.createDataFrame([(1, 2.0)], ["id", "v"]) \
+         .coalesce(1).write.mode("overwrite").parquet(src_dir)
+    stream = sw.read_stream(spark, src_dir, "id long, v double")
+    with _pt.warns(UserWarning, match="sequence_by"):
+        q = sw.streaming_upsert_sink(stream, tgt, "id",
+                                     checkpoint=str(tmp_path / "ckpt2"))
+    q.awaitTermination()
+    assert {r["v"] for r in spark.read.parquet(tgt).collect()} == {2.0}
