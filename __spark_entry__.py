@@ -915,13 +915,14 @@ def ffill_events(spark, sf_dir):
 
 def asof_purchase_click(spark, sf_dir):
     """left-join-asof (join.clj:747-799): latest click at-or-before each
-    purchase, per user."""
+    purchase, per user — asof_op '>=' (purchase.ts >= click.ts; ops read
+    l OP r per the reference convention, r4)."""
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase") \
                   .select("event_id", "user_id", "ts", "value")
     clicks = ev.filter(F.col("event_type") == "click") \
                .groupBy("user_id", "ts").agg(F.max("value").alias("click_value"))
-    out = jn.left_join_asof(purchases, clicks, "ts", by="user_id", asof_op="<=")
+    out = jn.left_join_asof(purchases, clicks, "ts", by="user_id", asof_op=">=")
     return out.select("event_id", "user_id", "ts",
                       _r4(F.col("value")).alias("value"),
                       F.col("`right.ts`").alias("click_ts"),
@@ -930,7 +931,8 @@ def asof_purchase_click(spark, sf_dir):
 
 def asof_nearest_click(spark, sf_dir):
     """left-join-asof :nearest (join.clj:716): the click CLOSEST in time to
-    each purchase on either side, ties to the at-or-before match — both
+    each purchase on either side; an exact-distance tie picks the LATER
+    click (reference abs-diff law, join.clj:687-713 — r4 flip). Both
     directional passes share one union+window shape, then a per-row
     distance pick (no Python)."""
     ev = _t(spark, sf_dir, "events")
@@ -946,15 +948,16 @@ def asof_nearest_click(spark, sf_dir):
 
 
 def asof_strict_click(spark, sf_dir):
-    """left-join-asof strict '>' (join.clj:643 asof-gt): the EARLIEST click
-    strictly after each purchase — an equal-timestamp click must NOT match
-    (side-order tiebreak inside the descending window)."""
+    """left-join-asof strict '<' (join.clj:615 asof-lt): the EARLIEST click
+    strictly after each purchase (purchase.ts < click.ts) — an
+    equal-timestamp click must NOT match (side-order tiebreak inside the
+    descending window)."""
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase") \
                   .select("event_id", "user_id", "ts", "value")
     clicks = ev.filter(F.col("event_type") == "click") \
                .groupBy("user_id", "ts").agg(F.max("value").alias("click_value"))
-    out = jn.left_join_asof(purchases, clicks, "ts", by="user_id", asof_op=">")
+    out = jn.left_join_asof(purchases, clicks, "ts", by="user_id", asof_op="<")
     return out.select("event_id", "user_id", "ts",
                       F.col("`right.ts`").alias("click_ts"),
                       _r4(F.col("click_value")).alias("click_value"))
@@ -2034,12 +2037,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_by_lang": text_stats_by_lang,
         "dedup_exact_docs": dedup_exact_docs,
         "doc_fingerprints": doc_fingerprints,
-        "cosine_topk_embeddings": cosine_topk_embeddings,
-        "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
-        "gopher_quality_docs": gopher_quality_docs,
+        # (a-late) asof family: direction convention flipped to reference
+        # parity + nearest tie law changed this round — driver-reprove
+        "asof_purchase_click": asof_purchase_click,
+        "asof_nearest_click": asof_nearest_click,
+        "asof_strict_click": asof_strict_click,
         # ---- position > 50: r3-green rotating out, then r1/r2-green
         # or rows-only queries with unchanged code. All stay covered by
         # pytest + tools/verify_local.py every round. ----
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
+        "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "sessionize_events": sessionize_events,
         "chunk_docs": chunk_docs,
@@ -3106,10 +3114,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM purchases p
             ), pick AS (
                 SELECT event_id, user_id, ts,
+                       -- tie -> FORWARD click (reference abs-diff law:
+                       -- the earlier neighbor wins only when STRICTLY
+                       -- closer; r4 flip)
                        CASE WHEN back_ts IS NULL THEN fwd_ts
                             WHEN fwd_ts IS NULL THEN back_ts
                             WHEN epoch_us(ts) - epoch_us(back_ts)
-                                 <= epoch_us(fwd_ts) - epoch_us(ts)
+                                 < epoch_us(fwd_ts) - epoch_us(ts)
                             THEN back_ts ELSE fwd_ts END AS click_ts
                 FROM cand
             )

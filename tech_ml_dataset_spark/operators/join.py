@@ -144,9 +144,26 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
                    asof_op: str = "<=") -> DataFrame:
     """``left-join-asof`` (join.clj:747-799): for each left row, match the
     single "closest" right row along ``on`` under ``asof_op`` ∈
-    {"<", "<=", ">", ">=", "nearest"} — e.g. "<=" matches the latest right
-    row with r.on <= l.on (the pandas merge_asof 'backward' default;
-    reference asof-lt/asof-gt/asof-nearest at join.clj:615,643,716).
+    {"<", "<=", ">", ">=", "nearest"}. The operator expresses
+    ``l.on OP r.on`` — the REFERENCE's convention (join.clj:615 asof-lt,
+    :643 asof-gt, :716 asof-nearest; vectors pinned by
+    test/tech/v3/dataset/join_test.clj:191-258):
+
+    * ``"<"``  — the EARLIEST right row with l.on <  r.on (forward strict)
+    * ``"<="`` — the earliest right row with l.on <= r.on (forward; the
+      reference's DEFAULT — note this differs from pandas merge_asof,
+      whose default direction is 'backward')
+    * ``">"``  — the LATEST right row with l.on >  r.on (backward strict)
+    * ``">="`` — the latest right row with l.on >= r.on (backward; the
+      pandas merge_asof 'backward' equivalent)
+    * ``"nearest"`` — the smaller |l.on - r.on| of the backward/forward
+      matches; an exact tie picks the FORWARD (later) row, matching the
+      reference's abs-diff merge scan (join.clj:687-744, which advances
+      past the earlier neighbor unless it is STRICTLY closer).
+
+    (r4 note: before round 4 the op named the mirrored relation
+    ``r.on OP l.on``; the mapping was flipped to reference parity —
+    callers migrating from TMD can keep their asof-op spelling.)
 
     Spark-first implementation — the union+window trick (no Python, no
     per-key collect):
@@ -155,7 +172,7 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
          ignorenulls)`` over unbounded-preceding gives each left row the
          most recent right row — a single shuffle by ``by``; Catalyst/Tungsten
          the whole way.
-    ">=" / ">" mirror with a descending window. "nearest" runs both
+    Forward ops mirror with a descending window. "nearest" runs both
     directions and picks the smaller distance.
 
     At scale this is one sort-merge pass per side — same asymptotics as the
@@ -163,7 +180,7 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
     """
     if asof_op == "nearest":
         from .selection import _free_name
-        # The fwd/bwd results must be re-joined per LEFT ROW. Joining on
+        # The prev/next results must be re-joined per LEFT ROW. Joining on
         # the left columns themselves silently drops rows containing any
         # NULL (equality never matches) and cross-multiplies duplicate
         # left rows — so key on a generated row id instead. The id is a
@@ -176,10 +193,10 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
         # ids before any cached block exists (review r3)
         tagged = left.withColumn(rid, F.monotonically_increasing_id()) \
                      .localCheckpoint(eager=True)
-        fwd = left_join_asof(tagged, right, on, by=by, asof_op="<=")
-        bwd = left_join_asof(tagged, right, on, by=by, asof_op=">=")
+        prev = left_join_asof(tagged, right, on, by=by, asof_op=">=")
+        nxt = left_join_asof(tagged, right, on, by=by, asof_op="<=")
         # pick per-row whichever matched value is closer on the axis
-        return _nearest_combine(tagged, fwd, bwd, on, by, rid).drop(rid)
+        return _nearest_combine(tagged, prev, nxt, on, by, rid).drop(rid)
 
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
     if not by_cols:
@@ -189,7 +206,9 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
     right, _ = _suffix_clashes(left, right, rkeys)
     rval_cols = [c for c in right.columns if c not in rkeys]
 
-    descending = asof_op in (">", ">=")
+    # forward ops ("<", "<=": l.on OP r.on looks AHEAD on the axis) use the
+    # descending window so last(ignorenulls) lands on the closest later row
+    descending = asof_op in ("<", "<=")
     strict = asof_op in ("<", ">")
 
     lt = left.withColumn("__side__", F.lit(1))
@@ -231,33 +250,36 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
               .drop("__rrow__")
 
 
-def _nearest_combine(left: DataFrame, fwd: DataFrame, bwd: DataFrame,
+def _nearest_combine(left: DataFrame, prev: DataFrame, nxt: DataFrame,
                      on: str, by, rid: str) -> DataFrame:
-    """Combine backward/forward asof results picking the closer match,
-    keyed by the caller-provided unique row id (never by data columns —
-    NULLs/duplicates there would drop or multiply rows)."""
+    """Combine backward (prev) / forward (nxt) asof results picking the
+    closer match, keyed by the caller-provided unique row id (never by
+    data columns — NULLs/duplicates there would drop or multiply rows).
+    An exact distance tie picks the FORWARD row — the reference's
+    abs-diff scan only stops on the earlier neighbor when it is STRICTLY
+    closer (join.clj:687-713: match iff |l-r[j]| - |l-r[j+1]| < 0)."""
     axis = f"right.{on}"
-    val_cols = [c for c in fwd.columns if c not in left.columns]
+    val_cols = [c for c in prev.columns if c not in left.columns]
     # alias matched columns to dot-free names (original names may contain
     # the "right." prefix which Column resolution would parse as a path)
-    fa = {c: f"__f{i}__" for i, c in enumerate(val_cols)}
-    ba = {c: f"__b{i}__" for i, c in enumerate(val_cols)}
-    f = fwd.select(*left.columns,
-                   *[F.col(f"`{c}`").alias(fa[c]) for c in val_cols])
-    b = bwd.select(rid, *[F.col(f"`{c}`").alias(ba[c]) for c in val_cols])
-    j = f.join(b, rid)
+    pa = {c: f"__p{i}__" for i, c in enumerate(val_cols)}
+    na = {c: f"__n{i}__" for i, c in enumerate(val_cols)}
+    p = prev.select(*left.columns,
+                    *[F.col(f"`{c}`").alias(pa[c]) for c in val_cols])
+    nx = nxt.select(rid, *[F.col(f"`{c}`").alias(na[c]) for c in val_cols])
+    j = p.join(nx, rid)
     # NTZ-safe numeric view of the axis (TIMESTAMP_NTZ forbids direct
     # numeric casts — dtutil module docstring; r1 hard-error class)
     from ..dtutil import axis_double
-    ax_on, ax_f, ax_b = (axis_double(j, c) for c in (on, fa[axis], ba[axis]))
-    d_f = F.abs(ax_on - ax_f)
-    d_b = F.abs(ax_on - ax_b)
-    use_f = F.when(F.col(ba[axis]).isNull(), True) \
-             .when(F.col(fa[axis]).isNull(), False) \
-             .otherwise(d_f <= d_b)
+    ax_on, ax_p, ax_n = (axis_double(j, c) for c in (on, pa[axis], na[axis]))
+    d_p = F.abs(ax_on - ax_p)
+    d_n = F.abs(ax_on - ax_n)
+    use_p = F.when(F.col(na[axis]).isNull(), True) \
+             .when(F.col(pa[axis]).isNull(), False) \
+             .otherwise(d_p < d_n)
     for c in val_cols:
-        j = j.withColumn(c, F.when(use_f, F.col(fa[c])).otherwise(F.col(ba[c])))
-    return j.drop(*fa.values(), *ba.values())
+        j = j.withColumn(c, F.when(use_p, F.col(pa[c])).otherwise(F.col(na[c])))
+    return j.drop(*pa.values(), *na.values())
 
 
 def range_join(left: DataFrame, right: DataFrame, point_col: str,

@@ -115,17 +115,20 @@ def test_range_join_equi_keys_left_and_degenerate(spark):
 
 
 def test_asof_backward(spark):
+    # ">=" = latest right with l.t >= r.t (ops read l OP r — reference
+    # convention, r4)
     left = spark.createDataFrame([(1, 5), (1, 10), (1, 2)], ["g", "t"])
     right = spark.createDataFrame([(1, 3, "a"), (1, 7, "b"), (1, 10, "c")], ["g", "t", "v"])
-    out = jn.left_join_asof(left, right, "t", by="g", asof_op="<=")
+    out = jn.left_join_asof(left, right, "t", by="g", asof_op=">=")
     got = {r["t"]: r["v"] for r in out.collect()}
     assert got == {2: None, 5: "a", 10: "c"}
 
 
-def test_asof_strict_lt(spark):
+def test_asof_strict_gt(spark):
+    # ">" = latest right with l.t > r.t: the equal key is excluded
     left = spark.createDataFrame([(1, 10)], ["g", "t"])
     right = spark.createDataFrame([(1, 10, "eq"), (1, 7, "lt")], ["g", "t", "v"])
-    out = jn.left_join_asof(left, right, "t", by="g", asof_op="<")
+    out = jn.left_join_asof(left, right, "t", by="g", asof_op=">")
     assert out.collect()[0]["v"] == "lt"  # equal key excluded, falls back
 
 
@@ -133,10 +136,68 @@ def test_asof_forward_and_nearest(spark):
     left = spark.createDataFrame([(1, 5)], ["g", "t"])
     right = spark.createDataFrame([(1, 3, "past"), (1, 6, "soon"), (1, 20, "far")],
                                   ["g", "t", "v"])
-    fwd = jn.left_join_asof(left, right, "t", by="g", asof_op=">=")
-    assert fwd.collect()[0]["v"] == "soon"
+    fwd = jn.left_join_asof(left, right, "t", by="g", asof_op="<=")
+    assert fwd.collect()[0]["v"] == "soon"  # earliest right with 5 <= r.t
     near = jn.left_join_asof(left, right, "t", by="g", asof_op="nearest")
     assert near.collect()[0]["v"] == "soon"  # |6-5| < |5-3|
+    # exact-distance tie -> FORWARD row (reference abs-diff law)
+    tie = spark.createDataFrame([(1, 5)], ["g", "t"])
+    tr = spark.createDataFrame([(1, 3, "prev"), (1, 7, "next")], ["g", "t", "v"])
+    assert jn.left_join_asof(tie, tr, "t", by="g",
+                             asof_op="nearest").collect()[0]["v"] == "next"
+
+
+def test_asof_reference_vectors(spark):
+    """Reference join_test.clj:191-258 (asof-lt / asof-gt / asof-nearest):
+    the exact right.a vectors for every asof-op over a=0..9 against
+    shifted right tables, pinned value-for-value, plus the DateType
+    variant of asof-lt (packed local-date axis, join_test.clj:205-226)."""
+    import datetime as dt
+
+    def mk(vals):
+        return spark.createDataFrame([(1, int(v)) for v in vals], ["g", "a"])
+
+    a = mk(range(10))
+    b = mk([2 * i for i in range(10)])
+    bm = mk([2 * i - 5 for i in range(10)])
+    bmm = mk([2 * i - 14 for i in range(10)])
+    b3 = mk([3 * i for i in range(10)])
+    b3m = mk([3 * i - 5 for i in range(10)])
+    b3mm = mk([3 * i - 20 for i in range(10)])
+
+    def got(right, op):
+        rows = jn.left_join_asof(a, right, "a", by="g", asof_op=op) \
+                 .orderBy("a").collect()
+        return [r["right.a"] for r in rows]
+
+    # asof-lt (join_test.clj:191-203)
+    assert got(b, "<") == [2, 2, 4, 4, 6, 6, 8, 8, 10, 10]
+    assert got(b, "<=") == [0, 2, 2, 4, 4, 6, 6, 8, 8, 10]
+    assert got(bm, "<") == [1, 3, 3, 5, 5, 7, 7, 9, 9, 11]
+    assert got(bmm, "<") == [2, 2, 4, 4] + [None] * 6
+    # asof-gt (join_test.clj:228-241)
+    assert got(b, ">") == [None, 0, 0, 2, 2, 4, 4, 6, 6, 8]
+    assert got(b, ">=") == [0, 0, 2, 2, 4, 4, 6, 6, 8, 8]
+    assert got(bm, ">") == [-1, -1, 1, 1, 3, 3, 5, 5, 7, 7]
+    assert got(bmm, ">") == [-2, 0, 0, 2, 2, 4, 4, 4, 4, 4]
+    # asof-nearest (join_test.clj:243-257)
+    assert got(b3, "nearest") == [0, 0, 3, 3, 3, 6, 6, 6, 9, 9]
+    assert got(b3m, "nearest") == [1, 1, 1, 4, 4, 4, 7, 7, 7, 10]
+    assert got(b3mm, "nearest") == [1, 1, 1, 4, 4, 4, 7, 7, 7, 7]
+
+    # DateType axis variant of asof-lt (join_test.clj:205-226)
+    base = dt.date(2024, 3, 1)
+
+    def mkd(vals):
+        return spark.createDataFrame(
+            [(1, base + dt.timedelta(days=int(v))) for v in vals],
+            "g int, a date")
+
+    da, db = mkd(range(10)), mkd([2 * i for i in range(10)])
+    rows = jn.left_join_asof(da, db, "a", by="g", asof_op="<") \
+             .orderBy("a").collect()
+    assert [r["right.a"] for r in rows] == \
+        [base + dt.timedelta(days=d) for d in [2, 2, 4, 4, 6, 6, 8, 8, 10, 10]]
 
 
 def test_asof_match_with_null_value_column_stays_one_row(spark):
@@ -147,11 +208,11 @@ def test_asof_match_with_null_value_column_stays_one_row(spark):
     right = spark.createDataFrame(
         [(1, 5, "x", 1.0), (1, 9, None, 2.0)],
         "g int, t int, v string, w double")
-    r = jn.left_join_asof(left, right, "t", by="g", asof_op="<=").collect()[0]
+    r = jn.left_join_asof(left, right, "t", by="g", asof_op=">=").collect()[0]
     assert r["w"] == 2.0 and r["right.t"] == 9
     assert r["v"] is None          # NOT 'x' leaked from the t=5 row
-    # strict-forward: no matching right row at all -> all-null match
-    r2 = jn.left_join_asof(left, right, "t", by="g", asof_op=">").collect()[0]
+    # strict-forward ("<" = l.t < r.t): no matching right row -> all-null
+    r2 = jn.left_join_asof(left, right, "t", by="g", asof_op="<").collect()[0]
     assert r2["v"] is None and r2["w"] is None and r2["right.t"] is None
 
 
