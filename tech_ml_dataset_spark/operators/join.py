@@ -87,9 +87,23 @@ def join(left: DataFrame, right: DataFrame, on, how: str = "inner", *,
         cond = clause if cond is None else (cond & clause)
     out = left.join(r, cond, how)
     if same_names and how not in ("left_semi", "left_anti"):
-        # drop the duplicate right key columns, keep left's
-        for _, rk in keys:
-            out = out.drop(right[rk])
+        # merge the duplicate key columns into one, like the name-based
+        # path. For outer/right joins the key must COALESCE across sides —
+        # simply dropping the right key (the pre-r4 shape) blanked the key
+        # of right-only rows. coalesce keeps the matched-NULL case right
+        # under null_equal (both sides NULL -> NULL).
+        keeps_right_rows = how in ("outer", "full", "fullouter",
+                                   "full_outer", "right", "rightouter",
+                                   "right_outer")
+        lk_to_rk = dict(keys)
+        rkeys_set = {rk for _, rk in keys}
+        # backticks: suffixed right columns ("right.b") contain dots that
+        # plain Column resolution would parse as struct paths
+        proj = [F.coalesce(left[f"`{c}`"], right[f"`{lk_to_rk[c]}`"]).alias(c)
+                if (c in lk_to_rk and keeps_right_rows) else left[f"`{c}`"]
+                for c in left.columns]
+        proj += [right[f"`{c}`"] for c in right.columns if c not in rkeys_set]
+        out = out.select(*proj)
     return out
 
 

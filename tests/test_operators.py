@@ -46,6 +46,43 @@ def test_join_null_equal_matches_reference(spark):
     assert jn.inner_join(a, b, "k", null_equal=True).count() == 2
 
 
+def test_join_null_equal_left_join_issue_377(spark):
+    """Reference join_test.clj:355-361 (issue-377): left-join groups nil
+    keys — left a=[nil,2] against right a=[nil,4] yields right.b=[6,nil]."""
+    a = spark.createDataFrame([(None, 3), (2, 4)], "a int, b int")
+    b = spark.createDataFrame([(None, 6), (4, 7)], "a int, b int")
+    out = jn.left_join(a, b, "a", null_equal=True)
+    got = {r["b"]: r["right.b"] for r in out.collect()}
+    assert got == {3: 6, 4: None}
+
+
+def test_join_null_equal_outer_keeps_right_only_keys(spark):
+    """r4 regression: the cond-based join path used to DROP the right key
+    column after an outer/right join, blanking the key of right-only rows
+    — the merged key must coalesce across sides (matched-NULL rows keep
+    NULL)."""
+    a = spark.createDataFrame([(None, "x"), (1, "y")], "k int, av string")
+    b = spark.createDataFrame([(None, 9), (2, 8)], "k int, bv int")
+    out = jn.join(a, b, "k", "outer", null_equal=True)
+    assert out.columns == ["k", "av", "bv"]
+    got = {(r["k"], r["av"], r["bv"]) for r in out.collect()}
+    assert got == {(None, "x", 9), (1, "y", None), (2, None, 8)}
+    r = jn.join(a, b, "k", "right", null_equal=True)
+    assert {(x["k"], x["bv"]) for x in r.collect()} == {(None, 9), (2, 8)}
+
+
+def test_join_cross_width_int_keys(spark):
+    """Reference join_test.clj:296-306 (eraderna) + :364-376 (short-types):
+    join keys of different int widths widen before matching (reference
+    casting/widest-datatype, join.clj:209; Spark inserts the implicit
+    cast)."""
+    a = spark.createDataFrame([(2022,)], "y smallint")
+    b = spark.createDataFrame([(2022, "s22"), (2023, "s23")],
+                              "y bigint, s string")
+    out = jn.left_join(a, b, "y").collect()
+    assert len(out) == 1 and out[0]["s"] == "s22"
+
+
 def test_join_clashing_columns_get_right_prefix(spark):
     a = spark.createDataFrame([(1, "a")], ["k", "v"])
     b = spark.createDataFrame([(1, "b")], ["k", "v"])
