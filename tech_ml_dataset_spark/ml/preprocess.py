@@ -29,22 +29,43 @@ def fit_categorical_map(df: DataFrame, colname: str, *,
     """``fit-categorical-map`` (categorical.clj:80): value -> int code.
     Deterministic: codes assigned by sorted value order (the reference
     assigns by first-seen order, which is scan-order-dependent — sorted is
-    the distributed-stable choice). Explicit ``table`` pins codes.
+    the distributed-stable choice).
+
+    ``table`` pins codes and may be PARTIAL (reference table-args law,
+    categorical_test.clj:57-67): values present in the data but absent
+    from the table are assigned the smallest unused non-negative codes —
+    in sorted order, per the determinism convention above. Values pinned
+    in the table but absent from the data keep their codes (reference
+    :not-present case). Two values pinned to the SAME code raise — the
+    reference silently reassigns the later one, which swallows typos.
 
     The fit collects the DISTINCT domain to the driver (inherent to a code
     table; the reference holds it in memory too). ``max_categories`` makes
     an accidental fit on a high-cardinality key fail loudly instead of
     OOMing the driver — raise it deliberately for big vocabularies."""
-    if table is None:
-        vals = [r[0] for r in df.select(colname).distinct()
-                                .limit(max_categories + 1).collect()]
-        if len(vals) > max_categories:
-            raise ValueError(
-                f"fit_categorical_map({colname!r}): more than "
-                f"{max_categories} distinct values — this column looks like "
-                "a key, not a category; raise max_categories to override")
-        table = {v: i for i, v in enumerate(sorted(v for v in vals if v is not None))}
-    return {"column": colname, "table": dict(table)}
+    codes = list((table or {}).values())
+    if len(set(codes)) != len(codes):
+        raise ValueError(
+            f"fit_categorical_map({colname!r}): duplicate codes in table "
+            f"{table!r} — each value needs a distinct code")
+    vals = [r[0] for r in df.select(colname).distinct()
+                            .limit(max_categories + 1).collect()]
+    if len(vals) > max_categories:
+        raise ValueError(
+            f"fit_categorical_map({colname!r}): more than "
+            f"{max_categories} distinct values — this column looks like "
+            "a key, not a category; raise max_categories to override")
+    table = dict(table) if table else {}
+    used = set(table.values())
+    nxt = 0
+    for v in sorted(v for v in vals if v is not None):
+        if v in table:
+            continue
+        while nxt in used:
+            nxt += 1
+        table[v] = nxt
+        used.add(nxt)
+    return {"column": colname, "table": table}
 
 
 def transform_categorical_map(df: DataFrame, fitted: dict) -> DataFrame:

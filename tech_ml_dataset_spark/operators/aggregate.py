@@ -118,10 +118,17 @@ def group_by_column_agg(
     one output column per reducer. ``key`` may be a single column name or a
     list (composite key, reductions.clj supports tuple keys).
 
+    ``df`` may also be a SEQUENCE of DataFrames — the reference's
+    multi-dataset contract (reductions_test.clj:25-51 aggregates
+    ``[stocks stocks stocks]`` as one logical table): they are
+    concatenated with dtype widening before the aggregation, one fused
+    plan, no per-dataset pass.
+
     ``index_filter`` is the reference's pre-aggregation row filter
     (reductions.clj:450-455); expressed as ``.filter`` so Catalyst fuses it
     into the scan (predicate pushdown) instead of materializing indexes.
     """
+    df = _concat_if_many(df)
     if index_filter is not None:
         df = df.filter(index_filter)
     keys = [key] if isinstance(key, str) else list(key)
@@ -129,10 +136,24 @@ def group_by_column_agg(
     return df.groupBy(*keys).agg(*exprs)
 
 
+def _concat_if_many(df) -> DataFrame:
+    """Accept DataFrame | sequence-of-DataFrames (reference reducers take
+    either one dataset or a seq; reductions.clj:517,593)."""
+    if isinstance(df, DataFrame):
+        return df
+    from .setops import concat
+    dfs = list(df)
+    if not dfs:
+        raise ValueError("expected at least one DataFrame")
+    return concat(*dfs)
+
+
 def aggregate(df: DataFrame, aggs: Mapping[str, object]) -> DataFrame:
-    """Whole-table aggregation -> single-row DataFrame (reductions.clj:593)."""
+    """Whole-table aggregation -> single-row DataFrame (reductions.clj:593).
+    Like :func:`group_by_column_agg`, ``df`` may be a sequence of
+    DataFrames (concatenated with widening)."""
     exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
-    return df.agg(*exprs)
+    return _concat_if_many(df).agg(*exprs)
 
 
 def rollup_agg(df: DataFrame, keys, aggs: Mapping[str, object]) -> DataFrame:

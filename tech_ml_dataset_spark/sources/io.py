@@ -111,6 +111,8 @@ def to_dataset(
     num_rows: int | None = None,
     key_fn=None,
     bad_row_policy: str | None = None,
+    n_initial_skip_rows: int = 0,
+    ragged: bool = False,
     **options,
 ) -> DataFrame:
     """``->dataset``: build a DataFrame from a path, list-of-dicts, or
@@ -126,6 +128,22 @@ def to_dataset(
     (io/csv parsing, parse_test.clj:286-299): ``"skip"`` drops malformed
     rows (DROPMALFORMED), ``"error"`` fails the read (FAILFAST),
     ``"keep"``/None nulls unparseable fields (PERMISSIVE — Spark default).
+
+    ``n_initial_skip_rows`` mirrors the reference ``:n-initial-skip-rows``
+    (parse_test.clj:487-490): drop the first N physical lines BEFORE the
+    header/parse. Spark csv has no native skip, so the file is read as
+    text, the prefix dropped in file order, and the remaining lines
+    csv-parsed — still distributed; with multiple input files the skip
+    applies once in overall file order (the reference reads single files).
+
+    ``ragged=True`` mirrors the reference's ragged-row parse
+    (parse_test.clj:337-349): the table widens to the LONGEST row (Spark's
+    native reader sizes columns from the first row and silently DROPS
+    extra trailing fields). Costs one extra text pass to find the width;
+    rows are padded with trailing separators then parsed normally, so
+    short rows null-fill and type inference still runs per column.
+    Assumes the separator does not occur inside quoted fields (the
+    reference fixture is unquoted; use the native reader for quoted csv).
     """
     if isinstance(data, str):
         fmt, opts = (file_type, {}) if file_type else sniff_format(data)
@@ -133,12 +151,46 @@ def to_dataset(
         if bad_row_policy is not None:
             opts["mode"] = {"skip": "DROPMALFORMED", "error": "FAILFAST",
                             "keep": "PERMISSIVE"}[bad_row_policy]
-        reader = spark.read.format(fmt).options(**opts)
-        if schema is not None:
-            reader = reader.schema(schema)
-            if fmt == "csv":
-                reader = reader.option("inferSchema", "false")
-        df = reader.load(data)
+        if (n_initial_skip_rows or ragged) and fmt != "csv":
+            raise ValueError("n_initial_skip_rows/ragged are csv-only options")
+        if n_initial_skip_rows or ragged:
+            import re as _re
+
+            from pyspark.sql import functions as F
+            sep = str(opts.get("sep", opts.get("delimiter", ",")))
+            sep_re = _re.escape(sep)
+            lines = spark.read.text(data)
+            if n_initial_skip_rows:
+                # mono ids are monotone with file order but NOT contiguous:
+                # find the N-th smallest id (tiny TakeOrdered collect) and
+                # filter past it — no single-partition window
+                lines = lines.withColumn(
+                    "__ln__", F.monotonically_increasing_id())
+                head = [r[0] for r in lines.select("__ln__").orderBy("__ln__")
+                        .limit(n_initial_skip_rows).collect()]
+                if head:
+                    lines = lines.filter(F.col("__ln__") > head[-1])
+                lines = lines.drop("__ln__")
+            if ragged:
+                n_fields = F.size(F.split(F.col("value"), sep_re, -1))
+                width = lines.agg(F.max(n_fields)).collect()[0][0] or 0
+                lines = lines.select(F.concat(
+                    F.col("value"),
+                    F.repeat(F.lit(sep), F.lit(width) - n_fields)
+                ).alias("value"))
+            reader = spark.read.options(**opts)
+            if schema is not None:
+                reader = reader.schema(schema).option("inferSchema", "false")
+            df = reader.csv(lines.rdd.map(lambda r: r[0]))
+            if ragged and not opts.get("header"):
+                df = df.toDF(*[f"column-{i}" for i in range(len(df.columns))])
+        else:
+            reader = spark.read.format(fmt).options(**opts)
+            if schema is not None:
+                reader = reader.schema(schema)
+                if fmt == "csv":
+                    reader = reader.option("inferSchema", "false")
+            df = reader.load(data)
     elif isinstance(data, DataFrame):
         df = data
     elif isinstance(data, Mapping):

@@ -74,3 +74,36 @@ def test_na_tokens(spark, tmp_path):
     got = {(r["x"], r["y"]) for r in df.collect()}
     assert got == {(1, "alpha"), (None, "beta"), (3, None)}
     assert dict(df.dtypes)["x"] in ("int", "bigint")  # NA didn't break the rung
+
+
+def test_ragged_csv_widens_to_longest_row(spark, tmp_path):
+    """Reference parse_test.clj:337-349 (parse-ragged): a headerless csv
+    with varying field counts widens to the LONGEST row — Spark's native
+    reader sizes from the first row and silently drops the extra fields,
+    so ragged=True runs the pad-and-parse path. Columns are named
+    column-i; short rows null-fill; inference still runs per column."""
+    p = _write(tmp_path, "ragged.csv", "1,2,3\n4,5,6,7,8\n9\n10,11\n")
+    df = to_dataset(spark, p, header=False, inferSchema=True, ragged=True)
+    assert df.columns == [f"column-{i}" for i in range(5)]
+    assert all(t in ("int", "bigint") for t in dict(df.dtypes).values())
+    rows = sorted(tuple(r) for r in df.collect())
+    assert (4, 5, 6, 7, 8) in rows
+    assert (9, None, None, None, None) in rows
+
+
+def test_n_initial_skip_rows(spark, tmp_path):
+    """Reference parse_test.clj:487-490 (issue-304 :n-initial-skip-rows):
+    the first N physical lines are dropped BEFORE the header row."""
+    p = _write(tmp_path, "skip.csv",
+               "garbage line 1\n# another\na,b\n1,2\n3,4\n")
+    df = to_dataset(spark, p, header=True, inferSchema=True,
+                    n_initial_skip_rows=2)
+    assert df.columns == ["a", "b"]
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 2), (3, 4)]
+
+
+def test_skip_and_ragged_are_csv_only(spark, tmp_path):
+    import pytest as _pt
+    p = _write(tmp_path, "x.json", '{"a": 1}\n')
+    with _pt.raises(ValueError, match="csv-only"):
+        to_dataset(spark, p, n_initial_skip_rows=1)

@@ -84,6 +84,28 @@ def test_to_dataset_mapseq_and_colmap(spark):
     assert ds2.count() == 3 and set(ds2.columns) == {"a", "b"}
 
 
+def test_to_dataset_object_columns_and_date_missing(spark):
+    """Reference object-column + datetime-missing ingest laws
+    (object_columns_test.clj:9-29, mapseq_test.clj:200-222): nested maps
+    become map columns (ragged -> NULL, the :persistent-map analog),
+    nested sequences become array columns (the :tensor analog), and a
+    :local-date parser-fn keeps nils as missing while parsing extreme
+    dates (year 1)."""
+    import datetime as dt
+    ds = sio.to_dataset(spark, [{"a": 1, "b": {"x": 1, "y": 2}}, {"a": 2}])
+    assert dict(ds.dtypes)["b"] == "map<string,bigint>"
+    got = {r["a"]: r["b"] for r in ds.collect()}
+    assert got[1] == {"x": 1, "y": 2} and got[2] is None
+    ds2 = sio.to_dataset(spark, [{"a": [[0, 1], [2, 3]], "b": "hello"}])
+    assert dict(ds2.dtypes)["a"] == "array<array<bigint>>"
+    ds3 = sio.to_dataset(
+        spark, [{"d": "1971-01-01"}, {"d": None}, {"d": "0001-01-01"}],
+        parser_fn={"d": "date"})
+    assert dict(ds3.dtypes)["d"] == "date"
+    assert ds3.filter("d is null").count() == 1
+    assert min(r["d"] for r in ds3.collect() if r["d"]) == dt.date(1, 1, 1)
+
+
 def test_to_dataset_csv_roundtrip(spark, tmp_path):
     p = str(tmp_path / "t.csv")
     sio.write(sio.to_dataset(spark, {"a": [1, 2], "b": ["x", "y"]}), p, file_type="csv")

@@ -504,6 +504,21 @@ def test_aggregate_whole_table(spark):
     assert r["s"] == 6.0 and r["q"] == 2.0
 
 
+def test_group_by_column_agg_multi_dataset(spark):
+    """Reference reductions_test.clj:25-51: group-by-column-agg over a
+    SEQUENCE of datasets aggregates their concatenation — n/sum triple,
+    mean unchanged when the same table is passed three times."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double")
+    out = agg.group_by_column_agg([df, df, df], "k", {
+        "n": ("row-count", None), "s": ("sum", "v"), "m": ("mean", "v")})
+    got = {r["k"]: r for r in out.collect()}
+    assert got["a"]["n"] == 6 and got["a"]["s"] == 12.0 and got["a"]["m"] == 2.0
+    assert got["b"]["n"] == 3 and got["b"]["s"] == 15.0
+    whole = agg.aggregate([df, df], {"n": ("row-count", None)}).collect()[0]
+    assert whole["n"] == 6
+
+
 def test_descriptive_stats(spark):
     df = spark.createDataFrame([(1.0, "x"), (None, "y"), (3.0, None)], "v double, s string")
     stats = {r["col-name"]: r for r in agg.descriptive_stats(df).collect()}

@@ -110,6 +110,25 @@ def test_categorical_roundtrip(spark):
     assert sorted(r["k"] for r in dec.collect()) == ["a", "a", "b", "c"]
 
 
+def test_categorical_partial_table_pins_and_fills(spark):
+    """Reference table-args law (categorical_test.clj:57-67): a PARTIAL
+    table pins codes; data values not in the table get the smallest
+    unused non-negative codes (in sorted order — our determinism
+    convention, vs the reference's unstable seen-order); table entries
+    absent from the data keep their codes (:not-present case); duplicate
+    codes raise instead of silently reassigning."""
+    df = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "y string")
+    t = mlp.fit_categorical_map(df, "y", table={"a": 5, "b": 2})["table"]
+    assert t == {"a": 5, "b": 2, "c": 0, "d": 1}
+    t = mlp.fit_categorical_map(df, "y", table={"a": 5, "b": 0})["table"]
+    assert t == {"a": 5, "b": 0, "c": 1, "d": 2}
+    t = mlp.fit_categorical_map(df, "y", table={"not-present": 1})["table"]
+    assert t == {"not-present": 1, "a": 0, "b": 2, "c": 3, "d": 4}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="duplicate codes"):
+        mlp.fit_categorical_map(df, "y", table={"a": 1, "b": 1})
+
+
 def test_one_hot(spark):
     df = spark.createDataFrame([("a",), ("b",)], "k string")
     out = mlp.transform_one_hot(df, mlp.fit_one_hot(df, "k"))
