@@ -128,7 +128,7 @@ class Dataset:
     def select_missing(self, columns=None):
         return self._wrap(_missing.select_missing(self.df, columns))
 
-    def replace_missing(self, columns, strategy="value", value=None, **kw):
+    def replace_missing(self, columns=None, strategy="mid", value=None, **kw):
         return self._wrap(_missing.replace_missing(self.df, columns, strategy, value, **kw))
 
     # ---- aggregation -------------------------------------------------------

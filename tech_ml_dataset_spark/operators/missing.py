@@ -56,7 +56,8 @@ def select_missing(df: DataFrame, columns: Iterable[str] | None = None) -> DataF
     return df.filter(cond)
 
 
-def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str = "value",
+def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
+                    strategy: str = "mid",
                     value=None, *, order_by: str | None = None,
                     by: str | Sequence[str] | None = None,
                     seed: int = 42, abb_sample_size: int = 4096) -> DataFrame:
@@ -67,9 +68,18 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
     :up       -> backward fill  = first non-null over following frame
     :downup   -> :down then :up (leading nulls get first valid)
     :updown   -> :up then :down
-    :nearest  -> closer of prev/next non-null by ``order_by`` distance
-    :midpoint -> (prev + next)/2
+    :nearest  -> closer of prev/next non-null by ``order_by`` distance;
+                 exact ties go to PREV (reference positional law,
+                 missing.clj:193-205 — first half of a gap copies the
+                 left value; pinned by dataset_test.clj:1068-1104).
+                 :mid is an alias (missing.clj:255) and the reference
+                 DEFAULT strategy.
+    :midpoint -> (prev + next)/2 — numeric/datetime columns only; other
+                 dtypes fall back to :down (missing.clj:215-219 — the
+                 reference downgrades :lerp/:midpoint on non-numeric
+                 columns; pinned by regression-184's string columns)
     :lerp     -> linear interpolation between prev/next by axis position
+                 (same non-numeric :down fallback)
     :mean/:min/:max -> fill with that column statistic (computed once,
                  joined back as a literal via cross-join of 1-row agg)
     :abb      -> approximate bayesian bootstrap (missing.clj ``:abb``): each
@@ -78,11 +88,23 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
                  ``abb_sample_size`` and broadcast as a literal array —
                  at 100 TB the donor sample is the only collected state
 
+    For :down/:up/:downup/:updown a non-None ``value`` fills whatever the
+    directional pass leaves missing (the reference's two-arg form,
+    replace-missing-test: ``(replace-missing ds :all :down 555)``).
+
+    ``columns=None`` means every column (the reference ``:all`` default).
     ``order_by`` names the axis column for ordered strategies (defaults to a
     scan-order index — fine for freshly-read data, see selection.py).
     ``by`` partitions the fill (per-series), keeping windows parallel.
     """
-    cols = [columns] if isinstance(columns, str) else list(columns)
+    if columns is None:
+        skip = set(([order_by] if isinstance(order_by, str) else list(order_by or []))
+                   + ([by] if isinstance(by, str) else list(by or [])))
+        cols = [c for c in df.columns if c not in skip]
+    else:
+        cols = [columns] if isinstance(columns, str) else list(columns)
+    if strategy == "mid":
+        strategy = "nearest"
 
     if strategy == "value":
         if isinstance(value, dict):
@@ -146,33 +168,46 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
         next_x = F.first(F.when(F.col(c).isNotNull(), axis_num), ignorenulls=True).over(w_up)
         return prev_v, next_v, prev_x, next_x
 
+    _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
     out = df
     for c in cols:
+        # Per-column strategy downgrade (missing.clj:215-219): the
+        # value-arithmetic strategies only apply to numeric/datetime
+        # columns; everything else (strings, booleans, arrays...) falls
+        # back to :down — trying (prev+next)/2 on a string column would
+        # throw under ANSI and silently null under non-ANSI.
+        dt = dtypes.get(c, "")
+        col_strategy = strategy
+        if strategy in ("midpoint", "lerp") and not (
+                dt in _NUMERIC or dt.startswith("decimal")
+                or is_temporal(dt)):
+            col_strategy = "down"
         # Datetime fill columns (reference dataset_test.clj:899-908
         # replace-missing-ldt): :midpoint/:lerp interpolate LINEARLY IN
         # EPOCH TIME — value arithmetic runs in epoch-micros space and the
         # fill converts back to the column's temporal type. Pick-a-value
         # strategies (:down/:up/:nearest/...) never do value arithmetic,
         # so they use the raw column for any dtype.
-        temporal_arith = (strategy in ("midpoint", "lerp")
-                          and is_temporal(dtypes.get(c, "")))
+        temporal_arith = (col_strategy in ("midpoint", "lerp")
+                          and is_temporal(dt))
         val = epoch_micros(c).cast("double") if temporal_arith else F.col(c)
         prev_v, next_v, prev_x, next_x = prev_next(c, val)
         cur = F.col(c)
-        if strategy == "down":
+        if col_strategy == "down":
             fill = prev_v
-        elif strategy == "up":
+        elif col_strategy == "up":
             fill = next_v
-        elif strategy == "downup":
+        elif col_strategy == "downup":
             fill = F.coalesce(prev_v, next_v)
-        elif strategy == "updown":
+        elif col_strategy == "updown":
             fill = F.coalesce(next_v, prev_v)
-        elif strategy == "nearest":
+        elif col_strategy == "nearest":
             fill = F.when(prev_v.isNull(), next_v).when(next_v.isNull(), prev_v) \
                     .when((axis_num - prev_x) <= (next_x - axis_num), prev_v).otherwise(next_v)
-        elif strategy == "midpoint":
+        elif col_strategy == "midpoint":
             fill = F.coalesce((prev_v + next_v) / 2.0, prev_v, next_v)
-        elif strategy == "lerp":
+        elif col_strategy == "lerp":
             # guard the degenerate prev_x == next_x case (axis ties straddling
             # the gap): 0/0 would be NaN; fall through to prev_v instead
             frac = F.when(next_x != prev_x, (axis_num - prev_x) / (next_x - prev_x))
@@ -182,4 +217,8 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str], strategy: str =
         if temporal_arith:
             fill = from_epoch_micros(F.round(fill), dtypes[c])
         out = out.withColumn(c, F.when(cur.isNull(), fill).otherwise(cur))
+    if value is not None and strategy in ("down", "up", "downup", "updown"):
+        # the reference's two-arg direction form: residual missing (a fully
+        # empty lead/tail) takes the provided value
+        out = out.na.fill(value, subset=cols)
     return out.drop(IDX_COL) if drop_idx else out

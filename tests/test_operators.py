@@ -370,6 +370,56 @@ def test_replace_missing_lerp_midpoint_nearest(spark):
     assert near[2] == 10.0 and near[3] == 40.0
 
 
+def test_replace_missing_regression_184_reference_vectors(spark):
+    """Reference dataset_test.clj:1068-1104 (replace-missing-regression-184)
+    pinned value-for-value: :midpoint averages numeric/date columns (dates
+    in epoch space), DOWNGRADES to :down on string columns; :nearest (and
+    its :mid alias, the default strategy) copies values positionally with
+    ties to prev and preserves the integer dtype."""
+    import datetime as dt
+    d0 = dt.date(2020, 12, 11)
+    rows = [(i, a, b, c, d,
+             (d0 + dt.timedelta(days=10 * i)) if e else None)
+            for i, (a, b, c, d, e) in enumerate([
+                (None, 3.0, None, "A", 0), (2, None, "A", None, 1),
+                (None, None, None, None, 0), (None, 6.0, None, "B", 0),
+                (4, None, "B", None, 1), (None, 9.0, None, "C", 0),
+                (6, None, "C", None, 1), (None, 12.0, None, "D", 0)])]
+    df = spark.createDataFrame(
+        rows, "i int, a int, b double, c string, d string, e date")
+    mp = {r["i"]: r for r in
+          ms.replace_missing(df, ["a", "b", "c", "d", "e"], "midpoint",
+                             order_by="i").collect()}
+    assert [mp[i]["a"] for i in range(8)] == \
+        [2.0, 2.0, 3.0, 3.0, 4.0, 5.0, 6.0, 6.0]
+    assert [mp[i]["b"] for i in range(8)] == \
+        [3.0, 4.5, 4.5, 6.0, 7.5, 9.0, 10.5, 12.0]
+    assert [mp[i]["c"] for i in range(8)] == \
+        [None, "A", "A", "A", "B", "B", "C", "C"]     # string -> :down
+    assert [mp[i]["d"] for i in range(8)] == \
+        ["A", "A", "A", "B", "B", "C", "C", "D"]
+    assert [str(mp[i]["e"]) for i in range(8)] == \
+        ["2020-12-21", "2020-12-21", "2021-01-05", "2021-01-05",
+         "2021-01-20", "2021-01-30", "2021-02-09", "2021-02-09"]
+    # second block: :nearest == :mid (the default), ints stay ints
+    rows2 = [(i, v) for i, v in enumerate(
+        [None, 2, None, None, None, 4, None, 6, None])]
+    df2 = spark.createDataFrame(rows2, "i int, a int")
+    for strat in ("nearest", "mid"):
+        got = [r["a"] for r in ms.replace_missing(
+            df2, "a", strat, order_by="i").orderBy("i").collect()]
+        assert got == [2, 2, 2, 2, 4, 4, 4, 6, 6]
+    # default-arg form: all columns, :mid
+    got = [r["a"] for r in ms.replace_missing(
+        df2, order_by="i").orderBy("i").collect()]
+    assert got == [2, 2, 2, 2, 4, 4, 4, 6, 6]
+    # two-arg direction form: residual lead/tail nulls take the value
+    df3 = spark.createDataFrame([(0, None), (1, 1.0)], "i int, v double")
+    got = {r["i"]: r["v"] for r in ms.replace_missing(
+        df3, "v", "down", value=555.0, order_by="i").collect()}
+    assert got == {0: 555.0, 1: 1.0}
+
+
 def test_replace_missing_value_and_mean(spark):
     df = _mdf(spark)
     val = ms.replace_missing(df, "v", "value", value=-1.0)
