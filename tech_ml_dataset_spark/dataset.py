@@ -115,6 +115,9 @@ class Dataset:
     def drop_rows(self, indexes, order_by=None):
         return self._wrap(_sel.drop_rows(self.df, indexes, order_by=order_by))
 
+    def select_columns_by_index(self, indexes):
+        return self._wrap(_sel.select_columns_by_index(self.df, indexes))
+
     def min_n_by_column(self, colname, n, desc=False):
         return self._wrap(_sel.min_n_by_column(self.df, colname, n, desc=desc))
 

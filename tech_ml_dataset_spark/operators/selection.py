@@ -270,21 +270,44 @@ def take_nth(df: DataFrame, n: int, order_by=None) -> DataFrame:
     return idx.filter(F.col(name) % n == 0).drop(name)
 
 
+def _resolve_row_indexes(df: DataFrame, indexes) -> list[int]:
+    """Normalize an index collection, resolving NEGATIVE indices from the
+    end (reference select-by-index law, dataset_test.clj:643-691:
+    ``(select-rows ds -4)`` is the 4th row from the end). Negatives cost
+    one count() action; plain non-negative lists stay action-free."""
+    idxs = [int(i) for i in ([indexes] if isinstance(indexes, int) else indexes)]
+    if any(i < 0 for i in idxs):
+        n = df.count()
+        idxs = [i + n if i < 0 else i for i in idxs]
+    return idxs
+
+
 def select_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
-    """``select-rows`` by index collection (base.clj:397). Positional
-    addressing requires a total order (see module docstring); the index
-    column is computed, semi-joined against the wanted set (broadcast —
-    index lists are small), and dropped."""
+    """``select-rows`` by index collection (base.clj:397; negative indices
+    count from the end). Positional addressing requires a total order
+    (see module docstring); the index column is computed, semi-joined
+    against the wanted set (broadcast — index lists are small), and
+    dropped."""
+    idxs = _resolve_row_indexes(df, indexes)
     idx, name = _indexed(df, order_by)
-    wanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [name])
+    wanted = df.sparkSession.createDataFrame([(i,) for i in idxs], [name])
     return idx.join(F.broadcast(wanted), name, "left_semi").drop(name)
 
 
 def drop_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
     """``drop-rows`` (base.clj:408): complement of select_rows (left_anti)."""
+    idxs = _resolve_row_indexes(df, indexes)
     idx, name = _indexed(df, order_by)
-    unwanted = df.sparkSession.createDataFrame([(int(i),) for i in indexes], [name])
+    unwanted = df.sparkSession.createDataFrame([(i,) for i in idxs], [name])
     return idx.join(F.broadcast(unwanted), name, "left_anti").drop(name)
+
+
+def select_columns_by_index(df: DataFrame, indexes) -> DataFrame:
+    """``select-columns-by-index`` (dataset_test.clj:677-683): positional
+    column selection, negative indices from the end. Pure projection."""
+    names = df.columns
+    idxs = [indexes] if isinstance(indexes, int) else list(indexes)
+    return df.select(*[names[i] for i in idxs])
 
 
 def reverse_rows(df: DataFrame, order_by=None) -> DataFrame:

@@ -505,6 +505,21 @@ def test_select_rows_and_drop_rows(spark):
     assert rows(out2) == [(0,)]
 
 
+def test_select_by_index_negative_and_columns(spark):
+    """Reference dataset_test.clj:643-691 (select-by-index): negative row
+    indices count from the end (-4 of 9 rows = row 5); bare-int arity;
+    select-columns-by-index incl. negatives."""
+    df = spark.createDataFrame(
+        [(i, 1 + i, float(i)) for i in range(9)], ["V1", "V2", "V3"])
+    assert rows(sel.select_rows(df, -4, order_by="V1"), "V1") == [(5, 6, 5.0)]
+    assert rows(sel.select_rows(df, [-4], order_by="V1"), "V1") == [(5, 6, 5.0)]
+    assert rows(sel.drop_rows(df, [-1], order_by="V1"), "V1") == \
+        [(i, 1 + i, float(i)) for i in range(8)]
+    assert sel.select_columns_by_index(df, 2).columns == ["V3"]
+    assert sel.select_columns_by_index(df, [-1]).columns == ["V3"]
+    assert sel.select_columns_by_index(df, [0, -2]).columns == ["V1", "V2"]
+
+
 def test_take_nth(spark):
     df = spark.createDataFrame([(i,) for i in range(10)], ["x"])
     out = sel.take_nth(df, 3, order_by="x")
