@@ -1878,10 +1878,11 @@ def ivf_topk_embeddings(spark, sf_dir):
     sampled-centroid path (ivf_centroids) stays covered by pytest recall
     tests."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    cents = [list(r["embedding"]) for r in
-             emb.filter(F.col("vec_id").between(1, 8))
-                .orderBy("vec_id").collect()]
+    # one collect serves query vec + all 8 centroids (id-pruned scan)
+    head = {r["vec_id"]: list(r["embedding"]) for r in
+            emb.filter(F.col("vec_id") <= 8)
+               .select("vec_id", "embedding").collect()}
+    qvec, cents = head[0], [head[i] for i in range(1, 9)]
     out = sim.ivf_topk(emb.filter(F.col("vec_id") != 0), "embedding",
                        qvec, 10, cents, n_probe=2)
     return out.select("vec_id", _r4(F.col("cos")).alias("cos"))

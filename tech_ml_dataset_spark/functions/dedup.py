@@ -47,13 +47,16 @@ def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
     'word' n-grams. Pure expression: substring over a generated index range."""
     norm = normalize_text(text)
     if mode == "word":
-        toks = F.split(norm, " ")
-        n = F.size(toks)
-        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-        return F.array_distinct(
-            F.filter(
-                F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
-                lambda s: F.length(s) > 0))
+        # k shifted slices folded with zip_with — O(k) array copies, not
+        # the O(n·k) per-index slice form (same rewrite as text.py
+        # _word_ngrams, measured 7.6x on the sf0.1 corpus in r4)
+        toks = F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
+        m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+        acc = F.slice(toks, 1, m)
+        for i in range(1, k):
+            acc = F.zip_with(acc, F.slice(toks, i + 1, m),
+                             lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.array_distinct(acc)
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
