@@ -417,7 +417,8 @@ def write_arrow_dataset(df: DataFrame, path: str) -> list[dict]:
 
 
 def read_excel(spark: SparkSession, path: str, *, sheet=0,
-               header: bool = True) -> DataFrame:
+               header: bool = True, n_initial_skip_rows: int = 0,
+               ensure_unique_column_names: bool = False) -> DataFrame:
     """Excel read (reference fastexcel.clj:139 / poi.clj:138).
 
     Like the reference — which shells out to POI/fastexcel — this delegates
@@ -427,10 +428,18 @@ def read_excel(spark: SparkSession, path: str, *, sheet=0,
     engines (openpyxl/xlrd) when installed; otherwise falls through to
     the vendored stdlib codecs — :mod:`.xlsx` for .xlsx and :mod:`.xls`
     (BIFF8/CFB, r4) for legacy binary .xls — so both formats ingest in a
-    bare environment."""
+    bare environment.
+
+    ``n_initial_skip_rows`` drops sheet rows before the header (reference
+    fastexcel_test.clj:54 skip-rows law — report files with banner rows).
+    A NULL header cell names its column ``column-<i>``. Duplicate header
+    names RAISE unless ``ensure_unique_column_names=True``, which
+    suffixes repeats with ``-<col index>`` (reference
+    ensure-unique-headers law, poi_test.clj:94/fastexcel_test.clj:73)."""
     import pandas as pd
     try:
         frame = pd.read_excel(path, sheet_name=sheet,
+                              skiprows=n_initial_skip_rows or None,
                               header=0 if header else None)
     except ImportError:
         if path.lower().endswith(".xls"):
@@ -442,13 +451,46 @@ def read_excel(spark: SparkSession, path: str, *, sheet=0,
         names = list(book)
         key = names[sheet] if isinstance(sheet, int) else sheet
         cols, rows = book[key]
+        if n_initial_skip_rows:
+            allrows = [cols] + rows
+            allrows = allrows[n_initial_skip_rows:]
+            cols = allrows[0] if allrows else []
+            rows = allrows[1:]
         if not header:
             rows = [cols] + rows  # codec split a header; put it back
             cols = [f"column-{i}" for i in range(len(cols))]
-        frame = pd.DataFrame(rows, columns=cols)
+        else:
+            cols = [c if c is not None else f"column-{i}"
+                    for i, c in enumerate(cols)]
+        frame = pd.DataFrame(rows, columns=_unique_headers(
+            [str(c) for c in cols], ensure_unique_column_names))
     if not header and frame.columns.dtype != object:
         frame.columns = [f"column-{i}" for i in range(len(frame.columns))]
+    else:
+        frame.columns = _unique_headers(
+            [str(c) for c in frame.columns], ensure_unique_column_names)
     return spark.createDataFrame(frame)
+
+
+def _unique_headers(cols: list, allow_fix: bool) -> list:
+    """Reference ensure-unique-headers law: duplicate header names raise
+    unless the caller opts into suffixing (``<name>-<column index>``)."""
+    if len(set(cols)) == len(cols):
+        return cols
+    if not allow_fix:
+        raise ValueError(
+            f"duplicate column names in header: "
+            f"{sorted(c for c in set(cols) if cols.count(c) > 1)} — pass "
+            f"ensure_unique_column_names=True to suffix them")
+    seen: dict = {}
+    out = []
+    for i, c in enumerate(cols):
+        if c in seen:
+            out.append(f"{c}-{i}")
+        else:
+            seen[c] = i
+            out.append(c)
+    return out
 
 
 def write_excel(df: DataFrame, path: str, *, sheet_name: str = "Sheet1",

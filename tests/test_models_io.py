@@ -307,6 +307,27 @@ def test_xls_roundtrip(spark, tmp_path):
     assert back[1]["s"] is None
 
 
+def test_excel_skip_rows_and_unique_headers(spark, tmp_path):
+    """Reference fastexcel_test.clj:54 (:n-initial-skip-rows before the
+    header) and poi_test.clj:94 (duplicate headers raise unless
+    ensure-unique-column-names suffixes them)."""
+    import pytest as _pt
+    from tech_ml_dataset_spark.sources import io as tio, xlsx as _x
+    p = str(tmp_path / "banner.xlsx")
+    _x.write_workbook(p, {"S": (["report", ""],
+                                [("generated", "today"),
+                                 ("a", "b"), (1, 2), (3, 4)])})
+    df = tio.read_excel(spark, p, n_initial_skip_rows=2)
+    assert df.columns == ["a", "b"]
+    assert sorted(tuple(r) for r in df.collect()) == [(1, 2), (3, 4)]
+    pdup = str(tmp_path / "dup.xlsx")
+    _x.write_workbook(pdup, {"S": (["x", "x", "y"], [(1, 2, 3)])})
+    with _pt.raises(ValueError, match="duplicate column names"):
+        tio.read_excel(spark, pdup)
+    fixed = tio.read_excel(spark, pdup, ensure_unique_column_names=True)
+    assert fixed.columns == ["x", "x-1", "y"]
+
+
 def test_xls_reader_sst_continue_and_rk(tmp_path):
     """Files produced by real Excel use SST shared strings (which split
     across CONTINUE records) and RK/MULRK compact numbers — none of which
