@@ -67,6 +67,29 @@ def test_arrow_roundtrip(spark, tmp_path):
     assert dict(back.dtypes) == dict(df.dtypes)
 
 
+def test_arrow_edge_shapes(spark, tmp_path):
+    """Reference arrow_test.clj:341-355 (nullcol / list-datatypes / empty):
+    an all-null typed column, list columns, and zero-row files all read."""
+    import pyarrow as pa
+    cases = {
+        "nullcol": pa.table({"a": [1, 2],
+                             "nc": pa.array([None, None], type=pa.null())}),
+        "lists": pa.table({"class_name": [["dog", "car"], ["dog", "flower"]]}),
+        "empty": pa.table({"a": pa.array([], type=pa.int64())}),
+    }
+    for name, t in cases.items():
+        p = str(tmp_path / f"{name}.arrow")
+        with pa.OSFile(p, "wb") as s, pa.ipc.new_file(s, t.schema) as w:
+            w.write_table(t)
+    nc = sio.read_arrow(spark, str(tmp_path / "nullcol.arrow"))
+    assert nc.count() == 2 and nc.filter("nc is null").count() == 2
+    ls = sio.read_arrow(spark, str(tmp_path / "lists.arrow"))
+    assert dict(ls.dtypes)["class_name"] == "array<string>"
+    assert sorted(r[0] for r in ls.collect()) == \
+        [["dog", "car"], ["dog", "flower"]]
+    assert sio.read_arrow(spark, str(tmp_path / "empty.arrow")).count() == 0
+
+
 def test_arrow_dataset_distributed_roundtrip(spark, tmp_path):
     """r2 verdict gap: out-of-core Arrow surface. Executor-side write (one
     file per partition) then executor-side batched read must round-trip the
