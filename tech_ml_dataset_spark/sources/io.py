@@ -571,22 +571,26 @@ def register_views(spark: SparkSession, sf_dir: str, names: Iterable[str] = TPCH
         df.createOrReplaceTempView(n)
 
 
-def _require_local_path(path: str, op: str) -> None:
+def _require_local_path(path: str, op: str) -> str:
     """The rename-swap utilities (compact_files / merge_upsert / the shard
     manifest) mutate the filesystem with os.rename/shutil, which only works
     for LOCAL paths: on an object store or HDFS the staging write would
     succeed and the swap then fail, leaving an orphaned staging dir. Fail
     fast and clearly BEFORE any write instead (ADVICE r3). Scheme-less
-    paths and file:// are local; anything like s3://, hdfs://, abfs://,
+    paths and file:// are local (file:// is returned STRIPPED so os.* and
+    Spark agree on one spelling); anything like s3://, hdfs://, abfs://,
     gs:// is not — those targets belong in a table format (Delta/Iceberg)
     whose commit protocol is object-store-native."""
     scheme = path.split("://", 1)[0] if "://" in path else ""
-    if scheme not in ("", "file"):
+    if scheme == "file":
+        return path.split("://", 1)[1]
+    if scheme != "":
         raise ValueError(
             f"{op}: target {path!r} is on scheme {scheme!r}, but the "
             f"crash-safe rename swap requires a local filesystem path. "
             f"For object-store/HDFS targets use a transactional table "
             f"format (Delta/Iceberg MERGE) instead.")
+    return path
 
 
 def compact_files(spark: SparkSession, path: str, *,
@@ -614,7 +618,7 @@ def compact_files(spark: SparkSession, path: str, *,
     import math
     import shutil
 
-    _require_local_path(path, "compact_files")
+    path = _require_local_path(path, "compact_files")
     staging = path.rstrip("/") + ".__compact_tmp__"
     backup = path.rstrip("/") + ".__compact_old__"
     # crash recovery: a previous run that died mid-swap left the source at
@@ -680,7 +684,7 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
     (order-insensitive). Returns {"matched", "inserted", "rows_after"}."""
     import shutil
 
-    _require_local_path(target_path, "merge_upsert")
+    target_path = _require_local_path(target_path, "merge_upsert")
     keys = [keys] if isinstance(keys, str) else list(keys)
     if when_matched not in ("update", "ignore", "delete"):
         raise ValueError(f"when_matched must be update/ignore/delete, "
@@ -764,7 +768,7 @@ def write_training_shards(df: DataFrame, path: str, *, n_shards: int,
 
     # the shard WRITE itself is engine-native (any scheme works), but the
     # manifest is written with plain open() — local paths only (ADVICE r3)
-    _require_local_path(path, "write_training_shards")
+    path = _require_local_path(path, "write_training_shards")
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     (df.repartitionByRange(n_shards, *[F.col(c) for c in order_by])
        .sortWithinPartitions(*order_by)

@@ -605,8 +605,12 @@ def test_rename_swap_utilities_reject_remote_paths(spark, tmp_path):
             compact_files(spark, bad)
         with _pt.raises(ValueError, match="local filesystem"):
             write_training_shards(df, bad, n_shards=1, order_by="id")
-    _require_local_path(str(tmp_path / "x"), "t")      # plain local: ok
-    _require_local_path("file:///tmp/x", "t")          # file scheme: ok
+    p = str(tmp_path / "x")
+    assert _require_local_path(p, "t") == p            # plain local: ok
+    # file:// is accepted but returned STRIPPED so os.rename sees a real
+    # path (r4 review: the raw scheme string would pass the guard and then
+    # fail at the swap)
+    assert _require_local_path("file:///tmp/x", "t") == "/tmp/x"
 
 
 def test_merge_upsert_update_and_insert(spark, tmp_path):
