@@ -469,6 +469,13 @@ def read_excel(spark: SparkSession, path: str, *, sheet=0,
     else:
         frame.columns = _unique_headers(
             [str(c) for c in frame.columns], ensure_unique_column_names)
+    if len(frame) == 0:
+        # a header-only sheet carries no cells to infer types from —
+        # string columns, like an empty csv read
+        from pyspark.sql import types as T
+        schema = T.StructType(
+            [T.StructField(str(c), T.StringType()) for c in frame.columns])
+        return spark.createDataFrame([], schema)
     return spark.createDataFrame(frame)
 
 

@@ -86,3 +86,34 @@ def test_empty_text_pipeline(spark, empty_li):
     # empty TARGET: every gram is OOV in the target LM — finite weights
     w = txt.dsir_logweights(full, docs, k=2).collect()[0]
     assert w["dsir_logweight"] is not None
+
+
+def test_empty_r4_operators(spark, empty_li, tmp_path):
+    """r4 additions degrade on empty input: similarity_join (both sides),
+    datetime lerp fill, negative-index selection, ragged/skip csv on an
+    empty file, xls round-trip of an empty table."""
+    # similarity_join: empty left, empty right, empty both
+    some = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    empty = empty_li.select("doc_id", "text")
+    assert dd.similarity_join(empty, some, "text", k=1).count() == 0
+    assert dd.similarity_join(some, empty, "text", k=1).count() == 0
+    assert dd.similarity_join(empty, empty, "text", k=1).count() == 0
+    # datetime lerp on empty frame
+    out = ms.replace_missing(empty_li.select("k", "ts"), "ts", "lerp",
+                             order_by="k")
+    assert out.count() == 0
+    # negative index on empty frame resolves via count() -> still empty
+    assert sel.select_rows(empty_li, [-1], order_by="doc_id").count() == 0
+    # ragged + skip csv over a header-only file
+    p = tmp_path / "empty.csv"
+    p.write_text("a,b\n")
+    from tech_ml_dataset_spark.sources.io import read_excel, to_dataset, write_excel
+    df = to_dataset(spark, str(p), header=True, inferSchema=True, ragged=True)
+    assert df.count() == 0
+    df2 = to_dataset(spark, str(p), header=True, n_initial_skip_rows=1)
+    assert df2.count() == 0
+    # xls round-trip of a zero-row table
+    xp = str(tmp_path / "e.xls")
+    write_excel(spark.createDataFrame([], "a int, b string"), xp)
+    back = read_excel(spark, xp)
+    assert back.columns == ["a", "b"] and back.count() == 0
