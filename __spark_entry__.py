@@ -1920,6 +1920,21 @@ def winnow_docs(spark, sf_dir):
                        F.array_min(fp).alias("fp_min"))
 
 
+def winnow_pairs_docs(spark, sf_dir):
+    """Substring-level near-dup pairs (dedup.winnow_dedup_pairs, r4 —
+    Lee et al. 2022 exact-substring-dedup candidates via the MOSS
+    fingerprint inverted index; rows-only: the rolling hash is
+    numpy-specific). Pairs sharing >= 2 selected fingerprints, i.e. a
+    verbatim block of >= k+w-1 chars, with a containment score. The
+    synthetic corpus is template-generated (massive substring sharing),
+    so min_shared sits high to keep the pair set selective (47 pairs at
+    sf0.01; min_shared=2/max_df=32 yields 71k — everything shares
+    template fragments)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = dd.winnow_dedup_pairs(docs, k=8, w=4, min_shared=20, max_df=32)
+    return out.orderBy("id_a", "id_b")
+
+
 def mean_center_quantity(spark, sf_dir):
     """mean-center-columns (tensor.clj:70): one-pass means, shuffle-free
     broadcast-subtract projection."""
@@ -2111,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
+        "winnow_pairs_docs": winnow_pairs_docs,
         "reservoir_orders": reservoir_orders,
         "regression_price_model": regression_price_model,
         "pca_project_lineitem": pca_project_lineitem,

@@ -246,6 +246,10 @@ class Dataset:
         from .functions import dedup as _dd
         return self._wrap(_dd.minhash_dedup(self.df, id_col, text_col, **kw))
 
+    def winnow_dedup_pairs(self, id_col="doc_id", text_col="text", **kw):
+        from .functions import dedup as _dd
+        return self._wrap(_dd.winnow_dedup_pairs(self.df, id_col, text_col, **kw))
+
     def chunk_documents(self, text_col="text", id_col="doc_id", **kw):
         from .functions import text as _txt
         return self._wrap(_txt.chunk_documents(self.df, text_col, id_col, **kw))

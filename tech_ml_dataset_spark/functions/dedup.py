@@ -329,6 +329,59 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))
 
 
+def winnow_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", *, k: int = 8, w: int = 4,
+                       min_shared: int = 2, max_df: int | None = 32
+                       ) -> DataFrame:
+    """SUBSTRING-level near-dup pairs via winnowing fingerprints — the
+    candidate stage of exact-substring training-data dedup (Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"; MOSS
+    fingerprinting, Schleimer et al. SIGMOD'03). Two documents share a
+    winnow fingerprint iff they share a verbatim substring of at least
+    ``k + w - 1`` characters, so — unlike token-set Jaccard — this catches
+    a long quoted/boilerplate block inside otherwise-different documents.
+
+    Returns ``(id_a, id_b, shared_fps, containment)`` for pairs sharing
+    >= ``min_shared`` fingerprints, where containment = shared / min(|A|,
+    |B|) fingerprints — a copy-detection score (1.0 ≈ one document's
+    fingerprinted content is fully inside the other).
+
+    Scale shape (same discipline as :func:`ngram_jaccard_pairs`): the
+    inverted-index self-join carries only (id, fp) longs; ``max_df`` caps
+    per-fingerprint document frequency so one boilerplate block shared by
+    m docs cannot create an m×m hot key (pairs must then share a
+    fingerprint in <= max_df docs; the containment denominator still uses
+    full fingerprint counts). Fingerprinting itself is the Arrow
+    pandas_udf in text.py (vectorized numpy rolling hash per batch)."""
+    from ..dtutil import ensure_parallelism
+    from ..functions.text import winnow_fingerprints
+
+    fps = ensure_parallelism(df).select(
+        F.col(id_col),
+        winnow_fingerprints(F.col(text_col), k=k, w=w).alias("__fp__"))
+    sized = fps.select(id_col, F.size("__fp__").alias("__nf__"),
+                       F.explode("__fp__").alias("__h__"))
+    inv = sized
+    if max_df is not None:
+        admitted = (inv.groupBy("__h__")
+                       .agg(F.count(F.lit(1)).alias("__df__"))
+                       .filter(F.col("__df__") <= max_df)
+                       .select("__h__"))
+        inv = inv.join(admitted, "__h__")
+    a = inv.select(F.col(id_col).alias("id_a"), F.col("__nf__").alias("__na__"),
+                   "__h__")
+    b = inv.select(F.col(id_col).alias("id_b"), F.col("__nf__").alias("__nb__"),
+                   "__h__")
+    pairs = (a.join(b, "__h__").filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b", "__na__", "__nb__")
+              .agg(F.count(F.lit(1)).alias("shared_fps"))
+              .filter(F.col("shared_fps") >= min_shared))
+    containment = (F.col("shared_fps").cast("double")
+                   / F.least("__na__", "__nb__"))
+    return pairs.select("id_a", "id_b", "shared_fps",
+                        F.round(containment, 4).alias("containment"))
+
+
 def similarity_join(left: DataFrame, right: DataFrame,
                     text_col: str = "text", *,
                     left_id: str = "doc_id", right_id: str = "doc_id",

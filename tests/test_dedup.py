@@ -218,6 +218,30 @@ def test_similarity_join_max_df_keeps_full_prefix_length(spark):
     assert out == {(1, 2): round(9 / 11, 4)}
 
 
+def test_winnow_dedup_pairs_substring_level(spark):
+    """winnow_dedup_pairs catches a long VERBATIM block shared between
+    otherwise-different documents — the case token-set Jaccard misses —
+    and ignores unrelated docs. Winnowing guarantee: a shared substring of
+    >= k+w-1 chars shares a fingerprint."""
+    block = ("the quick brown fox jumps over the lazy dog while the "
+             "band plays on and the crowd cheers loudly in the rain")
+    rows = [
+        (1, f"intro text alpha beta. {block} outro gamma delta."),
+        (2, f"completely different framing here; {block} and more words."),
+        (3, "nothing in common with the others at all, truly disjoint "
+            "content about quantum chromodynamics and lattice gauge theory"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r for r in
+           dd.winnow_dedup_pairs(df, min_shared=1, max_df=None).collect()}
+    assert (1, 2) in got
+    assert got[(1, 2)]["shared_fps"] >= 1
+    assert 0 < got[(1, 2)]["containment"] <= 1.0
+    assert not any(3 in p for p in got)
+    # max_df=1 kills every shared fingerprint (each appears in 2 docs)
+    assert dd.winnow_dedup_pairs(df, min_shared=1, max_df=1).count() == 0
+
+
 def test_incremental_dedup_bloom_exact_verify(spark):
     hist = spark.createDataFrame(
         [(i, f"historical document number {i} about topic {i % 7}")
