@@ -1687,6 +1687,40 @@ def quantiles_price(spark, sf_dir):
                       "cdf_300k").orderBy("o_orderpriority")
 
 
+def descriptive_stats_events_temporal(spark, sf_dir):
+    """descriptive-stats over a DATETIME column (r4 — reference
+    datetime_test.clj stocks-descriptive-stats: temporal min/median/max
+    come back AS datetimes, not epoch numbers). Median uses the exact
+    interpolated percentile so both engines compute the identical
+    two-point interpolation in epoch micros; mean is pinned in pytest
+    instead (a float sum over 1e15-scale micros differs across engines at
+    the ULP). The report mixes a temporal and a numeric column, so the
+    stat columns render as strings (Spark describe() convention)."""
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    out = agg.descriptive_stats(ev, stats=("n-valid", "min", "median", "max"),
+                                quantile_accuracy="exact")
+
+    def norm(c, alias):
+        # temporal rows truncate to seconds (sub-second print styles and
+        # interpolation ULPs differ across engines); numeric rows re-round
+        # through double like every other oracle (_r4 law)
+        return (F.when(F.col("datatype").startswith("timestamp"),
+                       F.substring(F.col(c), 1, 19))
+                 .otherwise(F.round(F.col(c).cast("double"), 4)
+                             .cast("string"))).alias(alias)
+
+    # events.ts reads as timestamp on tuned sessions and timestamp_ntz on
+    # vanilla ones (nanos-footer handling) — normalize the label so the
+    # oracle row matches either way
+    dt_label = F.when(F.col("datatype").startswith("timestamp"),
+                      F.lit("timestamp")).otherwise(F.col("datatype"))
+    return out.select(F.col("col-name").alias("col_name"),
+                      dt_label.alias("datatype"),
+                      F.col("n-valid").alias("n_valid"),
+                      norm("min", "min_s"), norm("median", "median_s"),
+                      norm("max", "max_s"))
+
+
 def descriptive_stats_lineitem(spark, sf_dir):
     """descriptive-stats (dataset_api.clj:1300-1385), full reference stat
     surface: quartiles/median (exact interpolated percentile for oracle
@@ -2052,7 +2086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytic_lag_rank": analytic_lag_rank,
         "text_stats_by_lang": text_stats_by_lang,
         "dedup_exact_docs": dedup_exact_docs,
-        "doc_fingerprints": doc_fingerprints,
+        # (a-late) r4 descriptive-stats temporal rendering — new behavior,
+        # driver-prove this round
+        "descriptive_stats_events_temporal": descriptive_stats_events_temporal,
         # (a-late) asof family: direction convention flipped to reference
         # parity + nearest tie law changed this round — driver-reprove
         "asof_purchase_click": asof_purchase_click,
@@ -2061,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position > 50: r3-green rotating out, then r1/r2-green
         # or rows-only queries with unchanged code. All stay covered by
         # pytest + tools/verify_local.py every round. ----
+        "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
         "gopher_quality_docs": gopher_quality_docs,
@@ -3728,6 +3765,22 @@ def oracle_sql() -> dict[str, str]:
                        last_value(CASE WHEN value < 5 THEN NULL ELSE value END IGNORE NULLS)
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS value
+            FROM events
+        """,
+        "descriptive_stats_events_temporal": """
+            SELECT 'ts' AS col_name, 'timestamp' AS datatype,
+                   count(ts) AS n_valid,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_s,
+                   strftime(make_timestamp(CAST(round(
+                       quantile_cont(CAST(epoch_us(ts) AS DOUBLE), 0.5))
+                       AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS median_s,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_s
+            FROM events
+            UNION ALL
+            SELECT 'value', 'double', count("value"),
+                   CAST(round(min("value"), 4) AS VARCHAR),
+                   CAST(round(quantile_cont("value", 0.5), 4) AS VARCHAR),
+                   CAST(round(max("value"), 4) AS VARCHAR)
             FROM events
         """,
         "ts_lerp_events": """
