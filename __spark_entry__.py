@@ -1814,6 +1814,28 @@ def doc_quality_lang(spark, sf_dir):
                       _r4(F.col("quality")).alias("quality"), "n_tokens")
 
 
+def repetition_signals_docs(spark, sf_dir):
+    """Full Gopher repetition battery (Rae et al. 2021 §A1.1 — dup-line /
+    dup-line-char / top-n-gram-char / dup-n-gram-char fractions;
+    parity-plus: the reference has no repetition operators). The fixture
+    corpus is single-line, so the query synthesizes line structure
+    deterministically in BOTH engines by breaking sentences onto lines
+    ('. ' -> '.\\n') before measuring."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"\. ", ".\n"))
+    out = txt.repetition_signals(docs, top_ngram_ns=(2, 3),
+                                 dup_ngram_ns=(5, 6))
+    return out.select(
+        "doc_id", "n_lines",
+        _r4b(F.col("dup_line_frac")).alias("dup_line_frac"),
+        _r4b(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        _r4b(F.col("top_2gram_char_frac")).alias("top_2gram_char_frac"),
+        _r4b(F.col("top_3gram_char_frac")).alias("top_3gram_char_frac"),
+        _r4b(F.col("dup_5gram_char_frac")).alias("dup_5gram_char_frac"),
+        _r4b(F.col("dup_6gram_char_frac")).alias("dup_6gram_char_frac"))
+
+
 def lsh_topk_embeddings(spark, sf_dir):
     """Sign-LSH bucketed ANN top-k (rows-only: approximate by design;
     recall vs brute force is pinned in tests/test_functions.py)."""
@@ -2062,7 +2084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lerp_events": lerp_events,
         "nearest_fill_events": nearest_fill_events,
         "bfill_updown_events": bfill_updown_events,
-        "ffill_events": ffill_events,
+        # (a-new) r4 Gopher repetition battery — new operator, driver-prove
+        # this round (ffill_events, r1-green simplest fill variant, rotates
+        # out to make room)
+        "repetition_signals_docs": repetition_signals_docs,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_segment_revenue": q3_segment_revenue,
         "q5_nation_revenue": q5_nation_revenue,
@@ -2097,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position > 50: r3-green rotating out, then r1/r2-green
         # or rows-only queries with unchanged code. All stay covered by
         # pytest + tools/verify_local.py every round. ----
+        "ffill_events": ffill_events,
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
@@ -3989,6 +4015,79 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
                        AS value
             FROM unioned
+        """,
+        "repetition_signals_docs": """
+            WITH base AS (
+                SELECT doc_id, replace(text, '. ', '.' || chr(10)) AS text
+                FROM documents
+            ), segs AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)),
+                                                  x -> trim(x)),
+                                   x -> length(x) > 0) AS ls
+                FROM base
+            ), linestats AS (
+                SELECT doc_id, len(ls) AS n_lines,
+                       CASE WHEN len(ls) = 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(ls))::DOUBLE / len(ls)
+                       END AS dlf,
+                       CASE WHEN COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) = 0
+                            THEN 0.0
+                            ELSE 1.0 - COALESCE(list_sum(list_transform(
+                                     list_distinct(ls), x -> length(x))), 0)::DOUBLE
+                                 / list_sum(list_transform(ls, x -> length(x)))
+                       END AS dlcf
+                FROM segs
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> length(x) > 0) AS tk
+                FROM base
+            ), norm AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) = 0 THEN 0
+                            ELSE COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+                                 + len(tk) - 1
+                       END AS nc
+                FROM toks
+            ), grams AS (
+                SELECT doc_id, n,
+                       unnest(list_transform(range(1, len(tk) - n + 2),
+                              i -> array_to_string(tk[i : i + n - 1], ' '))) AS g
+                FROM toks, (VALUES (2),(3),(5),(6)) v(n)
+            ), counts AS (
+                SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                             ORDER BY c DESC, g ASC) AS rn
+                FROM counts
+            ), pern AS (
+                SELECT doc_id, n,
+                       max(CASE WHEN rn = 1 THEN c * length(g) END) AS topc,
+                       sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dupc
+                FROM ranked GROUP BY doc_id, n
+            )
+            SELECT l.doc_id, l.n_lines,
+                   round(l.dlf * 1e4) / 1e4 AS dup_line_frac,
+                   round(l.dlcf * 1e4) / 1e4 AS dup_line_char_frac,
+                   round(CASE WHEN nm.nc = 0 THEN 0.0
+                              ELSE least(1.0, COALESCE(p2.topc, 0)::DOUBLE / nm.nc)
+                         END * 1e4) / 1e4 AS top_2gram_char_frac,
+                   round(CASE WHEN nm.nc = 0 THEN 0.0
+                              ELSE least(1.0, COALESCE(p3.topc, 0)::DOUBLE / nm.nc)
+                         END * 1e4) / 1e4 AS top_3gram_char_frac,
+                   round(CASE WHEN nm.nc = 0 THEN 0.0
+                              ELSE least(1.0, COALESCE(p5.dupc, 0)::DOUBLE / nm.nc)
+                         END * 1e4) / 1e4 AS dup_5gram_char_frac,
+                   round(CASE WHEN nm.nc = 0 THEN 0.0
+                              ELSE least(1.0, COALESCE(p6.dupc, 0)::DOUBLE / nm.nc)
+                         END * 1e4) / 1e4 AS dup_6gram_char_frac
+            FROM linestats l
+            JOIN norm nm USING (doc_id)
+            LEFT JOIN pern p2 ON p2.doc_id = l.doc_id AND p2.n = 2
+            LEFT JOIN pern p3 ON p3.doc_id = l.doc_id AND p3.n = 3
+            LEFT JOIN pern p5 ON p5.doc_id = l.doc_id AND p5.n = 5
+            LEFT JOIN pern p6 ON p6.doc_id = l.doc_id AND p6.n = 6
         """,
         "doc_quality_lang": """
             WITH tok AS (

@@ -258,6 +258,11 @@ class Dataset:
         from .functions import text as _txt
         return self._wrap(_txt.gopher_quality(self.df, text_col, id_col, **kw))
 
+    def repetition_signals(self, text_col="text", id_col="doc_id", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.repetition_signals(self.df, text_col, id_col,
+                                                  **kw))
+
     def unigram_logprob_score(self, text_col="text", id_col="doc_id", **kw):
         from .functions import text as _txt
         return self._wrap(_txt.unigram_logprob_score(self.df, text_col, id_col, **kw))
@@ -351,11 +356,14 @@ class Dataset:
 
 def dataset_to_str(df: DataFrame, *, name: str = "_unnamed", n: int = 20,
                    print_index_range=None, print_types: bool = False,
-                   print_width: int = 25) -> str:
+                   print_width: int = 25, new_number_format: bool = True,
+                   maximum_precision: int = 8) -> str:
     """``dataset->str`` (reference src/tech/v3/dataset/print.clj:319,343):
     the markdown-style table the reference prints, with ``:print-index-range``
     (slice of rows), ``:print-types`` (dtype header row) and per-cell width
-    truncation. Collects only the printed slice (limit-pushdown, never the
+    truncation. Float/double columns render through the fitted
+    ``format_sequence`` law (print.clj:52-58) unless ``new_number_format``
+    is False. Collects only the printed slice (limit-pushdown, never the
     table)."""
     if print_index_range is not None:
         lo, hi = print_index_range
@@ -376,6 +384,20 @@ def dataset_to_str(df: DataFrame, *, name: str = "_unnamed", n: int = 20,
     if print_types:
         header.append([dts[c] for c in cols])
     body = [[cell(r[c]) for c in cols] for r in rows]
+    if new_number_format and rows:
+        from .functions.format_sequence import format_sequence
+        import numpy as _np
+        for i, c in enumerate(cols):
+            if dts[c] in ("float", "double"):
+                vals = [r[c] for r in rows]
+                if dts[c] == "float":
+                    # Spark collects FloatType as widened doubles; route
+                    # through float32 so the shortest-repr coercion applies
+                    vals = [None if v is None else _np.float32(v) for v in vals]
+                fmtd = format_sequence(vals, maximum_precision)
+                # missing cells stay blank (print.clj renders missing as nil)
+                for j, (v, s) in enumerate(zip(vals, fmtd)):
+                    body[j][i] = "" if v is None else s
     widths = [max(len(str(x[i])) for x in header + body) if header + body else 0
               for i in range(len(cols))]
     lines = [f"{name} [{shown} {len(cols)}]:", ""]

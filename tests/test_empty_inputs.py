@@ -117,3 +117,5 @@ def test_empty_r4_operators(spark, empty_li, tmp_path):
     write_excel(spark.createDataFrame([], "a int, b string"), xp)
     back = read_excel(spark, xp)
     assert back.columns == ["a", "b"] and back.count() == 0
+    # repetition battery over an empty corpus
+    assert txt.repetition_signals(empty).count() == 0

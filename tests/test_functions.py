@@ -361,6 +361,55 @@ def test_gopher_quality_rules(spark):
     assert not out[4]["quality_pass"]
 
 
+def test_repetition_signals(spark):
+    """Hand-computed Gopher repetition battery on a structured doc."""
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame([
+        (1, "aaa bbb\naaa bbb\nccc ddd\n\nxyz"),
+        (2, None),
+        (3, ""),
+    ], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           txt.repetition_signals(df, top_ngram_ns=(2,),
+                                  dup_ngram_ns=(2, 5)).collect()}
+    r1 = out[1]
+    # lines: [aaa bbb, aaa bbb, ccc ddd, xyz] -> 1 repeat of 4 slots
+    assert r1["n_lines"] == 4
+    assert abs(r1["dup_line_frac"] - 0.25) < 1e-12
+    # char view: 24 line chars, 17 distinct -> 7/24
+    assert abs(r1["dup_line_char_frac"] - 7 / 24) < 1e-12
+    # paragraphs: two distinct blocks -> no repetition
+    assert r1["n_paras"] == 2 and r1["dup_para_frac"] == 0.0
+    # tokens: aaa bbb aaa bbb ccc ddd xyz -> norm_chars 27;
+    # top 2-gram "aaa bbb" occurs 2x (len 7) -> 14/27
+    assert abs(r1["top_2gram_char_frac"] - 14 / 27) < 1e-12
+    assert abs(r1["dup_2gram_char_frac"] - 14 / 27) < 1e-12
+    # all three 5-grams are unique
+    assert r1["dup_5gram_char_frac"] == 0.0
+    # NULL text propagates NULL; empty text yields zeros
+    assert out[2]["dup_line_frac"] is None
+    assert out[2]["top_2gram_char_frac"] is None
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["n_lines"] == 0
+    assert out[3]["top_2gram_char_frac"] == 0.0
+
+
+def test_repetition_signals_cap_and_tiebreak(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+
+    # "a a a a": 2-gram "a a" count 3, len 3, norm 7 -> 9/7 capped at 1.0
+    # tiebreak doc: "b c b c d": grams (b c)x2,(c b)x1,(c d)x1 -> top is b c;
+    # with equal counts everywhere ties go to the smallest gram
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "z y z y x")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           txt.repetition_signals(df, top_ngram_ns=(2,),
+                                  dup_ngram_ns=(5,)).collect()}
+    assert out[1]["top_2gram_char_frac"] == 1.0
+    # "z y" count 2 (len 3), "y z" count 1, "y x" count 1 -> 6/9
+    assert abs(out[2]["top_2gram_char_frac"] - 6 / 9) < 1e-12
+
+
 def test_unigram_logprob_score(spark):
     """Rarer tokens -> higher bits/token; common-token doc scores lower."""
     from tech_ml_dataset_spark.functions import text as txt

@@ -190,6 +190,29 @@ def test_dataset_to_str_markdown(spark):
     assert "2" in s2 and "1 |" not in s2.splitlines()[-2]
 
 
+def test_dataset_to_str_float_columns_use_format_sequence(spark):
+    # double columns render through the fitted format-sequence law
+    # (print.clj:52-58): shared right-width, aligned, trailing zeros fitted
+    from tech_ml_dataset_spark.dataset import dataset_to_str
+    df = spark.createDataFrame(
+        [(0.002,), (0.0002,), (0.000333,), (0.1,), (-0.0003,), (None,)],
+        "v double")
+    s = dataset_to_str(df, name="t")
+    body = [ln for ln in s.splitlines() if ln.startswith("|") and "v" not in ln
+            and "-" * 3 not in ln]
+    cells = [ln.strip("| ").rstrip() for ln in body]
+    assert cells[0] == "0.002000" and cells[2] == "0.000333"
+    assert cells[4] == "-0.000300"
+    assert cells[5] == ""  # missing renders blank, not NaN
+    # scientific flip applies to the whole column once any value crosses 1e8
+    df2 = spark.createDataFrame([(1.5,), (2.5e9,)], "v double")
+    s2 = dataset_to_str(df2)
+    assert "1.50E+00" in s2 and "2.50E+09" in s2
+    # opt-out restores raw repr
+    s3 = dataset_to_str(df2, new_number_format=False)
+    assert "2500000000.0" in s3
+
+
 def test_pipeline_fit_transform_replays_train_state(spark):
     from tech_ml_dataset_spark.ml.pipeline import Pipeline, stage
     train = spark.createDataFrame(

@@ -286,6 +286,7 @@ _SCALE_AUDIT_EXEMPT = {
         "topk_orders": "TakeOrderedAndProject merge of k",
         "quantiles_price": "single sketch merge row",
         "descriptive_stats_lineitem": "one-row aggregate pivot",
+        "descriptive_stats_events_temporal": "one-row aggregate pivot",
         "corr_quantity_price": "one-row aggregate",
         "mean_center_quantity": "one-row stats broadcast back",
         "pca_project_lineitem": "covariance one-row collect, driver eigh",
