@@ -39,15 +39,31 @@ _SUFFIX_FORMATS = {
 
 
 def sniff_format(path: str) -> tuple[str, dict]:
-    """Infer (format, options) from a path suffix; '.gz' is stripped first."""
+    """Infer (format, options) from a path suffix; compression suffixes
+    ('.gz', '.bz2' — reference bzip2.clj's double-suffix dispatch) are
+    stripped first. Spark/Hadoop decompress both transparently on read;
+    bz2 is additionally block-splittable, so a single large .csv.bz2 still
+    fans out across executors (unlike .gz, which is one task per file)."""
     p = path.lower()
     if p.endswith(".gz"):
         p = p[:-3]
+    elif p.endswith(".bz2"):
+        p = p[:-4]
     _, ext = os.path.splitext(p)
     if ext not in _SUFFIX_FORMATS:
         raise ValueError(f"cannot sniff dataset format from suffix {ext!r} ({path})")
     fmt, opts = _SUFFIX_FORMATS[ext]
     return fmt, dict(opts)
+
+
+def _sniff_compression(path: str) -> str | None:
+    """Write-side codec from the path's trailing compression suffix."""
+    p = path.lower()
+    if p.endswith(".gz"):
+        return "gzip"
+    if p.endswith(".bz2"):
+        return "bzip2"
+    return None
 
 
 # TMD dtype name -> Spark SQL type (the reference's own bridge table,
@@ -242,6 +258,12 @@ def write(df: DataFrame, path: str, *, file_type: str | None = None,
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         writer = writer.option("header", options.pop("header", "true"))
+    codec = _sniff_compression(path)
+    if codec is not None and fmt in ("csv", "json") \
+            and "compression" not in options:
+        # '.csv.gz' / '.csv.bz2' paths write compressed part files
+        # (reference bzip2.clj's double-suffix write dispatch)
+        options["compression"] = codec
     if options:
         writer = writer.options(**options)
     if partition_by:

@@ -72,9 +72,33 @@ def test_lsh_bucketed_recall_on_exact_dup(spark):
 def test_sniff_format():
     assert sio.sniff_format("x.parquet")[0] == "parquet"
     assert sio.sniff_format("x.csv.gz")[0] == "csv"
+    assert sio.sniff_format("x.csv.bz2")[0] == "csv"
     assert sio.sniff_format("x.tsv")[1]["sep"] == "\t"
     with pytest.raises(ValueError):
         sio.sniff_format("x.unknown")
+
+
+def test_bz2_csv_round_trip(spark, tmp_path):
+    """bzip2 single-file read + double-suffix write dispatch (reference
+    bzip2.clj:48-62): a foreign .csv.bz2 reads transparently (Hadoop codec,
+    block-splittable), and write(df, '*.csv.bz2') emits bzip2 part files
+    that read back equal."""
+    import bz2
+
+    src = tmp_path / "stocks.csv.bz2"
+    src.write_bytes(bz2.compress(b"symbol,price\nMSFT,39.81\nAAPL,25.45\n"))
+    df = sio.to_dataset(spark, str(src))
+    rows = {r["symbol"]: r["price"] for r in df.collect()}
+    assert rows == {"MSFT": 39.81, "AAPL": 25.45}
+
+    out = str(tmp_path / "out.csv.bz2")
+    sio.write(df, out)
+    import os as _os
+    parts = [f for f in _os.listdir(out) if f.endswith(".csv.bz2")]
+    assert parts, "expected bzip2-compressed part files"
+    back = sio.to_dataset(spark, out, file_type="csv", header=True,
+                          inferSchema=True)
+    assert {r["symbol"]: r["price"] for r in back.collect()} == rows
 
 
 def test_to_dataset_mapseq_and_colmap(spark):
