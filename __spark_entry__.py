@@ -1266,6 +1266,22 @@ def kmeans_embeddings(spark, sf_dir):
                       _r4(F.col("dist2")).alias("dist2")).orderBy("vec_id")
 
 
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) with frozen centroids (= embeddings of
+    vec_id 0-3, collected driver-side — bounded by k, same trick as the
+    kmeans oracle's c0): assign cells, within-cell cosine pairs >= 0.35,
+    connected groups, min-id survivor. The oracle replays assignment with
+    the identical d2-then-index tiebreak and resolves components with the
+    recursive-CTE min-label pattern."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cents = [[float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id") < 4)
+                         .orderBy("vec_id").collect()]
+    out = sim.semdedup(emb, centroids=cents, threshold=0.35)
+    return out.select("vec_id", "cell", F.col("group").alias("grp"),
+                      "semdedup_keep")
+
+
 def gopher_quality_docs(spark, sf_dir):
     """Gopher-style quality rules (Rae et al. 2021 A1.1): word-count band,
     mean-word-length band, alpha-word fraction, stopword hits, top-bigram
@@ -2095,7 +2111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": topk_orders,
         "take_nth_lineitem": take_nth_lineitem,
         "group_distinct_stats": group_distinct_stats,
-        "unique_by_order": unique_by_order,
+        # (a-new) r4 SemDeDup — new operator, driver-prove this round
+        # (unique_by_order, r2-green with setops.py untouched in r4,
+        # rotates out to make room)
+        "semdedup_embeddings": semdedup_embeddings,
         "customers_without_orders": customers_without_orders,
         "concat_slices": concat_slices,
         "lineitem_except": lineitem_except,
@@ -2187,6 +2206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": rollup_orders,
         "asof_purchase_click": asof_purchase_click,
         "embedding_dedup_clusters": embedding_dedup_clusters,
+        "unique_by_order": unique_by_order,
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
         "winnow_pairs_docs": winnow_pairs_docs,
@@ -3639,6 +3659,42 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
                    len(toks[start + 1 : start + 32]) AS n_tokens
             FROM st
+        """,
+        "semdedup_embeddings": """
+            WITH RECURSIVE e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 200
+            ), c0 AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+                FROM e WHERE vec_id IN (0, 1, 2, 3)
+            ), a1 AS (
+                SELECT vec_id, c FROM (
+                    SELECT e.vec_id, c0.c,
+                           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                               (SELECT sum((e.v[s.i] - c0.v[s.i])
+                                           * (e.v[s.i] - c0.v[s.i]))
+                                FROM generate_series(1, 64) s(i)), c0.c) AS rn
+                    FROM e, c0) t
+                WHERE rn = 1
+            ), p AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst
+                FROM e a JOIN a1 ca ON ca.vec_id = a.vec_id
+                     JOIN e b ON a.vec_id < b.vec_id
+                     JOIN a1 cb ON cb.vec_id = b.vec_id AND cb.c = ca.c
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+            ), edges AS (
+                SELECT src, dst FROM p UNION SELECT dst, src FROM p
+            ), reach(node, r) AS (
+                SELECT vec_id, vec_id FROM e
+                UNION
+                SELECT edges.dst, reach.r
+                FROM reach JOIN edges ON edges.src = reach.node
+            ), grp AS (
+                SELECT node AS vec_id, min(r) AS grp FROM reach GROUP BY node
+            )
+            SELECT e.vec_id, a1.c AS cell, grp.grp AS grp,
+                   grp.grp = e.vec_id AS semdedup_keep
+            FROM e JOIN a1 USING (vec_id) JOIN grp USING (vec_id)
         """,
         "embedding_dedup_clusters": """
             WITH RECURSIVE e AS (

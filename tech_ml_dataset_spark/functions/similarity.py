@@ -343,6 +343,94 @@ def lsh_bucketed_topk(left: DataFrame, right: DataFrame, vec_col: str, k: int,
                           F.col("__cos__").alias("cos"), F.col("__rank__").alias("rank")))
 
 
+def semdedup(df: DataFrame, vec_col: str = "embedding",
+             id_col: str = "vec_id", *, centroids=None, k: int = 16,
+             threshold: float = 0.95, keep: str = "min_id",
+             max_cluster_size: int | None = None,
+             kmeans_iter: int = 5) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster the corpus, compare
+    pairs ONLY within a cluster, and drop all but one member of every
+    above-threshold connected group. The paper's insight: semantic dups
+    land in the same k-means cell, so the O(n²) cosine comparison shrinks
+    to O(sum of cell²) with cell sizes bounded by choosing k ~ n/target.
+
+    ``centroids``: pass a fitted/frozen list to make the run replayable
+    (oracle path); None fits :func:`kmeans_lloyd` first (deterministic
+    init, so still reproducible on static input). ``keep``:
+
+    - ``"min_id"`` — survivor is the smallest id of each duplicate group
+      (matches the exact-dedup family's survivor law);
+    - ``"far_from_centroid"`` — the paper's rule: keep the group member
+      with the LOWEST cosine to its cell centroid (preserves diversity),
+      id tiebreak.
+
+    Scale shape: assignment is the shared ``_argmin_centroids`` codegen
+    expression (no UDF, no shuffle). The pairwise stage is an equi-join on
+    the cell key — quadratic only WITHIN a cell, which is the SemDeDup
+    contract (k grows with the corpus so cells stay bounded).
+    ``max_cluster_size`` is the skew guard for when they don't: cells
+    larger than the cap are sub-bucketed by id hash (one k-row broadcast
+    of cell sizes, then pmod(xxhash64(id), ceil(size/cap))), bounding the
+    worst-case fan-out at the documented cost of missing cross-bucket
+    pairs inside mega-cells. Connected groups resolve via
+    :func:`~tech_ml_dataset_spark.functions.dedup.dedup_clusters` (sparse
+    driver union-find fast path, else min-label propagation).
+
+    Returns the input plus ``cell`` (centroid index), ``group`` (duplicate
+    component label = min member id) and ``semdedup_keep`` (True for the
+    survivor; filter on it to dedup).
+    """
+    from ..dtutil import ensure_parallelism
+    from .dedup import dedup_clusters
+    df = ensure_parallelism(df)
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(f"unknown keep rule {keep!r}")
+    if centroids is None:
+        _, centroids = kmeans_lloyd(df, vec_col, id_col, k=k,
+                                    max_iter=kmeans_iter)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    assigned = df.withColumn("cell", _argmin_centroids(vd, centroids)["c"])
+    if keep == "far_from_centroid":
+        coss = F.array(*[cosine(vd, F.array(*[F.lit(float(x)) for x in c]))
+                         for c in centroids])
+        assigned = assigned.withColumn(
+            "__coscent__", F.element_at(coss, F.col("cell") + 1))
+    key_cols = ["cell"]
+    if max_cluster_size is not None:
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__n__"))
+        # one row per centroid — always broadcastable
+        assigned = assigned.join(F.broadcast(sizes), "cell")
+        nsub = F.ceil(F.col("__n__") / F.lit(max_cluster_size)).cast("long")
+        assigned = assigned.withColumn(
+            "__sub__", F.pmod(F.xxhash64(F.col(id_col)), nsub)).drop("__n__")
+        key_cols = ["cell", "__sub__"]
+    slim = assigned.select(id_col, *key_cols, vec_col)
+    a = slim.select(F.col(id_col).alias("id_a"), *key_cols,
+                    F.col(vec_col).alias("__va__"))
+    b = slim.select(F.col(id_col).alias("id_b"), *key_cols,
+                    F.col(vec_col).alias("__vb__"))
+    pairs = (a.join(b, key_cols)
+              .filter(F.col("id_a") < F.col("id_b"))
+              .filter(cosine(F.col("__va__"), F.col("__vb__")) >= threshold)
+              .select("id_a", "id_b"))
+    groups = dedup_clusters(pairs, assigned, id_col) \
+        .withColumnRenamed("cluster", "group")
+    out = assigned.join(groups, id_col)
+    if keep == "min_id":
+        out = out.withColumn("semdedup_keep",
+                             F.col("group") == F.col(id_col))
+    else:
+        surv = out.groupBy("group").agg(
+            F.min(F.struct(F.col("__coscent__").alias("s"),
+                           F.col(id_col).alias("i"))).alias("__surv__"))
+        out = (out.join(surv, "group")
+                  .withColumn("semdedup_keep",
+                              F.col(id_col) == F.col("__surv__.i"))
+                  .drop("__surv__", "__coscent__"))
+    return out.drop("__sub__") if max_cluster_size is not None else out
+
+
 def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
                           id_col: str = "vec_id", *, threshold: float = 0.9,
                           method: str = "lsh", bands: int = 8,

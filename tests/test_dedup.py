@@ -300,3 +300,62 @@ def test_null_text_is_never_a_duplicate(spark):
                       dd.incremental_dedup(new, hist,
                                            exact_verify=ev).collect())
         assert kept == [1, 3], f"exact_verify={ev}: {kept}"
+
+
+def test_semdedup_min_id_and_far_rules(spark):
+    """SemDeDup with frozen centroids: within-cell dup groups resolve to
+    one survivor; min_id keeps the smallest id, far_from_centroid keeps
+    the member least similar to its cell centroid."""
+    from tech_ml_dataset_spark.functions import similarity as sim
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame([
+        (1, [1.0, 0.01]),    # cell 0
+        (2, [1.0, 0.3]),     # cell 0, cos(1,2) ~ 0.9606 -> dup of 1
+        (3, [0.7, -0.7]),    # cell 0, cos to 1 ~ 0.70 -> distinct
+        (4, [0.0, 1.0]),     # cell 1
+        (5, [0.005, 1.0]),   # cell 1, dup of 4
+    ], ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in
+           sim.semdedup(df, centroids=cents, threshold=0.95).collect()}
+    assert [out[i]["cell"] for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 1, 1]
+    assert out[1]["group"] == 1 and out[2]["group"] == 1
+    assert out[4]["group"] == 4 and out[5]["group"] == 4
+    assert [out[i]["semdedup_keep"] for i in (1, 2, 3, 4, 5)] == \
+        [True, False, True, True, False]
+
+    far = {r["vec_id"]: r for r in
+           sim.semdedup(df, centroids=cents, threshold=0.95,
+                        keep="far_from_centroid").collect()}
+    # id2 ([1, .3]) is farther from centroid [1,0] than id1 -> id2 survives
+    assert not far[1]["semdedup_keep"] and far[2]["semdedup_keep"]
+    assert far[3]["semdedup_keep"]
+
+    # cross-cell near-identical vectors are NOT compared (the SemDeDup
+    # approximation): a dup straddling the cell boundary survives
+    df2 = spark.createDataFrame(
+        [(1, [0.71, 0.70]), (2, [0.70, 0.71])], ["vec_id", "embedding"])
+    out2 = sim.semdedup(df2, centroids=cents, threshold=0.9).collect()
+    assert all(r["semdedup_keep"] for r in out2)
+
+
+def test_semdedup_max_cluster_size_sub_buckets(spark):
+    from tech_ml_dataset_spark.functions import similarity as sim
+
+    # 40 near-identical vectors in one cell: sub-bucketing still finds
+    # within-bucket dups, keeps exactly one survivor per group, and every
+    # row keeps a group label
+    rows = [(i, [1.0, 0.0001 * i]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.semdedup(df, centroids=[[1.0, 0.0], [0.0, 1.0]],
+                       threshold=0.999, max_cluster_size=10).collect()
+    assert len(out) == 40
+    kept = [r["vec_id"] for r in out if r["semdedup_keep"]]
+    # with the cap, cross-bucket pairs are missed, so >1 survivor is
+    # expected — but far fewer than 40, and each group's min id survives
+    assert 1 <= len(kept) < 40
+    groups = {}
+    for r in out:
+        groups.setdefault(r["group"], []).append(r["vec_id"])
+    for g, members in groups.items():
+        assert g == min(members)
