@@ -25,9 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 # text-based formats natively.
 _SUFFIX_FORMATS = {
     ".parquet": ("parquet", {}),
-    ".csv": ("csv", {"header": "true", "inferSchema": "true"}),
-    ".tsv": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t"}),
-    ".txt": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t"}),
+    # comment="#" pins the reference default (univocity skips '#'-prefixed
+    # LINES; mid-line '#' is data — parse_test.clj:481-485); pass
+    # comment="" to disable
+    ".csv": ("csv", {"header": "true", "inferSchema": "true", "comment": "#"}),
+    ".tsv": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t",
+                     "comment": "#"}),
+    ".txt": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t",
+                     "comment": "#"}),
     ".json": ("json", {}),
     ".jsonl": ("json", {}),
     ".ndjson": ("json", {}),

@@ -78,6 +78,37 @@ def test_sniff_format():
         sio.sniff_format("x.unknown")
 
 
+def test_csv_comment_char_default(spark, tmp_path):
+    """Reference default comment law (parse_test.clj:481-485 on
+    csv-comment.csv): lines STARTING with '#' are skipped, mid-line '#'
+    is data; comment='' opts out."""
+    p = tmp_path / "c.csv"
+    p.write_text("# program header line\n"
+                 "id,name\n"
+                 "1,alpha\n"
+                 "2,has#hash\n"
+                 "#3,commented-out\n"
+                 "4,last\n")
+    df = sio.to_dataset(spark, str(p))
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {1: "alpha", 2: "has#hash", 4: "last"}
+    # opt-out: every line parses (the '#' lines become data/garbage rows)
+    df2 = sio.to_dataset(spark, str(p), comment="", inferSchema=False)
+    assert df2.count() == 5
+
+
+def test_csv_quote_all_write(spark, tmp_path):
+    """write(..., quoteAll=True) quotes every field (reference
+    parse_test.clj:363-371 ':quote? true' law)."""
+    out = str(tmp_path / "q.csv")
+    sio.write(spark.createDataFrame([("onelongstring",)], ["a"]), out,
+              quoteAll=True)
+    import os as _os
+    part = [f for f in _os.listdir(out) if f.endswith(".csv")][0]
+    content = open(_os.path.join(out, part)).read()
+    assert content == '"a"\n"onelongstring"\n'
+
+
 def test_bz2_csv_round_trip(spark, tmp_path):
     """bzip2 single-file read + double-suffix write dispatch (reference
     bzip2.clj:48-62): a foreign .csv.bz2 reads transparently (Hadoop codec,
