@@ -212,6 +212,13 @@ def to_dataset(
                 if fmt == "csv":
                     reader = reader.option("inferSchema", "false")
             df = reader.load(data)
+        if fmt == "csv":
+            # empty/missing header cells: Spark auto-names them _cN; the
+            # reference names positional columns "column-N"
+            # (parse_test.clj:311-315 on rcsv.csv)
+            import re as _re
+            df = df.toDF(*[_re.sub(r"^_c(\d+)$", r"column-\1", c)
+                           for c in df.columns])
     elif isinstance(data, DataFrame):
         df = data
     elif isinstance(data, Mapping):

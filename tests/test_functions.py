@@ -97,15 +97,24 @@ def test_csv_comment_char_default(spark, tmp_path):
     assert df2.count() == 5
 
 
+def test_csv_empty_header_cell_names_column_n(spark, tmp_path):
+    """Empty header cells get positional 'column-N' names, not Spark's
+    '_cN' (reference parse_test.clj:311-315 on rcsv.csv)."""
+    p = tmp_path / "r.csv"
+    p.write_text(",Urban Female,Urban Male\nx,1,2\n")
+    df = sio.to_dataset(spark, str(p))
+    assert df.columns == ["column-0", "Urban Female", "Urban Male"]
+
+
 def test_csv_quote_all_write(spark, tmp_path):
     """write(..., quoteAll=True) quotes every field (reference
     parse_test.clj:363-371 ':quote? true' law)."""
     out = str(tmp_path / "q.csv")
-    sio.write(spark.createDataFrame([("onelongstring",)], ["a"]), out,
-              quoteAll=True)
+    sio.write(spark.createDataFrame([("onelongstring",)], ["a"]).coalesce(1),
+              out, quoteAll=True)
     import os as _os
-    part = [f for f in _os.listdir(out) if f.endswith(".csv")][0]
-    content = open(_os.path.join(out, part)).read()
+    parts = [f for f in _os.listdir(out) if f.endswith(".csv")]
+    content = "".join(open(_os.path.join(out, p)).read() for p in parts)
     assert content == '"a"\n"onelongstring"\n'
 
 
