@@ -1981,6 +1981,19 @@ def bpe_tokens_docs(spark, sf_dir):
                        txt.token_count_bpe(F.col("text")).alias("n_bpe"))
 
 
+def bpe_encode_docs(spark, sf_dir):
+    """REAL BPE (Sennrich 2016): train 200 merges on the corpus
+    word-frequency table (distributed count, driver merge loop), then the
+    greedy-rank subword encode. Rows-only: the iterative merge training
+    has no SQL equivalent; the algorithm itself is pinned by hand-computed
+    merge sequences in tests/test_functions.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = txt.bpe_train(docs, n_merges=200, lowercase=True)
+    out = txt.bpe_encode(docs, merges, lowercase=True)
+    return out.select("doc_id", F.col("bpe_tokens_n").alias("n_subwords"),
+                      F.slice("bpe_tokens", 1, 5).alias("first_subwords"))
+
+
 def winnow_docs(spark, sf_dir):
     """Winnowing fingerprints (MOSS rolling-hash scheme; rows-only:
     xxhash64 is Spark-specific). Returns per-doc fingerprint count + min —
@@ -2210,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
         "winnow_pairs_docs": winnow_pairs_docs,
+        "bpe_encode_docs": bpe_encode_docs,
         "reservoir_orders": reservoir_orders,
         "regression_price_model": regression_price_model,
         "pca_project_lineitem": pca_project_lineitem,

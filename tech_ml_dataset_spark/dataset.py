@@ -263,6 +263,14 @@ class Dataset:
         return self._wrap(_txt.repetition_signals(self.df, text_col, id_col,
                                                   **kw))
 
+    def bpe_train(self, text_col="text", **kw):
+        from .functions import text as _txt
+        return _txt.bpe_train(self.df, text_col, **kw)
+
+    def bpe_encode(self, merges, text_col="text", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.bpe_encode(self.df, merges, text_col, **kw))
+
     def unigram_logprob_score(self, text_col="text", id_col="doc_id", **kw):
         from .functions import text as _txt
         return self._wrap(_txt.unigram_logprob_score(self.df, text_col, id_col, **kw))

@@ -133,6 +133,161 @@ def token_count_bpe(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
 
 
+_EOW = "</w>"
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", *, n_merges: int = 1000,
+              max_words: int = 1_000_000, lowercase: bool = False) -> list:
+    """Train a byte-pair-encoding merge table (Sennrich et al. 2016,
+    arXiv:1508.07909 — the original BPE algorithm) over the corpus.
+    Returns the ordered merge list ``[(left, right), ...]``; feed it to
+    :func:`bpe_encode`.
+
+    The distributed part is exactly the part that touches the corpus: ONE
+    whitespace-tokenize + explode + groupBy builds the word-frequency
+    table (map-side combined, linear shuffle). The merge loop then runs
+    driver-side over that table — which is how BPE training works
+    everywhere in practice (the word-frequency dict is vocabulary-shaped,
+    Zipfian, and fits memory; the corpus does not). ``max_words`` caps the
+    table at the most frequent words (TakeOrdered, deterministic
+    count-desc/word-asc), bounding driver memory at any corpus scale; the
+    dropped long tail has negligible pair mass.
+
+    Determinism: pair selection breaks count ties toward the
+    lexicographically smallest pair, so the merge sequence is a pure
+    function of the word-frequency table (no dict-iteration-order
+    dependence — a distributed count has no insertion order to fall back
+    on). Words carry a ``</w>`` end-of-word marker per the paper."""
+    toks = F.filter(F.split(
+        F.lower(F.trim(F.col(text_col))) if lowercase
+        else F.trim(F.col(text_col)), _WS), lambda t: F.length(t) > 0)
+    wf = (df.select(F.explode(toks).alias("__w__"))
+            .groupBy("__w__").agg(F.count(F.lit(1)).alias("__c__"))
+            .orderBy(F.desc("__c__"), F.asc("__w__"))
+            .limit(max_words).collect())
+    vocab = {tuple(r["__w__"]) + (_EOW,): r["__c__"] for r in wf}
+    merges: list = []
+    from collections import defaultdict
+    pair_counts: dict = defaultdict(int)
+    for word, c in vocab.items():
+        for i in range(len(word) - 1):
+            pair_counts[(word[i], word[i + 1])] += c
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        # max count, ties to the smallest pair — deterministic
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        if pair_counts[best] <= 0:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for word, c in vocab.items():
+            if best[0] in word:
+                out, i = [], 0
+                while i < len(word):
+                    if (i < len(word) - 1 and word[i] == best[0]
+                            and word[i + 1] == best[1]):
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(word[i])
+                        i += 1
+                word2 = tuple(out)
+                if word2 != word:
+                    for i in range(len(word) - 1):
+                        pair_counts[(word[i], word[i + 1])] -= c
+                    for i in range(len(word2) - 1):
+                        pair_counts[(word2[i], word2[i + 1])] += c
+                word = word2
+            new_vocab[word] = new_vocab.get(word, 0) + c
+        vocab = new_vocab
+        pair_counts = defaultdict(
+            int, {p: c for p, c in pair_counts.items() if c > 0})
+    return merges
+
+
+def _bpe_word(word: str, ranks: dict, cache: dict) -> list:
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        pair = (syms[best_i], syms[best_i + 1])
+        merged = pair[0] + pair[1]
+        out, i = [], 0
+        while i < len(syms):
+            if (i < len(syms) - 1 and syms[i] == pair[0]
+                    and syms[i + 1] == pair[1]):
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    cache[word] = syms
+    return syms
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text", *,
+               out_col: str = "bpe_tokens", vocab: dict | None = None,
+               unk_id: int = -1, lowercase: bool = False) -> DataFrame:
+    """Encode text with a trained BPE merge table (:func:`bpe_train`):
+    whitespace pre-tokenize, then greedy lowest-rank merging per word —
+    the exact subword stream a trainer would consume, unlike
+    :func:`token_count_bpe`'s regex approximation. Adds ``out_col``
+    (array<string> subwords, ``</w>``-terminated per word) and
+    ``{out_col}_n`` (exact token count); with ``vocab`` (token -> id) adds
+    ``{out_col}_ids`` (array<int>, OOV -> ``unk_id``).
+
+    Arrow-batched ``pandas_udf`` with a per-executor word cache: Zipf
+    means the overwhelming share of word instances hit the cache, so the
+    per-word merge loop runs roughly once per DISTINCT word per executor.
+    The merge-rank table ships once inside the serialized UDF (a merges
+    table is ~10k-50k pairs, a few MB — broadcast-sized by construction).
+    NULL text yields NULL columns. No shuffle: pure map-side."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    cache: dict = {}
+
+    @pandas_udf("array<string>")
+    def _encode(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            if lowercase:
+                t = t.lower()
+            toks: list = []
+            for w in t.split():
+                toks.extend(_bpe_word(w, ranks, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    out = df.withColumn(out_col, _encode(F.col(text_col)))
+    out = out.withColumn(f"{out_col}_n",
+                         F.when(F.col(out_col).isNull(), None)
+                          .otherwise(F.size(out_col)))
+    if vocab is not None:
+        vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
+        out = out.withColumn(
+            f"{out_col}_ids",
+            F.when(F.col(out_col).isNull(), None).otherwise(
+                F.transform(F.col(out_col),
+                            lambda t: F.coalesce(vmap[t],
+                                                 F.lit(unk_id)))))
+    return out
+
+
 def winnow_fingerprints(text: Column, *, k: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     MOSS algorithm): rolling k-gram hashes, keep the minimum hash of every

@@ -425,6 +425,48 @@ def test_gopher_quality_rules(spark):
     assert not out[4]["quality_pass"]
 
 
+def test_bpe_train_and_encode(spark):
+    """Sennrich BPE: hand-computed merge sequence and greedy encode."""
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame([(1, "ab ab ab ac")], ["doc_id", "text"])
+    merges = txt.bpe_train(df, n_merges=10)
+    # pairs: (a,b)=3 ties (b,</w>)=3 -> lexicographic; then (ab,</w>)=3;
+    # then the ac word resolves the same way; no pairs left after 4
+    assert merges == [("a", "b"), ("ab", "</w>"),
+                      ("a", "c"), ("ac", "</w>")]
+
+    enc = spark.createDataFrame([(1, "ab ac ad"), (2, None)],
+                                ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           txt.bpe_encode(enc, merges,
+                          vocab={"ab</w>": 0, "ac</w>": 1, "a": 2}).collect()}
+    assert out[1]["bpe_tokens"] == ["ab</w>", "ac</w>", "a", "d", "</w>"]
+    assert out[1]["bpe_tokens_n"] == 5
+    assert out[1]["bpe_tokens_ids"] == [0, 1, 2, -1, -1]
+    assert out[2]["bpe_tokens"] is None and out[2]["bpe_tokens_n"] is None
+
+    # lossless segmentation: joining subwords and restoring spaces at </w>
+    # boundaries reconstructs the whitespace-normalized text
+    rec = spark.createDataFrame([(1, "ab ac ab")], ["doc_id", "text"])
+    toks = txt.bpe_encode(rec, merges).collect()[0]["bpe_tokens"]
+    assert "".join(toks).replace("</w>", " ").strip() == "ab ac ab"
+
+
+def test_bpe_train_max_words_cap_and_determinism(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [(i, "common common rare%d" % i) for i in range(20)],
+        ["doc_id", "text"])
+    # cap keeps only the most frequent word; merges derive from it alone
+    m_capped = txt.bpe_train(df, n_merges=50, max_words=1)
+    flat = {s for pair in m_capped for s in pair}
+    assert all(set(tok) <= set("common</w>") for tok in flat)
+    # same input -> identical merge sequence (tie-break determinism)
+    assert m_capped == txt.bpe_train(df, n_merges=50, max_words=1)
+
+
 def test_repetition_signals(spark):
     """Hand-computed Gopher repetition battery on a structured doc."""
     from tech_ml_dataset_spark.functions import text as txt
