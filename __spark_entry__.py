@@ -1981,6 +1981,16 @@ def bpe_tokens_docs(spark, sf_dir):
                        txt.token_count_bpe(F.col("text")).alias("n_bpe"))
 
 
+def stratified_sample_docs(spark, sf_dir):
+    """Exact stratified sample: exactly min(30, stratum size) docs per
+    language, selected by the engine-portable md5(key ':' seed) rank —
+    the oracle replays the identical ordering, so the sample itself (not
+    just its size) is hash-checked."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sel.sample_stratified_exact(docs, "lang", 30, key_col="doc_id",
+                                       seed=42)
+
+
 def bpe_encode_docs(spark, sf_dir):
     """REAL BPE (Sennrich 2016): train 200 merges on the corpus
     word-frequency table (distributed count, driver merge loop), then the
@@ -2130,7 +2140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_embeddings": semdedup_embeddings,
         "customers_without_orders": customers_without_orders,
         "concat_slices": concat_slices,
-        "lineitem_except": lineitem_except,
+        # (a-new) r4 exact stratified sampler — new operator, driver-prove
+        # this round (lineitem_except, r2-green with setops.py untouched in
+        # r4, rotates out)
+        "stratified_sample_docs": stratified_sample_docs,
         "rolling_user_value": rolling_user_value,
         "cube_orders": cube_orders,
         "reduce_union_orders": reduce_union_orders,
@@ -2220,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_click": asof_purchase_click,
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "unique_by_order": unique_by_order,
+        "lineitem_except": lineitem_except,
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
         "winnow_pairs_docs": winnow_pairs_docs,
@@ -2856,6 +2870,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "stratified_sample_docs": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id
+                       ) AS rn
+                FROM documents) t
+            WHERE rn <= 30
         """,
         "unique_by_order": """
             SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity, 4) AS l_quantity

@@ -247,6 +247,34 @@ def sample_by(df: DataFrame, col: str, fractions: dict, seed: int | None = None
     return df.sampleBy(col, fractions, seed)
 
 
+def sample_stratified_exact(df: DataFrame, by, n: int, *,
+                            key_col: str, seed: int = 42) -> DataFrame:
+    """EXACT stratified sample: exactly ``min(n, stratum size)`` rows per
+    stratum (parity-plus; ``sample_by``'s Bernoulli fractions only hit the
+    target count in expectation — class-balancing a training mix usually
+    wants the exact count).
+
+    Selection is deterministic and engine-portable: rows rank within their
+    stratum by ``md5(key || ':' || seed)`` (md5 of the same string is
+    identical everywhere, unlike engine-native hash functions), key as the
+    tiebreak, and the first ``n`` win. Same data + seed -> same sample, on
+    any engine — which also makes the operator ORACLE-able in plain SQL.
+
+    Scale shape: one window partitioned BY THE STRATUM KEY — parallel
+    across strata, no single-partition funnel; the rank prunes to n before
+    anything else happens. A mega-stratum still sorts within its partition
+    (the usual skewed-groupBy caveat — salt upstream if one class is half
+    the corpus)."""
+    by = [by] if isinstance(by, str) else list(by)
+    from pyspark.sql import Window
+    h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                          F.lit(str(seed))))
+    w = Window.partitionBy(*by).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn("__rn__", F.row_number().over(w))
+              .filter(F.col("__rn__") <= n)
+              .drop("__rn__"))
+
+
 def freq_items(df: DataFrame, cols, support: float = 0.01) -> DataFrame:
     """Approximate frequent items (parity-plus over the reference's sketch
     surface, reductions/apache_data_sketch.clj): single-pass misra-gries

@@ -640,6 +640,27 @@ def test_sample_by_strata_fractions(spark):
     assert 40 <= counts["a"] <= 200 and 750 <= counts["b"] <= 1000
 
 
+def test_sample_stratified_exact(spark):
+    """Exact per-stratum counts, deterministic selection, small strata
+    return whole."""
+    df = spark.createDataFrame(
+        [(i, "a" if i < 100 else ("b" if i < 130 else "c"))
+         for i in range(135)], ["i", "k"])
+    out = sel.sample_stratified_exact(df, "k", 20, key_col="i", seed=7)
+    counts = {r["k"]: r["n"] for r in
+              out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 20, "b": 20, "c": 5}  # c has only 5 rows
+    # deterministic: same seed -> same ids; different seed -> different set
+    ids1 = sorted(r["i"] for r in out.collect())
+    ids2 = sorted(r["i"] for r in
+                  sel.sample_stratified_exact(df, "k", 20, key_col="i",
+                                              seed=7).collect())
+    ids3 = sorted(r["i"] for r in
+                  sel.sample_stratified_exact(df, "k", 20, key_col="i",
+                                              seed=8).collect())
+    assert ids1 == ids2 and ids1 != ids3
+
+
 def test_freq_items_contains_heavy_hitter(spark):
     df = spark.createDataFrame([(("hot" if i % 3 else f"cold{i}"),)
                                 for i in range(300)], ["k"])
