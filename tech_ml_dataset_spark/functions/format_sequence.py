@@ -90,7 +90,14 @@ def _precision(x: float, digits: int, threshold: int):
     elif alft < _KP_MAX:
         r_prec = r * _TBL[1 - lft] if lft < 0 else r / _TBL[lft + 1]
     else:
-        r_prec = r / (10.0 ** (lft - 1))
+        div = 10.0 ** (lft - 1)
+        if div == 0.0 or math.isinf(div):
+            # 10^(lft-1) under/overflows double for subnormal-range inputs
+            # (|x| ~ 5e-324): scale in two halves so the mantissa survives
+            h1 = (lft - 1) // 2
+            r_prec = (r / (10.0 ** h1)) / (10.0 ** (lft - 1 - h1))
+        else:
+            r_prec = r / div
     rght = _right(r_prec, digits)
     exp = 3 if alft > 100 else 2
     return (e, exp, _fix_left(x, lft, e), rght)

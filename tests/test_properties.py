@@ -206,3 +206,54 @@ def test_pack_sequences_matches_python_next_fit(spark, toks, budget):
         members = [toks[i] for i, q in got.items() if q == p]
         positive = [t for t in members if t > 0]
         assert sum(members) <= budget or len(positive) == 1
+
+
+_texts = hs.lists(
+    hs.text(alphabet="ab \n.", min_size=0, max_size=40),
+    min_size=1, max_size=5)
+
+
+@given(ts=_texts)
+@_SET_SETTINGS
+def test_repetition_fracs_bounded(spark, ts):
+    """Every repetition signal is in [0, 1] (or NULL only for NULL text)."""
+    from tech_ml_dataset_spark.functions import text as txt
+    df = spark.createDataFrame(list(enumerate(ts)), "doc_id int, text string")
+    out = txt.repetition_signals(df, top_ngram_ns=(2,), dup_ngram_ns=(3,))
+    for r in out.collect():
+        for c in ("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+                  "dup_para_char_frac", "top_2gram_char_frac",
+                  "dup_3gram_char_frac"):
+            v = r[c]
+            assert v is not None and 0.0 <= v <= 1.0, (c, v, r)
+
+
+@given(ts=hs.lists(hs.text(alphabet="abc ", min_size=0, max_size=30),
+                   min_size=1, max_size=4))
+@_SET_SETTINGS
+def test_bpe_segmentation_is_lossless(spark, ts):
+    """Encoding never loses characters: joining subwords and restoring
+    spaces at </w> boundaries reconstructs the whitespace-normalized
+    text, for ANY merge table trained on any corpus."""
+    from tech_ml_dataset_spark.functions import text as txt
+    df = spark.createDataFrame(list(enumerate(ts)), "doc_id int, text string")
+    merges = txt.bpe_train(df, n_merges=8)
+    for r in txt.bpe_encode(df, merges).collect():
+        want = " ".join((ts[r["doc_id"]] or "").split())
+        got = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+        assert got == want
+
+
+@given(xs=hs.lists(hs.floats(allow_nan=True, allow_infinity=True,
+                             width=64),
+                   min_size=1, max_size=12),
+       digits=hs.integers(1, 10))
+@_SET_SETTINGS
+def test_format_sequence_uniform_width(xs, digits):
+    """All rendered strings in a sequence share one width (the aligned-
+    column contract), and finite values round-trip within precision."""
+    from tech_ml_dataset_spark.functions.format_sequence import \
+        format_sequence
+    out = format_sequence(xs, digits)
+    widths = {len(s) for s in out}
+    assert len(widths) == 1, (xs, out)
