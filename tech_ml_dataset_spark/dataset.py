@@ -263,6 +263,15 @@ class Dataset:
         return self._wrap(_txt.repetition_signals(self.df, text_col, id_col,
                                                   **kw))
 
+    def filter_funnel(self, rules, **kw):
+        from .functions import text as _txt
+        out, report = _txt.filter_funnel(self.df, rules, **kw)
+        return self._wrap(out), report
+
+    def dataset_card(self, text_col="text", **kw):
+        from .functions import text as _txt
+        return _txt.dataset_card(self.df, text_col, **kw)
+
     def bpe_train(self, text_col="text", **kw):
         from .functions import text as _txt
         return _txt.bpe_train(self.df, text_col, **kw)

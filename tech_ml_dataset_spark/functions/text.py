@@ -849,6 +849,102 @@ def heavy_hitters(df: DataFrame, col: str, *, k: int = 20,
             W.orderBy(F.col("count").desc(), F.col("value").asc())))
 
 
+def dataset_card(df: DataFrame, text_col: str = "text", *,
+                 by: str | None = None) -> DataFrame:
+    """Corpus summary card (the numbers a dataset release documents —
+    HF dataset cards / Dolma-style reports), long format: one row per
+    (group, metric). Metrics: ``n_docs``, ``null_text_frac``,
+    ``total_tokens`` / ``mean_tokens`` / ``p50_tokens`` / ``p95_tokens``,
+    ``mean_chars``, and ``exact_dup_frac`` (share of non-null docs whose
+    normalized-text fingerprint also appears on an EARLIER doc — the mass
+    exact dedup would remove). ``by`` adds per-group rows (e.g. per
+    language) alongside the ``group='all'`` rows.
+
+    Plan shape: one projection computes token count / char count /
+    fingerprint, then ONE aggregate per grouping (overall + by) — token
+    percentiles use ``percentile_approx`` (sketch, mergeable, the 100 TB
+    path) and the dup share uses ``count_distinct`` (two-phase partial
+    aggregation). The result is metric-count-sized."""
+    t = F.col(text_col)
+    base = df.withColumns({
+        "__nt__": F.when(t.isNull() | (F.length(F.trim(t)) == 0), F.lit(0))
+                   .otherwise(F.size(F.split(F.trim(t), _WS))).cast("long"),
+        "__nc__": F.coalesce(F.length(t), F.lit(0)).cast("long"),
+        "__fp__": F.md5(F.lower(F.trim(t))),
+    })
+    metrics = [
+        ("n_docs", F.count(F.lit(1))),
+        ("null_text_frac", F.avg(t.isNull().cast("double"))),
+        ("total_tokens", F.sum("__nt__")),
+        ("mean_tokens", F.avg("__nt__")),
+        ("p50_tokens", F.percentile_approx("__nt__", 0.5)),
+        ("p95_tokens", F.percentile_approx("__nt__", 0.95)),
+        ("mean_chars", F.avg("__nc__")),
+        ("exact_dup_frac",
+         F.when(F.sum(t.isNotNull().cast("long")) == 0, F.lit(0.0))
+          .otherwise(1.0 - F.count_distinct(F.col("__fp__"))
+                     .cast("double") / F.sum(t.isNotNull().cast("long")))),
+    ]
+    stack = ", ".join(f"'{n}', `__m{i}__`" for i, (n, _) in enumerate(metrics))
+
+    def one(group_expr):
+        agg = base.groupBy(group_expr.alias("group")).agg(
+            *[m.cast("double").alias(f"__m{i}__")
+              for i, (_, m) in enumerate(metrics)])
+        return agg.selectExpr(
+            "group", f"stack({len(metrics)}, {stack}) as (metric, value)")
+
+    out = one(F.lit("all"))
+    if by is not None:
+        out = out.unionByName(one(F.col(by).cast("string")))
+    return out
+
+
+def filter_funnel(df: DataFrame, rules: "dict[str, Column]"
+                  ) -> "tuple[DataFrame, DataFrame]":
+    """Sequential quality-filter funnel with per-rule drop accounting —
+    the standard report every filtering pipeline publishes (which rule
+    removed how much, in order). ``rules`` maps rule name -> boolean
+    KEEP-Column, applied in dict order.
+
+    Returns ``(filtered_df, report_df)``. The report has one row per rule
+    (ordered by ``stage``): ``n_in`` rows entering the stage, ``n_dropped``
+    removed BY this rule given everything before it passed, ``n_out``
+    surviving, plus the final retention fraction per stage. A NULL rule
+    verdict counts as a drop (unknown quality never passes a gate).
+
+    Plan shape: ONE scan and ONE tiny aggregate for the whole funnel —
+    each stage's survival is a conjunction column, so the per-stage counts
+    are conditional sums in a single ``agg`` (no per-rule jobs, no
+    re-scans); the filtered output reuses the same conjunction predicate.
+    The report is rule-count-sized: collect-free to build, trivially small.
+    """
+    names = list(rules)
+    keeps = [F.coalesce(rules[n].cast("boolean"), F.lit(False))
+             for n in names]
+    # cum[i] = survived rules 0..i
+    cums, acc = [], None
+    for kc in keeps:
+        acc = kc if acc is None else (acc & kc)
+        cums.append(acc)
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    for i, n in enumerate(names):
+        aggs.append(F.sum(cums[i].cast("long")).alias(f"__out_{i}__"))
+    row = df.agg(*aggs).collect()[0]
+    total = row["__total__"]
+    spark = df.sparkSession
+    rep, n_in = [], total
+    for i, n in enumerate(names):
+        n_out = row[f"__out_{i}__"] or 0
+        rep.append((i, n, n_in, n_in - n_out, n_out,
+                    float(n_out) / total if total else 0.0))
+        n_in = n_out
+    report = spark.createDataFrame(
+        rep, "stage int, rule string, n_in long, n_dropped long, "
+             "n_out long, retention double")
+    return df.filter(cums[-1]) if names else df, report
+
+
 def sample_mixture(df: DataFrame, weights: dict, *, total_tokens: int,
                    key_cols: tuple = ("lang",), token_col: str = "n_tokens",
                    seed: int = 42) -> DataFrame:

@@ -425,6 +425,49 @@ def test_gopher_quality_rules(spark):
     assert not out[4]["quality_pass"]
 
 
+def test_dataset_card(spark):
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "a b c", "en"), (3, "x", "de"),
+         (4, None, "de")],
+        "doc_id int, text string, lang string")
+    card = {(r["group"], r["metric"]): r["value"]
+            for r in txt.dataset_card(df, by="lang").collect()}
+    assert card[("all", "n_docs")] == 4.0
+    assert abs(card[("all", "null_text_frac")] - 0.25) < 1e-12
+    assert card[("all", "total_tokens")] == 7.0
+    # 3 non-null docs, 2 distinct fingerprints -> 1/3 dup mass
+    assert abs(card[("all", "exact_dup_frac")] - 1 / 3) < 1e-12
+    assert card[("en", "n_docs")] == 2.0
+    assert abs(card[("en", "exact_dup_frac")] - 0.5) < 1e-12
+    assert card[("de", "exact_dup_frac")] == 0.0
+
+
+def test_filter_funnel(spark):
+    """Sequential drop accounting: each stage counts drops GIVEN prior
+    stages passed; NULL verdicts drop; one aggregate for the whole
+    funnel."""
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [(1, 10, True), (2, 3, True), (3, 10, None),
+         (4, 10, False), (5, 2, False)],
+        "doc_id int, n int, ok boolean")
+    out, rep = txt.filter_funnel(df, {
+        "long_enough": F.col("n") >= 5,     # drops 2, 5
+        "flag_ok": F.col("ok"),             # of survivors {1,3,4}: drops 3 (NULL), 4
+    })
+    assert sorted(r["doc_id"] for r in out.collect()) == [1]
+    r = {x["rule"]: x for x in rep.collect()}
+    assert (r["long_enough"]["n_in"], r["long_enough"]["n_dropped"],
+            r["long_enough"]["n_out"]) == (5, 2, 3)
+    assert (r["flag_ok"]["n_in"], r["flag_ok"]["n_dropped"],
+            r["flag_ok"]["n_out"]) == (3, 2, 1)
+    assert abs(r["flag_ok"]["retention"] - 0.2) < 1e-12
+    assert [x["stage"] for x in rep.orderBy("stage").collect()] == [0, 1]
+
+
 def test_bpe_train_and_encode(spark):
     """Sennrich BPE: hand-computed merge sequence and greedy encode."""
     from tech_ml_dataset_spark.functions import text as txt
