@@ -1129,6 +1129,18 @@ def unigram_lm_docs(spark, sf_dir):
                       "n_scored_tokens")
 
 
+def ccnet_buckets_docs(spark, sf_dir):
+    """CCNet head/middle/tail quality buckets per language (Wenzek et al.
+    2020): unigram-LM score + per-lang ntile(3) on the 4-decimal-rounded
+    score with doc_id tiebreak (engine-portable ordering — raw-double
+    ranks would flip on ULP)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = txt.ccnet_buckets(docs, by="lang")
+    return out.select("doc_id", "lang",
+                      _r4(F.col("bits_per_token")).alias("bits_per_token"),
+                      "ppl_bucket")
+
+
 def tfidf_docs(spark, sf_dir):
     """Per-doc TF-IDF top terms (keyword extraction): explode -> (doc,term)
     tf shuffle, vocab-sized idf broadcast back, windowed top-3 per doc.
@@ -2149,7 +2161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reduce_union_orders": reduce_union_orders,
         "rolling_clamp_user": rolling_clamp_user,
         "columnwise_round_lineitem": columnwise_round_lineitem,
-        "rolling_center_user": rolling_center_user,
+        # (a-new) r4 CCNet quality buckets — new operator, driver-prove
+        # this round (rolling_center_user, r2-green with window.py untouched
+        # in r4, rotates out)
+        "ccnet_buckets_docs": ccnet_buckets_docs,
         "cross_region_priority": cross_region_priority,
         "rolling_corr_user": rolling_corr_user,
         "expanding_user_cumsum": expanding_user_cumsum,
@@ -2234,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "unique_by_order": unique_by_order,
         "lineitem_except": lineitem_except,
+        "rolling_center_user": rolling_center_user,
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
         "winnow_pairs_docs": winnow_pairs_docs,
@@ -3617,6 +3633,39 @@ def oracle_sql() -> dict[str, str]:
                    round(tfidf, 4) AS tfidf, term_rank
             FROM rk WHERE term_rank <= 3
             ORDER BY doc_id, term_rank
+        """,
+        "ccnet_buckets_docs": """
+            WITH ex AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                FROM documents
+            ), ex2 AS (
+                SELECT doc_id, w FROM ex WHERE length(w) > 0
+            ), freq AS (
+                SELECT w, count(*) AS c FROM ex2 GROUP BY w
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS N,
+                       CAST(count(*) AS DOUBLE) AS V FROM freq
+            ), scored AS (
+                SELECT e.doc_id,
+                       -avg(log2((f.c + 0.5) / (tot.N + 0.5 * tot.V)))
+                           AS bits_per_token
+                FROM ex2 e JOIN freq f USING (w), tot
+                GROUP BY e.doc_id
+            ), ranked AS (
+                SELECT d.doc_id, d.lang, s.bits_per_token,
+                       ntile(3) OVER (PARTITION BY d.lang
+                                      ORDER BY round(s.bits_per_token, 4)
+                                          ASC NULLS LAST, d.doc_id) AS b
+                FROM documents d LEFT JOIN scored s USING (doc_id)
+            )
+            SELECT doc_id, lang,
+                   round(bits_per_token, 4) AS bits_per_token,
+                   CASE WHEN bits_per_token IS NULL THEN NULL
+                        WHEN b = 1 THEN 'head'
+                        WHEN b = 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM ranked
         """,
         "unigram_lm_docs": """
             WITH ex AS (

@@ -849,6 +849,42 @@ def heavy_hitters(df: DataFrame, col: str, *, k: int = 20,
             W.orderBy(F.col("count").desc(), F.col("value").asc())))
 
 
+def ccnet_buckets(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, by: str | None = None,
+                  n_buckets: int = 3, **score_kw) -> DataFrame:
+    """CCNet quality buckets (Wenzek et al. 2020 §4.3): rank documents by
+    LM score within each group (language, in CCNet) and split into
+    ``n_buckets`` equal tiers — head / middle / tail for the default 3.
+    Training mixes keep head+middle and drop or downweight tail.
+
+    Scoring is :func:`unigram_logprob_score` (lower bits/token = more
+    corpus-typical). Ranking uses the score ROUNDED to 4 decimals with the
+    doc id as tiebreak, making bucket assignment deterministic and
+    engine-portable (a raw-double order would flip on ULP differences).
+    Unscored docs (NULL/empty text) sort last and get a NULL label.
+
+    Pass ``by`` (e.g. the language column) to keep the ntile window
+    partitioned — the CCNet semantics AND the scale requirement; without
+    it the global ranking funnels one task and warns."""
+    from ..dtutil import warn_unpartitioned
+    from pyspark.sql import Window
+    scored = unigram_logprob_score(df, text_col, id_col, **score_kw)
+    s = F.round(F.col("bits_per_token"), 4)
+    if by is None:
+        warn_unpartitioned("ccnet_buckets")
+        w = Window.orderBy(s.asc_nulls_last(), F.col(id_col))
+    else:
+        w = Window.partitionBy(by).orderBy(s.asc_nulls_last(), F.col(id_col))
+    bucket = F.ntile(n_buckets).over(w)
+    labels = {1: "head", 2: "middle", 3: "tail"} if n_buckets == 3 else {}
+    lab = bucket.cast("string")
+    for k, v in labels.items():
+        lab = F.when(bucket == k, v).otherwise(lab)
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col("bits_per_token").isNull(), None).otherwise(lab))
+
+
 def dataset_card(df: DataFrame, text_col: str = "text", *,
                  by: str | None = None) -> DataFrame:
     """Corpus summary card (the numbers a dataset release documents —

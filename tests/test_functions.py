@@ -425,6 +425,33 @@ def test_gopher_quality_rules(spark):
     assert not out[4]["quality_pass"]
 
 
+def test_ccnet_buckets(spark):
+    """Per-group tiering: most corpus-typical docs -> head; unscored ->
+    NULL; unpartitioned use warns."""
+    import warnings
+
+    from tech_ml_dataset_spark.functions import text as txt
+
+    # 'common' appears everywhere -> docs of only-common words score low
+    df = spark.createDataFrame(
+        [(1, "common common common", "en"),
+         (2, "common common rare1", "en"),
+         (3, "rare2 rare3 rare4", "en"),
+         (4, "", "en")],
+        "doc_id int, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           txt.ccnet_buckets(df, by="lang").collect()}
+    # 4 rows -> ntile sizes 2,1,1; the unscored doc sorts last and absorbs
+    # the tail slot (it still counts in the tiling, label nulled)
+    assert out[1]["ppl_bucket"] == "head" and out[2]["ppl_bucket"] == "head"
+    assert out[3]["ppl_bucket"] == "middle"
+    assert out[4]["ppl_bucket"] is None
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        txt.ccnet_buckets(df)
+        assert any("ccnet_buckets" in str(x.message) for x in w)
+
+
 def test_dataset_card(spark):
     from tech_ml_dataset_spark.functions import text as txt
 
