@@ -263,6 +263,10 @@ class Dataset:
         return self._wrap(_txt.repetition_signals(self.df, text_col, id_col,
                                                   **kw))
 
+    def ccnet_buckets(self, text_col="text", id_col="doc_id", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.ccnet_buckets(self.df, text_col, id_col, **kw))
+
     def filter_funnel(self, rules, **kw):
         from .functions import text as _txt
         out, report = _txt.filter_funnel(self.df, rules, **kw)
