@@ -765,6 +765,21 @@ def validate_orders(spark, sf_dir):
     ])
 
 
+def psi_drift_lineitem(spark, sf_dir):
+    """PSI drift between pre-/post-1998 lineitem shipments: reference-
+    quantile buckets (exact interpolated percentiles, edges rounded to 4
+    decimals in BOTH engines so interpolation ULP can't flip a bucket
+    boundary), per-column stability index."""
+    from tech_ml_dataset_spark.operators import validate as dv
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_shipdate") < "1998-01-01")
+    cur = li.filter(F.col("l_shipdate") >= "1998-01-01")
+    out = dv.psi_drift(ref, cur, ["l_quantity", "l_extendedprice"],
+                       exact_edges=True, round_edges=4)
+    return out.select(F.col("column").alias("col_name"),
+                      _r4b(F.col("psi")).alias("psi"))
+
+
 def corpus_composition(spark, sf_dir):
     """Training-mixture composition report: docs and token budget per
     (language, quality bucket) — the summary a data pipeline publishes
@@ -2159,7 +2174,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value": rolling_user_value,
         "cube_orders": cube_orders,
         "reduce_union_orders": reduce_union_orders,
-        "rolling_clamp_user": rolling_clamp_user,
+        # (a-new) r4 PSI drift detector — new operator, driver-prove this
+        # round (rolling_clamp_user, r2-green with window.py untouched in
+        # r4, rotates out)
+        "psi_drift_lineitem": psi_drift_lineitem,
         "columnwise_round_lineitem": columnwise_round_lineitem,
         # (a-new) r4 CCNet quality buckets — new operator, driver-prove
         # this round (rolling_center_user, r2-green with window.py untouched
@@ -2250,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_by_order": unique_by_order,
         "lineitem_except": lineitem_except,
         "rolling_center_user": rolling_center_user,
+        "rolling_clamp_user": rolling_clamp_user,
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
         "winnow_pairs_docs": winnow_pairs_docs,
@@ -2886,6 +2905,50 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "psi_drift_lineitem": """
+            WITH src AS (
+                SELECT l_quantity::DOUBLE AS q, l_extendedprice::DOUBLE AS p,
+                       l_shipdate < DATE '1998-01-01' AS is_ref
+                FROM lineitem
+            ), eq AS (
+                SELECT list_transform(
+                    quantile_cont(q, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                    x -> round(x, 4)) AS ed
+                FROM src WHERE is_ref
+            ), ep AS (
+                SELECT list_transform(
+                    quantile_cont(p, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                    x -> round(x, 4)) AS ed
+                FROM src WHERE is_ref
+            ), bq AS (
+                SELECT is_ref, len(list_filter(eq.ed, x -> s.q > x)) AS bucket
+                FROM src s, eq WHERE s.q IS NOT NULL
+            ), bp AS (
+                SELECT is_ref, len(list_filter(ep.ed, x -> s.p > x)) AS bucket
+                FROM src s, ep WHERE s.p IS NOT NULL
+            ), allc AS (
+                SELECT 'l_quantity' AS col_name, bucket,
+                       sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::DOUBLE AS n_ref,
+                       sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::DOUBLE AS n_cur
+                FROM bq GROUP BY bucket
+                UNION ALL
+                SELECT 'l_extendedprice' AS col_name, bucket,
+                       sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::DOUBLE,
+                       sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::DOUBLE
+                FROM bp GROUP BY bucket
+            ), tot AS (
+                SELECT col_name, sum(n_ref) AS tr, sum(n_cur) AS tc
+                FROM allc GROUP BY col_name
+            )
+            SELECT a.col_name,
+                   round(sum((greatest(a.n_cur / t.tc, 1e-6)
+                              - greatest(a.n_ref / t.tr, 1e-6))
+                             * ln(greatest(a.n_cur / t.tc, 1e-6)
+                                  / greatest(a.n_ref / t.tr, 1e-6))) * 1e4)
+                       / 1e4 AS psi
+            FROM allc a JOIN tot t USING (col_name)
+            GROUP BY a.col_name
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang FROM (

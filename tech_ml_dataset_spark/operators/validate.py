@@ -94,3 +94,81 @@ def expect(df: DataFrame, rules: Sequence[tuple]) -> None:
     if bad:
         raise ValueError("validation failed: " +
                          "; ".join(f"{n} ({c} violations)" for n, c in bad))
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, columns, *,
+              n_buckets: int = 10, exact_edges: bool = False,
+              round_edges: int | None = None,
+              epsilon: float = 1e-6) -> DataFrame:
+    """Population Stability Index per numeric column — the standard
+    production drift check between a reference snapshot (last crawl /
+    training set) and a current one. PSI = sum over buckets of
+    (p_cur - p_ref) * ln(p_cur / p_ref); rule of thumb: < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted.
+
+    Bucket edges come from the REFERENCE quantiles (n_buckets equal-mass
+    cuts; ``exact_edges=True`` uses exact interpolated percentiles for
+    cross-engine reproducibility — the oracle path — while the default
+    sketch edges are the 100 TB path). Edges collect driver-side (they are
+    n_buckets-sized literals), then BOTH sides bucket with a shared
+    pure-Column width_bucket-style expression and count per bucket — one
+    aggregate per side keyed by (column, bucket), no join of the raw
+    tables. Empty buckets are epsilon-smoothed so the log stays finite.
+
+    Returns (column, psi) — column-count-sized."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    if exact_edges:
+        edge_aggs = [F.expr(
+            f"percentile(`{c}`, array({', '.join(map(str, qs))}))").alias(c)
+            for c in cols]
+    else:
+        edge_aggs = [F.percentile_approx(
+            F.col(c), F.array(*[F.lit(q) for q in qs])).alias(c)
+            for c in cols]
+    edges_row = ref.agg(*edge_aggs).collect()[0]
+
+    def bucket_expr(c):
+        edges = [e for e in (edges_row[c] or []) if e is not None]
+        if round_edges is not None:
+            # round the edge literals so an oracle replaying the same
+            # (rounded) quantiles buckets identically despite interpolation
+            # ULP differences between engines; half-up to match SQL round()
+            # (Python's built-in round is banker's)
+            import math as _math
+            m = 10.0 ** round_edges
+            edges = [_math.copysign(
+                _math.floor(abs(float(e)) * m + 0.5) / m, float(e))
+                for e in edges]
+        b = F.lit(0)
+        for e in edges:
+            b = b + (F.col(c) > F.lit(float(e))).cast("int")
+        return b
+
+    def side_counts(df, tag):
+        parts = []
+        for c in cols:
+            parts.append(df.filter(F.col(c).isNotNull())
+                           .select(F.lit(c).alias("column"),
+                                   bucket_expr(c).alias("bucket")))
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        return (un.groupBy("column", "bucket")
+                  .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+
+    r = side_counts(ref, "ref")
+    u = side_counts(cur, "cur")
+    joined = r.join(u, ["column", "bucket"], "full") \
+              .fillna(0, ["n_ref", "n_cur"])
+    tot = joined.groupBy("column").agg(F.sum("n_ref").alias("t_ref"),
+                                       F.sum("n_cur").alias("t_cur"))
+    j = joined.join(tot, "column")
+    # greatest(t, 1) keeps an EMPTY side ANSI-safe (no divide-by-zero on a
+    # plain session); with t=0 every n is 0 too, so p collapses to epsilon
+    p_ref = F.greatest(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1)),
+                       F.lit(epsilon))
+    p_cur = F.greatest(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)),
+                       F.lit(epsilon))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return j.groupBy("column").agg(F.sum(term).alias("psi"))

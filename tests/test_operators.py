@@ -916,3 +916,32 @@ def test_sessionize_gap_semantics(spark):
                          order_tiebreak=["eid"])
     got = {r["eid"]: r["session_seq"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_psi_drift(spark):
+    """PSI ~ 0 for identical distributions; large for a clear shift;
+    per-column rows."""
+    from tech_ml_dataset_spark.operators import validate as dv
+
+    ref = spark.createDataFrame([(float(i % 100), float(i % 10))
+                                 for i in range(1000)], ["a", "b"])
+    same = dv.psi_drift(ref, ref, ["a", "b"], exact_edges=True)
+    for r in same.collect():
+        assert abs(r["psi"]) < 1e-9, r
+    shifted = spark.createDataFrame([(float(i % 100) + 50.0, float(i % 10))
+                                     for i in range(1000)], ["a", "b"])
+    out = {r["column"]: r["psi"]
+           for r in dv.psi_drift(ref, shifted, ["a", "b"],
+                                 exact_edges=True).collect()}
+    assert out["a"] > 0.25          # half the mass left the ref buckets
+    assert abs(out["b"]) < 1e-9     # untouched column stays stable
+
+
+def test_psi_drift_empty_side_is_ansi_safe(spark):
+    from tech_ml_dataset_spark.operators import validate as dv
+
+    ref = spark.createDataFrame([(float(i),) for i in range(50)], ["a"])
+    empty = spark.createDataFrame([], "a double")
+    # empty current side: every cur bucket is epsilon -> finite psi, no throw
+    out = dv.psi_drift(ref, empty, ["a"], exact_edges=True).collect()
+    assert len(out) == 1 and out[0]["psi"] is not None
