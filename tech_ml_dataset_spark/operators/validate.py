@@ -99,7 +99,7 @@ def expect(df: DataFrame, rules: Sequence[tuple]) -> None:
 def psi_drift(ref: DataFrame, cur: DataFrame, columns, *,
               n_buckets: int = 10, exact_edges: bool = False,
               round_edges: int | None = None,
-              epsilon: float = 1e-6) -> DataFrame:
+              epsilon: float = 1e-6, include_ks: bool = False) -> DataFrame:
     """Population Stability Index per numeric column — the standard
     production drift check between a reference snapshot (last crawl /
     training set) and a current one. PSI = sum over buckets of
@@ -115,7 +115,9 @@ def psi_drift(ref: DataFrame, cur: DataFrame, columns, *,
     aggregate per side keyed by (column, bucket), no join of the raw
     tables. Empty buckets are epsilon-smoothed so the log stays finite.
 
-    Returns (column, psi) — column-count-sized."""
+    Returns (column, psi) — column-count-sized; ``include_ks=True`` adds a
+    bucketed KS statistic (max ECDF gap over the shared grid, computed in
+    a window over n_buckets rows per column)."""
     cols = [columns] if isinstance(columns, str) else list(columns)
     qs = [i / n_buckets for i in range(1, n_buckets)]
     if exact_edges:
@@ -171,4 +173,17 @@ def psi_drift(ref: DataFrame, cur: DataFrame, columns, *,
     p_cur = F.greatest(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)),
                        F.lit(epsilon))
     term = (p_cur - p_ref) * F.log(p_cur / p_ref)
-    return j.groupBy("column").agg(F.sum(term).alias("psi"))
+    if not include_ks:
+        return j.groupBy("column").agg(F.sum(term).alias("psi"))
+    # bucketed KS: max |ECDF_ref - ECDF_cur| over the shared bucket grid —
+    # a window over n_buckets rows per column, nothing data-sized
+    from pyspark.sql import Window
+    wc = (Window.partitionBy("column").orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    cum_gap = F.abs(
+        F.sum(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1))).over(wc)
+        - F.sum(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1))).over(wc))
+    return (j.withColumn("__gap__", cum_gap)
+             .groupBy("column")
+             .agg(F.sum(term).alias("psi"),
+                  F.max("__gap__").alias("ks")))

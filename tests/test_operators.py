@@ -945,3 +945,18 @@ def test_psi_drift_empty_side_is_ansi_safe(spark):
     # empty current side: every cur bucket is epsilon -> finite psi, no throw
     out = dv.psi_drift(ref, empty, ["a"], exact_edges=True).collect()
     assert len(out) == 1 and out[0]["psi"] is not None
+
+
+def test_psi_drift_with_ks(spark):
+    from tech_ml_dataset_spark.operators import validate as dv
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], ["a"])
+    cur = spark.createDataFrame([(float(i % 100) + 50.0,) for i in range(1000)],
+                                ["a"])
+    same = dv.psi_drift(ref, ref, ["a"], exact_edges=True,
+                        include_ks=True).collect()[0]
+    assert abs(same["ks"]) < 1e-12
+    moved = dv.psi_drift(ref, cur, ["a"], exact_edges=True,
+                         include_ks=True).collect()[0]
+    # half the mass shifted past the ref median -> ECDF gap ~ 0.5
+    assert 0.3 <= moved["ks"] <= 0.7
