@@ -108,7 +108,11 @@ def main():
                         + F.col("l_quantity") * i).alias(f"c{i:02d}")
                        for i in range(40)])
     best = float("inf")
-    for _ in range(2):
+    # min-of-3 (not the suite's min-of-2): ~340 agg expressions take TWO
+    # executions of Janino+JIT tiering before steady state (measured
+    # 11.9 / 6.1 / 4.4 s isolated) — two runs would record the tiering
+    # tail, not engine throughput
+    for _ in range(3):
         t0 = time.perf_counter()
         descriptive_stats(li40).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
