@@ -120,6 +120,26 @@ def apply_parser_fn(df: DataFrame, parser_fn: Mapping) -> DataFrame:
     return out
 
 
+def _peek_csv_header(spark, path, opts, n_skip: int):
+    """Read the (post-skip) header line once, parsed with the csv module
+    so quoted/escaped header cells split correctly. Returns None when the
+    file is empty or unreadable — callers then keep Spark's own naming."""
+    try:
+        rows = (spark.read.text(path).limit(n_skip + 1).collect())
+        if len(rows) <= n_skip:
+            return None
+        line = rows[-1][0]
+        comment = str(opts.get("comment", "") or "")
+        if comment and line.startswith(comment):
+            return None
+        import csv as _csv
+        import io as _io
+        return next(_csv.reader(_io.StringIO(line),
+                                delimiter=str(opts.get("sep", ","))))
+    except Exception:
+        return None
+
+
 def to_dataset(
     spark: SparkSession,
     data,
@@ -132,6 +152,8 @@ def to_dataset(
     num_rows: int | None = None,
     key_fn=None,
     bad_row_policy: str | None = None,
+    ensure_unique_column_names: bool = False,
+    unique_column_name_fn=None,
     n_initial_skip_rows: int = 0,
     ragged: bool = False,
     **options,
@@ -156,6 +178,14 @@ def to_dataset(
     text, the prefix dropped in file order, and the remaining lines
     csv-parsed — still distributed; with multiple input files the skip
     applies once in overall file order (the reference reads single files).
+
+    Duplicate CSV headers follow the reference's law (libs csv_test.clj:
+    8-27): the default read RAISES (Spark would silently index-mangle
+    them — ``a,b,a`` -> ``a0,b,a2``); ``ensure_unique_column_names=True``
+    keeps them, renaming EVERY occurrence of a duplicated name via
+    ``unique_column_name_fn(col_idx, name)`` (default ``name-idx``).
+    Detection reads the header line once driver-side (a one-line text
+    job) — only on path-based csv reads with a header.
 
     ``ragged=True`` mirrors the reference's ragged-row parse
     (parse_test.clj:337-349): the table widens to the LONGEST row (Spark's
@@ -219,6 +249,23 @@ def to_dataset(
             import re as _re
             df = df.toDF(*[_re.sub(r"^_c(\d+)$", r"column-\1", c)
                            for c in df.columns])
+            if str(opts.get("header", "")).lower() == "true":
+                hdr = _peek_csv_header(spark, data, opts,
+                                       n_initial_skip_rows)
+                if hdr is not None and len(hdr) == len(df.columns):
+                    names = [h if h else f"column-{i}"
+                             for i, h in enumerate(hdr)]
+                    from collections import Counter
+                    dup = {n for n, k in Counter(names).items() if k > 1}
+                    if dup and not ensure_unique_column_names:
+                        raise ValueError(
+                            f"duplicate csv headers {sorted(dup)}; pass "
+                            f"ensure_unique_column_names=True to suffix "
+                            f"them (reference csv_test.clj law)")
+                    fn = unique_column_name_fn or \
+                        (lambda i, n: f"{n}-{i}")
+                    df = df.toDF(*[fn(i, n) if n in dup else n
+                                   for i, n in enumerate(names)])
     elif isinstance(data, DataFrame):
         df = data
     elif isinstance(data, Mapping):

@@ -107,3 +107,25 @@ def test_skip_and_ragged_are_csv_only(spark, tmp_path):
     p = _write(tmp_path, "x.json", '{"a": 1}\n')
     with _pt.raises(ValueError, match="csv-only"):
         to_dataset(spark, p, n_initial_skip_rows=1)
+
+
+def test_duplicate_headers_throw_and_suffix(spark, tmp_path):
+    """Reference csv_test.clj:8-27: duplicate headers RAISE by default;
+    ensure_unique_column_names=True suffixes EVERY duplicated occurrence
+    via unique_column_name_fn(col_idx, name) (default name-idx)."""
+    import pytest as _pt
+
+    from tech_ml_dataset_spark.sources.io import to_dataset
+
+    p = tmp_path / "dup.csv"
+    p.write_text("a,b,a,column,column,column-1\n1,2,3,4,5,6\n")
+    with _pt.raises(ValueError, match="duplicate csv headers"):
+        to_dataset(spark, str(p))
+    df = to_dataset(spark, str(p), ensure_unique_column_names=True)
+    assert df.columns == ["a-0", "b", "a-2", "column-3", "column-4",
+                          "column-1"]
+    df2 = to_dataset(spark, str(p), ensure_unique_column_names=True,
+                     unique_column_name_fn=lambda i, n: f"{n}::{i}")
+    assert df2.columns == ["a::0", "b", "a::2", "column::3", "column::4",
+                          "column-1"]
+    assert df2.count() == 1
