@@ -187,3 +187,57 @@ def psi_drift(ref: DataFrame, cur: DataFrame, columns, *,
              .groupBy("column")
              .agg(F.sum(term).alias("psi"),
                   F.max("__gap__").alias("ks")))
+
+
+def psi_drift_categorical(ref: DataFrame, cur: DataFrame, columns, *,
+                          top_k: int = 50,
+                          epsilon: float = 1e-6) -> DataFrame:
+    """PSI over CATEGORICAL columns (language mix, source mix, label
+    distribution — the drifts a crawl pipeline actually watches): buckets
+    are the reference's ``top_k`` most frequent values per column
+    (count-desc, value-asc — deterministic) plus one ``__other__`` bucket
+    absorbing the tail and any value unseen in the reference.
+
+    Scale shape mirrors :func:`psi_drift`: the bucket table is a
+    ``top_k``-sized collected literal per column (TakeOrdered — never the
+    distinct domain); both sides then map value -> bucket with a pure
+    Column expression and aggregate once. Same epsilon smoothing, same
+    (column, psi) output, so numeric and categorical reports union
+    cleanly."""
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    keep: dict = {}
+    for c in cols:
+        top = (ref.filter(F.col(c).isNotNull())
+                  .groupBy(c).agg(F.count(F.lit(1)).alias("__n__"))
+                  .orderBy(F.desc("__n__"), F.asc(c))
+                  .limit(top_k).collect())
+        keep[c] = [r[c] for r in top]
+
+    def bucket_expr(c):
+        v = F.col(c).cast("string")
+        arr = F.array(*[F.lit(str(x)) for x in keep[c]])
+        return F.when(F.array_contains(arr, v), v).otherwise("__other__")
+
+    def side_counts(df, tag):
+        parts = [df.filter(F.col(c).isNotNull())
+                   .select(F.lit(c).alias("column"),
+                           bucket_expr(c).alias("bucket"))
+                 for c in cols]
+        un = parts[0]
+        for p in parts[1:]:
+            un = un.unionByName(p)
+        return (un.groupBy("column", "bucket")
+                  .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+
+    joined = (side_counts(ref, "ref")
+              .join(side_counts(cur, "cur"), ["column", "bucket"], "full")
+              .fillna(0, ["n_ref", "n_cur"]))
+    tot = joined.groupBy("column").agg(F.sum("n_ref").alias("t_ref"),
+                                       F.sum("n_cur").alias("t_cur"))
+    j = joined.join(tot, "column")
+    p_ref = F.greatest(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1)),
+                       F.lit(epsilon))
+    p_cur = F.greatest(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)),
+                       F.lit(epsilon))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return j.groupBy("column").agg(F.sum(term).alias("psi"))

@@ -960,3 +960,21 @@ def test_psi_drift_with_ks(spark):
                          include_ks=True).collect()[0]
     # half the mass shifted past the ref median -> ECDF gap ~ 0.5
     assert 0.3 <= moved["ks"] <= 0.7
+
+
+def test_psi_drift_categorical(spark):
+    from tech_ml_dataset_spark.operators import validate as dv
+
+    ref = spark.createDataFrame(
+        [("en",)] * 70 + [("de",)] * 20 + [("fr",)] * 10, ["lang"])
+    same = dv.psi_drift_categorical(ref, ref, "lang").collect()[0]
+    assert abs(same["psi"]) < 1e-12
+    # shift: fr mass triples at en's expense, plus an unseen language
+    cur = spark.createDataFrame(
+        [("en",)] * 40 + [("de",)] * 20 + [("fr",)] * 30 + [("zh",)] * 10,
+        ["lang"])
+    moved = dv.psi_drift_categorical(ref, cur, "lang").collect()[0]
+    assert moved["psi"] > 0.1
+    # top_k cap: tail collapses into __other__, still finite and ordered
+    capped = dv.psi_drift_categorical(ref, cur, "lang", top_k=1).collect()[0]
+    assert capped["psi"] > 0.0
