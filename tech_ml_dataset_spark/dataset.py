@@ -263,6 +263,17 @@ class Dataset:
         return self._wrap(_txt.repetition_signals(self.df, text_col, id_col,
                                                   **kw))
 
+    def psi_drift(self, current, columns, **kw):
+        """Drift of ``current`` (Dataset or DataFrame) vs self as reference."""
+        from .operators import validate as _dv
+        cur = current.df if isinstance(current, Dataset) else current
+        return _dv.psi_drift(self.df, cur, columns, **kw)
+
+    def psi_drift_categorical(self, current, columns, **kw):
+        from .operators import validate as _dv
+        cur = current.df if isinstance(current, Dataset) else current
+        return _dv.psi_drift_categorical(self.df, cur, columns, **kw)
+
     def ccnet_buckets(self, text_col="text", id_col="doc_id", **kw):
         from .functions import text as _txt
         return self._wrap(_txt.ccnet_buckets(self.df, text_col, id_col, **kw))
