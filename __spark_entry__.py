@@ -780,6 +780,19 @@ def psi_drift_lineitem(spark, sf_dir):
                       _r4b(F.col("psi")).alias("psi"))
 
 
+def psi_drift_categorical_docs(spark, sf_dir):
+    """Categorical PSI (language + source mix drift) between the first and
+    second half of the corpus: reference top-10 value buckets + __other__,
+    derived identically in the oracle."""
+    from tech_ml_dataset_spark.operators import validate as dv
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") < 250)
+    cur = docs.filter(F.col("doc_id") >= 250)
+    out = dv.psi_drift_categorical(ref, cur, ["lang", "source"], top_k=10)
+    return out.select(F.col("column").alias("col_name"),
+                      _r4b(F.col("psi")).alias("psi"))
+
+
 def corpus_composition(spark, sf_dir):
     """Training-mixture composition report: docs and token budget per
     (language, quality bucket) — the summary a data pipeline publishes
@@ -2171,7 +2184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round (lineitem_except, r2-green with setops.py untouched in
         # r4, rotates out)
         "stratified_sample_docs": stratified_sample_docs,
-        "rolling_user_value": rolling_user_value,
+        # (a-new) r4 categorical PSI — new operator, driver-prove this
+        # round (rolling_user_value, r2-green with window.py untouched in
+        # r4, rotates out)
+        "psi_drift_categorical_docs": psi_drift_categorical_docs,
         "cube_orders": cube_orders,
         "reduce_union_orders": reduce_union_orders,
         # (a-new) r4 PSI drift detector — new operator, driver-prove this
@@ -2269,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_except": lineitem_except,
         "rolling_center_user": rolling_center_user,
         "rolling_clamp_user": rolling_clamp_user,
+        "rolling_user_value": rolling_user_value,
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
         "winnow_pairs_docs": winnow_pairs_docs,
@@ -2905,6 +2922,47 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "psi_drift_categorical_docs": """
+            WITH src AS (
+                SELECT lang, source, doc_id < 250 AS is_ref FROM documents
+            ), topl AS (
+                SELECT lang AS v FROM (
+                    SELECT lang, count(*) AS c FROM src
+                    WHERE is_ref AND lang IS NOT NULL
+                    GROUP BY lang ORDER BY c DESC, lang ASC LIMIT 10)
+            ), tops AS (
+                SELECT source AS v FROM (
+                    SELECT source, count(*) AS c FROM src
+                    WHERE is_ref AND source IS NOT NULL
+                    GROUP BY source ORDER BY c DESC, source ASC LIMIT 10)
+            ), b AS (
+                SELECT 'lang' AS col_name,
+                       CASE WHEN lang IN (SELECT v FROM topl) THEN lang
+                            ELSE '__other__' END AS bucket, is_ref
+                FROM src WHERE lang IS NOT NULL
+                UNION ALL
+                SELECT 'source',
+                       CASE WHEN source IN (SELECT v FROM tops) THEN source
+                            ELSE '__other__' END, is_ref
+                FROM src WHERE source IS NOT NULL
+            ), c AS (
+                SELECT col_name, bucket,
+                       sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::DOUBLE AS n_ref,
+                       sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::DOUBLE AS n_cur
+                FROM b GROUP BY col_name, bucket
+            ), t AS (
+                SELECT col_name, sum(n_ref) AS tr, sum(n_cur) AS tc
+                FROM c GROUP BY col_name
+            )
+            SELECT c.col_name,
+                   round(sum((greatest(c.n_cur / t.tc, 1e-6)
+                              - greatest(c.n_ref / t.tr, 1e-6))
+                             * ln(greatest(c.n_cur / t.tc, 1e-6)
+                                  / greatest(c.n_ref / t.tr, 1e-6))) * 1e4)
+                       / 1e4 AS psi
+            FROM c JOIN t USING (col_name)
+            GROUP BY c.col_name
         """,
         "psi_drift_lineitem": """
             WITH src AS (
