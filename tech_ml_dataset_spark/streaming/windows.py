@@ -254,3 +254,52 @@ def streaming_upsert_sink(df: DataFrame, target_path: str, keys, *,
                      fmt=fmt, when_matched=when_matched)
 
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
+
+
+def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
+                         checkpoint: str, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         exact_verify: bool = True):
+    """Continuous crawl-ingest dedup: each micro-batch is deduplicated
+    (a) within itself and (b) against everything already ACCEPTED into
+    ``corpus_path``, then the surviving docs are appended — so the corpus
+    stays exactly-deduped as the stream runs. The streaming face of
+    :func:`~tech_ml_dataset_spark.functions.dedup.incremental_dedup`
+    (same bloom-filter history probe: NEITHER side shuffles).
+
+    Replay idempotency (the part foreachBatch does NOT give for free):
+    accepted docs land under ``batch_id=N`` partition directories, written
+    with dynamic partition OVERWRITE — and the history read EXCLUDES the
+    current batch id (partition-pruned), so a replayed batch N never
+    deduplicates against its own failed half-write and simply rewrites
+    its directory. At-least-once delivery therefore converges to exactly
+    the same corpus.
+
+    Returns the started query handle (availableNow trigger)."""
+    from ..functions.dedup import exact_dedup, incremental_dedup
+
+    def _apply(batch_df: DataFrame, batch_id: int):
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        fresh = exact_dedup(batch_df, text_col, id_col)
+        import os as _os
+        if _os.path.isdir(corpus_path) and any(
+                f.startswith("batch_id=") for f in _os.listdir(corpus_path)):
+            hist = (spark.read.parquet(corpus_path)
+                         .filter(F.col("batch_id") != batch_id))
+            fresh = incremental_dedup(fresh, hist, text_col,
+                                      exact_verify=exact_verify)
+        out = fresh.withColumn("batch_id", F.lit(batch_id))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (out.write.mode("overwrite").partitionBy("batch_id")
+                .parquet(corpus_path))
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+
+    return foreach_batch_sink(df, _apply, checkpoint=checkpoint)

@@ -204,3 +204,37 @@ def test_streaming_upsert_sink_warns_without_sequence_by(spark, tmp_path):
                                      checkpoint=str(tmp_path / "ckpt2"))
     q.awaitTermination()
     assert {r["v"] for r in spark.read.parquet(tgt).collect()} == {2.0}
+
+
+def test_streaming_dedup_sink_builds_deduped_corpus(spark, tmp_path):
+    """Crawl stream → streaming_dedup_sink: intra-batch dups collapse,
+    cross-batch repeats of accepted docs are rejected, and the corpus
+    accumulates under batch_id partitions."""
+    corpus = str(tmp_path / "corpus")
+    src = str(tmp_path / "crawl")
+
+    spark.createDataFrame(
+        [(1, "alpha doc"), (2, "alpha doc"), (3, "beta doc")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = sw.read_stream(spark, src, "doc_id long, text string")
+    q = sw.streaming_dedup_sink(stream, corpus,
+                                checkpoint=str(tmp_path / "ck1"),
+                                exact_verify=True)
+    q.awaitTermination()
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept1 == [1, 3]  # intra-batch dup 2 collapsed
+
+    # second batch: one repeat of an accepted doc + one genuinely new
+    spark.createDataFrame(
+        [(4, "alpha doc"), (5, "gamma doc")], ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream2 = sw.read_stream(spark, src, "doc_id long, text string")
+    q2 = sw.streaming_dedup_sink(stream2, corpus,
+                                 checkpoint=str(tmp_path / "ck1"),
+                                 exact_verify=True)
+    q2.awaitTermination()
+    rows = spark.read.parquet(corpus).collect()
+    kept2 = sorted(r["doc_id"] for r in rows)
+    assert kept2 == [1, 3, 5]  # repeat 4 rejected against history
+    assert {r["batch_id"] for r in rows} == {0, 1}
