@@ -878,3 +878,22 @@ def test_canonical_url_and_dedup(spark):
     assert canon[10] == canon[11] == "http://x.io/r"
     kept = sorted(r["id"] for r in txt.url_dedup(df, "url", "id").collect())
     assert kept == [0, 2, 4, 5, 6, 8, 10]  # min-id survivor; NULL kept
+
+
+def test_read_fwf(spark, tmp_path):
+    """Fixed-width reader: substring projection, trim, try_cast schema,
+    header skip."""
+    p = tmp_path / "fw.txt"
+    p.write_text("HEADER LINE IGNORED\n"
+                 "001  alpha   12.5\n"
+                 "002  beta      bad\n")
+    df = sio.read_fwf(spark, str(p), [(0, 3), (5, 12), (12, 17)],
+                      ["id", "name", "v"], schema="id int, v double",
+                      n_initial_skip_rows=1)
+    rows = {r["id"]: (r["name"], r["v"]) for r in df.collect()}
+    assert rows == {1: ("alpha", 12.5), 2: ("beta", None)}
+    # no names -> positional column-N, untrimmed widths preserved
+    df2 = sio.read_fwf(spark, str(p), [(0, 3)], n_initial_skip_rows=1,
+                       trim=False)
+    assert df2.columns == ["column-0"]
+    assert sorted(r["column-0"] for r in df2.collect()) == ["001", "002"]
