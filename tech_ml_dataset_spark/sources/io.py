@@ -197,6 +197,25 @@ def to_dataset(
     reference fixture is unquoted; use the native reader for quoted csv).
     """
     if isinstance(data, str):
+        if data.startswith(("http://", "https://")):
+            # reference ->dataset accepts URLs (github_test.clj,
+            # nippy-serialization docs): fetch driver-side into a temp
+            # file KEEPING the suffix so format sniffing still applies,
+            # then read locally. Driver-sized inputs only — a URL is one
+            # stream, there is nothing to distribute.
+            import tempfile
+            import urllib.parse
+            import urllib.request
+            suffix = os.path.basename(urllib.parse.urlparse(data).path)
+            fd, local = tempfile.mkstemp(suffix="-" + (suffix or "download"))
+            with os.fdopen(fd, "wb") as out_f, \
+                    urllib.request.urlopen(data) as resp:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out_f.write(chunk)
+            data = local
         fmt, opts = (file_type, {}) if file_type else sniff_format(data)
         opts.update({k: v for k, v in options.items() if v is not None})
         if bad_row_policy is not None:

@@ -897,3 +897,23 @@ def test_read_fwf(spark, tmp_path):
                        trim=False)
     assert df2.columns == ["column-0"]
     assert sorted(r["column-0"] for r in df2.collect()) == ["001", "002"]
+
+
+def test_to_dataset_reads_http_urls(spark, tmp_path):
+    """URL ingest (reference ->dataset accepts URLs, github_test.clj):
+    driver-side fetch keeping the suffix, then the normal sniffed read."""
+    import http.server
+    import threading
+
+    (tmp_path / "stocks.csv").write_text("sym,price\nMSFT,39.81\n")
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=str(tmp_path), **kw)
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/stocks.csv"
+        df = sio.to_dataset(spark, url)
+        assert df.collect()[0]["sym"] == "MSFT"
+        assert dict(df.dtypes)["price"] == "double"
+    finally:
+        srv.shutdown()
