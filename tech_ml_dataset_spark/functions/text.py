@@ -157,7 +157,14 @@ def bpe_train(df: DataFrame, text_col: str = "text", *, n_merges: int = 1000,
     lexicographically smallest pair, so the merge sequence is a pure
     function of the word-frequency table (no dict-iteration-order
     dependence — a distributed count has no insertion order to fall back
-    on). Words carry a ``</w>`` end-of-word marker per the paper."""
+    on). Words carry a ``</w>`` end-of-word marker per the paper.
+
+    Driver cost is O(n_merges x vocab-table) — the same shape as
+    Sennrich's reference learn_bpe (each merge rescans the table with a
+    cheap symbol-membership check). At the extremes (max_words=1M AND
+    n_merges in the tens of thousands) budget minutes of driver time, or
+    lower ``max_words``: Zipf concentrates pair mass in the head, so a
+    100k-word table yields near-identical early merges."""
     toks = F.filter(F.split(
         F.lower(F.trim(F.col(text_col))) if lowercase
         else F.trim(F.col(text_col)), _WS), lambda t: F.length(t) > 0)
