@@ -942,8 +942,8 @@ def read_fwf(spark: SparkSession, path: str, colspecs, names=None, *,
         cols.append(c.alias(name))
     df = lines.select(*cols)
     if schema is not None:
-        from pyspark.sql.types import _parse_datatype_string
-        for field in _parse_datatype_string(schema).fields:
+        from pyspark.sql.types import StructType
+        for field in StructType.fromDDL(schema).fields:
             if field.name in names:
                 df = df.withColumn(
                     field.name,
