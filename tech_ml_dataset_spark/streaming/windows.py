@@ -275,8 +275,14 @@ def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
     its directory. At-least-once delivery therefore converges to exactly
     the same corpus.
 
+    Local-filesystem target only (same contract as ``merge_upsert`` —
+    the corpus-existence probe and partition listing use os.path); an
+    object-store corpus needs a real table format underneath.
+
     Returns the started query handle (availableNow trigger)."""
     from ..functions.dedup import exact_dedup, incremental_dedup
+    from ..sources.io import _require_local_path
+    corpus_path = _require_local_path(corpus_path, "streaming_dedup_sink")
 
     def _apply(batch_df: DataFrame, batch_id: int):
         if not batch_df.take(1):
