@@ -185,6 +185,60 @@ def transform_minmax(df: DataFrame, fitted: dict) -> DataFrame:
     return out
 
 
+def fit_robust_scale(df: DataFrame, columns: Sequence[str], *,
+                     q_lo: float = 0.25, q_hi: float = 0.75,
+                     exact: bool = False) -> dict:
+    """Robust scaler (parity-plus; sklearn RobustScaler analog the
+    reference lacks): per-column median and IQR in ONE aggregate pass, so
+    heavy-tailed columns (doc lengths, prices) scale without outliers
+    dragging the statistics the way mean/stddev do. ``exact=True`` uses
+    exact interpolated percentiles (oracle-reproducible); the default
+    sketch is the 100 TB path."""
+    qs = [q_lo, 0.5, q_hi]
+    if exact:
+        aggs = [F.expr(f"percentile(`{c}`, array({q_lo}, 0.5, {q_hi}))")
+                .alias(c) for c in columns]
+    else:
+        aggs = [F.percentile_approx(F.col(c),
+                                    F.array(*[F.lit(q) for q in qs]))
+                .alias(c) for c in columns]
+    row = df.agg(*aggs).collect()[0]
+    stats = {}
+    for c in columns:
+        lo, med, hi = (row[c] or [None, None, None])
+        stats[c] = (med, None if lo is None or hi is None else hi - lo)
+    return {"columns": list(columns), "stats": stats}
+
+
+def transform_robust_scale(df: DataFrame, fitted: dict) -> DataFrame:
+    """(x - median) / IQR; zero/NULL IQR (constant column) divides by 1."""
+    out = df
+    for c, (med, iqr) in fitted["stats"].items():
+        denom = iqr if iqr not in (None, 0.0) else 1.0
+        out = out.withColumn(c, (F.col(c) - F.lit(med)) / F.lit(denom))
+    return out
+
+
+def bucketize(df: DataFrame, colname: str, splits: Sequence[float], *,
+              out_col: str | None = None) -> DataFrame:
+    """Bucket a numeric column on explicit split points (MLlib Bucketizer
+    semantics without the ML pipeline machinery): bucket i covers
+    [splits[i], splits[i+1]), the last bucket closes at splits[-1]; values
+    outside the range and NULLs get NULL. Pure Column comparison chain —
+    codegen, no UDF, and Catalyst folds the constants."""
+    out_col = out_col or f"{colname}_bucket"
+    c = F.col(colname)
+    b = F.lit(0)
+    for s in splits[1:-1]:
+        b = b + (c >= F.lit(float(s))).cast("int")
+    expr = F.when(
+        c.isNull() | (c < F.lit(float(splits[0])))
+        | (c > F.lit(float(splits[-1]))), F.lit(None).cast("int")
+    ).otherwise(F.when(c == F.lit(float(splits[-1])),
+                       F.lit(len(splits) - 2)).otherwise(b))
+    return df.withColumn(out_col, expr)
+
+
 # ---- PCA ---------------------------------------------------------------------
 
 def fit_pca(df: DataFrame, columns: Sequence[str], *, n_components: int,

@@ -746,3 +746,36 @@ def test_write_training_shards_manifest(spark, tmp_path):
                           F.max("doc_id").alias("mx")).collect())
     for (mn1, mx1), (mn2, mx2) in zip(ranges, ranges[1:]):
         assert mx1 < mn2
+
+
+def test_robust_scale(spark):
+    from tech_ml_dataset_spark.ml import preprocess as mlp
+
+    # 1..9 with an outlier that would wreck mean/std scaling
+    df = spark.createDataFrame([(float(i),) for i in range(1, 10)]
+                               + [(1000.0,)], ["v"])
+    fit = mlp.fit_robust_scale(df, ["v"], exact=True)
+    med, iqr = fit["stats"]["v"]
+    assert med == 5.5 and abs(iqr - 4.5) < 1e-9  # q75(7.75)-q25(3.25)
+    out = mlp.transform_robust_scale(df, fit)
+    vals = sorted(r["v"] for r in out.collect())
+    assert abs(vals[4] - (5.0 - 5.5) / 4.5) < 1e-9
+    # constant column: IQR 0 -> divide by 1, no blowup
+    cdf = spark.createDataFrame([(2.0,)] * 5, ["v"])
+    cfit = mlp.fit_robust_scale(cdf, ["v"], exact=True)
+    assert all(r["v"] == 0.0
+               for r in mlp.transform_robust_scale(cdf, cfit).collect())
+
+
+def test_bucketize(spark):
+    from tech_ml_dataset_spark.ml import preprocess as mlp
+
+    df = spark.createDataFrame(
+        [(-1.0,), (0.0,), (0.5,), (1.0,), (1.5,), (2.0,), (3.0,), (None,)],
+        "v double")
+    out = {r["v"]: r["v_bucket"]
+           for r in mlp.bucketize(df, "v", [0.0, 1.0, 2.0]).collect()}
+    assert out[-1.0] is None and out[3.0] is None and out[None] is None
+    assert out[0.0] == 0 and out[0.5] == 0       # [0,1)
+    assert out[1.0] == 1 and out[1.5] == 1       # [1,2)
+    assert out[2.0] == 1                         # last bucket closes at 2
