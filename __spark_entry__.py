@@ -1448,6 +1448,16 @@ def std_scale_acctbal(spark, sf_dir):
     return out.select("c_custkey", _r4(F.col("c_acctbal")).alias("acctbal_scaled"))
 
 
+def robust_scale_acctbal(spark, sf_dir):
+    """Robust scaler (median/IQR — sklearn RobustScaler analog): exact
+    interpolated percentiles so the oracle replays the identical fit."""
+    cust = _t(spark, sf_dir, "customer")
+    fit = mlp.fit_robust_scale(cust, ["c_acctbal"], exact=True)
+    out = mlp.transform_robust_scale(cust, fit)
+    return out.select("c_custkey",
+                      _r4b(F.col("c_acctbal")).alias("acctbal_scaled"))
+
+
 def corr_quantity_price(spark, sf_dir):
     """correlation (column.clj:92 stats surface) as a single-pass agg."""
     li = _t(spark, sf_dir, "lineitem")
@@ -2200,7 +2210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in r4, rotates out)
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "cross_region_priority": cross_region_priority,
-        "rolling_corr_user": rolling_corr_user,
+        # (a-new) r4 robust scaler — new operator, driver-prove this round
+        # (rolling_corr_user, r2-green with window.py untouched in r4,
+        # rotates out)
+        "robust_scale_acctbal": robust_scale_acctbal,
         "expanding_user_cumsum": expanding_user_cumsum,
         "analytic_lag_rank": analytic_lag_rank,
         "text_stats_by_lang": text_stats_by_lang,
@@ -2286,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_center_user": rolling_center_user,
         "rolling_clamp_user": rolling_clamp_user,
         "rolling_user_value": rolling_user_value,
+        "rolling_corr_user": rolling_corr_user,
         "abb_fill_events": abb_fill_events,
         "winnow_docs": winnow_docs,
         "winnow_pairs_docs": winnow_pairs_docs,
@@ -2922,6 +2936,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "robust_scale_acctbal": """
+            WITH s AS (
+                SELECT quantile_cont(c_acctbal, [0.25, 0.5, 0.75]) AS q
+                FROM customer
+            )
+            SELECT c_custkey,
+                   round((c_acctbal - q[2])
+                         / (CASE WHEN q[3] - q[1] = 0 THEN 1
+                                 ELSE q[3] - q[1] END) * 1e4) / 1e4
+                       AS acctbal_scaled
+            FROM customer, s
         """,
         "psi_drift_categorical_docs": """
             WITH src AS (
