@@ -930,16 +930,18 @@ def dataset_card(df: DataFrame, text_col: str = "text", *,
     ]
     stack = ", ".join(f"'{n}', `__m{i}__`" for i, (n, _) in enumerate(metrics))
 
-    def one(group_expr):
-        agg = base.groupBy(group_expr.alias("group")).agg(
-            *[m.cast("double").alias(f"__m{i}__")
-              for i, (_, m) in enumerate(metrics)])
-        return agg.selectExpr(
-            "group", f"stack({len(metrics)}, {stack}) as (metric, value)")
-
-    out = one(F.lit("all"))
+    maggs = [m.cast("double").alias(f"__m{i}__")
+             for i, (_, m) in enumerate(metrics)]
+    melt = f"stack({len(metrics)}, {stack}) as (metric, value)"
+    # global agg (not groupBy(lit)) so an EMPTY corpus still reports one
+    # n_docs=0 row instead of vanishing
+    out = (base.agg(*maggs)
+               .selectExpr("'all' as group", melt)
+               .withColumn("value", F.coalesce(F.col("value"), F.lit(0.0))))
     if by is not None:
-        out = out.unionByName(one(F.col(by).cast("string")))
+        grouped = (base.groupBy(F.col(by).cast("string").alias("group"))
+                       .agg(*maggs).selectExpr("group", melt))
+        out = out.unionByName(grouped)
     return out
 
 

@@ -119,3 +119,25 @@ def test_empty_r4_operators(spark, empty_li, tmp_path):
     assert back.columns == ["a", "b"] and back.count() == 0
     # repetition battery over an empty corpus
     assert txt.repetition_signals(empty).count() == 0
+
+
+def test_empty_r4b_operators(spark, empty_li):
+    """Late-r4 additions degrade on empty input: repetition battery,
+    funnel, card, ccnet buckets, stratified sample, BPE, semdedup."""
+    docs = empty_li.select("doc_id", "text")
+    from tech_ml_dataset_spark.functions import similarity as sim
+    from tech_ml_dataset_spark.operators import selection as osel
+
+    out, rep = txt.filter_funnel(docs, {"any": F.col("text").isNotNull()})
+    assert out.count() == 0
+    r = rep.collect()[0]
+    assert (r["n_in"], r["n_dropped"], r["n_out"]) == (0, 0, 0)
+    assert txt.dataset_card(docs).filter("metric = 'n_docs'") \
+              .collect()[0]["value"] == 0.0
+    assert txt.ccnet_buckets(docs, by="doc_id").count() == 0
+    assert osel.sample_stratified_exact(docs, "doc_id", 5,
+                                        key_col="doc_id").count() == 0
+    assert txt.bpe_train(docs, n_merges=5) == []
+    assert txt.bpe_encode(docs, []).count() == 0
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sim.semdedup(emb, centroids=[[1.0, 0.0]]).count() == 0
