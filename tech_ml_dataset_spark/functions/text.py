@@ -214,6 +214,9 @@ def bpe_train(df: DataFrame, text_col: str = "text", *, n_merges: int = 1000,
     return merges
 
 
+_BPE_CACHE_MAX = 2_000_000
+
+
 def _bpe_word(word: str, ranks: dict, cache: dict) -> list:
     hit = cache.get(word)
     if hit is not None:
@@ -239,7 +242,11 @@ def _bpe_word(word: str, ranks: dict, cache: dict) -> list:
                 out.append(syms[i])
                 i += 1
         syms = out
-    cache[word] = syms
+    # bounded cache: at corpus scale the distinct-word set is unbounded
+    # (urls, ids, typos) — past the cap, Zipf says the misses are
+    # overwhelmingly hapax words that would never be re-hit anyway
+    if len(cache) < _BPE_CACHE_MAX:
+        cache[word] = syms
     return syms
 
 
