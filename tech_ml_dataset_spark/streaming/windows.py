@@ -279,6 +279,14 @@ def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
     the corpus-existence probe and partition listing use os.path); an
     object-store corpus needs a real table format underneath.
 
+    Cost model: each batch re-scans the accepted corpus to rebuild the
+    bloom filter (one column, predicate-pruned — cheap relative to the
+    crawl itself, and correct under replay because the corpus IS the
+    state). Right for minutes-cadence ingest; a seconds-cadence trickle
+    should persist and OR-merge the bloom bitmaps instead of rebuilding —
+    at that point reach for the batch ``incremental_dedup`` API with a
+    cached history frame.
+
     Returns the started query handle (availableNow trigger)."""
     from ..functions.dedup import exact_dedup, incremental_dedup
     from ..sources.io import _require_local_path
