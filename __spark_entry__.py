@@ -2228,7 +2228,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_strict_click": asof_strict_click,
         # ---- position > 50: r3-green rotating out, then r1/r2-green
         # or rows-only queries with unchanged code. All stay covered by
-        # pytest + tools/verify_local.py every round. ----
+        # pytest + tools/verify_local.py every round.
+        # r5 WINDOW PLAN: once CORRECTNESS_r04 lands green, EVERY oracled
+        # query has a driver-green row in some round (the only never-checked
+        # entries are the 11 rows-only-by-design: loess/image-meta/abb/
+        # winnow x2/bpe-encode/reservoir/multi-feature-regression/pca/
+        # minhash/simhash — seeded draws or no SQL twin). So the r5 window
+        # is (a) anything changed or added in r5, then (b) oldest-evidence
+        # rotation: r1/r2-green stalwarts whose proof is now 3+ rounds old,
+        # oldest first. ----
         "ffill_events": ffill_events,
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,

@@ -60,19 +60,22 @@ def main():
 
     # Each query is timed TWICE and the MIN recorded: this host carries
     # invisible co-tenant CPU steal (r3: a contiguous noise burst inflated
-    # 8 queries 4-10x and read as false regressions) — min-of-2 rejects a
-    # one-off steal burst while still charging any real plan cost. The
-    # first run also absorbs residual codegen compile for plans the
-    # warm-up list missed.
+    # 8 queries 4-10x and read as false regressions). The two runs are
+    # INTERLEAVED as two full passes over the suite — not back-to-back —
+    # because observed steal bursts last minutes: back-to-back repeats sit
+    # inside the same burst and min-of-2 rejects nothing (measured r4:
+    # identical code, per-query swings of 2-4x in BOTH directions between
+    # two suite runs), while pass-separated repeats are ~8 min apart and a
+    # burst must span the whole suite to poison a query's min. Pass 1 also
+    # absorbs residual codegen compile for plans the warm-up list missed.
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        best = float("inf")
-        for _ in range(2):
+    for _pass in range(2):
+        for name, fn in qs.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            el = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, el), el), 4)
 
     # TSV-ingest microbench against BASELINE.md's one quantified figure
     # (2.77M rows x 12 cols .tsv.gz parsed in 8,588 ms with promotional

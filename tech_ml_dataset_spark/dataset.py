@@ -118,6 +118,25 @@ class Dataset:
     def select_columns_by_index(self, indexes):
         return self._wrap(_sel.select_columns_by_index(self.df, indexes))
 
+    def select(self, columns=None, row_indexes=None, order_by=None):
+        """Subrect selection in one call (reference ``select``,
+        dataset_api.clj / quick-reference "Selecting Subrects"): a column
+        subset AND a row-index subset together. Either side may be None
+        (= keep all). Column pruning happens FIRST so the row-index window
+        never carries dropped columns through the shuffle."""
+        df = _sel.select_columns(self.df, columns) if columns is not None \
+            else self.df
+        if row_indexes is not None:
+            df = _sel.select_rows(df, row_indexes, order_by=order_by)
+        return self._wrap(df)
+
+    def rand_nth(self, seed=None):
+        """One random row as a dict (reference ``rand-nth`` over rows).
+        An action; sampling happens executor-side (TABLESAMPLE-style
+        fraction push), only the single winner crosses to the driver."""
+        rows = _sel.sample(self.df, 1, seed=seed).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
     def min_n_by_column(self, colname, n, desc=False):
         return self._wrap(_sel.min_n_by_column(self.df, colname, n, desc=desc))
 
@@ -377,9 +396,30 @@ class Dataset:
     def write(self, path, **kw):
         _io.write(self.df, path, **kw)
 
+    # ---- lineage / materialization ----------------------------------------
+    def clone(self):
+        """Reference ``clone`` (quick-reference "Forcing Lazy Evaluation"):
+        realize every pending lazy transformation and return a dataset
+        whose reads no longer re-run the producing computation. The Spark
+        analog is an eager ``localCheckpoint``: the plan executes ONCE,
+        partitions persist executor-side (no driver collect), and the
+        returned dataset's lineage is truncated to the materialized blocks
+        — downstream iterative reuse (the reference's motivating case)
+        reads blocks instead of replaying the plan. On a cluster, prefer
+        ``df.persist()`` + a real checkpoint dir when fault-tolerant
+        recompute of lost blocks matters; localCheckpoint trades that for
+        not needing a configured checkpoint location."""
+        return self._wrap(self.df.localCheckpoint(eager=True))
+
     # ---- display -------------------------------------------------------------------
     def show(self, n: int = 20, truncate: bool = True):
         self.df.show(n, truncate)
+
+    def print_all(self):
+        """Reference ``print-all`` (print.clj): print every row, overriding
+        the abbreviated default. An action — drives the whole result to the
+        driver for display; meant for small/aggregated tables."""
+        self.df.show(self.df.count(), truncate=False)
 
     def to_string(self, **kw) -> str:
         return dataset_to_str(self.df, name=self.name, **kw)

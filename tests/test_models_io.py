@@ -571,6 +571,33 @@ def test_dataset_fluent_r3_surface(spark):
     assert pts.range_join(iv, "p", "lo", "hi", bucket=10.0).row_count() == 1
 
 
+def test_dataset_fluent_quickref_surface(spark):
+    """Quick-reference conveniences: select (subrect), rand_nth, clone,
+    print_all (reference topics/200-quick-reference.md sections
+    'Selecting Subrects', 'Exploring Datasets', 'Forcing Lazy
+    Evaluation', 'REPL Friendly Printing')."""
+    from tech_ml_dataset_spark.dataset import Dataset
+
+    ds = Dataset(spark.createDataFrame(
+        [(i, f"n{i}", i * 10.0) for i in range(6)], ["id", "name", "v"]))
+    sub = ds.select(columns=["id", "v"], row_indexes=[1, 3], order_by="id")
+    assert sub.columns == ["id", "v"]
+    assert sorted(r["id"] for r in sub.rows()) == [1, 3]
+    # column-only and row-only halves each pass through untouched
+    assert ds.select(columns=["name"]).columns == ["name"]
+    assert ds.select(row_indexes=[0], order_by="id").row_count() == 1
+
+    row = ds.rand_nth(seed=7)
+    assert set(row) == {"id", "name", "v"} and 0 <= row["id"] < 6
+    assert Dataset(ds.df.filter("id < 0")).rand_nth() is None
+
+    cl = ds.clone()
+    assert cl.row_count() == 6 and cl.columns == ds.columns
+    assert sorted(r["id"] for r in cl.rows()) == list(range(6))
+
+    ds.head(2).print_all()  # smoke: action runs without error
+
+
 def test_fit_categorical_map_caps_cardinality(spark):
     from tech_ml_dataset_spark.ml import preprocess as mlp
     df = spark.range(0, 50).withColumn("k", F.col("id").cast("string"))
