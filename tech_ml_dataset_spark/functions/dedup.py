@@ -442,8 +442,15 @@ def similarity_join(left: DataFrame, right: DataFrame,
         ranked = toks.select(
             id_name, "__g__", "__n__",
             F.row_number().over(w).alias("__rk__"))
+        # ceil over binary floats over-ceils at exact products
+        # (0.29*100 = 29.000000000000004 -> ceil 30), shortening the
+        # prefix by one and silently losing qualifying pairs; the 1e-9
+        # nudge keeps ceil exact for any |A| the index can hold while
+        # never admitting a sub-threshold prefix (t*n and t*n - 1e-9
+        # share a ceiling unless t*n is within 1e-9 of an integer)
         keep = F.col("__rk__") <= (
-            F.col("__n__") - F.ceil(F.lit(threshold) * F.col("__n__")) + 1)
+            F.col("__n__")
+            - F.ceil(F.lit(threshold) * F.col("__n__") - F.lit(1e-9)) + 1)
         return ranked.filter(keep).select(id_name, "__g__")
 
     ids = (_prefix(linv, "__lid__").join(_prefix(rinv, "__rid__"), "__g__")
@@ -717,9 +724,18 @@ def incremental_dedup(new_batch: DataFrame, historical: DataFrame,
                       .drop("__h__", "__maybe__") \
                       .unionByName(null_new)
     fresh = flagged.filter(~F.col("__maybe__"))
-    maybe = flagged.filter(F.col("__maybe__"))
-    hist_h = historical.select(
-        F.xxhash64(normalize_text(F.col(text_col))).alias("__h__")).distinct()
-    confirmed_new = maybe.join(hist_h, "__h__", "left_anti")
+    # the verify join compares the 128-bit md5 FINGERPRINT (the shared
+    # exact_dedup law), not the probe's 64-bit xxhash: at the corpus
+    # scales this module advertises (1e9+ docs) xxhash64 birthday
+    # collisions are expected, and a 64-bit re-check would silently drop
+    # a genuinely-new doc whose hash collides. 128 bits keeps collision
+    # odds below 1e-18 at 1e10 docs while the historical exchange stays
+    # 32 bytes/row — full text never crosses the join.
+    maybe = flagged.filter(F.col("__maybe__")) \
+                   .withColumn("__fp__", F.md5(normalize_text(F.col(text_col))))
+    hist_fp = historical.select(
+        F.md5(normalize_text(F.col(text_col))).alias("__fp__")) \
+        .filter(F.col("__fp__").isNotNull()).distinct()
+    confirmed_new = maybe.join(hist_fp, "__fp__", "left_anti").drop("__fp__")
     return fresh.unionByName(confirmed_new).drop("__h__", "__maybe__") \
                 .unionByName(null_new)

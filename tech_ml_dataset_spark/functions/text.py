@@ -920,7 +920,11 @@ def dataset_card(df: DataFrame, text_col: str = "text", *,
         "__nt__": F.when(t.isNull() | (F.length(F.trim(t)) == 0), F.lit(0))
                    .otherwise(F.size(F.split(F.trim(t), _WS))).cast("long"),
         "__nc__": F.coalesce(F.length(t), F.lit(0)).cast("long"),
-        "__fp__": F.md5(F.lower(F.trim(t))),
+        # the SHARED dedup fingerprint law (md5_fingerprint: lowercase,
+        # trim, COLLAPSE whitespace) — exact_dup_frac must report the
+        # mass exact_dedup would actually remove, and 'a  b' vs 'a b'
+        # are duplicates under that law
+        "__fp__": md5_fingerprint(t),
     })
     metrics = [
         ("n_docs", F.count(F.lit(1))),

@@ -196,7 +196,7 @@ def load_pipeline(path: str) -> FittedPipeline:
         elif rec["kind"] == "stateless":
             stages.append(_StatelessStage(_fn_load(rec["fn"])).fit(None))
         else:
-            cls = _fn_load(rec["cls"].replace(":", ":"))
+            cls = _fn_load(rec["cls"])
             model = cls.load(os.path.join(path, rec["dir"]))
             stages.append(_PrefittedStage(model).fit(None))
     return FittedPipeline(stages, output=None)

@@ -122,20 +122,28 @@ def apply_parser_fn(df: DataFrame, parser_fn: Mapping) -> DataFrame:
 
 def _peek_csv_header(spark, path, opts, n_skip: int):
     """Read the (post-skip) header line once, parsed with the csv module
-    so quoted/escaped header cells split correctly. Returns None when the
-    file is empty or unreadable — callers then keep Spark's own naming."""
+    so quoted/escaped header cells split correctly. Mirrors Spark's own
+    line selection: comment-prefixed and empty lines BEFORE the header are
+    skipped (Spark's csv reader drops them before header binding), so a
+    '# banner' first line no longer blinds duplicate-header detection.
+    Returns None when the file is empty or unreadable — callers then keep
+    Spark's own naming."""
     try:
-        rows = (spark.read.text(path).limit(n_skip + 1).collect())
-        if len(rows) <= n_skip:
-            return None
-        line = rows[-1][0]
         comment = str(opts.get("comment", "") or "")
-        if comment and line.startswith(comment):
-            return None
-        import csv as _csv
-        import io as _io
-        return next(_csv.reader(_io.StringIO(line),
-                                delimiter=str(opts.get("sep", ","))))
+        # 64-line peek bounds the driver read; a real header past 64
+        # comment/blank lines degrades to Spark naming, never to an error
+        rows = spark.read.text(path).limit(n_skip + 64).collect()
+        for r in rows[n_skip:]:
+            line = r[0]
+            if not line.strip():
+                continue
+            if comment and line.startswith(comment):
+                continue
+            import csv as _csv
+            import io as _io
+            return next(_csv.reader(_io.StringIO(line),
+                                    delimiter=str(opts.get("sep", ","))))
+        return None
     except Exception:
         return None
 
@@ -202,12 +210,26 @@ def to_dataset(
             # nippy-serialization docs): fetch driver-side into a temp
             # file KEEPING the suffix so format sniffing still applies,
             # then read locally. Driver-sized inputs only — a URL is one
-            # stream, there is nothing to distribute.
+            # stream, there is nothing to distribute. LOCAL MASTER ONLY:
+            # the tempfile lives on the driver's disk, which executors on
+            # other machines cannot read — on a cluster, land the URL on
+            # shared storage (object store / HDFS) first.
+            if not spark.sparkContext.master.startswith("local"):
+                raise ValueError(
+                    "to_dataset(url): driver-local URL fetch only works "
+                    "with a local master (executors cannot read the "
+                    "driver's tempfile); download to shared storage and "
+                    "read that path instead")
+            import atexit
             import tempfile
             import urllib.parse
             import urllib.request
             suffix = os.path.basename(urllib.parse.urlparse(data).path)
             fd, local = tempfile.mkstemp(suffix="-" + (suffix or "download"))
+            # the read below is lazy, so the file must outlive this call;
+            # reclaim it at interpreter exit instead of leaking for the
+            # machine's lifetime
+            atexit.register(lambda p=local: os.path.exists(p) and os.remove(p))
             with os.fdopen(fd, "wb") as out_f, \
                     urllib.request.urlopen(data) as resp:
                 while True:
@@ -283,8 +305,21 @@ def to_dataset(
                             f"them (reference csv_test.clj law)")
                     fn = unique_column_name_fn or \
                         (lambda i, n: f"{n}-{i}")
-                    df = df.toDF(*[fn(i, n) if n in dup else n
-                                   for i, n in enumerate(names)])
+                    # a minted name must not collide with ANY original
+                    # ('a,a-2,a' -> fn would mint a second 'a-2'; the
+                    # original keeps its name, the mint extends) nor an
+                    # earlier mint
+                    out_names, taken = [], set(names)
+                    for i, n in enumerate(names):
+                        if n in dup:
+                            cand = fn(i, n)
+                            while cand in taken:
+                                cand = f"{cand}-{i}"
+                            taken.add(cand)
+                        else:
+                            cand = n
+                        out_names.append(cand)
+                    df = df.toDF(*out_names)
     elif isinstance(data, DataFrame):
         df = data
     elif isinstance(data, Mapping):
@@ -589,14 +624,22 @@ def _unique_headers(cols: list, allow_fix: bool) -> list:
             f"duplicate column names in header: "
             f"{sorted(c for c in set(cols) if cols.count(c) > 1)} — pass "
             f"ensure_unique_column_names=True to suffix them")
-    seen: dict = {}
+    # suffix every repeat; a minted name must not collide with ANY
+    # original ('a,a,a-1' must not mint a second 'a-1' — the original
+    # keeps its name, the minted one extends) nor an earlier mint
+    taken = set(cols)
     out = []
+    seen: set = set()
     for i, c in enumerate(cols):
         if c in seen:
-            out.append(f"{c}-{i}")
+            cand = f"{c}-{i}"
+            while cand in taken:
+                cand = f"{cand}-{i}"
+            taken.add(cand)
         else:
-            seen[c] = i
-            out.append(c)
+            seen.add(c)
+            cand = c
+        out.append(cand)
     return out
 
 
@@ -614,7 +657,8 @@ def write_excel(df: DataFrame, path: str, *, sheet_name: str = "Sheet1",
     poi.clj:138), so it needs no openpyxl/xlwt. Dates/timestamps are
     written as ISO-8601 strings (documented codec policy); numbers and
     booleans keep their types. The .xls container additionally caps at
-    65,536 rows (format limit, enforced by the codec)."""
+    65,536 rows and 255 chars per text cell (BIFF8 LABEL format limits,
+    both enforced LOUDLY by the codec — never silently truncated)."""
     if path.lower().endswith(".xls"):
         from . import xls as _codec
     else:
@@ -775,7 +819,9 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
     copy-on-write): rows in ``source`` whose ``keys`` match a row at
     ``target_path`` update ("update"), are skipped ("ignore"), or delete
     the target row ("delete"); unmatched source rows are inserted when
-    ``insert_unmatched``. Unmatched target rows always survive.
+    ``insert_unmatched``. Unmatched target rows always survive. A missing
+    target bootstraps: the first merge against a not-yet-existing path
+    writes the (key-unique) source as the initial table.
 
     Plan shape: ONE key-hashed anti/semi join between target and the
     (usually much smaller) source — Spark broadcasts the source key set
@@ -809,6 +855,24 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
             shutil.rmtree(backup)
     if os.path.isdir(staging):
         shutil.rmtree(staging)
+    if not os.path.isdir(target_path):
+        # first-run bootstrap: no target yet (the natural first state of a
+        # CDC-apply sink) — every source row is an unmatched insert, so
+        # MERGE degenerates to a plain write; streaming_upsert_sink's
+        # batch 0 lands here instead of dying on a missing-path read
+        from pyspark.sql import functions as F
+        dup = (source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
+                     .filter(F.col("__n__") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "merge_upsert: source has duplicate merge keys — a "
+                "bootstrap write would seed a key-ambiguous target; "
+                "dedupe the source first")
+        init = source if insert_unmatched else source.limit(0)
+        init.write.format(fmt).mode("overwrite").save(target_path)
+        rows_after = spark.read.format(fmt).load(target_path).count()
+        return {"matched": 0, "inserted": rows_after,
+                "rows_after": rows_after}
     target = spark.read.format(fmt).load(target_path)
     if set(target.columns) != set(source.columns):
         raise ValueError(

@@ -372,11 +372,17 @@ def _write_cell(r: int, c: int, v) -> bytes:
         return _rec(0x0203, struct.pack("<HHHd", r, c, 0, float(v)))
     if isinstance(v, (datetime, date)):
         v = v.isoformat(sep=" ") if isinstance(v, datetime) else v.isoformat()
-    s = str(v)[:32767]
+    s = str(v)
+    if len(s) > 255:
+        # BIFF8 LABEL strings cap at 255 chars (MS-XLS 2.4.148); longer
+        # text needs SST+CONTINUE splitting, which this writer does not
+        # emit. Raise LOUDLY (the codec's cap contract — silent
+        # truncation corrupts data invisibly): .xlsx has no such limit.
+        raise ValueError(
+            f"write .xls: cell at row {r} col {c} holds {len(s)} chars; "
+            f"the legacy BIFF8 LABEL record caps at 255. Write .xlsx "
+            f"(vendored codec, 32,767-char cells) or parquet/csv instead.")
     enc = s.encode("utf-16-le")
-    if len(enc) > 8220:  # record size ceiling; egress strings are short
-        s = s[:4100]
-        enc = s.encode("utf-16-le")
     return _rec(0x0204, struct.pack("<HHHHB", r, c, 0, len(s), 0x01) + enc)
 
 

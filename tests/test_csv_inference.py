@@ -129,3 +129,21 @@ def test_duplicate_headers_throw_and_suffix(spark, tmp_path):
     assert df2.columns == ["a::0", "b", "a::2", "column::3", "column::4",
                           "column-1"]
     assert df2.count() == 1
+
+    # a comment/banner line BEFORE the header must not blind detection:
+    # Spark skips it and binds the header, so the peek must too (r4
+    # review: the peek saw the banner, returned None, and the raise-by-
+    # default law silently never fired)
+    pb = tmp_path / "banner.csv"
+    pb.write_text("# banner\n\na,b,a\n1,2,3\n")
+    with _pt.raises(ValueError, match="duplicate csv headers"):
+        to_dataset(spark, str(pb))
+
+    # a minted suffix must not collide with a PRE-EXISTING column:
+    # 'a,a-2,a' would mint a second 'a-2' — the original keeps its name,
+    # the mint extends until unique
+    pc = tmp_path / "collide.csv"
+    pc.write_text("a,a-2,a\n1,2,3\n")
+    dfc = to_dataset(spark, str(pc), ensure_unique_column_names=True)
+    assert dfc.columns == ["a-0", "a-2", "a-2-2"]
+    assert len(set(dfc.columns)) == 3

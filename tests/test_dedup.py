@@ -218,6 +218,31 @@ def test_similarity_join_max_df_keeps_full_prefix_length(spark):
     assert out == {(1, 2): round(9 / 11, 4)}
 
 
+def test_similarity_join_prefix_ceil_is_exact_arithmetic(spark):
+    """r4 review: ceil over binary floats over-ceils at exact products
+    (0.07*100 = 7.000000000000001 -> ceil 8), shortening the prefix by one
+    and silently losing qualifying pairs. Construction: left doc A holds
+    100 distinct words, 7 of them shared with right doc B (J = 7/100 =
+    0.07 >= t=0.07 exactly). The 93 unshared words appear only in A
+    (df=1), the shared 7 in both (df=2), so ascending-df order puts the
+    shared block at ranks 94..100. Exact law: prefix = 100 - 7 + 1 = 94
+    -> rank 94 (the first shared token) is offered and the pair is found.
+    Buggy law: ceil(7.000000000000001) = 8 -> prefix 93 -> A offers only
+    unshared tokens and the pair is silently missed."""
+    unshared = " ".join(f"u{i:03d}" for i in range(93))
+    shared = " ".join(f"s{i}" for i in range(7))
+    left = spark.createDataFrame([(1, f"{unshared} {shared}")],
+                                 ["doc_id", "text"])
+    right = spark.createDataFrame([(2, shared)], ["doc_id", "text"])
+    got = dd.similarity_join(left, right, k=1, threshold=0.07).collect()
+    assert [(r["left_id"], r["right_id"], r["jaccard"]) for r in got] \
+        == [(1, 2, 0.07)]
+    # and the filter stays a no-loss optimization vs brute force
+    brute = dd.similarity_join(left, right, k=1, threshold=0.07,
+                               prefix_filter=False).collect()
+    assert len(brute) == 1
+
+
 def test_winnow_dedup_pairs_substring_level(spark):
     """winnow_dedup_pairs catches a long VERBATIM block shared between
     otherwise-different documents — the case token-set Jaccard misses —

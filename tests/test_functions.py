@@ -455,8 +455,11 @@ def test_ccnet_buckets(spark):
 def test_dataset_card(spark):
     from tech_ml_dataset_spark.functions import text as txt
 
+    # doc 2 is a WHITESPACE-VARIANT duplicate of doc 1: the card's
+    # fingerprint follows the shared md5_fingerprint law (whitespace
+    # collapsed), so exact_dup_frac reports what exact_dedup would remove
     df = spark.createDataFrame(
-        [(1, "a b c", "en"), (2, "a b c", "en"), (3, "x", "de"),
+        [(1, "a b c", "en"), (2, "a  b   c", "en"), (3, "x", "de"),
          (4, None, "de")],
         "doc_id int, text string, lang string")
     card = {(r["group"], r["metric"]): r["value"]

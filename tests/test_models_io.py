@@ -680,6 +680,43 @@ def test_merge_upsert_update_and_insert(spark, tmp_path):
     assert rows[1] == ("a", 10.0) and rows[3] == ("c", 30.0)  # untouched
 
 
+def test_merge_upsert_bootstraps_missing_target(spark, tmp_path):
+    """First merge against a not-yet-existing target writes the source as
+    the initial table (the natural batch-0 state of a CDC-apply sink;
+    r4 review: the unconditional target read killed streaming_upsert_sink
+    on its first micro-batch). Duplicate source keys still raise."""
+    import pytest as _pt
+
+    from tech_ml_dataset_spark.sources.io import merge_upsert
+    tgt = str(tmp_path / "fresh_target")
+    src = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    rep = merge_upsert(spark, tgt, src, "id")
+    assert rep == {"matched": 0, "inserted": 2, "rows_after": 2}
+    assert spark.read.parquet(tgt).count() == 2
+    # second call now merges normally against the bootstrapped table
+    rep2 = merge_upsert(spark, tgt,
+                        spark.createDataFrame([(2, "B"), (3, "c")],
+                                              ["id", "name"]), "id")
+    assert rep2 == {"matched": 1, "inserted": 1, "rows_after": 3}
+
+    bad = spark.createDataFrame([(9, "x"), (9, "y")], ["id", "name"])
+    with _pt.raises(ValueError, match="duplicate merge keys"):
+        merge_upsert(spark, str(tmp_path / "other_fresh"), bad, "id")
+
+
+def test_xls_write_rejects_long_strings(spark, tmp_path):
+    """BIFF8 LABEL caps text at 255 chars; the codec raises LOUDLY
+    instead of silently truncating (r4 review: 4100-char slice)."""
+    import pytest as _pt
+
+    from tech_ml_dataset_spark.sources.io import write_excel
+    df = spark.createDataFrame([(1, "x" * 300)], ["id", "text"])
+    with _pt.raises(ValueError, match="255"):
+        write_excel(df, str(tmp_path / "long.xls"))
+    # the same data writes fine as .xlsx (32,767-char cells)
+    write_excel(df, str(tmp_path / "long.xlsx"))
+
+
 def test_merge_upsert_modes(spark, tmp_path):
     from tech_ml_dataset_spark.sources.io import merge_upsert
     base = [(1, 10.0), (2, 20.0)]
