@@ -51,12 +51,22 @@ def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
         # the O(n·k) per-index slice form (same rewrite as text.py
         # _word_ngrams, measured 7.6x on the sf0.1 corpus in r4)
         toks = F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
-        m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+        n = F.size(toks)
+        m = F.greatest(n - (k - 1), F.lit(0))
         acc = F.slice(toks, 1, m)
         for i in range(1, k):
             acc = F.zip_with(acc, F.slice(toks, i + 1, m),
                              lambda a, b: F.concat(a, F.lit(" "), b))
-        return F.array_distinct(acc)
+        # docs with 1..k-1 tokens emit ONE partial gram (all tokens
+        # joined) — the original law the DuckDB oracles replay (clamping
+        # slice over greatest(n-k+1, 1)). Without it the r4 zip_with
+        # rewrite gave short docs ZERO features: identical sub-k-word
+        # docs could never match in the Jaccard family, and simhash
+        # collapsed every short doc to 0, pairing unrelated docs at
+        # distance 0. Empty/NULL text still yields []/NULL.
+        return F.when((n > 0) & (n < k),
+                      F.array(F.array_join(toks, " "))) \
+                .otherwise(F.array_distinct(acc))
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
@@ -271,9 +281,15 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         band_bits: int = 16) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share at least one of the four
     16-bit bands (pigeonhole guarantees recall for distance <= 3 with 4
-    bands), verified by exact Hamming distance."""
+    bands), verified by exact Hamming distance.
+
+    NULL/empty text routes AROUND the pairing (same law as exact_dedup's
+    NULL handling): featureless docs all hash to simhash 0, so without
+    the filter every empty doc pairs with every other at distance 0 —
+    content-free "duplicates" that would wrongly delete missing-text rows."""
     n_bands = 64 // band_bits
-    sh = simhash_df(df, [id_col], text_col, out_col="__sim__")
+    sh = simhash_df(df.filter(F.length(F.trim(F.col(text_col))) > 0),
+                    [id_col], text_col, out_col="__sim__")
     banded = sh.select(
         id_col, "__sim__",
         F.posexplode(F.array(*[

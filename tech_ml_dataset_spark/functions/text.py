@@ -292,13 +292,18 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text", *,
                          F.when(F.col(out_col).isNull(), None)
                           .otherwise(F.size(out_col)))
     if vocab is not None:
-        vmap = F.create_map(*[F.lit(x) for kv in vocab.items() for x in kv])
-        out = out.withColumn(
-            f"{out_col}_ids",
-            F.when(F.col(out_col).isNull(), None).otherwise(
-                F.transform(F.col(out_col),
-                            lambda t: F.coalesce(vmap[t],
-                                                 F.lit(unk_id)))))
+        # id lookup INSIDE a pandas_udf, not an F.create_map literal: a
+        # realistic 32k-50k vocab as create_map means 64k-100k literal
+        # child expressions evaluated per row — analysis/codegen blow up
+        # and whole-stage codegen bails. The dict ships once per executor
+        # in the serialized UDF, same as the merge-rank table above.
+        @pandas_udf("array<int>")
+        def _ids(arrs: pd.Series) -> pd.Series:
+            g = vocab.get
+            return pd.Series(
+                [None if a is None else [g(t, unk_id) for t in a]
+                 for a in arrs])
+        out = out.withColumn(f"{out_col}_ids", _ids(F.col(out_col)))
     return out
 
 

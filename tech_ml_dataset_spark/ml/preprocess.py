@@ -48,13 +48,23 @@ def fit_categorical_map(df: DataFrame, colname: str, *,
         raise ValueError(
             f"fit_categorical_map({colname!r}): duplicate codes in table "
             f"{table!r} — each value needs a distinct code")
-    vals = [r[0] for r in df.select(colname).distinct()
-                            .limit(max_categories + 1).collect()]
+    vals_df = df.select(colname).distinct()
+    if table:
+        # pinned values never need collecting — the cap (and the driver
+        # collect) applies only to the UNPINNED remainder, so a 150k-entry
+        # pinned vocabulary fits under the default cap with a near-empty
+        # collect. broadcast anti join, not isin: 150k literals would
+        # blow up the plan
+        pins = df.sparkSession.createDataFrame(
+            [(v,) for v in table if v is not None], [colname])
+        vals_df = vals_df.join(F.broadcast(pins), colname, "left_anti")
+    vals = [r[0] for r in vals_df.limit(max_categories + 1).collect()]
     if len(vals) > max_categories:
         raise ValueError(
             f"fit_categorical_map({colname!r}): more than "
-            f"{max_categories} distinct values — this column looks like "
-            "a key, not a category; raise max_categories to override")
+            f"{max_categories} distinct values beyond the pinned table — "
+            "this column looks like a key, not a category; raise "
+            "max_categories to override")
     table = dict(table) if table else {}
     used = set(table.values())
     nxt = 0

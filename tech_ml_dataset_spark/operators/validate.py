@@ -207,15 +207,20 @@ def psi_drift_categorical(ref: DataFrame, cur: DataFrame, columns, *,
     cols = [columns] if isinstance(columns, str) else list(columns)
     keep: dict = {}
     for c in cols:
+        # group on the CAST-to-string value so the collected literals are
+        # Spark's own renderings — Python str() disagrees for e.g.
+        # booleans ('True' vs 'true'), which would bucket every row into
+        # __other__ on both sides and report ~0 PSI for a real shift
         top = (ref.filter(F.col(c).isNotNull())
-                  .groupBy(c).agg(F.count(F.lit(1)).alias("__n__"))
-                  .orderBy(F.desc("__n__"), F.asc(c))
+                  .groupBy(F.col(c).cast("string").alias("__v__"))
+                  .agg(F.count(F.lit(1)).alias("__n__"))
+                  .orderBy(F.desc("__n__"), F.asc("__v__"))
                   .limit(top_k).collect())
-        keep[c] = [r[c] for r in top]
+        keep[c] = [r["__v__"] for r in top]
 
     def bucket_expr(c):
         v = F.col(c).cast("string")
-        arr = F.array(*[F.lit(str(x)) for x in keep[c]])
+        arr = F.array(*[F.lit(x) for x in keep[c]])
         return F.when(F.array_contains(arr, v), v).otherwise("__other__")
 
     def side_counts(df, tag):

@@ -120,6 +120,20 @@ def apply_parser_fn(df: DataFrame, parser_fn: Mapping) -> DataFrame:
     return out
 
 
+def _skip_lines(lines: DataFrame, n: int) -> DataFrame:
+    """Drop the first ``n`` text lines distributedly: monotonic ids are
+    monotone with file order but NOT contiguous, so find the n-th
+    smallest id (tiny TakeOrdered collect) and filter past it — no
+    single-partition window."""
+    from pyspark.sql import functions as F
+    lines = lines.withColumn("__ln__", F.monotonically_increasing_id())
+    head = [r[0] for r in lines.select("__ln__").orderBy("__ln__")
+            .limit(n).collect()]
+    if head:
+        lines = lines.filter(F.col("__ln__") > head[-1])
+    return lines.drop("__ln__")
+
+
 def _peek_csv_header(spark, path, opts, n_skip: int):
     """Read the (post-skip) header line once, parsed with the csv module
     so quoted/escaped header cells split correctly. Mirrors Spark's own
@@ -253,19 +267,19 @@ def to_dataset(
             sep_re = _re.escape(sep)
             lines = spark.read.text(data)
             if n_initial_skip_rows:
-                # mono ids are monotone with file order but NOT contiguous:
-                # find the N-th smallest id (tiny TakeOrdered collect) and
-                # filter past it — no single-partition window
-                lines = lines.withColumn(
-                    "__ln__", F.monotonically_increasing_id())
-                head = [r[0] for r in lines.select("__ln__").orderBy("__ln__")
-                        .limit(n_initial_skip_rows).collect()]
-                if head:
-                    lines = lines.filter(F.col("__ln__") > head[-1])
-                lines = lines.drop("__ln__")
+                lines = _skip_lines(lines, n_initial_skip_rows)
             if ragged:
                 n_fields = F.size(F.split(F.col("value"), sep_re, -1))
-                width = lines.agg(F.max(n_fields)).collect()[0][0] or 0
+                # width over DATA lines only: comment lines are dropped
+                # by the csv parser, so a wide '# exported by tool, ...'
+                # banner must not inflate the table with all-null
+                # trailing columns
+                comment = str(opts.get("comment", "") or "")
+                measured = lines
+                if comment:
+                    measured = measured.filter(
+                        ~F.col("value").startswith(comment))
+                width = measured.agg(F.max(n_fields)).collect()[0][0] or 0
                 lines = lines.select(F.concat(
                     F.col("value"),
                     F.repeat(F.lit(sep), F.lit(width) - n_fields)
@@ -290,36 +304,21 @@ def to_dataset(
             import re as _re
             df = df.toDF(*[_re.sub(r"^_c(\d+)$", r"column-\1", c)
                            for c in df.columns])
-            if str(opts.get("header", "")).lower() == "true":
+            # an explicit schema OWNS the column names (Spark binds them
+            # over the file's header) — peeking would clobber them with
+            # the header cells, and a duplicate FILE header is irrelevant
+            # when the caller's schema names are what the frame exposes
+            if schema is None \
+                    and str(opts.get("header", "")).lower() == "true":
                 hdr = _peek_csv_header(spark, data, opts,
                                        n_initial_skip_rows)
                 if hdr is not None and len(hdr) == len(df.columns):
                     names = [h if h else f"column-{i}"
                              for i, h in enumerate(hdr)]
-                    from collections import Counter
-                    dup = {n for n, k in Counter(names).items() if k > 1}
-                    if dup and not ensure_unique_column_names:
-                        raise ValueError(
-                            f"duplicate csv headers {sorted(dup)}; pass "
-                            f"ensure_unique_column_names=True to suffix "
-                            f"them (reference csv_test.clj law)")
-                    fn = unique_column_name_fn or \
-                        (lambda i, n: f"{n}-{i}")
-                    # a minted name must not collide with ANY original
-                    # ('a,a-2,a' -> fn would mint a second 'a-2'; the
-                    # original keeps its name, the mint extends) nor an
-                    # earlier mint
-                    out_names, taken = [], set(names)
-                    for i, n in enumerate(names):
-                        if n in dup:
-                            cand = fn(i, n)
-                            while cand in taken:
-                                cand = f"{cand}-{i}"
-                            taken.add(cand)
-                        else:
-                            cand = n
-                        out_names.append(cand)
-                    df = df.toDF(*out_names)
+                    df = df.toDF(*_unique_headers(
+                        names, ensure_unique_column_names,
+                        fn=unique_column_name_fn, label="csv headers",
+                        suffix_all=True))
     elif isinstance(data, DataFrame):
         df = data
     elif isinstance(data, Mapping):
@@ -573,9 +572,26 @@ def read_excel(spark: SparkSession, path: str, *, sheet=0,
     ensure-unique-headers law, poi_test.clj:94/fastexcel_test.clj:73)."""
     import pandas as pd
     try:
+        # header=None ALWAYS: asking pandas to bind the header itself
+        # mangles duplicate cells to 'a.1' before our law can see them —
+        # the documented duplicate-header raise would silently never fire
+        # when openpyxl is installed (and fire when it isn't). Reading
+        # headerless and applying the same _unique_headers law as the
+        # vendored-codec path keeps the file's behavior independent of
+        # which optional engine is present.
         frame = pd.read_excel(path, sheet_name=sheet,
                               skiprows=n_initial_skip_rows or None,
-                              header=0 if header else None)
+                              header=None)
+        if header and len(frame):
+            hdr_cells = list(frame.iloc[0])
+            frame = frame.iloc[1:].reset_index(drop=True).infer_objects()
+            frame.columns = _unique_headers(
+                [f"column-{i}" if pd.isna(c) else str(c)
+                 for i, c in enumerate(hdr_cells)],
+                ensure_unique_column_names)
+        else:
+            frame.columns = [f"column-{i}"
+                             for i in range(len(frame.columns))]
     except ImportError:
         if path.lower().endswith(".xls"):
             from . import xls as _xlsmod
@@ -599,11 +615,6 @@ def read_excel(spark: SparkSession, path: str, *, sheet=0,
                     for i, c in enumerate(cols)]
         frame = pd.DataFrame(rows, columns=_unique_headers(
             [str(c) for c in cols], ensure_unique_column_names))
-    if not header and frame.columns.dtype != object:
-        frame.columns = [f"column-{i}" for i in range(len(frame.columns))]
-    else:
-        frame.columns = _unique_headers(
-            [str(c) for c in frame.columns], ensure_unique_column_names)
     if len(frame) == 0:
         # a header-only sheet carries no cells to infer types from —
         # string columns, like an empty csv read
@@ -614,16 +625,25 @@ def read_excel(spark: SparkSession, path: str, *, sheet=0,
     return spark.createDataFrame(frame)
 
 
-def _unique_headers(cols: list, allow_fix: bool) -> list:
-    """Reference ensure-unique-headers law: duplicate header names raise
-    unless the caller opts into suffixing (``<name>-<column index>``)."""
+def _unique_headers(cols: list, allow_fix: bool, *, fn=None,
+                    label: str = "column names in header",
+                    suffix_all: bool = False) -> list:
+    """Reference ensure-unique-headers law, shared by the csv and excel
+    paths: duplicate header names raise unless the caller opts into
+    suffixing. ``fn(i, name)`` mints the replacement (default
+    ``<name>-<column index>``); ``label`` names the source in the error.
+    ``suffix_all=True`` suffixes EVERY member of a duplicated group (the
+    csv_test.clj law); False keeps the first occurrence's name (the
+    poi/fastexcel law)."""
     if len(set(cols)) == len(cols):
         return cols
     if not allow_fix:
         raise ValueError(
-            f"duplicate column names in header: "
+            f"duplicate {label}: "
             f"{sorted(c for c in set(cols) if cols.count(c) > 1)} — pass "
             f"ensure_unique_column_names=True to suffix them")
+    fn = fn or (lambda i, n: f"{n}-{i}")
+    dup = {c for c in set(cols) if cols.count(c) > 1}
     # suffix every repeat; a minted name must not collide with ANY
     # original ('a,a,a-1' must not mint a second 'a-1' — the original
     # keeps its name, the minted one extends) nor an earlier mint
@@ -631,8 +651,8 @@ def _unique_headers(cols: list, allow_fix: bool) -> list:
     out = []
     seen: set = set()
     for i, c in enumerate(cols):
-        if c in seen:
-            cand = f"{c}-{i}"
+        if c in dup and (suffix_all or c in seen):
+            cand = fn(i, c)
             while cand in taken:
                 cand = f"{cand}-{i}"
             taken.add(cand)
@@ -990,12 +1010,7 @@ def read_fwf(spark: SparkSession, path: str, colspecs, names=None, *,
 
     lines = spark.read.text(path)
     if n_initial_skip_rows:
-        lines = lines.withColumn("__ln__", F.monotonically_increasing_id())
-        head = [r[0] for r in lines.select("__ln__").orderBy("__ln__")
-                .limit(n_initial_skip_rows).collect()]
-        if head:
-            lines = lines.filter(F.col("__ln__") > head[-1])
-        lines = lines.drop("__ln__")
+        lines = _skip_lines(lines, n_initial_skip_rows)
     names = list(names) if names is not None else \
         [f"column-{i}" for i in range(len(colspecs))]
     cols = []

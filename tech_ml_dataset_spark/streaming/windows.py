@@ -312,8 +312,15 @@ def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
             (out.write.mode("overwrite").partitionBy("batch_id")
                 .parquet(corpus_path))
         finally:
+            # restore EXACTLY the prior state: when the session never set
+            # the key, conf.get returns None and a bare skip would leak
+            # 'dynamic' session-wide — a later unrelated
+            # overwrite+partitionBy write would then keep stale
+            # partitions instead of truncating the table
             if prev is not None:
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev)
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)

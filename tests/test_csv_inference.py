@@ -147,3 +147,38 @@ def test_duplicate_headers_throw_and_suffix(spark, tmp_path):
     dfc = to_dataset(spark, str(pc), ensure_unique_column_names=True)
     assert dfc.columns == ["a-0", "a-2", "a-2-2"]
     assert len(set(dfc.columns)) == 3
+
+
+def test_explicit_schema_owns_column_names(spark, tmp_path):
+    """r4 review: the header-peek rename ran even with an explicit schema,
+    clobbering the schema's names with the file's header cells (and
+    raising on duplicate FILE headers the schema was meant to override).
+    An explicit schema OWNS the names — Spark binds them over the
+    header, and the peek must stay out of the way."""
+    from pyspark.sql import types as T
+    sch = T.StructType([T.StructField("x", T.LongType()),
+                        T.StructField("y", T.StringType())])
+    p = tmp_path / "named.csv"
+    p.write_text("a,b\n1,foo\n")
+    df = to_dataset(spark, str(p), schema=sch)
+    assert df.columns == ["x", "y"]
+    assert df.select("x").collect()[0]["x"] == 1
+
+    # duplicate file headers are irrelevant under an explicit schema
+    pd_ = tmp_path / "dupnamed.csv"
+    pd_.write_text("a,a\n1,2\n")
+    df2 = to_dataset(spark, str(pd_), schema=sch)
+    assert df2.columns == ["x", "y"]
+
+
+def test_ragged_width_ignores_comment_lines(spark, tmp_path):
+    """r4 review: ragged width was computed over ALL text lines, so a wide
+    '# exported by tool, host, build, 42' banner inflated the table with
+    spurious all-null trailing columns."""
+    p = tmp_path / "ragged_banner.csv"
+    p.write_text("# exported, by, tool, host, build, 42\n1,2\n3,4,5\n")
+    df = to_dataset(spark, str(p), ragged=True, header=False,
+                    inferSchema=False)
+    assert len(df.columns) == 3
+    rows = sorted([tuple(r) for r in df.collect()])
+    assert rows == [("1", "2", None), ("3", "4", "5")]

@@ -384,3 +384,42 @@ def test_semdedup_max_cluster_size_sub_buckets(spark):
         groups.setdefault(r["group"], []).append(r["vec_id"])
     for g, members in groups.items():
         assert g == min(members)
+
+
+def test_shingles_short_docs_emit_partial_gram(spark):
+    """r4 review: the zip_with shingle rewrite returned an EMPTY array for
+    docs with fewer than k tokens, where the original law (and every
+    DuckDB oracle, via the clamping slice over greatest(n-k+1, 1)) emits
+    ONE partial gram — all tokens joined. Consequences of the empty law:
+    identical sub-k-word docs could never match in the Jaccard family,
+    and simhash collapsed every short doc to 0, pairing unrelated docs
+    at distance 0."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "goodbye"), (3, "a b"), (4, "a b"),
+         (5, ""), (6, None)],
+        "doc_id int, text string")
+    sh = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dd.shingles(F.col("text"), 3, mode="word").alias("sh")
+    ).collect()}
+    assert sh[1] == ["hello"] and sh[2] == ["goodbye"]
+    assert sh[3] == ["a b"] == sh[4]
+    assert sh[5] == [] and sh[6] is None
+
+    # unrelated one-word docs must NOT pair; identical two-word docs must
+    exact = dd.simhash_dedup_pairs(df, max_distance=0)
+    got = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    assert got == {(3, 4)}
+
+    jac = dd.ngram_jaccard_pairs(df, k=3, threshold=0.5)
+    jgot = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac.collect()}
+    assert jgot == {(3, 4): 1.0}
+
+
+def test_simhash_pairs_route_around_contentless_docs(spark):
+    """Empty/NULL text docs all hash to simhash 0; without the content
+    filter every contentless doc pairs with every other at distance 0 and
+    a dedup pipeline deletes missing-text rows as 'duplicates'."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "real content here")],
+        "doc_id int, text string")
+    assert dd.simhash_dedup_pairs(df, max_distance=3).count() == 0

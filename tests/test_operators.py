@@ -978,3 +978,20 @@ def test_psi_drift_categorical(spark):
     # top_k cap: tail collapses into __other__, still finite and ordered
     capped = dv.psi_drift_categorical(ref, cur, "lang", top_k=1).collect()[0]
     assert capped["psi"] > 0.0
+
+
+def test_psi_drift_categorical_boolean_column(spark):
+    """r4 review: top-k literals were Python str() renderings ('True')
+    compared against Spark cast-to-string values ('true'), so every
+    boolean row landed in __other__ on both sides and a drastic
+    true/false shift reported ~0 PSI."""
+    from tech_ml_dataset_spark.operators import validate as dv
+
+    ref = spark.createDataFrame([(True,)] * 90 + [(False,)] * 10,
+                                "is_spam boolean")
+    cur = spark.createDataFrame([(True,)] * 10 + [(False,)] * 90,
+                                "is_spam boolean")
+    assert abs(dv.psi_drift_categorical(ref, ref, "is_spam")
+                 .collect()[0]["psi"]) < 1e-12
+    moved = dv.psi_drift_categorical(ref, cur, "is_spam").collect()[0]
+    assert moved["psi"] > 1.0  # massive flip must register

@@ -194,3 +194,22 @@ def test_induction_vector_fn_matches_row_loop(spark):
     assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_categorical_pinned_table_bypasses_cap(spark):
+    """r4 review: the cap (and the driver collect) must count only values
+    BEYOND the pinned table — a fully-pinned vocabulary larger than
+    max_categories previously raised even though nothing needed
+    collecting."""
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "y string")
+    big_vocab = {f"tok{i}": i for i in range(10)}
+    big_vocab.update({"a": 100, "b": 101, "c": 102})
+    t = mlp.fit_categorical_map(df, "y", table=big_vocab,
+                                max_categories=5)["table"]
+    assert t == big_vocab  # nothing unpinned -> no growth, no raise
+    # unpinned remainder still capped
+    import pytest as _pt
+    wide = spark.createDataFrame([(f"v{i}",) for i in range(10)], "y string")
+    with _pt.raises(ValueError, match="beyond the pinned table"):
+        mlp.fit_categorical_map(wide, "y", table={"v0": 0},
+                                max_categories=5)

@@ -238,3 +238,32 @@ def test_streaming_dedup_sink_builds_deduped_corpus(spark, tmp_path):
     kept2 = sorted(r["doc_id"] for r in rows)
     assert kept2 == [1, 3, 5]  # repeat 4 rejected against history
     assert {r["batch_id"] for r in rows} == {0, 1}
+
+
+def test_streaming_dedup_sink_restores_overwrite_mode(spark, tmp_path):
+    """r4 review: the sink restored partitionOverwriteMode only when it
+    had been set explicitly — when unset (the common case) 'dynamic'
+    leaked session-wide, so a later unrelated overwrite+partitionBy
+    write would keep stale partitions instead of truncating."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.unset(key)
+    assert spark.conf.get(key, None) is None
+    src = str(tmp_path / "crawl_conf")
+    spark.createDataFrame([(1, "only doc")], ["doc_id", "text"]) \
+         .coalesce(1).write.mode("overwrite").parquet(src)
+    stream = sw.read_stream(spark, src, "doc_id long, text string")
+    q = sw.streaming_dedup_sink(stream, str(tmp_path / "corpus_conf"),
+                                checkpoint=str(tmp_path / "ck_conf"))
+    q.awaitTermination()
+    assert spark.conf.get(key, None) is None  # not leaked
+
+    # and an explicitly-set prior value is restored verbatim
+    spark.conf.set(key, "static")
+    spark.createDataFrame([(2, "second doc")], ["doc_id", "text"]) \
+         .coalesce(1).write.mode("append").parquet(src)
+    stream2 = sw.read_stream(spark, src, "doc_id long, text string")
+    q2 = sw.streaming_dedup_sink(stream2, str(tmp_path / "corpus_conf"),
+                                 checkpoint=str(tmp_path / "ck_conf"))
+    q2.awaitTermination()
+    assert spark.conf.get(key) == "static"
+    spark.conf.unset(key)
