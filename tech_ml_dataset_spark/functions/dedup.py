@@ -25,9 +25,17 @@ def normalize_text(text: Column) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                *, keep: str = "min") -> DataFrame:
+                *, keep: str = "min", keep_by: str | None = None) -> DataFrame:
     """Exact dedup on normalized text hash: one hash-groupBy shuffle; the
     smallest (or largest) id per fingerprint survives.
+
+    ``keep_by`` names a column that picks the survivor INSTEAD of the id
+    order — the curation case where duplicate groups keep their
+    best-scoring copy (highest quality score, longest raw text, newest
+    crawl date): the survivor is the row with the maximum ``keep_by``
+    value, ties broken by ``keep`` on the id (deterministic). NULL
+    ``keep_by`` values lose to any non-NULL one. Same plan shape — one
+    groupBy carrying a (score, id) struct instead of the bare id.
 
     NULL text is NOT a duplicate of other NULL text: missing-content rows
     route around the dedup untouched (pre-r3 they vanished entirely — the
@@ -36,6 +44,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     fp = df.withColumn("__fp__", F.md5(normalize_text(F.col(text_col))))
     nulls = fp.filter(F.col("__fp__").isNull()).drop("__fp__")
     nn = fp.filter(F.col("__fp__").isNotNull())
+    if keep_by is not None:
+        # argmax(keep_by) via ONE fingerprint-keyed window pass (exchange
+        # the corpus once; the groupBy+semi-join shape below would add a
+        # second full-row exchange). row_number, not rank: exactly one
+        # survivor even on full ties.
+        from pyspark.sql import Window
+        order = [F.col(keep_by).desc_nulls_last(),
+                 F.col(id_col).asc() if keep == "min"
+                 else F.col(id_col).desc()]
+        w = Window.partitionBy("__fp__").orderBy(*order)
+        out = (nn.withColumn("__rn__", F.row_number().over(w))
+                 .filter(F.col("__rn__") == 1).drop("__rn__", "__fp__"))
+        return out.unionByName(nulls)
     survivors = nn.groupBy("__fp__").agg(keep_fn(id_col).alias(id_col))
     out = (nn.join(survivors, ["__fp__", id_col], "left_semi")
              .drop("__fp__"))

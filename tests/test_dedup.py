@@ -423,3 +423,26 @@ def test_simhash_pairs_route_around_contentless_docs(spark):
         [(1, ""), (2, None), (3, "   "), (4, "real content here")],
         "doc_id int, text string")
     assert dd.simhash_dedup_pairs(df, max_distance=3).count() == 0
+
+
+def test_exact_dedup_keep_by_best_copy(spark):
+    """keep_by picks the best-scoring copy of each duplicate group (the
+    curation law: keep the highest-quality duplicate, not the smallest
+    id), ties broken by the keep= id law; NULL scores lose to non-NULL;
+    NULL text still routes around the dedup."""
+    df = spark.createDataFrame(
+        [(1, "same doc", 0.2), (2, "same doc", 0.9), (3, "same doc", 0.9),
+         (4, "other", None), (5, None, 1.0)],
+        "doc_id int, text string, quality double")
+    kept = sorted(r["doc_id"] for r in
+                  dd.exact_dedup(df, keep_by="quality").collect())
+    assert kept == [2, 4, 5]  # best 0.9, tie -> min id 2
+    kept_max = sorted(
+        r["doc_id"] for r in
+        dd.exact_dedup(df, keep="max", keep_by="quality").collect())
+    assert kept_max == [3, 4, 5]  # tie -> max id 3
+    # all-NULL scores: still exactly one survivor, by the id law
+    df2 = spark.createDataFrame([(1, "x", None), (2, "x", None)],
+                                "doc_id int, text string, q double")
+    assert sorted(r["doc_id"] for r in
+                  dd.exact_dedup(df2, keep_by="q").collect()) == [1]
