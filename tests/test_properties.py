@@ -257,3 +257,59 @@ def test_format_sequence_uniform_width(xs, digits):
     out = format_sequence(xs, digits)
     widths = {len(s) for s in out}
     assert len(widths) == 1, (xs, out)
+
+
+@given(hs.lists(hs.text(alphabet="ab-", min_size=1, max_size=4),
+                min_size=1, max_size=8))
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_unique_headers_properties(cols):
+    """_unique_headers invariants under BOTH suffix laws: output is
+    always unique, same length, non-duplicated names survive verbatim,
+    and first-occurrence names survive under the excel law."""
+    from tech_ml_dataset_spark.sources.io import _unique_headers
+
+    for suffix_all in (False, True):
+        out = _unique_headers(cols, True, suffix_all=suffix_all)
+        assert len(out) == len(cols)
+        assert len(set(out)) == len(out)
+        for c, o in zip(cols, out):
+            if cols.count(c) == 1:
+                assert o == c
+        if not suffix_all:
+            seen = set()
+            for c, o in zip(cols, out):
+                if c not in seen:
+                    assert o == c
+                    seen.add(c)
+    if len(set(cols)) != len(cols):
+        import pytest as _pt
+        with _pt.raises(ValueError, match="duplicate"):
+            _unique_headers(cols, False)
+
+
+@given(hs.lists(hs.text(alphabet="abc", min_size=1, max_size=3),
+                min_size=0, max_size=9),
+       hs.integers(min_value=2, max_value=5))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_word_shingles_match_python_law(spark, words, k):
+    """Word-mode shingles match the brute-force law on every doc length,
+    INCLUDING the sub-k partial-gram case the oracles encode via the
+    clamping slice (r4 review regression)."""
+    from tech_ml_dataset_spark.functions import dedup as dd
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = df.select(
+        dd.shingles(F.col("text"), k, mode="word").alias("s")
+    ).collect()[0]["s"]
+    toks = text.lower().split()
+    if not toks:
+        expect = []
+    elif len(toks) < k:
+        expect = [" ".join(toks)]
+    else:
+        expect = list(dict.fromkeys(
+            " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)))
+    assert got == expect
