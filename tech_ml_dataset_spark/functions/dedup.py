@@ -196,17 +196,39 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  *, transitive: bool = False, **kw) -> DataFrame:
+                  *, transitive: bool = False, keep_by: str | None = None,
+                  **kw) -> DataFrame:
     """Drop near-duplicates. Default: a doc is removed when it near-matches
     any doc with a smaller id (single-pass representative rule — cheap, but
     a chain a~b~c keeps c when only b matched it). ``transitive=True`` runs
     :func:`dedup_clusters` connected components over the pair graph and
-    keeps exactly one doc (the min id) per transitive cluster."""
+    keeps exactly one doc (the min id) per transitive cluster.
+
+    ``keep_by`` (requires ``transitive=True``) keeps each cluster's
+    best-scoring doc instead of the min id — the post-clustering survivor
+    selection a curation pipeline actually wants (highest quality score /
+    longest text per near-dup cluster), same law as
+    :func:`exact_dedup`'s ``keep_by``: max score, min-id tiebreak, NULL
+    scores lose. One cluster-keyed window over the (id, cluster) node
+    table — the same exchange class as the min-id filter it replaces."""
     pairs = minhash_dedup_pairs(df, id_col, text_col, **kw)
+    if keep_by is not None and not transitive:
+        raise ValueError(
+            "minhash_dedup: keep_by needs transitive=True — the "
+            "single-pass representative rule has no cluster to score "
+            "within (a~b~c chains make pairwise better-of ambiguous)")
     if transitive:
         clusters = dedup_clusters(pairs, df, id_col)
-        keep = clusters.filter(F.col(id_col) == F.col("cluster")) \
-                       .select(id_col)
+        if keep_by is None:
+            keep = clusters.filter(F.col(id_col) == F.col("cluster")) \
+                           .select(id_col)
+        else:
+            from pyspark.sql import Window
+            w = Window.partitionBy("cluster").orderBy(
+                F.col(keep_by).desc_nulls_last(), F.col(id_col).asc())
+            keep = (clusters.join(df.select(id_col, keep_by), id_col)
+                            .withColumn("__rn__", F.row_number().over(w))
+                            .filter(F.col("__rn__") == 1).select(id_col))
         return df.join(keep, id_col, "left_semi")
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

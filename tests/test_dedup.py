@@ -446,3 +446,23 @@ def test_exact_dedup_keep_by_best_copy(spark):
                                 "doc_id int, text string, q double")
     assert sorted(r["doc_id"] for r in
                   dd.exact_dedup(df2, keep_by="q").collect()) == [1]
+
+
+def test_minhash_dedup_keep_by_cluster_best(spark):
+    """transitive + keep_by keeps each near-dup cluster's best-scoring
+    doc (not the min id); singletons survive untouched; keep_by without
+    transitive raises (pairwise better-of is chain-ambiguous)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base, 0.1), (2, base + " extra", 0.9),
+         (3, base + " extra word", 0.5), (4, "completely different text "
+          "about databases and query engines at scale", 0.0)],
+        "doc_id int, text string, quality double")
+    kept_min = sorted(r["doc_id"] for r in dd.minhash_dedup(
+        df, transitive=True, threshold=0.5).collect())
+    assert kept_min == [1, 4]
+    kept_best = sorted(r["doc_id"] for r in dd.minhash_dedup(
+        df, transitive=True, keep_by="quality", threshold=0.5).collect())
+    assert kept_best == [2, 4]
+    with pytest.raises(ValueError, match="transitive=True"):
+        dd.minhash_dedup(df, keep_by="quality")
