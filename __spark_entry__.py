@@ -1608,6 +1608,21 @@ def minhash_pairs_docs(spark, sf_dir):
     return dd.minhash_dedup_pairs(docs, k=5, n_hashes=32, bands=8, threshold=0.3)
 
 
+def minhash_pairs_oracle_docs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, engine-portable hashing
+    (dedup.py minhash_dedup_pairs hash_fn="md5"): token hashes are
+    md5-derived and band keys are the joined band slice, so DuckDB replays
+    signature → banding → candidate join → exact-Jaccard verify
+    BIT-FOR-BIT — promoting the MinHash banding law itself from rows-only
+    to hash-checked (r3 verdict: only the xxhash64/murmur primitives
+    blocked an oracle, not the algebra). Same params as
+    `minhash_pairs_docs`, which keeps exercising the production
+    xxhash64 path."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dd.minhash_dedup_pairs(docs, k=5, n_hashes=32, bands=8,
+                                  threshold=0.3, hash_fn="md5")
+
+
 def simhash_docs(spark, sf_dir):
     """SimHash fingerprints (rows-only: xxhash64 is Spark-specific)."""
     docs = _t(spark, sf_dir, "documents")
@@ -2209,7 +2224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round (rolling_center_user, r2-green with window.py untouched
         # in r4, rotates out)
         "ccnet_buckets_docs": ccnet_buckets_docs,
-        "cross_region_priority": cross_region_priority,
+        # (a-new) r4 MinHash banding-law oracle (hash_fn="md5" portable
+        # hashing) — driver-prove this round (cross_region_priority,
+        # r2-green with join.py cross path untouched in r4, rotates out)
+        "minhash_pairs_oracle_docs": minhash_pairs_oracle_docs,
         # (a-new) r4 robust scaler — new operator, driver-prove this round
         # (rolling_corr_user, r2-green with window.py untouched in r4,
         # rotates out)
@@ -2329,7 +2347,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_docs": minhash_pairs_docs,
         "simhash_docs": simhash_docs,
         "media_meta_docs": media_meta_docs,
+        "cross_region_priority": cross_region_priority,
     }
+
+
+def _minhash_oracle() -> str:
+    """Replays minhash_pairs_oracle_docs in DuckDB: the md5 hash_fn makes
+    every stage portable — char-5 shingles of normalized text, 60-bit
+    md5 token hashes mod the Mersenne prime, the SAME 32 LCG (a,b)
+    permutation coefficients inlined as literals, 8 joined-slice band
+    keys, distinct id_a<id_b candidates, exact Jaccard >= 0.3."""
+    from tech_ml_dataset_spark.functions.dedup import _MERSENNE, _minhash_coeffs
+    k, n_hashes, bands, thr = 5, 32, 8, 0.3
+    rpb = n_hashes // bands
+    minexprs = ",\n                   ".join(
+        f"list_min(list_transform(h, x -> (x * {a} + {b}) % {_MERSENNE}))"
+        for a, b in _minhash_coeffs(n_hashes, 42))
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(list_filter(
+                       [substring(norm, i, {k})
+                        FOR i IN range(1, greatest(length(norm)-{k - 1}, 1)+1)],
+                       s -> length(s) = {k})) AS shingles
+            FROM raw
+        ), hs AS (
+            SELECT doc_id, shingles,
+                   list_transform(shingles,
+                       s -> CAST(('0x' || substring(md5(s),1,15)) AS UBIGINT)
+                            % {_MERSENNE}) AS h
+            FROM sh WHERE len(shingles) > 0
+        ), sig AS (
+            SELECT doc_id,
+                   [{minexprs}] AS sig
+            FROM hs
+        ), banded AS (
+            SELECT doc_id, t.b AS band,
+                   array_to_string(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], ',') AS bkey
+            FROM sig, (SELECT unnest(range(0, {bands})) AS b) t
+        ), pairs AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+        )
+        SELECT p.id_a, p.id_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                     4) AS jaccard
+        FROM pairs p
+        JOIN sh a ON p.id_a = a.doc_id
+        JOIN sh b ON p.id_b = b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {thr}
+    """
 
 
 def _lsh_topk_oracle() -> str:
@@ -2366,6 +2440,7 @@ def _lsh_topk_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "lsh_topk_embeddings": _lsh_topk_oracle(),
+        "minhash_pairs_oracle_docs": _minhash_oracle(),
         "ivf_topk_embeddings": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id = 0),

@@ -107,11 +107,24 @@ def _minhash_coeffs(n_hashes: int, seed: int) -> list[tuple[int, int]]:
     return coeffs
 
 
-def shingle_hashes(shingle_col: Column) -> Column:
-    """Positive-space xxhash64 of each shingle — compute this ONCE as its
+def shingle_hashes(shingle_col: Column, *, hash_fn: str = "xxhash64") -> Column:
+    """Positive-space hash of each shingle — compute this ONCE as its
     own column before fanning out to n_hashes permutations: referenced 64×,
     CollapseProject keeps the projection boundary so the string hashing
-    runs once per row, not once per signature slot."""
+    runs once per row, not once per signature slot.
+
+    ``hash_fn``: ``"xxhash64"`` (default — one JVM hash op per token, the
+    production path) or ``"md5"`` — the first 60 bits of md5 parsed as an
+    integer. md5 is engine-portable (any SQL engine with md5 + hex parse
+    reproduces it bit-for-bit), which is what lets the MinHash banding law
+    be verified end-to-end against an independent engine; it costs one
+    digest + string slice per token, so keep xxhash64 for production runs."""
+    if hash_fn == "md5":
+        return F.transform(shingle_col, lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            F.lit(_MERSENNE)))
+    if hash_fn != "xxhash64":
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
 
 
@@ -151,7 +164,7 @@ def _attach_shingles(ids: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", *, k: int = 5,
                        n_hashes: int = 64, bands: int = 16,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42, hash_fn: str = "xxhash64") -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows, hash each band,
     equi-join on (band_idx, band_hash) to get candidate pairs (id_a < id_b).
     Returns distinct candidate pairs with their shingle arrays attached.
@@ -161,17 +174,34 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     band exchange (they used to, replicating each doc's k-gram set 16×
     through the shuffle — the r1 verdict's scale-killer). The distinct
     pair-id set is resolved first, then shingles are joined back once per
-    side for the Jaccard verify."""
+    side for the Jaccard verify.
+
+    ``hash_fn="md5"`` switches BOTH nondeterministic-across-engines
+    primitives to portable ones: token hashes become md5-derived (see
+    :func:`shingle_hashes`) and the band key becomes the comma-joined
+    band slice itself instead of ``F.hash`` over it — so an independent
+    SQL engine can replay banding bit-for-bit and verify the whole
+    candidate law. The string band key costs rows_per_band decimal
+    renders per (doc, band) in the exchange vs one 32-bit murmur; keep
+    the default for production corpora."""
     rows_per_band = n_hashes // bands
     sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh__"))
-    sigd = sh.withColumn("__hb__", shingle_hashes(F.col("__sh__"))) \
+    sigd = sh.withColumn("__hb__", shingle_hashes(F.col("__sh__"), hash_fn=hash_fn)) \
              .withColumn("__sig__", minhash_signature(F.col("__hb__"), n_hashes,
                                                       seed, prehashed=True))
+    if hash_fn == "md5":
+        def _bandkey(b):
+            return F.array_join(
+                F.slice(F.col("__sig__"), b * rows_per_band + 1, rows_per_band),
+                ",")
+    else:
+        def _bandkey(b):
+            return F.hash(
+                F.slice(F.col("__sig__"), b * rows_per_band + 1, rows_per_band))
     banded = sigd.select(
         id_col,
         F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.hash(F.slice(F.col("__sig__"), b * rows_per_band + 1, rows_per_band)))
+            F.sequence(F.lit(0), F.lit(bands - 1)), _bandkey)
         ).alias("__band__", "__bhash__"))
     a = banded.select(F.col(id_col).alias("id_a"), "__band__", "__bhash__")
     b = banded.select(F.col(id_col).alias("id_b"), "__band__", "__bhash__")
@@ -185,11 +215,14 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, k: int = 5,
                         n_hashes: int = 64, bands: int = 16,
-                        threshold: float = 0.8, seed: int = 42) -> DataFrame:
+                        threshold: float = 0.8, seed: int = 42,
+                        hash_fn: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by exact Jaccard on
-    shingle sets. Output: (id_a, id_b, jaccard) with jaccard >= threshold."""
+    shingle sets. Output: (id_a, id_b, jaccard) with jaccard >= threshold.
+    ``hash_fn`` as in :func:`minhash_candidates` ("md5" = engine-portable
+    hashing so the banding law is independently verifiable)."""
     pairs = minhash_candidates(df, id_col, text_col, k=k, n_hashes=n_hashes,
-                               bands=bands, seed=seed)
+                               bands=bands, seed=seed, hash_fn=hash_fn)
     return (pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
                  .filter(F.col("jaccard") >= threshold)
                  .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard")))

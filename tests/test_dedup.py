@@ -40,6 +40,37 @@ def test_minhash_pairs_find_near_dup(spark, docs):
     assert not any(4 in p for p in got)     # unrelated doc not matched
 
 
+def test_minhash_md5_hash_fn_portable(spark, docs):
+    """hash_fn="md5" (the engine-portable oracle path) obeys the same
+    banding law: finds the planted near+exact dups, rejects the unrelated
+    doc, and agrees with the xxhash64 path's Jaccard values EXACTLY on
+    shared pairs (the verify stage hashes nothing — only candidate
+    generation depends on hash_fn)."""
+    md5_pairs = dd.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=64,
+                                       bands=16, hash_fn="md5")
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in md5_pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)
+    xx = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in dd.minhash_dedup_pairs(docs, threshold=0.5, n_hashes=64,
+                                          bands=16).collect()}
+    for p in got.keys() & xx.keys():
+        assert got[p] == xx[p]
+    assert got[(1, 3)] == 1.0  # exact dup after normalization
+
+
+def test_shingle_hashes_md5_known_value(spark):
+    """The md5 token hash is pinned to its definition — first 15 hex chars
+    of md5 parsed base-16, mod the Mersenne prime — so any engine with
+    md5 reproduces it (int('648541476951500027') % (2**31-1))."""
+    df = spark.createDataFrame([(["abc"],)], ["s"])
+    got = df.select(dd.shingle_hashes(F.col("s"), hash_fn="md5")
+                      .alias("h")).collect()[0]["h"]
+    assert got == [648541476951500027 % (2 ** 31 - 1)]
+    with pytest.raises(ValueError, match="hash_fn"):
+        dd.shingle_hashes(F.col("s"), hash_fn="sha1")
+
+
 def test_minhash_dedup_drops_losers(spark, docs):
     out = dd.minhash_dedup(docs, threshold=0.5)
     ids = sorted(r["doc_id"] for r in out.collect())
