@@ -1629,6 +1629,18 @@ def simhash_docs(spark, sf_dir):
     return dd.simhash_df(docs, "doc_id", "text")
 
 
+def simhash_oracle_docs(spark, sf_dir):
+    """SimHash with engine-portable hashing (dedup.py simhash_df
+    hash_fn="md5"): the 60-bit md5 token hash makes every stage — word
+    2-grams, per-bit counts, majority vote, fingerprint fold — plain
+    integer SQL, so DuckDB reproduces each document's fingerprint exactly,
+    promoting the SimHash bit-majority law from rows-only to
+    hash-checked. `simhash_docs` keeps exercising the production
+    xxhash64 path."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_df(docs, "doc_id", "text", hash_fn="md5")
+
+
 def media_meta_docs(spark, sf_dir):
     """Multimodal metadata scan (functions/multimodal.py): binary payload
     (utf-8 bytes of text stand in for media) -> length/md5, pure JVM-side."""
@@ -2228,11 +2240,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hashing) — driver-prove this round (cross_region_priority,
         # r2-green with join.py cross path untouched in r4, rotates out)
         "minhash_pairs_oracle_docs": minhash_pairs_oracle_docs,
+        # (a-new) r4 SimHash bit-majority-law oracle (hash_fn="md5") —
+        # driver-prove this round (expanding_user_cumsum, r2-green with
+        # window.py untouched in r4, rotates out)
+        "simhash_oracle_docs": simhash_oracle_docs,
         # (a-new) r4 robust scaler — new operator, driver-prove this round
         # (rolling_corr_user, r2-green with window.py untouched in r4,
         # rotates out)
         "robust_scale_acctbal": robust_scale_acctbal,
-        "expanding_user_cumsum": expanding_user_cumsum,
         "analytic_lag_rank": analytic_lag_rank,
         "text_stats_by_lang": text_stats_by_lang,
         "dedup_exact_docs": dedup_exact_docs,
@@ -2348,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "media_meta_docs": media_meta_docs,
         "cross_region_priority": cross_region_priority,
+        "expanding_user_cumsum": expanding_user_cumsum,
     }
 
 
@@ -2406,6 +2422,47 @@ def _minhash_oracle() -> str:
     """
 
 
+def _simhash_oracle() -> str:
+    """Replays simhash_oracle_docs in DuckDB: word 2-grams of normalized
+    text (short-doc partial-gram law included), 60-bit md5 token hashes,
+    per-bit majority counts as 60 grouped sums, fingerprint = fold of
+    majority bits; gram-less docs (empty/NULL text) fingerprint to 0."""
+    bitsums = ",\n                   ".join(
+        f"sum(CAST((h >> {i}) & 1 AS BIGINT)) AS b{i}" for i in range(60))
+    fold = "\n                 + ".join(
+        f"(CASE WHEN 2*b{i} > n THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> length(t) > 0) AS w
+            FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(w) = 0 THEN []
+                        WHEN len(w) = 1 THEN [w[1]]
+                        ELSE list_distinct([array_to_string(w[i:i+1], ' ')
+                                            FOR i IN range(1, len(w))])
+                   END AS g
+            FROM toks
+        ), exploded AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(gram), 1, 15)) AS UBIGINT) AS h
+            FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+        ), counted AS (
+            SELECT doc_id, count(*) AS n,
+                   {bitsums}
+            FROM exploded GROUP BY doc_id
+        ), fp AS (
+            SELECT doc_id,
+                   CAST({fold} AS BIGINT) AS simhash
+            FROM counted
+        )
+        SELECT d.doc_id, coalesce(fp.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+    """
+
+
 def _lsh_topk_oracle() -> str:
     """Sign-LSH is deterministic (LCG hyperplanes), so the oracle rebuilds
     the SAME 4 plane vectors as SQL literals and mirrors bucket assignment,
@@ -2441,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lsh_topk_embeddings": _lsh_topk_oracle(),
         "minhash_pairs_oracle_docs": _minhash_oracle(),
+        "simhash_oracle_docs": _simhash_oracle(),
         "ivf_topk_embeddings": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id = 0),

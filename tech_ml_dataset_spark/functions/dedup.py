@@ -296,8 +296,19 @@ def simhash(text: Column, *, k: int = 2) -> Column:
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def _hash64(c: Column, hash_fn: str) -> Column:
+    """Full-width 64-bit token hash: xxhash64 (production) or the first
+    60 bits of md5 ("md5" — engine-portable, see :func:`shingle_hashes`;
+    15 hex chars so the value fits a signed bigint in any engine)."""
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+    if hash_fn != "xxhash64":
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return F.xxhash64(c)
+
+
 def simhash_df(df: DataFrame, id_cols, text_col: str = "text", *, k: int = 2,
-               out_col: str = "simhash") -> DataFrame:
+               out_col: str = "simhash", hash_fn: str = "xxhash64") -> DataFrame:
     """DataFrame-level SimHash: same semantics as :func:`simhash` but scales.
 
     The Column version folds a 64-wide expression tree per array element,
@@ -313,6 +324,12 @@ def simhash_df(df: DataFrame, id_cols, text_col: str = "text", *, k: int = 2,
     instead of 65 halves the partial-aggregation shuffle row; measured
     value-identical and equal-latency at sf0.1 (the local cost is the
     shingle scan, not the aggregate width).
+
+    ``hash_fn="md5"`` swaps the token hash for the 60-bit md5-derived one
+    (bits 60-63 then never reach majority, so the fingerprint is
+    effectively 60-bit) — every downstream stage (bit counts, majority,
+    fold) is plain integer SQL, so an independent engine reproduces the
+    fingerprint exactly. Production stays on xxhash64.
     """
     import functools
 
@@ -326,7 +343,7 @@ def simhash_df(df: DataFrame, id_cols, text_col: str = "text", *, k: int = 2,
     ex = df.select(*id_cols, F.explode_outer(feats).alias("__f__")) \
            .select(*id_cols,
                    F.when(F.col("__f__").isNull(), F.lit(None))
-                    .otherwise(F.xxhash64("__f__")).alias("__h__"))
+                    .otherwise(_hash64(F.col("__f__"), hash_fn)).alias("__h__"))
     aggs = [F.count("__h__").alias("__n__")]
     for i in range(32):
         term = (F.shiftright("__h__", i).bitwiseAND(F.lit(1)) * F.lit(1 << 32)

@@ -71,6 +71,25 @@ def test_shingle_hashes_md5_known_value(spark):
         dd.shingle_hashes(F.col("s"), hash_fn="sha1")
 
 
+def test_simhash_md5_hash_fn(spark, docs):
+    """hash_fn="md5" simhash: bits 60-63 are always clear (60-bit hash),
+    near-dup docs stay within small Hamming distance, and empty docs
+    fingerprint to 0 — same laws as the xxhash64 path."""
+    sh = dd.simhash_df(docs, ["doc_id"], "text", hash_fn="md5")
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert all(v >> 60 == 0 for v in vals.values())
+    near = bin(vals[1] ^ vals[2]).count("1")
+    far = bin(vals[1] ^ vals[4]).count("1")
+    # one changed word out of ~22 → a handful of flipped bits (measured
+    # 11/60 with this hash); unrelated text sits near the random-pair
+    # expectation of ~30
+    assert near < 20 < far
+    assert vals[1] == vals[3]  # exact dup after normalization
+    empty = spark.createDataFrame([(9, " ")], ["doc_id", "text"])
+    assert dd.simhash_df(empty, ["doc_id"], "text",
+                         hash_fn="md5").collect()[0]["simhash"] == 0
+
+
 def test_minhash_dedup_drops_losers(spark, docs):
     out = dd.minhash_dedup(docs, threshold=0.5)
     ids = sorted(r["doc_id"] for r in out.collect())
