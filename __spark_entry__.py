@@ -1896,6 +1896,24 @@ def ols_price_by_qty(spark, sf_dir):
                .orderBy("l_orderkey", "l_linenumber", "price_hat")
 
 
+def ols_multi_price_model(spark, sf_dir):
+    """TWO-feature OLS through train-regression/predict (tribuo.clj:285,292
+    analog) — closes the r3 gap "multi-feature rows-only": with the normal
+    solver and no regularization the fit is exact OLS, so DuckDB reproduces
+    the plane closed-form from the 2x2 covariance system (Cramer), and the
+    whole multi-feature train/predict path becomes hash-checked."""
+    from tech_ml_dataset_spark.ml import models as mdl
+    li = _t(spark, sf_dir, "lineitem")
+    fit = mdl.train_regression(li, "l_extendedprice",
+                               ["l_quantity", "l_discount"],
+                               solver="normal", regParam=0.0)
+    pred = mdl.predict(li.filter(F.col("l_orderkey") < 100), fit,
+                       out_col="price_hat")
+    return pred.select("l_orderkey", "l_linenumber",
+                       _r4b(F.col("price_hat")).alias("price_hat")) \
+               .orderBy("l_orderkey", "l_linenumber", "price_hat")
+
+
 def doc_quality_lang(spark, sf_dir):
     """Language-ID + composite quality score (beyond-reference text
     analysis) — pure Catalyst expressions via the fused single-tokenize
@@ -1950,6 +1968,24 @@ def pca_project_lineitem(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber",
                       _r4(F.abs(F.col("pc0"))).alias("abs_pc0"),
                       _r4(F.abs(F.col("pc1"))).alias("abs_pc1"))
+
+
+def pca2_project_lineitem(spark, sf_dir):
+    """fit/transform-pca over TWO columns (neanderthal.clj:199,262) — the
+    2x2 eigendecomposition has a closed form (λ = ((a+c)±sqrt((a-c)²+4b²))/2,
+    v ∝ (b, λ-a)), so DuckDB replays the exact fit and projection and the
+    PCA path gets a hash-checked row; |pc| output makes the check
+    eigenvector-sign-invariant (the one implementation-defined bit).
+    `pca_project_lineitem` keeps covering the d>2 driver-eigh path."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
+    fit = mlp.fit_pca(li, cols, n_components=2)
+    out = mlp.transform_pca(li.filter(F.col("l_orderkey") < 100)
+                              .select("l_orderkey", "l_linenumber", *cols), fit)
+    return out.select("l_orderkey", "l_linenumber",
+                      _r4b(F.abs(F.col("pc0"))).alias("abs_pc0"),
+                      _r4b(F.abs(F.col("pc1"))).alias("abs_pc1")) \
+              .orderBy("l_orderkey", "l_linenumber")
 
 
 def row_map_net_price(spark, sf_dir):
@@ -2216,7 +2252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates out to make room)
         "semdedup_embeddings": semdedup_embeddings,
         "customers_without_orders": customers_without_orders,
-        "concat_slices": concat_slices,
+        # (a-new) r4 closed-form 2x2 PCA oracle — driver-prove this
+        # round, and re-proves the r4-touched preprocess.py PCA path
+        # (concat_slices, r2-green with setops.py untouched in r4,
+        # rotates out)
+        "pca2_project_lineitem": pca2_project_lineitem,
         # (a-new) r4 exact stratified sampler — new operator, driver-prove
         # this round (lineitem_except, r2-green with setops.py untouched in
         # r4, rotates out)
@@ -2248,7 +2288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (rolling_corr_user, r2-green with window.py untouched in r4,
         # rotates out)
         "robust_scale_acctbal": robust_scale_acctbal,
-        "analytic_lag_rank": analytic_lag_rank,
+        # (a-new) r4 multi-feature OLS oracle (covariance Cramer twin) —
+        # driver-prove this round (analytic_lag_rank, r2-green with
+        # window.py untouched in r4, rotates out)
+        "ols_multi_price_model": ols_multi_price_model,
         "text_stats_by_lang": text_stats_by_lang,
         "dedup_exact_docs": dedup_exact_docs,
         # (a-late) r4 descriptive-stats temporal rendering — new behavior,
@@ -2364,6 +2407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_docs": media_meta_docs,
         "cross_region_priority": cross_region_priority,
         "expanding_user_cumsum": expanding_user_cumsum,
+        "analytic_lag_rank": analytic_lag_rank,
+        "concat_slices": concat_slices,
     }
 
 
@@ -3708,6 +3753,68 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id
             ORDER BY p.event_id
+        """,
+        "pca2_project_lineitem": """
+            -- closed-form 2x2 PCA: eigenvalues of [[a,b],[b,c]] are
+            -- ((a+c)±sqrt((a-c)^2+4b^2))/2, eigenvector for λ is
+            -- (b, λ-a) normalized; |projection| is sign-invariant
+            WITH s AS (
+                SELECT avg(l_quantity) AS xbar, avg(l_extendedprice) AS ybar,
+                       var_pop(l_quantity) AS a,
+                       covar_pop(l_quantity, l_extendedprice) AS b,
+                       var_pop(l_extendedprice) AS c
+                FROM lineitem
+            ), e AS (
+                SELECT xbar, ybar, a, b,
+                       ((a+c) + sqrt((a-c)*(a-c) + 4*b*b)) / 2 AS l1,
+                       ((a+c) - sqrt((a-c)*(a-c) + 4*b*b)) / 2 AS l2
+                FROM s
+            ), v AS (
+                SELECT xbar, ybar,
+                       b / sqrt(b*b + (l1-a)*(l1-a)) AS v1x,
+                       (l1-a) / sqrt(b*b + (l1-a)*(l1-a)) AS v1y,
+                       b / sqrt(b*b + (l2-a)*(l2-a)) AS v2x,
+                       (l2-a) / sqrt(b*b + (l2-a)*(l2-a)) AS v2y
+                FROM e
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round(abs((l_quantity - xbar)*v1x
+                             + (l_extendedprice - ybar)*v1y) * 10000) / 10000
+                       AS abs_pc0,
+                   round(abs((l_quantity - xbar)*v2x
+                             + (l_extendedprice - ybar)*v2y) * 10000) / 10000
+                       AS abs_pc1
+            FROM lineitem, v
+            WHERE l_orderkey < 100
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "ols_multi_price_model": """
+            -- exact OLS plane via the centered (covariance) normal
+            -- equations: [[cxx,cxz],[cxz,czz]]·[b1,b2] = [cxy,czy],
+            -- b0 = ybar - b1·xbar - b2·zbar (2x2 Cramer — numerically
+            -- stable where raw-sum normal equations cancel)
+            WITH s AS (
+                SELECT avg(l_quantity) AS xbar, avg(l_discount) AS zbar,
+                       avg(l_extendedprice) AS ybar,
+                       var_pop(l_quantity) AS cxx,
+                       var_pop(l_discount) AS czz,
+                       covar_pop(l_quantity, l_discount) AS cxz,
+                       covar_pop(l_quantity, l_extendedprice) AS cxy,
+                       covar_pop(l_discount, l_extendedprice) AS czy
+                FROM lineitem
+            ), c AS (
+                SELECT xbar, zbar, ybar,
+                       (cxy*czz - cxz*czy) / (cxx*czz - cxz*cxz) AS b1,
+                       (cxx*czy - cxz*cxy) / (cxx*czz - cxz*cxz) AS b2
+                FROM s
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round((ybar - b1*xbar - b2*zbar
+                          + b1*l_quantity + b2*l_discount) * 10000) / 10000
+                       AS price_hat
+            FROM lineitem, c
+            WHERE l_orderkey < 100
+            ORDER BY l_orderkey, l_linenumber, price_hat
         """,
         "ols_price_by_qty": """
             WITH fit AS (
