@@ -90,6 +90,29 @@ def test_update_columnwise(spark):
     assert r["i"] == 10 and r["d"] == 20.0 and r["s"] == "x"
 
 
+def test_update_columnwise_selector_zscore(spark):
+    """update-columns with the cf/numeric selector and a whole-column
+    z-score fn (update_columns_test.clj:7-31): numeric columns standardize
+    with SAMPLE stddev (ddof=1 — the reference's standard-deviation pins
+    the expected vector [-1.16189 -0.38729 0.38729 1.16189]), string
+    columns pass through untouched, and the int column promotes to
+    double."""
+    from pyspark.sql import Window
+    df = spark.createDataFrame(
+        [(1.0, 5, "A"), (2.0, 6, "B"), (3.0, 7, "C"), (4.0, 8, "D")],
+        "a double, b int, c string")
+    w = Window.partitionBy()
+    out = cm.update_columnwise(
+        df, "numeric",
+        lambda c: (c - F.mean(c).over(w)) / F.stddev_samp(c).over(w))
+    rows = out.collect()
+    expect = [-1.16189, -0.38729, 0.38729, 1.16189]
+    for col in ("a", "b"):
+        got = sorted(r[col] for r in rows)
+        assert all(abs(x - y) < 1e-4 for x, y in zip(got, expect)), (col, got)
+    assert sorted(r["c"] for r in rows) == ["A", "B", "C", "D"]
+
+
 def test_induction_cumulative_product(spark):
     df = spark.createDataFrame([(1, 2.0), (2, 3.0), (3, 4.0)], "i int, v double")
     out = cm.induction(df, "i", "acc", lambda acc, row: acc * row["v"], init=1.0,
