@@ -161,6 +161,37 @@ def _attach_shingles(ids: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
                .select("id_a", "id_b", "sh_a", "sh_b"))
 
 
+def _shingle_and_band(df: DataFrame, id_col: str, text_col: str, *, k: int,
+                      n_hashes: int, bands: int, seed: int,
+                      hash_fn: str) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of every MinHash path: per-doc distinct shingle
+    set (kept slim, joined back only for confirmed candidates) and the
+    exploded (id, band, band_key) table that enters the LSH equi-join.
+    Band keys: murmur hash of the band slice (production) or the
+    comma-joined slice itself (hash_fn="md5" — engine-portable, see
+    :func:`minhash_candidates`)."""
+    rows_per_band = n_hashes // bands
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh__"))
+    sigd = sh.withColumn("__hb__", shingle_hashes(F.col("__sh__"), hash_fn=hash_fn)) \
+             .withColumn("__sig__", minhash_signature(F.col("__hb__"), n_hashes,
+                                                      seed, prehashed=True))
+    if hash_fn == "md5":
+        def _bandkey(b):
+            return F.array_join(
+                F.slice(F.col("__sig__"), b * rows_per_band + 1, rows_per_band),
+                ",")
+    else:
+        def _bandkey(b):
+            return F.hash(
+                F.slice(F.col("__sig__"), b * rows_per_band + 1, rows_per_band))
+    banded = sigd.select(
+        id_col,
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)), _bandkey)
+        ).alias("__band__", "__bhash__"))
+    return sh, banded
+
+
 def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", *, k: int = 5,
                        n_hashes: int = 64, bands: int = 16,
@@ -184,25 +215,9 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     candidate law. The string band key costs rows_per_band decimal
     renders per (doc, band) in the exchange vs one 32-bit murmur; keep
     the default for production corpora."""
-    rows_per_band = n_hashes // bands
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh__"))
-    sigd = sh.withColumn("__hb__", shingle_hashes(F.col("__sh__"), hash_fn=hash_fn)) \
-             .withColumn("__sig__", minhash_signature(F.col("__hb__"), n_hashes,
-                                                      seed, prehashed=True))
-    if hash_fn == "md5":
-        def _bandkey(b):
-            return F.array_join(
-                F.slice(F.col("__sig__"), b * rows_per_band + 1, rows_per_band),
-                ",")
-    else:
-        def _bandkey(b):
-            return F.hash(
-                F.slice(F.col("__sig__"), b * rows_per_band + 1, rows_per_band))
-    banded = sigd.select(
-        id_col,
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)), _bandkey)
-        ).alias("__band__", "__bhash__"))
+    sh, banded = _shingle_and_band(df, id_col, text_col, k=k,
+                                   n_hashes=n_hashes, bands=bands, seed=seed,
+                                   hash_fn=hash_fn)
     a = banded.select(F.col(id_col).alias("id_a"), "__band__", "__bhash__")
     b = banded.select(F.col(id_col).alias("id_b"), "__band__", "__bhash__")
     ids = (a.join(b, ["__band__", "__bhash__"])
@@ -848,3 +863,133 @@ def incremental_dedup(new_batch: DataFrame, historical: DataFrame,
     confirmed_new = maybe.join(hist_fp, "__fp__", "left_anti").drop("__fp__")
     return fresh.unionByName(confirmed_new).drop("__h__", "__maybe__") \
                 .unionByName(null_new)
+
+
+def minhash_pairs_between(new_batch: DataFrame, historical: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text", *,
+                          k: int = 5, n_hashes: int = 64, bands: int = 16,
+                          threshold: float = 0.8, seed: int = 42,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-duplicate pairs ACROSS two corpora — the NEAR-dup analog of
+    :func:`incremental_dedup`'s exact check: every (new_id, hist_id) whose
+    shingle Jaccard >= threshold, found via one LSH band equi-join between
+    the two banded tables (never an all-pairs comparison).
+
+    Scale shape mirrors :func:`minhash_candidates`: the band join carries
+    only (id, band, band_key) from EACH side; shingle arrays are joined
+    back once per side for the exact-Jaccard verify on the (tiny)
+    candidate set. Both corpora are banded with the SAME (k, n_hashes,
+    bands, seed, hash_fn) — recall guarantees only hold when the
+    parameters match (:func:`minhash_index_write` persists them for
+    cross-run probes). Within-batch duplicates are NOT reported; run
+    :func:`minhash_dedup` on the batch separately if needed."""
+    sh_n, band_n = _shingle_and_band(new_batch, id_col, text_col, k=k,
+                                     n_hashes=n_hashes, bands=bands,
+                                     seed=seed, hash_fn=hash_fn)
+    sh_h, band_h = _shingle_and_band(historical, id_col, text_col, k=k,
+                                     n_hashes=n_hashes, bands=bands,
+                                     seed=seed, hash_fn=hash_fn)
+    return _verified_cross_pairs(sh_n, band_n, sh_h, band_h, id_col,
+                                 threshold)
+
+
+def _verified_cross_pairs(sh_n: DataFrame, band_n: DataFrame,
+                          sh_h: DataFrame, band_h: DataFrame,
+                          id_col: str, threshold: float) -> DataFrame:
+    """Shared back half of the cross-corpus paths: LSH band equi-join
+    between the two banded tables, distinct (new_id, hist_id) candidates,
+    shingles joined back once per side, exact-Jaccard verify."""
+    a = band_n.select(F.col(id_col).alias("new_id"), "__band__", "__bhash__")
+    b = band_h.select(F.col(id_col).alias("hist_id"), "__band__", "__bhash__")
+    ids = (a.join(b, ["__band__", "__bhash__"])
+            .select("new_id", "hist_id")
+            .distinct())
+    sh_a = sh_n.select(F.col(id_col).alias("new_id"),
+                       F.col("__sh__").alias("sh_a"))
+    sh_b = sh_h.select(F.col(id_col).alias("hist_id"),
+                       F.col("__sh__").alias("sh_b"))
+    return (ids.join(sh_a, "new_id").join(sh_b, "hist_id")
+               .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+               .filter(F.col("jaccard") >= threshold)
+               .select("new_id", "hist_id",
+                       F.round("jaccard", 4).alias("jaccard")))
+
+
+def minhash_dedup_incremental(new_batch: DataFrame, historical: DataFrame,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", **kw) -> DataFrame:
+    """Rows of ``new_batch`` with NO near-duplicate in ``historical`` —
+    the continuous-crawl near-dup filter (RefinedWeb/FineWeb keep a
+    MinHash index of everything accepted so far and drop new docs that
+    band-match it). Keyword args as :func:`minhash_pairs_between`.
+    One anti join on the (slim) matched-id set; new-batch text never
+    shuffles."""
+    pairs = minhash_pairs_between(new_batch, historical, id_col, text_col,
+                                  **kw)
+    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return new_batch.join(dup_ids, id_col, "left_anti")
+
+
+def minhash_index_write(df: DataFrame, path: str, id_col: str = "doc_id",
+                        text_col: str = "text", *, k: int = 5,
+                        n_hashes: int = 64, bands: int = 16, seed: int = 42,
+                        hash_fn: str = "xxhash64",
+                        mode: str = "overwrite") -> None:
+    """Persist the LSH index of a corpus for cross-run incremental dedup:
+    ``<path>/bands`` (id, band, band_key), ``<path>/shingles`` (id,
+    shingle set — needed for the exact verify), and ``<path>/params`` (a
+    one-row table pinning k/n_hashes/bands/seed/hash_fn — probing with
+    mismatched parameters silently finds nothing, so
+    :func:`minhash_index_probe` validates against it). ``mode="append"``
+    adds a newly accepted batch; ids must stay globally unique across
+    appends (parameters are re-validated, not re-written)."""
+    spark = df.sparkSession
+    if mode == "append":
+        _minhash_index_params(spark, path, k=k, n_hashes=n_hashes,
+                              bands=bands, seed=seed, hash_fn=hash_fn,
+                              id_col=id_col)
+    sh, banded = _shingle_and_band(df, id_col, text_col, k=k,
+                                   n_hashes=n_hashes, bands=bands, seed=seed,
+                                   hash_fn=hash_fn)
+    banded.write.mode(mode).parquet(path + "/bands")
+    sh.write.mode(mode).parquet(path + "/shingles")
+    if mode != "append":
+        spark.createDataFrame(
+            [(k, n_hashes, bands, seed, hash_fn, id_col)],
+            "k int, n_hashes int, bands int, seed int, hash_fn string, "
+            "id_col string"
+        ).coalesce(1).write.mode("overwrite").parquet(path + "/params")
+
+
+def _minhash_index_params(spark, path: str, **expect) -> None:
+    row = spark.read.parquet(path + "/params").collect()[0].asDict()
+    bad = {p: (row[p], v) for p, v in expect.items() if row[p] != v}
+    if bad:
+        raise ValueError(
+            f"minhash index at {path} was built with different parameters "
+            f"(stored, requested): {bad} — near-dup recall guarantees only "
+            f"hold when banding parameters match; rebuild the index or "
+            f"pass the stored parameters.")
+
+
+def minhash_index_probe(new_batch: DataFrame, path: str,
+                        id_col: str = "doc_id", text_col: str = "text", *,
+                        k: int = 5, n_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.8, seed: int = 42,
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Band ``new_batch`` and join it against a persisted LSH index
+    (:func:`minhash_index_write`) — (new_id, hist_id, jaccard) pairs with
+    jaccard >= threshold. Validates the banding parameters against the
+    index's stored ones first. The historical side is read pre-banded
+    (no re-shingling of the 100 TB corpus); only the band keys and the
+    candidate rows' shingle sets are scanned."""
+    spark = new_batch.sparkSession
+    _minhash_index_params(spark, path, k=k, n_hashes=n_hashes, bands=bands,
+                          seed=seed, hash_fn=hash_fn, id_col=id_col)
+    sh_n, band_n = _shingle_and_band(new_batch, id_col, text_col, k=k,
+                                     n_hashes=n_hashes, bands=bands,
+                                     seed=seed, hash_fn=hash_fn)
+    band_h = spark.read.parquet(path + "/bands")
+    sh_h = spark.read.parquet(path + "/shingles")
+    return _verified_cross_pairs(sh_n, band_n, sh_h, band_h, id_col,
+                                 threshold)

@@ -324,3 +324,80 @@ def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
                 spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
+
+
+def streaming_neardup_sink(df: DataFrame, corpus_path: str, *,
+                           checkpoint: str, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 5,
+                           n_hashes: int = 64, bands: int = 16,
+                           threshold: float = 0.8, seed: int = 42,
+                           hash_fn: str = "xxhash64"):
+    """Continuous crawl ingest with NEAR-duplicate dedup — the MinHash
+    face of :func:`streaming_dedup_sink`: each micro-batch is (a)
+    minhash-deduped within itself and (b) probed against the persisted
+    LSH index of everything already accepted (``<corpus_path>/index`` —
+    the :func:`~tech_ml_dataset_spark.functions.dedup.minhash_index_write`
+    layout plus a batch_id partition level); survivors land under
+    ``<corpus_path>/docs/batch_id=N`` and their bands/shingles are
+    appended to the index under the same batch_id.
+
+    Replay idempotency mirrors streaming_dedup_sink: every table is
+    batch_id-partitioned and written with dynamic partition overwrite,
+    and the index read EXCLUDES the current batch id — a replayed batch
+    never dedups against its own failed half-write and converges to the
+    same corpus and index.
+
+    Scale shape: the accepted corpus is shingled ONCE, when accepted —
+    each batch reads only the slim (id, band, band_key) table for the
+    candidate join plus the candidate rows' shingle sets for the exact
+    verify; the 100 TB of accepted text is never re-scanned.
+
+    Local-filesystem target only (directory probe uses os.path — the
+    streaming_dedup_sink contract). Returns the started query handle
+    (availableNow trigger)."""
+    import os as _os
+
+    from ..functions.dedup import (_shingle_and_band, _verified_cross_pairs,
+                                   minhash_dedup)
+    from ..sources.io import _require_local_path
+    corpus_path = _require_local_path(corpus_path, "streaming_neardup_sink")
+    params = dict(k=k, n_hashes=n_hashes, bands=bands, seed=seed,
+                  hash_fn=hash_fn)
+
+    def _apply(batch_df: DataFrame, batch_id: int):
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        fresh = minhash_dedup(batch_df, id_col, text_col,
+                              threshold=threshold, **params)
+        bands_dir = corpus_path + "/index/bands"
+        if _os.path.isdir(bands_dir) and any(
+                f.startswith("batch_id=") for f in _os.listdir(bands_dir)):
+            band_h = (spark.read.parquet(bands_dir)
+                           .filter(F.col("batch_id") != batch_id))
+            sh_h = (spark.read.parquet(corpus_path + "/index/shingles")
+                         .filter(F.col("batch_id") != batch_id))
+            sh_n, band_n = _shingle_and_band(fresh, id_col, text_col,
+                                             **params)
+            matched = (_verified_cross_pairs(sh_n, band_n, sh_h, band_h,
+                                             id_col, threshold)
+                       .select(F.col("new_id").alias(id_col)).distinct())
+            fresh = fresh.join(matched, id_col, "left_anti")
+        sh, banded = _shingle_and_band(fresh, id_col, text_col, **params)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              None)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for frame, sub in ((fresh, "/docs"), (banded, "/index/bands"),
+                               (sh, "/index/shingles")):
+                (frame.withColumn("batch_id", F.lit(batch_id))
+                      .write.mode("overwrite").partitionBy("batch_id")
+                      .parquet(corpus_path + sub))
+        finally:
+            if prev is not None:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev)
+            else:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    return foreach_batch_sink(df, _apply, checkpoint=checkpoint)

@@ -71,6 +71,61 @@ def test_shingle_hashes_md5_known_value(spark):
         dd.shingle_hashes(F.col("s"), hash_fn="sha1")
 
 
+def test_minhash_pairs_between_cross_corpus(spark, docs):
+    """Cross-corpus near-dup pairs: the new batch's near/exact dups of
+    historical docs are reported as (new_id, hist_id); unrelated docs are
+    not; within-batch duplicates are NOT reported (documented contract)."""
+    hist = docs.filter(F.col("doc_id") == 1)          # base
+    new = docs.filter(F.col("doc_id").isin(2, 3, 4))  # near, exact, other
+    pairs = dd.minhash_pairs_between(new, hist, threshold=0.5,
+                                     n_hashes=64, bands=16)
+    got = {(r["new_id"], r["hist_id"]): r["jaccard"] for r in pairs.collect()}
+    assert set(got) == {(2, 1), (3, 1)}
+    assert got[(3, 1)] == 1.0
+    # within-batch: 2 and 3 are near-dups of each other but both are in
+    # the NEW side — not reported
+    assert not any(a in (2, 3) and b in (2, 3) for a, b in got)
+
+
+def test_minhash_dedup_incremental(spark, docs):
+    """Incremental near-dup filter: new-batch rows with a historical
+    near-dup are dropped; genuinely-new rows survive with all columns."""
+    hist = docs.filter(F.col("doc_id") == 1)
+    new = docs.filter(F.col("doc_id").isin(2, 3, 4))
+    out = dd.minhash_dedup_incremental(new, hist, threshold=0.5,
+                                       n_hashes=64, bands=16)
+    assert sorted(r["doc_id"] for r in out.collect()) == [4]
+    assert out.columns == new.columns
+
+
+def test_minhash_index_write_probe_roundtrip(spark, docs, tmp_path):
+    """Persisted LSH index: probe finds the same pairs as the direct
+    cross-corpus join; append grows the index; mismatched banding
+    parameters raise instead of silently finding nothing."""
+    import pytest as _pt
+    path = str(tmp_path / "lsh_index")
+    hist = docs.filter(F.col("doc_id") == 1)
+    dd.minhash_index_write(hist, path, n_hashes=64, bands=16)
+    new = docs.filter(F.col("doc_id").isin(2, 3, 4))
+    got = {(r["new_id"], r["hist_id"])
+           for r in dd.minhash_index_probe(new, path, threshold=0.5,
+                                           n_hashes=64, bands=16).collect()}
+    assert got == {(2, 1), (3, 1)}
+    # append the rest of the corpus, re-probe: doc 4 now matches itself
+    dd.minhash_index_write(docs.filter(F.col("doc_id") == 4), path,
+                           n_hashes=64, bands=16, mode="append")
+    got2 = {(r["new_id"], r["hist_id"])
+            for r in dd.minhash_index_probe(new, path, threshold=0.5,
+                                            n_hashes=64, bands=16).collect()}
+    assert got2 == {(2, 1), (3, 1), (4, 4)}
+    with _pt.raises(ValueError, match="different parameters"):
+        dd.minhash_index_probe(new, path, threshold=0.5,
+                               n_hashes=32, bands=8)
+    with _pt.raises(ValueError, match="different parameters"):
+        dd.minhash_index_write(hist, path, n_hashes=32, bands=8,
+                               mode="append")
+
+
 def test_simhash_md5_hash_fn(spark, docs):
     """hash_fn="md5" simhash: bits 60-63 are always clear (60-bit hash),
     near-dup docs stay within small Hamming distance, and empty docs

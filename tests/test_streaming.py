@@ -240,6 +240,50 @@ def test_streaming_dedup_sink_builds_deduped_corpus(spark, tmp_path):
     assert {r["batch_id"] for r in rows} == {0, 1}
 
 
+def test_streaming_neardup_sink_builds_corpus_and_index(spark, tmp_path):
+    """Crawl stream → streaming_neardup_sink: intra-batch NEAR-dups
+    collapse, cross-batch near-repeats of accepted docs are rejected via
+    the persisted LSH index (no re-shingling of accepted text), and both
+    the corpus and the index accumulate under batch_id partitions."""
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter")
+    near = base.replace("green", "dark")
+    other = ("completely different text about spark dataframes and shuffles "
+             "with no overlap whatsoever in any shingle of meaningful size")
+    corpus = str(tmp_path / "ndcorpus")
+    src = str(tmp_path / "ndcrawl")
+
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"],
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = sw.read_stream(spark, src, "doc_id long, text string")
+    q = sw.streaming_neardup_sink(stream, corpus,
+                                  checkpoint=str(tmp_path / "ndck"),
+                                  threshold=0.5, n_hashes=64, bands=16)
+    q.awaitTermination()
+    kept1 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(corpus + "/docs").collect())
+    assert kept1 == [1, 3]  # near-dup 2 collapsed within the batch
+
+    # second batch: a near-repeat of accepted doc 1 + one genuinely new
+    third = ("totally novel third document mentioning streaming windows "
+             "and watermark semantics in long enough prose to shingle")
+    spark.createDataFrame(
+        [(4, base.replace("hunter", "wolf")), (5, third)],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream2 = sw.read_stream(spark, src, "doc_id long, text string")
+    q2 = sw.streaming_neardup_sink(stream2, corpus,
+                                   checkpoint=str(tmp_path / "ndck"),
+                                   threshold=0.5, n_hashes=64, bands=16)
+    q2.awaitTermination()
+    rows = spark.read.parquet(corpus + "/docs").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3, 5]
+    assert {r["batch_id"] for r in rows} == {0, 1}
+    idx = spark.read.parquet(corpus + "/index/shingles")
+    assert sorted(r["doc_id"] for r in idx.collect()) == [1, 3, 5]
+
+
 def test_streaming_dedup_sink_restores_overwrite_mode(spark, tmp_path):
     """r4 review: the sink restored partitionOverwriteMode only when it
     had been set explicitly — when unset (the common case) 'dynamic'
