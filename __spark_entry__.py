@@ -1183,6 +1183,18 @@ def tfidf_docs(spark, sf_dir):
               .orderBy("doc_id", "term_rank")
 
 
+def bm25_search_docs(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (text.py bm25_search — the RAG/eval
+    lexical-search primitive): query "hash join merge window" against the
+    documents corpus. Plan: per-term tf via size(filter(tokens)) in ONE
+    codegen projection (the corpus is never exploded for a 4-term query),
+    1-row stats aggregate broadcast back, pure-expression score. Lucene
+    idf variant; score desc / doc_id asc ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    out = txt.bm25_search(docs, "hash join merge window", k1=1.2, b=0.75)
+    return out.select("doc_id", _r4b(F.col("score")).alias("score"))
+
+
 def attribution_range_join(spark, sf_dir):
     """Bucketized interval join (operators/join.py range_join; SURVEY §2.3
     theta-join gap, parity-plus): click-to-purchase attribution — count
@@ -1621,6 +1633,20 @@ def minhash_pairs_oracle_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dd.minhash_dedup_pairs(docs, k=5, n_hashes=32, bands=8,
                                   threshold=0.3, hash_fn="md5")
+
+
+def minhash_incremental_pairs_docs(spark, sf_dir):
+    """Cross-corpus incremental near-dup pairs (dedup.py
+    minhash_pairs_between, hash_fn="md5"): the new batch (doc_id >= 300)
+    banded against the accepted corpus (doc_id < 300) — the RefinedWeb /
+    FineWeb continuous-crawl near-dup filter, LSH band equi-join between
+    corpora instead of a self-join, exact-Jaccard verified. Portable
+    hashing makes the whole cross-corpus law DuckDB-replayable."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_pairs_between(
+        docs.filter(F.col("doc_id") >= 300),
+        docs.filter(F.col("doc_id") < 300),
+        k=5, n_hashes=32, bands=8, threshold=0.3, hash_fn="md5")
 
 
 def simhash_docs(spark, sf_dir):
@@ -2266,12 +2292,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4, rotates out)
         "psi_drift_categorical_docs": psi_drift_categorical_docs,
         "cube_orders": cube_orders,
-        "reduce_union_orders": reduce_union_orders,
+        # (a-new) r4 Okapi BM25 ranked retrieval — new operator,
+        # driver-prove this round (reduce_union_orders, r2-green with
+        # setops.py untouched in r4, rotates out)
+        "bm25_search_docs": bm25_search_docs,
         # (a-new) r4 PSI drift detector — new operator, driver-prove this
         # round (rolling_clamp_user, r2-green with window.py untouched in
         # r4, rotates out)
         "psi_drift_lineitem": psi_drift_lineitem,
-        "columnwise_round_lineitem": columnwise_round_lineitem,
+        # (a-new) r4 cross-corpus incremental near-dup oracle —
+        # driver-prove this round (columnwise_round_lineitem, r2-green
+        # with colmap.py untouched in r4, rotates out)
+        "minhash_incremental_pairs_docs": minhash_incremental_pairs_docs,
         # (a-new) r4 CCNet quality buckets — new operator, driver-prove
         # this round (rolling_center_user, r2-green with window.py untouched
         # in r4, rotates out)
@@ -2350,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # python dict literals keep a repeated key's FIRST position, so a
         # second mention here would be a dead entry that only skews
         # source-line position counting)
+        "reduce_union_orders": reduce_union_orders,
         "concat_widen_lineitem": concat_widen_lineitem,
         "kendall_tau_lineitem": kendall_tau_lineitem,
         "image_pipeline_png_docs": image_pipeline_png_docs,
@@ -2409,26 +2442,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_user_cumsum": expanding_user_cumsum,
         "analytic_lag_rank": analytic_lag_rank,
         "concat_slices": concat_slices,
+        "columnwise_round_lineitem": columnwise_round_lineitem,
     }
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(split: int | None = None) -> str:
     """Replays minhash_pairs_oracle_docs in DuckDB: the md5 hash_fn makes
     every stage portable — char-5 shingles of normalized text, 60-bit
     md5 token hashes mod the Mersenne prime, the SAME 32 LCG (a,b)
     permutation coefficients inlined as literals, 8 joined-slice band
-    keys, distinct id_a<id_b candidates, exact Jaccard >= 0.3."""
+    keys, distinct id_a<id_b candidates, exact Jaccard >= 0.3.
+
+    With ``split`` set it instead replays minhash_incremental_pairs_docs:
+    the band self-join becomes a cross-corpus join of (doc_id >= split) as
+    new_id against (doc_id < split) as hist_id, no id ordering filter."""
     from tech_ml_dataset_spark.functions.dedup import _MERSENNE, _minhash_coeffs
     k, n_hashes, bands, thr = 5, 32, 8, 0.3
     rpb = n_hashes // bands
     minexprs = ",\n                   ".join(
         f"list_min(list_transform(h, x -> (x * {a} + {b}) % {_MERSENNE}))"
         for a, b in _minhash_coeffs(n_hashes, 42))
+    doc_filter = "doc_id < 200" if split is None else "TRUE"
+    if split is None:
+        pair_sql = f"""
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id"""
+        out_cols = ("id_a", "id_b")
+    else:
+        pair_sql = f"""
+            SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS hist_id
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey
+             AND l.doc_id >= {split} AND r.doc_id < {split}"""
+        out_cols = ("new_id", "hist_id")
     return f"""
         WITH raw AS (
             SELECT doc_id,
                    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-            FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+            FROM documents WHERE {doc_filter} AND text IS NOT NULL
         ), sh AS (
             SELECT doc_id,
                    list_distinct(list_filter(
@@ -2450,18 +2502,15 @@ def _minhash_oracle() -> str:
             SELECT doc_id, t.b AS band,
                    array_to_string(sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], ',') AS bkey
             FROM sig, (SELECT unnest(range(0, {bands})) AS b) t
-        ), pairs AS (
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-            FROM banded l JOIN banded r
-              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+        ), pairs AS ({pair_sql}
         )
-        SELECT p.id_a, p.id_b,
+        SELECT p.{out_cols[0]}, p.{out_cols[1]},
                round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.shingles, b.shingles))),
                      4) AS jaccard
         FROM pairs p
-        JOIN sh a ON p.id_a = a.doc_id
-        JOIN sh b ON p.id_b = b.doc_id
+        JOIN sh a ON p.{out_cols[0]} = a.doc_id
+        JOIN sh b ON p.{out_cols[1]} = b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {thr}
     """
@@ -2544,6 +2593,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": _lsh_topk_oracle(),
         "minhash_pairs_oracle_docs": _minhash_oracle(),
         "simhash_oracle_docs": _simhash_oracle(),
+        "minhash_incremental_pairs_docs": _minhash_oracle(split=300),
         "ivf_topk_embeddings": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS v
                        FROM embeddings WHERE vec_id = 0),
@@ -3995,6 +4045,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, c AS cluster, round(d2, 4) AS dist2
             FROM fin WHERE rn = 1
             ORDER BY vec_id
+        """,
+        "bm25_search_docs": """
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN text IS NULL
+                                 OR length(trim(lower(text))) = 0
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(lower(text)),
+                                                       '\\s+')
+                       END AS toks
+                FROM documents
+            ), proj AS (
+                SELECT doc_id, len(toks) AS dl,
+                       CAST(len(list_filter(toks, x -> x = 'hash'))
+                            AS DOUBLE) AS tf0,
+                       CAST(len(list_filter(toks, x -> x = 'join'))
+                            AS DOUBLE) AS tf1,
+                       CAST(len(list_filter(toks, x -> x = 'merge'))
+                            AS DOUBLE) AS tf2,
+                       CAST(len(list_filter(toks, x -> x = 'window'))
+                            AS DOUBLE) AS tf3
+                FROM base
+            ), stats AS (
+                SELECT count(*) AS n,
+                       avg(CASE WHEN dl > 0 THEN dl END) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                       sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+                       sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+                FROM proj
+            ), sc AS (
+                -- term order and float associativity mirror bm25_search:
+                -- parts summed left-to-right over sorted(terms)
+                SELECT doc_id,
+                       ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0
+                         / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1
+                         / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2
+                         / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                     + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3
+                         / (tf3 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       AS score
+                FROM proj, stats
+            )
+            SELECT doc_id, round(score * 1e4) / 1e4 AS score
+            FROM sc WHERE score > 0
         """,
         "tfidf_docs": """
             WITH ex AS (

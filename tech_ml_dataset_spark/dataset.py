@@ -330,6 +330,11 @@ class Dataset:
         from .functions import text as _txt
         return self._wrap(_txt.tfidf_top_terms(self.df, text_col, id_col, **kw))
 
+    def bm25_search(self, query, text_col="text", id_col="doc_id", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.bm25_search(self.df, query, text_col,
+                                           id_col, **kw))
+
     def remove_boilerplate_lines(self, text_col="text", id_col="doc_id", **kw):
         from .functions import text as _txt
         return self._wrap(_txt.remove_boilerplate_lines(

@@ -802,6 +802,85 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                   .select(id_col, "term", "tf", "idf", "tfidf", "term_rank"))
 
 
+def bm25_search(df: DataFrame, query: str, text_col: str = "text",
+                id_col: str = "doc_id", *, k1: float = 1.2, b: float = 0.75,
+                top_k: int | None = None) -> DataFrame:
+    """Okapi BM25 ranked retrieval over a corpus — the standard lexical
+    search/reranking primitive every RAG and eval pipeline needs (the
+    reference has no retrieval surface; beyond-reference mandate).
+
+    Query terms are the distinct lowercase whitespace tokens of ``query``.
+    For each document: score = Σ_t idf(t) · tf / (tf + k1·(1 − b +
+    b·|d|/avgdl)) with idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    (Lucene's non-negative variant) — N counts all rows (NULL/empty text
+    scores 0 and is excluded from output), |d| is the whitespace token
+    count, avgdl its corpus mean over non-empty docs.
+
+    Plan shape — built for a handful of query terms against a 100 TB
+    corpus, which is what makes BM25 special-casable vs generic TF-IDF:
+
+    1. ONE projection computes |d| plus per-term tf as
+       ``size(filter(tokens, x = term))`` — q array scans per row, all
+       whole-stage codegen; the corpus is NEVER exploded (the generic
+       explode→groupBy(token) plan of :func:`tfidf_top_terms` would
+       shuffle petabytes to score q terms).
+    2. That slim (id, len, tf…) projection is localCheckpointed, so the
+       corpus text is scanned exactly once; corpus stats (N, avgdl, df_t)
+       are ONE tiny whole-table aggregate over it.
+    3. The 1-row stats frame joins back via broadcast cross join; the
+       score is a pure column expression. No shuffle anywhere except
+       ``top_k``'s TakeOrderedAndProject (when requested).
+
+    Ordering: score desc, then ``id_col`` asc (deterministic ties).
+    Returns (id, score) for score > 0 — with ``top_k`` set, at most that
+    many rows via TakeOrdered, never a full sort."""
+    from ..dtutil import ensure_parallelism
+    df = ensure_parallelism(df)
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("bm25_search: query has no tokens")
+    t = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(F.coalesce(F.length(t), F.lit(0)) == 0,
+                  F.array().cast("array<string>")) \
+            .otherwise(F.split(t, _WS))
+    def _tf(trm):
+        # factory, not a default-arg lambda: a 2-arg lambda would make
+        # F.filter bind (element, INDEX) and shadow the default
+        return F.size(F.filter(toks, lambda x: x == F.lit(trm)))
+
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__len__"),
+        *[_tf(trm).alias(f"__tf{i}__") for i, trm in enumerate(terms)])
+    # one corpus scan: stats aggregate AND scoring both read this slim
+    # (id, len, tf…) table — without the checkpoint Spark would rescan
+    # the text column for each (same rationale as dsir_logweights)
+    base = base.localCheckpoint(eager=True)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__N__"),
+        F.avg(F.when(F.col("__len__") > 0, F.col("__len__")))
+         .alias("__avgdl__"),
+        *[F.sum((F.col(f"__tf{i}__") > 0).cast("long")).alias(f"__df{i}__")
+          for i in range(len(terms))])
+    joined = base.join(F.broadcast(stats))
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"__tf{i}__").cast("double")
+        idf = F.log(1.0 + (F.col("__N__") - F.col(f"__df{i}__") + 0.5)
+                    / (F.col(f"__df{i}__") + 0.5))
+        denom = tf + k1 * (1.0 - b + b * F.col("__len__")
+                           / F.col("__avgdl__"))
+        parts.append(idf * tf / denom)
+    score = sum(parts[1:], parts[0])
+    out = (joined.withColumn("score", score)
+                 .filter(F.col("score") > 0)
+                 .select(id_col, "score"))
+    if top_k is not None:
+        return out.orderBy(F.col("score").desc(), F.col(id_col).asc()) \
+                  .limit(top_k)
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc())
+
+
 def heavy_hitters(df: DataFrame, col: str, *, k: int = 20,
                   method: str = "exact",
                   counters: int | None = None) -> DataFrame:

@@ -632,6 +632,42 @@ def test_tfidf_top_terms(spark):
     assert "shared" not in {r["term"] for r in nomax.collect()}
 
 
+def test_bm25_search_closed_form(spark):
+    """BM25 scores match the Okapi closed form; docs without any query
+    term are excluded; NULL/empty text scores 0 (excluded) but still
+    counts toward N; top_k truncates after the deterministic ordering."""
+    import math
+
+    from tech_ml_dataset_spark.functions import text as txt
+
+    df = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "banana cherry"),
+         (3, "cherry cherry cherry durian"),
+         (4, None),
+         (5, "")],
+        "doc_id long, text string")
+    out = txt.bm25_search(df, "apple cherry", k1=1.2, b=0.75)
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+
+    def ref(tf, dl, dfreq, n=5, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return idf * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    # doc 1: apple tf=2 dl=3; df(apple)=1, df(cherry)=2; avgdl=(3+2+4)/3
+    assert abs(rows[1] - ref(2, 3, 1)) < 1e-12
+    assert abs(rows[2] - ref(1, 2, 2)) < 1e-12
+    assert abs(rows[3] - ref(3, 4, 2)) < 1e-12
+    # scoring order: doc 1 (rare term, high tf) first
+    ordered = [r["doc_id"] for r in out.collect()]
+    assert ordered == sorted(rows, key=lambda d: (-rows[d], d))
+    top = txt.bm25_search(df, "apple cherry", top_k=2).collect()
+    assert [r["doc_id"] for r in top] == ordered[:2]
+    with pytest.raises(ValueError, match="no tokens"):
+        txt.bm25_search(df, "   ")
+
+
 def test_sample_mixture_hits_token_budget(spark):
     from tech_ml_dataset_spark.functions import text as txt
 

@@ -300,8 +300,10 @@ _SCALE_AUDIT_EXEMPT = {
         "q22_sales_opportunity": "one-row global avg(acctbal) scalar subquery",
         "q11_important_stock": "one-row value-threshold scalar subquery",
         "cast_failures_orders": "one-row failure-count aggregate",
+        "bm25_search_docs": "one-row corpus-stats aggregate (N/avgdl/df_t)",
     },
     "cartesian": {
+        "bm25_search_docs": "1-row stats frame broadcast to every doc row",
         "cross_region_priority": "intentional cross of two tiny sides",
         "q22_sales_opportunity": "one-row avg broadcast to every customer row",
         "q11_important_stock": "one-row threshold broadcast to part-grained agg",
