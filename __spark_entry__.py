@@ -1373,6 +1373,18 @@ def embedding_dedup_pairs_exact(spark, sf_dir):
     return out.select("id_a", "id_b", _r4(F.col("cos")).alias("cos"))
 
 
+def embedding_incremental_pairs(spark, sf_dir):
+    """Cross-corpus embedding near-dup (similarity.embedding_pairs_between,
+    exact method — the oracle baseline; the sign-LSH cross path is pinned
+    by pytest recall): new batch (vec_id >= 300) against the accepted
+    corpus (vec_id < 300) — the semantic incremental-dedup filter."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    out = sim.embedding_pairs_between(
+        e.filter(F.col("vec_id") >= 300), e.filter(F.col("vec_id") < 300),
+        threshold=0.35, method="exact")
+    return out.select("new_id", "hist_id", _r4(F.col("cos")).alias("cos"))
+
+
 def cosine_topk_embeddings(spark, sf_dir):
     """Brute-force cosine top-k vs the vec_id=0 query vector."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1642,7 +1654,7 @@ def minhash_incremental_pairs_docs(spark, sf_dir):
     FineWeb continuous-crawl near-dup filter, LSH band equi-join between
     corpora instead of a self-join, exact-Jaccard verified. Portable
     hashing makes the whole cross-corpus law DuckDB-replayable."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return dd.minhash_pairs_between(
         docs.filter(F.col("doc_id") >= 300),
         docs.filter(F.col("doc_id") < 300),
@@ -2267,7 +2279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out to make room)
         "repetition_signals_docs": repetition_signals_docs,
         "q1_pricing_summary": q1_pricing_summary,
-        "q3_segment_revenue": q3_segment_revenue,
+        # (a-new) r4 cross-corpus embedding near-dup — new operator,
+        # driver-prove this round (q3_segment_revenue, r2-green (d)-tier
+        # stalwart whose join/agg shape is covered by the 13 other
+        # in-window TPC-H queries, rotates out)
+        "embedding_incremental_pairs": embedding_incremental_pairs,
         "q5_nation_revenue": q5_nation_revenue,
         "filter_project": filter_project,
         "topk_orders": topk_orders,
@@ -2383,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # second mention here would be a dead entry that only skews
         # source-line position counting)
         "reduce_union_orders": reduce_union_orders,
+        "q3_segment_revenue": q3_segment_revenue,
         "concat_widen_lineitem": concat_widen_lineitem,
         "kendall_tau_lineitem": kendall_tau_lineitem,
         "image_pipeline_png_docs": image_pipeline_png_docs,
@@ -2462,7 +2479,7 @@ def _minhash_oracle(split: int | None = None) -> str:
     minexprs = ",\n                   ".join(
         f"list_min(list_transform(h, x -> (x * {a} + {b}) % {_MERSENNE}))"
         for a, b in _minhash_coeffs(n_hashes, 42))
-    doc_filter = "doc_id < 200" if split is None else "TRUE"
+    doc_filter = "doc_id < 200" if split is None else "doc_id < 500"
     if split is None:
         pair_sql = f"""
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -4294,6 +4311,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(r) AS cluster
             FROM reach GROUP BY node
+        """,
+        "embedding_incremental_pairs": """
+            WITH n AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id >= 300 AND vec_id < 500),
+                 h AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 300)
+            SELECT n.vec_id AS new_id, h.vec_id AS hist_id,
+                   round(list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+                                                CAST(h.embedding AS DOUBLE[])),
+                         4) AS cos
+            FROM n, h
+            WHERE list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+                                         CAST(h.embedding AS DOUBLE[])) >= 0.35
         """,
         "embedding_dedup_pairs_exact": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200)

@@ -326,6 +326,12 @@ class Dataset:
         from .functions import similarity as _sim
         return self._wrap(_sim.semdedup(self.df, vec_col, id_col, **kw))
 
+    def embedding_dedup_incremental(self, historical, vec_col="embedding",
+                                    id_col="vec_id", **kw):
+        from .functions import similarity as _sim
+        return self._wrap(_sim.embedding_dedup_incremental(
+            self.df, _unwrap(historical), vec_col, id_col, **kw))
+
     def tfidf_top_terms(self, text_col="text", id_col="doc_id", **kw):
         from .functions import text as _txt
         return self._wrap(_txt.tfidf_top_terms(self.df, text_col, id_col, **kw))

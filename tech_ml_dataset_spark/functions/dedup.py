@@ -169,7 +169,11 @@ def _shingle_and_band(df: DataFrame, id_col: str, text_col: str, *, k: int,
     exploded (id, band, band_key) table that enters the LSH equi-join.
     Band keys: murmur hash of the band slice (production) or the
     comma-joined slice itself (hash_fn="md5" — engine-portable, see
-    :func:`minhash_candidates`)."""
+    :func:`minhash_candidates`). Repartitions narrow scans first: the
+    shingle+hash stage is CPU-bound per row, so a single-file parquet
+    input must not pin it to one core."""
+    from ..dtutil import ensure_parallelism
+    df = ensure_parallelism(df)
     rows_per_band = n_hashes // bands
     sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("__sh__"))
     sigd = sh.withColumn("__hb__", shingle_hashes(F.col("__sh__"), hash_fn=hash_fn)) \

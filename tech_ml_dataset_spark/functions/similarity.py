@@ -458,17 +458,8 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
         planes = random_hyperplanes(dim, bands * band_bits, seed)
-        vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        keys = []
-        for bi in range(bands):
-            key = F.lit(0).cast("long")
-            for j in range(band_bits):
-                p = planes[bi * band_bits + j]
-                bit = (_dot(vd, F.array(*[F.lit(float(x)) for x in p])) > 0)
-                key = key + bit.cast("long") * F.lit(2 ** j).cast("long")
-            keys.append(key)
-        banded = slim.select(
-            id_col, F.posexplode(F.array(*keys)).alias("__band__", "__key__"))
+        banded = _sign_banded(slim, id_col, vec_col, planes, bands,
+                              band_bits)
         a = banded.select(F.col(id_col).alias("id_a"), "__band__", "__key__")
         b = banded.select(F.col(id_col).alias("id_b"), "__band__", "__key__")
         ids = (a.join(b, ["__band__", "__key__"])
@@ -481,3 +472,83 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
     return (pairs.withColumn("cos", cosine(F.col("__va__"), F.col("__vb__")))
                  .filter(F.col("cos") >= threshold)
                  .select("id_a", "id_b", "cos"))
+
+
+def _sign_banded(slim: DataFrame, id_col: str, vec_col: str, planes,
+                 bands: int, band_bits: int) -> DataFrame:
+    """(id, band, key) table for sign-LSH banding: key b packs band_bits
+    hyperplane signs into a long. Shared by the self-join
+    (:func:`embedding_dedup_pairs`) and cross-corpus
+    (:func:`embedding_pairs_between`) paths — both sides of a cross-corpus
+    join MUST band with the SAME planes for the recall math to hold."""
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    keys = []
+    for bi in range(bands):
+        key = F.lit(0).cast("long")
+        for j in range(band_bits):
+            p = planes[bi * band_bits + j]
+            bit = (_dot(vd, F.array(*[F.lit(float(x)) for x in p])) > 0)
+            key = key + bit.cast("long") * F.lit(2 ** j).cast("long")
+        keys.append(key)
+    return slim.select(
+        id_col, F.posexplode(F.array(*keys)).alias("__band__", "__key__"))
+
+
+def embedding_pairs_between(new_batch: DataFrame, historical: DataFrame,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id", *,
+                            threshold: float = 0.9, method: str = "lsh",
+                            bands: int = 8, band_bits: int = 4,
+                            dim: int | None = None,
+                            seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ACROSS two corpora —
+    (new_id, hist_id, cos) for every cross pair with cosine >= threshold.
+    The embedding face of
+    :func:`~tech_ml_dataset_spark.functions.dedup.minhash_pairs_between`:
+    continuous-crawl ingest checks each batch against the accepted corpus
+    in embedding space (SemDeDup-style semantic filtering, applied
+    incrementally). Within-batch duplicates are NOT reported — run
+    :func:`embedding_dedup_pairs` on the batch separately.
+
+    method="lsh" (the 100 TB path): BOTH corpora banded with the SAME
+    seeded hyperplanes (bands × band_bits sign bits); the band equi-join
+    carries only (id, band, key) longs from each side; vectors join back
+    once per side for the exact-cosine verify on the candidate set.
+    method="exact": all cross pairs (|new|·|hist| — the oracle baseline;
+    bounded slices only)."""
+    sn = new_batch.select(F.col(id_col), F.col(vec_col))
+    sh = historical.select(F.col(id_col), F.col(vec_col))
+    na = sn.select(F.col(id_col).alias("new_id"),
+                   F.col(vec_col).alias("__va__"))
+    hb = sh.select(F.col(id_col).alias("hist_id"),
+                   F.col(vec_col).alias("__vb__"))
+    if method == "exact":
+        pairs = na.join(hb)
+    else:
+        if dim is None:
+            dim = len(new_batch.select(vec_col).first()[0])
+        planes = random_hyperplanes(dim, bands * band_bits, seed)
+        a = _sign_banded(sn, id_col, vec_col, planes, bands, band_bits) \
+            .withColumnRenamed(id_col, "new_id")
+        b = _sign_banded(sh, id_col, vec_col, planes, bands, band_bits) \
+            .withColumnRenamed(id_col, "hist_id")
+        ids = (a.join(b, ["__band__", "__key__"])
+                .select("new_id", "hist_id").distinct())
+        pairs = ids.join(na, "new_id").join(hb, "hist_id")
+    return (pairs.withColumn("cos", cosine(F.col("__va__"), F.col("__vb__")))
+                 .filter(F.col("cos") >= threshold)
+                 .select("new_id", "hist_id", "cos"))
+
+
+def embedding_dedup_incremental(new_batch: DataFrame,
+                                historical: DataFrame,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id", **kw) -> DataFrame:
+    """Rows of ``new_batch`` with NO embedding near-duplicate in
+    ``historical`` (cosine >= threshold) — the semantic incremental-dedup
+    filter; keyword args as :func:`embedding_pairs_between`. One anti
+    join on the slim matched-id set."""
+    pairs = embedding_pairs_between(new_batch, historical, vec_col,
+                                    id_col, **kw)
+    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return new_batch.join(dup_ids, id_col, "left_anti")

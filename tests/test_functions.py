@@ -389,6 +389,46 @@ def test_embedding_dedup_pairs_lsh_recall(spark):
     assert pairs <= {(r["id_a"], r["id_b"]) for r in exact.collect()}  # no false positives vs exact
 
 
+def test_embedding_pairs_between_cross_corpus(spark):
+    """Cross-corpus embedding near-dup: new-batch near-copies of historical
+    vectors surface as (new_id, hist_id); within-batch pairs are NOT
+    reported; LSH path agrees with exact on true near-dups; the
+    incremental filter drops exactly the matched new rows."""
+    import random
+    from tech_ml_dataset_spark.functions import similarity as sim
+
+    rng = random.Random(11)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(6)]
+    hist = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id bigint, embedding array<float>")
+    # new batch: near-copies of hist 0..2 (ids 100..102), one fresh (103),
+    # plus 104 = near-copy of 103 (within-batch only — must NOT pair)
+    fresh = [rng.gauss(0, 1) for _ in range(dim)]
+    new_rows = [(100 + i,
+                 [float(x + rng.gauss(0, 0.01)) for x in base[i]])
+                for i in range(3)]
+    new_rows.append((103, [float(x) for x in fresh]))
+    new_rows.append((104, [float(x + rng.gauss(0, 0.01)) for x in fresh]))
+    new = spark.createDataFrame(new_rows,
+                                "vec_id bigint, embedding array<float>")
+
+    exact = sim.embedding_pairs_between(new, hist, threshold=0.99,
+                                        method="exact")
+    epairs = {(r["new_id"], r["hist_id"]) for r in exact.collect()}
+    assert epairs == {(100, 0), (101, 1), (102, 2)}
+    lsh = sim.embedding_pairs_between(new, hist, threshold=0.99)
+    lpairs = {(r["new_id"], r["hist_id"]) for r in lsh.collect()}
+    assert {(100, 0), (101, 1), (102, 2)} <= lpairs  # full recall
+    assert lpairs <= epairs                           # no false positives
+
+    kept = sim.embedding_dedup_incremental(new, hist, threshold=0.99,
+                                           method="exact")
+    assert sorted(r["vec_id"] for r in kept.collect()) == [103, 104]
+    assert kept.columns == new.columns
+
+
 def test_chunk_documents_overlap(spark):
     from tech_ml_dataset_spark.functions import text as txt
 

@@ -308,6 +308,7 @@ _SCALE_AUDIT_EXEMPT = {
         "q22_sales_opportunity": "one-row avg broadcast to every customer row",
         "q11_important_stock": "one-row threshold broadcast to part-grained agg",
         "embedding_dedup_pairs_exact": "exact baseline on a <200-id slice",
+        "embedding_incremental_pairs": "exact cross baseline, bounded slices",
         "embedding_dedup_clusters": "same bounded exact pair source",
         "cosine_topk_embeddings": "scored scan, no join — literal query vec",
         "lsh_topk_embeddings": "bucket join; slice-bounded",
