@@ -141,3 +141,30 @@ def test_empty_r4b_operators(spark, empty_li):
     assert txt.bpe_encode(docs, []).count() == 0
     emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert sim.semdedup(emb, centroids=[[1.0, 0.0]]).count() == 0
+
+
+def test_empty_r4c_operators(spark, empty_li):
+    """Latest r4 additions degrade on empty/degenerate input: BM25
+    (empty corpus and all-NULL text), cross-corpus minhash and embedding
+    near-dup with either side empty."""
+    docs = empty_li.select("doc_id", "text")
+    from tech_ml_dataset_spark.functions import similarity as sim
+
+    assert txt.bm25_search(docs, "anything").count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "doc_id long, text string")
+    # all-NULL corpus: avgdl is NULL -> every score NULL -> filtered
+    assert txt.bm25_search(nulls, "anything").count() == 0
+
+    some = spark.createDataFrame([(1, "a b"), (2, "c d")],
+                                 "doc_id long, text string")
+    assert dd.minhash_pairs_between(some, docs, threshold=0.1).count() == 0
+    assert dd.minhash_pairs_between(docs, some, threshold=0.1).count() == 0
+    assert dd.minhash_dedup_incremental(some, docs).count() == 2
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    eempty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert sim.embedding_pairs_between(emb, eempty, dim=2).count() == 0
+    assert sim.embedding_pairs_between(eempty, emb, dim=2).count() == 0
+    assert sim.embedding_dedup_incremental(emb, eempty, dim=2).count() == 1
