@@ -2173,8 +2173,9 @@ def winnow_docs(spark, sf_dir):
 def winnow_pairs_docs(spark, sf_dir):
     """Substring-level near-dup pairs (dedup.winnow_dedup_pairs, r4 —
     Lee et al. 2022 exact-substring-dedup candidates via the MOSS
-    fingerprint inverted index; rows-only: the rolling hash is
-    numpy-specific). Pairs sharing >= 2 selected fingerprints, i.e. a
+    fingerprint inverted index; ORACLED late-r4: the rolling hash replays
+    in DuckDB HUGEINT, see winnow_docs). Pairs sharing >= 2 selected
+    fingerprints, i.e. a
     verbatim block of >= k+w-1 chars, with a containment score. The
     synthetic corpus is template-generated (massive substring sharing),
     so min_shared sits high to keep the pair set selective (47 pairs at
@@ -2282,7 +2283,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this round (ffill_events, r1-green simplest fill variant, rotates
         # out to make room)
         "repetition_signals_docs": repetition_signals_docs,
-        "q1_pricing_summary": q1_pricing_summary,
+        # (a-new) r4 winnowing PAIR-law oracle promotion — driver-prove
+        # this round (q1_pricing_summary, r2-green flagship that entry()
+        # still smoke-runs every round, rotates out)
+        "winnow_pairs_docs": winnow_pairs_docs,
         # (a-new) r4 cross-corpus embedding near-dup — new operator,
         # driver-prove this round (q3_segment_revenue, r2-green (d)-tier
         # stalwart whose join/agg shape is covered by the 13 other
@@ -2446,7 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_user": rolling_corr_user,
         "abb_fill_events": abb_fill_events,
         "q5_nation_revenue": q5_nation_revenue,
-        "winnow_pairs_docs": winnow_pairs_docs,
+        "q1_pricing_summary": q1_pricing_summary,
         "bpe_encode_docs": bpe_encode_docs,
         "reservoir_orders": reservoir_orders,
         "regression_price_model": regression_price_model,
@@ -2472,13 +2476,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _winnow_oracle(k: int = 8, w: int = 4) -> str:
-    """Replays winnow_docs in DuckDB: the numpy rolling hash h = h*B + b
+def _winnow_mn_ctes(k: int = 8, w: int = 4) -> str:
+    """Shared fingerprint CTEs (raw -> co -> hs -> mn) replaying
+    winnow_fingerprints in DuckDB: the numpy rolling hash h = h*B + b
     per step (uint64 wrap) equals sum(b_j * B^(k-1-j)) mod 2^64, so each
     position hashes via precomputed power literals in HUGEINT; window
-    minima are taken in the UNSIGNED domain (numpy mins uint64), then
-    reinterpreted as signed int64 (the .view(int64) step). The fixture
-    text is ASCII, so unicode(char) == utf-8 byte."""
+    minima are taken in the UNSIGNED domain (numpy mins uint64). The
+    fixture text is ASCII, so unicode(char) == utf-8 byte."""
     M = 1 << 64
     powers = [pow(1099511628211, k - 1 - j, M) for j in range(k)]
     poly = " + ".join(f"codes[p+{j+1}] * {p_}::HUGEINT"
@@ -2509,7 +2513,13 @@ def _winnow_oracle(k: int = 8, w: int = 4) -> str:
                    ELSE list_transform(range(0, len(h)-{w}+1),
                         q -> least({wmin})) END AS mins
             FROM hs
-        )
+        )"""
+
+
+def _winnow_oracle(k: int = 8, w: int = 4) -> str:
+    """Replays winnow_docs: fingerprint CTEs, then per-doc count + min —
+    minima reinterpreted as signed int64 (the numpy .view(int64) step)."""
+    return _winnow_mn_ctes(k, w) + """
         SELECT doc_id,
                len(list_distinct(mins)) AS n_fp,
                list_min(list_transform(list_distinct(mins),
@@ -2518,6 +2528,36 @@ def _winnow_oracle(k: int = 8, w: int = 4) -> str:
                          THEN 18446744073709551616::HUGEINT
                          ELSE 0::HUGEINT END AS BIGINT))) AS fp_min
         FROM mn
+    """
+
+
+def _winnow_pairs_oracle(k: int = 8, w: int = 4, min_shared: int = 20,
+                         max_df: int = 32, id_max: int = 500) -> str:
+    """Replays winnow_pairs_docs: the _winnow_oracle fingerprint CTEs,
+    then the inverted-index pair law — explode distinct fps, drop fps in
+    > max_df docs, pair on shared fp with id_a < id_b, count >=
+    min_shared, containment = shared / min(|A|, |B|)."""
+    return _winnow_mn_ctes(k, w) + f""", fp AS (
+            SELECT doc_id, list_distinct(mins) AS fps
+            FROM mn WHERE doc_id < {id_max}
+        ), sized AS (
+            SELECT doc_id, len(fps) AS nf, unnest(fps) AS h FROM fp
+        ), adm AS (
+            SELECT h FROM (SELECT h, count(*) AS c FROM sized GROUP BY h)
+            WHERE c <= {max_df}
+        ), inv AS (
+            SELECT s.doc_id, s.nf, s.h FROM sized s JOIN adm USING (h)
+        ), pr AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.nf AS na, b.nf AS nb, count(*) AS shared_fps
+            FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+            HAVING count(*) >= {min_shared}
+        )
+        SELECT id_a, id_b, shared_fps,
+               round(CAST(shared_fps AS DOUBLE) / least(na, nb), 4)
+                   AS containment
+        FROM pr
     """
 
 
@@ -2668,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk_embeddings": _lsh_topk_oracle(),
         "minhash_pairs_oracle_docs": _minhash_oracle(),
         "winnow_docs": _winnow_oracle(),
+        "winnow_pairs_docs": _winnow_pairs_oracle(),
         "simhash_oracle_docs": _simhash_oracle(),
         "minhash_incremental_pairs_docs": _minhash_oracle(split=300),
         "ivf_topk_embeddings": """
