@@ -123,11 +123,29 @@ class Dataset:
         dataset_api.clj / quick-reference "Selecting Subrects"): a column
         subset AND a row-index subset together. Either side may be None
         (= keep all). Column pruning happens FIRST so the row-index window
-        never carries dropped columns through the shuffle."""
-        df = _sel.select_columns(self.df, columns) if columns is not None \
-            else self.df
+        never carries dropped columns through the shuffle — unless
+        ``order_by`` names a column outside the subset, in which case row
+        selection runs first (Catalyst still prunes the scan to the subset
+        + the ordering column; dropping it first would raise
+        UNRESOLVED_COLUMN on a perfectly sensible subrect call)."""
+        df = self.df
+        if order_by is None:
+            ob_names = []
+        elif isinstance(order_by, str):
+            ob_names = [order_by]
+        elif isinstance(order_by, (list, tuple)) and \
+                all(isinstance(c, str) for c in order_by):
+            ob_names = list(order_by)
+        else:
+            ob_names = None  # Column expressions: can't prove containment
+        prune_first = columns is not None and ob_names is not None and \
+            all(c in set(columns) for c in ob_names)
+        if prune_first:
+            df = _sel.select_columns(df, columns)
         if row_indexes is not None:
             df = _sel.select_rows(df, row_indexes, order_by=order_by)
+        if columns is not None and not prune_first:
+            df = _sel.select_columns(df, columns)
         return self._wrap(df)
 
     def rand_nth(self, seed=None):

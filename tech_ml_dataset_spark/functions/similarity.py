@@ -71,6 +71,16 @@ def cosine_join_topk(left: DataFrame, right: DataFrame, vec_col: str, k: int,
                           F.col("__cos__").alias("cos"), F.col("__rank__").alias("rank")))
 
 
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector dimensionality from the first non-NULL vector; None when the
+    frame is empty or all-NULL (callers must degrade to an empty result
+    instead of crashing — a continuous-ingest micro-batch can legally
+    dedup to zero rows before reaching the banding stage)."""
+    row = df.select(vec_col).dropna().first()
+    return None if row is None else len(row[0])
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes for sign-LSH (SimHash for
     dense vectors). Pure-python LCG so results are reproducible without
@@ -329,7 +339,14 @@ def lsh_bucketed_topk(left: DataFrame, right: DataFrame, vec_col: str, k: int,
     from pyspark.sql import Window as W
 
     if dim is None:
-        dim = len(left.select(vec_col).first()[0])
+        dim = _infer_dim(left, vec_col)
+        if dim is None:  # empty left: top-k of nothing is nothing
+            return (left.select(F.col(left_id), F.col(vec_col))
+                        .crossJoin(right.limit(0).select(
+                            F.col(right_id).alias("neighbor_id")))
+                        .withColumn("cos", F.lit(None).cast("double"))
+                        .withColumn("rank", F.lit(None).cast("int"))
+                        .select(left_id, "neighbor_id", "cos", "rank"))
     planes = random_hyperplanes(dim, n_planes, seed)
     lb = left.withColumn("__bucket__", lsh_bucket(F.col(vec_col), planes))
     rb = right.select(F.col(right_id).alias("__rid__"), F.col(vec_col).alias("__rvec__")) \
@@ -456,7 +473,15 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         if dim is None:
-            dim = len(df.select(vec_col).first()[0])
+            dim = _infer_dim(df, vec_col)
+        if dim is None:  # empty/all-NULL corpus: no pairs by definition
+            a = slim.limit(0).select(F.col(id_col).alias("id_a"),
+                                     F.col(vec_col).alias("__va__"))
+            b = slim.limit(0).select(F.col(id_col).alias("id_b"),
+                                     F.col(vec_col).alias("__vb__"))
+            return (a.crossJoin(b)
+                     .withColumn("cos", F.lit(None).cast("double"))
+                     .select("id_a", "id_b", "cos"))
         planes = random_hyperplanes(dim, bands * band_bits, seed)
         banded = _sign_banded(slim, id_col, vec_col, planes, bands,
                               band_bits)
@@ -526,7 +551,11 @@ def embedding_pairs_between(new_batch: DataFrame, historical: DataFrame,
         pairs = na.join(hb)
     else:
         if dim is None:
-            dim = len(new_batch.select(vec_col).first()[0])
+            dim = _infer_dim(new_batch, vec_col)
+        if dim is None:  # empty/all-NULL new batch: no cross pairs
+            return (na.limit(0).crossJoin(hb.limit(0))
+                      .withColumn("cos", F.lit(None).cast("double"))
+                      .select("new_id", "hist_id", "cos"))
         planes = random_hyperplanes(dim, bands * band_bits, seed)
         a = _sign_banded(sn, id_col, vec_col, planes, bands, band_bits) \
             .withColumnRenamed(id_col, "new_id")

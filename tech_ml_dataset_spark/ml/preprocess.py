@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 def fit_categorical_map(df: DataFrame, colname: str, *,
                         table: dict | None = None,
+                        complete: bool = False,
                         max_categories: int = 100_000) -> dict:
     """``fit-categorical-map`` (categorical.clj:80): value -> int code.
     Deterministic: codes assigned by sorted value order (the reference
@@ -39,15 +40,28 @@ def fit_categorical_map(df: DataFrame, colname: str, *,
     :not-present case). Two values pinned to the SAME code raise — the
     reference silently reassigns the later one, which swallows typos.
 
-    The fit collects the DISTINCT domain to the driver (inherent to a code
-    table; the reference holds it in memory too). ``max_categories`` makes
-    an accidental fit on a high-cardinality key fail loudly instead of
-    OOMing the driver — raise it deliberately for big vocabularies."""
+    ``complete=True`` asserts the pinned table already covers the data's
+    domain (replaying a saved fit at inference setup): the function then
+    returns with ZERO Spark jobs — no distinct scan, no collect. Unpinned
+    values surface later as NULL codes in transform, the same contract as
+    applying any saved fit to drifted data.
+
+    The fit otherwise collects the DISTINCT domain to the driver (inherent
+    to a code table; the reference holds it in memory too).
+    ``max_categories`` makes an accidental fit on a high-cardinality key
+    fail loudly instead of OOMing the driver — raise it deliberately for
+    big vocabularies."""
     codes = list((table or {}).values())
     if len(set(codes)) != len(codes):
         raise ValueError(
             f"fit_categorical_map({colname!r}): duplicate codes in table "
             f"{table!r} — each value needs a distinct code")
+    if complete:
+        if not table:
+            raise ValueError(
+                f"fit_categorical_map({colname!r}): complete=True needs a "
+                f"pinned table")
+        return {"column": colname, "table": dict(table)}
     vals_df = df.select(colname).distinct()
     if table:
         # pinned values never need collecting — the cap (and the driver

@@ -96,6 +96,54 @@ def expect(df: DataFrame, rules: Sequence[tuple]) -> None:
                          "; ".join(f"{n} ({c} violations)" for n, c in bad))
 
 
+def _psi_from_buckets(ref: DataFrame, cur: DataFrame, cols, bucket_expr,
+                      epsilon: float, include_ks: bool = False) -> DataFrame:
+    """Shared back half of the PSI family: per-side (column, bucket)
+    counts (one unioned aggregate per side — never a join of the raw
+    tables), full-join + zero-fill, per-column totals, epsilon-smoothed
+    PSI terms, optional bucketed KS. ``bucket_expr(c)`` maps a column name
+    to its bucket Column; numeric and categorical drift differ ONLY in
+    that expression."""
+    def side_counts(df, tag):
+        parts = [df.filter(F.col(c).isNotNull())
+                   .select(F.lit(c).alias("column"),
+                           bucket_expr(c).alias("bucket"))
+                 for c in cols]
+        un = parts[0]
+        for part in parts[1:]:
+            un = un.unionByName(part)
+        return (un.groupBy("column", "bucket")
+                  .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
+
+    joined = (side_counts(ref, "ref")
+              .join(side_counts(cur, "cur"), ["column", "bucket"], "full")
+              .fillna(0, ["n_ref", "n_cur"]))
+    tot = joined.groupBy("column").agg(F.sum("n_ref").alias("t_ref"),
+                                       F.sum("n_cur").alias("t_cur"))
+    j = joined.join(tot, "column")
+    # greatest(t, 1) keeps an EMPTY side ANSI-safe (no divide-by-zero on a
+    # plain session); with t=0 every n is 0 too, so p collapses to epsilon
+    p_ref = F.greatest(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1)),
+                       F.lit(epsilon))
+    p_cur = F.greatest(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)),
+                       F.lit(epsilon))
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    if not include_ks:
+        return j.groupBy("column").agg(F.sum(term).alias("psi"))
+    # bucketed KS: max |ECDF_ref - ECDF_cur| over the shared bucket grid —
+    # a window over n_buckets rows per column, nothing data-sized
+    from pyspark.sql import Window
+    wc = (Window.partitionBy("column").orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, 0))
+    cum_gap = F.abs(
+        F.sum(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1))).over(wc)
+        - F.sum(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1))).over(wc))
+    return (j.withColumn("__gap__", cum_gap)
+             .groupBy("column")
+             .agg(F.sum(term).alias("psi"),
+                  F.max("__gap__").alias("ks")))
+
+
 def psi_drift(ref: DataFrame, cur: DataFrame, columns, *,
               n_buckets: int = 10, exact_edges: bool = False,
               round_edges: int | None = None,
@@ -147,46 +195,8 @@ def psi_drift(ref: DataFrame, cur: DataFrame, columns, *,
             b = b + (F.col(c) > F.lit(float(e))).cast("int")
         return b
 
-    def side_counts(df, tag):
-        parts = []
-        for c in cols:
-            parts.append(df.filter(F.col(c).isNotNull())
-                           .select(F.lit(c).alias("column"),
-                                   bucket_expr(c).alias("bucket")))
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionByName(p)
-        return (un.groupBy("column", "bucket")
-                  .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
-
-    r = side_counts(ref, "ref")
-    u = side_counts(cur, "cur")
-    joined = r.join(u, ["column", "bucket"], "full") \
-              .fillna(0, ["n_ref", "n_cur"])
-    tot = joined.groupBy("column").agg(F.sum("n_ref").alias("t_ref"),
-                                       F.sum("n_cur").alias("t_cur"))
-    j = joined.join(tot, "column")
-    # greatest(t, 1) keeps an EMPTY side ANSI-safe (no divide-by-zero on a
-    # plain session); with t=0 every n is 0 too, so p collapses to epsilon
-    p_ref = F.greatest(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1)),
-                       F.lit(epsilon))
-    p_cur = F.greatest(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)),
-                       F.lit(epsilon))
-    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
-    if not include_ks:
-        return j.groupBy("column").agg(F.sum(term).alias("psi"))
-    # bucketed KS: max |ECDF_ref - ECDF_cur| over the shared bucket grid —
-    # a window over n_buckets rows per column, nothing data-sized
-    from pyspark.sql import Window
-    wc = (Window.partitionBy("column").orderBy("bucket")
-                .rowsBetween(Window.unboundedPreceding, 0))
-    cum_gap = F.abs(
-        F.sum(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1))).over(wc)
-        - F.sum(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1))).over(wc))
-    return (j.withColumn("__gap__", cum_gap)
-             .groupBy("column")
-             .agg(F.sum(term).alias("psi"),
-                  F.max("__gap__").alias("ks")))
+    return _psi_from_buckets(ref, cur, cols, bucket_expr, epsilon,
+                             include_ks=include_ks)
 
 
 def psi_drift_categorical(ref: DataFrame, cur: DataFrame, columns, *,
@@ -223,26 +233,4 @@ def psi_drift_categorical(ref: DataFrame, cur: DataFrame, columns, *,
         arr = F.array(*[F.lit(x) for x in keep[c]])
         return F.when(F.array_contains(arr, v), v).otherwise("__other__")
 
-    def side_counts(df, tag):
-        parts = [df.filter(F.col(c).isNotNull())
-                   .select(F.lit(c).alias("column"),
-                           bucket_expr(c).alias("bucket"))
-                 for c in cols]
-        un = parts[0]
-        for p in parts[1:]:
-            un = un.unionByName(p)
-        return (un.groupBy("column", "bucket")
-                  .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
-
-    joined = (side_counts(ref, "ref")
-              .join(side_counts(cur, "cur"), ["column", "bucket"], "full")
-              .fillna(0, ["n_ref", "n_cur"]))
-    tot = joined.groupBy("column").agg(F.sum("n_ref").alias("t_ref"),
-                                       F.sum("n_cur").alias("t_cur"))
-    j = joined.join(tot, "column")
-    p_ref = F.greatest(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1)),
-                       F.lit(epsilon))
-    p_cur = F.greatest(F.col("n_cur") / F.greatest(F.col("t_cur"), F.lit(1)),
-                       F.lit(epsilon))
-    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
-    return j.groupBy("column").agg(F.sum(term).alias("psi"))
+    return _psi_from_buckets(ref, cur, cols, bucket_expr, epsilon)

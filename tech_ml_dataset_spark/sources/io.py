@@ -155,8 +155,11 @@ def _peek_csv_header(spark, path, opts, n_skip: int):
                 continue
             import csv as _csv
             import io as _io
-            return next(_csv.reader(_io.StringIO(line),
-                                    delimiter=str(opts.get("sep", ","))))
+            # honor BOTH Spark reader spellings of the separator option —
+            # splitting on the wrong one silently skips the duplicate-
+            # header raise law for delimiter= readers
+            sep = str(opts.get("sep") or opts.get("delimiter") or ",")
+            return next(_csv.reader(_io.StringIO(line), delimiter=sep))
         return None
     except Exception:
         return None
@@ -245,7 +248,7 @@ def to_dataset(
             # machine's lifetime
             atexit.register(lambda p=local: os.path.exists(p) and os.remove(p))
             with os.fdopen(fd, "wb") as out_f, \
-                    urllib.request.urlopen(data) as resp:
+                    urllib.request.urlopen(data, timeout=60) as resp:
                 while True:
                     chunk = resp.read(1 << 20)
                     if not chunk:
@@ -1013,6 +1016,11 @@ def read_fwf(spark: SparkSession, path: str, colspecs, names=None, *,
         lines = _skip_lines(lines, n_initial_skip_rows)
     names = list(names) if names is not None else \
         [f"column-{i}" for i in range(len(colspecs))]
+    if len(names) != len(colspecs):
+        # zip would silently drop the excess specs/names — an off-by-one
+        # in either list must fail loudly, not narrow the table
+        raise ValueError(
+            f"read_fwf: {len(colspecs)} colspecs but {len(names)} names")
     cols = []
     for (start, end), name in zip(colspecs, names):
         c = F.substring(F.col("value"), start + 1, end - start)

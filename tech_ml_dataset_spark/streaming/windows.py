@@ -256,6 +256,29 @@ def streaming_upsert_sink(df: DataFrame, target_path: str, keys, *,
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
 
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark):
+    """Scope spark.sql.sources.partitionOverwriteMode=dynamic to a block,
+    restoring EXACTLY the prior state: when the session never set the key,
+    conf.get returns None and a bare skip would leak 'dynamic'
+    session-wide — a later unrelated overwrite+partitionBy write would
+    then keep stale partitions instead of truncating the table."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
 def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
                          checkpoint: str, text_col: str = "text",
                          id_col: str = "doc_id",
@@ -305,23 +328,9 @@ def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
             fresh = incremental_dedup(fresh, hist, text_col,
                                       exact_verify=exact_verify)
         out = fresh.withColumn("batch_id", F.lit(batch_id))
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                              None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with _dynamic_partition_overwrite(spark):
             (out.write.mode("overwrite").partitionBy("batch_id")
                 .parquet(corpus_path))
-        finally:
-            # restore EXACTLY the prior state: when the session never set
-            # the key, conf.get returns None and a bare skip would leak
-            # 'dynamic' session-wide — a later unrelated
-            # overwrite+partitionBy write would then keep stale
-            # partitions instead of truncating the table
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev)
-            else:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
 
@@ -384,20 +393,11 @@ def streaming_neardup_sink(df: DataFrame, corpus_path: str, *,
                        .select(F.col("new_id").alias(id_col)).distinct())
             fresh = fresh.join(matched, id_col, "left_anti")
         sh, banded = _shingle_and_band(fresh, id_col, text_col, **params)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                              None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with _dynamic_partition_overwrite(spark):
             for frame, sub in ((fresh, "/docs"), (banded, "/index/bands"),
                                (sh, "/index/shingles")):
                 (frame.withColumn("batch_id", F.lit(batch_id))
                       .write.mode("overwrite").partitionBy("batch_id")
                       .parquet(corpus_path + sub))
-        finally:
-            if prev is not None:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev)
-            else:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
 
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)

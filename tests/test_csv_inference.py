@@ -148,6 +148,17 @@ def test_duplicate_headers_throw_and_suffix(spark, tmp_path):
     assert dfc.columns == ["a-0", "a-2", "a-2-2"]
     assert len(set(dfc.columns)) == 3
 
+    # the 'delimiter' alias must reach the header peek too — splitting on
+    # the default ',' would see one cell and silently skip the raise law
+    # (r4 review)
+    pd_ = tmp_path / "semi.csv"
+    pd_.write_text("a;b;a\n1;2;3\n")
+    with _pt.raises(ValueError, match="duplicate csv headers"):
+        to_dataset(spark, str(pd_), delimiter=";")
+    dfd = to_dataset(spark, str(pd_), delimiter=";",
+                     ensure_unique_column_names=True)
+    assert dfd.columns == ["a-0", "b", "a-2"]
+
 
 def test_explicit_schema_owns_column_names(spark, tmp_path):
     """r4 review: the header-peek rename ran even with an explicit schema,

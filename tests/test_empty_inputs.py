@@ -168,3 +168,12 @@ def test_empty_r4c_operators(spark, empty_li):
     assert sim.embedding_pairs_between(emb, eempty, dim=2).count() == 0
     assert sim.embedding_pairs_between(eempty, emb, dim=2).count() == 0
     assert sim.embedding_dedup_incremental(emb, eempty, dim=2).count() == 1
+    # dim INFERENCE on an empty/all-NULL side degrades to empty instead of
+    # TypeError (r4 review) — the continuous-ingest zero-row micro-batch
+    assert sim.embedding_pairs_between(eempty, emb).count() == 0
+    assert sim.embedding_dedup_incremental(eempty, emb).count() == 0
+    nullv = spark.createDataFrame([(9, None)],
+                                  "vec_id long, embedding array<double>")
+    assert sim.embedding_pairs_between(nullv, emb).count() == 0
+    assert sim.embedding_dedup_pairs(eempty).count() == 0
+    assert sim.lsh_bucketed_topk(eempty, emb, "embedding", k=3).count() == 0

@@ -976,6 +976,10 @@ def test_read_fwf(spark, tmp_path):
                        trim=False)
     assert df2.columns == ["column-0"]
     assert sorted(r["column-0"] for r in df2.collect()) == ["001", "002"]
+    # colspecs/names length mismatch raises instead of zip-truncating
+    with pytest.raises(ValueError, match="colspecs but 2 names"):
+        sio.read_fwf(spark, str(p), [(0, 3), (5, 12), (12, 17)],
+                     ["id", "name"])
 
 
 def test_to_dataset_reads_http_urls(spark, tmp_path):

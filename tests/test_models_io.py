@@ -586,6 +586,11 @@ def test_dataset_fluent_quickref_surface(spark):
     # column-only and row-only halves each pass through untouched
     assert ds.select(columns=["name"]).columns == ["name"]
     assert ds.select(row_indexes=[0], order_by="id").row_count() == 1
+    # order_by OUTSIDE the column subset: row selection must run before
+    # pruning instead of raising UNRESOLVED_COLUMN (r4 review)
+    sub2 = ds.select(columns=["v"], row_indexes=[1, 3], order_by="id")
+    assert sub2.columns == ["v"]
+    assert sorted(r["v"] for r in sub2.rows()) == [10.0, 30.0]
 
     row = ds.rand_nth(seed=7)
     assert set(row) == {"id", "name", "v"} and 0 <= row["id"] < 6
@@ -605,6 +610,13 @@ def test_fit_categorical_map_caps_cardinality(spark):
         mlp.fit_categorical_map(df, "k", max_categories=10)
     fitted = mlp.fit_categorical_map(df, "k", max_categories=100)
     assert len(fitted["table"]) == 50
+    # complete=True short-circuits with ZERO Spark jobs: the returned fit
+    # is exactly the pinned table even when the data holds other values
+    pinned = {"0": 7, "1": 3}
+    fast = mlp.fit_categorical_map(df, "k", table=pinned, complete=True)
+    assert fast == {"column": "k", "table": pinned}
+    with pytest.raises(ValueError, match="complete=True"):
+        mlp.fit_categorical_map(df, "k", complete=True)
 
 
 def test_pipeline_save_load_roundtrip(spark, tmp_path):
