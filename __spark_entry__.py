@@ -1887,14 +1887,20 @@ def fill_range_events(spark, sf_dir):
 
 
 def loess_smooth_events(spark, sf_dir):
-    """interpolate-loess (math.clj:112) — rows-only: LOESS is not
-    SQL-expressible. Deterministic systematic sample -> numpy fit ->
-    broadcast-grid Arrow-batched predict."""
-    ev = _t(spark, sf_dir, "events")
+    """interpolate-loess (math.clj:112). ORACLED as of late r4 (previously
+    rows-only): on the event_id < 5000 slice the fit uses ALL points
+    (n == max_fit_points -> k=1, no hash sampling), so the whole law —
+    tricube local-linear fit at each of 200 linspace grid points, bisquare
+    robustness reweighting, np.interp prediction — is deterministic and
+    DuckDB replays it exactly (see _loess_oracle; neighbor-selection ties
+    are harmless because boundary-distance points get tricube weight 0).
+    The slice is complete and NULL-free at sf >= 0.01, which the oracle's
+    fixed r/grid constants assume."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 5000)
     pts = ev.select("event_id", "user_id", dtu.epoch_micros("ts").alias("x"), "value")
     out = tss.interpolate_loess(pts, "x", "value", bandwidth=0.3)
     return out.select("event_id", "user_id",
-                      _r4(F.col("value-loess")).alias("value_loess"))
+                      _r4b(F.col("value-loess")).alias("value_loess"))
 
 
 def reservoir_orders(spark, sf_dir):
@@ -2300,7 +2306,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_docs": winnow_docs,
         "filter_project": filter_project,
         "topk_orders": topk_orders,
-        "take_nth_lineitem": take_nth_lineitem,
+        # (a-new) r4 LOESS oracle promotion — full-sample fit on the
+        # complete 5000-row slice is deterministic and DuckDB-replayed;
+        # driver-prove this round (take_nth_lineitem, r2-green with the
+        # take_nth path untouched in r4 — the selection.py churn
+        # (negative indices / stratified sampler) is proven in-window by
+        # select_rows_orders and stratified_sample_docs — rotates out)
+        "loess_smooth_events": loess_smooth_events,
         "group_distinct_stats": group_distinct_stats,
         # (a-new) r4 SemDeDup — new operator, driver-prove this round
         # (unique_by_order, r2-green with setops.py untouched in r4,
@@ -2432,7 +2444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": ewma_user_value,
         "salted_revenue_by_nation": salted_revenue_by_nation,
         "validate_orders": validate_orders,
-        "loess_smooth_events": loess_smooth_events,
         "image_pipeline_docs": image_pipeline_docs,
         "rolling_range_events": rolling_range_events,
         "minmax_scale_acctbal": minmax_scale_acctbal,
@@ -2449,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_user_value": rolling_user_value,
         "rolling_corr_user": rolling_corr_user,
         "abb_fill_events": abb_fill_events,
+        "take_nth_lineitem": take_nth_lineitem,
         "q5_nation_revenue": q5_nation_revenue,
         "q1_pricing_summary": q1_pricing_summary,
         "bpe_encode_docs": bpe_encode_docs,
@@ -2474,6 +2486,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_slices": concat_slices,
         "columnwise_round_lineitem": columnwise_round_lineitem,
     }
+
+
+def _loess_oracle(n: int = 5000, gs: int = 200, bandwidth: float = 0.3
+                  ) -> str:
+    """Replays loess_smooth_events: tricube local-linear LOESS with one
+    bisquare robustness iteration pair (_loess_fit, iterations=2) on the
+    complete event_id < {n} slice. Laws mirrored exactly:
+
+    - grid: numpy linspace — step = (xmax-xmin)/(gs-1), g_i = xmin +
+      i*step, LAST point forced to xmax;
+    - per grid point: the r = ceil(bandwidth*n) nearest sample points by
+      |x-g| (row_number; tie order is irrelevant — a point at the
+      selection boundary has d = dmax and tricube weight 0);
+    - weighted mean/slope in TWO aggregation passes (xm/ym first, then
+      moments around them — the expanded single-pass form cancels
+      catastrophically at x ~ 1e15 epoch-micros);
+    - residual reweight: np.interp on the uniform grid = direct index
+      floor((x-xmin)/step) clamped to [0, gs-2]; s = median |resid|
+      (or 1.0 when 0); robust = clip(1-(r/(6s))^2, 0, 1)^2;
+    - prediction for every slice row via the same interp on the pass-2
+      fit, rounded round(v*1e4)/1e4 on both engines."""
+    r = max(2, int(-(-bandwidth * n // 1)))  # ceil
+    fit = lambda tag, src: f"""
+        , nb{tag} AS (
+            SELECT g.i, g.g, p.x, p.y, p.rb, abs(p.x - g.g) AS d,
+                   row_number() OVER (PARTITION BY g.i
+                                      ORDER BY abs(p.x - g.g), p.x) AS rk
+            FROM grid g CROSS JOIN {src} p
+        ), sel{tag} AS (
+            SELECT *, max(d) OVER (PARTITION BY i) AS dmax0
+            FROM (SELECT * FROM nb{tag} WHERE rk <= {r})
+        ), wt{tag} AS (
+            SELECT i, g, x, y,
+                   pow(1 - pow(least(d / (CASE WHEN dmax0 = 0 THEN 1.0
+                                              ELSE dmax0 END), 1), 3), 3)
+                   * rb AS w
+            FROM sel{tag}
+        ), m{tag} AS (
+            SELECT i, g, sum(w*x)/sum(w) AS xm, sum(w*y)/sum(w) AS ym
+            FROM wt{tag} GROUP BY i, g
+        ), f{tag} AS (
+            SELECT w.i, w.g,
+                   m.ym + (CASE WHEN sum(w.w*(w.x-m.xm)*(w.x-m.xm)) > 1e-12
+                        THEN sum(w.w*(w.x-m.xm)*(w.y-m.ym))
+                             / sum(w.w*(w.x-m.xm)*(w.x-m.xm))
+                        ELSE 0.0 END) * (w.g - m.xm) AS f
+            FROM wt{tag} w JOIN m{tag} m USING (i)
+            GROUP BY w.i, w.g, m.ym, m.xm
+        )"""
+    interp = lambda ftab, xcol: f"""(
+        SELECT f1.f + (f2.f - f1.f)
+               * (CASE WHEN g2.g = g1.g THEN 0.0
+                       ELSE ({xcol} - g1.g) / (g2.g - g1.g) END)
+        FROM gidx gx, grid g1, grid g2, {ftab} f1, {ftab} f2
+        WHERE gx.idx = least(greatest(
+                  CAST(floor(({xcol} - gx.xmin) / gx.step) AS BIGINT),
+                  0), {gs}-2)
+          AND g1.i = gx.idx AND g2.i = gx.idx + 1
+          AND f1.i = gx.idx AND f2.i = gx.idx + 1
+    )"""
+    return f"""
+        WITH pts AS (
+            SELECT event_id, user_id, CAST(epoch_us(ts) AS DOUBLE) AS x,
+                   CAST(value AS DOUBLE) AS y
+            FROM events WHERE event_id < {n}
+        ), fpts0 AS (SELECT x, y FROM pts
+                     WHERE x IS NOT NULL AND y IS NOT NULL),
+        st AS (SELECT min(x) AS xmin, max(x) AS xmax,
+                      (max(x)-min(x))/({gs}-1) AS step FROM fpts0),
+        grid AS (
+            SELECT i, CASE WHEN i = {gs}-1 THEN st.xmax
+                           ELSE st.xmin + i*st.step END AS g
+            FROM st, (SELECT unnest(range(0, {gs})) AS i)
+        ), gidx AS (SELECT xmin, step, unnest(range(0, {gs}-1)) AS idx
+                    FROM st),
+        fpts AS (SELECT x, y, 1.0 AS rb FROM fpts0)
+        {fit('1', 'fpts')}
+        , res AS (
+            SELECT x, y, abs(y - {interp('f1', 'x')}) AS rs FROM fpts0
+        ), sstat AS (
+            SELECT CASE WHEN median(rs) = 0 THEN 1.0 ELSE median(rs) END
+                   AS s FROM res
+        ), fpts2 AS (
+            SELECT x, y, pow(least(greatest(1 - (rs/(6*s))*(rs/(6*s)), 0),
+                                   1), 2) AS rb
+            FROM res, sstat
+        )
+        {fit('2', 'fpts2')}
+        SELECT event_id, user_id,
+               round({interp('f2', 'pts.x')} * 1e4) / 1e4 AS value_loess
+        FROM pts
+    """
 
 
 def _winnow_mn_ctes(k: int = 8, w: int = 4) -> str:
@@ -2709,6 +2813,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_oracle_docs": _minhash_oracle(),
         "winnow_docs": _winnow_oracle(),
         "winnow_pairs_docs": _winnow_pairs_oracle(),
+        "loess_smooth_events": _loess_oracle(),
         "simhash_oracle_docs": _simhash_oracle(),
         "minhash_incremental_pairs_docs": _minhash_oracle(split=300),
         "ivf_topk_embeddings": """
