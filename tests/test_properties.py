@@ -313,3 +313,45 @@ def test_word_shingles_match_python_law(spark, words, k):
         expect = list(dict.fromkeys(
             " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)))
     assert got == expect
+
+
+_docs = hs.lists(hs.text(alphabet="ab c", min_size=0, max_size=24),
+                 min_size=1, max_size=8)
+
+
+@given(ts=_docs, q=hs.text(alphabet="abc ", min_size=1, max_size=8))
+@_SET_SETTINGS
+def test_bm25_matches_python_oracle(spark, ts, q):
+    """BM25 scores against a direct pure-Python Okapi implementation on
+    random corpora/queries: same doc set (score > 0 only), same scores."""
+    import math
+
+    from hypothesis import assume
+    from tech_ml_dataset_spark.functions import text as txt
+
+    terms = sorted({t for t in q.lower().split() if t})
+    assume(terms)
+    k1, b = 1.2, 0.75
+    docs = [(i, t) for i, t in enumerate(ts)]
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    lens = {i: len(tk) for i, tk in toks.items()}
+    nonempty = [lv for lv in lens.values() if lv > 0]
+    want = {}
+    if nonempty:
+        avgdl = sum(nonempty) / len(nonempty)
+        dfreq = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+        for i, tk in toks.items():
+            s = 0.0
+            for t in terms:
+                tf = tk.count(t)
+                idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                s += idf * tf / (tf + k1 * (1 - b + b * lens[i] / avgdl))
+            if s > 0:
+                want[i] = s
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in txt.bm25_search(df, q, k1=k1, b=b).collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9 * max(1.0, abs(want[i]))
