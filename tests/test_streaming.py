@@ -284,6 +284,64 @@ def test_streaming_neardup_sink_builds_corpus_and_index(spark, tmp_path):
     assert sorted(r["doc_id"] for r in idx.collect()) == [1, 3, 5]
 
 
+def test_streaming_sinks_replay_idempotent(spark, tmp_path):
+    """The replay law both sinks document: reprocessing an already-written
+    batch (checkpoint loss — the failure-recovery path) converges to the
+    SAME corpus and index. Dynamic partition overwrite + the
+    current-batch-excluding history read mean the replayed batch never
+    dedups against its own earlier write."""
+    import shutil
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest to hide from every hunter")
+    other = ("completely different text about spark dataframes and shuffles "
+             "with no overlap whatsoever in any shingle of meaningful size")
+    corpus = str(tmp_path / "rcorpus")
+    src = str(tmp_path / "rcrawl")
+    ck = str(tmp_path / "rck")
+    spark.createDataFrame(
+        [(1, base), (2, base.replace("green", "dark")), (3, other)],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = sw.read_stream(spark, src, "doc_id long, text string")
+        sw.streaming_neardup_sink(stream, corpus, checkpoint=ck,
+                                  threshold=0.5, n_hashes=64,
+                                  bands=16).awaitTermination()
+
+    run()
+    snap = sorted((r["doc_id"], r["batch_id"])
+                  for r in spark.read.parquet(corpus + "/docs").collect())
+    assert snap == [(1, 0), (3, 0)]
+    shutil.rmtree(ck)  # lose the checkpoint -> batch 0 replays
+    run()
+    snap2 = sorted((r["doc_id"], r["batch_id"])
+                   for r in spark.read.parquet(corpus + "/docs").collect())
+    assert snap2 == snap
+    idx = sorted(r["doc_id"] for r in
+                 spark.read.parquet(corpus + "/index/shingles").collect())
+    assert idx == [1, 3]
+
+    # exact-dedup sink: same law
+    corpus2 = str(tmp_path / "rcorpus2")
+    ck2 = str(tmp_path / "rck2")
+
+    def run2():
+        stream = sw.read_stream(spark, src, "doc_id long, text string")
+        sw.streaming_dedup_sink(stream, corpus2, checkpoint=ck2,
+                                exact_verify=True).awaitTermination()
+
+    run2()
+    s1 = sorted((r["doc_id"], r["batch_id"])
+                for r in spark.read.parquet(corpus2).collect())
+    shutil.rmtree(ck2)
+    run2()
+    s2 = sorted((r["doc_id"], r["batch_id"])
+                for r in spark.read.parquet(corpus2).collect())
+    assert s2 == s1
+
+
 def test_streaming_dedup_sink_restores_overwrite_mode(spark, tmp_path):
     """r4 review: the sink restored partitionOverwriteMode only when it
     had been set explicitly — when unset (the common case) 'dynamic'
