@@ -946,7 +946,12 @@ def minhash_index_write(df: DataFrame, path: str, id_col: str = "doc_id",
     mismatched parameters silently finds nothing, so
     :func:`minhash_index_probe` validates against it). ``mode="append"``
     adds a newly accepted batch; ids must stay globally unique across
-    appends (parameters are re-validated, not re-written)."""
+    appends (parameters are re-validated, not re-written). Plain parquet
+    append is NOT crash-atomic — a job that dies mid-append can leave
+    partial files in the index. For continuous ingest use
+    :func:`~tech_ml_dataset_spark.streaming.windows.streaming_neardup_sink`
+    instead: its batch_id partitions + dynamic overwrite make replays
+    converge (tested)."""
     spark = df.sparkSession
     if mode == "append":
         _minhash_index_params(spark, path, k=k, n_hashes=n_hashes,
