@@ -1183,6 +1183,19 @@ def tfidf_docs(spark, sf_dir):
               .orderBy("doc_id", "term_rank")
 
 
+def fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs (dedup.py fuzzy_dedup_pairs — the
+    entity-resolution primitive): customer names within levenshtein 1,
+    found via the Gravano VLDB'01 q-gram count filter (a THEOREM, so the
+    candidate set provably contains every true pair) + exact verify. The
+    oracle is the brute-force law — matching it end-to-end proves the
+    filter's completeness on real data."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    return dd.fuzzy_dedup_pairs(cust.select("c_custkey", "c_name"),
+                                text_col="c_name", id_col="c_custkey",
+                                max_dist=1)
+
+
 def bm25_search_docs(spark, sf_dir):
     """Okapi BM25 ranked retrieval (text.py bm25_search — the RAG/eval
     lexical-search primitive): query "hash join merge window" against the
@@ -2304,7 +2317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join/agg shape is covered by the other in-window TPC-H queries,
         # rotates out)
         "winnow_docs": winnow_docs,
-        "filter_project": filter_project,
+        # (a-new) r4 edit-distance fuzzy join — new operator with a
+        # provable-completeness candidate filter, driver-prove this round
+        # (filter_project, r2-green with the select/filter paths untouched
+        # in r4, rotates out)
+        "fuzzy_name_pairs": fuzzy_name_pairs,
         "topk_orders": topk_orders,
         # (a-new) r4 LOESS oracle promotion — full-sample fit on the
         # complete 5000-row slice is deterministic and DuckDB-replayed;
@@ -2461,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_user": rolling_corr_user,
         "abb_fill_events": abb_fill_events,
         "take_nth_lineitem": take_nth_lineitem,
+        "filter_project": filter_project,
         "q5_nation_revenue": q5_nation_revenue,
         "q1_pricing_summary": q1_pricing_summary,
         "bpe_encode_docs": bpe_encode_docs,
@@ -2814,6 +2832,14 @@ def oracle_sql() -> dict[str, str]:
         "winnow_docs": _winnow_oracle(),
         "winnow_pairs_docs": _winnow_pairs_oracle(),
         "loess_smooth_events": _loess_oracle(),
+        "fuzzy_name_pairs": """
+            WITH c AS (SELECT c_custkey, c_name FROM customer
+                       WHERE c_custkey < 300)
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name) AS dist
+            FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
         "simhash_oracle_docs": _simhash_oracle(),
         "minhash_incremental_pairs_docs": _minhash_oracle(split=300),
         "ivf_topk_embeddings": """

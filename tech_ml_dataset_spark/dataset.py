@@ -374,6 +374,16 @@ class Dataset:
         return self._wrap(_dd.similarity_join(self.df, _unwrap(right),
                                               text_col, **kw))
 
+    def fuzzy_join(self, right, text_col="text", **kw):
+        from .functions import dedup as _dd
+        return self._wrap(_dd.fuzzy_join(self.df, _unwrap(right),
+                                         text_col, **kw))
+
+    def fuzzy_dedup_pairs(self, text_col="text", id_col="doc_id", **kw):
+        from .functions import dedup as _dd
+        return self._wrap(_dd.fuzzy_dedup_pairs(self.df, text_col,
+                                                id_col, **kw))
+
     def heavy_hitters(self, col, **kw):
         from .functions import text as _txt
         return self._wrap(_txt.heavy_hitters(self.df, col, **kw))

@@ -571,3 +571,41 @@ def test_minhash_dedup_keep_by_cluster_best(spark):
     assert kept_best == [2, 4]
     with pytest.raises(ValueError, match="transitive=True"):
         dd.minhash_dedup(df, keep_by="quality")
+
+
+def test_fuzzy_join_matches_bruteforce(spark):
+    """Edit-distance join: q-gram count-filter candidates + levenshtein
+    verify equal the brute-force law, including the multiset-gram case
+    (repeated grams), the short-string length-band path, and empty
+    strings."""
+    import itertools
+
+    def ed(a, b):  # classic Wagner-Fischer
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    names = ["Customer#000000001", "Customer#000000002",
+             "Customer#000000011", "aaaaaaaaaa", "aaaaaaaaab",
+             "ab", "ba", "b", "", "xy", "completely different"]
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (0, 1, 2):
+        got = {(r["id_a"], r["id_b"]): r["dist"]
+               for r in dd.fuzzy_dedup_pairs(df, max_dist=k).collect()}
+        want = {(i, j): ed(a, b)
+                for (i, a), (j, b) in itertools.combinations(rows, 2)
+                if ed(a, b) <= k}
+        assert got == want, f"k={k}"
+    # cross-corpus face: output naming + completeness both ways
+    left = df.filter(F.col("doc_id") < 5)
+    right = df.filter(F.col("doc_id") >= 5)
+    got = {(r["left_id"], r["right_id"]) for r in
+           dd.fuzzy_join(left, right, max_dist=2).collect()}
+    want = {(i, j) for (i, a) in rows[:5] for (j, b) in rows[5:]
+            if ed(a, b) <= 2}
+    assert got == want
