@@ -83,17 +83,37 @@ def labels(df: DataFrame, cat_map: dict | None = None) -> DataFrame:
 
 
 def probability_distributions_to_label_column(
-        df: DataFrame, prob_cols: Sequence[str], dst_colname: str) -> DataFrame:
+        df: DataFrame, prob_cols: Sequence[str], dst_colname: str, *,
+        on_invalid: str = "raise") -> DataFrame:
     """``probability-distributions->label-column`` (modelling.clj:225): the
     probability columns are named after their labels; the output label is
     the argmax column name per row. Pure Column expressions (greatest +
-    chained when) — codegen'd, no UDF."""
+    chained when) — codegen'd, no UDF.
+
+    A NaN or missing probability RAISES (executor-side ``raise_error``, no
+    extra scan) — the reference's issue-267 law (modelling_test.clj:39-45:
+    a distribution containing NaN/nil has no argmax; silently emitting a
+    label poisons training data downstream). ``on_invalid="null"`` opts
+    into a NULL label instead."""
+    if on_invalid not in ("raise", "null"):
+        raise ValueError(f"on_invalid must be 'raise' or 'null', "
+                         f"got {on_invalid!r}")
     cols = list(prob_cols)
     mx = F.greatest(*[F.col(c) for c in cols]) if len(cols) > 1 else F.col(cols[0])
     expr = F.lit(None).cast("string")
     for c in reversed(cols):  # first match wins, like the reference's scan
         expr = F.when(F.col(c) == mx, F.lit(c)).otherwise(expr)
-    return df.withColumn(dst_colname, expr)
+    bad = None
+    for c in cols:
+        isbad = F.col(c).isNull() | F.isnan(F.col(c).cast("double"))
+        bad = isbad if bad is None else (bad | isbad)
+    invalid = (F.raise_error(F.lit(
+        f"probability_distributions_to_label_column: NaN/missing "
+        f"probability in {cols} — no argmax exists (reference issue-267); "
+        f"pass on_invalid='null' to emit NULL labels instead"))
+        .cast("string") if on_invalid == "raise"
+        else F.lit(None).cast("string"))
+    return df.withColumn(dst_colname, F.when(bad, invalid).otherwise(expr))
 
 
 def train_classification(df: DataFrame, label_col: str,

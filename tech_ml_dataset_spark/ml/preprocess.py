@@ -633,9 +633,27 @@ def train_test_split(df: DataFrame, *, test_fraction: float = 0.3,
 
 def k_fold_datasets(df: DataFrame, k: int, *, seed: int | None = None
                     ) -> list[tuple[DataFrame, DataFrame]]:
-    """``k-fold-datasets`` (modelling.clj:139): k (train, test) pairs via a
-    persistent random bucket column — one pass to tag, k cheap filters."""
-    tagged = df.withColumn("__fold__", (F.rand(seed) * k).cast("int"))
+    """``k-fold-datasets`` (modelling.clj:139): k (train, test) pairs with
+    EXACT near-equal fold sizes — the reference's shape law
+    (modelling_test.clj:9-17: 59 rows, 5 folds -> test sizes
+    [12 12 12 12 11], i.e. the first n mod k folds get the extra row).
+    Rows are shuffled deterministically by a seeded hash, given a
+    contiguous index (range-repartition + broadcast offsets — never a
+    single-partition window; selection.py machinery), and fold i is
+    ``idx % k``. A ``rand()``-bucketed tag (the pre-r4 shape) gave
+    binomially RANDOM fold sizes, breaking the reference's exact-split
+    contract and leaving fold balance to chance on small datasets."""
+    from ..operators.selection import _free_name, with_row_index
+    if k < 2:
+        raise ValueError("k_fold_datasets: k must be >= 2")
+    order = F.xxhash64(F.struct(*df.columns), F.lit(seed if seed is not None
+                                                    else 42))
+    name = _free_name(df.columns, "__kfold_idx__")
+    tagged = with_row_index(df, order_by=order, name=name) \
+        .withColumn("__fold__", (F.col(name) % k).cast("int")).drop(name) \
+        .localCheckpoint(eager=True)  # pin assignment: folds must be a
+    # PARTITION of the data — recomputing the hash sort per filter could
+    # re-break ties differently and leak rows across folds
     return [(tagged.filter(F.col("__fold__") != i).drop("__fold__"),
              tagged.filter(F.col("__fold__") == i).drop("__fold__"))
             for i in range(k)]

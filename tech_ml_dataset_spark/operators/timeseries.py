@@ -29,6 +29,23 @@ from pyspark.sql import types as T
 from ..dtutil import epoch_micros, from_epoch_micros
 
 
+def _apply_fill(out: DataFrame, fill: dict | None, axis_col: str, by):
+    """Apply a fill-range ``fill`` spec: column -> strategy name, or
+    ``("value", v)`` for the reference's constant-replacement arm
+    (math_test.clj:38-41 ``fill-range-replace :a 2 :value 20``)."""
+    from .missing import replace_missing
+
+    for colname, strategy in (fill or {}).items():
+        if isinstance(strategy, (tuple, list)):
+            name, val = strategy
+            out = replace_missing(out, colname, name, value=val,
+                                  order_by=axis_col, by=by)
+        else:
+            out = replace_missing(out, colname, strategy,
+                                  order_by=axis_col, by=by)
+    return out
+
+
 def fill_range_replace(df: DataFrame, axis_col: str, max_span, *,
                        by: str | Sequence[str] | None = None,
                        fill: dict | None = None,
@@ -86,11 +103,7 @@ def fill_range_replace(df: DataFrame, axis_col: str, max_span, *,
     inserted = inserted.withColumn(axis_col, new_axis).withColumns(null_others) \
                        .select(*df.columns)
     out = df.unionByName(inserted)
-    if fill:
-        for colname, strategy in fill.items():
-            out = replace_missing(out, colname, strategy,
-                                  order_by=axis_col, by=by)
-    return out
+    return _apply_fill(out, fill, axis_col, by)
 
 
 def fill_range_months(df: DataFrame, axis_col: str, max_span_months: int, *,
@@ -133,11 +146,7 @@ def fill_range_months(df: DataFrame, axis_col: str, max_span_months: int, *,
                               for c in other if c not in by_cols})
                 .select(*df.columns))
     out = df.unionByName(inserted)
-    if fill:
-        for colname, strategy in fill.items():
-            out = replace_missing(out, colname, strategy,
-                                  order_by=axis_col, by=by)
-    return out
+    return _apply_fill(out, fill, axis_col, by)
 
 
 # ---------------------------------------------------------------------------

@@ -855,3 +855,46 @@ def test_bucketize(spark):
     assert out[0.0] == 0 and out[0.5] == 0       # [0,1)
     assert out[1.0] == 1 and out[1.5] == 1       # [1,2)
     assert out[2.0] == 1                         # last bucket closes at 2
+
+
+def test_kfold_exact_shapes_reference_law(spark):
+    """modelling_test.clj:9-17: 59 rows / 5 folds -> test sizes
+    [12 12 12 12 11] (first n mod k folds take the extra row), train
+    sizes the complements; folds PARTITION the data (disjoint, total n)."""
+    from tech_ml_dataset_spark.ml import preprocess as mlp
+
+    df = spark.range(59).withColumn("v", F.col("id") * 2.0)
+    folds = mlp.k_fold_datasets(df, 5, seed=7)
+    test_sizes = [t.count() for _, t in folds]
+    train_sizes = [tr.count() for tr, _ in folds]
+    assert sorted(test_sizes, reverse=True) == [12, 12, 12, 12, 11]
+    assert test_sizes == [12, 12, 12, 12, 11]  # extra rows to FIRST folds
+    assert train_sizes == [47, 47, 47, 47, 48]
+    ids = [sorted(r["id"] for r in t.collect()) for _, t in folds]
+    allids = sorted(i for f in ids for i in f)
+    assert allids == list(range(59))  # disjoint cover
+    # deterministic under the same seed
+    folds2 = mlp.k_fold_datasets(df, 5, seed=7)
+    assert [sorted(r["id"] for r in t.collect()) for _, t in folds2] == ids
+
+
+def test_prob_dist_label_raises_on_nan_missing(spark):
+    """modelling_test.clj:39-45 (reference issue-267): a probability
+    distribution containing NaN or nil has no argmax — the label step
+    must THROW, not silently emit a label; on_invalid='null' opts out."""
+    from py4j.protocol import Py4JJavaError
+
+    nan_df = spark.createDataFrame([(float("nan"), 0.3)], ["y0", "y1"])
+    out = mdl.probability_distributions_to_label_column(
+        nan_df, ["y0", "y1"], "y")
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "issue-267" in str(ei.value)
+    null_df = spark.createDataFrame([(None, 0.3), (0.4, 0.2)],
+                                    "y0 double, y1 double")
+    with pytest.raises(Exception):
+        mdl.probability_distributions_to_label_column(
+            null_df, ["y0", "y1"], "y").collect()
+    soft = mdl.probability_distributions_to_label_column(
+        null_df, ["y0", "y1"], "y", on_invalid="null").orderBy("y1").collect()
+    assert [r["y"] for r in soft] == ["y0", None]

@@ -135,3 +135,34 @@ def test_rolling_range_months_keeps_null_keys_and_axis(spark):
     # NULL axis anchors nothing: retained with NULL aggregates
     assert got[(1, "None")] == (None, None)
     assert got[(1, "2024-03-01")] == (3.0, 1)
+
+
+def test_fill_range_reference_vectors(spark):
+    """Pin the reference's own fill-range-replace vectors
+    (/root/reference/test/tech/v3/dataset/math_test.clj:22-50): axis
+    [1 5 10 15 20] with max-span 2 inserts ceil(gap/span)-1 evenly spaced
+    rows; :down fill carries b forward across inserted AND originally-nil
+    rows; no fill leaves inserted rows nil; :value 20 replaces every
+    missing b with 20."""
+    df = spark.createDataFrame(
+        [(1.0, 2), (5.0, 2), (10.0, None), (15.0, 4), (20.0, 8)],
+        "a double, b int")
+
+    def run(fill):
+        out = tss.fill_range_replace(df, "a", 2.0, by=None, fill=fill)
+        rows = out.orderBy("a").collect()
+        return ([round(r["a"], 2) for r in rows], [r["b"] for r in rows])
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # by=None single-task demo
+        a_down, b_down = run({"b": "down"})
+        a_nil, b_nil = run(None)
+        a_val, b_val = run({"b": ("value", 20)})
+    want_a = [1.0, 3.0, 5.0, 6.67, 8.33, 10.0,
+              11.67, 13.33, 15.0, 16.67, 18.33, 20.0]
+    assert a_down == a_nil == a_val == want_a
+    assert b_down == [2, 2, 2, 2, 2, 2, 2, 2, 4, 4, 4, 8]
+    assert b_nil == [2, None, 2, None, None, None,
+                     None, None, 4, None, None, 8]
+    assert b_val == [2, 20, 2, 20, 20, 20, 20, 20, 4, 20, 20, 8]
