@@ -118,6 +118,16 @@ def test_parser_fn_pins_types_and_nulls_bad_parses(spark, tmp_path):
     rows = {r["a"]: r for r in df.collect()}
     assert str(rows[1]["d"]) == "2024-01-02" and rows[1]["x"] == 5.0
     assert rows[2]["d"] is None and rows[2]["x"] is None
+    # reference mapseq_test.clj:216-222 datetime-missing law: a nil date
+    # is the ONLY missing cell; the extreme "0001-01-01" parses (proleptic
+    # gregorian), it is not silently nulled
+    d2 = sio.to_dataset(
+        spark, [{"d": "1971-01-01"}, {"d": "1970-01-01"}, {"d": None},
+                {"d": "0001-01-01"}], parser_fn={"d": "local-date"})
+    vals = [r["d"] for r in d2.collect()]
+    assert sum(v is None for v in vals) == 1
+    assert sorted(str(v) for v in vals if v is not None) == \
+        ["0001-01-01", "1970-01-01", "1971-01-01"]
 
 
 def test_stream_stream_join_with_watermarks(spark, tmp_path):
