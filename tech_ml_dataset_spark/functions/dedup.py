@@ -537,6 +537,8 @@ def similarity_join(left: DataFrame, right: DataFrame,
     With ``prefix_filter=False`` the index holds ALL tokens
     (share-any-token candidates) — exact even for threshold 0, at the cost
     of stopword-sized fan-out."""
+    from ..dtutil import ensure_parallelism
+    left, right = ensure_parallelism(left), ensure_parallelism(right)
     lt = left.select(F.col(left_id).alias("__lid__"),
                      shingles(F.col(text_col), k, mode="word").alias("__sh__"))
     rt = right.select(F.col(right_id).alias("__rid__"),
