@@ -995,3 +995,22 @@ def test_psi_drift_categorical_boolean_column(spark):
                  .collect()[0]["psi"]) < 1e-12
     moved = dv.psi_drift_categorical(ref, cur, "is_spam").collect()[0]
     assert moved["psi"] > 1.0  # massive flip must register
+
+
+def test_sort_nan_strategy_and_nil_unique_reference_laws(spark):
+    """dataset_test.clj:1306-1313 sort-works-with-nan: nan-strategy
+    :first/:last map to null placement ([nil nil nil 1 2 4] resp.
+    [1 2 4 nil nil nil]); dataset_test.clj:928-932 unique-by on an
+    all-nil column must not crash (one NULL survivor)."""
+    from tech_ml_dataset_spark.operators import setops as st
+
+    df = spark.createDataFrame([(1,), (None,), (2,), (None,), (None,), (4,)],
+                               "a int")
+    first = [r["a"] for r in
+             st.sort_by_column(df, "a", nulls_first=True).collect()]
+    last = [r["a"] for r in
+            st.sort_by_column(df, "a", nulls_first=False).collect()]
+    assert first == [None, None, None, 1, 2, 4]
+    assert last == [1, 2, 4, None, None, None]
+    allnil = spark.createDataFrame([(None,), (None,)], "abc string")
+    assert st.unique_by_column(allnil, "abc").count() == 1
