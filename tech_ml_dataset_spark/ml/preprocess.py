@@ -56,6 +56,17 @@ def fit_categorical_map(df: DataFrame, colname: str, *,
         raise ValueError(
             f"fit_categorical_map({colname!r}): duplicate codes in table "
             f"{table!r} — each value needs a distinct code")
+    nonint = [c for c in codes
+              if isinstance(c, bool)
+              or not (isinstance(c, int)
+                      or (isinstance(c, float) and c.is_integer()))]
+    if nonint:
+        # reference issue-322 (dataset_test.clj:1562-1578): categorical
+        # codes are DISCRETE — a fractional code like 2.2 raises instead
+        # of silently minting a non-invertible mapping
+        raise ValueError(
+            f"fit_categorical_map({colname!r}): non-integral codes "
+            f"{nonint} — categorical codes must be discrete integers")
     if complete:
         if not table:
             raise ValueError(

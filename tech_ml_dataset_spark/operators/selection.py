@@ -302,8 +302,17 @@ def _resolve_row_indexes(df: DataFrame, indexes) -> list[int]:
     """Normalize an index collection, resolving NEGATIVE indices from the
     end (reference select-by-index law, dataset_test.clj:643-691:
     ``(select-rows ds -4)`` is the 4th row from the end). Negatives cost
-    one count() action; plain non-negative lists stay action-free."""
-    idxs = [int(i) for i in ([indexes] if isinstance(indexes, int) else indexes)]
+    one count() action; plain non-negative lists stay action-free.
+
+    A BOOLEAN sequence is a mask (reference select-bool law,
+    dataset_test.clj:1741-1750) — position i is kept iff mask[i]. The
+    check must precede int coercion: bool subclasses int, so a mask fed
+    to the index path would silently become indices 0/1 (rows 0 and 1
+    over and over), a wrong answer rather than an error."""
+    raw = [indexes] if isinstance(indexes, int) else list(indexes)
+    if raw and all(isinstance(i, bool) for i in raw):
+        return [i for i, b in enumerate(raw) if b]
+    idxs = [int(i) for i in raw]
     if any(i < 0 for i in idxs):
         n = df.count()
         idxs = [i + n if i < 0 else i for i in idxs]

@@ -89,14 +89,31 @@ TMD_DTYPES = {
 }
 
 
-def apply_parser_fn(df: DataFrame, parser_fn: Mapping) -> DataFrame:
+def apply_parser_fn(df: DataFrame, parser_fn: Mapping, *,
+                    disable_na_as_missing: bool = False) -> DataFrame:
     """``:parser-fn`` (reference io.clj:194-223): per-column type pinning.
     Spec per column: a TMD dtype name ("int32", "local-date", ...), a
     ``(dtype, format-string)`` pair for datetime parsing, or a callable
     Column -> Column (the custom-parse-fn escape hatch). Bad parses become
     NULL (to_date/try-cast semantics) — the reference's parse-failure ->
-    missing convention (io/column_parsers.clj:92-102)."""
+    missing convention (io/column_parsers.clj:92-102).
+
+    A string source cell that is empty or equals "na" case-insensitively
+    is MISSING before the parse (column_parsers.clj:175-189
+    ``missing-value?`` — dataset_test.clj:1759-1764 fixed-type law;
+    non-string targets already got this for free via try_cast).
+    ``disable_na_as_missing=True`` keeps literal "NA"/"na" strings
+    (the reference's ``:disable-na-as-missing?``)."""
     from pyspark.sql import functions as F
+
+    str_cols = {c for c, t in df.dtypes if t == "string"}
+
+    def _src(col):
+        c = F.col(col)
+        if disable_na_as_missing or col not in str_cols:
+            return c
+        return F.when((c == "") | (F.lower(c) == "na"),
+                      F.lit(None).cast("string")).otherwise(c)
 
     out = df
     for col, spec in parser_fn.items():
@@ -108,7 +125,7 @@ def apply_parser_fn(df: DataFrame, parser_fn: Mapping) -> DataFrame:
             target = TMD_DTYPES.get(dt, dt)
             # try_* so bad input -> NULL even under ANSI (plain sessions),
             # never an executor-side exception
-            ts = F.try_to_timestamp(F.col(col), F.lit(fmt))
+            ts = F.try_to_timestamp(_src(col), F.lit(fmt))
             if target == "date":
                 out = out.withColumn(col, ts.try_cast("date"))
             elif target.startswith("timestamp"):
@@ -116,7 +133,7 @@ def apply_parser_fn(df: DataFrame, parser_fn: Mapping) -> DataFrame:
             else:
                 raise ValueError(f"format-string parser for non-datetime {dt!r}")
             continue
-        out = out.withColumn(col, F.col(col).try_cast(TMD_DTYPES.get(spec, spec)))
+        out = out.withColumn(col, _src(col).try_cast(TMD_DTYPES.get(spec, spec)))
     return out
 
 
@@ -181,6 +198,7 @@ def to_dataset(
     unique_column_name_fn=None,
     n_initial_skip_rows: int = 0,
     ragged: bool = False,
+    disable_na_as_missing: bool = False,
     **options,
 ) -> DataFrame:
     """``->dataset``: build a DataFrame from a path, list-of-dicts, or
@@ -342,7 +360,8 @@ def to_dataset(
     if key_fn is not None:
         df = df.toDF(*[key_fn(c) for c in df.columns])
     if parser_fn is not None:
-        df = apply_parser_fn(df, parser_fn)
+        df = apply_parser_fn(df, parser_fn,
+                             disable_na_as_missing=disable_na_as_missing)
     if column_allowlist is not None:
         df = df.select(*[c for c in df.columns if c in set(column_allowlist)])
     if column_blocklist is not None:

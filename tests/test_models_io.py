@@ -898,3 +898,14 @@ def test_prob_dist_label_raises_on_nan_missing(spark):
     soft = mdl.probability_distributions_to_label_column(
         null_df, ["y0", "y1"], "y", on_invalid="null").orderBy("y1").collect()
     assert [r["y"] for r in soft] == ["y0", None]
+
+
+def test_categorical_codes_must_be_integral(spark):
+    """dataset_test.clj:1562-1578 issue-322: a fractional pinned code
+    (2.2) raises; integral codes (ints or x.0 floats) are accepted."""
+    df = spark.createDataFrame([("AAPL",), ("MSFT",)], ["sym"])
+    with pytest.raises(ValueError, match="non-integral"):
+        mlp.fit_categorical_map(df, "sym",
+                                table={"AAPL": 1, "MSFT": 2.2})
+    ok = mlp.fit_categorical_map(df, "sym", table={"AAPL": 1, "MSFT": 2.0})
+    assert ok["table"]["MSFT"] == 2.0

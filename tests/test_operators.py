@@ -1014,3 +1014,19 @@ def test_sort_nan_strategy_and_nil_unique_reference_laws(spark):
     assert last == [1, 2, 4, None, None, None]
     allnil = spark.createDataFrame([(None,), (None,)], "abc string")
     assert st.unique_by_column(allnil, "abc").count() == 1
+
+
+def test_select_rows_boolean_mask_law(spark):
+    """dataset_test.clj:1741-1750 select-bool-issue-387: a boolean
+    sequence is a MASK (keep row i iff mask[i]) — before r4 it silently
+    int-coerced to indices 0/1."""
+    from tech_ml_dataset_spark.operators import selection as sel
+
+    df = spark.range(10)
+    mask = [True, False] * 5
+    got = sorted(r["id"] for r in
+                 sel.select_rows(df, mask, order_by="id").collect())
+    assert got == [0, 2, 4, 6, 8]
+    dropped = sorted(r["id"] for r in
+                     sel.drop_rows(df, mask, order_by="id").collect())
+    assert dropped == [1, 3, 5, 7, 9]

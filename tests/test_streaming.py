@@ -379,3 +379,21 @@ def test_streaming_dedup_sink_restores_overwrite_mode(spark, tmp_path):
     q2.awaitTermination()
     assert spark.conf.get(key) == "static"
     spark.conf.unset(key)
+
+
+def test_parser_fn_na_as_missing_law(spark):
+    """dataset_test.clj:1752-1764: under :parser-fn :string, "NA"/"na"
+    (case-insensitive) and "" parse as MISSING by default;
+    disable_na_as_missing keeps them as literal strings."""
+    from tech_ml_dataset_spark.sources import io as sio
+
+    data = [{"a": "no"}, {"a": "NA"}, {"a": "na"}]
+    strict = sio.to_dataset(spark, data, parser_fn={"a": "string"})
+    assert [r["a"] for r in strict.collect()] == ["no", None, None]
+    loose = sio.to_dataset(spark, data, parser_fn={"a": "string"},
+                           disable_na_as_missing=True)
+    assert [r["a"] for r in loose.collect()] == ["no", "NA", "na"]
+    # numeric targets are unchanged (NA never casts anyway)
+    nums = sio.to_dataset(spark, [{"a": "1"}, {"a": "NA"}],
+                          parser_fn={"a": "int32"})
+    assert [r["a"] for r in nums.collect()] == [1, None]
