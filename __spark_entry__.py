@@ -2349,7 +2349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round (rolling_user_value, r2-green with window.py untouched in
         # r4, rotates out)
         "psi_drift_categorical_docs": psi_drift_categorical_docs,
-        "cube_orders": cube_orders,
+        # (a-late) fill_range fill-application refactored late-r4
+        # (_apply_fill + ("value", v) arm) — driver-reprove (cube_orders,
+        # r1/r2-green with the cube path untouched all round, rotates out)
+        "fill_range_events": fill_range_events,
         # (a-new) r4 Okapi BM25 ranked retrieval — new operator,
         # driver-prove this round (reduce_union_orders, r2-green with
         # setops.py untouched in r4, rotates out)
@@ -2447,7 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline_png_docs": image_pipeline_png_docs,
         "decontaminate_docs": decontaminate_docs,
         "pii_redact_docs": pii_redact_docs,
-        "fill_range_events": fill_range_events,
+        "cube_orders": cube_orders,
         "descriptive_stats_lineitem": descriptive_stats_lineitem,
         "pd_merge_outer": pd_merge_outer,
         "grouping_sets_orders": grouping_sets_orders,
