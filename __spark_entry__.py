@@ -1183,6 +1183,21 @@ def tfidf_docs(spark, sf_dir):
               .orderBy("doc_id", "term_rank")
 
 
+def unicode_nfc_docs(spark, sf_dir):
+    """UAX #15 NFC normalization (text.py normalize_unicode — pandas_udf
+    over stdlib unicodedata): the fixture text is ASCII, so the query
+    first rewrites 'a' to 'a'+U+0301 (combining acute), then NFC-composes
+    — every such pair must fuse to U+00E1. The oracle replays the
+    injection and DuckDB's nfc_normalize (same UAX #15 law); comparing
+    md5 + length proves composition happened identically byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    inj = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), "a", "a\u0301"))
+    out = txt.normalize_unicode(inj, "text", form="NFC")
+    return out.select("doc_id", F.md5(F.col("text")).alias("h"),
+                      F.length("text").alias("n_chars"))
+
+
 def fuzzy_name_pairs(spark, sf_dir):
     """Edit-distance near-dup pairs (dedup.py fuzzy_dedup_pairs — the
     entity-resolution primitive): customer names within levenshtein 1,
@@ -2322,7 +2337,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (filter_project, r2-green with the select/filter paths untouched
         # in r4, rotates out)
         "fuzzy_name_pairs": fuzzy_name_pairs,
-        "topk_orders": topk_orders,
+        # (a-new) late-r4 UAX#15 NFC normalization — new operator,
+        # driver-prove this round (topk_orders, r2-green with the
+        # TakeOrdered path untouched in r4, rotates out)
+        "unicode_nfc_docs": unicode_nfc_docs,
         # (a-new) r4 LOESS oracle promotion — full-sample fit on the
         # complete 5000-row slice is deterministic and DuckDB-replayed;
         # driver-prove this round (take_nth_lineitem, r2-green with the
@@ -2482,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abb_fill_events": abb_fill_events,
         "take_nth_lineitem": take_nth_lineitem,
         "filter_project": filter_project,
+        "topk_orders": topk_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "q1_pricing_summary": q1_pricing_summary,
         "bpe_encode_docs": bpe_encode_docs,
@@ -2835,6 +2854,14 @@ def oracle_sql() -> dict[str, str]:
         "winnow_docs": _winnow_oracle(),
         "winnow_pairs_docs": _winnow_pairs_oracle(),
         "loess_smooth_events": _loess_oracle(),
+        "unicode_nfc_docs": """
+            SELECT doc_id,
+                   md5(nfc_normalize(replace(text, 'a', 'a' || chr(769))))
+                       AS h,
+                   length(nfc_normalize(replace(text, 'a', 'a' || chr(769))))
+                       AS n_chars
+            FROM documents WHERE doc_id < 300
+        """,
         "fuzzy_name_pairs": """
             WITH c AS (SELECT c_custkey, c_name FROM customer
                        WHERE c_custkey < 300)

@@ -359,6 +359,10 @@ class Dataset:
         return self._wrap(_txt.bm25_search(self.df, query, text_col,
                                            id_col, **kw))
 
+    def normalize_unicode(self, text_col="text", **kw):
+        from .functions import text as _txt
+        return self._wrap(_txt.normalize_unicode(self.df, text_col, **kw))
+
     def remove_boilerplate_lines(self, text_col="text", id_col="doc_id", **kw):
         from .functions import text as _txt
         return self._wrap(_txt.remove_boilerplate_lines(

@@ -1504,3 +1504,39 @@ def url_dedup(df: DataFrame, url_col: str, id_col: str = "doc_id", *,
     survivors = nn.groupBy("__cu__").agg(keep_fn(id_col).alias(id_col))
     return (nn.join(survivors, ["__cu__", id_col], "left_semi")
               .drop("__cu__").unionByName(nulls))
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text", *,
+                      form: str = "NFC", out_col: str | None = None,
+                      strip_control: bool = False) -> DataFrame:
+    """Unicode normalization (UAX #15) — the crawl-text cleanup step every
+    multilingual pipeline runs before dedup/tokenization (the same logical
+    text arrives as precomposed OR combining sequences; unnormalized, they
+    never hash-match). ``form``: NFC/NFKC/NFD/NFKD. ``strip_control``
+    additionally removes C0/C1 control characters except tab/newline
+    (a pure Catalyst regexp, applied AFTER normalization).
+
+    Spark has no built-in normalizer, so this is an Arrow-batched
+    ``pandas_udf`` over ``unicodedata`` (stdlib; one Python pass per
+    batch). NULL in -> NULL out. The NFC law is engine-portable — DuckDB's
+    ``nfc_normalize`` implements the same UAX #15 form, which is what lets
+    the `unicode_nfc_docs` query be oracle-checked end-to-end."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out_col = out_col or text_col
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: unicodedata.normalize(form, t)
+                     if t is not None else None)
+
+    out = df.withColumn(out_col, _norm(F.col(text_col)))
+    if strip_control:
+        out = out.withColumn(out_col, F.regexp_replace(
+            F.col(out_col),
+            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", ""))
+    return out

@@ -1000,3 +1000,30 @@ def test_to_dataset_reads_http_urls(spark, tmp_path):
         assert dict(df.dtypes)["price"] == "double"
     finally:
         srv.shutdown()
+
+
+def test_normalize_unicode_forms(spark):
+    """UAX #15 forms: combining sequence 'a'+U+0301 NFC-composes to 'á';
+    NFD decomposes back; NFKC folds compatibility chars (ﬁ ligature);
+    NULL passes through; strip_control removes C0/C1 but keeps tab/LF."""
+    from tech_ml_dataset_spark.functions import text as txt
+
+    rows = [(1, "ábc"), (2, "ﬁle"), (3, None),
+            (4, "x\x00y\tz\n\x9fw")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r["doc_id"]: r["text"]
+           for r in txt.normalize_unicode(df, form="NFC").collect()}
+    assert nfc[1] == "ábc" and nfc[2] == "ﬁle" and nfc[3] is None
+    nfkc = {r["doc_id"]: r["text"]
+            for r in txt.normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[2] == "file"
+    nfd = {r["doc_id"]: r["text"] for r in txt.normalize_unicode(
+        spark.createDataFrame([(1, "á")], "doc_id long, text string"),
+        form="NFD").collect()}
+    assert nfd[1] == "á"
+    ctl = {r["doc_id"]: r["text"] for r in txt.normalize_unicode(
+        df, form="NFC", strip_control=True).collect()}
+    assert ctl[4] == "xy\tz\nw"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="normalization form"):
+        txt.normalize_unicode(df, form="NFX")
