@@ -2418,12 +2418,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest + tools/verify_local.py every round.
         # r5 WINDOW PLAN: once CORRECTNESS_r04 lands green, EVERY oracled
         # query has a driver-green row in some round (the only never-checked
-        # entries are the 11 rows-only-by-design: loess/image-meta/abb/
-        # winnow x2/bpe-encode/reservoir/multi-feature-regression/pca/
-        # minhash/simhash — seeded draws or no SQL twin). So the r5 window
-        # is (a) anything changed or added in r5, then (b) oldest-evidence
-        # rotation: r1/r2-green stalwarts whose proof is now 3+ rounds old,
-        # oldest first. ----
+        # entries are the 8 rows-only-by-design: image-fake-decode/abb/
+        # bpe-encode/reservoir/multi-feature-regression/pca/minhash/simhash
+        # — seeded draws or Spark-specific hashes whose md5/closed-form
+        # twins ARE oracled; loess + winnow x2 were promoted to oracles
+        # late-r4). So the r5 window is (a) anything changed or added in
+        # r5, then (b) oldest-evidence rotation: r1/r2-green stalwarts
+        # whose proof is now 3+ rounds old, oldest first. ----
         "ffill_events": ffill_events,
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
