@@ -1051,9 +1051,16 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "text",
             .select(F.col(id_col).alias(ida),
                     F.col(text_col).alias(sa)) \
             .withColumn(la, F.length(sa))
+        # guard |s| < q with CASE, not greatest(,0): sequence(1, 0) DESCENDS
+        # to [1, 0] (Spark auto-steps -1), which emitted two spurious
+        # truncated grams per short string — every short string then hit
+        # the gram index under hot keys like '' (review late-r4; results
+        # stayed correct only because the levenshtein verify filtered it)
         grams = F.expr(
-            f"transform(sequence(1, greatest({la} - {q - 1}, 0)),"
-            f" i -> substring({sa}, i, {q}))")
+            f"CASE WHEN {la} >= {q} THEN "
+            f"transform(sequence(1, {la} - {q - 1}),"
+            f" i -> substring({sa}, i, {q})) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END")
         g = (s.select(ida, la, F.explode(grams).alias("__g__"))
               .groupBy(ida, la, "__g__")
               .agg(F.count(F.lit(1)).alias(f"__c{ida}__")))

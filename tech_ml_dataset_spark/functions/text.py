@@ -1536,7 +1536,9 @@ def normalize_unicode(df: DataFrame, text_col: str = "text", *,
 
     out = df.withColumn(out_col, _norm(F.col(text_col)))
     if strip_control:
+        # \x0B-\x1F covers CR (\x0D) too — only tab and LF survive, as the
+        # docstring promises (CRLF web text must hash-match its LF twin)
         out = out.withColumn(out_col, F.regexp_replace(
             F.col(out_col),
-            "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]", ""))
+            "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", ""))
     return out

@@ -56,10 +56,18 @@ def fit_categorical_map(df: DataFrame, colname: str, *,
         raise ValueError(
             f"fit_categorical_map({colname!r}): duplicate codes in table "
             f"{table!r} — each value needs a distinct code")
-    nonint = [c for c in codes
-              if isinstance(c, bool)
-              or not (isinstance(c, int)
-                      or (isinstance(c, float) and c.is_integer()))]
+    def _integral(c):
+        # numbers.Integral-style duck check: accepts python/numpy ints and
+        # integral floats (np.int64 is neither an int nor float subclass,
+        # so plain isinstance checks rejected valid numpy code tables)
+        if isinstance(c, bool):
+            return False
+        try:
+            return float(c).is_integer()
+        except (TypeError, ValueError):
+            return False
+
+    nonint = [c for c in codes if not _integral(c)]
     if nonint:
         # reference issue-322 (dataset_test.clj:1562-1578): categorical
         # codes are DISCRETE — a fractional code like 2.2 raises instead
@@ -648,23 +656,37 @@ def k_fold_datasets(df: DataFrame, k: int, *, seed: int | None = None
     EXACT near-equal fold sizes — the reference's shape law
     (modelling_test.clj:9-17: 59 rows, 5 folds -> test sizes
     [12 12 12 12 11], i.e. the first n mod k folds get the extra row).
-    Rows are shuffled deterministically by a seeded hash, given a
-    contiguous index (range-repartition + broadcast offsets — never a
-    single-partition window; selection.py machinery), and fold i is
-    ``idx % k``. A ``rand()``-bucketed tag (the pre-r4 shape) gave
-    binomially RANDOM fold sizes, breaking the reference's exact-split
-    contract and leaving fold balance to chance on small datasets."""
-    from ..operators.selection import _free_name, with_row_index
+    Rows are shuffled by a seeded hash of the hashable columns
+    (map-typed columns are excluded — Spark's hash functions reject
+    MapType; with NO hashable column the scan order itself is used),
+    given a contiguous index (range-repartition + broadcast offsets —
+    never a single-partition window; selection.py machinery), and fold i
+    is ``idx % k``. ``seed=None`` draws a fresh random seed per call —
+    the unseeded-CV contract where repeated runs give independent splits;
+    pass a seed for reproducible folds. A ``rand()``-bucketed tag (the
+    pre-r4 shape) gave binomially RANDOM fold sizes, breaking the
+    reference's exact-split contract and leaving fold balance to chance
+    on small datasets."""
+    from ..operators.selection import (_free_name, contiguous_scan_index,
+                                       with_row_index)
     if k < 2:
         raise ValueError("k_fold_datasets: k must be >= 2")
-    order = F.xxhash64(F.struct(*df.columns), F.lit(seed if seed is not None
-                                                    else 42))
+    if seed is None:
+        import random
+        seed = random.randrange(1 << 31)
+    hashable = [c for c, t in df.dtypes if "map<" not in t]
     name = _free_name(df.columns, "__kfold_idx__")
-    tagged = with_row_index(df, order_by=order, name=name) \
-        .withColumn("__fold__", (F.col(name) % k).cast("int")).drop(name) \
+    if hashable:
+        order = F.xxhash64(F.struct(*hashable), F.lit(seed))
+        tagged = with_row_index(df, order_by=order, name=name)
+    else:
+        tagged = contiguous_scan_index(df, name)
+    fold = _free_name(df.columns, "__fold__")
+    tagged = tagged.withColumn(fold, (F.col(name) % k).cast("int")) \
+        .drop(name) \
         .localCheckpoint(eager=True)  # pin assignment: folds must be a
     # PARTITION of the data — recomputing the hash sort per filter could
     # re-break ties differently and leak rows across folds
-    return [(tagged.filter(F.col("__fold__") != i).drop("__fold__"),
-             tagged.filter(F.col("__fold__") == i).drop("__fold__"))
+    return [(tagged.filter(F.col(fold) != i).drop(fold),
+             tagged.filter(F.col(fold) == i).drop(fold))
             for i in range(k)]

@@ -308,9 +308,21 @@ def _resolve_row_indexes(df: DataFrame, indexes) -> list[int]:
     dataset_test.clj:1741-1750) — position i is kept iff mask[i]. The
     check must precede int coercion: bool subclasses int, so a mask fed
     to the index path would silently become indices 0/1 (rows 0 and 1
-    over and over), a wrong answer rather than an error."""
+    over and over), a wrong answer rather than an error. numpy.bool_ is
+    NOT a bool subclass and needs its own check (a numpy/pandas
+    predicate mask is the common kind), and the mask length must equal
+    the row count — a mask built against a stale/filtered copy is the
+    classic wrong-length source and must fail loudly, not truncate."""
+    def _is_bool(v):
+        return isinstance(v, bool) or type(v).__module__ == "numpy"             and type(v).__name__ == "bool_"
+
     raw = [indexes] if isinstance(indexes, int) else list(indexes)
-    if raw and all(isinstance(i, bool) for i in raw):
+    if raw and all(_is_bool(i) for i in raw):
+        n = df.count()
+        if len(raw) != n:
+            raise ValueError(
+                f"boolean mask has {len(raw)} entries for {n} rows — "
+                f"masks must match the row count exactly")
         return [i for i, b in enumerate(raw) if b]
     idxs = [int(i) for i in raw]
     if any(i < 0 for i in idxs):
@@ -326,6 +338,8 @@ def select_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
     against the wanted set (broadcast — index lists are small), and
     dropped."""
     idxs = _resolve_row_indexes(df, indexes)
+    if not idxs:  # empty selection (e.g. all-False mask) — not a crash
+        return df.limit(0)
     idx, name = _indexed(df, order_by)
     wanted = df.sparkSession.createDataFrame([(i,) for i in idxs], [name])
     return idx.join(F.broadcast(wanted), name, "left_semi").drop(name)
@@ -334,6 +348,8 @@ def select_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
 def drop_rows(df: DataFrame, indexes, order_by=None) -> DataFrame:
     """``drop-rows`` (base.clj:408): complement of select_rows (left_anti)."""
     idxs = _resolve_row_indexes(df, indexes)
+    if not idxs:  # dropping nothing (e.g. all-False mask) — identity
+        return df
     idx, name = _indexed(df, order_by)
     unwanted = df.sparkSession.createDataFrame([(i,) for i in idxs], [name])
     return idx.join(F.broadcast(unwanted), name, "left_anti").drop(name)

@@ -1024,6 +1024,11 @@ def test_normalize_unicode_forms(spark):
     ctl = {r["doc_id"]: r["text"] for r in txt.normalize_unicode(
         df, form="NFC", strip_control=True).collect()}
     assert ctl[4] == "xy\tz\nw"
+    # CR is a C0 control too: CRLF text must strip to its LF twin
+    crlf = txt.normalize_unicode(
+        spark.createDataFrame([(1, "a\r\nb")], "doc_id long, text string"),
+        strip_control=True).collect()[0]["text"]
+    assert crlf == "a\nb"
     import pytest as _pt
     with _pt.raises(ValueError, match="normalization form"):
         txt.normalize_unicode(df, form="NFX")

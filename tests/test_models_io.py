@@ -876,6 +876,15 @@ def test_kfold_exact_shapes_reference_law(spark):
     # deterministic under the same seed
     folds2 = mlp.k_fold_datasets(df, 5, seed=7)
     assert [sorted(r["id"] for r in t.collect()) for _, t in folds2] == ids
+    # map-typed columns can't hash — they are excluded from the shuffle
+    # key, not a crash (review late-r4); a pre-existing __fold__ column
+    # survives untouched
+    mdf = spark.createDataFrame([(i, {"k": i}, 9) for i in range(10)],
+                                "id long, m map<string,bigint>, __fold__ int")
+    mfolds = mlp.k_fold_datasets(mdf, 2, seed=3)
+    assert sum(t.count() for _, t in mfolds) == 10
+    assert all("__fold__" in t.columns for _, t in mfolds)
+    assert mfolds[0][1].select("__fold__").distinct().collect()[0][0] == 9
 
 
 def test_prob_dist_label_raises_on_nan_missing(spark):
@@ -909,3 +918,7 @@ def test_categorical_codes_must_be_integral(spark):
                                 table={"AAPL": 1, "MSFT": 2.2})
     ok = mlp.fit_categorical_map(df, "sym", table={"AAPL": 1, "MSFT": 2.0})
     assert ok["table"]["MSFT"] == 2.0
+    # numpy integer codes are integral (np.int64 is not an int subclass)
+    ok2 = mlp.fit_categorical_map(
+        df, "sym", table={"AAPL": np.int64(1), "MSFT": np.int64(2)})
+    assert int(ok2["table"]["MSFT"]) == 2

@@ -1030,3 +1030,16 @@ def test_select_rows_boolean_mask_law(spark):
     dropped = sorted(r["id"] for r in
                      sel.drop_rows(df, mask, order_by="id").collect())
     assert dropped == [1, 3, 5, 7, 9]
+    # numpy masks (np.bool_ is NOT a bool subclass — review late-r4)
+    import numpy as np
+    npmask = list(np.array(mask))
+    got_np = sorted(r["id"] for r in
+                    sel.select_rows(df, npmask, order_by="id").collect())
+    assert got_np == [0, 2, 4, 6, 8]
+    # all-False mask: empty selection / identity drop, not a crash
+    assert sel.select_rows(df, [False] * 10, order_by="id").count() == 0
+    assert sel.drop_rows(df, [False] * 10, order_by="id").count() == 10
+    # wrong-length masks fail loudly (stale-copy mask hazard)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="mask has 5 entries for 10 rows"):
+        sel.select_rows(df, [True] * 5, order_by="id")
