@@ -15,10 +15,24 @@ from pyspark.sql import types as T
 
 
 def sort_by_column(df: DataFrame, colname: str, *, desc: bool = False,
-                   nulls_first: bool | None = None) -> DataFrame:
+                   nulls_first: bool | None = None,
+                   nulls: str | None = None) -> DataFrame:
     """``sort-by-column`` (base.clj:596). The reference's ``:nan-strategy``
     maps onto null placement here (Spark orders NaN as greatest; the
-    reference's NaN-as-missing convention means callers treat NaN via nulls)."""
+    reference's NaN-as-missing convention means callers treat NaN via
+    nulls): ``nulls_first`` True/False = :first/:last, and
+    ``nulls="exception"`` = :exception — an executor-side raise_error on
+    the first NULL key, no extra scan (sort-works-with-nan law,
+    dataset_test.clj:1306-1313)."""
+    if nulls == "exception":
+        df = df.withColumn(colname, F.when(
+            F.col(colname).isNull(),
+            F.raise_error(F.lit(
+                f"sort_by_column({colname!r}): NULL sort key under "
+                f"nulls='exception' (reference :nan-strategy :exception)"))
+            .cast(dict(df.dtypes)[colname])).otherwise(F.col(colname)))
+    elif nulls is not None:
+        raise ValueError(f"nulls must be 'exception' or None, got {nulls!r}")
     c = F.col(colname)
     if desc:
         c = c.desc_nulls_first() if nulls_first else c.desc_nulls_last() if nulls_first is not None else c.desc()

@@ -1014,6 +1014,14 @@ def test_sort_nan_strategy_and_nil_unique_reference_laws(spark):
     assert last == [1, 2, 4, None, None, None]
     allnil = spark.createDataFrame([(None,), (None,)], "abc string")
     assert st.unique_by_column(allnil, "abc").count() == 1
+    # :exception arm: a NULL sort key raises executor-side
+    import pytest as _pt
+    with _pt.raises(Exception, match="exception"):
+        st.sort_by_column(df, "a", nulls="exception").collect()
+    clean = spark.createDataFrame([(2,), (1,)], "a int")
+    got = [r["a"] for r in
+           st.sort_by_column(clean, "a", nulls="exception").collect()]
+    assert got == [1, 2]
 
 
 def test_select_rows_boolean_mask_law(spark):
