@@ -33,6 +33,7 @@ from tech_ml_dataset_spark.operators import window as win
 from tech_ml_dataset_spark.streaming import windows as sw
 
 
+from tech_ml_dataset_spark.sources import io as sio
 from tech_ml_dataset_spark.sources.io import read_parquet
 
 
@@ -1181,6 +1182,28 @@ def tfidf_docs(spark, sf_dir):
                       _r4(F.col("tfidf")).alias("tfidf"),
                       "term_rank") \
               .orderBy("doc_id", "term_rank")
+
+
+def csv_roundtrip_orders(spark, sf_dir):
+    """CSV write→read fidelity, driven into the oracle gate (the write
+    paths previously had only pytest evidence): write an orders slice as
+    csv (sources/io.py write — quoting, ISO timestamps, shortest-roundtrip
+    doubles), read it back with the explicit schema, return the ROWS. The
+    oracle selects the same rows from the source parquet — any fidelity
+    loss in the write/read cycle (quote handling, timestamp format,
+    double precision) breaks the value hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200) \
+        .select("o_orderkey", "o_totalprice", "o_orderdate",
+                "o_orderpriority")
+    path = tempfile.mkdtemp(prefix="spark_graft_csv_rt_")
+    atexit.register(lambda p=path: shutil.rmtree(p, ignore_errors=True))
+    sio.write(orders, path, file_type="csv")
+    return sio.to_dataset(spark, path, file_type="csv", header=True,
+                          schema=orders.schema)
 
 
 def unicode_nfc_docs(spark, sf_dir):
@@ -2353,7 +2376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (unique_by_order, r2-green with setops.py untouched in r4,
         # rotates out to make room)
         "semdedup_embeddings": semdedup_embeddings,
-        "customers_without_orders": customers_without_orders,
+        # (a-new) late-r4 csv write->read fidelity — first driver proof
+        # of the WRITE path (customers_without_orders, r2-green with the
+        # semi/anti path untouched in r4, rotates out)
+        "csv_roundtrip_orders": csv_roundtrip_orders,
         # (a-new) r4 closed-form 2x2 PCA oracle — driver-prove this
         # round, and re-proves the r4-touched preprocess.py PCA path
         # (concat_slices, r2-green with setops.py untouched in r4,
@@ -2502,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_nth_lineitem": take_nth_lineitem,
         "filter_project": filter_project,
         "topk_orders": topk_orders,
+        "customers_without_orders": customers_without_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "q1_pricing_summary": q1_pricing_summary,
         "bpe_encode_docs": bpe_encode_docs,
@@ -2855,6 +2882,10 @@ def oracle_sql() -> dict[str, str]:
         "winnow_docs": _winnow_oracle(),
         "winnow_pairs_docs": _winnow_pairs_oracle(),
         "loess_smooth_events": _loess_oracle(),
+        "csv_roundtrip_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority
+            FROM orders WHERE o_custkey < 200
+        """,
         "unicode_nfc_docs": """
             SELECT doc_id,
                    md5(nfc_normalize(replace(text, 'a', 'a' || chr(769))))
