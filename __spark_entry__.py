@@ -1090,10 +1090,14 @@ def image_pipeline_png_docs(spark, sf_dir):
     pngs = mmod.synthesize_png(binned, "doc_id", height=8, width=8)
     feats = mmod.image_pipeline(pngs, "png", resize_hw=(4, 4),
                                 feature_dtype="float64")
-    ex = feats.select("doc_id", F.posexplode("features").alias("pos", "fv"))
+    ex = feats.select("doc_id", "decode_real",
+                      F.posexplode("features").alias("pos", "fv"))
     out = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_features"),
-        _r4b(F.sum(F.col("fv") * (F.col("pos") + 1))).alias("feat_chk"))
+        _r4b(F.sum(F.col("fv") * (F.col("pos") + 1))).alias("feat_chk"),
+        # in-band real-codec assertion (r4 verdict #6): every synthesized
+        # PNG must take the REAL decode path — hash-checked vs TRUE
+        F.bool_and("decode_real").alias("decode_real"))
     return out.orderBy("doc_id")
 
 
@@ -1752,7 +1756,10 @@ def image_pipeline_docs(spark, sf_dir):
         "doc_id",
         F.size("features").alias("n_features"),
         _r4(F.aggregate("features", F.lit(0.0),
-                        lambda a, x: a + x.cast("double"))).alias("feat_sum"))
+                        lambda a, x: a + x.cast("double"))).alias("feat_sum"),
+        # text bytes are NOT decodable media: the fake path must be
+        # flagged in-band (decode_real=false on every row, r4 verdict #6)
+        F.col("decode_real"))
 
 
 def bfill_updown_events(spark, sf_dir):
@@ -1963,15 +1970,22 @@ def reservoir_orders(spark, sf_dir):
 
 
 def regression_price_model(spark, sf_dir):
-    """train-regression/predict (tribuo.clj:285,292 analog on pyspark.ml) —
-    rows-only: model predictions are not SQL-expressible."""
+    """THREE-feature OLS through train-regression/predict (tribuo.clj:285,
+    292 analog on pyspark.ml) — ORACLED as of r5 (promoted from rows-only):
+    with the normal solver and no regularization the fit is exact OLS, so
+    DuckDB reproduces the hyperplane closed-form from the 3x3 centered
+    normal equations (Cramer with explicit 3x3 determinants), extending
+    `ols_multi_price_model`'s 2x2 approach."""
     from tech_ml_dataset_spark.ml import models as mdl
     li = _t(spark, sf_dir, "lineitem")
     fit = mdl.train_regression(li, "l_extendedprice",
-                               ["l_quantity", "l_discount", "l_tax"])
-    pred = mdl.predict(li.filter(F.col("l_orderkey") < 100), fit, out_col="price_hat")
+                               ["l_quantity", "l_discount", "l_tax"],
+                               solver="normal", regParam=0.0)
+    pred = mdl.predict(li.filter(F.col("l_orderkey") < 100), fit,
+                       out_col="price_hat")
     return pred.select("l_orderkey", "l_linenumber",
-                       _r4(F.col("price_hat")).alias("price_hat"))
+                       _r4b(F.col("price_hat")).alias("price_hat")) \
+               .orderBy("l_orderkey", "l_linenumber", "price_hat")
 
 
 def ols_price_by_qty(spark, sf_dir):
@@ -2052,17 +2066,31 @@ def lsh_topk_embeddings(spark, sf_dir):
 
 
 def pca_project_lineitem(spark, sf_dir):
-    """fit/transform-pca (neanderthal.clj:199,262) — rows-only: eigenvector
-    sign is implementation-defined. Distributed covariance, driver eigh,
-    pure-Column projection."""
+    """fit/transform-pca over THREE columns (neanderthal.clj:199,262) —
+    exercises the d>2 driver-eigh path (pca2 covers the 2x2 closed form).
+    ORACLED as of r5 (promoted from rows-only): a symmetric 3x3
+    eigendecomposition is SQL-expressible via the trigonometric
+    closed form (lam = q + 2p*cos(phi + 2k*pi/3), the standard real-
+    symmetric 3x3 method) and eigenvectors as cross products of two rows
+    of (A - lam*I); |pc| output keeps the check sign-invariant. The
+    columns are LITERAL-scaled to comparable variances (905/208/8.4)
+    first — with raw units the eigenvalues spread 12 orders of magnitude
+    and BOTH the trig formula and the cross-product eigenvector lose the
+    small components to cancellation (measured: |proj| diff 24.3 raw vs
+    7.6e-12 scaled). Scaling by plan literals keeps the Spark side a pure
+    projection and the law engine-portable."""
     li = _t(spark, sf_dir, "lineitem")
-    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = li.select("l_orderkey", "l_linenumber",
+                   F.col("l_quantity").alias("qty"),
+                   (F.col("l_extendedprice") / 1000).alias("price_k"),
+                   (F.col("l_discount") * 100).alias("disc_pct"))
+    cols = ["qty", "price_k", "disc_pct"]
     fit = mlp.fit_pca(li, cols, n_components=2)
-    out = mlp.transform_pca(li.filter(F.col("l_orderkey") < 100)
-                              .select("l_orderkey", "l_linenumber", *cols), fit)
+    out = mlp.transform_pca(li.filter(F.col("l_orderkey") < 100), fit)
     return out.select("l_orderkey", "l_linenumber",
-                      _r4(F.abs(F.col("pc0"))).alias("abs_pc0"),
-                      _r4(F.abs(F.col("pc1"))).alias("abs_pc1"))
+                      _r4b(F.abs(F.col("pc0"))).alias("abs_pc0"),
+                      _r4b(F.abs(F.col("pc1"))).alias("abs_pc1")) \
+              .orderBy("l_orderkey", "l_linenumber")
 
 
 def pca2_project_lineitem(spark, sf_dir):
@@ -2169,15 +2197,21 @@ def ivf_topk_embeddings(spark, sf_dir):
 
 
 def abb_fill_events(spark, sf_dir):
-    """replace-missing :abb (missing.clj approx bayesian bootstrap,
-    rows-only: draws are rand-seeded): missing values drawn from a
-    broadcast donor pool sampled from the observed distribution."""
+    """replace-missing :abb (missing.clj approx bayesian bootstrap) —
+    ORACLED as of r5 via the deterministic ``key_cols`` arm: the donor
+    pool is the 4096 observed values ranked first by md5(event_id ':' 42)
+    (an engine-portable uniform subsample) and each missing row draws
+    pool index conv(md5(event_id ':' 42)[:8], 16) % 4096 — DuckDB replays
+    the pool and every draw verbatim. The rand-seeded default arm stays
+    covered by pytest (distributional law)."""
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("value", F.when(F.col("value") < 5, None)
                        .otherwise(F.col("value")))
-    out = ms.replace_missing(ev, "value", "abb", seed=42)
+    out = ms.replace_missing(ev, "value", "abb", seed=42,
+                             key_cols="event_id")
     return out.filter(F.col("value").isNotNull()) \
-              .select("event_id", "user_id", _r4(F.col("value")).alias("value"))
+              .select("event_id", "user_id",
+                      _r4b(F.col("value")).alias("value"))
 
 
 def bpe_tokens_docs(spark, sf_dir):
@@ -3943,7 +3977,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id
             )
             SELECT c.doc_id, CAST(14 AS BIGINT) AS n_features,
-                   round((c.cs + h.hs) * 10000) / 10000 AS feat_chk
+                   round((c.cs + h.hs) * 10000) / 10000 AS feat_chk,
+                   TRUE AS decode_real
             FROM chansum c JOIN histsum h USING (doc_id)
             ORDER BY doc_id
         """,
@@ -4114,6 +4149,76 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.event_id
             ORDER BY p.event_id
         """,
+        "pca_project_lineitem": """
+            -- symmetric 3x3 PCA closed-form: eigenvalues via the
+            -- trigonometric method (B = (A-qI)/p, lam = q+2p cos(phi+2k
+            -- pi/3), phi = acos(det(B)/2)/3; lam1 >= lam2 >= lam3 by
+            -- construction), eigenvector for lam = row1(A-lam I) x
+            -- row2(A-lam I); |projection| is sign-invariant. Columns are
+            -- literal-scaled to comparable variances (see the Spark-side
+            -- docstring: raw units cancel catastrophically).
+            WITH src AS (
+                SELECT l_orderkey, l_linenumber,
+                       l_quantity AS x, l_extendedprice/1000 AS y,
+                       l_discount*100 AS z
+                FROM lineitem
+            ), s AS (
+                SELECT avg(x) AS xbar, avg(y) AS ybar, avg(z) AS zbar,
+                       var_pop(x) AS a11, covar_pop(x,y) AS a12,
+                       covar_pop(x,z) AS a13, var_pop(y) AS a22,
+                       covar_pop(y,z) AS a23, var_pop(z) AS a33
+                FROM src
+            ), t AS (
+                SELECT *, (a11+a22+a33)/3 AS q,
+                       sqrt(((a11-(a11+a22+a33)/3)^2
+                             + (a22-(a11+a22+a33)/3)^2
+                             + (a33-(a11+a22+a33)/3)^2
+                             + 2*(a12*a12 + a13*a13 + a23*a23)) / 6) AS p
+                FROM s
+            ), e AS (
+                SELECT *,
+                       acos(greatest(-1.0, least(1.0,
+                           (((a11-q)/p)*(((a22-q)/p)*((a33-q)/p)
+                                          - (a23/p)*(a23/p))
+                            - (a12/p)*((a12/p)*((a33-q)/p)
+                                       - (a23/p)*(a13/p))
+                            + (a13/p)*((a12/p)*(a23/p)
+                                       - ((a22-q)/p)*(a13/p))) / 2
+                       ))) / 3 AS phi
+                FROM t
+            ), lam AS (
+                SELECT *, q + 2*p*cos(phi) AS l1,
+                       3*q - (q + 2*p*cos(phi))
+                           - (q + 2*p*cos(phi + 2*pi()/3)) AS l2
+                FROM e
+            ), v AS (
+                SELECT xbar, ybar, zbar,
+                       (a12*a23 - (a22-l1)*a13) AS w1x0,
+                       (a13*a12 - (a11-l1)*a23) AS w1y0,
+                       ((a11-l1)*(a22-l1) - a12*a12) AS w1z0,
+                       (a12*a23 - (a22-l2)*a13) AS w2x0,
+                       (a13*a12 - (a11-l2)*a23) AS w2y0,
+                       ((a11-l2)*(a22-l2) - a12*a12) AS w2z0
+                FROM lam
+            ), u AS (
+                SELECT xbar, ybar, zbar,
+                       w1x0 / sqrt(w1x0^2 + w1y0^2 + w1z0^2) AS v1x,
+                       w1y0 / sqrt(w1x0^2 + w1y0^2 + w1z0^2) AS v1y,
+                       w1z0 / sqrt(w1x0^2 + w1y0^2 + w1z0^2) AS v1z,
+                       w2x0 / sqrt(w2x0^2 + w2y0^2 + w2z0^2) AS v2x,
+                       w2y0 / sqrt(w2x0^2 + w2y0^2 + w2z0^2) AS v2y,
+                       w2z0 / sqrt(w2x0^2 + w2y0^2 + w2z0^2) AS v2z
+                FROM v
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round(abs((x-xbar)*v1x + (y-ybar)*v1y + (z-zbar)*v1z)
+                         * 10000) / 10000 AS abs_pc0,
+                   round(abs((x-xbar)*v2x + (y-ybar)*v2y + (z-zbar)*v2z)
+                         * 10000) / 10000 AS abs_pc1
+            FROM src, u
+            WHERE l_orderkey < 100
+            ORDER BY l_orderkey, l_linenumber
+        """,
         "pca2_project_lineitem": """
             -- closed-form 2x2 PCA: eigenvalues of [[a,b],[b,c]] are
             -- ((a+c)±sqrt((a-c)^2+4b^2))/2, eigenvector for λ is
@@ -4172,6 +4277,73 @@ def oracle_sql() -> dict[str, str]:
                    round((ybar - b1*xbar - b2*zbar
                           + b1*l_quantity + b2*l_discount) * 10000) / 10000
                        AS price_hat
+            FROM lineitem, c
+            WHERE l_orderkey < 100
+            ORDER BY l_orderkey, l_linenumber, price_hat
+        """,
+        "abb_fill_events": """
+            -- deterministic :abb replay: pool = 4096 observed values
+            -- ranked first by md5(event_id ':' 42) (same TakeOrdered law
+            -- as Spark), draw = conv(md5(event_id ':' 42)[:8],16,10)
+            -- % pool_size (both engines agree on the 8-hex-char int)
+            WITH masked AS (
+                SELECT event_id, user_id,
+                       CASE WHEN value < 5 THEN NULL ELSE value END AS value
+                FROM events
+            ), pool AS (
+                SELECT value, rnk FROM (
+                    SELECT value, row_number() OVER (
+                               ORDER BY md5(event_id::VARCHAR || ':42'),
+                                        event_id) AS rnk
+                    FROM masked WHERE value IS NOT NULL) t
+                WHERE rnk <= 4096
+            ), n AS (SELECT count(*) AS n FROM pool)
+            SELECT m.event_id, m.user_id,
+                   round(coalesce(m.value, p.value) * 10000) / 10000 AS value
+            FROM masked m CROSS JOIN n
+            LEFT JOIN pool p
+              ON m.value IS NULL
+             AND p.rnk = (('0x' || substr(md5(m.event_id::VARCHAR || ':42'),
+                                          1, 8))::BIGINT % n.n) + 1
+            WHERE coalesce(m.value, p.value) IS NOT NULL
+        """,
+        "regression_price_model": """
+            -- exact 3-feature OLS via the centered normal equations
+            -- S·[b1,b2,b3] = rhs, solved by Cramer with explicit 3x3
+            -- determinants (x=l_quantity, z=l_discount, t=l_tax,
+            -- y=l_extendedprice); b0 = ybar - b·means
+            WITH s AS (
+                SELECT avg(l_quantity) AS xbar, avg(l_discount) AS zbar,
+                       avg(l_tax) AS tbar, avg(l_extendedprice) AS ybar,
+                       var_pop(l_quantity) AS cxx,
+                       var_pop(l_discount) AS czz,
+                       var_pop(l_tax) AS ctt,
+                       covar_pop(l_quantity, l_discount) AS cxz,
+                       covar_pop(l_quantity, l_tax) AS cxt,
+                       covar_pop(l_discount, l_tax) AS czt,
+                       covar_pop(l_quantity, l_extendedprice) AS cxy,
+                       covar_pop(l_discount, l_extendedprice) AS czy,
+                       covar_pop(l_tax, l_extendedprice) AS cty
+                FROM lineitem
+            ), d AS (
+                SELECT *,
+                       cxx*(czz*ctt - czt*czt) - cxz*(cxz*ctt - czt*cxt)
+                           + cxt*(cxz*czt - czz*cxt) AS det
+                FROM s
+            ), c AS (
+                SELECT xbar, zbar, tbar, ybar,
+                       (cxy*(czz*ctt - czt*czt) - cxz*(czy*ctt - czt*cty)
+                            + cxt*(czy*czt - czz*cty)) / det AS b1,
+                       (cxx*(czy*ctt - czt*cty) - cxy*(cxz*ctt - czt*cxt)
+                            + cxt*(cxz*cty - czy*cxt)) / det AS b2,
+                       (cxx*(czz*cty - czy*czt) - cxz*(cxz*cty - czy*cxt)
+                            + cxy*(cxz*czt - czz*cxt)) / det AS b3
+                FROM d
+            )
+            SELECT l_orderkey, l_linenumber,
+                   round((ybar - b1*xbar - b2*zbar - b3*tbar
+                          + b1*l_quantity + b2*l_discount + b3*l_tax)
+                         * 10000) / 10000 AS price_hat
             FROM lineitem, c
             WHERE l_orderkey < 100
             ORDER BY l_orderkey, l_linenumber, price_hat

@@ -122,7 +122,7 @@ def main():
     timings["descriptive_stats_40col"] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    payload = {
         "metric": f"query_suite_total_sf{sf}",
         "value": total,
         "unit": "sec",
@@ -130,7 +130,14 @@ def main():
         "sf": float(sf),
         "tsv_ingest": {"rows": n_rows, "sec": tsv_sec,
                        "rows_per_sec": round(n_rows / max(tsv_sec, 1e-9))},
-    }))
+    }
+    # Persist the full dict in-repo too: the driver keeps only a ~2.2 KB
+    # tail of stdout, which truncates the head of the per-query timing
+    # history (r4 verdict: winnow_docs' number was lost in transit).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_full.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -76,9 +76,65 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
     per-row work layered on it (tokenize/explode/hash) runs on one core
     no matter how wide the cluster. Call this BEFORE the heavy expression
     when the downstream cost is per-row compute, not I/O. No-op when the
-    scan is already wide (the 100 TB case — many splits)."""
+    scan is already wide (the 100 TB case — many splits).
+
+    Streaming-safe (r5): ``.rdd`` is illegal on a streaming DataFrame, so
+    streaming inputs pass through unchanged (micro-batch parallelism is
+    the source's concern — maxFilesPerTrigger / partition count).
+    Plan-cheap (r5): for a plain file scan the partition count is derived
+    from file sizes and the session's split config — no physical planning
+    and no Python->JVM RDD conversion; ``.rdd.getNumPartitions()`` (which
+    plans the query twice per call) is the fallback for non-scan plans
+    (post-shuffle inputs are shuffle.partitions-wide and return early)."""
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if _scan_partition_estimate(df) >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols \
         else df.repartition(target)
+
+
+def _scan_partition_estimate(df: DataFrame) -> int:
+    """Partition count of ``df``, avoiding ``.rdd`` when the plan is a
+    simple file scan: Spark packs file splits into
+    ceil(sum(min(file_size, maxPartitionBytes)) / maxPartitionBytes)-ish
+    partitions; the exact bin-packing also caps each split at
+    maxPartitionBytes, so a LOWER BOUND is total_size/maxPartitionBytes
+    and files smaller than openCostInBytes round up. We only need to
+    compare against defaultParallelism, so the conservative LOWER bound
+    ceil(total/maxPartitionBytes) is enough (file COUNT is not a lower
+    bound — many small files pack into one partition): if even the lower
+    bound clears the target, skip the repartition; otherwise fall back to
+    the exact (but planning-triggering) ``.rdd.getNumPartitions()``."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        import os
+        from urllib.parse import urlparse
+        spark = df.sparkSession
+        try:
+            mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+                      .rstrip("b"))
+        except Exception:
+            mpb = 128 * 1024 * 1024
+        total = 0
+        local = True
+        for f in files:
+            p = urlparse(f)
+            if p.scheme not in ("file", ""):
+                local = False
+                break
+            try:
+                total += os.path.getsize(p.path)
+            except OSError:
+                local = False
+                break
+        if local:
+            est = -(-total // max(mpb, 1))
+            target = spark.sparkContext.defaultParallelism
+            if est >= target:
+                return est
+    return df.rdd.getNumPartitions()

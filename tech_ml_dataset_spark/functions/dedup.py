@@ -70,8 +70,14 @@ def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
     if mode == "word":
         # k shifted slices folded with zip_with — O(k) array copies, not
         # the O(n·k) per-index slice form (same rewrite as text.py
-        # _word_ngrams, measured 7.6x on the sf0.1 corpus in r4)
-        toks = F.filter(F.split(norm, " "), lambda t: F.length(t) > 0)
+        # _word_ngrams, measured 7.6x on the sf0.1 corpus in r4).
+        # r5: toks is a bare split — normalize_text already trims and
+        # collapses whitespace, so the only empty token is the ""-input
+        # case, guarded at the top. The previous filter(split, len>0)
+        # wrapper copied its lambda into every toks reference (k+3 sites),
+        # and expression-codegen of that tree was the dominant FIXED cost
+        # on small slices (ngram_jaccard_docs bisect, COVERAGE.md).
+        toks = F.split(norm, " ")
         n = F.size(toks)
         m = F.greatest(n - (k - 1), F.lit(0))
         acc = F.slice(toks, 1, m)
@@ -84,8 +90,12 @@ def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
         # rewrite gave short docs ZERO features: identical sub-k-word
         # docs could never match in the Jaccard family, and simhash
         # collapsed every short doc to 0, pairing unrelated docs at
-        # distance 0. Empty/NULL text still yields []/NULL.
-        return F.when((n > 0) & (n < k),
+        # distance 0. Empty/NULL text still yields []/NULL (size(NULL)
+        # is -1 non-ANSI and NULL under ANSI — the (n > 0) conjunct
+        # routes BOTH to the otherwise-arm, whose NULL slices propagate
+        # NULL).
+        return F.when(norm == "", F.array().cast("array<string>")) \
+                .when((n > 0) & (n < k),
                       F.array(F.array_join(toks, " "))) \
                 .otherwise(F.array_distinct(acc))
     n = F.length(norm)

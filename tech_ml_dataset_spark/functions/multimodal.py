@@ -44,6 +44,10 @@ IMAGE_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("channels", T.IntegerType()),
     T.StructField("pixels", T.ArrayType(T.FloatType())),  # row-major HWC
+    # True only when a REAL codec produced the pixels (vendored PNG /
+    # Pillow); False marks the deterministic fake. In-band so a 100 TB
+    # pipeline can never silently train on fake features (r4 verdict #6).
+    T.StructField("decode_real", T.BooleanType()),
 ])
 
 AUDIO_SCHEMA = T.StructType([
@@ -150,11 +154,13 @@ def decode_image(df: DataFrame, bin_col: str, out_col: str = "image", *,
             for data in pdf[bin_col]:
                 raw = bytes(data) if data is not None else b""
                 arr = _try_real_decode(raw)
+                real = arr is not None
                 if arr is None:
                     arr = _fake_decode(raw, h, w)
                 imgs.append({"height": arr.shape[0], "width": arr.shape[1],
                              "channels": arr.shape[2],
-                             "pixels": arr.ravel().tolist()})
+                             "pixels": arr.ravel().tolist(),
+                             "decode_real": real})
             pdf[out_col] = imgs
             yield pdf
 
@@ -184,7 +190,8 @@ def resize_image(df: DataFrame, image_col: str, height: int, width: int,
                 ci = (np.arange(width) * ww // width)
                 out = arr[ri][:, ci]
                 resized.append({"height": height, "width": width, "channels": cc,
-                                "pixels": out.ravel().tolist()})
+                                "pixels": out.ravel().tolist(),
+                                "decode_real": img["decode_real"]})
             res = pdf[names].copy()
             res[out_col] = resized
             yield res
@@ -235,15 +242,18 @@ def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
     ftype = T.DoubleType() if feature_dtype == "float64" else T.FloatType()
     np_ftype = np.float64 if feature_dtype == "float64" else np.float32
     out_schema = T.StructType(df.schema.fields +
-                              [T.StructField(out_col, T.ArrayType(ftype))])
+                              [T.StructField(out_col, T.ArrayType(ftype)),
+                               T.StructField("decode_real", T.BooleanType())])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ri_cache = {}
         for pdf in it:
             feats = []
+            reals = []
             for data in pdf[bin_col]:
                 raw = bytes(data) if data is not None else b""
                 arr = _try_real_decode(raw)
+                reals.append(arr is not None)
                 if arr is None:
                     arr = _fake_decode(raw, h, w)
                 hh, ww = arr.shape[0], arr.shape[1]
@@ -259,6 +269,7 @@ def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
                 feats.append(np.concatenate([mean, std, hist])
                              .astype(np_ftype).tolist())
             pdf[out_col] = feats
+            pdf["decode_real"] = reals
             yield pdf
 
     return df.mapInPandas(batches, out_schema)

@@ -313,14 +313,21 @@ def winnow_fingerprints(text: Column, *, k: int = 8, w: int = 4) -> Column:
     window of ``w`` consecutive k-grams, distinct. Robust to local edits:
     two documents sharing a substring of ≥ k+w-1 chars share a fingerprint.
 
-    Implementation is an Arrow-batched ``pandas_udf``: per document the
-    rolling polynomial hash is k vectorized numpy ops over the byte array
-    (O(n·k) with wrapping uint64 arithmetic) and window minima come from a
-    stride-tricks sliding view. A pure Catalyst higher-order-expression
-    version was tried and rejected: ``substring(s, i, k)`` re-scans the
-    UTF8 string to find codepoint i, making the k-gram stream O(n²) per
-    document — minutes on multi-KB docs. This is the documented exception
-    to expr-first (see README: "Python is a measured exception").
+    Implementation is an Arrow-batched ``pandas_udf`` vectorized ACROSS
+    documents: every doc in the batch is normalized and concatenated into
+    ONE byte buffer, the rolling polynomial hash runs as k vectorized
+    numpy ops over that single buffer (O(N·k) for the whole batch, with
+    wrapping uint64 arithmetic — bit-identical to the per-doc law since a
+    gram at position p only reads bytes p..p+k-1), grams that would span
+    a document boundary are discarded by a doc-id mask, window minima
+    come from one stride-tricks sliding view over the doc-major gram
+    array (windows whose endpoints fall in different docs are masked),
+    and per-doc dedup+split is a lexsort + searchsorted. A pure Catalyst
+    higher-order-expression version was tried and rejected:
+    ``substring(s, i, k)`` re-scans the UTF8 string to find codepoint i,
+    making the k-gram stream O(n²) per document — minutes on multi-KB
+    docs. This is the documented exception to expr-first (see README:
+    "Python is a measured exception").
 
     Returns ``array<bigint>``; explode+groupBy to build the inverted index
     for substring-level near-dup candidate pairs at corpus scale."""
@@ -332,25 +339,74 @@ def winnow_fingerprints(text: Column, *, k: int = 8, w: int = 4) -> Column:
 
     @pandas_udf("array<bigint>")
     def _winnow(s: pd.Series) -> pd.Series:
-        out = []
-        for t in s:
+        n_docs = len(s)
+        empty = pd.Series([[] for _ in range(n_docs)])
+        if n_docs == 0:
+            return empty
+        bufs, lens = [], np.zeros(n_docs, dtype=np.int64)
+        for i, t in enumerate(s):
             if t is None:
-                out.append([])
                 continue
-            norm = " ".join(t.lower().split())
-            b = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8) \
-                  .astype(np.uint64)
-            n = b.size
-            if n < k:
-                out.append([])
-                continue
-            h = np.zeros(n - k + 1, dtype=np.uint64)
-            for j in range(k):
-                h = h * B + b[j: j + n - k + 1]
-            mins = (sliding_window_view(h, w).min(axis=1)
-                    if h.size >= w else h.min(keepdims=True))
-            out.append(np.unique(mins).view(np.int64).tolist())
-        return pd.Series(out)
+            bb = " ".join(t.lower().split()).encode("utf-8")
+            bufs.append(bb)
+            lens[i] = len(bb)
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        nbytes = int(starts[-1])
+        if nbytes < k:
+            return empty
+        buf = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.uint64)
+        # ONE rolling-hash pass over the whole batch buffer
+        h = np.zeros(nbytes - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h = h * B + buf[j: j + nbytes - k + 1]
+        # doc i owns grams at buffer positions starts[i]..starts[i]+lens[i]-k
+        g_cnt = np.maximum(lens - k + 1, 0)
+        tot_g = int(g_cnt.sum())
+        if tot_g == 0:
+            return empty
+        g_starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(g_cnt, out=g_starts[1:])
+        # gather valid (non-boundary-spanning) grams, doc-major
+        within = np.arange(tot_g) - np.repeat(g_starts[:-1], g_cnt)
+        H = h[np.repeat(starts[:-1], g_cnt) + within]
+        dids = np.repeat(np.arange(n_docs), g_cnt)
+        # full w-windows over all docs at once; a window starting at gram
+        # q is valid iff grams q and q+w-1 live in the same doc (doc-major
+        # contiguity makes endpoint equality sufficient)
+        if tot_g >= w:
+            wins = sliding_window_view(H, w).min(axis=1)
+            valid = dids[: tot_g - w + 1] == dids[w - 1:]
+            # run-collapse BEFORE the global sort: consecutive windows
+            # usually share their minimum (expected distinct fraction is
+            # 2/(w+1), Schleimer et al. §3), so dropping repeats of the
+            # previous window's min cuts the lexsort input ~(w+1)/2 x.
+            # Non-consecutive repeats within a doc still exist; the
+            # lexsort+keep below removes those, so results are unchanged.
+            first = np.ones(wins.size, dtype=bool)
+            first[1:] = ((wins[1:] != wins[:-1])
+                         | (dids[1: tot_g - w + 1] != dids[: tot_g - w]))
+            valid &= first
+            mins, mdid = wins[valid], dids[: tot_g - w + 1][valid]
+        else:
+            mins = np.empty(0, np.uint64)
+            mdid = np.empty(0, np.int64)
+        # docs with 0 < g_cnt < w: single fingerprint = min over all grams
+        nz = np.flatnonzero(g_cnt > 0)
+        short = g_cnt[nz] < w
+        if short.any():
+            doc_min = np.minimum.reduceat(H, g_starts[nz])
+            mins = np.concatenate([mins, doc_min[short]])
+            mdid = np.concatenate([mdid, nz[short]])
+        # per-doc unique (ascending uint64, matching np.unique) + split
+        order = np.lexsort((mins, mdid))
+        sd, sm = mdid[order], mins[order]
+        keep = np.ones(sd.size, dtype=bool)
+        keep[1:] = (sd[1:] != sd[:-1]) | (sm[1:] != sm[:-1])
+        sd, sm = sd[keep], sm[keep].view(np.int64)
+        bounds = np.searchsorted(sd, np.arange(n_docs + 1))
+        return pd.Series([sm[bounds[i]: bounds[i + 1]].tolist()
+                          for i in range(n_docs)])
 
     return _winnow(text)
 

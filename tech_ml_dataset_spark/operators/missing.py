@@ -60,7 +60,8 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
                     strategy: str = "mid",
                     value=None, *, order_by: str | None = None,
                     by: str | Sequence[str] | None = None,
-                    seed: int = 42, abb_sample_size: int = 4096) -> DataFrame:
+                    seed: int = 42, abb_sample_size: int = 4096,
+                    key_cols: str | Sequence[str] | None = None) -> DataFrame:
     """``replace-missing`` (missing.clj:242). Strategies:
 
     :value    -> na.fill(value) (or per-column dict)
@@ -83,10 +84,20 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
     :mean/:min/:max -> fill with that column statistic (computed once,
                  joined back as a literal via cross-join of 1-row agg)
     :abb      -> approximate bayesian bootstrap (missing.clj ``:abb``): each
-                 missing cell draws uniformly (rand(seed)) from a donor pool
-                 sampled from the observed values. The pool is capped at
+                 missing cell draws uniformly from a donor pool sampled from
+                 the observed values. The pool is capped at
                  ``abb_sample_size`` and broadcast as a literal array —
-                 at 100 TB the donor sample is the only collected state
+                 at 100 TB the donor sample is the only collected state.
+                 With ``key_cols`` the whole strategy becomes DETERMINISTIC
+                 and engine-portable: the pool is the ``abb_sample_size``
+                 rows ranked first by ``md5(key || ':' || seed)``
+                 (TakeOrdered — an unbiased uniform subsample, fixing the
+                 scan-prefix bias of the default path), and each missing
+                 row draws index ``conv(md5(key || ':' || seed+i)[:8], 16)
+                 % pool_size``. Identical fills on any engine and across
+                 task retries (rand(seed) is partition-placement-dependent,
+                 so a 100 TB retry refills DIFFERENT values — key_cols is
+                 the production-safe arm), and replayable by a SQL oracle.
 
     For :down/:up/:downup/:updown a non-None ``value`` fills whatever the
     directional pass leaves missing (the reference's two-arg form,
@@ -112,15 +123,46 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
         return df.na.fill(value, subset=cols)
 
     if strategy == "abb":
-        # Donor pools for ALL columns from ONE bounded job: LIMIT plans
-        # CollectLimit, which stops the scan after enough rows — no full
-        # count() pass and no per-column jobs (the r1 shape ran 1 + #cols
-        # jobs, two of them full scans). The pool is scan-prefix-biased
-        # rather than uniform; the reference's :abb is itself an
-        # *approximate* bootstrap, and the pool size cap dominates any
-        # bias at 100 TB. A column that is entirely null within the
-        # scanned prefix keeps its nulls (as before with an empty pool).
         out = df
+        if key_cols is not None:
+            # Deterministic arm: per column, the pool is the
+            # ``abb_sample_size`` non-null rows that rank FIRST by
+            # md5(key ':' seed) (TakeOrderedAndProject — bounded, no full
+            # sort, unbiased vs the scan-prefix default), kept in that
+            # md5-rank order; a missing row draws pool index
+            # conv(md5(key ':' seed+i)[:8], 16, 10) % pool_size. Both
+            # halves replay verbatim in any SQL engine (md5 of the same
+            # string is universal; conv-of-8-hex-chars fits in an int64),
+            # and fills survive task retries unchanged.
+            keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+            kstr = F.concat_ws(":", *[F.col(k).cast("string") for k in keys])
+            for i, c in enumerate(cols):
+                pool_rank = F.md5(F.concat_ws(":", kstr, F.lit(str(seed))))
+                donors = [r[0] for r in
+                          df.filter(F.col(c).isNotNull())
+                            .select(F.col(c), pool_rank.alias("__h__"),
+                                    *[F.col(k) for k in keys])
+                            .orderBy(F.col("__h__").asc(),
+                                     *[F.col(k).asc() for k in keys])
+                            .limit(abb_sample_size).collect()]
+                if not donors:
+                    continue
+                arr = F.array(*[F.lit(v) for v in donors])
+                draw = F.conv(F.substring(
+                    F.md5(F.concat_ws(":", kstr, F.lit(str(seed + i)))),
+                    1, 8), 16, 10).cast("bigint")
+                pick = F.element_at(arr, (draw % len(donors) + 1).cast("int"))
+                out = out.withColumn(c, F.coalesce(F.col(c), pick))
+            return out
+        # Default arm — donor pools for ALL columns from ONE bounded job:
+        # LIMIT plans CollectLimit, which stops the scan after enough rows
+        # — no full count() pass and no per-column jobs (the r1 shape ran
+        # 1 + #cols jobs, two of them full scans). The pool is
+        # scan-prefix-biased rather than uniform; the reference's :abb is
+        # itself an *approximate* bootstrap, and the pool size cap
+        # dominates any bias at 100 TB. A column that is entirely null
+        # within the scanned prefix keeps its nulls (as before with an
+        # empty pool).
         head = (df.select(*cols).na.drop(how="all")
                   .limit(4 * abb_sample_size).collect())
         for i, c in enumerate(cols):

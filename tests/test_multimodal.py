@@ -162,3 +162,28 @@ def test_image_pipeline_real_codec_end_to_end(spark):
         hist, _ = np.histogram(arr.mean(axis=2), bins=8, range=(0.0, 1.0))
         want = np.concatenate([mean, std, hist / 16.0])
         assert np.allclose(feats[did], want, atol=1e-12), did
+
+
+def test_decode_real_flag_in_band(spark, media):
+    """r4 verdict #6: fake decodes must be flagged IN-BAND. The media
+    fixture has no valid PNG payload (row 1 is a truncated signature), so
+    every decode_image struct carries decode_real=False; a real
+    synthesized PNG flips it to True through decode_image AND the fused
+    image_pipeline, and resize_image carries the flag through."""
+    import tech_ml_dataset_spark.functions.multimodal as mm
+    from pyspark.sql import functions as F
+
+    fake = {r["id"]: r["image"]["decode_real"]
+            for r in mm.decode_image(media, "data", fake_hw=(4, 4)).collect()}
+    assert fake == {1: False, 2: False, 3: False, 4: False, 5: False}
+
+    ids = spark.createDataFrame([(7,), (8,)], "doc_id int")
+    pngs = mm.synthesize_png(ids, "doc_id", height=8, width=8)
+    dec = mm.decode_image(pngs, "png")
+    assert all(r["image"]["decode_real"] for r in dec.collect())
+    rs = mm.resize_image(dec, "image", 4, 4)
+    assert all(r["image"]["decode_real"] for r in rs.collect())
+    fused = mm.image_pipeline(pngs, "png", resize_hw=(4, 4))
+    assert all(r["decode_real"] for r in fused.collect())
+    fused_fake = mm.image_pipeline(media, "data", resize_hw=(4, 4))
+    assert not any(r["decode_real"] for r in fused_fake.collect())

@@ -397,3 +397,33 @@ def test_parser_fn_na_as_missing_law(spark):
     nums = sio.to_dataset(spark, [{"a": "1"}, {"a": "NA"}],
                           parser_fn={"a": "int32"})
     assert [r["a"] for r in nums.collect()] == [1, None]
+
+
+def test_ensure_parallelism_streaming_safe_and_plan_cheap(spark, tmp_path):
+    """r4 verdict #3: ensure_parallelism must (a) pass a streaming
+    DataFrame through unchanged (.rdd is illegal on streaming plans) and
+    (b) answer wide file scans from file metadata without forcing
+    physical planning; narrow inputs still repartition to full width."""
+    from tech_ml_dataset_spark.dtutil import ensure_parallelism
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(src)
+    stream = spark.readStream.schema("id long, v string").parquet(src)
+    out = ensure_parallelism(stream)
+    assert out is stream  # untouched, no .rdd call possible
+
+    # batch path: a single small file repartitions up to full width
+    small = spark.read.parquet(src)
+    widened = ensure_parallelism(small)
+    assert widened.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+
+    # estimator lower bound: many tiny files must NOT be mistaken for a
+    # wide scan (file count is not a lower bound on scan partitions)
+    many = str(tmp_path / "many_files")
+    spark.range(200).repartition(64).write.parquet(many)
+    packed = spark.read.parquet(many)
+    n_scan = packed.rdd.getNumPartitions()
+    got = ensure_parallelism(packed).rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    assert got >= min(target, max(n_scan, target))
