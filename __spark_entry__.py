@@ -1162,6 +1162,19 @@ def unigram_lm_docs(spark, sf_dir):
                       "n_scored_tokens")
 
 
+def bigram_lm_docs(spark, sf_dir):
+    """Interpolated bigram LM (Jelinek-Mercer over corpus-self-trained
+    counts) — the next rung above unigram_lm_docs on the CCNet perplexity
+    ladder; catches burst-repetitive text a unigram LM scores as typical.
+    Oracle replays tokenize -> bigram/unigram counts -> interpolation in
+    DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    out = txt.bigram_logprob_score(docs)
+    return out.select("doc_id",
+                      _r4(F.col("bits_per_bigram")).alias("bits_per_bigram"),
+                      "n_bigrams")
+
+
 def ccnet_buckets_docs(spark, sf_dir):
     """CCNet head/middle/tail quality buckets per language (Wenzek et al.
     2020): unigram-LM score + per-lang ntile(3) on the 4-decimal-rounded
@@ -2057,8 +2070,10 @@ def repetition_signals_docs(spark, sf_dir):
 
 
 def lsh_topk_embeddings(spark, sf_dir):
-    """Sign-LSH bucketed ANN top-k (rows-only: approximate by design;
-    recall vs brute force is pinned in tests/test_functions.py)."""
+    """Sign-LSH bucketed ANN top-k (ORACLED since r3 via frozen seeded
+    hyperplanes — approximate by design, but deterministic given the
+    plan-literal planes; recall vs brute force is additionally pinned in
+    tests/test_functions.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 20)
     return sim.lsh_bucketed_topk(left, emb, "embedding", k=5, n_planes=4) \
@@ -2338,23 +2353,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r2-green queries whose code is untouched rotate to the tail — they stay
     covered by pytest + tools/verify_local.py."""
     return {
-        # ---- THE 50-QUERY DRIVER WINDOW (r4) ----
-        # (a) changed/added this round: the canonical_url separator fix
-        #     (url_dedup), the unigram freq-table checkpoint, the new
-        #     datetime-lerp fill, the IVF oracle promotion, and the
-        #     similarity-join prefix-length fix;
-        # (b) every oracled query that has never had a driver-green row
-        #     (the 12 remaining TPC-H shapes + cast_failures + select_rows
-        #     — completes driver proof of the whole TPC-H suite);
-        # (c) the replace_missing family (prev/next refactor this round);
-        # (d) oldest-evidence r1/r2 stalwarts rotating back in.
+        # ---- THE 50-QUERY DRIVER WINDOW (r5) ----
+        # (a) changed or added THIS round, re-prove / first-prove:
+        #     - winnow x2 (text.py batch vectorization — law unchanged,
+        #       implementation rewritten);
+        #     - abb_fill_events / regression_price_model /
+        #       pca_project_lineitem (the three r4-verdict oracle
+        #       promotions: deterministic :abb key_cols arm, 3x3-Cramer
+        #       OLS, trig 3x3 PCA eigendecomposition);
+        #     - image_pipeline_png_docs + image_pipeline_docs (schema
+        #       gained the in-band decode_real flag);
+        #     - the shingle family (dedup.shingles lean rewrite):
+        #       ngram_jaccard, minhash/simhash md5 oracles,
+        #       similarity_join, minhash_incremental, decontaminate,
+        #       dedup_exact + fuzzy_name_pairs (same file);
+        #     - stratified_sample_docs + select_rows_orders
+        #       (selection.py: mega-stratum salt_buckets guard);
+        #     - concat x2 (setops.concat nil-pun law);
+        #     - media_meta_docs (multimodal.py churn, cheap insurance);
+        #     - repetition_signals_docs (ensure_parallelism rewrite
+        #       consumer) and the replace_missing family lerp/nearest/
+        #       bfill/ts_lerp/ffill (missing.py churn — directional code
+        #       untouched, file-level discipline per the verify skill).
+        # (b) never-driver-green: none — every oracled query has a green
+        #     row in some round as of r4.
+        # (c) oldest-evidence rotation (r4 verdict #5): the r1-green
+        #     stalwarts (quantiles, bag union/intersect, one-hot,
+        #     rolling-range, minmax, rollup) plus the largest r2-green
+        #     cohort (window family, setops, selection, melt) whose proof
+        #     is 3 rounds old; group_distinct_stats re-proves the r5
+        #     aggregate.py touch (issue-201 key-collision projection).
+        "winnow_docs": winnow_docs,
+        "winnow_pairs_docs": winnow_pairs_docs,
+        "abb_fill_events": abb_fill_events,
+        "regression_price_model": regression_price_model,
+        "pca_project_lineitem": pca_project_lineitem,
+        "image_pipeline_png_docs": image_pipeline_png_docs,
+        "image_pipeline_docs": image_pipeline_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "minhash_pairs_oracle_docs": minhash_pairs_oracle_docs,
+        "simhash_oracle_docs": simhash_oracle_docs,
+        "similarity_join_docs": similarity_join_docs,
+        "minhash_incremental_pairs_docs": minhash_incremental_pairs_docs,
+        "decontaminate_docs": decontaminate_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "concat_slices": concat_slices,
+        "concat_widen_lineitem": concat_widen_lineitem,
+        "select_rows_orders": select_rows_orders,
+        "dedup_exact_docs": dedup_exact_docs,
+        "fuzzy_name_pairs": fuzzy_name_pairs,
+        "media_meta_docs": media_meta_docs,
+        "repetition_signals_docs": repetition_signals_docs,
+        "lerp_events": lerp_events,
+        "nearest_fill_events": nearest_fill_events,
+        "bfill_updown_events": bfill_updown_events,
+        "ts_lerp_events": ts_lerp_events,
+        "ffill_events": ffill_events,
+        "quantiles_price": quantiles_price,
+        "bag_union_lineitem": bag_union_lineitem,
+        "bag_intersect_lineitem": bag_intersect_lineitem,
+        "one_hot_segment": one_hot_segment,
+        "rolling_range_events": rolling_range_events,
+        "minmax_scale_acctbal": minmax_scale_acctbal,
+        "rollup_orders": rollup_orders,
+        "rolling_user_value": rolling_user_value,
+        "rolling_clamp_user": rolling_clamp_user,
+        "rolling_center_user": rolling_center_user,
+        "rolling_corr_user": rolling_corr_user,
+        "expanding_user_cumsum": expanding_user_cumsum,
+        "analytic_lag_rank": analytic_lag_rank,
+        "unique_by_order": unique_by_order,
+        "lineitem_except": lineitem_except,
+        "reduce_union_orders": reduce_union_orders,
+        "take_nth_lineitem": take_nth_lineitem,
+        "filter_project": filter_project,
+        "topk_orders": topk_orders,
+        "customers_without_orders": customers_without_orders,
+        "cube_orders": cube_orders,
+        "events_json_extract": events_json_extract,
+        "bigram_lm_docs": bigram_lm_docs,
+        "group_distinct_stats": group_distinct_stats,
+        # ---- position > 50: r3/r4-green queries with unchanged code
+        # rotating out (cumulative proof stands), then remaining r1/r2
+        # stalwarts that didn't fit this window and rows-only queries.
+        # All stay covered by pytest + tools/verify_local.py every round.
         "url_dedup_docs": url_dedup_docs,
         "unigram_lm_docs": unigram_lm_docs,
-        "ts_lerp_events": ts_lerp_events,
         "ivf_topk_embeddings": ivf_topk_embeddings,
-        "similarity_join_docs": similarity_join_docs,
         "cast_failures_orders": cast_failures_orders,
-        "select_rows_orders": select_rows_orders,
         "q4_order_priority": q4_order_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
@@ -2367,125 +2453,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_predicates": q19_disjunctive_predicates,
-        "lerp_events": lerp_events,
-        "nearest_fill_events": nearest_fill_events,
-        "bfill_updown_events": bfill_updown_events,
-        # (a-new) r4 Gopher repetition battery — new operator, driver-prove
-        # this round (ffill_events, r1-green simplest fill variant, rotates
-        # out to make room)
-        "repetition_signals_docs": repetition_signals_docs,
-        # (a-new) r4 winnowing PAIR-law oracle promotion — driver-prove
-        # this round (q1_pricing_summary, r2-green flagship that entry()
-        # still smoke-runs every round, rotates out)
-        "winnow_pairs_docs": winnow_pairs_docs,
-        # (a-new) r4 cross-corpus embedding near-dup — new operator,
-        # driver-prove this round (q3_segment_revenue, r2-green (d)-tier
-        # stalwart whose join/agg shape is covered by the 13 other
-        # in-window TPC-H queries, rotates out)
         "embedding_incremental_pairs": embedding_incremental_pairs,
-        # (a-new) r4 winnowing oracle promotion — the rolling-hash law is
-        # now DuckDB-replayed (HUGEINT polynomial mod 2^64), driver-prove
-        # this round (q5_nation_revenue, r2-green (d)-tier stalwart whose
-        # join/agg shape is covered by the other in-window TPC-H queries,
-        # rotates out)
-        "winnow_docs": winnow_docs,
-        # (a-new) r4 edit-distance fuzzy join — new operator with a
-        # provable-completeness candidate filter, driver-prove this round
-        # (filter_project, r2-green with the select/filter paths untouched
-        # in r4, rotates out)
-        "fuzzy_name_pairs": fuzzy_name_pairs,
-        # (a-new) late-r4 UAX#15 NFC normalization — new operator,
-        # driver-prove this round (topk_orders, r2-green with the
-        # TakeOrdered path untouched in r4, rotates out)
         "unicode_nfc_docs": unicode_nfc_docs,
-        # (a-new) r4 LOESS oracle promotion — full-sample fit on the
-        # complete 5000-row slice is deterministic and DuckDB-replayed;
-        # driver-prove this round (take_nth_lineitem, r2-green with the
-        # take_nth path untouched in r4 — the selection.py churn
-        # (negative indices / stratified sampler) is proven in-window by
-        # select_rows_orders and stratified_sample_docs — rotates out)
         "loess_smooth_events": loess_smooth_events,
-        "group_distinct_stats": group_distinct_stats,
-        # (a-new) r4 SemDeDup — new operator, driver-prove this round
-        # (unique_by_order, r2-green with setops.py untouched in r4,
-        # rotates out to make room)
+        "melt_part_attrs": melt_part_attrs,
+        "pivot_status_priority": pivot_status_priority,
         "semdedup_embeddings": semdedup_embeddings,
-        # (a-new) late-r4 csv write->read fidelity — first driver proof
-        # of the WRITE path (customers_without_orders, r2-green with the
-        # semi/anti path untouched in r4, rotates out)
         "csv_roundtrip_orders": csv_roundtrip_orders,
-        # (a-new) r4 closed-form 2x2 PCA oracle — driver-prove this
-        # round, and re-proves the r4-touched preprocess.py PCA path
-        # (concat_slices, r2-green with setops.py untouched in r4,
-        # rotates out)
         "pca2_project_lineitem": pca2_project_lineitem,
-        # (a-new) r4 exact stratified sampler — new operator, driver-prove
-        # this round (lineitem_except, r2-green with setops.py untouched in
-        # r4, rotates out)
-        "stratified_sample_docs": stratified_sample_docs,
-        # (a-new) r4 categorical PSI — new operator, driver-prove this
-        # round (rolling_user_value, r2-green with window.py untouched in
-        # r4, rotates out)
         "psi_drift_categorical_docs": psi_drift_categorical_docs,
-        # (a-late) fill_range fill-application refactored late-r4
-        # (_apply_fill + ("value", v) arm) — driver-reprove (cube_orders,
-        # r1/r2-green with the cube path untouched all round, rotates out)
         "fill_range_events": fill_range_events,
-        # (a-new) r4 Okapi BM25 ranked retrieval — new operator,
-        # driver-prove this round (reduce_union_orders, r2-green with
-        # setops.py untouched in r4, rotates out)
         "bm25_search_docs": bm25_search_docs,
-        # (a-new) r4 PSI drift detector — new operator, driver-prove this
-        # round (rolling_clamp_user, r2-green with window.py untouched in
-        # r4, rotates out)
         "psi_drift_lineitem": psi_drift_lineitem,
-        # (a-new) r4 cross-corpus incremental near-dup oracle —
-        # driver-prove this round (columnwise_round_lineitem, r2-green
-        # with colmap.py untouched in r4, rotates out)
-        "minhash_incremental_pairs_docs": minhash_incremental_pairs_docs,
-        # (a-new) r4 CCNet quality buckets — new operator, driver-prove
-        # this round (rolling_center_user, r2-green with window.py untouched
-        # in r4, rotates out)
         "ccnet_buckets_docs": ccnet_buckets_docs,
-        # (a-new) r4 MinHash banding-law oracle (hash_fn="md5" portable
-        # hashing) — driver-prove this round (cross_region_priority,
-        # r2-green with join.py cross path untouched in r4, rotates out)
-        "minhash_pairs_oracle_docs": minhash_pairs_oracle_docs,
-        # (a-new) r4 SimHash bit-majority-law oracle (hash_fn="md5") —
-        # driver-prove this round (expanding_user_cumsum, r2-green with
-        # window.py untouched in r4, rotates out)
-        "simhash_oracle_docs": simhash_oracle_docs,
-        # (a-new) r4 robust scaler — new operator, driver-prove this round
-        # (rolling_corr_user, r2-green with window.py untouched in r4,
-        # rotates out)
         "robust_scale_acctbal": robust_scale_acctbal,
-        # (a-new) r4 multi-feature OLS oracle (covariance Cramer twin) —
-        # driver-prove this round (analytic_lag_rank, r2-green with
-        # window.py untouched in r4, rotates out)
         "ols_multi_price_model": ols_multi_price_model,
         "text_stats_by_lang": text_stats_by_lang,
-        "dedup_exact_docs": dedup_exact_docs,
-        # (a-late) r4 descriptive-stats temporal rendering — new behavior,
-        # driver-prove this round
         "descriptive_stats_events_temporal": descriptive_stats_events_temporal,
-        # (a-late) asof family: direction convention flipped to reference
-        # parity + nearest tie law changed this round — driver-reprove
         "asof_purchase_click": asof_purchase_click,
         "asof_nearest_click": asof_nearest_click,
         "asof_strict_click": asof_strict_click,
-        # ---- position > 50: r3-green rotating out, then r1/r2-green
-        # or rows-only queries with unchanged code. All stay covered by
-        # pytest + tools/verify_local.py every round.
-        # r5 WINDOW PLAN: once CORRECTNESS_r04 lands green, EVERY oracled
-        # query has a driver-green row in some round (the only never-checked
-        # entries are the 8 rows-only-by-design: image-fake-decode/abb/
-        # bpe-encode/reservoir/multi-feature-regression/pca/minhash/simhash
-        # — seeded draws or Spark-specific hashes whose md5/closed-form
-        # twins ARE oracled; loess + winnow x2 were promoted to oracles
-        # late-r4). So the r5 window is (a) anything changed or added in
-        # r5, then (b) oldest-evidence rotation: r1/r2-green stalwarts
-        # whose proof is now 3+ rounds old, oldest first. ----
-        "ffill_events": ffill_events,
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
@@ -2518,18 +2505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "induction_events": induction_events,
         "rolling_trimmed_events": rolling_trimmed_events,
         "pq_encode_embeddings": pq_encode_embeddings,
-        # (asof_nearest/strict/purchase_click sit in the r4 window above —
-        # python dict literals keep a repeated key's FIRST position, so a
-        # second mention here would be a dead entry that only skews
-        # source-line position counting)
-        "reduce_union_orders": reduce_union_orders,
         "q3_segment_revenue": q3_segment_revenue,
-        "concat_widen_lineitem": concat_widen_lineitem,
         "kendall_tau_lineitem": kendall_tau_lineitem,
-        "image_pipeline_png_docs": image_pipeline_png_docs,
-        "decontaminate_docs": decontaminate_docs,
         "pii_redact_docs": pii_redact_docs,
-        "cube_orders": cube_orders,
         "descriptive_stats_lineitem": descriptive_stats_lineitem,
         "pd_merge_outer": pd_merge_outer,
         "grouping_sets_orders": grouping_sets_orders,
@@ -2543,49 +2521,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": ewma_user_value,
         "salted_revenue_by_nation": salted_revenue_by_nation,
         "validate_orders": validate_orders,
-        "image_pipeline_docs": image_pipeline_docs,
-        "rolling_range_events": rolling_range_events,
-        "minmax_scale_acctbal": minmax_scale_acctbal,
-        "one_hot_segment": one_hot_segment,
-        "bag_union_lineitem": bag_union_lineitem,
-        "bag_intersect_lineitem": bag_intersect_lineitem,
-        "quantiles_price": quantiles_price,
-        "rollup_orders": rollup_orders,
         "embedding_dedup_clusters": embedding_dedup_clusters,
-        "unique_by_order": unique_by_order,
-        "lineitem_except": lineitem_except,
-        "rolling_center_user": rolling_center_user,
-        "rolling_clamp_user": rolling_clamp_user,
-        "rolling_user_value": rolling_user_value,
-        "rolling_corr_user": rolling_corr_user,
-        "abb_fill_events": abb_fill_events,
-        "take_nth_lineitem": take_nth_lineitem,
-        "filter_project": filter_project,
-        "topk_orders": topk_orders,
-        "customers_without_orders": customers_without_orders,
         "q5_nation_revenue": q5_nation_revenue,
         "q1_pricing_summary": q1_pricing_summary,
         "bpe_encode_docs": bpe_encode_docs,
         "reservoir_orders": reservoir_orders,
-        "regression_price_model": regression_price_model,
-        "pca_project_lineitem": pca_project_lineitem,
-        "events_json_extract": events_json_extract,
         "unroll_doc_tokens": unroll_doc_tokens,
-        "melt_part_attrs": melt_part_attrs,
-        "pivot_status_priority": pivot_status_priority,
         "tumbling_events_daily": tumbling_events_daily,
         "session_window_events": session_window_events,
         "cat_encode_segment": cat_encode_segment,
         "std_scale_acctbal": std_scale_acctbal,
         "corr_quantity_price": corr_quantity_price,
-        "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_pairs_docs": minhash_pairs_docs,
         "simhash_docs": simhash_docs,
-        "media_meta_docs": media_meta_docs,
         "cross_region_priority": cross_region_priority,
-        "expanding_user_cumsum": expanding_user_cumsum,
-        "analytic_lag_rank": analytic_lag_rank,
-        "concat_slices": concat_slices,
         "columnwise_round_lineitem": columnwise_round_lineitem,
     }
 
@@ -4660,6 +4609,41 @@ def oracle_sql() -> dict[str, str]:
                        AS bits_per_token,
                    count(*) AS n_scored_tokens
             FROM ex2 e JOIN freq f USING (w), tot
+            GROUP BY e.doc_id
+        """,
+        "bigram_lm_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\\s+'),
+                                   w -> length(w) > 0) AS toks
+                FROM documents
+            ), ex2 AS (
+                SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+                    SELECT doc_id,
+                           unnest([struct_pack(w1 := toks[i],
+                                               w2 := toks[i+1])
+                                   FOR i IN range(1, len(toks))]) AS bg
+                    FROM t WHERE len(toks) >= 2)
+            ), bfreq AS (
+                SELECT w1, w2, count(*) AS c12 FROM ex2 GROUP BY w1, w2
+            ), ufreq AS (
+                SELECT w, count(*) AS c
+                FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+            ), tot AS (
+                SELECT CAST(sum(c) AS DOUBLE) AS N,
+                       CAST(count(*) AS DOUBLE) AS V FROM ufreq
+            )
+            SELECT e.doc_id,
+                   round(-avg(log2(0.75 * b.c12 / u1.c
+                                   + 0.25 * (u2.c + 0.5)
+                                     / (tot.N + 0.5 * tot.V))), 4)
+                       AS bits_per_bigram,
+                   count(*) AS n_bigrams
+            FROM ex2 e
+            JOIN bfreq b USING (w1, w2)
+            JOIN ufreq u1 ON u1.w = e.w1
+            JOIN ufreq u2 ON u2.w = e.w2, tot
             GROUP BY e.doc_id
         """,
         "gopher_quality_docs": """

@@ -43,7 +43,10 @@ _REDUCERS: dict[str, Callable[..., Column]] = {
     "max": lambda c, **_: F.max(c),
     "maximum": lambda c, **_: F.max(c),
     "minimum": lambda c, **_: F.min(c),
-    "distinct": lambda c, **_: F.collect_set(c),
+    # sorted for determinism: the reference's :distinct returns values in
+    # a stable order (reductions_test.clj:334-342 issue-314 expects
+    # ["0" "1" "2"]) and an unordered collect_set is oracle-hostile
+    "distinct": lambda c, **_: F.array_sort(F.collect_set(c)),
     "count-distinct": lambda c, **_: F.countDistinct(c),
     "prob-set-cardinality": lambda c, rsd=0.05, **_: F.approx_count_distinct(c, rsd),
     "prob-median": lambda c, accuracy=10000, **_: F.percentile_approx(c, 0.5, accuracy),
@@ -132,8 +135,24 @@ def group_by_column_agg(
     if index_filter is not None:
         df = df.filter(index_filter)
     keys = [key] if isinstance(key, str) else list(key)
-    exprs = [resolve_reducer(spec).alias(name) for name, spec in aggs.items()]
-    return df.groupBy(*keys).agg(*exprs)
+    collide = {n for n in aggs if n in keys}
+    if not collide:
+        exprs = [resolve_reducer(spec).alias(name)
+                 for name, spec in aggs.items()]
+        return df.groupBy(*keys).agg(*exprs)
+    # A reducer named like a grouping key REPLACES the key column in the
+    # output (reductions_test.clj:88-113 issue-201: {:symbol first-value}
+    # grouped by :symbol yields ONE symbol column, 8 columns total —
+    # Spark's raw agg would emit a duplicate, ambiguous column). Alias
+    # colliding reducers to temp names, then project once.
+    exprs = [resolve_reducer(spec)
+             .alias(f"__gbca_{n}__" if n in collide else n)
+             for n, spec in aggs.items()]
+    out = df.groupBy(*keys).agg(*exprs)
+    sel = [F.col(k) for k in keys if k not in collide]
+    sel += [F.col(f"__gbca_{n}__" if n in collide else n).alias(n)
+            for n in aggs]
+    return out.select(*sel)
 
 
 def _concat_if_many(df) -> DataFrame:

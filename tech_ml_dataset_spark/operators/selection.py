@@ -121,12 +121,15 @@ def contiguous_scan_index(df: DataFrame, name: str = IDX_COL) -> DataFrame:
 def select_columns(df: DataFrame, cols) -> DataFrame:
     """``select-columns`` (base.clj:301). ``cols`` may be names, a predicate
     over names, or a mapping {old -> new} (select+rename, like the reference's
-    map argument)."""
+    map argument). Repeated names keep their FIRST position only
+    (dataset_test.clj:1700-1704 select-columns-repeat-columns — Spark
+    would otherwise mint an ambiguous duplicate column)."""
     if callable(cols) and not isinstance(cols, (str, Column)):
         return df.select(*[c for c in df.columns if cols(c)])
     if isinstance(cols, Mapping):
         return df.select(*[F.col(o).alias(n) for o, n in cols.items()])
-    return df.select(*list(cols))
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return df.select(*dict.fromkeys(cols))
 
 
 def drop_columns(df: DataFrame, cols) -> DataFrame:
@@ -136,9 +139,22 @@ def drop_columns(df: DataFrame, cols) -> DataFrame:
     return df.drop(*([cols] if isinstance(cols, str) else list(cols)))
 
 
-def rename_columns(df: DataFrame, mapping: Mapping[str, str]) -> DataFrame:
-    """``rename-columns`` (base.clj:328)."""
-    return df.withColumnsRenamed(dict(mapping))
+def rename_columns(df: DataFrame, mapping) -> DataFrame:
+    """``rename-columns`` (base.clj:328). A mapping renames by name; a
+    positional SEQUENCE renames every column in order and must match the
+    column count exactly (dataset_test.clj:708-724 — wrong length raises,
+    and an unordered set raises because positions would be arbitrary)."""
+    if isinstance(mapping, (set, frozenset)):
+        raise TypeError("rename_columns: positional rename needs an ordered "
+                        "sequence, not a set (column positions would be "
+                        "arbitrary)")
+    if isinstance(mapping, Mapping):
+        return df.withColumnsRenamed(dict(mapping))
+    names = list(mapping)
+    if len(names) != len(df.columns):
+        raise ValueError(f"rename_columns: {len(names)} new names for "
+                         f"{len(df.columns)} columns")
+    return df.toDF(*names)
 
 
 def add_or_update_column(df: DataFrame, name: str, col) -> DataFrame:
@@ -248,7 +264,8 @@ def sample_by(df: DataFrame, col: str, fractions: dict, seed: int | None = None
 
 
 def sample_stratified_exact(df: DataFrame, by, n: int, *,
-                            key_col: str, seed: int = 42) -> DataFrame:
+                            key_col: str, seed: int = 42,
+                            salt_buckets: int | None = None) -> DataFrame:
     """EXACT stratified sample: exactly ``min(n, stratum size)`` rows per
     stratum (parity-plus; ``sample_by``'s Bernoulli fractions only hit the
     target count in expectation — class-balancing a training mix usually
@@ -262,17 +279,30 @@ def sample_stratified_exact(df: DataFrame, by, n: int, *,
 
     Scale shape: one window partitioned BY THE STRATUM KEY — parallel
     across strata, no single-partition funnel; the rank prunes to n before
-    anything else happens. A mega-stratum still sorts within its partition
-    (the usual skewed-groupBy caveat — salt upstream if one class is half
-    the corpus)."""
+    anything else happens. A MEGA-stratum (one class owning half the
+    corpus) would still sort inside one task — ``salt_buckets=S`` guards
+    that with a two-phase top-n that returns the IDENTICAL sample: phase
+    1 ranks within (stratum, xxhash64(key) mod S) sub-buckets — S-way
+    parallel — and keeps each sub-bucket's first n (a row outranked by n
+    rows in its own sub-bucket is outranked by n rows in its stratum, so
+    nothing a global top-n could pick is discarded); phase 2 re-ranks the
+    <= S*n survivors per stratum. Same md5 ordering end-to-end, so the
+    SQL oracle law is unchanged."""
     by = [by] if isinstance(by, str) else list(by)
     from pyspark.sql import Window
     h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
                           F.lit(str(seed))))
+    out = df
+    if salt_buckets is not None and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*by, salt).orderBy(h.asc(),
+                                                   F.col(key_col).asc())
+        out = (out.withColumn("__rn__", F.row_number().over(w1))
+                  .filter(F.col("__rn__") <= n).drop("__rn__"))
     w = Window.partitionBy(*by).orderBy(h.asc(), F.col(key_col).asc())
-    return (df.withColumn("__rn__", F.row_number().over(w))
-              .filter(F.col("__rn__") <= n)
-              .drop("__rn__"))
+    return (out.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") <= n)
+               .drop("__rn__"))
 
 
 def freq_items(df: DataFrame, cols, support: float = 0.01) -> DataFrame:

@@ -106,8 +106,17 @@ def concat(*dfs: DataFrame) -> DataFrame:
     """``concat`` (base.clj:744): row-concat by column NAME, widening dtypes
     pairwise and null-filling columns absent on one side (base.clj:626-697).
     Spark's unionByName errors on type conflicts, so widened casts are
-    applied first. Union is a zero-shuffle narrow op."""
-    dfs = list(dfs)
+    applied first. Union is a zero-shuffle narrow op.
+
+    nil-pun law (dataset_test.clj:155-166): None arguments are skipped —
+    ``concat(None, ds) == ds`` — and all-None (or zero) inputs return
+    None. The reference's concat-inplace vs concat-copying distinction is
+    storage-level (realize vs view) and has no Spark analog: both map to
+    this one lazy union, so their behavioral tests (missing offsets,
+    widening, nil-pun) pin THIS function."""
+    dfs = [d for d in dfs if d is not None]
+    if not dfs:
+        return None
     if len(dfs) == 1:
         return dfs[0]
     # compute union schema: name -> widened type, in first-seen column order

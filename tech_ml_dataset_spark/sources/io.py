@@ -182,6 +182,57 @@ def _peek_csv_header(spark, path, opts, n_skip: int):
         return None
 
 
+def _render_column_key(k) -> str:
+    """Spark column names are strings: render non-string mapseq/colmap
+    keys the way ``cast(string)`` would (True -> 'true', so the
+    columns-named-false fixture round-trips through csv identically,
+    dataset_test.clj:693,1114)."""
+    if isinstance(k, bool):
+        return "true" if k else "false"
+    return k if isinstance(k, str) else str(k)
+
+
+def _widen_object_columns(rows: list[tuple], n_cols: int) -> list[tuple]:
+    """Reference :object-column analog (mixed-boolean-values law,
+    dataset_test.clj:1674-1676): a column whose non-null Python values mix
+    incompatible types (e.g. [1, True, False] — Spark schema inference
+    raises CANNOT_MERGE_TYPE) widens to STRING with cast-like rendering
+    (True -> 'true'), matching the concat widening fallback. Numeric
+    int/float mixes stay numeric (Spark merges those itself)."""
+    if not rows:
+        return rows
+    mixed = []
+    for j in range(n_cols):
+        kinds = set()
+        for r in rows:
+            v = r[j]
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                kinds.add("bool")
+            elif isinstance(v, (int, float)):
+                kinds.add("num")
+            elif isinstance(v, str):
+                kinds.add("str")
+            else:
+                kinds.add(type(v).__name__)
+        if len(kinds) > 1:
+            mixed.append(j)
+    if not mixed:
+        return rows
+
+    def render(v):
+        if v is None or isinstance(v, str):
+            return v
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
+    mixed_set = set(mixed)
+    return [tuple(render(v) if j in mixed_set else v
+                  for j, v in enumerate(r)) for r in rows]
+
+
 def to_dataset(
     spark: SparkSession,
     data,
@@ -344,10 +395,18 @@ def to_dataset(
         df = data
     elif isinstance(data, Mapping):
         # map-of-columns: {"a": [1,2,3], "b": [...]}.
-        cols = list(data.keys())
-        n = max((len(v) for v in data.values()), default=0)
+        # Non-string keys render Spark-style (columns-named-false law,
+        # dataset_test.clj:693-706: a column may be named `false` — Spark
+        # column names are strings, so booleans render lowercase like
+        # cast-to-string; documented deviation from Clojure's typed keys).
+        cols = [_render_column_key(k) for k in data.keys()]
+        vals = list(data.values())
+        n = max((len(v) for v in vals), default=0)
         # ragged columns backfill with None, like the reference's mapseq parser
-        rows = [tuple(data[c][i] if i < len(data[c]) else None for c in cols) for i in range(n)]
+        rows = [tuple(v[i] if i < len(v) else None for v in vals)
+                for i in range(n)]
+        if schema is None:
+            rows = _widen_object_columns(rows, len(cols))
         df = spark.createDataFrame(rows, schema=schema or cols)
     else:
         # sequence of row-dicts (mapseq); ragged keys grow columns w/ nulls.
@@ -355,7 +414,19 @@ def to_dataset(
         if schema is not None:
             df = spark.createDataFrame(data, schema=schema)
         else:
-            df = spark.createDataFrame(data)
+            if any(isinstance(r, Mapping) and
+                   any(not isinstance(k, str) for k in r) for r in data):
+                data = [{_render_column_key(k): v for k, v in r.items()}
+                        if isinstance(r, Mapping) else r for r in data]
+            # column order = first-seen across all rows (ragged mapseq)
+            cols = list(dict.fromkeys(k for r in data
+                                      if isinstance(r, Mapping) for k in r))
+            if cols and all(isinstance(r, Mapping) for r in data):
+                rows = [tuple(r.get(c) for c in cols) for r in data]
+                rows = _widen_object_columns(rows, len(cols))
+                df = spark.createDataFrame(rows, schema=cols)
+            else:
+                df = spark.createDataFrame(data)
 
     if key_fn is not None:
         df = df.toDF(*[key_fn(c) for c in df.columns])

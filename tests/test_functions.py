@@ -1032,3 +1032,31 @@ def test_normalize_unicode_forms(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="normalization form"):
         txt.normalize_unicode(df, form="NFX")
+
+
+def test_bigram_lm_interpolated_law(spark):
+    """bigram_logprob_score: Jelinek-Mercer arithmetic on a corpus small
+    enough to check by hand, short docs (<2 tokens) score NULL with
+    n_bigrams=0, and repeated bigrams score as more typical."""
+    import math
+
+    from tech_ml_dataset_spark.functions import text as txt
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "x"), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["bits_per_bigram"], r["n_bigrams"])
+           for r in txt.bigram_logprob_score(docs).collect()}
+    assert out[2] == (None, 0) and out[3] == (None, 0)
+    # corpus: tokens a,b,a,b,a,b ; x -> N=7, V=3
+    # bigrams: (a,b) x3, (b,a) x1
+    N, V, lam, a = 7.0, 3.0, 0.75, 0.5
+    def p(c12, c1, c2):
+        return lam * c12 / c1 + (1 - lam) * (c2 + a) / (N + a * V)
+    exp_ab = -math.log2(p(3, 3, 3))          # C(a)=3, C(b)=3
+    exp_ba = -math.log2(p(1, 3, 3))
+    exp0 = (2 * exp_ab + exp_ba) / 3
+    assert abs(out[0][0] - exp0) < 1e-9 and out[0][1] == 3
+    assert abs(out[1][0] - exp_ab) < 1e-9 and out[1][1] == 1
+    # doc 0's repeated (a,b) makes it more corpus-typical than doc 1? no:
+    # doc1 is pure (a,b); doc0 mixes in the rarer (b,a) -> higher bits
+    assert out[0][0] > out[1][0]

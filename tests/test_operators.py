@@ -305,6 +305,19 @@ def test_concat_widening_matrix(spark, ta, tb, twide):
         assert out.count() == 2
 
 
+def test_concat_nil_pun_law(spark):
+    """dataset_test.clj:155-166: concat skips None arguments — a None
+    operand is the empty dataset — and all-None inputs return None."""
+    from tech_ml_dataset_spark.operators import setops as so
+    ds = spark.createDataFrame([(1, "a"), (2, "b")], ["i", "s"])
+    d1 = so.concat(None, ds)
+    d2 = so.concat(ds, None, None)
+    assert sorted(r["s"] for r in d1.collect()) == ["a", "b"]
+    assert sorted(r["s"] for r in d2.collect()) == ["a", "b"]
+    assert so.concat(None, None, None) is None
+    assert so.concat() is None
+
+
 def test_concat_missing_column_backfill_order(spark):
     """dataset_test.clj:365-375: [{:a 1}{:b _}] ++ [{:a 2}] -> a = [1 nil 2]."""
     a = spark.createDataFrame([(1, 1.5), (None, 2.5)], "a int, b double")
@@ -659,6 +672,29 @@ def test_sample_stratified_exact(spark):
                   sel.sample_stratified_exact(df, "k", 20, key_col="i",
                                               seed=8).collect())
     assert ids1 == ids2 and ids1 != ids3
+
+
+def test_sample_stratified_exact_mega_stratum_guard(spark):
+    """r4 verdict #7: salt_buckets must break a mega-stratum's single-task
+    sort while returning the IDENTICAL exact sample. One stratum owns 50%
+    of the rows; the guarded plan partitions its first window by
+    (stratum, salt) — no unsalted full-stratum sort before pruning — and
+    the result matches the unguarded law row-for-row."""
+    rows = [(i, "mega" if i % 2 == 0 else f"s{i % 7}") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["i", "k"])
+    plain = sel.sample_stratified_exact(df, "k", 25, key_col="i", seed=3)
+    guarded = sel.sample_stratified_exact(df, "k", 25, key_col="i", seed=3,
+                                          salt_buckets=16)
+    a = sorted((r["k"], r["i"]) for r in plain.collect())
+    b = sorted((r["k"], r["i"]) for r in guarded.collect())
+    assert a == b and len(b) == 25 * 8  # mega + s0..s6 (odd i hits all residues)
+    # plan shape: the FIRST window over the raw table is salt-partitioned;
+    # the stratum-only window runs after the <= S*n prune
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "pmod(xxhash64" in plan
+    first_window = plan.index("Window")
+    assert "pmod" in plan[first_window - 2000:], \
+        "salted window must precede the stratum-wide one"
 
 
 def test_freq_items_contains_heavy_hitter(spark):
@@ -1051,3 +1087,122 @@ def test_select_rows_boolean_mask_law(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="mask has 5 entries for 10 rows"):
         sel.select_rows(df, [True] * 5, order_by="id")
+
+
+def test_replace_missing_all_values_missing_law(spark):
+    """dataset_test.clj:876-882: :value-with-mean on an all-missing column
+    leaves it all-missing (the statistic is undefined, not 0)."""
+    from tech_ml_dataset_spark.operators import missing as ms
+    df = spark.createDataFrame([(None,), (None,)], "a double")
+    out = ms.replace_missing(df, "a", "mean")
+    assert [r["a"] for r in out.collect()] == [None, None]
+
+
+def test_replace_missing_regression_181_mean_value(spark):
+    """dataset_test.clj:1059-1066 (regression-181): mean fill over
+    [nil nil 2 2] yields [2 2 2 2]."""
+    from tech_ml_dataset_spark.operators import missing as ms
+    df = spark.createDataFrame([(None,), (None,), (2.0,), (2.0,)], "a double")
+    out = ms.replace_missing(df, "a", "mean")
+    assert sorted(r["a"] for r in out.collect()) == [2.0, 2.0, 2.0, 2.0]
+
+
+def test_replace_missing_selector_fn_law(spark):
+    """dataset_test.clj:884-894: column-filter selectors compose with
+    replace-missing — numeric columns take the mean, categorical columns
+    take a literal — via colmap.column_filter + two replace_missing
+    passes (the reference's cf/numeric + cf/categorical shape)."""
+    from tech_ml_dataset_spark.operators import colmap as cm
+    from tech_ml_dataset_spark.operators import missing as ms
+    df = spark.createDataFrame(
+        [(None, None, None), (None, None, None), (2.0, 4.0, "A"),
+         (4.0, 6.0, "B")], "a double, b double, c string")
+    nums = cm.column_filter(df, "numeric")
+    cats = cm.column_filter(df, "string")
+    out = ms.replace_missing(df, nums, "mean")
+    out = ms.replace_missing(out, cats, "value", "C")
+    rows = sorted((r["a"], r["b"], r["c"]) for r in out.collect())
+    assert rows == [(2.0, 4.0, "A"), (3.0, 5.0, "C"),
+                    (3.0, 5.0, "C"), (4.0, 6.0, "B")]
+
+
+def test_replace_missing_empty_column_issue_458(spark):
+    """dataset_test.clj:1817-1827 (issue-458): :value fill on an ALL-null
+    column fills every row (no crash, no skip)."""
+    from tech_ml_dataset_spark.operators import missing as ms
+    df = spark.createDataFrame(
+        [("fred", None), ("ethel", None), ("sally", None)],
+        "name string, age int")
+    out = ms.replace_missing(df, "age", "value", 100)
+    assert [r["age"] for r in out.collect()] == [100, 100, 100]
+
+
+def test_sample_repeatable_seed_law(spark):
+    """dataset_test.clj:1023-1033: sample(n, seed) is repeatable for the
+    same seed, and the no-arg arity samples the default 5 rows."""
+    df = spark.createDataFrame([(i,) for i in range(100)], ["i"])
+    a = sorted(r["i"] for r in sel.sample(df, 5, seed=20).collect())
+    b = sorted(r["i"] for r in sel.sample(df, 5, seed=20).collect())
+    assert a == b and len(a) == 5
+    assert sel.sample(df).count() == 5  # sample-arities default
+
+
+def test_issue_450_categorical_distinct_codes(spark):
+    """dataset_test.clj:1799-1807 (issue-450): categorical->number must
+    assign INJECTIVE codes — distinct code count == category count."""
+    from tech_ml_dataset_spark.ml import preprocess as mlp
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("b",), ("a",), ("a",), ("a",), ("b",), ("b",)],
+        ["y"])
+    out, _ = mlp.categorical_to_number(df, ["y"])
+    assert out.select("y").distinct().count() == 2
+
+
+def test_select_columns_repeat_columns_law(spark):
+    """dataset_test.clj:1700-1704: repeated names in select-columns keep
+    their first position only."""
+    df = spark.createDataFrame([(1, 3), (2, 4)], ["a", "b"])
+    out = sel.select_columns(df, ["a", "b", "a"])
+    assert out.columns == ["a", "b"]
+
+
+def test_rename_columns_positional_law(spark):
+    """dataset_test.clj:708-724: a positional sequence renames all columns
+    in order; wrong length raises; a set raises (unordered)."""
+    import pytest as _pytest
+    df = spark.createDataFrame([(0, "aa", "bb")], ["id", "a", "ab"])
+    out = sel.rename_columns(df, ["id", "a1", "a2"])
+    assert out.columns == ["id", "a1", "a2"]
+    with _pytest.raises(ValueError):
+        sel.rename_columns(df, ["a1", "a2"])
+    with _pytest.raises(TypeError):
+        sel.rename_columns(df, {"id", "a1", "a2"})
+
+
+def test_group_by_agg_issue_201_column_count(spark):
+    """reductions_test.clj:88-113 (issue-201): a reducer named like the
+    grouping key REPLACES the key column — 8 requested columns in, 8 out,
+    no ambiguous duplicate."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], ["symbol", "price"])
+    out = agg.group_by_column_agg(df, "symbol", {
+        "n_elems": ("row-count", None),
+        "price_avg": ("mean", "price"),
+        "price_avg2": ("mean", "price"),
+        "price_avg3": ("mean", "price"),
+        "price_sum": ("sum", "price"),
+        "price_med": ("prob-median", "price"),
+        "symbol": ("first", "symbol"),
+        "n_dates": ("count-distinct", "price")})
+    assert len(out.columns) == 8 and out.columns.count("symbol") == 1
+    rows = {r["symbol"]: r["price_sum"] for r in out.collect()}
+    assert rows == {"a": 4.0, "b": 5.0}
+
+
+def test_distinct_reducer_sorted_issue_314(spark):
+    """reductions_test.clj:334-342 (issue-314): the :distinct reducer
+    yields a deterministic (sorted) value array."""
+    df = spark.createDataFrame(
+        [("foo", "2"), ("foo", "0"), ("foo", "1")], ["k", "value"])
+    out = agg.group_by_column_agg(df, "k", {"vals": ("distinct", "value")})
+    assert out.collect()[0]["vals"] == ["0", "1", "2"]
