@@ -1223,6 +1223,25 @@ def csv_roundtrip_orders(spark, sf_dir):
                           schema=orders.schema)
 
 
+def json_roundtrip_events(spark, sf_dir):
+    """JSON write→read fidelity (extends csv_roundtrip_orders' write-path
+    proof to the JSON sink): write an events slice as json-lines
+    (ISO-8601 microsecond timestamps, shortest-roundtrip doubles, nulls
+    as absent fields), read it back with the explicit schema, return the
+    rows. The oracle selects the same rows from the source parquet — any
+    fidelity loss in the JSON cycle breaks the value hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000) \
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    path = tempfile.mkdtemp(prefix="spark_graft_json_rt_")
+    atexit.register(lambda p=path: shutil.rmtree(p, ignore_errors=True))
+    sio.write(ev, path, file_type="json")
+    return sio.to_dataset(spark, path, file_type="json", schema=ev.schema)
+
+
 def unicode_nfc_docs(spark, sf_dir):
     """UAX #15 NFC normalization (text.py normalize_unicode — pandas_udf
     over stdlib unicodedata): the fixture text is ASCII, so the query
@@ -2418,7 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": rollup_orders,
         "rolling_user_value": rolling_user_value,
         "rolling_clamp_user": rolling_clamp_user,
-        "rolling_center_user": rolling_center_user,
+        "json_roundtrip_events": json_roundtrip_events,
         "rolling_corr_user": rolling_corr_user,
         "expanding_user_cumsum": expanding_user_cumsum,
         "analytic_lag_rank": analytic_lag_rank,
@@ -2456,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_incremental_pairs": embedding_incremental_pairs,
         "unicode_nfc_docs": unicode_nfc_docs,
         "loess_smooth_events": loess_smooth_events,
+        "rolling_center_user": rolling_center_user,
         "melt_part_attrs": melt_part_attrs,
         "pivot_status_priority": pivot_status_priority,
         "semdedup_embeddings": semdedup_embeddings,
@@ -2868,6 +2888,10 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip_orders": """
             SELECT o_orderkey, o_totalprice, o_orderdate, o_orderpriority
             FROM orders WHERE o_custkey < 200
+        """,
+        "json_roundtrip_events": """
+            SELECT event_id, user_id, ts, event_type, value
+            FROM events WHERE event_id < 2000
         """,
         "unicode_nfc_docs": """
             SELECT doc_id,

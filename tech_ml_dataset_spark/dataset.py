@@ -267,6 +267,38 @@ class Dataset:
         from .operators import timeseries as _tss
         return self._wrap(_tss.fill_range_replace(self.df, axis_col, max_span, **kw))
 
+    # ---- small-API conveniences (dataset_api.clj) ---------------------------
+    def shape(self):
+        return _sel.shape(self.df)
+
+    def row_at(self, idx, order_by=None):
+        return _sel.row_at(self.df, idx, order_by=order_by)
+
+    def rowvec_at(self, idx, order_by=None):
+        return _sel.rowvec_at(self.df, idx, order_by=order_by)
+
+    def empty_column_names(self):
+        return _sel.empty_column_names(self.df)
+
+    def remove_empty_columns(self):
+        return self._wrap(_sel.remove_empty_columns(self.df))
+
+    def append_columns(self, other, **kw):
+        return self._wrap(_sel.append_columns(self.df, _unwrap(other), **kw))
+
+    def assoc_metadata(self, kind_or_cols, **kv):
+        from .operators import colmap as _cm
+        return self._wrap(_cm.assoc_metadata(self.df, kind_or_cols, **kv))
+
+    def column_metadata(self, col):
+        from .operators import colmap as _cm
+        return _cm.column_metadata(self.df, col)
+
+    def column_to_dataset(self, col, transform_fn=None, *, schema=None):
+        from .operators import colmap as _cm
+        return self._wrap(_cm.column_to_dataset(self.df, col, transform_fn,
+                                                schema=schema))
+
     # ---- positional ----------------------------------------------------------
     def take_nth(self, n, order_by=None):
         return self._wrap(_sel.take_nth(self.df, n, order_by=order_by))

@@ -139,6 +139,59 @@ def update_columnwise(df: DataFrame, kind_or_cols, fn) -> DataFrame:
     return df.withColumns({c: fn(F.col(c)) for c in cols})
 
 
+def assoc_metadata(df: DataFrame, kind_or_cols, **kv) -> DataFrame:
+    """``assoc-metadata`` (dataset_api.clj:654): attach key/value metadata
+    to every column selected by a kind keyword or explicit list. Spark
+    columns carry a JSON metadata map on their StructField; alias(...,
+    metadata=...) merges the new keys over any existing ones and the
+    metadata survives projections and joins. Read back with
+    :func:`column_metadata`."""
+    cols = column_filter(df, kind_or_cols) if isinstance(kind_or_cols, str) \
+        else list(kind_or_cols)
+    sel = []
+    want = set(cols)
+    for f in df.schema.fields:
+        if f.name in want:
+            md = dict(f.metadata or {})
+            md.update(kv)
+            sel.append(F.col(f.name).alias(f.name, metadata=md))
+        else:
+            sel.append(F.col(f.name))
+    return df.select(*sel)
+
+
+def column_metadata(df: DataFrame, col: str) -> dict:
+    """Metadata map of one column (the read side of
+    :func:`assoc_metadata`)."""
+    for f in df.schema.fields:
+        if f.name == col:
+            return dict(f.metadata or {})
+    raise KeyError(col)
+
+
+def column_to_dataset(df: DataFrame, col: str, transform_fn=None, *,
+                      schema=None) -> DataFrame:
+    """``column->dataset`` (dataset_api.clj:510): map ``transform_fn``
+    over one column's values, each call returning a dict, and build a new
+    dataset from those rows. Spark is typed, so ``schema`` is REQUIRED
+    when a transform is given (the reference infers per-batch; silent
+    driver-side inference would collect). Runs as one Arrow-batched
+    mapInPandas pass. Without a transform: the single-column projection."""
+    if transform_fn is None:
+        return df.select(col)
+    if schema is None:
+        raise ValueError("column_to_dataset: schema is required with a "
+                         "transform_fn (typed engine, no driver inference)")
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            recs = [transform_fn(v) for v in pdf[col]]
+            yield pd.DataFrame.from_records(recs)
+
+    return df.select(col).mapInPandas(batches, schema)
+
+
 def induction(df: DataFrame, order_by, out_col: str, update_expr: Callable, *,
               init=0.0, by=None, dtype: str = "double",
               vector_fn: Callable | None = None) -> DataFrame:

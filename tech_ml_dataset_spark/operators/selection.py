@@ -393,6 +393,65 @@ def select_columns_by_index(df: DataFrame, indexes) -> DataFrame:
     return df.select(*[names[i] for i in idxs])
 
 
+def shape(df: DataFrame) -> list[int]:
+    """``shape`` (dataset_api.clj:368): column-major ``[n_columns,
+    n_rows]``. One count action."""
+    return [len(df.columns), df.count()]
+
+
+def row_at(df: DataFrame, idx: int, order_by=None) -> dict:
+    """``row-at`` (dataset_api.clj:162): the row at a positional index as
+    a name->value dict; negative indices count from the end. Positional
+    addressing needs a total order (module docstring) — rides the
+    select-rows machinery, so the cost is one bounded collect."""
+    rows = select_rows(df, [idx], order_by=order_by).collect()
+    if not rows:
+        raise IndexError(f"row_at: index {idx} out of range")
+    return rows[0].asDict()
+
+
+def rowvec_at(df: DataFrame, idx: int, order_by=None) -> list:
+    """``rowvec-at`` (dataset_api.clj:204): the row at a positional index
+    as a plain list in column order; negative indices from the end."""
+    d = row_at(df, idx, order_by=order_by)
+    return [d[c] for c in df.columns]
+
+
+def empty_column_names(df: DataFrame) -> list[str]:
+    """``empty-column-names`` (dataset_api.clj:218): names of columns
+    whose every value is missing. ONE aggregation pass over all columns
+    (count(col) skips nulls), not a per-column job."""
+    row = df.agg(*[F.count(F.col(c)).alias(f"__c{i}__")
+                   for i, c in enumerate(df.columns)]).collect()[0]
+    return [c for i, c in enumerate(df.columns) if row[f"__c{i}__"] == 0]
+
+
+def remove_empty_columns(df: DataFrame) -> DataFrame:
+    """``remove-empty-columns`` (dataset_api.clj:228): drop all-missing
+    columns (same single agg pass as :func:`empty_column_names`)."""
+    empty = empty_column_names(df)
+    return df.drop(*empty) if empty else df
+
+
+def append_columns(df: DataFrame, other: DataFrame, *, order_by=None,
+                   other_order_by=None) -> DataFrame:
+    """``append-columns`` (dataset_api.clj:527): attach another dataset's
+    columns POSITIONALLY (row i of ``other`` extends row i of ``df``).
+    The reference zips physically-ordered columns; on a shuffled engine
+    both sides get a contiguous index (per-partition numbering +
+    broadcast offsets — see ``_contiguous_index``; supply ``order_by`` /
+    ``other_order_by`` for an explicit total order) and join on it.
+    Column-name collisions raise — the reference would produce a
+    duplicate-named dataset, which Spark cannot represent."""
+    dup = set(df.columns) & set(other.columns)
+    if dup:
+        raise ValueError(f"append_columns: duplicate column names {sorted(dup)}")
+    a, na = _indexed(df, order_by)
+    b, nb = _indexed(other, other_order_by)
+    b = b.withColumnRenamed(nb, na) if nb != na else b
+    return a.join(b, na, "inner").drop(na)
+
+
 def reverse_rows(df: DataFrame, order_by=None) -> DataFrame:
     """``reverse-rows`` (base.clj:449). Without ``order_by`` the mono-id is
     enough — descending over a monotone id reverses scan order without the

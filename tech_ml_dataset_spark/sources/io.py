@@ -461,6 +461,17 @@ def write(df: DataFrame, path: str, *, file_type: str | None = None,
     if sort_by:
         df = df.sortWithinPartitions(*list(sort_by))
     writer = df.write.format(fmt).mode(mode)
+    if fmt in ("csv", "json") and "timestampFormat" not in options:
+        # fidelity default (r5, found by the json write->read oracle):
+        # Spark's text-sink default timestampFormat carries MILLIseconds
+        # only, silently truncating the microsecond component on write —
+        # at pipeline scale that is irreversible data loss, not a
+        # formatting choice. Full microsecond ISO-8601 unless the caller
+        # overrides. (The reader side parses variable fractions natively.)
+        # timestamp_ntz columns route through the SEPARATE ntz option.
+        options["timestampFormat"] = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    if fmt in ("csv", "json") and "timestampNTZFormat" not in options:
+        options["timestampNTZFormat"] = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
     if fmt == "csv":
         writer = writer.option("header", options.pop("header", "true"))
     codec = _sniff_compression(path)

@@ -177,3 +177,30 @@ def test_empty_r4c_operators(spark, empty_li):
     assert sim.embedding_pairs_between(nullv, emb).count() == 0
     assert sim.embedding_dedup_pairs(eempty).count() == 0
     assert sim.lsh_bucketed_topk(eempty, emb, "embedding", k=3).count() == 0
+
+
+def test_bigram_lm_degenerate_corpora(spark):
+    """bigram_logprob_score on corpora with no bigrams at all (empty /
+    single-token / NULL docs) returns every row with NULL score and
+    n_bigrams=0 instead of dividing by an empty vocabulary."""
+    from tech_ml_dataset_spark.functions import text as txt
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert txt.bigram_logprob_score(empty).count() == 0
+    short = spark.createDataFrame([(0, "one"), (1, None), (2, "")],
+                                  "doc_id long, text string")
+    rows = {r["doc_id"]: (r["bits_per_bigram"], r["n_bigrams"])
+            for r in txt.bigram_logprob_score(short).collect()}
+    assert rows == {0: (None, 0), 1: (None, 0), 2: (None, 0)}
+
+
+def test_abb_key_cols_empty_pool(spark):
+    """replace_missing :abb deterministic arm with an all-null column:
+    the donor pool is empty, so nulls stay (same contract as the rand
+    arm), and a non-null column still fills."""
+    from tech_ml_dataset_spark.operators import missing as ms
+    df = spark.createDataFrame([(1, None, None), (2, None, 5.0)],
+                               "id long, a double, b double")
+    out = ms.replace_missing(df, ["a", "b"], "abb", seed=1, key_cols="id")
+    got = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got[1][0] is None and got[2][0] is None  # empty pool -> stays
+    assert got[1][1] == 5.0 and got[2][1] == 5.0    # single donor fills

@@ -1206,3 +1206,39 @@ def test_distinct_reducer_sorted_issue_314(spark):
         [("foo", "2"), ("foo", "0"), ("foo", "1")], ["k", "value"])
     out = agg.group_by_column_agg(df, "k", {"vals": ("distinct", "value")})
     assert out.collect()[0]["vals"] == ["0", "1", "2"]
+
+
+def test_small_api_batch(spark):
+    """dataset_api.clj small-surface parity: shape (column-major), row-at
+    / rowvec-at with negative indices, empty-column detection in ONE agg
+    pass, positional append-columns, and column metadata round-trip."""
+    from tech_ml_dataset_spark.operators import colmap as cm
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", None)],
+        "i long, s string, z string")
+    assert sel.shape(df) == [3, 3]
+    assert sel.row_at(df, 1, order_by="i") == {"i": 2, "s": "b", "z": None}
+    assert sel.row_at(df, -1, order_by="i")["i"] == 3
+    assert sel.rowvec_at(df, -3, order_by="i") == [1, "a", None]
+    assert sel.empty_column_names(df) == ["z"]
+    assert sel.remove_empty_columns(df).columns == ["i", "s"]
+
+    other = spark.createDataFrame([(10.0,), (20.0,), (30.0,)], "v double")
+    both = sel.append_columns(df.orderBy("i"), other, order_by="i")
+    assert sorted((r["i"], r["v"]) for r in both.collect()) == \
+        [(1, 10.0), (2, 20.0), (3, 30.0)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sel.append_columns(df, df)
+
+    md = cm.assoc_metadata(df, ["i"], unit="count", source="test")
+    assert cm.column_metadata(md, "i") == {"unit": "count", "source": "test"}
+    assert cm.column_metadata(md.select("i", "s"), "i")["unit"] == "count"
+    md2 = cm.assoc_metadata(md, ["i"], unit="n")  # merge-over law
+    assert cm.column_metadata(md2, "i") == {"unit": "n", "source": "test"}
+
+    c2d = cm.column_to_dataset(df, "i", lambda v: {"sq": v * v},
+                               schema="sq long")
+    assert sorted(r["sq"] for r in c2d.collect()) == [1, 4, 9]
+    with _pt.raises(ValueError):
+        cm.column_to_dataset(df, "i", lambda v: {"sq": v})
