@@ -1242,6 +1242,119 @@ def json_roundtrip_events(spark, sf_dir):
     return sio.to_dataset(spark, path, file_type="json", schema=ev.schema)
 
 
+def parquet_roundtrip_lineitem(spark, sf_dir):
+    """Parquet write→read fidelity (completes the sink-proof set with
+    csv_roundtrip_orders / json_roundtrip_events): write a lineitem slice
+    through sources.io.write (suffix-dispatched parquet sink,
+    partition_by exercised), read it back through to_dataset's suffix
+    sniff, hash-match against the source table."""
+    import atexit
+    import shutil
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300) \
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_returnflag", "l_shipdate")
+    d = tempfile.mkdtemp(prefix="spark_graft_pq_rt_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    path = d + "/slice.parquet"
+    sio.write(li, path, partition_by=["l_returnflag"])
+    back = sio.to_dataset(spark, path)
+    return back.select("l_orderkey", "l_linenumber",
+                       _r4b(F.col("l_quantity")).alias("l_quantity"),
+                       _r4b(F.col("l_extendedprice")).alias("l_extendedprice"),
+                       F.col("l_returnflag").cast("string").alias("l_returnflag"),
+                       F.col("l_shipdate").cast("date").alias("l_shipdate"))
+
+
+def arrow_roundtrip_events(spark, sf_dir):
+    """DISTRIBUTED Arrow IPC write→read fidelity (io.py
+    write_arrow_dataset / read_arrow_dataset — executor-side record-batch
+    files, no driver collect): an events slice survives the cycle
+    bit-for-bit including microsecond timestamps. First driver proof of
+    the Arrow dataset surface (previously pytest-only)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000) \
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="spark_graft_arrow_rt_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    sio.write_arrow_dataset(ev, d)
+    back = sio.read_arrow_dataset(spark, d)
+    return back.select("event_id", "user_id",
+                       F.col("ts").cast(dict(ev.dtypes)["ts"]).alias("ts"),
+                       "event_type", _r4b(F.col("value")).alias("value"))
+
+
+def excel_roundtrip_orders(spark, sf_dir):
+    """Vendored .xlsx codec write→read fidelity (sources/xlsx.py — stdlib
+    zipfile+xml, no openpyxl): a bounded orders slice through
+    write_excel/read_excel, hash-matched against the source table. First
+    driver proof of the vendored xlsx codec (pytest-only before)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100) \
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority")
+    d = tempfile.mkdtemp(prefix="spark_graft_xlsx_rt_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    path = d + "/orders.xlsx"
+    sio.write_excel(o, path)
+    back = sio.read_excel(spark, path)
+    return back.select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                       F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                       F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+                       _r4b(F.col("o_totalprice").cast("double")).alias("o_totalprice"),
+                       F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
+
+
+def xls_roundtrip_orders(spark, sf_dir):
+    """Vendored legacy BIFF8/.xls codec write→read fidelity
+    (sources/xls.py — CFB container, SST, RK/LABEL records, no
+    xlrd/xlwt): same slice and law as excel_roundtrip_orders through the
+    .xls path. First driver proof of the BIFF8 codec."""
+    import atexit
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100) \
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderpriority")
+    d = tempfile.mkdtemp(prefix="spark_graft_xls_rt_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    path = d + "/orders.xls"
+    sio.write_excel(o, path)
+    back = sio.read_excel(spark, path)
+    return back.select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                       F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                       F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+                       _r4b(F.col("o_totalprice").cast("double")).alias("o_totalprice"),
+                       F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
+
+
+def orc_roundtrip_orders(spark, sf_dir):
+    """ORC write→read fidelity (suffix-dispatched Spark-native columnar
+    sink) — completes the sink-proof set: parquet/csv/json/arrow/xlsx/xls
+    are all hash-gated as of r5."""
+    import atexit
+    import shutil
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150) \
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    d = tempfile.mkdtemp(prefix="spark_graft_orc_rt_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    path = d + "/orders.orc"
+    sio.write(o, path)
+    back = sio.to_dataset(spark, path)
+    return back.select("o_orderkey", "o_custkey", "o_orderstatus",
+                       _r4b(F.col("o_totalprice")).alias("o_totalprice"))
+
+
 def unicode_nfc_docs(spark, sf_dir):
     """UAX #15 NFC normalization (text.py normalize_unicode — pandas_udf
     over stdlib unicodedata): the fixture text is ASCII, so the query
@@ -2435,12 +2548,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_range_events": rolling_range_events,
         "minmax_scale_acctbal": minmax_scale_acctbal,
         "rollup_orders": rollup_orders,
-        "rolling_user_value": rolling_user_value,
-        "rolling_clamp_user": rolling_clamp_user,
+        "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
+        "arrow_roundtrip_events": arrow_roundtrip_events,
         "json_roundtrip_events": json_roundtrip_events,
         "rolling_corr_user": rolling_corr_user,
-        "expanding_user_cumsum": expanding_user_cumsum,
-        "analytic_lag_rank": analytic_lag_rank,
+        "excel_roundtrip_orders": excel_roundtrip_orders,
+        "xls_roundtrip_orders": xls_roundtrip_orders,
         "unique_by_order": unique_by_order,
         "lineitem_except": lineitem_except,
         "reduce_union_orders": reduce_union_orders,
@@ -2448,7 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_project": filter_project,
         "topk_orders": topk_orders,
         "customers_without_orders": customers_without_orders,
-        "cube_orders": cube_orders,
+        "orc_roundtrip_orders": orc_roundtrip_orders,
         "events_json_extract": events_json_extract,
         "bigram_lm_docs": bigram_lm_docs,
         "group_distinct_stats": group_distinct_stats,
@@ -2475,7 +2588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_incremental_pairs": embedding_incremental_pairs,
         "unicode_nfc_docs": unicode_nfc_docs,
         "loess_smooth_events": loess_smooth_events,
+        "cube_orders": cube_orders,
         "rolling_center_user": rolling_center_user,
+        "rolling_user_value": rolling_user_value,
+        "rolling_clamp_user": rolling_clamp_user,
+        "expanding_user_cumsum": expanding_user_cumsum,
+        "analytic_lag_rank": analytic_lag_rank,
         "melt_part_attrs": melt_part_attrs,
         "pivot_status_priority": pivot_status_priority,
         "semdedup_embeddings": semdedup_embeddings,
@@ -2892,6 +3010,35 @@ def oracle_sql() -> dict[str, str]:
         "json_roundtrip_events": """
             SELECT event_id, user_id, ts, event_type, value
             FROM events WHERE event_id < 2000
+        """,
+        "parquet_roundtrip_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity * 10000) / 10000 AS l_quantity,
+                   round(l_extendedprice * 10000) / 10000 AS l_extendedprice,
+                   l_returnflag, CAST(l_shipdate AS DATE) AS l_shipdate
+            FROM lineitem WHERE l_orderkey < 300
+        """,
+        "arrow_roundtrip_events": """
+            SELECT event_id, user_id, ts, event_type,
+                   round(value * 10000) / 10000 AS value
+            FROM events WHERE event_id < 2000
+        """,
+        "excel_roundtrip_orders": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice * 10000) / 10000 AS o_totalprice,
+                   o_orderpriority
+            FROM orders WHERE o_custkey < 100
+        """,
+        "xls_roundtrip_orders": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice * 10000) / 10000 AS o_totalprice,
+                   o_orderpriority
+            FROM orders WHERE o_custkey < 100
+        """,
+        "orc_roundtrip_orders": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice * 10000) / 10000 AS o_totalprice
+            FROM orders WHERE o_custkey < 150
         """,
         "unicode_nfc_docs": """
             SELECT doc_id,

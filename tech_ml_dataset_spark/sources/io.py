@@ -594,8 +594,12 @@ def read_arrow_dataset(spark: SparkSession, path: str | list[str],
     first = _open(files[0])
     schema = spark.createDataFrame(first.schema.empty_table()).schema
 
-    fdf = spark.createDataFrame([(f,) for f in files], "__arrow_file__ string") \
-               .repartition(len(files))
+    fdf = spark.createDataFrame([(f,) for f in files], "__arrow_file__ string")
+    if len(files) > 1:
+        # one task per file; a single file needs no exchange at all (the
+        # 1-row local relation is already one partition — repartition(1)
+        # would plan a degenerate Exchange SinglePartition)
+        fdf = fdf.repartition(len(files))
 
     def batches(it):
         for pdf in it:
