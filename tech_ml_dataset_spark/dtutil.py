@@ -95,46 +95,74 @@ def ensure_parallelism(df: DataFrame, *key_cols: str) -> DataFrame:
         else df.repartition(target)
 
 
+_SIZE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+               "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+               "t": 1 << 40, "tb": 1 << 40}
+
+# plan nodes that change row/partition structure above a scan — if any
+# appears in the ANALYZED logical plan, file sizes say nothing about the
+# DataFrame's actual partitioning and the estimate must not be used
+_NON_SCAN_NODES = ("Repartition", "Coalesce", "Limit", "Sample", "Join",
+                   "Aggregate", "Window", "Sort", "Distinct", "Union",
+                   "Deduplicate", "MapInPandas", "FlatMapGroupsInPandas",
+                   "Generate", "Offset")
+
+
+def _parse_bytes(s: str) -> int | None:
+    s = s.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, unit = s[:i], s[i:].strip()
+    if not num or unit not in _SIZE_UNITS:
+        return None
+    return int(num) * _SIZE_UNITS[unit]
+
+
 def _scan_partition_estimate(df: DataFrame) -> int:
     """Partition count of ``df``, avoiding ``.rdd`` when the plan is a
-    simple file scan: Spark packs file splits into
-    ceil(sum(min(file_size, maxPartitionBytes)) / maxPartitionBytes)-ish
-    partitions; the exact bin-packing also caps each split at
-    maxPartitionBytes, so a LOWER BOUND is total_size/maxPartitionBytes
-    and files smaller than openCostInBytes round up. We only need to
-    compare against defaultParallelism, so the conservative LOWER bound
-    ceil(total/maxPartitionBytes) is enough (file COUNT is not a lower
-    bound — many small files pack into one partition): if even the lower
-    bound clears the target, skip the repartition; otherwise fall back to
-    the exact (but planning-triggering) ``.rdd.getNumPartitions()``."""
+    BARE file scan (projections/filters only — anything that reshapes
+    partitioning above the scan disqualifies the estimate, r5 review:
+    ``ensure_parallelism(df.coalesce(1))`` must not be fooled by wide
+    source files). Spark packs file splits into at-most-maxPartitionBytes
+    partitions, so ceil(total_size/maxPartitionBytes) is a LOWER bound on
+    scan partitions (file COUNT is not — many small files pack into one
+    partition): if even the lower bound clears the target, skip the
+    repartition; any doubt — remote files, unparseable size conf, a
+    non-scan plan node — falls back to the exact (but planning-
+    triggering) ``.rdd.getNumPartitions()``."""
     try:
         files = df.inputFiles()
+        plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
-        files = []
-    if files:
+        files, plan = [], None
+    if files and plan is not None \
+            and not any(n in plan for n in _NON_SCAN_NODES):
         import os
         from urllib.parse import urlparse
         spark = df.sparkSession
+        mpb = None
         try:
-            mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
-                      .rstrip("b"))
+            mpb = _parse_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes"))
         except Exception:
-            mpb = 128 * 1024 * 1024
-        total = 0
-        local = True
-        for f in files:
-            p = urlparse(f)
-            if p.scheme not in ("file", ""):
-                local = False
-                break
-            try:
-                total += os.path.getsize(p.path)
-            except OSError:
-                local = False
-                break
-        if local:
-            est = -(-total // max(mpb, 1))
-            target = spark.sparkContext.defaultParallelism
-            if est >= target:
-                return est
+            pass
+        if mpb:
+            total = 0
+            local = True
+            for f in files:
+                p = urlparse(f)
+                if p.scheme not in ("file", ""):
+                    local = False
+                    break
+                try:
+                    total += os.path.getsize(p.path)
+                except OSError:
+                    local = False
+                    break
+            if local:
+                est = -(-total // mpb)
+                target = spark.sparkContext.defaultParallelism
+                if est >= target:
+                    return est
     return df.rdd.getNumPartitions()

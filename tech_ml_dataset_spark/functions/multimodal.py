@@ -326,7 +326,12 @@ def frame_sample(df: DataFrame, bin_col: str, *, every_n: int = 10,
                     rec["frame_idx"] = i
                     rec[out_col] = {"height": arr.shape[0], "width": arr.shape[1],
                                     "channels": arr.shape[2],
-                                    "pixels": arr.ravel().tolist()}
+                                    "pixels": arr.ravel().tolist(),
+                                    # frames are ALWAYS the fake decode:
+                                    # an omitted key would surface as
+                                    # NULL, not False, and bool_and
+                                    # gates would pass fakes (r5 review)
+                                    "decode_real": False}
                     rows.append(rec)
             yield pd.DataFrame(rows, columns=names + ["frame_idx", out_col])
 

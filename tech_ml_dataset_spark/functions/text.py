@@ -307,7 +307,8 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text", *,
     return out
 
 
-def winnow_fingerprints(text: Column, *, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprints(text: Column, *, k: int = 8, w: int = 4,
+                        chunk_bytes: int = 8 << 20) -> Column:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
     MOSS algorithm): rolling k-gram hashes, keep the minimum hash of every
     window of ``w`` consecutive k-grams, distinct. Robust to local edits:
@@ -337,14 +338,35 @@ def winnow_fingerprints(text: Column, *, k: int = 8, w: int = 4) -> Column:
 
     B = np.uint64(1099511628211)  # FNV-1a prime as polynomial base
 
+    # transient peak is ~24x the chunk's total text bytes (uint64 views of
+    # the byte buffer + the hash array + one multiply temp); cap it so
+    # multi-KB/MB documents cannot OOM an executor on a 10k-row Arrow
+    # batch (r5 review) — results are chunk-invariant (chunks split on
+    # document boundaries; pinned by test_winnow_chunk_invariance)
+    _CHUNK_BYTES = max(1, chunk_bytes)
+
     @pandas_udf("array<bigint>")
     def _winnow(s: pd.Series) -> pd.Series:
-        n_docs = len(s)
-        empty = pd.Series([[] for _ in range(n_docs)])
+        vals = list(s)
+        out: list[list[int]] = []
+        start = 0
+        while start < len(vals):
+            size, end = 0, start
+            while end < len(vals) and (end == start or size < _CHUNK_BYTES):
+                t = vals[end]
+                size += len(t) if t is not None else 0
+                end += 1
+            out.extend(_winnow_chunk(vals[start:end]))
+            start = end
+        return pd.Series(out)
+
+    def _winnow_chunk(vals: list) -> list:
+        n_docs = len(vals)
+        empty = [[] for _ in range(n_docs)]
         if n_docs == 0:
             return empty
         bufs, lens = [], np.zeros(n_docs, dtype=np.int64)
-        for i, t in enumerate(s):
+        for i, t in enumerate(vals):
             if t is None:
                 continue
             bb = " ".join(t.lower().split()).encode("utf-8")
@@ -405,8 +427,8 @@ def winnow_fingerprints(text: Column, *, k: int = 8, w: int = 4) -> Column:
         keep[1:] = (sd[1:] != sd[:-1]) | (sm[1:] != sm[:-1])
         sd, sm = sd[keep], sm[keep].view(np.int64)
         bounds = np.searchsorted(sd, np.arange(n_docs + 1))
-        return pd.Series([sm[bounds[i]: bounds[i + 1]].tolist()
-                          for i in range(n_docs)])
+        return [sm[bounds[i]: bounds[i + 1]].tolist()
+                for i in range(n_docs)]
 
     return _winnow(text)
 

@@ -90,14 +90,18 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
                  at 100 TB the donor sample is the only collected state.
                  With ``key_cols`` the whole strategy becomes DETERMINISTIC
                  and engine-portable: the pool is the ``abb_sample_size``
-                 rows ranked first by ``md5(key || ':' || seed)``
-                 (TakeOrdered — an unbiased uniform subsample, fixing the
-                 scan-prefix bias of the default path), and each missing
-                 row draws index ``conv(md5(key || ':' || seed+i)[:8], 16)
+                 rows ranked first by ``md5(key || ':' || seed)`` (an
+                 unbiased uniform subsample, fixing the scan-prefix bias
+                 of the default path; ALL columns' pools come from ONE
+                 per-partition-top-k pass), and each missing row draws
+                 index ``conv(md5(key || ':' || seed+i)[:8], 16)
                  % pool_size``. Identical fills on any engine and across
                  task retries (rand(seed) is partition-placement-dependent,
                  so a 100 TB retry refills DIFFERENT values — key_cols is
                  the production-safe arm), and replayable by a SQL oracle.
+                 NULL keys neither donate nor fill (null-propagating
+                 ``||`` law); keys should be unique per row (md5 ties
+                 fall back to a value tiebreak).
 
     For :down/:up/:downup/:updown a non-None ``value`` fills whatever the
     directional pass leaves missing (the reference's two-arg form,
@@ -127,29 +131,74 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
         if key_cols is not None:
             # Deterministic arm: per column, the pool is the
             # ``abb_sample_size`` non-null rows that rank FIRST by
-            # md5(key ':' seed) (TakeOrderedAndProject — bounded, no full
-            # sort, unbiased vs the scan-prefix default), kept in that
-            # md5-rank order; a missing row draws pool index
+            # md5(key ':' seed) (an unbiased uniform subsample, vs the
+            # scan-prefix default), kept in that md5-rank order; a
+            # missing row draws pool index
             # conv(md5(key ':' seed+i)[:8], 16, 10) % pool_size. Both
             # halves replay verbatim in any SQL engine (md5 of the same
             # string is universal; conv-of-8-hex-chars fits in an int64),
             # and fills survive task retries unchanged.
+            #
+            # Key strings use NULL-PROPAGATING concatenation (`concat`,
+            # the SQL `||` law — concat_ws would silently hash all
+            # NULL-key rows identically and diverge from the oracle, r5
+            # review): a NULL-key row neither donates to the pool nor
+            # draws a fill, same as the SQL replay.
+            #
+            # ALL pools come from ONE job (r5 review — the per-column
+            # TakeOrdered loop re-scanned the table #cols times): a
+            # single mapInPandas pass keeps each partition's per-column
+            # top-k by hash, and the driver merges the tiny
+            # (#partitions x #cols x k) summaries. Exactly the same
+            # pools as the per-column global TakeOrdered.
             keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-            kstr = F.concat_ws(":", *[F.col(k).cast("string") for k in keys])
+            parts = [F.col(keys[0]).cast("string")]
+            for k in keys[1:]:
+                parts += [F.lit(":"), F.col(k).cast("string")]
+            kstr = F.concat(*parts) if len(parts) > 1 else parts[0]
+            pool_rank = F.md5(F.concat(kstr, F.lit(":" + str(seed))))
+            k_top = abb_sample_size
+            import pandas as pd
+            names = list(cols)
+            summary_schema = ", ".join(
+                ["__col__ string", "__h__ string"]
+                + [f"`{c}` {dict(df.dtypes)[c]}" for c in names])
+
+            def _tops(it):
+                acc: dict[str, pd.DataFrame] = {}
+                for pdf in it:
+                    for c in names:
+                        sub = pdf[pdf[c].notna()][["__h__", c]]
+                        if sub.empty:
+                            continue
+                        prev = acc.get(c)
+                        both = pd.concat([prev, sub]) if prev is not None \
+                            else sub
+                        # stable (hash, value) order: md5 ties can only
+                        # come from duplicate key values; the value
+                        # tiebreak keeps the pool deterministic anyway
+                        acc[c] = both.sort_values(
+                            ["__h__", c], kind="mergesort").head(k_top)
+                for c, top in acc.items():
+                    o = pd.DataFrame({"__col__": c, "__h__": top["__h__"]})
+                    for c2 in names:
+                        o[c2] = top[c] if c2 == c else None
+                    yield o
+
+            summaries = (df.select(pool_rank.alias("__h__"), *names)
+                           .filter(F.col("__h__").isNotNull())
+                           .mapInPandas(_tops, summary_schema)
+                           .collect())
+            pools: dict[str, list] = {c: [] for c in names}
+            for r in summaries:
+                pools[r["__col__"]].append((r["__h__"], r[r["__col__"]]))
             for i, c in enumerate(cols):
-                pool_rank = F.md5(F.concat_ws(":", kstr, F.lit(str(seed))))
-                donors = [r[0] for r in
-                          df.filter(F.col(c).isNotNull())
-                            .select(F.col(c), pool_rank.alias("__h__"),
-                                    *[F.col(k) for k in keys])
-                            .orderBy(F.col("__h__").asc(),
-                                     *[F.col(k).asc() for k in keys])
-                            .limit(abb_sample_size).collect()]
+                donors = [v for _, v in sorted(pools[c])[:k_top]]
                 if not donors:
                     continue
                 arr = F.array(*[F.lit(v) for v in donors])
                 draw = F.conv(F.substring(
-                    F.md5(F.concat_ws(":", kstr, F.lit(str(seed + i)))),
+                    F.md5(F.concat(kstr, F.lit(":" + str(seed + i)))),
                     1, 8), 16, 10).cast("bigint")
                 pick = F.element_at(arr, (draw % len(donors) + 1).cast("int"))
                 out = out.withColumn(c, F.coalesce(F.col(c), pick))

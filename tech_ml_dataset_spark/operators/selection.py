@@ -129,7 +129,17 @@ def select_columns(df: DataFrame, cols) -> DataFrame:
     if isinstance(cols, Mapping):
         return df.select(*[F.col(o).alias(n) for o, n in cols.items()])
     cols = [cols] if isinstance(cols, str) else list(cols)
-    return df.select(*dict.fromkeys(cols))
+    # dedupe STRING names only (first position wins); Column objects are
+    # unhashable (pyspark defines __eq__ without __hash__) and pass
+    # through untouched (r5 review)
+    seen, out = set(), []
+    for c in cols:
+        if isinstance(c, str):
+            if c in seen:
+                continue
+            seen.add(c)
+        out.append(c)
+    return df.select(*out)
 
 
 def drop_columns(df: DataFrame, cols) -> DataFrame:
@@ -140,15 +150,21 @@ def drop_columns(df: DataFrame, cols) -> DataFrame:
 
 
 def rename_columns(df: DataFrame, mapping) -> DataFrame:
-    """``rename-columns`` (base.clj:328). A mapping renames by name; a
-    positional SEQUENCE renames every column in order and must match the
-    column count exactly (dataset_test.clj:708-724 — wrong length raises,
-    and an unordered set raises because positions would be arbitrary)."""
+    """``rename-columns`` (base.clj:328). A mapping (or sequence of
+    (old, new) pairs) renames by name; a positional SEQUENCE of plain
+    names renames every column in order and must match the column count
+    exactly (dataset_test.clj:708-724 — wrong length raises, and an
+    unordered set raises because positions would be arbitrary)."""
     if isinstance(mapping, (set, frozenset)):
         raise TypeError("rename_columns: positional rename needs an ordered "
                         "sequence, not a set (column positions would be "
                         "arbitrary)")
     if isinstance(mapping, Mapping):
+        return df.withColumnsRenamed(dict(mapping))
+    mapping = list(mapping)
+    if mapping and all(isinstance(x, (tuple, list)) and len(x) == 2
+                       for x in mapping):
+        # (old, new) pair sequence — the pre-r5 dict(mapping) form
         return df.withColumnsRenamed(dict(mapping))
     names = list(mapping)
     if len(names) != len(df.columns):
@@ -442,10 +458,19 @@ def append_columns(df: DataFrame, other: DataFrame, *, order_by=None,
     broadcast offsets — see ``_contiguous_index``; supply ``order_by`` /
     ``other_order_by`` for an explicit total order) and join on it.
     Column-name collisions raise — the reference would produce a
-    duplicate-named dataset, which Spark cannot represent."""
+    duplicate-named dataset, which Spark cannot represent. Row-count
+    mismatches raise too (r5 review: an inner index join would silently
+    TRUNCATE to the shorter side — data loss, where the reference errors
+    on mismatched column lengths). The check costs two count actions;
+    this is a bounded-convenience API, not a scan path."""
     dup = set(df.columns) & set(other.columns)
     if dup:
         raise ValueError(f"append_columns: duplicate column names {sorted(dup)}")
+    n_a, n_b = df.count(), other.count()
+    if n_a != n_b:
+        raise ValueError(f"append_columns: row counts differ "
+                         f"({n_a} vs {n_b}); positional append needs "
+                         f"equal-length datasets")
     a, na = _indexed(df, order_by)
     b, nb = _indexed(other, other_order_by)
     b = b.withColumnRenamed(nb, na) if nb != na else b

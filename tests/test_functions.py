@@ -1060,3 +1060,19 @@ def test_bigram_lm_interpolated_law(spark):
     # doc 0's repeated (a,b) makes it more corpus-typical than doc 1? no:
     # doc1 is pure (a,b); doc0 mixes in the rarer (b,a) -> higher bits
     assert out[0][0] > out[1][0]
+
+
+def test_winnow_chunk_invariance(spark):
+    """winnow_fingerprints' memory-bounding chunker must be invisible:
+    a tiny chunk budget (forcing one-doc chunks) yields bit-identical
+    fingerprints to the default single-chunk path."""
+    rows = [(i, f"document number {i} shares a common tail of words "
+                "the quick brown fox jumps over the lazy dog " * 3)
+            for i in range(20)] + [(20, None), (21, ""), (22, "short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", txt.winnow_fingerprints(F.col("text")).alias("fp")).collect()}
+    b = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", txt.winnow_fingerprints(F.col("text"),
+                                          chunk_bytes=1).alias("fp")).collect()}
+    assert a == b and len(a[0]) > 0

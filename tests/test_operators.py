@@ -1242,3 +1242,31 @@ def test_small_api_batch(spark):
     assert sorted(r["sq"] for r in c2d.collect()) == [1, 4, 9]
     with _pt.raises(ValueError):
         cm.column_to_dataset(df, "i", lambda v: {"sq": v})
+
+
+def test_r5_review_fixes_selection(spark):
+    """r5 review batch: select_columns must pass Column objects through
+    (they are unhashable — the string dedupe must not touch them);
+    rename_columns accepts (old, new) pair sequences; append_columns
+    raises on row-count mismatch instead of silently truncating."""
+    df = spark.createDataFrame([(1, 2), (3, 4)], ["a", "b"])
+    out = sel.select_columns(df, [F.col("a").alias("x"), F.col("b")])
+    assert out.columns == ["x", "b"]
+    out2 = sel.rename_columns(df, [("a", "a1"), ("b", "b1")])
+    assert out2.columns == ["a1", "b1"]
+    other = spark.createDataFrame([(9.0,)], "v double")
+    with pytest.raises(ValueError, match="row counts differ"):
+        sel.append_columns(df, other)
+
+
+def test_ensure_parallelism_not_fooled_by_coalesce(spark, tmp_path):
+    """r5 review: the file-size fast path must not skip the repartition
+    when a plan operator above the scan (coalesce) reduced partitioning —
+    only bare scans qualify for the estimate."""
+    from tech_ml_dataset_spark.dtutil import ensure_parallelism
+    p = str(tmp_path / "wide")
+    spark.range(100000).repartition(32).write.parquet(p)
+    narrow = spark.read.parquet(p).coalesce(1)
+    widened = ensure_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
