@@ -100,8 +100,9 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
                  so a 100 TB retry refills DIFFERENT values — key_cols is
                  the production-safe arm), and replayable by a SQL oracle.
                  NULL keys neither donate nor fill (null-propagating
-                 ``||`` law); keys should be unique per row (md5 ties
-                 fall back to a value tiebreak).
+                 ``||`` law); keys must be unique per row for full
+                 determinism (duplicate keys hash identically, making
+                 their pool order engine-internal).
 
     For :down/:up/:downup/:updown a non-None ``value`` fills whatever the
     directional pass leaves missing (the reference's two-arg form,
@@ -160,6 +161,10 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
             k_top = abb_sample_size
             import pandas as pd
             names = list(cols)
+            if "__h__" in df.columns or "__col__" in df.columns:
+                raise ValueError("replace_missing(abb, key_cols=...): "
+                                 "'__h__'/'__col__' are reserved summary "
+                                 "names; rename those columns first")
             summary_schema = ", ".join(
                 ["__col__ string", "__h__ string"]
                 + [f"`{c}` {dict(df.dtypes)[c]}" for c in names])
@@ -174,11 +179,12 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
                         prev = acc.get(c)
                         both = pd.concat([prev, sub]) if prev is not None \
                             else sub
-                        # stable (hash, value) order: md5 ties can only
-                        # come from duplicate key values; the value
-                        # tiebreak keeps the pool deterministic anyway
+                        # hash-only stable sort: md5 ties require
+                        # duplicate key values (documented out of
+                        # contract); sorting by the VALUE would crash on
+                        # unorderable dtypes (arrays/structs)
                         acc[c] = both.sort_values(
-                            ["__h__", c], kind="mergesort").head(k_top)
+                            "__h__", kind="mergesort").head(k_top)
                 for c, top in acc.items():
                     o = pd.DataFrame({"__col__": c, "__h__": top["__h__"]})
                     for c2 in names:
@@ -193,7 +199,8 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
             for r in summaries:
                 pools[r["__col__"]].append((r["__h__"], r[r["__col__"]]))
             for i, c in enumerate(cols):
-                donors = [v for _, v in sorted(pools[c])[:k_top]]
+                donors = [v for _, v in
+                          sorted(pools[c], key=lambda t: t[0])[:k_top]]
                 if not donors:
                     continue
                 arr = F.array(*[F.lit(v) for v in donors])
