@@ -1270,3 +1270,22 @@ def test_ensure_parallelism_not_fooled_by_coalesce(spark, tmp_path):
     widened = ensure_parallelism(narrow)
     assert widened.rdd.getNumPartitions() == \
         spark.sparkContext.defaultParallelism
+
+
+def test_datetime_ingest_and_epoch_mapping_laws(spark):
+    """datetime_test.clj:49-62 (datetime-shenanigans-1): datetime values
+    ingest as a timestamp column and read back exactly; :11-13
+    (epoch-millis maps): datetime->milliseconds yields numbers."""
+    from datetime import datetime
+
+    from tech_ml_dataset_spark.dtutil import epoch_micros
+    from tech_ml_dataset_spark.sources import io as sio
+    dts = [datetime(2020, 1, 1, 11, 22, 33), datetime(2020, 10, 1, 1, 1, 1)]
+    ds = sio.to_dataset(spark, {"dt": dts})
+    assert dict(ds.dtypes)["dt"].startswith("timestamp")
+    got = sorted(r["dt"] for r in ds.collect())
+    assert got == sorted(dts)
+    ms = ds.select((epoch_micros("dt") / 1000).cast("long").alias("ms"))
+    vals = sorted(r["ms"] for r in ms.collect())
+    assert vals[0] == int(dts[0].replace(tzinfo=None).timestamp() * 1000) or \
+        isinstance(vals[0], int)  # engine-tz-dependent epoch; type law pinned
