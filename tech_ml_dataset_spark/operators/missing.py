@@ -100,9 +100,12 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
                  so a 100 TB retry refills DIFFERENT values — key_cols is
                  the production-safe arm), and replayable by a SQL oracle.
                  NULL keys neither donate nor fill (null-propagating
-                 ``||`` law); keys must be unique per row for full
-                 determinism (duplicate keys hash identically, making
-                 their pool order engine-internal).
+                 ``||`` law). Hash ties (duplicate keys, or composite
+                 keys whose ':'-joined strings collide) break by the
+                 key STRING — engine-independent, though which of two
+                 identical-key rows donated is then unobservable; float
+                 NaN values remain donors (only genuine NULLs are
+                 excluded, matching the default arm and the SQL replay).
 
     For :down/:up/:downup/:updown a non-None ``value`` fills whatever the
     directional pass leaves missing (the reference's two-arg form,
@@ -161,46 +164,68 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
             k_top = abb_sample_size
             import pandas as pd
             names = list(cols)
-            if "__h__" in df.columns or "__col__" in df.columns:
-                raise ValueError("replace_missing(abb, key_cols=...): "
-                                 "'__h__'/'__col__' are reserved summary "
-                                 "names; rename those columns first")
+            reserved = {"__h__", "__k__", "__col__", "__nan__"} \
+                | {f"__nn{i}__" for i in range(len(names))}
+            clash = reserved & set(names)
+            if clash:
+                raise ValueError(f"replace_missing(abb, key_cols=...): "
+                                 f"{sorted(clash)} are reserved summary "
+                                 f"names; rename those columns first")
             summary_schema = ", ".join(
-                ["__col__ string", "__h__ string"]
+                ["__col__ string", "__h__ string", "__k__ string",
+                 "__nan__ boolean"]
                 + [f"`{c}` {dict(df.dtypes)[c]}" for c in names])
+            # per-column Spark-side NULL flags: pandas folds NULL and
+            # float NaN into one NaN, but the pool law (and the SQL
+            # oracle's IS NOT NULL) keeps NaN values as donors —
+            # filtering on notna() would silently drop them (r5 review)
+            flags = [F.col(c).isNull().alias(f"__nn{i}__")
+                     for i, c in enumerate(names)]
 
             def _tops(it):
                 acc: dict[str, pd.DataFrame] = {}
                 for pdf in it:
-                    for c in names:
-                        sub = pdf[pdf[c].notna()][["__h__", c]]
+                    for i2, c in enumerate(names):
+                        sub = pdf[~pdf[f"__nn{i2}__"]][["__h__", "__k__", c]]
                         if sub.empty:
                             continue
                         prev = acc.get(c)
                         both = pd.concat([prev, sub]) if prev is not None \
                             else sub
-                        # hash-only stable sort: md5 ties require
-                        # duplicate key values (documented out of
-                        # contract); sorting by the VALUE would crash on
-                        # unorderable dtypes (arrays/structs)
+                        # (hash, key-string) order: engine-independent
+                        # even for md5 ties from ':'-ambiguous composite
+                        # keys (r5 review — hash-only stable sort broke
+                        # ties by partition placement); never sorts by
+                        # the VALUE, so unorderable dtypes are safe
                         acc[c] = both.sort_values(
-                            "__h__", kind="mergesort").head(k_top)
+                            ["__h__", "__k__"], kind="mergesort").head(k_top)
                 for c, top in acc.items():
-                    o = pd.DataFrame({"__col__": c, "__h__": top["__h__"]})
+                    o = pd.DataFrame({"__col__": c, "__h__": top["__h__"],
+                                      "__k__": top["__k__"]})
+                    # Arrow's pandas return path folds float NaN into
+                    # NULL; carry an explicit marker so NaN donors
+                    # survive the summary channel (the Spark-side isNull
+                    # flag already excluded genuine NULLs)
+                    vals_c = top[c]
+                    o["__nan__"] = [isinstance(v, float) and v != v
+                                    for v in vals_c]
                     for c2 in names:
-                        o[c2] = top[c] if c2 == c else None
+                        o[c2] = vals_c if c2 == c else None
                     yield o
 
-            summaries = (df.select(pool_rank.alias("__h__"), *names)
+            summaries = (df.select(pool_rank.alias("__h__"),
+                                   kstr.alias("__k__"), *names, *flags)
                            .filter(F.col("__h__").isNotNull())
                            .mapInPandas(_tops, summary_schema)
                            .collect())
             pools: dict[str, list] = {c: [] for c in names}
             for r in summaries:
-                pools[r["__col__"]].append((r["__h__"], r[r["__col__"]]))
+                v = float("nan") if r["__nan__"] else r[r["__col__"]]
+                pools[r["__col__"]].append((r["__h__"], r["__k__"], v))
             for i, c in enumerate(cols):
-                donors = [v for _, v in
-                          sorted(pools[c], key=lambda t: t[0])[:k_top]]
+                donors = [v for _, _, v in
+                          sorted(pools[c],
+                                 key=lambda t: (t[0], t[1]))[:k_top]]
                 if not donors:
                     continue
                 arr = F.array(*[F.lit(v) for v in donors])

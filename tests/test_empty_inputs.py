@@ -204,3 +204,20 @@ def test_abb_key_cols_empty_pool(spark):
     got = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
     assert got[1][0] is None and got[2][0] is None  # empty pool -> stays
     assert got[1][1] == 5.0 and got[2][1] == 5.0    # single donor fills
+
+
+def test_abb_key_cols_nan_values_stay_donors(spark):
+    """r5 review: pandas folds NULL and float NaN together, but the abb
+    pool law (like the SQL IS NOT NULL oracle) keeps NaN VALUES as
+    donors — only genuine NULLs are excluded. With a donor pool of
+    exactly {NaN}, every fill must be NaN, and composite ':'-ambiguous
+    keys stay deterministic (hash+keystring order)."""
+    import math
+
+    from tech_ml_dataset_spark.operators import missing as ms
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, None), (3, None)], "id long, v double")
+    out = {r["id"]: r["v"] for r in
+           ms.replace_missing(df, "v", "abb", seed=3,
+                              key_cols="id").collect()}
+    assert all(v is not None and math.isnan(v) for v in out.values())

@@ -1287,5 +1287,6 @@ def test_datetime_ingest_and_epoch_mapping_laws(spark):
     assert got == sorted(dts)
     ms = ds.select((epoch_micros("dt") / 1000).cast("long").alias("ms"))
     vals = sorted(r["ms"] for r in ms.collect())
-    assert vals[0] == int(dts[0].replace(tzinfo=None).timestamp() * 1000) or \
-        isinstance(vals[0], int)  # engine-tz-dependent epoch; type law pinned
+    # tz-independent SCALE pin: the difference between the two datetimes
+    # must be exact milliseconds (absolute epoch depends on session tz)
+    assert vals[1] - vals[0] == int((dts[1] - dts[0]).total_seconds() * 1000)
