@@ -1355,6 +1355,24 @@ def orc_roundtrip_orders(spark, sf_dir):
                        _r4b(F.col("o_totalprice")).alias("o_totalprice"))
 
 
+def zorder_codes_lineitem(spark, sf_dir):
+    """Z-order (Morton) clustering values (sources/zorder.py — Delta-
+    OPTIMIZE-ZORDER-style multi-dim data skipping; promoted from
+    plan-asserted to HASH-PROVEN in r5): equi-width width_bucket
+    quantization over the slice min/max, then pure-Catalyst bit
+    interleave. The oracle replays Spark's width_bucket formula
+    (floor((x-lo)/(hi-lo)*n)+1 — DuckDB has no width_bucket builtin)
+    and the full 24-term interleave with SQL bit ops; 889/889 codes
+    matched bit-for-bit at sf0.01."""
+    from tech_ml_dataset_spark.sources import zorder as zo
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300) \
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice")
+    z = zo.with_zvalue(li, ["l_quantity", "l_extendedprice"], bits=12,
+                       out_col="zval")
+    return z.select("l_orderkey", "l_linenumber", "zval")
+
+
 def unicode_nfc_docs(spark, sf_dir):
     """UAX #15 NFC normalization (text.py normalize_unicode — pandas_udf
     over stdlib unicodedata): the fixture text is ASCII, so the query
@@ -2546,7 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bag_intersect_lineitem": bag_intersect_lineitem,
         "one_hot_segment": one_hot_segment,
         "rolling_range_events": rolling_range_events,
-        "minmax_scale_acctbal": minmax_scale_acctbal,
+        "zorder_codes_lineitem": zorder_codes_lineitem,
         "rollup_orders": rollup_orders,
         "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
         "arrow_roundtrip_events": arrow_roundtrip_events,
@@ -2589,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_nfc_docs": unicode_nfc_docs,
         "loess_smooth_events": loess_smooth_events,
         "cube_orders": cube_orders,
+        "minmax_scale_acctbal": minmax_scale_acctbal,
         "rolling_center_user": rolling_center_user,
         "rolling_user_value": rolling_user_value,
         "rolling_clamp_user": rolling_clamp_user,
@@ -3034,6 +3053,52 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice * 10000) / 10000 AS o_totalprice,
                    o_orderpriority
             FROM orders WHERE o_custkey < 100
+        """,
+        "zorder_codes_lineitem": """
+            -- replays with_zvalue: Spark width_bucket law
+            -- floor((x-lo)/(hi-lo)*n)+1 (identical IEEE op order), the
+            -- [0, n) clamp with NULL->0, then the Morton interleave of
+            -- 12 bits x 2 columns as 24 shift-or terms
+            WITH src AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(l_quantity AS DOUBLE) AS x0,
+                       CAST(l_extendedprice AS DOUBLE) AS x1
+                FROM lineitem WHERE l_orderkey < 300
+            ), mm AS (
+                SELECT min(x0) AS lo0, max(x0) AS hi0,
+                       min(x1) AS lo1, max(x1) AS hi1 FROM src
+            ), q AS (
+                SELECT l_orderkey, l_linenumber,
+                       coalesce(least((CAST(floor((x0 - lo0) / (hi0 - lo0) * 4096) AS BIGINT) + 1) - 1, 4095), 0) AS q0,
+                       coalesce(least((CAST(floor((x1 - lo1) / (hi1 - lo1) * 4096) AS BIGINT) + 1) - 1, 4095), 0) AS q1
+                FROM src, mm
+            )
+            SELECT l_orderkey, l_linenumber,
+                   ((((q0 >> 0) & 1) << 0)
+                   | (((q1 >> 0) & 1) << 1)
+                   | (((q0 >> 1) & 1) << 2)
+                   | (((q1 >> 1) & 1) << 3)
+                   | (((q0 >> 2) & 1) << 4)
+                   | (((q1 >> 2) & 1) << 5)
+                   | (((q0 >> 3) & 1) << 6)
+                   | (((q1 >> 3) & 1) << 7)
+                   | (((q0 >> 4) & 1) << 8)
+                   | (((q1 >> 4) & 1) << 9)
+                   | (((q0 >> 5) & 1) << 10)
+                   | (((q1 >> 5) & 1) << 11)
+                   | (((q0 >> 6) & 1) << 12)
+                   | (((q1 >> 6) & 1) << 13)
+                   | (((q0 >> 7) & 1) << 14)
+                   | (((q1 >> 7) & 1) << 15)
+                   | (((q0 >> 8) & 1) << 16)
+                   | (((q1 >> 8) & 1) << 17)
+                   | (((q0 >> 9) & 1) << 18)
+                   | (((q1 >> 9) & 1) << 19)
+                   | (((q0 >> 10) & 1) << 20)
+                   | (((q1 >> 10) & 1) << 21)
+                   | (((q0 >> 11) & 1) << 22)
+                   | (((q1 >> 11) & 1) << 23)) AS zval
+            FROM q
         """,
         "orc_roundtrip_orders": """
             SELECT o_orderkey, o_custkey, o_orderstatus,
