@@ -79,7 +79,13 @@ def _fix_left(x: float, lft: int, e: bool) -> int:
 def _precision(x: float, digits: int, threshold: int):
     """(scientific?, exp-width, left-width, right-digits) for one value."""
     if x == 0.0:
-        return (False, 0, 1, 1)
+        # -0.0 compares equal to 0.0 but renders signed ("-0.0", matching
+        # the reference's DecimalFormat output), so its sign must count
+        # toward the shared left width or the column loses alignment —
+        # the reference's own width fit misses this (format_sequence.clj:56
+        # `(zero? x)` swallows the sign); we pin the uniform-width law.
+        sgn = 1 if math.copysign(1.0, x) < 0 else 0
+        return (False, 0, 1 + sgn, 1)
     digits = max(1, min(10, digits))
     r = abs(x)
     lft = _left(r)

@@ -75,3 +75,17 @@ J = [np.float32(v) for v in (39.81, 36.35, 43.22, 28.37, 25.45,
 ])
 def test_reference_regression_vectors(xs, args, expected):
     assert format_sequence(xs, *args) == expected
+
+
+def test_negative_zero_uniform_width():
+    """Hypothesis-falsified r5 vector: -0.0 renders signed (matching the
+    reference's DecimalFormat output) so its sign must widen the column —
+    previously format_sequence([0.0, -0.0], 1) -> ['0.0', '-0.0'] broke
+    the uniform-width contract."""
+    assert format_sequence([0.0, -0.0], 1) == [" 0.0", "-0.0"]
+    assert format_sequence([-0.0], 1) == ["-0.0"]
+    # positive-zero-only sequences keep their unsigned width
+    assert format_sequence([0.0], 1) == ["0.0"]
+    # scientific flip with a negative zero present stays aligned too
+    out = format_sequence([-0.0, 1.0e9], 2)
+    assert len({len(s) for s in out}) == 1
