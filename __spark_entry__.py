@@ -1101,6 +1101,95 @@ def image_pipeline_png_docs(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def image_pipeline_jpeg_docs(spark, sf_dir):
+    """REAL-JPEG image pipeline (closes r5 verdict missing #1 — a crawl's
+    image columns are mostly JPEG): synthesize a deterministic 16x16
+    grayscale baseline JPEG per document built from CONSTANT 8x8 blocks
+    (block b of doc d holds (d*37 + b*11) mod 256), decode with the
+    vendored huffman+IDCT codec (functions/jpeg.py), nearest-resize to
+    4x4, position-weighted feature checksum. Constant blocks are DC-only,
+    so the lossy format round-trips them EXACTLY and the oracle can
+    recompute every feature from the block formula — proving the real
+    encode->huffman->IDCT->resize->features path end-to-end with
+    decode_real hash-checked TRUE."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    jpgs = mmod.synthesize_jpeg(binned, "doc_id", height=16, width=16)
+    feats = mmod.image_pipeline(jpgs, "jpg", resize_hw=(4, 4),
+                                feature_dtype="float64")
+    ex = feats.select("doc_id", "decode_real",
+                      F.posexplode("features").alias("pos", "fv"))
+    out = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        _r4b(F.sum(F.col("fv") * (F.col("pos") + 1))).alias("feat_chk"),
+        F.bool_and("decode_real").alias("decode_real"))
+    return out.orderBy("doc_id")
+
+
+def image_pipeline_gif_docs(spark, sf_dir):
+    """REAL-GIF image pipeline (completes the r5 'JPEG/GIF' decode item):
+    synthesize a deterministic 8x8 GIF per document (pixel i holds index
+    (doc_id*29 + i*13) mod 256, grayscale identity palette), decode with
+    the vendored variable-width LZW codec (functions/gif.py), resize to
+    4x4, position-weighted feature checksum. GIF is lossless, so the
+    oracle replays the per-pixel formula directly — proving
+    encode->LZW->palette->resize->features with decode_real hash-checked
+    TRUE."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    gifs = mmod.synthesize_gif(binned, "doc_id", height=8, width=8)
+    feats = mmod.image_pipeline(gifs, "gifb", resize_hw=(4, 4),
+                                feature_dtype="float64")
+    ex = feats.select("doc_id", "decode_real",
+                      F.posexplode("features").alias("pos", "fv"))
+    out = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        _r4b(F.sum(F.col("fv") * (F.col("pos") + 1))).alias("feat_chk"),
+        F.bool_and("decode_real").alias("decode_real"))
+    return out.orderBy("doc_id")
+
+
+def media_dims_docs(spark, sf_dir):
+    """JVM-side image dimension scan (beyond-reference multimodal
+    surface): width/height parsed from PNG IHDR (fixed-offset u32 BE),
+    GIF logical screen (u16 LE), and JPEG SOF (a BOUNDED marker walk
+    via F.aggregate — the SOF segment floats behind variable APPn/DQT/
+    DHT prefixes) — pure Catalyst byte expressions, NO Python stage and
+    no pixel decode: a 100 TB dimensions audit reads a few header bytes
+    per row. Fixture dims vary per doc (h/w formulas below), so the
+    oracle checks the PARSE, not a constant."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
+        .select("doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    third = (F.col("doc_id") % 3)
+    # synthesizers take python ints, so enumerate the (format, variant)
+    # grid driver-side (3 formats x 5 dim variants — the dims themselves
+    # stay formula-driven and oracle-replayable)
+    outs = []
+    for m3, fmt, synth in ((0, "png", mmod.synthesize_png),
+                           (1, "jpeg", mmod.synthesize_jpeg),
+                           (2, "gif", mmod.synthesize_gif)):
+        for v in range(5):
+            sub = binned.filter((third == m3) & (F.col("doc_id") % 5 == v))
+            if fmt == "jpeg":
+                h, w = 8 * (1 + v % 3), 8 * (1 + (v + 1) % 2)
+            else:
+                h, w = 5 + v, 7 + (v * 3) % 6
+            enc = synth(sub, "doc_id", height=h, width=w, out_col="b")
+            outs.append(enc.select("doc_id", F.lit(fmt).alias("fmt"),
+                                   F.col("b")))
+    allb = outs[0]
+    for o in outs[1:]:
+        allb = allb.unionByName(o)
+    out = mmod.with_image_dims(allb, "b")
+    return out.select("doc_id", "fmt",
+                      F.col("dims.width").alias("width"),
+                      F.col("dims.height").alias("height")) \
+              .orderBy("doc_id")
+
+
 def sessionize_events(spark, sf_dir):
     """Batch sessionization (30-min inactivity gap) via the reusable
     tss.sessionize operator (lag + cumulative sum sharing one window
@@ -2497,48 +2586,99 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is part of the driver contract: the external
     correctness gate checks the FIRST 50 entries only (ADVICE r2), so the
-    window is allocated to (a) queries changed or added this round, (b)
-    queries that have never had a driver-green row, then (c) a handful of
-    regression stalwarts touching this round's changed operators. Known
-    r2-green queries whose code is untouched rotate to the tail — they stay
-    covered by pytest + tools/verify_local.py."""
+    window is allocated to (a) queries whose exercised code changed this
+    round, (b) queries that have never had a driver-green row, then (c)
+    oldest-green rotation. By-design rows-only queries (seeded reservoir,
+    xxhash64 production twins, iterative BPE, marked-fake decode) stay
+    PERMANENTLY below position 50 (r5 verdict #3) — the window holds only
+    oracle-able queries; rows-only execution evidence comes from
+    tools/verify_local.py runs recorded in COVERAGE.md."""
     return {
-        # ---- THE 50-QUERY DRIVER WINDOW (r5) ----
-        # (a) changed or added THIS round, re-prove / first-prove:
-        #     - winnow x2 (text.py batch vectorization — law unchanged,
-        #       implementation rewritten);
-        #     - abb_fill_events / regression_price_model /
-        #       pca_project_lineitem (the three r4-verdict oracle
-        #       promotions: deterministic :abb key_cols arm, 3x3-Cramer
-        #       OLS, trig 3x3 PCA eigendecomposition);
-        #     - image_pipeline_png_docs + image_pipeline_docs (schema
-        #       gained the in-band decode_real flag);
-        #     - the shingle family (dedup.shingles lean rewrite):
-        #       ngram_jaccard, minhash/simhash md5 oracles,
-        #       similarity_join, minhash_incremental, decontaminate,
-        #       dedup_exact + fuzzy_name_pairs (same file);
-        #     - stratified_sample_docs + select_rows_orders
-        #       (selection.py: mega-stratum salt_buckets guard);
-        #     - concat x2 (setops.concat nil-pun law);
-        #     - media_meta_docs (multimodal.py churn, cheap insurance);
-        #     - repetition_signals_docs (ensure_parallelism rewrite
-        #       consumer) and the replace_missing family lerp/nearest/
-        #       bfill/ts_lerp/ffill (missing.py churn — directional code
-        #       untouched, file-level discipline per the verify skill).
-        # (b) never-driver-green: none — every oracled query has a green
-        #     row in some round as of r4.
-        # (c) oldest-evidence rotation (r4 verdict #5): the r1-green
-        #     stalwarts (quantiles, bag union/intersect, one-hot,
-        #     rolling-range, minmax, rollup) plus the largest r2-green
-        #     cohort (window family, setops, selection, melt) whose proof
-        #     is 3 rounds old; group_distinct_stats re-proves the r5
-        #     aggregate.py touch (issue-201 key-collision projection).
+        # ---- THE 50-QUERY DRIVER WINDOW (r6) ----
+        # (a) changed this round:
+        #     - gopher_quality_docs / corpus_composition (token array
+        #       materialized once, r5 verdict #7) + bigram_lm_docs
+        #       (broadcast decision from collected totals, #8) +
+        #       unigram/repetition as same-file LM/text insurance;
+        #     - abb_fill_events (pre-fill key-string materialization, r5
+        #       advice) + ffill/lerp as same-file insurance (the other
+        #       missing.py strategies' code paths are untouched — the abb
+        #       branch returns before they run);
+        #     - image_pipeline_jpeg_docs NEW (vendored baseline JPEG
+        #       codec, r5 verdict #5), image_pipeline_gif_docs NEW
+        #       (vendored LZW GIF codec), media_dims_docs NEW (JVM-side
+        #       header-byte dimension parse incl. the bounded JPEG SOF
+        #       marker walk) + png twin + media/audio (multimodal.py
+        #       gained flag_col collision guard + codec hooks);
+        #     - all seven write->read roundtrips (io.py write()/to_dataset
+        #       gained the avro translation + rendered-key collision
+        #       guard on their call path).
+        # (b) never-driver-green: image_pipeline_jpeg_docs (new).
+        # (c) oldest-green rotation (r5 verdict #6): the r2 cohort
+        #     (window family, melt/pivot, categorical/scalers, corr,
+        #     cube, unroll, HLL distinct) and the r3 TPC-H six
+        #     (q2/q9/q11/q16/q20/q21) plus the r3 operator cohort
+        #     (row_map, pd_merge, induction, grouping sets, diff, salted
+        #     join, range join, pipeline, kendall, matmul, gram).
+        "gopher_quality_docs": gopher_quality_docs,
+        "corpus_composition": corpus_composition,
+        "bigram_lm_docs": bigram_lm_docs,
+        "unigram_lm_docs": unigram_lm_docs,
+        "repetition_signals_docs": repetition_signals_docs,
+        "abb_fill_events": abb_fill_events,
+        "ffill_events": ffill_events,
+        "lerp_events": lerp_events,
+        "image_pipeline_jpeg_docs": image_pipeline_jpeg_docs,
+        "image_pipeline_gif_docs": image_pipeline_gif_docs,
+        "media_dims_docs": media_dims_docs,
+        "image_pipeline_png_docs": image_pipeline_png_docs,
+        "media_meta_docs": media_meta_docs,
+        "audio_features_docs": audio_features_docs,
+        "csv_roundtrip_orders": csv_roundtrip_orders,
+        "json_roundtrip_events": json_roundtrip_events,
+        "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
+        "orc_roundtrip_orders": orc_roundtrip_orders,
+        "arrow_roundtrip_events": arrow_roundtrip_events,
+        "excel_roundtrip_orders": excel_roundtrip_orders,
+        "xls_roundtrip_orders": xls_roundtrip_orders,
+        "rolling_user_value": rolling_user_value,
+        "rolling_clamp_user": rolling_clamp_user,
+        "rolling_center_user": rolling_center_user,
+        "expanding_user_cumsum": expanding_user_cumsum,
+        "analytic_lag_rank": analytic_lag_rank,
+        "melt_part_attrs": melt_part_attrs,
+        "pivot_status_priority": pivot_status_priority,
+        "cat_encode_segment": cat_encode_segment,
+        "std_scale_acctbal": std_scale_acctbal,
+        "minmax_scale_acctbal": minmax_scale_acctbal,
+        "corr_quantity_price": corr_quantity_price,
+        "cube_orders": cube_orders,
+        "unroll_doc_tokens": unroll_doc_tokens,
+        "distinct_parts_per_brand": distinct_parts_per_brand,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "row_map_net_price": row_map_net_price,
+        "pd_merge_outer": pd_merge_outer,
+        "induction_events": induction_events,
+        "grouping_sets_orders": grouping_sets_orders,
+        "dataset_diff_lineitem": dataset_diff_lineitem,
+        "salted_revenue_by_nation": salted_revenue_by_nation,
+        "attribution_range_join": attribution_range_join,
+        "pipeline_customer_features": pipeline_customer_features,
+        "kendall_tau_lineitem": kendall_tau_lineitem,
+        # ---- position > 50: green-in-some-round queries with unchanged
+        # code rotating out (cumulative proof stands) + the by-design
+        # rows-only set. All stay covered by pytest + verify_local.
+        "matmul_lineitem": matmul_lineitem,
+        "gram_lineitem": gram_lineitem,
         "winnow_docs": winnow_docs,
         "winnow_pairs_docs": winnow_pairs_docs,
-        "abb_fill_events": abb_fill_events,
         "regression_price_model": regression_price_model,
         "pca_project_lineitem": pca_project_lineitem,
-        "image_pipeline_png_docs": image_pipeline_png_docs,
         "image_pipeline_docs": image_pipeline_docs,
         "ngram_jaccard_docs": ngram_jaccard_docs,
         "minhash_pairs_oracle_docs": minhash_pairs_oracle_docs,
@@ -2552,13 +2692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_rows_orders": select_rows_orders,
         "dedup_exact_docs": dedup_exact_docs,
         "fuzzy_name_pairs": fuzzy_name_pairs,
-        "media_meta_docs": media_meta_docs,
-        "repetition_signals_docs": repetition_signals_docs,
-        "lerp_events": lerp_events,
         "nearest_fill_events": nearest_fill_events,
         "bfill_updown_events": bfill_updown_events,
         "ts_lerp_events": ts_lerp_events,
-        "ffill_events": ffill_events,
         "quantiles_price": quantiles_price,
         "bag_union_lineitem": bag_union_lineitem,
         "bag_intersect_lineitem": bag_intersect_lineitem,
@@ -2566,12 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_range_events": rolling_range_events,
         "zorder_codes_lineitem": zorder_codes_lineitem,
         "rollup_orders": rollup_orders,
-        "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
-        "arrow_roundtrip_events": arrow_roundtrip_events,
-        "json_roundtrip_events": json_roundtrip_events,
         "rolling_corr_user": rolling_corr_user,
-        "excel_roundtrip_orders": excel_roundtrip_orders,
-        "xls_roundtrip_orders": xls_roundtrip_orders,
         "unique_by_order": unique_by_order,
         "lineitem_except": lineitem_except,
         "reduce_union_orders": reduce_union_orders,
@@ -2579,16 +2710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_project": filter_project,
         "topk_orders": topk_orders,
         "customers_without_orders": customers_without_orders,
-        "orc_roundtrip_orders": orc_roundtrip_orders,
         "events_json_extract": events_json_extract,
-        "bigram_lm_docs": bigram_lm_docs,
         "group_distinct_stats": group_distinct_stats,
-        # ---- position > 50: r3/r4-green queries with unchanged code
-        # rotating out (cumulative proof stands), then remaining r1/r2
-        # stalwarts that didn't fit this window and rows-only queries.
-        # All stay covered by pytest + tools/verify_local.py every round.
         "url_dedup_docs": url_dedup_docs,
-        "unigram_lm_docs": unigram_lm_docs,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "cast_failures_orders": cast_failures_orders,
         "q4_order_priority": q4_order_priority,
@@ -2606,17 +2730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_incremental_pairs": embedding_incremental_pairs,
         "unicode_nfc_docs": unicode_nfc_docs,
         "loess_smooth_events": loess_smooth_events,
-        "cube_orders": cube_orders,
-        "minmax_scale_acctbal": minmax_scale_acctbal,
-        "rolling_center_user": rolling_center_user,
-        "rolling_user_value": rolling_user_value,
-        "rolling_clamp_user": rolling_clamp_user,
-        "expanding_user_cumsum": expanding_user_cumsum,
-        "analytic_lag_rank": analytic_lag_rank,
-        "melt_part_attrs": melt_part_attrs,
-        "pivot_status_priority": pivot_status_priority,
         "semdedup_embeddings": semdedup_embeddings,
-        "csv_roundtrip_orders": csv_roundtrip_orders,
         "pca2_project_lineitem": pca2_project_lineitem,
         "psi_drift_categorical_docs": psi_drift_categorical_docs,
         "fill_range_events": fill_range_events,
@@ -2633,62 +2747,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": doc_fingerprints,
         "cosine_topk_embeddings": cosine_topk_embeddings,
         "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
-        "gopher_quality_docs": gopher_quality_docs,
-        "corpus_composition": corpus_composition,
         "sessionize_events": sessionize_events,
         "chunk_docs": chunk_docs,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "rolling_monthly_orders": rolling_monthly_orders,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q16_supplier_part_count": q16_supplier_part_count,
-        "q20_excess_suppliers": q20_excess_suppliers,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
         "heavy_tokens_docs": heavy_tokens_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
         "pack_docs": pack_docs,
         "dsir_docs": dsir_docs,
-        "audio_features_docs": audio_features_docs,
         "q22_sales_opportunity": q22_sales_opportunity,
-        "matmul_lineitem": matmul_lineitem,
-        "gram_lineitem": gram_lineitem,
         "tfidf_docs": tfidf_docs,
         "kmeans_embeddings": kmeans_embeddings,
         "ols_price_by_qty": ols_price_by_qty,
-        "attribution_range_join": attribution_range_join,
         "boilerplate_removal_docs": boilerplate_removal_docs,
-        "dataset_diff_lineitem": dataset_diff_lineitem,
-        "induction_events": induction_events,
         "rolling_trimmed_events": rolling_trimmed_events,
         "pq_encode_embeddings": pq_encode_embeddings,
         "q3_segment_revenue": q3_segment_revenue,
-        "kendall_tau_lineitem": kendall_tau_lineitem,
         "pii_redact_docs": pii_redact_docs,
         "descriptive_stats_lineitem": descriptive_stats_lineitem,
-        "pd_merge_outer": pd_merge_outer,
-        "grouping_sets_orders": grouping_sets_orders,
-        "row_map_net_price": row_map_net_price,
-        "pipeline_customer_features": pipeline_customer_features,
         "mean_center_quantity": mean_center_quantity,
         "sliding_events_12h": sliding_events_12h,
-        "distinct_parts_per_brand": distinct_parts_per_brand,
         "doc_quality_lang": doc_quality_lang,
         "bpe_tokens_docs": bpe_tokens_docs,
         "ewma_user_value": ewma_user_value,
-        "salted_revenue_by_nation": salted_revenue_by_nation,
         "validate_orders": validate_orders,
         "embedding_dedup_clusters": embedding_dedup_clusters,
         "q5_nation_revenue": q5_nation_revenue,
         "q1_pricing_summary": q1_pricing_summary,
         "bpe_encode_docs": bpe_encode_docs,
         "reservoir_orders": reservoir_orders,
-        "unroll_doc_tokens": unroll_doc_tokens,
         "tumbling_events_daily": tumbling_events_daily,
         "session_window_events": session_window_events,
-        "cat_encode_segment": cat_encode_segment,
-        "std_scale_acctbal": std_scale_acctbal,
-        "corr_quantity_price": corr_quantity_price,
         "minhash_pairs_docs": minhash_pairs_docs,
         "simhash_docs": simhash_docs,
         "cross_region_priority": cross_region_priority,
@@ -4159,6 +4248,90 @@ def oracle_sql() -> dict[str, str]:
                              least(CAST(floor(g * 8) AS INT), 7) AS bin,
                              count(*) AS cnt
                       FROM gray GROUP BY doc_id, bin)
+                GROUP BY doc_id
+            )
+            SELECT c.doc_id, CAST(14 AS BIGINT) AS n_features,
+                   round((c.cs + h.hs) * 10000) / 10000 AS feat_chk,
+                   TRUE AS decode_real
+            FROM chansum c JOIN histsum h USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "image_pipeline_jpeg_docs": """
+            WITH ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 200
+            ), px AS (
+                -- resized pixel (r, c) of the 16x16 constant-block JPEG
+                -- fixture: nearest-neighbor 4x4 picks source rows/cols
+                -- r*4, c*4, which land in 8x8 block (r//2, c//2); the
+                -- DC-only block law makes the lossy decode EXACT
+                SELECT i.doc_id, r.r, c.c,
+                       ((i.doc_id * 37
+                         + ((r.r // 2) * 2 + (c.c // 2)) * 11)
+                        % 256) / 255.0 AS v
+                FROM ids i, range(4) r(r), range(4) c(c)
+            ), chan AS (
+                -- grayscale repeats into 3 identical channels: mean at
+                -- positions 1..3, std at 4..6 (population std = numpy)
+                SELECT doc_id, avg(v) AS m,
+                       sqrt(avg(v * v) - avg(v) * avg(v)) AS s
+                FROM px GROUP BY doc_id
+            ), chansum AS (
+                SELECT doc_id, m * 6 + s * 15 AS cs FROM chan
+            ), histsum AS (
+                -- 8 intensity bins at weight positions 7..14
+                SELECT doc_id, sum((cnt / 16.0) * (bin + 7)) AS hs
+                FROM (SELECT doc_id,
+                             least(CAST(floor(v * 8) AS INT), 7) AS bin,
+                             count(*) AS cnt
+                      FROM px GROUP BY doc_id, bin)
+                GROUP BY doc_id
+            )
+            SELECT c.doc_id, CAST(14 AS BIGINT) AS n_features,
+                   round((c.cs + h.hs) * 10000) / 10000 AS feat_chk,
+                   TRUE AS decode_real
+            FROM chansum c JOIN histsum h USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "media_dims_docs": """
+            -- replays the fixture dimension formulas; the Spark side
+            -- must PARSE these numbers back out of real PNG/JPEG/GIF
+            -- header bytes with pure Catalyst expressions
+            WITH ids AS (
+                SELECT doc_id, doc_id % 3 AS m3, doc_id % 5 AS v
+                FROM documents WHERE doc_id < 120
+            )
+            SELECT doc_id,
+                   CASE m3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           ELSE 'gif' END AS fmt,
+                   CAST(CASE WHEN m3 = 1 THEN 8 * (1 + (v + 1) % 2)
+                             ELSE 7 + (v * 3) % 6 END AS INT) AS width,
+                   CAST(CASE WHEN m3 = 1 THEN 8 * (1 + v % 3)
+                             ELSE 5 + v END AS INT) AS height
+            FROM ids ORDER BY doc_id
+        """,
+        "image_pipeline_gif_docs": """
+            WITH ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 200
+            ), px AS (
+                -- resized pixel (r, c) of the 8x8 GIF fixture: nearest-
+                -- neighbor 4x4 picks source rows/cols r*2, c*2; GIF is
+                -- lossless so decode == formula per pixel
+                SELECT i.doc_id, r.r, c.c,
+                       ((i.doc_id * 29 + ((r.r * 2) * 8 + c.c * 2) * 13)
+                        % 256) / 255.0 AS v
+                FROM ids i, range(4) r(r), range(4) c(c)
+            ), chan AS (
+                SELECT doc_id, avg(v) AS m,
+                       sqrt(avg(v * v) - avg(v) * avg(v)) AS s
+                FROM px GROUP BY doc_id
+            ), chansum AS (
+                SELECT doc_id, m * 6 + s * 15 AS cs FROM chan
+            ), histsum AS (
+                SELECT doc_id, sum((cnt / 16.0) * (bin + 7)) AS hs
+                FROM (SELECT doc_id,
+                             least(CAST(floor(v * 8) AS INT), 7) AS bin,
+                             count(*) AS cnt
+                      FROM px GROUP BY doc_id, bin)
                 GROUP BY doc_id
             )
             SELECT c.doc_id, CAST(14 AS BIGINT) AS n_features,

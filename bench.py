@@ -68,14 +68,30 @@ def main():
     # two suite runs), while pass-separated repeats are ~8 min apart and a
     # burst must span the whole suite to poison a query's min. Pass 1 also
     # absorbs residual codegen compile for plans the warm-up list missed.
-    timings: dict[str, float] = {}
+    per_pass: dict[str, list[float]] = {}
     for _pass in range(2):
         for name, fn in qs.items():
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            timings[name] = round(min(timings.get(name, el), el), 4)
+            per_pass.setdefault(name, []).append(time.perf_counter() - t0)
+    # Adaptive third pass for OUTLIERS only (r5 post-mortem: a noise burst
+    # spanning both interleaved passes inflated corpus_composition 6.75x
+    # in the recorded bench while three fresh sessions measured ~1.9 s —
+    # min-of-2 can't reject a burst longer than the suite). A query whose
+    # two passes disagree >1.5x, or whose best time is both >2.5 s and
+    # >2x its other pass's floor, gets ONE more measurement; the re-run
+    # happens minutes after the passes, so a burst must span the entire
+    # bench to survive into the min.
+    suspects = [n for n, ts in per_pass.items()
+                if len(ts) == 2 and (max(ts) > 1.5 * min(ts) + 0.3
+                                     or min(ts) > 2.5)]
+    for name in suspects:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+        per_pass[name].append(time.perf_counter() - t0)
+    timings = {n: round(min(ts), 4) for n, ts in per_pass.items()}
 
     # TSV-ingest microbench against BASELINE.md's one quantified figure
     # (2.77M rows x 12 cols .tsv.gz parsed in 8,588 ms with promotional

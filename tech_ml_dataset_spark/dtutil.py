@@ -107,6 +107,14 @@ _NON_SCAN_NODES = ("Repartition", "Coalesce", "Limit", "Sample", "Join",
                    "Deduplicate", "MapInPandas", "FlatMapGroupsInPandas",
                    "Generate", "Offset")
 
+# whole-file compression codecs Hadoop cannot split: one file = ONE scan
+# partition no matter its size, so ceil(total/maxPartitionBytes) is NOT a
+# lower bound (a 10*mpb .csv.gz scans as a single task). bz2 is splittable
+# and columnar container files (.snappy.parquet, .zstd.orc) keep their
+# container suffix last, so a plain suffix check is sufficient.
+_NON_SPLITTABLE_SUFFIXES = (".gz", ".gzip", ".zst", ".zstd", ".lz4",
+                            ".snappy", ".deflate", ".br")
+
 
 def _parse_bytes(s: str) -> int | None:
     s = s.strip().lower()
@@ -153,6 +161,12 @@ def _scan_partition_estimate(df: DataFrame) -> int:
             for f in files:
                 p = urlparse(f)
                 if p.scheme not in ("file", ""):
+                    local = False
+                    break
+                if p.path.lower().endswith(_NON_SPLITTABLE_SUFFIXES):
+                    # non-splittable codec: one partition per file however
+                    # large, so the size-based lower bound is invalid —
+                    # use the exact (planning) fallback below
                     local = False
                     break
                 try:

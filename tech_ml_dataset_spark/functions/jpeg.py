@@ -1,0 +1,474 @@
+"""Minimal pure-python baseline JPEG (JFIF) codec — stdlib ``struct`` +
+numpy only.
+
+Implements the public baseline sequential DCT process of ITU-T T.81 /
+ISO 10918-1 ("JPEG"): 8-bit precision, huffman entropy coding with the
+spec's Annex-K typical tables, grayscale (1 component) and YCbCr 4:4:4
+(3 components, no chroma subsampling), restart-marker tolerant decoding.
+Progressive (SOF2), arithmetic coding, 12-bit, and subsampled (4:2:0 /
+4:2:2) streams raise a clear error naming the unsupported feature —
+production pipelines swap in Pillow through the same
+``decode_image_bytes`` hook (multimodal.py) without touching callers.
+
+Purpose: a crawl pipeline's image columns are mostly JPEG (r5 verdict
+missing #1); this gives :mod:`.multimodal` a REAL decode path for them in
+containers without Pillow, the same role png.py plays for PNG. Favors
+clarity over speed — fixture-scale images only; the per-block loops are
+numpy-vectorized where it matters (DCT via one matrix product per block
+batch).
+
+Oracle trick used by the driver fixtures: an image built from CONSTANT
+8x8 blocks has only a DC coefficient; with an all-ones quantization table
+the decoder's IDCT reproduces each block's constant EXACTLY (DC = 8*(v-128)
+survives quantization, and IDCT of a DC-only block is the constant
+DC/8 + 128 = v with zero rounding error), so a SQL oracle can recompute
+any downstream feature from the closed-form block law without a codec —
+the same proof structure as png.py's filter-cycling fixtures.
+
+Reference parity anchor: none — the reference (tech.ml.dataset) has no
+image surface at all; this is driver-mandate (multimodal pipeline)
+surface. Format facts from the public spec (ITU-T T.81, Annex F baseline
+procedure, Annex K.3 typical huffman tables) and JFIF 1.02.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SOI = b"\xff\xd8"
+
+# zigzag scan position -> raster index within the 8x8 block (T.81 fig. 5)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# Annex K.3 typical huffman tables: (BITS[1..16], HUFFVAL)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _huff_codes(bits, vals):
+    """T.81 Annex C code generation: canonical codes by ascending length.
+    Returns {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """{(length, code): symbol} for the bit-at-a-time decoder."""
+    enc = _huff_codes(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+# orthonormal 8x8 DCT-II matrix: F = C @ B @ C.T, B = C.T @ F @ C
+_C = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(0.125) if _u == 0 else np.sqrt(0.25)
+    for _x in range(8):
+        _C[_u, _x] = _a * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:        # byte stuffing (F.1.2.3)
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-RST marker terminates the scan
+
+    def _fill(self) -> bool:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            return False
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:   # stuffed FF
+                self.pos = p + 2
+            else:
+                self.marker = d[p + 1] if p + 1 < len(d) else None
+                return False
+            b = 0xFF
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise ValueError("jpeg: truncated entropy-coded segment")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self):
+        """Consume a restart marker sitting at the current position;
+        returns the marker byte (0xD0-0xD7) or None."""
+        self.acc, self.nbits = 0, 0
+        d, p = self.data, self.pos
+        if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+            self.pos = p + 2
+            return d[p + 1]
+        return None
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 EXTEND: map t received bits to a signed value."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _size(v: int) -> int:
+    """Bit-size category of a signed coefficient (T.81 F.1.2.1.1)."""
+    return int(abs(v)).bit_length()
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
+    y, cb, cr = arr[..., 0], arr[..., 1] - 128.0, arr[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float plane, h/w multiples of 8 -> (n, 8, 8) raster order."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _unblocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return (blocks.reshape(h8 // 8, w8 // 8, 8, 8)
+                  .transpose(0, 2, 1, 3).reshape(h8, w8))
+
+
+def encode(arr: np.ndarray, *, quant: int | np.ndarray = 1) -> bytes:
+    """uint8 (h, w), (h, w, 1) grayscale or (h, w, 3) RGB -> baseline JFIF
+    bytes (huffman, Annex-K tables, 4:4:4 — no subsampling).
+
+    ``quant``: a scalar fills both quantization tables with that value
+    (1 = near-lossless: only DCT rounding remains, and constant 8x8
+    blocks round-trip EXACTLY); or an (8, 8) array used for all
+    components.
+    """
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("encode expects a uint8 array")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("encode supports 1 (gray) or 3 (RGB) channels")
+    q = np.full((8, 8), int(quant), dtype=np.int64) \
+        if np.isscalar(quant) else np.asarray(quant, dtype=np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be a scalar or 8x8 table in 1..255")
+
+    planes = arr[:, :, 0].astype(np.float64)[None] if c == 1 else \
+        _rgb_to_ycbcr(arr.astype(np.float64)).transpose(2, 0, 1)
+    # pad to 8-multiples by edge replication (standard practice)
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = [np.pad(p, ((0, h8 - h), (0, w8 - w)), mode="edge")
+              for p in planes]
+
+    out = bytearray(SOI)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    zz = q.ravel()[ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz   # DQT 0
+    if c == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + zz
+    # SOF0
+    comps = [(1, 0)] if c == 1 else [(1, 0), (2, 1), (3, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, tq in comps:
+        sof += struct.pack(">BBB", cid, 0x11, tq)   # h=v=1: 4:4:4
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if c == 3:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, vals) in tables:
+        body = bytes([tc_th] + bits + vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # SOS
+    sos = bytes([len(comps)])
+    for i, (cid, _) in enumerate(comps):
+        td_ta = 0x00 if i == 0 else 0x11
+        sos += bytes([cid, td_ta])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_enc = [_huff_codes(*_DC_LUMA)] + \
+        ([_huff_codes(*_DC_CHROMA)] * 2 if c == 3 else [])
+    ac_enc = [_huff_codes(*_AC_LUMA)] + \
+        ([_huff_codes(*_AC_CHROMA)] * 2 if c == 3 else [])
+
+    # DCT + quantize all blocks per component (vectorized)
+    qcoefs = []
+    for ci, p in enumerate(padded):
+        b = _blocks(p) - 128.0
+        f = _C @ b @ _C.T
+        qcoefs.append(np.round(f / q).astype(np.int64))
+
+    wr = _BitWriter()
+    pred = [0] * len(padded)
+    n_mcu = (h8 // 8) * (w8 // 8)
+    for m in range(n_mcu):
+        for ci in range(len(padded)):
+            coef = qcoefs[ci][m].ravel()[ZIGZAG]
+            diff = int(coef[0]) - pred[ci]
+            pred[ci] = int(coef[0])
+            t = _size(diff)
+            code, ln = dc_enc[ci][t]
+            wr.write(code, ln)
+            if t:
+                wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            last_nz = max(np.nonzero(coef[1:])[0], default=-1)
+            for k in range(1, last_nz + 2):
+                v = int(coef[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, ln = ac_enc[ci][0xF0]   # ZRL
+                    wr.write(code, ln)
+                    run -= 16
+                t = _size(v)
+                code, ln = ac_enc[ci][(run << 4) | t]
+                wr.write(code, ln)
+                wr.write(v if v >= 0 else v + (1 << t) - 1, t)
+                run = 0
+            if last_nz + 1 < 63:
+                code, ln = ac_enc[ci][0x00]       # EOB
+                wr.write(code, ln)
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 (h, w, channels) array (1 or 3).
+
+    Supports: SOF0 baseline huffman, 8-bit, any quant/huffman tables,
+    1 or 3 components WITHOUT subsampling (h=v=1), DRI/RSTn markers.
+    Raises ValueError naming the feature for progressive (SOF2),
+    arithmetic (SOF9+), 12-bit, or subsampled streams.
+    """
+    if data[:2] != SOI:
+        raise ValueError("jpeg: missing SOI marker")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    h = w = 0
+    scan_comps = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: desynchronized marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        body = data[pos + 4:pos + 2 + seg_len]
+        pos_next = pos + 2 + seg_len
+        if marker == 0xDB:                     # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[i:i + 64], dtype=np.uint8) \
+                            .astype(np.int64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(body[i:i + 128], dtype=">u2") \
+                            .astype(np.int64)
+                    i += 128
+                raster = np.zeros(64, dtype=np.int64)
+                raster[ZIGZAG] = tbl
+                qt[tq] = raster.reshape(8, 8)
+        elif marker == 0xC4:                   # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17:i + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline-decodable
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"jpeg: {prec}-bit precision unsupported")
+            comps = []
+            for k in range(nc):
+                cid, hv, tq = body[6 + 3 * k:9 + 3 * k]
+                if hv != 0x11:
+                    raise ValueError(
+                        "jpeg: chroma subsampling (h,v != 1,1) unsupported "
+                        "— re-encode 4:4:4 or install Pillow")
+                comps.append({"id": cid, "tq": tq})
+            if nc not in (1, 3):
+                raise ValueError(f"jpeg: {nc}-component streams unsupported")
+        elif marker == 0xC2:
+            raise ValueError("jpeg: progressive (SOF2) unsupported — "
+                             "baseline only; install Pillow for progressive")
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise ValueError(f"jpeg: SOF{marker - 0xC0} process unsupported")
+        elif marker == 0xDD:                   # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:                   # SOS
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for k in range(ns):
+                cs, tdta = body[1 + 2 * k], body[2 + 2 * k]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_comps.append((comp, tdta >> 4, tdta & 0x0F))
+            pos = pos_next
+            break
+        pos = pos_next
+    if scan_comps is None:
+        raise ValueError("jpeg: no scan found")
+
+    rd = _BitReader(data, pos)
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    n_mcu = (h8 // 8) * (w8 // 8)
+    planes = [np.zeros((n_mcu, 8, 8), dtype=np.float64) for _ in scan_comps]
+    pred = [0] * len(scan_comps)
+
+    def read_symbol(table) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | rd.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid huffman code")
+
+    for m in range(n_mcu):
+        # bit-buffer realignment ONLY at declared restart boundaries —
+        # align_to_marker drops buffered bits, which mid-stream (no DRI)
+        # would desynchronize the huffman decode
+        if restart_interval and m and m % restart_interval == 0:
+            if rd.align_to_marker() is not None:
+                pred = [0] * len(scan_comps)   # RSTn resets DC predictors
+        for ci, (comp, td, ta) in enumerate(scan_comps):
+            zz = np.zeros(64, dtype=np.int64)
+            t = read_symbol(huff[(0, td)])
+            diff = _extend(rd.bits(t), t) if t else 0
+            pred[ci] += diff
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = read_symbol(huff[(1, ta)])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:                # ZRL
+                        k += 16
+                        continue
+                    break                      # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("jpeg: AC index overflow")
+                zz[k] = _extend(rd.bits(s), s)
+                k += 1
+            q = qt[comp["tq"]]
+            block = np.zeros(64, dtype=np.float64)
+            block[ZIGZAG] = zz
+            planes[ci][m] = _C.T @ (block.reshape(8, 8) * q) @ _C
+
+    imgs = [np.clip(np.round(_unblocks(p, h8, w8) + 128.0), 0, 255)[:h, :w]
+            for p in planes]
+    if len(imgs) == 1:
+        return imgs[0].astype(np.uint8)[:, :, None]
+    ycbcr = np.stack(imgs, axis=-1)
+    rgb = np.clip(np.round(_ycbcr_to_rgb(ycbcr)), 0, 255)
+    return rgb.astype(np.uint8)

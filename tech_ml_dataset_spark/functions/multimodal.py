@@ -89,6 +89,78 @@ def with_media_meta(df: DataFrame, bin_col: str, out_col: str = "media_meta"
     ))
 
 
+def _u8(b: Column, pos) -> Column:
+    """Unsigned byte at 1-based ``pos`` of a binary column (JVM-side)."""
+    return F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("int")
+
+
+def _u16be(b: Column, pos) -> Column:
+    return F.conv(F.hex(F.substring(b, pos, 2)), 16, 10).cast("int")
+
+
+def image_dims(b: Column) -> Column:
+    """``struct(width, height)`` parsed from PNG / GIF / baseline-JPEG
+    header bytes — pure Catalyst expressions, NO Python stage and no
+    decode: at 100 TB a dimensions scan must not ship pixel payloads
+    through Arrow, it reads a few header bytes per row JVM-side.
+
+    - PNG: IHDR is at a FIXED offset (8-byte signature + length + type):
+      width/height are big-endian u32 at bytes 17/21.
+    - GIF: logical-screen width/height are LITTLE-endian u16 at bytes
+      7/9.
+    - JPEG: the SOF segment floats behind a variable prefix of APPn/DQT/
+      DHT/COM segments, so the parse is a BOUNDED MARKER WALK expressed
+      as ``F.aggregate`` over a 32-step dummy sequence: each step either
+      holds a found SOF offset or advances offset by that segment's
+      2 + u16 length. 32 segments bounds every sane header (libjpeg
+      writes < 10); deeper files yield NULL, never a wrong answer.
+      Height/width are u16 at SOF+5/SOF+7 (after marker, length,
+      precision). All SOF0-SOF15 variants carry the same layout.
+
+    Unknown formats (or truncated headers) yield NULL fields.
+    """
+    png_w = F.conv(F.hex(F.substring(b, 17, 4)), 16, 10).cast("int")
+    png_h = F.conv(F.hex(F.substring(b, 21, 4)), 16, 10).cast("int")
+    gif_w = _u8(b, 7) + _u8(b, 8) * 256
+    gif_h = _u8(b, 9) + _u8(b, 10) * 256
+
+    # JPEG bounded marker walk: state = struct(off, sof); off=3 is the
+    # first marker after SOI. SOF family = C0-CF minus C4 (DHT), C8
+    # (JPG extension), CC (DAC).
+    is_sof = lambda m: (m >= 0xC0) & (m <= 0xCF) \
+        & (m != 0xC4) & (m != 0xC8) & (m != 0xCC)
+    init = F.struct(F.lit(3).alias("off"), F.lit(0).alias("sof"))
+
+    def step(acc, _):
+        m = _u8(b, acc["off"] + 1)
+        seg_len = _u16be(b, acc["off"] + 2)
+        found = is_sof(m)
+        return F.when(acc["sof"] > 0, acc).otherwise(F.struct(
+            F.when(found, acc["off"])
+             .otherwise(acc["off"] + 2 + seg_len).alias("off"),
+            F.when(found, acc["off"]).otherwise(F.lit(0)).alias("sof")))
+
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(32)), init, step)
+    sof = walk["sof"]
+    jpg_h = F.when(sof > 0, _u16be(b, sof + 5))
+    jpg_w = F.when(sof > 0, _u16be(b, sof + 7))
+
+    fmt = sniff_format(b)
+    width = F.when(fmt == "png", png_w) \
+             .when(fmt == "gif", gif_w) \
+             .when(fmt == "jpeg", jpg_w)
+    height = F.when(fmt == "png", png_h) \
+              .when(fmt == "gif", gif_h) \
+              .when(fmt == "jpeg", jpg_h)
+    return F.struct(width.alias("width"), height.alias("height"))
+
+
+def with_image_dims(df: DataFrame, bin_col: str, out_col: str = "dims"
+                    ) -> DataFrame:
+    """Attach :func:`image_dims` — one JVM-side scan, no Python stage."""
+    return df.withColumn(out_col, image_dims(F.col(bin_col)))
+
+
 # ---------------------------------------------------------------------------
 # decode (STUB: deterministic fake unless Pillow is importable)
 # ---------------------------------------------------------------------------
@@ -118,7 +190,7 @@ def _try_real_decode(data: bytes):
         return arr
     except Exception:
         pass
-    from . import png
+    from . import jpeg, png
     if data[:8] == png.SIGNATURE:
         try:  # vendored pure-python codec — REAL decode
             arr = png.decode(data)
@@ -128,6 +200,21 @@ def _try_real_decode(data: bytes):
             arr = np.repeat(arr, 3, axis=2)
         elif arr.shape[2] == 4:
             arr = arr[:, :, :3]
+        return arr.astype(np.float64) / 255.0
+    if data[:2] == jpeg.SOI:
+        try:  # vendored baseline JFIF codec (huffman+IDCT) — REAL decode
+            arr = jpeg.decode(data)
+        except Exception:  # progressive/subsampled/malformed -> fake path
+            return None
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        return arr.astype(np.float64) / 255.0
+    from . import gif
+    if data[:6] in gif.SIGNATURES:
+        try:  # vendored LZW codec — REAL decode (first frame)
+            arr = gif.decode(data)
+        except Exception:  # malformed payload -> fake path
+            return None
         return arr.astype(np.float64) / 255.0
     return None
 
@@ -226,7 +313,8 @@ def image_features(df: DataFrame, image_col: str, out_col: str = "features"
 def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
                    fake_hw: tuple[int, int] = (8, 8),
                    out_col: str = "features",
-                   feature_dtype: str = "float32") -> DataFrame:
+                   feature_dtype: str = "float32",
+                   flag_col: str = "decode_real") -> DataFrame:
     """Fused decode -> resize -> features in ONE ``mapInPandas`` pass.
 
     The composable stages above are correct but each one ships the full
@@ -236,14 +324,25 @@ def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
     small feature vector cross the boundary. Prefer it whenever the
     intermediate images aren't themselves needed downstream (the same
     fusion argument as WholeStageCodegen, applied to the Python stages).
+
+    ``flag_col`` names the in-band real-vs-fake decode flag; chained
+    pipelines (an input that already carries ``decode_real`` from an
+    earlier stage) must rename one side — appending a duplicate column
+    name would poison every downstream reference, so that's an error.
     """
     h, w = fake_hw
     rh, rw = resize_hw
     ftype = T.DoubleType() if feature_dtype == "float64" else T.FloatType()
     np_ftype = np.float64 if feature_dtype == "float64" else np.float32
+    for name in (out_col, flag_col):
+        if name in df.columns:
+            raise ValueError(
+                f"image_pipeline: output column {name!r} already exists on "
+                f"the input (chained pipeline?); pass out_col=/flag_col= "
+                f"to disambiguate")
     out_schema = T.StructType(df.schema.fields +
                               [T.StructField(out_col, T.ArrayType(ftype)),
-                               T.StructField("decode_real", T.BooleanType())])
+                               T.StructField(flag_col, T.BooleanType())])
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ri_cache = {}
@@ -269,7 +368,7 @@ def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
                 feats.append(np.concatenate([mean, std, hist])
                              .astype(np_ftype).tolist())
             pdf[out_col] = feats
-            pdf["decode_real"] = reals
+            pdf[flag_col] = reals
             yield pdf
 
     return df.mapInPandas(batches, out_schema)
@@ -296,6 +395,66 @@ def synthesize_png(df: DataFrame, id_col: str, *, height: int = 8,
                 arr = ((int(did) * 31 + idx * 7) % 256).astype(np.uint8) \
                     .reshape(height, width, 3)
                 payloads.append(png.encode(arr, filter_mode="cycle"))
+            pdf[out_col] = payloads
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str, *, height: int = 16,
+                    width: int = 16, out_col: str = "jpg") -> DataFrame:
+    """Deterministic baseline-JPEG fixture column: the image is a grid of
+    CONSTANT 8x8 blocks, block ``b`` (row-major) of row ``id`` holding
+    value ``(id*37 + b*11) % 256`` (grayscale), encoded with the vendored
+    codec (functions/jpeg.py) at quant=1. Constant blocks have only a DC
+    coefficient, so the decode reproduces each block EXACTLY despite JPEG
+    being lossy in general — giving a closed-form pixel law a SQL oracle
+    can replay, the same proof structure as :func:`synthesize_png`."""
+    from . import jpeg
+
+    if height % 8 or width % 8:
+        raise ValueError("synthesize_jpeg: height/width must be multiples "
+                         "of 8 (constant-block exactness law)")
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.BinaryType())])
+    bh, bw = height // 8, width // 8
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bidx = np.arange(bh * bw, dtype=np.int64).reshape(bh, bw)
+        for pdf in it:
+            payloads = []
+            for did in pdf[id_col]:
+                vals = (int(did) * 37 + bidx * 11) % 256
+                arr = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+                payloads.append(jpeg.encode(arr, quant=1))
+            pdf[out_col] = payloads
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def synthesize_gif(df: DataFrame, id_col: str, *, height: int = 8,
+                   width: int = 8, out_col: str = "gifb") -> DataFrame:
+    """Deterministic GIF fixture column: pixel ``(r, c)`` of row ``id``
+    holds index ``(id*29 + (r*width + c)*13) % 256`` under the grayscale
+    identity palette. GIF is LOSSLESS, so the decode equals the formula
+    per-pixel (no block trick needed) and a SQL oracle replays any
+    downstream feature — same proof structure as :func:`synthesize_png`,
+    exercising the variable-width LZW path instead of PNG filters."""
+    from . import gif
+
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.BinaryType())])
+    n = height * width
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n, dtype=np.int64)
+        for pdf in it:
+            payloads = []
+            for did in pdf[id_col]:
+                arr = ((int(did) * 29 + idx * 13) % 256).astype(np.uint8) \
+                    .reshape(height, width)
+                payloads.append(gif.encode(arr))
             pdf[out_col] = payloads
             yield pdf
 

@@ -706,12 +706,32 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     scan. Repetition needs a per-doc top-bigram count: explode bigrams ->
     two-level groupBy (map-side combined) -> max count, broadcast-joined
     back — the same shuffle-by-id shape as simhash_df, linear in corpus
-    size."""
+    size.
+
+    The token array is materialized ONCE (a withColumn projection barrier;
+    CollapseProject keeps it because the non-cheap split is referenced by
+    several consumers) and every rule plus the bigram branch derives from
+    that column — the r5 inline form re-split the text into each of the
+    ~6 consuming expressions, multiplying both the per-row regex cost and
+    the codegen-compile fixed cost (the r5 bench drift's 11.8 s cold run
+    on corpus_composition was dominated by recompiling that duplicated
+    tree). The lowercased array serves mean-word-length too — exactly the
+    oracle's law (the DuckDB replay computes mean_len from the same
+    lowered token list)."""
     from ..dtutil import ensure_parallelism
+    from ..operators.selection import _free_name
     df = ensure_parallelism(df)
-    toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    tok_name = _free_name(df.columns, "__gq_toks__")
+    base = df.withColumn(
+        tok_name, F.split(F.lower(F.trim(F.col(text_col))), _WS))
+    toks = F.col(tok_name)
     n = F.size(toks)
-    mean_len = F.coalesce(avg_token_length(F.col(text_col)), F.lit(0.0))
+    total_len = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    mean_len = F.coalesce(
+        F.when(F.length(F.trim(F.col(text_col))) == 0,
+               F.lit(None).cast("double"))
+         .otherwise(total_len.cast("double") / n),
+        F.lit(0.0))
     alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n)
     sw_hits = F.size(F.filter(
@@ -720,22 +740,22 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
                       ("the", "a", "an", "and", "or", "of", "to", "in",
                        "is", "it")]), t)))
 
-    out = df.withColumns({
+    out = base.withColumns({
         "n_words": n,
         "rule_word_count": (n >= min_words) & (n <= max_words),
         "rule_mean_word_len": (mean_len >= min_mean_word_len)
                               & (mean_len <= max_mean_word_len),
         "rule_alpha_words": alpha_frac >= min_alpha_word_frac,
         "rule_stopwords": sw_hits >= min_stopwords,
-    })
+    }).drop(tok_name)
 
     bigrams = F.filter(
         F.transform(F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
                     lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
                                           F.element_at(toks, i + 2))),
         lambda s: s != "")
-    bg = df.select(F.col(id_col), F.size(toks).alias("__nb__"),
-                   F.explode_outer(bigrams).alias("__g__"))
+    bg = base.select(F.col(id_col), F.size(toks).alias("__nb__"),
+                     F.explode_outer(bigrams).alias("__g__"))
     top = (bg.groupBy(id_col, "__g__").agg(F.count(F.lit(1)).alias("__c__"),
                                            F.first("__nb__").alias("__nb__"))
              .groupBy(id_col).agg(F.max("__c__").alias("__top__"),
@@ -863,7 +883,14 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text",
     totals = ufreq.agg(F.sum("__c__").alias("N"),
                        F.count(F.lit(1)).alias("V")).collect()[0]
     n_total, vocab = float(totals["N"] or 0), float(totals["V"] or 1)
-    nb = bfreq.count()
+    # bigram TYPE count is bounded by min(V^2, token positions) — both
+    # already collected — so the broadcast decision usually needs no
+    # extra job; the exact bfreq.count() runs only when the cheap bound
+    # is inconclusive (identical broadcast behavior at the cap, one
+    # fewer planning action in the common case)
+    nb = min(vocab * vocab, n_total)
+    if nb > broadcast_vocab_max:
+        nb = bfreq.count()
     if max(nb, vocab) <= broadcast_vocab_max:
         bfreq, ufreq = F.broadcast(bfreq), F.broadcast(ufreq)
     else:

@@ -102,10 +102,17 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
                  NULL keys neither donate nor fill (null-propagating
                  ``||`` law). Hash ties (duplicate keys, or composite
                  keys whose ':'-joined strings collide) break by the
-                 key STRING — engine-independent, though which of two
-                 identical-key rows donated is then unobservable; float
-                 NaN values remain donors (only genuine NULLs are
-                 excluded, matching the default arm and the SQL replay).
+                 key STRING — engine-independent — but when tied rows
+                 carry DIFFERENT values the donated VALUE (not just its
+                 provenance) still depends on collect order: full
+                 determinism requires key_cols to be unique per row (the
+                 values are unorderable in general, so no value tiebreak
+                 is possible without changing the pool law). A key column
+                 that is itself being filled hashes its PRE-fill value in
+                 every draw (the key string is materialized before any
+                 fill). Float NaN values remain donors (only genuine
+                 NULLs are excluded, matching the default arm and the
+                 SQL replay).
 
     For :down/:up/:downup/:updown a non-None ``value`` fills whatever the
     directional pass leaves missing (the reference's two-arg form,
@@ -161,6 +168,21 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
                 parts += [F.lit(":"), F.col(k).cast("string")]
             kstr = F.concat(*parts) if len(parts) > 1 else parts[0]
             pool_rank = F.md5(F.concat(kstr, F.lit(":" + str(seed))))
+            # the draw hash must read PRE-fill key values: when a key
+            # column is itself being filled, the sequential withColumn
+            # fills below would feed already-filled keys into later
+            # columns' draw hashes and diverge from the documented
+            # engine-replayable law (r5 advice) — materialize the key
+            # string once on the original frame and draw from that
+            kdraw = kstr
+            kname = None
+            if set(keys) & set(cols):
+                kname = "__kstr__"
+                i2 = 0
+                while kname in df.columns:
+                    kname, i2 = f"__kstr__{i2}", i2 + 1
+                out = out.withColumn(kname, kstr)
+                kdraw = F.col(kname)
             k_top = abb_sample_size
             import pandas as pd
             names = list(cols)
@@ -230,11 +252,11 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
                     continue
                 arr = F.array(*[F.lit(v) for v in donors])
                 draw = F.conv(F.substring(
-                    F.md5(F.concat(kstr, F.lit(":" + str(seed + i)))),
+                    F.md5(F.concat(kdraw, F.lit(":" + str(seed + i)))),
                     1, 8), 16, 10).cast("bigint")
                 pick = F.element_at(arr, (draw % len(donors) + 1).cast("int"))
                 out = out.withColumn(c, F.coalesce(F.col(c), pick))
-            return out
+            return out.drop(kname) if kname else out
         # Default arm — donor pools for ALL columns from ONE bounded job:
         # LIMIT plans CollectLimit, which stops the scan after enough rows
         # — no full count() pass and no per-column jobs (the r1 shape ran

@@ -192,6 +192,22 @@ def _render_column_key(k) -> str:
     return k if isinstance(k, str) else str(k)
 
 
+def _check_rendered_keys(keys, rendered) -> None:
+    """Distinct source keys may render to one string (True vs 'true',
+    1 vs '1'): a duplicate-named frame (or a silently dropped mapseq
+    entry) is never what the caller meant — fail loudly, naming the
+    colliding source keys."""
+    seen: dict[str, list] = {}
+    for k, r in zip(keys, rendered):
+        seen.setdefault(r, []).append(k)
+    clashes = {r: ks for r, ks in seen.items() if len(ks) > 1}
+    if clashes:
+        detail = "; ".join(f"{ks!r} -> '{r}'" for r, ks in clashes.items())
+        raise ValueError(
+            f"column keys collide after string rendering: {detail} — "
+            f"rename the source keys (Spark column names are strings)")
+
+
 def _widen_object_columns(rows: list[tuple], n_cols: int) -> list[tuple]:
     """Reference :object-column analog (mixed-boolean-values law,
     dataset_test.clj:1674-1676): a column whose non-null Python values mix
@@ -368,7 +384,23 @@ def to_dataset(
                 reader = reader.schema(schema)
                 if fmt == "csv":
                     reader = reader.option("inferSchema", "false")
-            df = reader.load(data)
+            try:
+                df = reader.load(data)
+            except Exception as exc:
+                # avro ships as an EXTERNAL Spark module: the raw failure
+                # is an opaque DATA_SOURCE_NOT_FOUND / ClassNotFound —
+                # translate it into the actionable contract (the reference
+                # has no avro either; this is parity-plus surface)
+                if fmt == "avro" and ("DATA_SOURCE_NOT_FOUND" in str(exc)
+                                      or "Failed to find" in str(exc)
+                                      or "ClassNotFound" in str(exc)):
+                    raise RuntimeError(
+                        "Avro support needs the external spark-avro "
+                        "package: start the session with "
+                        "spark.jars.packages="
+                        "org.apache.spark:spark-avro_2.13:<spark-version> "
+                        "(not bundled with pyspark)") from exc
+                raise
         if fmt == "csv":
             # empty/missing header cells: Spark auto-names them _cN; the
             # reference names positional columns "column-N"
@@ -400,6 +432,7 @@ def to_dataset(
         # column names are strings, so booleans render lowercase like
         # cast-to-string; documented deviation from Clojure's typed keys).
         cols = [_render_column_key(k) for k in data.keys()]
+        _check_rendered_keys(list(data.keys()), cols)
         vals = list(data.values())
         n = max((len(v) for v in vals), default=0)
         # ragged columns backfill with None, like the reference's mapseq parser
@@ -416,6 +449,10 @@ def to_dataset(
         else:
             if any(isinstance(r, Mapping) and
                    any(not isinstance(k, str) for k in r) for r in data):
+                for r in data:
+                    if isinstance(r, Mapping):
+                        _check_rendered_keys(
+                            list(r), [_render_column_key(k) for k in r])
                 data = [{_render_column_key(k): v for k, v in r.items()}
                         if isinstance(r, Mapping) else r for r in data]
             # column order = first-seen across all rows (ragged mapseq)
@@ -484,7 +521,18 @@ def write(df: DataFrame, path: str, *, file_type: str | None = None,
         writer = writer.options(**options)
     if partition_by:
         writer = writer.partitionBy(*list(partition_by))
-    writer.save(path)
+    try:
+        writer.save(path)
+    except Exception as exc:
+        if fmt == "avro" and ("DATA_SOURCE_NOT_FOUND" in str(exc)
+                              or "Failed to find" in str(exc)
+                              or "ClassNotFound" in str(exc)):
+            raise RuntimeError(
+                "Avro support needs the external spark-avro package: "
+                "start the session with spark.jars.packages="
+                "org.apache.spark:spark-avro_2.13:<spark-version> "
+                "(not bundled with pyspark)") from exc
+        raise
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -193,3 +193,59 @@ def test_ragged_width_ignores_comment_lines(spark, tmp_path):
     assert len(df.columns) == 3
     rows = sorted([tuple(r) for r in df.collect()])
     assert rows == [("1", "2", None), ("3", "4", "5")]
+
+
+def test_rendered_key_collision_raises(spark):
+    """r5 advice: distinct source keys that render to one column string
+    (True vs 'true', 1 vs '1') must raise, not build a duplicate-named
+    frame (map-of-columns) or silently drop an entry (mapseq)."""
+    with pytest.raises(ValueError, match="collide"):
+        to_dataset(spark, {True: [1, 2], "true": [3, 4]})
+    with pytest.raises(ValueError, match="collide"):
+        to_dataset(spark, [{1: "a", "1": "b"}])
+    # non-colliding non-string keys still render fine
+    df = to_dataset(spark, {True: [1], False: [2], 7: [3]})
+    assert set(df.columns) == {"true", "false", "7"}
+
+
+def test_avro_missing_package_raises_actionable(spark, tmp_path):
+    """Avro is an external Spark module; without it the read/write must
+    fail with install guidance, not an opaque ClassNotFound."""
+    import pyspark.sql.functions as F
+
+    from tech_ml_dataset_spark.sources.io import write
+    p = tmp_path / "x.avro"
+    p.write_bytes(b"Obj\x01")  # avro magic prefix; never actually parsed
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        to_dataset(spark, str(p))
+    df = spark.range(3).select(F.col("id"))
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        write(df, str(tmp_path / "out.avro"))
+
+
+def test_scan_estimate_nonsplittable_gz(spark, tmp_path):
+    """r5 advice (medium): a large non-splittable .csv.gz scans as ONE
+    partition per file regardless of size, so the size-based lower bound
+    must not be trusted — the estimate falls back to the exact partition
+    count and ensure_parallelism repartitions."""
+    from tech_ml_dataset_spark.dtutil import (_scan_partition_estimate,
+                                              ensure_parallelism)
+    gz = tmp_path / "wide"
+    (spark.range(200_000).selectExpr("id", "id * 2 AS v")
+        .coalesce(1).write.mode("overwrite")
+        .options(header=True, compression="gzip").csv(str(gz)))
+    df = spark.read.options(header=True).csv(str(gz))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # make the size bound claim "wide": bytes/mpb >> defaultParallelism
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+        df2 = spark.read.options(header=True).csv(str(gz))
+        est = _scan_partition_estimate(df2)
+        actual = df2.rdd.getNumPartitions()
+        assert est == actual  # fell back to exact, not ceil(size/mpb)
+        target = spark.sparkContext.defaultParallelism
+        if actual < target:
+            out = ensure_parallelism(df2)
+            assert out.rdd.getNumPartitions() >= min(target, 2)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -187,3 +187,164 @@ def test_decode_real_flag_in_band(spark, media):
     assert all(r["decode_real"] for r in fused.collect())
     fused_fake = mm.image_pipeline(media, "data", resize_hw=(4, 4))
     assert not any(r["decode_real"] for r in fused_fake.collect())
+
+
+def test_image_pipeline_flag_col_collision(spark):
+    """r5 advice: chaining image_pipeline after a stage that already
+    emitted decode_real must not create a duplicate-named column — it
+    raises, and flag_col=/out_col= disambiguate."""
+    ids = spark.createDataFrame([(1,), (2,)], "doc_id int")
+    pngs = mm.synthesize_png(ids, "doc_id", height=8, width=8)
+    once = mm.image_pipeline(pngs, "png", resize_hw=(4, 4))
+    with pytest.raises(ValueError, match="features"):
+        mm.image_pipeline(once, "png", resize_hw=(2, 2))
+    with pytest.raises(ValueError, match="decode_real"):
+        mm.image_pipeline(once, "png", resize_hw=(2, 2),
+                          out_col="features2")
+    again = mm.image_pipeline(once, "png", resize_hw=(2, 2),
+                              out_col="features2", flag_col="decode_real2")
+    assert {"features", "decode_real", "features2", "decode_real2"} \
+        <= set(again.columns)
+    assert all(r["decode_real2"] for r in again.collect())
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    """The oracle-enabling law: constant 8x8 blocks are DC-only, so the
+    lossy baseline JPEG round-trips them BIT-EXACTLY at quant=1."""
+    from tech_ml_dataset_spark.functions import jpeg
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 256, (3, 4))
+    arr = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    dec = jpeg.decode(jpeg.encode(arr, quant=1))
+    assert dec.shape == (24, 32, 1)
+    assert np.array_equal(dec[:, :, 0], arr)
+
+
+def test_jpeg_random_roundtrip_error_bounds():
+    """General images: quant=1 leaves only DCT rounding (<=1 gray, <=2
+    rgb through the color transform); quant=q bounds error by the
+    quantization step. Odd (non-multiple-of-8) dims crop correctly."""
+    from tech_ml_dataset_spark.functions import jpeg
+    rng = np.random.default_rng(4)
+    g = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    d = jpeg.decode(jpeg.encode(g, quant=1))
+    assert d.shape == (24, 40, 1)
+    assert np.abs(d[:, :, 0].astype(int) - g.astype(int)).max() <= 1
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    d3 = jpeg.decode(jpeg.encode(rgb, quant=1))
+    assert d3.shape == (16, 16, 3)
+    assert np.abs(d3.astype(int) - rgb.astype(int)).max() <= 2
+    odd = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    d4 = jpeg.decode(jpeg.encode(odd, quant=1))
+    assert d4.shape == (13, 21, 1)
+    d16 = jpeg.decode(jpeg.encode(g, quant=16))
+    assert np.abs(d16[:, :, 0].astype(int) - g.astype(int)).max() <= 16
+
+
+def test_jpeg_unsupported_features_raise():
+    from tech_ml_dataset_spark.functions import jpeg
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode(b"not a jpeg")
+    # progressive marker stream: SOI + minimal SOF2
+    import struct
+    bad = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+           + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg.decode(bad)
+    with pytest.raises(ValueError):
+        jpeg.encode(np.zeros((8, 8), dtype=np.float64))  # non-uint8
+
+
+def test_jpeg_decode_real_flag_through_pipeline(spark):
+    """synthesize_jpeg payloads take the REAL decode path end-to-end and
+    the pipeline features equal the closed-form block law."""
+    ids = spark.createDataFrame([(0,), (5,)], "doc_id int")
+    jpgs = mm.synthesize_jpeg(ids, "doc_id", height=16, width=16)
+    out = mm.image_pipeline(jpgs, "jpg", resize_hw=(4, 4),
+                            feature_dtype="float64").collect()
+    assert all(r["decode_real"] for r in out)
+    for r in out:
+        did = r["doc_id"]
+        # nearest-resize from 16x16 to 4x4 samples block (i//2, j//2)
+        v = np.array([[((did * 37 + ((i // 2) * 2 + (j // 2)) * 11) % 256)
+                       for j in range(4)] for i in range(4)],
+                     dtype=np.float64) / 255.0
+        mean, std = v.mean(), v.std()
+        hist, _ = np.histogram(v, bins=8, range=(0.0, 1.0))
+        want = np.concatenate([[mean] * 3, [std] * 3, hist / 16.0])
+        assert np.allclose(np.array(r["features"]), want, atol=1e-12)
+
+
+def test_gif_lossless_roundtrip():
+    """GIF is palette-indexed LZW: with the identity grayscale palette the
+    decode equals the index array exactly — including shapes that force
+    the LZW dictionary through width growth and the 4096-overflow clear."""
+    from tech_ml_dataset_spark.functions import gif
+    rng = np.random.default_rng(11)
+    for shape in [(8, 8), (13, 21), (1, 1), (64, 64)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        d = gif.decode(gif.encode(a))
+        assert d.shape == shape + (3,)
+        assert np.array_equal(d[:, :, 0], a) and np.array_equal(d[:, :, 2], a)
+    grad = (np.arange(200 * 300).reshape(200, 300) % 256).astype(np.uint8)
+    assert np.array_equal(gif.decode(gif.encode(grad))[:, :, 0], grad)
+    with pytest.raises(ValueError, match="signature"):
+        gif.decode(b"NOT A GIF")
+
+
+def test_gif_interlaced_decode():
+    """Interlaced GIFs (external-file case) deinterlace correctly: encode
+    non-interlaced, rewrite the frame as interlaced row order, decode."""
+    from tech_ml_dataset_spark.functions import gif
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 256, (16, 8), dtype=np.uint8)
+    rows = gif._interlace_rows(16)
+    data = bytearray(gif.encode(a[rows]))      # rows stored in pass order
+    # image descriptor: after 6 header + 7 LSD + 768 GCT -> 0x2C block;
+    # packed byte at offset +9 gains the interlace flag
+    off = 6 + 7 + 768
+    assert data[off] == 0x2C
+    data[off + 9] |= 0x40
+    d = gif.decode(bytes(data))
+    assert np.array_equal(d[:, :, 0], a)
+
+
+def test_gif_decode_real_flag_through_pipeline(spark):
+    """synthesize_gif payloads take the REAL decode path and features
+    equal the closed-form per-pixel law (lossless, no block trick)."""
+    ids = spark.createDataFrame([(0,), (9,)], "doc_id int")
+    gifs = mm.synthesize_gif(ids, "doc_id", height=8, width=8)
+    out = mm.image_pipeline(gifs, "gifb", resize_hw=(4, 4),
+                            feature_dtype="float64").collect()
+    assert all(r["decode_real"] for r in out)
+    for r in out:
+        did = r["doc_id"]
+        i = np.arange(64, dtype=np.int64)
+        full = ((did * 29 + i * 13) % 256).reshape(8, 8) / 255.0
+        v = full[[0, 2, 4, 6]][:, [0, 2, 4, 6]]
+        mean, std = v.mean(), v.std()
+        hist, _ = np.histogram(v, bins=8, range=(0.0, 1.0))
+        want = np.concatenate([[mean] * 3, [std] * 3, hist / 16.0])
+        assert np.allclose(np.array(r["features"]), want, atol=1e-12)
+
+
+def test_image_dims_jvm_side(spark):
+    """Dimension parse from real header bytes of all three codecs — pure
+    Catalyst (no Python stage in the dims projection), NULL for unknown
+    formats and NULL payloads; JPEG's SOF found behind the APP0/DQT/DHT
+    prefix via the bounded marker walk."""
+    ids = spark.createDataFrame([(i,) for i in range(4)], "doc_id int")
+    for synth, col, h, w in ((mm.synthesize_png, "png", 6, 11),
+                             (mm.synthesize_jpeg, "jpg", 16, 24),
+                             (mm.synthesize_gif, "gifb", 5, 9)):
+        enc = synth(ids, "doc_id", height=h, width=w, out_col=col)
+        got = {(r["dims"]["width"], r["dims"]["height"])
+               for r in mm.with_image_dims(enc, col).collect()}
+        assert got == {(w, h)}, col
+    u = spark.createDataFrame([(1, b"plain"), (2, None)],
+                              "id int, data binary")
+    assert all(r["dims"]["width"] is None and r["dims"]["height"] is None
+               for r in mm.with_image_dims(u, "data").collect())
+    plan = mm.with_image_dims(u, "data") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

@@ -1290,3 +1290,27 @@ def test_datetime_ingest_and_epoch_mapping_laws(spark):
     # tz-independent SCALE pin: the difference between the two datetimes
     # must be exact milliseconds (absolute epoch depends on session tz)
     assert vals[1] - vals[0] == int((dts[1] - dts[0]).total_seconds() * 1000)
+
+
+def test_replace_missing_abb_key_col_in_filled_cols(spark):
+    """r5 advice: when a key column is itself being filled, every
+    column's draw must hash the PRE-fill key value — filling v alone and
+    filling [v, k] must produce identical v fills (the key string is
+    materialized before any fill), and NULL-key rows never fill."""
+    rows = [(None if i % 3 == 0 else f"k{i}",
+             None if i % 2 == 0 else float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    only_v = ms.replace_missing(df, ["v"], "abb", seed=9, key_cols="k")
+    both = ms.replace_missing(df, ["v", "k"], "abb", seed=9, key_cols="k")
+    got_v = {r["k"]: r["v"] for r in only_v.collect() if r["k"] is not None}
+    got_b = {r["k"]: r["v"] for r in both.collect() if r["k"] is not None}
+    assert got_v == got_b
+    assert set(both.columns) == {"k", "v"}  # temp key string dropped
+    # NULL keys neither draw nor fill: null-k rows keep v exactly as-is
+    # (None when i was even, float(i) when odd) and k stays NULL
+    null_vs = sorted((r["v"] for r in both.collect() if r["k"] is None),
+                     key=lambda x: (x is None, x))
+    want = sorted((None if i % 2 == 0 else float(i)
+                   for i in range(40) if i % 3 == 0),
+                  key=lambda x: (x is None, x))
+    assert null_vs == want
