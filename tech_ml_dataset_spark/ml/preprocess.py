@@ -129,11 +129,22 @@ def transform_categorical_map(df: DataFrame, fitted: dict) -> DataFrame:
 
 
 def invert_categorical_map(df: DataFrame, fitted: dict) -> DataFrame:
-    """``invert-categorical-map`` (categorical.clj:165): codes -> values."""
+    """``invert-categorical-map`` (categorical.clj:165): codes -> values.
+
+    Float code columns (model predictions) TRUNCATE to the integral code
+    before lookup — the reference's ``:result-datatype :int`` cast law
+    (categorical_test.clj:115-135: 1.2 and 1.3 both invert to the code-1
+    value; 2.99999 inverts to code 2). Codes absent from the table yield
+    NULL rather than the reference's executor-side throw — the same
+    NULL-for-drifted-data contract as transform (documented deviation;
+    a throw inside a 100 TB job is a retry storm, not a diagnostic)."""
     c = fitted["column"]
+    code_col = F.col(c)
+    if dict(df.dtypes).get(c) in ("float", "double"):
+        code_col = code_col.cast("bigint")
     expr = F.lit(None).cast("string")
     for v, code in fitted["table"].items():
-        expr = F.when(F.col(c) == F.lit(code), F.lit(v)).otherwise(expr)
+        expr = F.when(code_col == F.lit(code), F.lit(v)).otherwise(expr)
     return df.withColumn(c, expr)
 
 

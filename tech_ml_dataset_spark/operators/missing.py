@@ -56,6 +56,26 @@ def select_missing(df: DataFrame, columns: Iterable[str] | None = None) -> DataF
     return df.filter(cond)
 
 
+def _pool_join_fill(out: DataFrame, c: str, donors: list,
+                    draw_idx: Column, dtype: str) -> DataFrame:
+    """Fill ``c``'s NULLs from ``donors[draw_idx]`` via a BROADCAST JOIN
+    on the 0-based draw index. Equivalent to
+    ``element_at(array(*donors), draw_idx + 1)`` but without a pool-size
+    literal expression (4096 literals ≈ ~1 s of analysis/codegen per
+    fill and an effective cap on pool size). NULL draw indices (NULL
+    keys in the deterministic arm) miss the join and leave the cell
+    missing; float NaN donors survive (NaN is not NULL in coalesce)."""
+    spark = out.sparkSession
+    pool = spark.createDataFrame(
+        [(j, v) for j, v in enumerate(donors)],
+        schema=f"__abbi__ int, __abbv__ {dtype}")
+    return (out.withColumn("__abbk__", draw_idx)
+               .join(F.broadcast(pool),
+                     F.col("__abbk__") == F.col("__abbi__"), "left")
+               .withColumn(c, F.coalesce(F.col(c), F.col("__abbv__")))
+               .drop("__abbk__", "__abbi__", "__abbv__"))
+
+
 def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
                     strategy: str = "mid",
                     value=None, *, order_by: str | None = None,
@@ -186,7 +206,8 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
             k_top = abb_sample_size
             import pandas as pd
             names = list(cols)
-            reserved = {"__h__", "__k__", "__col__", "__nan__"} \
+            reserved = {"__h__", "__k__", "__col__", "__nan__",
+                        "__abbk__", "__abbi__", "__abbv__"} \
                 | {f"__nn{i}__" for i in range(len(names))}
             clash = reserved & set(names)
             if clash:
@@ -244,18 +265,25 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
             for r in summaries:
                 v = float("nan") if r["__nan__"] else r[r["__col__"]]
                 pools[r["__col__"]].append((r["__h__"], r["__k__"], v))
+            # pool lookup is a BROADCAST JOIN on the draw index, not an
+            # element_at over an F.array of pool-size literals: a 4096-
+            # literal expression tree blows up analysis/codegen (the r4
+            # "Catalyst literal maps don't scale" class — measured ~1 s
+            # of fixed planning cost on this very query) and caps the
+            # pool at whatever the expression budget tolerates, while a
+            # (idx, value) broadcast table stays cheap at any pool size
             for i, c in enumerate(cols):
                 donors = [v for _, _, v in
                           sorted(pools[c],
                                  key=lambda t: (t[0], t[1]))[:k_top]]
                 if not donors:
                     continue
-                arr = F.array(*[F.lit(v) for v in donors])
                 draw = F.conv(F.substring(
                     F.md5(F.concat(kdraw, F.lit(":" + str(seed + i)))),
                     1, 8), 16, 10).cast("bigint")
-                pick = F.element_at(arr, (draw % len(donors) + 1).cast("int"))
-                out = out.withColumn(c, F.coalesce(F.col(c), pick))
+                out = _pool_join_fill(out, c, donors,
+                                      (draw % len(donors)).cast("int"),
+                                      dict(df.dtypes)[c])
             return out.drop(kname) if kname else out
         # Default arm — donor pools for ALL columns from ONE bounded job:
         # LIMIT plans CollectLimit, which stops the scan after enough rows
@@ -268,14 +296,17 @@ def replace_missing(df: DataFrame, columns: str | Sequence[str] | None = None,
         # empty pool).
         head = (df.select(*cols).na.drop(how="all")
                   .limit(4 * abb_sample_size).collect())
+        dtypes = dict(df.dtypes)
         for i, c in enumerate(cols):
             donors = [r[c] for r in head if r[c] is not None][:abb_sample_size]
             if not donors:
                 continue
-            arr = F.array(*[F.lit(v) for v in donors])
-            pick = F.element_at(
-                arr, (F.floor(F.rand(seed + i) * len(donors)) + 1).cast("int"))
-            out = out.withColumn(c, F.coalesce(F.col(c), pick))
+            # broadcast-join pool lookup, same rationale as the
+            # deterministic arm above (no pool-size literal array)
+            out = _pool_join_fill(
+                out, c, donors,
+                F.floor(F.rand(seed + i) * len(donors)).cast("int"),
+                dtypes[c])
         return out
 
     if strategy in ("mean", "min", "max"):

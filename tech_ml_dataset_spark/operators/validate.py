@@ -37,7 +37,22 @@ def matches(col: str, pattern: str) -> tuple[str, Column]:
 
 
 def one_of(col: str, allowed: Sequence) -> tuple[str, Column]:
-    """Violation when a non-null value is outside the allowed set."""
+    """Violation when a non-null value is outside the allowed set.
+
+    The set compiles into the fused single-pass aggregate as a literal
+    array — the right shape for enum-sized domains. Catalyst literal
+    collections stop scaling past a few thousand entries (analysis +
+    codegen blow-up, the r4 gotcha), so huge allow-lists warn: validate
+    membership against a broadcast-anti-joined reference table instead
+    (a ``unique``-style extra job), which this one-pass rule deliberately
+    doesn't do behind your back."""
+    if len(allowed) > 4096:
+        import warnings
+        warnings.warn(
+            f"one_of({col}): {len(allowed)} literal values will bloat plan "
+            f"analysis/codegen; prefer a broadcast anti-join against a "
+            f"reference table for large domains.",
+            UserWarning, stacklevel=2)
     c = F.col(col)
     arr = F.array(*[F.lit(v) for v in allowed])
     return (f"one_of({col})", c.isNotNull() & ~F.array_contains(arr, c))

@@ -236,3 +236,21 @@ def test_categorical_pinned_table_bypasses_cap(spark):
     with _pt.raises(ValueError, match="beyond the pinned table"):
         mlp.fit_categorical_map(wide, "y", table={"v0": 0},
                                 max_categories=5)
+
+
+def test_invert_categorical_float_codes_truncate(spark):
+    """Reference :result-datatype :int cast law (categorical_test.clj:
+    106-135 invert-cat--works): float model predictions TRUNCATE to the
+    integral code before lookup — 1.2 and 1.3 both invert to the code-1
+    value, 2.99999 to the code-2 value; codes outside the table yield
+    NULL (documented deviation from the reference's executor throw)."""
+    fit = {"column": "target", "table": {"one": 1, "two": 2}}
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (1.2,), (1.3,), (2.99999,), (4.5,), (None,)],
+        "target double")
+    got = [r["target"] for r in mlp.invert_categorical_map(df, fit).collect()]
+    assert got == ["one", "two", "one", "one", "two", None, None]
+    # integer code columns keep the exact-lookup path
+    di = spark.createDataFrame([(1,), (2,), (3,)], "target int")
+    gi = [r["target"] for r in mlp.invert_categorical_map(di, fit).collect()]
+    assert gi == ["one", "two", None]
