@@ -21,6 +21,7 @@ from tech_ml_dataset_spark.functions import dedup as dd
 from tech_ml_dataset_spark.functions import multimodal as mmod
 from tech_ml_dataset_spark.functions import similarity as sim
 from tech_ml_dataset_spark.functions import text as txt
+from tech_ml_dataset_spark.functions import webtext as wt
 from tech_ml_dataset_spark.ml import preprocess as mlp
 from tech_ml_dataset_spark.operators import aggregate as agg
 from tech_ml_dataset_spark.operators import join as jn
@@ -1596,6 +1597,94 @@ def boilerplate_removal_docs(spark, sf_dir):
               .orderBy("doc_id")
 
 
+def _structured_doc_text(text):
+    """Deterministic prose structure imposed on the flat word-stream
+    ``documents`` table (shared by the webtext queries and replayed
+    verbatim by their oracles): 8-word sentences with terminal periods,
+    grouped into 3-sentence lines joined by newlines."""
+    toks = F.split(text, " ")
+    n_sent = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    sents = F.transform(
+        F.sequence(F.lit(0), n_sent - 1),
+        lambda i: F.concat(F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+                           F.lit(".")))
+    n_line = F.ceil(F.size(sents) / F.lit(3.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_line - 1),
+        lambda j: F.array_join(F.slice(sents, j * 3 + 1, 3), " "))
+    return F.array_join(lines, "\n")
+
+
+def html_extract_docs(spark, sf_dir):
+    """HTML -> text extraction (webtext.py html_to_text; the stage before
+    every other text operator in a crawl pipeline). Each doc is wrapped in
+    a deterministic HTML template exercising every law clause: comment,
+    style CONTENT with braces/newline, script CONTENT with a '<' that must
+    not terminate tag-stripping, paragraph splits on ' merge ', block
+    breaks, double-encoded and named entities. The oracle replays the
+    identical fixed-order regex chain under RE2 (webtext.html_to_text_sql
+    keeps the two chains adjacent in source)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    html = F.concat(
+        F.lit('<html><head><title>Doc</title><style type="text/css">'
+              'p {color:red}\nem {x:1}</style>'
+              '<script type="text/javascript">if (1 < 2) { '
+              'alert("x&y"); }</script></head><body><!-- id '),
+        F.col("doc_id").cast("string"),
+        F.lit(' --><h1>Header '), F.col("doc_id").cast("string"),
+        F.lit('</h1><p>'),
+        F.replace(F.col("text"), F.lit(" merge "), F.lit("</p><p>")),
+        F.lit('</p><br/>Tail &amp;amp; &lt;b&gt;&nbsp;end.</body></html>'))
+    return docs.select("doc_id",
+                       wt.html_to_text(html).alias("extracted")) \
+               .orderBy("doc_id")
+
+
+def c4_filter_docs(spark, sf_dir):
+    """C4 page/line filter battery (webtext.py c4_filters; Raffel 2020
+    §2.2). Structured text plus planted violations: doc_id%7 a short
+    unterminated line, %13 a javascript line (line-filtered), %11 lorem
+    ipsum and %17 a braced code line (page-killers); badwords
+    ('kangaroo','slow') exercise the word-boundary page drop on natural
+    corpus words. One projection — no shuffle before the sort."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    perturbed = F.concat(
+        _structured_doc_text(F.col("text")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nshort line"))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit("\nEnable javascript and cookies to continue "
+                     "browsing here.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("\nNote lorem ipsum dolor sit amet consectetur."))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit("\nfunction f() { return 1; }")).otherwise(F.lit("")))
+    out = wt.c4_filters(docs.select("doc_id", perturbed.alias("text")),
+                        badwords=("kangaroo", "slow"))
+    return out.select("doc_id", "c4_n_sentences", "c4_keep",
+                      F.md5("c4_text").alias("clean_md5")) \
+              .orderBy("doc_id")
+
+
+def c4_span_dedup_docs(spark, sf_dir):
+    """C4 three-sentence-span corpus dedup (webtext.py c4_span_dedup:
+    slim (id,pos,md5) exchange + one hash-partitioned window + duplicate-
+    bounded removal sets; Raffel 2020 "remove all but one of any
+    three-sentence span"). Copies of docs <20 re-keyed +1000 guarantee
+    non-canonical spans: every copied span's canonical occurrence is the
+    base doc, so copies rebuild empty while base docs are untouched
+    (modulo natural template dups inside the slice)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    base = docs.select("doc_id",
+                       _structured_doc_text(F.col("text")).alias("text"))
+    dup = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text")
+    out = wt.c4_span_dedup(base.unionByName(dup))
+    return out.select("doc_id", F.md5("text").alias("clean_md5")) \
+              .orderBy("doc_id")
+
+
 def pq_encode_embeddings(spark, sf_dir):
     """Product-quantization encode (similarity.py pq_encode; Jégou 2011
     ADC compression): m=4 subspaces × 16 dims, codebooks fixed to the
@@ -2599,11 +2688,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     - gopher_quality_docs / corpus_composition (token array
         #       materialized once, r5 verdict #7) + bigram_lm_docs
         #       (broadcast decision from collected totals, #8) +
-        #       unigram/repetition as same-file LM/text insurance;
+        #       unigram as same-file LM insurance;
         #     - abb_fill_events (pre-fill key-string materialization, r5
-        #       advice) + ffill/lerp as same-file insurance (the other
-        #       missing.py strategies' code paths are untouched — the abb
-        #       branch returns before they run);
+        #       advice; the other missing.py strategies' code paths are
+        #       untouched — the abb branch returns before they run);
+        #     - html_extract_docs / c4_filter_docs / c4_span_dedup_docs
+        #       NEW (functions/webtext.py: HTML extraction + the C4
+        #       filter battery + 3-sentence-span corpus dedup — the
+        #       crawl-refinement stage the pipeline was missing);
         #     - image_pipeline_jpeg_docs NEW (vendored baseline JPEG
         #       codec, r5 verdict #5), image_pipeline_gif_docs NEW
         #       (vendored LZW GIF codec), media_dims_docs NEW (JVM-side
@@ -2624,10 +2716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
         "unigram_lm_docs": unigram_lm_docs,
-        "repetition_signals_docs": repetition_signals_docs,
         "abb_fill_events": abb_fill_events,
-        "ffill_events": ffill_events,
-        "lerp_events": lerp_events,
+        "html_extract_docs": html_extract_docs,
+        "c4_filter_docs": c4_filter_docs,
+        "c4_span_dedup_docs": c4_span_dedup_docs,
         "image_pipeline_jpeg_docs": image_pipeline_jpeg_docs,
         "image_pipeline_gif_docs": image_pipeline_gif_docs,
         "media_dims_docs": media_dims_docs,
@@ -2675,6 +2767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only set. All stay covered by pytest + verify_local.
         "matmul_lineitem": matmul_lineitem,
         "gram_lineitem": gram_lineitem,
+        "repetition_signals_docs": repetition_signals_docs,
+        "ffill_events": ffill_events,
+        "lerp_events": lerp_events,
         "winnow_docs": winnow_docs,
         "winnow_pairs_docs": winnow_pairs_docs,
         "regression_price_model": regression_price_model,
@@ -4815,6 +4910,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, md5(coalesce(r.text, '')) AS clean_md5
             FROM d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "html_extract_docs": """
+            SELECT doc_id, """ + wt.html_to_text_sql(
+            "'<html><head><title>Doc</title><style type=\"text/css\">"
+            "p {color:red}' || chr(10) || 'em {x:1}</style>"
+            "<script type=\"text/javascript\">if (1 < 2) { "
+            "alert(\"x&y\"); }</script></head><body><!-- id ' || "
+            "CAST(doc_id AS VARCHAR) || ' --><h1>Header ' || "
+            "CAST(doc_id AS VARCHAR) || '</h1><p>' || "
+            "replace(text, ' merge ', '</p><p>') || "
+            "'</p><br/>Tail &amp;amp; &lt;b&gt;&nbsp;end.</body></html>'"
+        ) + """ AS extracted
+            FROM documents WHERE doc_id < 300
+            ORDER BY doc_id
+        """,
+        "c4_filter_docs": """
+            WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+            s AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(string_split(text,' '))/8.0) AS INT)),
+                       i -> array_to_string(
+                              list_slice(string_split(text,' '), i*8+1, i*8+8),
+                              ' ') || '.') AS sents
+              FROM d0),
+            st AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(range(0, CAST(ceil(len(sents)/3.0) AS INT)),
+                         j -> array_to_string(list_slice(sents, j*3+1, j*3+3), ' ')),
+                       chr(10))
+                     || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'short line' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+                          'Enable javascript and cookies to continue browsing here.'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                          'Note lorem ipsum dolor sit amet consectetur.' ELSE '' END
+                     || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+                          'function f() { return 1; }' ELSE '' END
+                     AS text
+              FROM s),
+            f AS (
+              SELECT doc_id, text,
+                     coalesce(array_to_string(
+                       list_filter(
+                         list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         l -> length(l) > 0 AND regexp_matches(l, '[.!?"]$')
+                              AND len(string_split_regex(l, '\\s+')) >= 5
+                              AND NOT contains(lower(l), 'javascript')),
+                       chr(10)), '') AS clean
+              FROM st)
+            SELECT doc_id,
+                   len(regexp_extract_all(clean, '[.!?]')) AS c4_n_sentences,
+                   len(regexp_extract_all(clean, '[.!?]')) >= 3
+                     AND NOT contains(lower(text), 'lorem ipsum')
+                     AND NOT contains(text, '{')
+                     AND NOT regexp_matches(text, '(?i)\\b(kangaroo|slow)\\b')
+                     AS c4_keep,
+                   md5(clean) AS clean_md5
+            FROM f
+            ORDER BY doc_id
+        """,
+        "c4_span_dedup_docs": """
+            WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+            s0 AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(0, CAST(ceil(len(string_split(text,' '))/8.0) AS INT)),
+                       i -> array_to_string(
+                              list_slice(string_split(text,' '), i*8+1, i*8+8),
+                              ' ') || '.') AS sents
+              FROM d0),
+            st AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_transform(range(0, CAST(ceil(len(sents)/3.0) AS INT)),
+                         j -> array_to_string(list_slice(sents, j*3+1, j*3+3), ' ')),
+                       chr(10)) AS text
+              FROM s0),
+            d AS (
+              SELECT doc_id, text FROM st
+              UNION ALL
+              SELECT doc_id + 1000, text FROM st WHERE doc_id < 20),
+            sent AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         string_split(
+                           regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'),
+                           chr(30)),
+                         x -> trim(x)),
+                       x -> length(x) > 0) AS s
+              FROM d),
+            spans AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(list_slice(s, i, i + 2), ' ')) AS h
+              FROM sent,
+                   unnest(range(1, CASE WHEN len(s) >= 3 THEN len(s) - 1
+                                        ELSE 1 END)) AS t(i)
+              WHERE len(s) >= 3),
+            ranked AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+              FROM spans),
+            rmx AS (
+              SELECT doc_id, unnest([pos, pos + 1, pos + 2]) AS ridx
+              FROM ranked WHERE rn > 1),
+            rm AS (SELECT doc_id, list(DISTINCT ridx) AS rl FROM rmx GROUP BY doc_id)
+            SELECT sent.doc_id,
+                   md5(coalesce(array_to_string(
+                     list_filter(s, (x, i) -> rl IS NULL
+                                              OR NOT list_contains(rl, i - 1)),
+                     ' '), '')) AS clean_md5
+            FROM sent LEFT JOIN rm ON sent.doc_id = rm.doc_id
+            ORDER BY sent.doc_id
         """,
         "pq_encode_embeddings": """
             WITH e AS (

@@ -1,0 +1,220 @@
+"""Web-crawl text refinement: HTML extraction + the C4 filter battery.
+
+The stages a crawl corpus passes through before the dedup/quality
+operators in :mod:`text` and :mod:`dedup` ever see it (Raffel et al.
+2020, "Exploring the Limits of Transfer Learning" — the C4 pipeline;
+Penedo et al. 2023 RefinedWeb uses the same shape): strip markup, keep
+only prose-like lines, drop junk pages, and remove every repeated
+three-sentence span corpus-wide.
+
+Everything here is native ``pyspark.sql.functions`` string/array/lambda
+expressions — JVM-side, whole-stage-codegen'd, zero Python stages — so
+one scan streams 100 TB of raw crawl. The regex vocabulary is restricted
+to the Java-regex ∩ RE2 common subset (inline ``(?is)`` flags, lazy
+quantifiers, alternation, classes; NO backreferences, NO lookaround) so
+every law replays verbatim in the DuckDB oracles.
+
+Reference analog: none — tech.ml.dataset has no web-text surface; this
+is driver-mandate training-pipeline function, same tier as text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# HTML -> text
+# ---------------------------------------------------------------------------
+
+#: Block-level closers/voids rewritten to a newline BEFORE tags are
+#: stripped, so paragraph structure survives as line structure.
+_BLOCK_BREAK = (r"(?i)<br\s*/?>|<hr\s*/?>"
+                r"|</(?:p|div|h[1-6]|li|tr|ul|ol|table|blockquote|section"
+                r"|article|header|footer|pre)\s*>")
+
+#: Entity decode order is part of the law: named entities first,
+#: ``&amp;`` LAST, so ``&amp;lt;`` decodes to the literal ``&lt;`` (one
+#: pass, no re-scan) exactly like a single-pass SGML decoder.
+_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def html_to_text(html: Column) -> Column:
+    """Extract visible text from an HTML payload — the fixed-order law:
+
+    1. drop comments ``(?s)<!--.*?-->``;
+    2. drop ``<script>``/``<style>`` elements INCLUDING content
+       (two separate lazy-dotall replaces — RE2 has no backreferences,
+       so the closing tag cannot be matched with ``</\\1>``);
+    3. rewrite block closers / ``<br>`` / ``<hr>`` to ``\\n``;
+    4. strip every remaining tag to a space;
+    5. decode the five named entities, ``&amp;`` last;
+    6. normalize whitespace: any run containing a newline collapses to
+       one ``\\n``, other runs to one space, then strip the ends.
+
+    Pure Catalyst — six ``regexp_replace`` + five ``replace`` over one
+    projection; at 100 TB this is a map-only pass fused into the scan.
+
+    The stripper is deliberately NOT an HTML parser: a ``<...>`` span in
+    prose ("1 < 2 and 3 > 2") is stripped like a tag, while a ``<`` with
+    no later ``>`` survives — the standard regex-extraction tradeoff,
+    pinned in tests and replayed identically by the oracle.
+    """
+    c = F.regexp_replace(html, r"(?s)<!--.*?-->", "")
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", "")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", "")
+    c = F.regexp_replace(c, _BLOCK_BREAK, "\n")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t\r]*\n[\s]*", "\n")
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")
+    return F.regexp_replace(c, r"^[\s]+|[\s]+$", "")
+
+
+def html_to_text_sql(expr: str) -> str:
+    """The DuckDB replay of :func:`html_to_text` (oracle builder) —
+    kept adjacent to the Spark law so the two chains cannot drift."""
+    c = f"regexp_replace({expr}, '(?s)<!--.*?-->', '', 'g')"
+    c = f"regexp_replace({c}, '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g')"
+    c = f"regexp_replace({c}, '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g')"
+    c = f"regexp_replace({c}, '{_BLOCK_BREAK}', chr(10), 'g')"
+    c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    c = f"regexp_replace({c}, '[ \\t\\r]*\\n[\\s]*', chr(10), 'g')"
+    c = f"regexp_replace({c}, '[ \\t\\r]+', ' ', 'g')"
+    return f"regexp_replace({c}, '^[\\s]+|[\\s]+$', '', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# C4 page/line filters
+# ---------------------------------------------------------------------------
+
+_TERMINAL = r'[.!?"]$'
+
+
+def c4_clean_lines(text: Column, *, min_words: int = 5) -> Column:
+    """C4's line filter (Raffel 2020 §2.2): keep only lines that, after
+    trimming, (a) end in a terminal punctuation mark, (b) contain at
+    least ``min_words`` whitespace words, and (c) do not mention
+    "javascript" (case-insensitive); rejoin survivors with ``\\n``.
+
+    One ``filter()`` lambda over ``split`` — array expression, no
+    explode, no shuffle: the 100 TB shape is scan-fused."""
+    kept = F.filter(
+        F.transform(F.split(text, r"\n"), F.trim),
+        lambda l: (F.length(l) > 0)
+        & l.rlike(_TERMINAL)
+        & (F.size(F.split(l, r"\s+")) >= min_words)
+        & ~F.lower(l).contains("javascript"))
+    return F.array_join(kept, "\n")
+
+
+def c4_filters(df: DataFrame, text_col: str = "text", *,
+               badwords: tuple = (), min_words: int = 5,
+               min_sentences: int = 3, clean_col: str = "c4_text",
+               keep_col: str = "c4_keep") -> DataFrame:
+    """The C4 page battery on top of :func:`c4_clean_lines`: adds
+    ``clean_col`` (line-filtered text), ``c4_n_sentences`` (terminal
+    punctuation marks in the cleaned text — C4 counts sentences on the
+    RETAINED lines), and ``keep_col``, true iff
+
+    * the cleaned page still has >= ``min_sentences`` sentences,
+    * the ORIGINAL page has no "lorem ipsum" (placeholder spill), no
+      ``{`` (leaked source code), and no word from ``badwords``
+      (word-boundary, case-insensitive — pass the deployment blocklist;
+      the default is empty because the real LDNOOBW list is a policy
+      choice, not a library constant).
+
+    Everything is one projection of Column expressions — composable with
+    :func:`tech_ml_dataset_spark.functions.text.filter_funnel` for
+    per-rule loss accounting."""
+    t = F.col(text_col)
+    clean = c4_clean_lines(t, min_words=min_words)
+    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0)))
+    keep = (n_sent >= min_sentences) \
+        & ~F.lower(t).contains("lorem ipsum") \
+        & ~t.contains("{")
+    if badwords:
+        pat = "(?i)\\b(" + "|".join(badwords) + ")\\b"
+        keep = keep & ~t.rlike(pat)
+    return (df.withColumn(clean_col, clean)
+              .withColumn("c4_n_sentences", n_sent)
+              .withColumn(keep_col, keep))
+
+
+# ---------------------------------------------------------------------------
+# C4 three-sentence-span corpus dedup
+# ---------------------------------------------------------------------------
+
+#: Sentence splitter without lookbehind (RE2 subset): terminal punct +
+#: whitespace becomes punct + US (unit separator), then split on US.
+_SENT_MARK = "\x1e"
+
+
+def sentence_array(text: Column) -> Column:
+    """Deterministic sentence split: ``([.!?])\\s+`` -> ``$1\\x1e`` then
+    split on ``\\x1e``; trimmed, empties dropped. Lookbehind-free so the
+    identical law runs under RE2 in the oracle."""
+    marked = F.regexp_replace(text, r"([.!?])\s+", "$1" + _SENT_MARK)
+    return F.filter(F.transform(F.split(marked, _SENT_MARK), F.trim),
+                    lambda s: F.length(s) > 0)
+
+
+def c4_span_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, span: int = 3,
+                  out_col: str | None = None) -> DataFrame:
+    """C4's "remove all but one of any three-sentence span occurring
+    more than once in the data set" (Raffel 2020 §2.2), corpus-wide:
+
+    1. sentence arrays per doc (:func:`sentence_array`, scan-fused);
+    2. every consecutive ``span``-sentence window posexplodes to a SLIM
+       ``(id, pos, md5(span))`` row — the sentence arrays themselves
+       never cross an exchange, only 32-char hashes do;
+    3. one ``row_number() over (partition by hash order by (id, pos))``
+       window — the single shuffle — elects the canonical occurrence;
+    4. every NON-canonical occurrence marks its ``span`` sentence
+       indices; the removal sets groupBy back to doc grain (small:
+       bounded by duplicate volume, not corpus volume);
+    5. docs rebuild from unmarked sentences (index-aware ``filter()``
+      lambda), joined ``" "``.
+
+    The rebuilt text is the normalized form (single-space sentence
+    joins) — documented law, replayed by the oracle. At 100 TB the cost
+    profile is: one corpus scan, one hash-keyed exchange of slim span
+    rows, one duplicate-bounded groupBy — the same shape the published
+    C4/RefinedWeb pipelines run at web scale."""
+    out_col = out_col or text_col
+    sent = df.select(F.col(id_col), sentence_array(F.col(text_col))
+                     .alias("__s__"))
+    n = F.size("__s__")
+    spans = sent.select(
+        id_col,
+        F.posexplode(
+            F.when(n >= span,
+                   F.transform(F.sequence(F.lit(0), n - span),
+                               lambda i: F.md5(F.array_join(
+                                   F.slice("__s__", i + 1, span), " "))))
+             .otherwise(F.array().cast("array<string>"))
+        ).alias("__pos__", "__h__"))
+    w = Window.partitionBy("__h__").orderBy(id_col, "__pos__")
+    dup = (spans.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") > 1))
+    rm = (dup.select(id_col,
+                     F.explode(F.sequence(F.col("__pos__"),
+                                          F.col("__pos__") + (span - 1)))
+              .alias("__ridx__"))
+             .groupBy(id_col)
+             .agg(F.collect_set("__ridx__").alias("__rm__")))
+    rebuilt = (sent.join(rm, id_col, "left")
+                   .select(id_col,
+                           F.array_join(
+                               F.filter("__s__",
+                                        lambda x, i: F.col("__rm__").isNull()
+                                        | ~F.array_contains("__rm__", i)),
+                               " ").alias(out_col)))
+    base = df.drop(out_col) if out_col != text_col else df.drop(text_col)
+    return base.join(rebuilt, id_col, "left")

@@ -1,0 +1,156 @@
+"""webtext.py laws: HTML extraction, C4 filters, span dedup."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tech_ml_dataset_spark.functions import webtext as wt
+
+
+def _one(spark, html):
+    return spark.createDataFrame([Row(t=html)]) \
+                .select(wt.html_to_text(F.col("t")).alias("x")) \
+                .collect()[0]["x"]
+
+
+class TestHtmlToText:
+    def test_basic_page(self, spark):
+        out = _one(spark, "<html><body><h1>Title</h1>"
+                          "<p>Hello world</p><p>Second para</p></body></html>")
+        assert out == "Title\nHello world\nSecond para"
+
+    def test_script_and_style_content_dropped(self, spark):
+        # the '<' inside the script must not terminate the element drop
+        out = _one(spark, "<p>a</p><script>if (1 < 2) { x(); }</script>"
+                          "<style>p {color:red}</style><p>b</p>")
+        assert out == "a\nb"
+
+    def test_comment_dropped_across_lines(self, spark):
+        # comments are dropped to EMPTY (not a space), per the law
+        assert _one(spark, "x<!-- multi\nline\ncomment -->y") == "xy"
+
+    def test_entity_decode_order(self, spark):
+        # &amp;lt; is DOUBLE-encoded: single-pass decode yields literal &lt;
+        assert _one(spark, "a &amp;lt; b &lt; c &amp; d") == "a &lt; b < c & d"
+
+    def test_nbsp_and_quotes(self, spark):
+        assert _one(spark, "a&nbsp;b &quot;c&quot; &#39;d&#39;") \
+            == 'a b "c" \'d\''
+
+    def test_br_and_block_closers_break_lines(self, spark):
+        assert _one(spark, "a<br>b<br/>c</div>d") == "a\nb\nc\nd"
+
+    def test_whitespace_normalization(self, spark):
+        assert _one(spark, "  a   b  \n\n\n  c  ") == "a b\nc"
+
+    def test_angle_brackets(self, spark):
+        # '<...>' spans ARE treated as tags even in prose (documented
+        # law: the stripper is not an HTML parser) ...
+        assert _one(spark, "1 < 2 and 3 > 2") == "1 2"
+        # ... but a '<' with no later '>' survives
+        assert _one(spark, "1 < 2 with no close") == "1 < 2 with no close"
+
+
+class TestC4Lines:
+    @pytest.fixture()
+    def clean(self, spark):
+        def run(text, **kw):
+            return spark.createDataFrame([Row(t=text)]) \
+                        .select(wt.c4_clean_lines(F.col("t"), **kw)
+                                 .alias("x")).collect()[0]["x"]
+        return run
+
+    def test_terminal_punct_required(self, clean):
+        assert clean("one two three four five\n"
+                     "one two three four five.") == "one two three four five."
+
+    def test_min_words(self, clean):
+        assert clean("too short line.\n"
+                     "this line has exactly five words.") \
+            == "this line has exactly five words."
+
+    def test_javascript_line_dropped(self, clean):
+        assert clean("Please enable JavaScript to view this site.\n"
+                     "a perfectly fine prose sentence here.") \
+            == "a perfectly fine prose sentence here."
+
+    def test_quote_is_terminal(self, clean):
+        assert clean('he said "five words right here"') \
+            == 'he said "five words right here"'
+
+
+class TestC4Filters:
+    def _df(self, spark, rows):
+        return spark.createDataFrame([Row(doc_id=i, text=t)
+                                      for i, t in enumerate(rows)])
+
+    def test_page_rules(self, spark):
+        good = ("a good first sentence right here.\n"
+                "a good second sentence right here.\n"
+                "a good third sentence right here.")
+        out = wt.c4_filters(self._df(spark, [
+            good,                                   # keeps
+            good + "\nlorem ipsum dolor sit.",      # page-killer
+            good + "\ncode { leaked }",             # brace page-killer
+            "only one good sentence right here.",   # < 3 sentences
+        ])).orderBy("doc_id").collect()
+        assert [r["c4_keep"] for r in out] == [True, False, False, False]
+        assert out[0]["c4_n_sentences"] == 3
+
+    def test_badwords_word_boundary(self, spark):
+        good = ("a good first sentence right here.\n"
+                "a good second sentence right here.\n"
+                "a good third sentence right here.")
+        out = wt.c4_filters(self._df(spark, [
+            good.replace("third", "BADWORD"),
+            good.replace("third", "notBADWORDhere"),  # substring: no match
+        ]), badwords=("badword",)).orderBy("doc_id").collect()
+        assert [r["c4_keep"] for r in out] == [False, True]
+
+    def test_no_python_stage(self, spark):
+        df = wt.c4_filters(self._df(spark, ["x."]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+class TestSpanDedup:
+    def test_sentence_array(self, spark):
+        r = spark.createDataFrame([Row(t="One two. Three four! Five six? end")]) \
+                 .select(wt.sentence_array(F.col("t")).alias("s")) \
+                 .collect()[0]["s"]
+        assert r == ["One two.", "Three four!", "Five six?", "end"]
+
+    def test_no_punct_single_sentence(self, spark):
+        r = spark.createDataFrame([Row(t="no punctuation at all")]) \
+                 .select(wt.sentence_array(F.col("t")).alias("s")) \
+                 .collect()[0]["s"]
+        assert r == ["no punctuation at all"]
+
+    def _dedup(self, spark, rows):
+        df = spark.createDataFrame([Row(doc_id=i, text=t)
+                                    for i, t in enumerate(rows)])
+        return {r["doc_id"]: r["text"]
+                for r in wt.c4_span_dedup(df).collect()}
+
+    def test_full_copy_emptied(self, spark):
+        doc = "s one alpha. s two beta. s three gamma."
+        out = self._dedup(spark, [doc, doc])
+        assert out[0] == "s one alpha. s two beta. s three gamma."
+        assert out[1] == ""
+
+    def test_partial_overlap_removes_span_sentences(self, spark):
+        a = "s1 alpha. s2 beta. s3 gamma. s4 delta."
+        # doc 1 shares the (s2,s3,s4) span only
+        b = "intro unique. s2 beta. s3 gamma. s4 delta."
+        out = self._dedup(spark, [a, b])
+        assert out[0] == a.replace(". ", ". ").strip()  # canonical untouched
+        assert out[1] == "intro unique."
+
+    def test_short_docs_untouched(self, spark):
+        out = self._dedup(spark, ["one. two.", "one. two."])
+        # < 3 sentences -> no spans -> both survive (normalized join)
+        assert out[0] == "one. two." and out[1] == "one. two."
+
+    def test_canonical_is_lowest_id_and_pos(self, spark):
+        doc = "s one alpha. s two beta. s three gamma."
+        out = self._dedup(spark, [doc, doc, doc])
+        assert out[0] != "" and out[1] == "" and out[2] == ""
