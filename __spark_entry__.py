@@ -1597,6 +1597,29 @@ def boilerplate_removal_docs(spark, sf_dir):
               .orderBy("doc_id")
 
 
+def image_dhash_dedup_docs(spark, sf_dir):
+    """Perceptual-hash image dedup (multimodal.image_dhash -> generic
+    dedup.hamming_dedup_pairs banded join): 200 synthesized PNGs whose
+    pixel formula keys on ``doc_id % 80``, so ids 0-39 appear 3x and
+    40-79 2x — exact duplicate images MUST pair at distance 0, plus any
+    natural near-collisions of the formula at <=3 bits. max_distance=3
+    with four 16-bit bands keeps the banded join recall-complete
+    (pigeonhole), so the brute-force oracle is an exact twin. The oracle
+    recomputes the dHash law (gray = channel mean, 8x9 nearest resize,
+    left<right gradient bits) from the pixel FORMULA — proving
+    encode->decode->gray->resize->bit-pack->band-join end-to-end while
+    never touching a codec."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id", (F.col("doc_id") % 80).alias("img_id"))
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    pngs = mmod.synthesize_png(binned, "img_id", height=8, width=8)
+    hashed = mmod.image_dhash(pngs, "png")
+    pairs = dd.hamming_dedup_pairs(hashed, "dhash", "doc_id",
+                                   max_distance=3)
+    return pairs.withColumn("distance", F.col("distance").cast("long")) \
+                .orderBy("id_a", "id_b")
+
+
 def _structured_doc_text(text):
     """Deterministic prose structure imposed on the flat word-stream
     ``documents`` table (shared by the webtext queries and replayed
@@ -2696,6 +2719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       NEW (functions/webtext.py: HTML extraction + the C4
         #       filter battery + 3-sentence-span corpus dedup — the
         #       crawl-refinement stage the pipeline was missing);
+        #     - image_dhash_dedup_docs NEW (multimodal.image_dhash +
+        #       the generic dedup.hamming_dedup_pairs the simhash pair
+        #       join now delegates to — the in-window proof for the
+        #       banding refactor);
         #     - image_pipeline_jpeg_docs NEW (vendored baseline JPEG
         #       codec, r5 verdict #5), image_pipeline_gif_docs NEW
         #       (vendored LZW GIF codec), media_dims_docs NEW (JVM-side
@@ -2715,7 +2742,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
-        "unigram_lm_docs": unigram_lm_docs,
         "abb_fill_events": abb_fill_events,
         "html_extract_docs": html_extract_docs,
         "c4_filter_docs": c4_filter_docs,
@@ -2725,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims_docs": media_dims_docs,
         "image_pipeline_png_docs": image_pipeline_png_docs,
         "media_meta_docs": media_meta_docs,
+        "image_dhash_dedup_docs": image_dhash_dedup_docs,
         "audio_features_docs": audio_features_docs,
         "csv_roundtrip_orders": csv_roundtrip_orders,
         "json_roundtrip_events": json_roundtrip_events,
@@ -2768,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matmul_lineitem": matmul_lineitem,
         "gram_lineitem": gram_lineitem,
         "repetition_signals_docs": repetition_signals_docs,
+        "unigram_lm_docs": unigram_lm_docs,
         "ffill_events": ffill_events,
         "lerp_events": lerp_events,
         "winnow_docs": winnow_docs,
@@ -4910,6 +4938,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, md5(coalesce(r.text, '')) AS clean_md5
             FROM d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "image_dhash_dedup_docs": """
+            WITH ids AS (
+                SELECT doc_id, doc_id % 80 AS img
+                FROM documents WHERE doc_id < 200
+            ), g AS (
+                -- dHash grid pixel (r, c) of the 8x8 RGB fixture:
+                -- rows map 8->8 (identity), cols 8->9 via c*8//9;
+                -- gray = mean of the 3 channels of formula pixel
+                -- (img*31 + ((r*8 + src_c)*3 + ch)*7) % 256
+                SELECT i.doc_id, r.r, c.c,
+                       (((i.img * 31 + (((r.r * 8) + (c.c * 8) // 9) * 3 + 0) * 7) % 256
+                       + (i.img * 31 + (((r.r * 8) + (c.c * 8) // 9) * 3 + 1) * 7) % 256
+                       + (i.img * 31 + (((r.r * 8) + (c.c * 8) // 9) * 3 + 2) * 7) % 256)
+                        / 3.0) / 255.0 AS v
+                FROM ids i, range(8) r(r), range(9) c(c)
+            ), bits AS (
+                SELECT a.doc_id, a.r, a.c AS j,
+                       CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+                FROM g a JOIN g b
+                  ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+                WHERE a.c < 8
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS distance
+            FROM bits a JOIN bits b
+              ON a.r = b.r AND a.j = b.j AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+            ORDER BY id_a, id_b
         """,
         "html_extract_docs": """
             SELECT doc_id, """ + wt.html_to_text_sql(

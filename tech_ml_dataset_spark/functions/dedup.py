@@ -398,36 +398,52 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hamming_dedup_pairs(df: DataFrame, hash_col: str,
+                        id_col: str = "doc_id", *, max_distance: int = 3,
+                        band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs for ANY 64-bit fingerprint column (SimHash, image
+    dHash, audio fingerprints ...) by banded Hamming join: candidates
+    share at least one of the ``64 // band_bits`` bands — the pigeonhole
+    principle guarantees full recall whenever
+    ``max_distance < 64 // band_bits`` (<=3 differing bits cannot dirty
+    all four 16-bit bands) — then exact ``bit_count(xor)`` verify.
+
+    Scale shape: the banding explode carries only (id, hash, band, key);
+    the self-join fans out per (band, key) bucket, never all-pairs."""
+    n_bands = 64 // band_bits
+    banded = df.select(
+        F.col(id_col), F.col(hash_col).alias("__fp__"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col(hash_col), bi * band_bits)
+             .bitwiseAND(F.lit((1 << band_bits) - 1))
+            for bi in range(n_bands)])).alias("__band__", "__key__"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("__fp__").alias("fp_a"),
+                      "__band__", "__key__")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("__fp__").alias("fp_b"),
+                      "__band__", "__key__")
+    return (a.join(b, ["__band__", "__key__"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"])
+             .withColumn("distance", hamming64(F.col("fp_a"), F.col("fp_b")))
+             .filter(F.col("distance") <= max_distance)
+             .select("id_a", "id_b", "distance"))
+
+
 def simhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, max_distance: int = 3,
                         band_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by SimHash: candidates share at least one of the four
-    16-bit bands (pigeonhole guarantees recall for distance <= 3 with 4
-    bands), verified by exact Hamming distance.
+    """Near-dup pairs by SimHash — :func:`simhash_df` then the generic
+    :func:`hamming_dedup_pairs` banded join.
 
     NULL/empty text routes AROUND the pairing (same law as exact_dedup's
     NULL handling): featureless docs all hash to simhash 0, so without
     the filter every empty doc pairs with every other at distance 0 —
     content-free "duplicates" that would wrongly delete missing-text rows."""
-    n_bands = 64 // band_bits
     sh = simhash_df(df.filter(F.length(F.trim(F.col(text_col))) > 0),
                     [id_col], text_col, out_col="__sim__")
-    banded = sh.select(
-        id_col, "__sim__",
-        F.posexplode(F.array(*[
-            F.shiftright(F.col("__sim__"), bi * band_bits)
-             .bitwiseAND(F.lit((1 << band_bits) - 1))
-            for bi in range(n_bands)])).alias("__band__", "__key__"))
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("__sim__").alias("sim_a"),
-                      "__band__", "__key__")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("__sim__").alias("sim_b"),
-                      "__band__", "__key__")
-    return (a.join(b, ["__band__", "__key__"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"])
-             .withColumn("distance", hamming64(F.col("sim_a"), F.col("sim_b")))
-             .filter(F.col("distance") <= max_distance)
-             .select("id_a", "id_b", "distance"))
+    return hamming_dedup_pairs(sh, "__sim__", id_col,
+                               max_distance=max_distance,
+                               band_bits=band_bits)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -374,6 +374,66 @@ def image_pipeline(df: DataFrame, bin_col: str, *, resize_hw: tuple[int, int],
     return df.mapInPandas(batches, out_schema)
 
 
+def image_dhash(df: DataFrame, bin_col: str, out_col: str = "dhash",
+                flag_col: str = "dhash_real", *,
+                grid_h: int = 8, grid_w: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) of an image binary column — the
+    standard near-duplicate image fingerprint (Krawetz 2013): decode ->
+    grayscale (channel mean) -> nearest-neighbor resize to
+    ``grid_h x (grid_w+1)`` (the SAME ``arange(n)*src//n`` index law as
+    :func:`resize_image`) -> bit ``r*grid_w+j`` set iff the left pixel is
+    darker than its right neighbor -> packed MSB-first into a signed
+    64-bit long (``grid_h*grid_w`` must be 64).
+
+    One fused ``mapInPandas`` pass (decode never leaves the Python
+    worker; only bytes in, one long out), then
+    :func:`tech_ml_dataset_spark.functions.dedup.hamming_dedup_pairs`
+    runs the banded near-dup join entirely JVM-side — the 100 TB image
+    dedup shape: fingerprint once, shuffle 8-byte hashes, never pixels.
+
+    ``flag_col`` carries the in-band real-vs-fake decode flag (same
+    contract as :func:`image_pipeline`)."""
+    if grid_h * grid_w != 64:
+        raise ValueError("image_dhash packs exactly 64 bits: "
+                         f"grid {grid_h}x{grid_w} != 64")
+    for name in (out_col, flag_col):
+        if name in df.columns:
+            raise ValueError(
+                f"image_dhash: output column {name!r} already exists on "
+                f"the input; pass out_col=/flag_col= to disambiguate")
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.LongType()),
+                               T.StructField(flag_col, T.BooleanType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_cache = {}
+        for pdf in it:
+            hashes, reals = [], []
+            for data in pdf[bin_col]:
+                raw = bytes(data) if data is not None else b""
+                arr = _try_real_decode(raw)
+                reals.append(arr is not None)
+                if arr is None:
+                    arr = _fake_decode(raw)
+                gray = arr.mean(axis=2)
+                hh, ww = gray.shape
+                if (hh, ww) not in idx_cache:
+                    idx_cache[(hh, ww)] = (
+                        np.arange(grid_h) * hh // grid_h,
+                        np.arange(grid_w + 1) * ww // (grid_w + 1))
+                ri, ci = idx_cache[(hh, ww)]
+                g = gray[ri][:, ci]
+                bits = g[:, :-1] < g[:, 1:]
+                v = int.from_bytes(np.packbits(bits.ravel()).tobytes(),
+                                   "big")
+                hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+            pdf[out_col] = pd.Series(hashes, dtype="int64")
+            pdf[flag_col] = reals
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def synthesize_png(df: DataFrame, id_col: str, *, height: int = 8,
                    width: int = 8, out_col: str = "png") -> DataFrame:
     """Deterministic PNG fixture column: pixel ``i`` of row ``id`` is

@@ -348,3 +348,61 @@ def test_image_dims_jvm_side(spark):
     plan = mm.with_image_dims(u, "data") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_image_dhash_law_and_dedup(spark):
+    # two ids share an image formula (img 0), one differs
+    df = spark.createDataFrame([(0, 0), (1, 0), (2, 7)], "id int, img int")
+    pngs = mm.synthesize_png(df, "img", height=8, width=8)
+    hashed = mm.image_dhash(pngs, "png")
+    rows = {r["id"]: (r["dhash"], r["dhash_real"])
+            for r in hashed.collect()}
+    # real decode path, identical formula -> identical hash
+    assert all(real for _, real in rows.values())
+    assert rows[0][0] == rows[1][0] and rows[0][0] != rows[2][0]
+
+    # the hash matches a direct numpy replay of the documented law
+    img = np.asarray([(0 * 31 + i * 7) % 256 for i in range(8 * 8 * 3)],
+                     dtype=np.float64).reshape(8, 8, 3) / 255.0
+    gray = img.mean(axis=2)
+    ci = np.arange(9) * 8 // 9
+    g = gray[:, ci]
+    bits = g[:, :-1] < g[:, 1:]
+    v = int.from_bytes(np.packbits(bits.ravel()).tobytes(), "big")
+    expect = v - (1 << 64) if v >= (1 << 63) else v
+    assert rows[0][0] == expect
+
+    from tech_ml_dataset_spark.functions import dedup as dd
+    pairs = dd.hamming_dedup_pairs(hashed, "dhash", "id").collect()
+    exact = [(p["id_a"], p["id_b"], p["distance"]) for p in pairs]
+    assert (0, 1, 0) in exact
+    assert all(not (a == 2 or b == 2) or d > 0 for a, b, d in exact)
+
+
+def test_image_dhash_fake_path_flagged(spark):
+    df = spark.createDataFrame([(1, bytearray(b"not an image"))],
+                               "id int, data binary")
+    row = mm.image_dhash(df, "data").collect()[0]
+    assert row["dhash_real"] is False
+    assert isinstance(row["dhash"], int)
+
+
+def test_image_dhash_collision_guard(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"), 5)],
+                               "id int, data binary, dhash int")
+    with pytest.raises(ValueError, match="dhash"):
+        mm.image_dhash(df, "data")
+
+
+def test_hamming_dedup_pairs_generic_recall(spark):
+    # distance exactly 3 must be caught by the 4-band join (pigeonhole)
+    base = 0x0123456789ABCDEF
+    flipped = base ^ 0b111  # 3 low bits differ
+    far = base ^ ((1 << 0) | (1 << 20) | (1 << 40) | (1 << 60))  # d=4
+    df = spark.createDataFrame(
+        [(1, base), (2, flipped), (3, far)], "id int, fp long")
+    from tech_ml_dataset_spark.functions import dedup as dd
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in dd.hamming_dedup_pairs(df, "fp", "id",
+                                           max_distance=3).collect()}
+    assert got == {(1, 2): 3}
