@@ -1164,26 +1164,56 @@ def media_dims_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
         .select("doc_id")
     binned = mmod.repartition_for_decode(docs, "doc_id")
-    third = (F.col("doc_id") % 3)
-    # synthesizers take python ints, so enumerate the (format, variant)
-    # grid driver-side (3 formats x 5 dim variants — the dims themselves
-    # stay formula-driven and oracle-replayable)
-    outs = []
-    for m3, fmt, synth in ((0, "png", mmod.synthesize_png),
-                           (1, "jpeg", mmod.synthesize_jpeg),
-                           (2, "gif", mmod.synthesize_gif)):
-        for v in range(5):
-            sub = binned.filter((third == m3) & (F.col("doc_id") % 5 == v))
-            if fmt == "jpeg":
-                h, w = 8 * (1 + v % 3), 8 * (1 + (v + 1) % 2)
-            else:
-                h, w = 5 + v, 7 + (v * 3) % 6
-            enc = synth(sub, "doc_id", height=h, width=w, out_col="b")
-            outs.append(enc.select("doc_id", F.lit(fmt).alias("fmt"),
-                                   F.col("b")))
-    allb = outs[0]
-    for o in outs[1:]:
-        allb = allb.unionByName(o)
+    # ONE fused fixture stage switching (format, dims) per row — the
+    # original 3-formats x 5-variants enumeration built a 15-branch
+    # union (15 parquet scans + 15 Python stages) that cost 16.8 s at
+    # sf0.1 for 120 rows; this single mapInPandas is the same formulas
+    # (synthesize_png/jpeg/gif pixel laws, dims keyed on doc_id % 5)
+    # behind one scan and one Python stage.
+    from pyspark.sql import types as T
+
+    from tech_ml_dataset_spark.functions import gif as gifc
+    from tech_ml_dataset_spark.functions import jpeg as jpgc
+    from tech_ml_dataset_spark.functions import png as pngc
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("fmt", T.StringType()),
+                           T.StructField("b", T.BinaryType())])
+
+    def fixture(it):
+        import numpy as np
+        import pandas as pd
+        for pdf in it:
+            fmts, bs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = did % 5
+                m3 = did % 3
+                if m3 == 0:
+                    h, w = 5 + v, 7 + (v * 3) % 6
+                    arr = ((did * 31 + np.arange(h * w * 3) * 7) % 256) \
+                        .astype(np.uint8).reshape(h, w, 3)
+                    fmts.append("png")
+                    bs.append(pngc.encode(arr, filter_mode="cycle"))
+                elif m3 == 1:
+                    h, w = 8 * (1 + v % 3), 8 * (1 + (v + 1) % 2)
+                    bidx = np.arange((h // 8) * (w // 8),
+                                     dtype=np.int64).reshape(h // 8, w // 8)
+                    vals = (did * 37 + bidx * 11) % 256
+                    arr = np.repeat(np.repeat(vals, 8, 0), 8, 1) \
+                        .astype(np.uint8)
+                    fmts.append("jpeg")
+                    bs.append(jpgc.encode(arr, quant=1))
+                else:
+                    h, w = 5 + v, 7 + (v * 3) % 6
+                    arr = ((did * 29 + np.arange(h * w) * 13) % 256) \
+                        .astype(np.uint8).reshape(h, w)
+                    fmts.append("gif")
+                    bs.append(gifc.encode(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "fmt": fmts, "b": bs})
+
+    allb = binned.mapInPandas(fixture, schema)
     out = mmod.with_image_dims(allb, "b")
     return out.select("doc_id", "fmt",
                       F.col("dims.width").alias("width"),
@@ -1616,6 +1646,26 @@ def image_dhash_dedup_docs(spark, sf_dir):
     hashed = mmod.image_dhash(pngs, "png")
     pairs = dd.hamming_dedup_pairs(hashed, "dhash", "doc_id",
                                    max_distance=3)
+    return pairs.withColumn("distance", F.col("distance").cast("long")) \
+                .orderBy("id_a", "id_b")
+
+
+def audio_fingerprint_dedup_docs(spark, sf_dir):
+    """Audio near-dup by frame-energy fingerprint (multimodal.
+    audio_fingerprint -> dedup.hamming_dedup_pairs): 200 synthesized
+    PCM16 WAVs keyed on ``doc_id % 80`` (ids 0-39 3x, 40-79 2x — exact
+    duplicate audio MUST pair at distance 0). The oracle recomputes the
+    whole law from the sample formula ((aid*31 + i*17) % 2001 - 1000):
+    frame assignment i*65//n, exact integer energies in float64,
+    E[f]<E[f+1] gradient bits, then brute-forces pairs — an exact twin
+    of the banded join at max_distance=3 (pigeonhole recall)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id", (F.col("doc_id") % 80).alias("aid"))
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    wavs = mmod.synthesize_wav(binned, "aid", n_samples=2048)
+    fps = mmod.audio_fingerprint(wavs, "wav")
+    pairs = dd.hamming_dedup_pairs(fps.filter(F.col("afp").isNotNull()),
+                                   "afp", "doc_id", max_distance=3)
     return pairs.withColumn("distance", F.col("distance").cast("long")) \
                 .orderBy("id_a", "id_b")
 
@@ -2722,7 +2772,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     - image_dhash_dedup_docs NEW (multimodal.image_dhash +
         #       the generic dedup.hamming_dedup_pairs the simhash pair
         #       join now delegates to — the in-window proof for the
-        #       banding refactor);
+        #       banding refactor) and audio_fingerprint_dedup_docs NEW
+        #       (frame-energy gradient fingerprint over the same join;
+        #       media_meta rotates out — with_media_meta untouched
+        #       since its r5 green, re-proven in this round's vanilla
+        #       sweep);
         #     - image_pipeline_jpeg_docs NEW (vendored baseline JPEG
         #       codec, r5 verdict #5), image_pipeline_gif_docs NEW
         #       (vendored LZW GIF codec), media_dims_docs NEW (JVM-side
@@ -2750,8 +2804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline_gif_docs": image_pipeline_gif_docs,
         "media_dims_docs": media_dims_docs,
         "image_pipeline_png_docs": image_pipeline_png_docs,
-        "media_meta_docs": media_meta_docs,
         "image_dhash_dedup_docs": image_dhash_dedup_docs,
+        "audio_fingerprint_dedup_docs": audio_fingerprint_dedup_docs,
         "audio_features_docs": audio_features_docs,
         "csv_roundtrip_orders": csv_roundtrip_orders,
         "json_roundtrip_events": json_roundtrip_events,
@@ -2796,6 +2850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_lineitem": gram_lineitem,
         "repetition_signals_docs": repetition_signals_docs,
         "unigram_lm_docs": unigram_lm_docs,
+        "media_meta_docs": media_meta_docs,
         "ffill_events": ffill_events,
         "lerp_events": lerp_events,
         "winnow_docs": winnow_docs,
@@ -4938,6 +4993,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, md5(coalesce(r.text, '')) AS clean_md5
             FROM d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "audio_fingerprint_dedup_docs": """
+            WITH ids AS (
+                SELECT doc_id, doc_id % 80 AS aid
+                FROM documents WHERE doc_id < 200
+            ), e AS (
+                -- per-frame energy: sample i -> frame i*65//2048,
+                -- energy = sum of squared raw int16 formula values
+                SELECT i.doc_id, (t.i * 65) // 2048 AS f,
+                       sum(CAST((i.aid * 31 + t.i * 17) % 2001 - 1000
+                                AS DOUBLE)
+                           * CAST((i.aid * 31 + t.i * 17) % 2001 - 1000
+                                  AS DOUBLE)) AS en
+                FROM ids i, range(2048) t(i)
+                GROUP BY i.doc_id, (t.i * 65) // 2048
+            ), bits AS (
+                SELECT a.doc_id, a.f AS b,
+                       CASE WHEN a.en < c.en THEN 1 ELSE 0 END AS bit
+                FROM e a JOIN e c
+                  ON a.doc_id = c.doc_id AND c.f = a.f + 1
+                WHERE a.f < 64
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+                     AS distance
+            FROM bits a JOIN bits b
+              ON a.b = b.b AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+            ORDER BY id_a, id_b
         """,
         "image_dhash_dedup_docs": """
             WITH ids AS (

@@ -406,3 +406,30 @@ def test_hamming_dedup_pairs_generic_recall(spark):
            for r in dd.hamming_dedup_pairs(df, "fp", "id",
                                            max_distance=3).collect()}
     assert got == {(1, 2): 3}
+
+
+def test_audio_fingerprint_law_and_dedup(spark):
+    df = spark.createDataFrame([(0, 0), (1, 0), (2, 9)], "id int, aid int")
+    wavs = mm.synthesize_wav(df, "aid", n_samples=2048)
+    fps = {r["id"]: r["afp"]
+           for r in mm.audio_fingerprint(wavs, "wav").collect()}
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+    # numpy replay of the documented law for aid=0
+    i = np.arange(2048, dtype=np.int64)
+    pcm = ((0 * 31 + i * 17) % 2001 - 1000).astype(np.float64)
+    f = (i * 65) // 2048
+    en = np.bincount(f, weights=pcm * pcm, minlength=65)
+    bits = en[:-1] < en[1:]
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    assert fps[0] == (v - (1 << 64) if v >= (1 << 63) else v)
+
+
+def test_audio_fingerprint_null_laws(spark):
+    df = spark.createDataFrame([(1, bytearray(b"not audio")), (2, None)],
+                               "id int, data binary")
+    rows = {r["id"]: r["afp"]
+            for r in mm.audio_fingerprint(df, "data").collect()}
+    assert rows[1] is None and rows[2] is None
+    with pytest.raises(ValueError, match="n_frames"):
+        mm.audio_fingerprint(df, "data", n_frames=33)
