@@ -1650,6 +1650,34 @@ def image_dhash_dedup_docs(spark, sf_dir):
                 .orderBy("id_a", "id_b")
 
 
+def video_dedup_docs(spark, sf_dir):
+    """Frame-level video near-dup (multimodal.video_fingerprint ->
+    dedup.shared_fingerprint_pairs): 150 'videos' whose payload keys on
+    ``doc_id % 60`` — same-payload videos share all 4 sampled frame
+    dHashes, distinct payloads share none (md5-random frames), so the
+    pair set proves the frame-hash + distinct-overlap-count machinery.
+    No real video codec exists in this container, so frames follow the
+    documented deterministic fake law (frame i = md5-counter expansion
+    of bytes||i_le32, the frame_sample contract) — which IS the oracle:
+    DuckDB recomputes every md5 digest, rebuilds the gray grid from
+    exact integer byte sums, and replays resize/gradient/pairing. The
+    `decode_real=false` story stays honest via vfp_real (pytest-pinned;
+    the pair output carries no pixels either way)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150) \
+        .select("doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    vids = binned.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("vid:"),
+                          (F.col("doc_id") % 60).cast("string")),
+                 "UTF-8").alias("video"))
+    fps = mmod.video_fingerprint(vids, "video", every_n=25, n_frames=100)
+    pairs = dd.shared_fingerprint_pairs(fps, "vfp", "doc_id",
+                                        min_shared=2)
+    return pairs.withColumn("shared", F.col("shared").cast("long")) \
+                .orderBy("id_a", "id_b")
+
+
 def audio_fingerprint_dedup_docs(spark, sf_dir):
     """Audio near-dup by frame-energy fingerprint (multimodal.
     audio_fingerprint -> dedup.hamming_dedup_pairs): 200 synthesized
@@ -2773,10 +2801,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       the generic dedup.hamming_dedup_pairs the simhash pair
         #       join now delegates to — the in-window proof for the
         #       banding refactor) and audio_fingerprint_dedup_docs NEW
-        #       (frame-energy gradient fingerprint over the same join;
-        #       media_meta rotates out — with_media_meta untouched
-        #       since its r5 green, re-proven in this round's vanilla
-        #       sweep);
+        #       (frame-energy gradient fingerprint over the same join)
+        #       and video_dedup_docs NEW (frame-sampled dHash sets +
+        #       shared_fingerprint_pairs overlap join; the md5 fake-
+        #       frame law replayed digest-by-digest in DuckDB);
+        #       media_meta/audio_features rotate out — their functions
+        #       untouched since r5 greens, re-proven in this round's
+        #       vanilla sweep;
         #     - image_pipeline_jpeg_docs NEW (vendored baseline JPEG
         #       codec, r5 verdict #5), image_pipeline_gif_docs NEW
         #       (vendored LZW GIF codec), media_dims_docs NEW (JVM-side
@@ -2806,7 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline_png_docs": image_pipeline_png_docs,
         "image_dhash_dedup_docs": image_dhash_dedup_docs,
         "audio_fingerprint_dedup_docs": audio_fingerprint_dedup_docs,
-        "audio_features_docs": audio_features_docs,
+        "video_dedup_docs": video_dedup_docs,
         "csv_roundtrip_orders": csv_roundtrip_orders,
         "json_roundtrip_events": json_roundtrip_events,
         "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
@@ -2851,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals_docs": repetition_signals_docs,
         "unigram_lm_docs": unigram_lm_docs,
         "media_meta_docs": media_meta_docs,
+        "audio_features_docs": audio_features_docs,
         "ffill_events": ffill_events,
         "lerp_events": lerp_events,
         "winnow_docs": winnow_docs,
@@ -4993,6 +5025,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, md5(coalesce(r.text, '')) AS clean_md5
             FROM d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "video_dedup_docs": """
+            WITH ids AS (
+                SELECT doc_id, 'vid:' || CAST(doc_id % 60 AS VARCHAR) AS payload
+                FROM documents WHERE doc_id < 150
+            ), fr AS (  -- sampled frame indices (range(0,100,25))
+                SELECT doc_id, payload, unnest([0, 25, 50, 75]) AS f
+                FROM ids
+            ), dg AS (  -- md5-counter expansion digests (12 per frame);
+                        -- chr(0) embeds a real NUL byte in DuckDB and
+                        -- md5 hashes the raw bytes, matching hashlib
+                SELECT doc_id, f, k.k,
+                       unhex(md5(payload || chr(f) || chr(0) || chr(0) || chr(0)
+                                 || chr(k.k) || chr(0) || chr(0) || chr(0))) AS d
+                FROM fr, range(12) k(k)
+            ), pos AS (  -- (grid cell, channel) -> (digest k, byte offset):
+                         -- gray col c reads source col c*8//9 (8x9 resize)
+                SELECT r.r, c.c, ch.ch,
+                       ((r.r * 8 + (c.c * 8) // 9) * 3 + ch.ch) // 16 AS k,
+                       ((r.r * 8 + (c.c * 8) // 9) * 3 + ch.ch) % 16 + 1 AS off
+                FROM range(8) r(r), range(9) c(c), range(3) ch(ch)
+            ), px AS (   -- gray = EXACT integer channel sum
+                SELECT dg.doc_id, dg.f, pos.r, pos.c,
+                       sum(ord(substring(dg.d, pos.off, 1))) AS v
+                FROM pos JOIN dg ON dg.k = pos.k
+                GROUP BY dg.doc_id, dg.f, pos.r, pos.c
+            ), bits AS (
+                SELECT a.doc_id, a.f, a.r * 8 + a.c AS b,
+                       CASE WHEN a.v < w.v THEN '1' ELSE '0' END AS bit
+                FROM px a JOIN px w
+                  ON a.doc_id = w.doc_id AND a.f = w.f AND a.r = w.r
+                 AND w.c = a.c + 1
+                WHERE a.c < 8
+            ), h AS (   -- 64-char bitstring == the packed hash for equality
+                SELECT doc_id, f, string_agg(bit, '' ORDER BY b) AS fp
+                FROM bits GROUP BY doc_id, f
+            ), inv AS (
+                SELECT DISTINCT doc_id, fp FROM h
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+            ORDER BY id_a, id_b
         """,
         "audio_fingerprint_dedup_docs": """
             WITH ids AS (

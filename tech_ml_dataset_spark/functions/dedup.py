@@ -429,6 +429,31 @@ def hamming_dedup_pairs(df: DataFrame, hash_col: str,
              .select("id_a", "id_b", "distance"))
 
 
+def shared_fingerprint_pairs(df: DataFrame, fp_col: str,
+                             id_col: str = "doc_id", *,
+                             min_shared: int = 1) -> DataFrame:
+    """Pairs whose array-fingerprint columns share >= ``min_shared``
+    DISTINCT values — the set-overlap join for multi-fingerprint media
+    (video frame dHashes, audio chunk hashes, winnow fingerprint sets).
+
+    Scale shape: one explode to a distinct (id, fp) inverted index —
+    8-byte values, never the source arrays — then the self-join fans out
+    per fingerprint bucket and a count aggregate applies the overlap
+    threshold. A fingerprint shared by m rows costs m^2/2 candidate
+    rows; dedup fingerprints are near-unique by construction, so there
+    is no stopword-style hot key (cap with a DF filter upstream if a
+    degenerate constant-content corpus makes one)."""
+    inv = df.select(F.col(id_col), F.explode(fp_col).alias("__fp__")) \
+            .distinct()
+    a = inv.select(F.col(id_col).alias("id_a"), "__fp__")
+    b = inv.select(F.col(id_col).alias("id_b"), "__fp__")
+    return (a.join(b, "__fp__")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("shared"))
+             .filter(F.col("shared") >= min_shared))
+
+
 def simhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", *, max_distance: int = 3,
                         band_bits: int = 16) -> DataFrame:

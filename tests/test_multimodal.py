@@ -362,9 +362,10 @@ def test_image_dhash_law_and_dedup(spark):
     assert rows[0][0] == rows[1][0] and rows[0][0] != rows[2][0]
 
     # the hash matches a direct numpy replay of the documented law
+    # (gray = EXACT integer channel sum; ordering tie-free)
     img = np.asarray([(0 * 31 + i * 7) % 256 for i in range(8 * 8 * 3)],
-                     dtype=np.float64).reshape(8, 8, 3) / 255.0
-    gray = img.mean(axis=2)
+                     dtype=np.int64).reshape(8, 8, 3)
+    gray = img.sum(axis=2)
     ci = np.arange(9) * 8 // 9
     g = gray[:, ci]
     bits = g[:, :-1] < g[:, 1:]
@@ -433,3 +434,45 @@ def test_audio_fingerprint_null_laws(spark):
     assert rows[1] is None and rows[2] is None
     with pytest.raises(ValueError, match="n_frames"):
         mm.audio_fingerprint(df, "data", n_frames=33)
+
+
+def test_video_fingerprint_and_shared_pairs(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"vid:a")), (2, bytearray(b"vid:a")),
+         (3, bytearray(b"vid:b"))], "id int, v binary")
+    fps = mm.video_fingerprint(df, "v", every_n=50, n_frames=100)
+    rows = {r["id"]: (r["vfp"], r["vfp_real"]) for r in fps.collect()}
+    assert all(real is False for _, real in rows.values())  # fake-frame law
+    assert len(rows[1][0]) == 2  # frames 0, 50
+    assert rows[1][0] == rows[2][0] and rows[1][0] != rows[3][0]
+
+    # replay frame 0 of 'vid:a' through the documented md5-counter law
+    need, out, counter = 8 * 8 * 3, bytearray(), 0
+    seed = b"vid:a" + (0).to_bytes(4, "little")
+    while len(out) < need:
+        out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    arr = np.frombuffer(bytes(out[:need]), dtype=np.uint8) \
+        .astype(np.int64).reshape(8, 8, 3)
+    gray = arr.sum(axis=2)
+    g = gray[:, np.arange(9) * 8 // 9]
+    bits = g[:, :-1] < g[:, 1:]
+    v = int.from_bytes(np.packbits(bits.ravel()).tobytes(), "big")
+    assert rows[1][0][0] == (v - (1 << 64) if v >= (1 << 63) else v)
+
+    from tech_ml_dataset_spark.functions import dedup as dd
+    got = {(r["id_a"], r["id_b"]): r["shared"]
+           for r in dd.shared_fingerprint_pairs(fps, "vfp", "id",
+                                                min_shared=2).collect()}
+    assert got == {(1, 2): 2}
+
+
+def test_shared_fingerprint_pairs_distinct_semantics(spark):
+    # repeated values within one array count ONCE (distinct overlap)
+    df = spark.createDataFrame(
+        [(1, [7, 7, 8]), (2, [7, 9, 9])], "id int, fp array<long>")
+    from tech_ml_dataset_spark.functions import dedup as dd
+    got = dd.shared_fingerprint_pairs(df, "fp", "id").collect()
+    assert [(r["id_a"], r["id_b"], r["shared"]) for r in got] == [(1, 2, 1)]
