@@ -2411,6 +2411,22 @@ def reservoir_orders(spark, sf_dir):
     return out.select("o_orderkey", "o_orderpriority")
 
 
+def reservoir_orders_oracle(spark, sf_dir):
+    """reservoir-dataset, DETERMINISTIC md5 arm (aggregate.py
+    reservoir_sample key_cols= — the same engine-replayable-twin pattern
+    the :abb fill used to leave rows-only): per-priority 3-row sample
+    drawn by md5(o_orderkey:seed), exactly replayed by the oracle's
+    row_number over the identical md5 ordering. Promotes the reservoir
+    row_number/TakeOrdered machinery from rows-only to hash-checked;
+    the rand(seed) production arm (reference RNG semantics) remains
+    rows-only by design (`reservoir_orders`)."""
+    o = _t(spark, sf_dir, "orders")
+    out = agg.reservoir_sample(o, 3, by="o_orderpriority", seed=42,
+                               key_cols=["o_orderkey"])
+    return out.select("o_orderkey", "o_orderpriority") \
+              .orderBy("o_orderpriority", "o_orderkey")
+
+
 def regression_price_model(spark, sf_dir):
     """THREE-feature OLS through train-regression/predict (tribuo.clj:285,
     292 analog on pyspark.ml) — ORACLED as of r5 (promoted from rows-only):
@@ -2808,6 +2824,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       media_meta/audio_features rotate out — their functions
         #       untouched since r5 greens, re-proven in this round's
         #       vanilla sweep;
+        #     - reservoir_orders_oracle NEW (deterministic md5 draw arm
+        #       promotes the reservoir machinery from rows-only, the
+        #       :abb two-arm pattern; xls_roundtrip rotates out — its
+        #       vendored codec is untouched this round and six sibling
+        #       roundtrips keep the io dispatch path in-window);
         #     - image_pipeline_jpeg_docs NEW (vendored baseline JPEG
         #       codec, r5 verdict #5), image_pipeline_gif_docs NEW
         #       (vendored LZW GIF codec), media_dims_docs NEW (JVM-side
@@ -2844,7 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip_orders": orc_roundtrip_orders,
         "arrow_roundtrip_events": arrow_roundtrip_events,
         "excel_roundtrip_orders": excel_roundtrip_orders,
-        "xls_roundtrip_orders": xls_roundtrip_orders,
+        "reservoir_orders_oracle": reservoir_orders_oracle,
         "rolling_user_value": rolling_user_value,
         "rolling_clamp_user": rolling_clamp_user,
         "rolling_center_user": rolling_center_user,
@@ -2883,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_docs": unigram_lm_docs,
         "media_meta_docs": media_meta_docs,
         "audio_features_docs": audio_features_docs,
+        "xls_roundtrip_orders": xls_roundtrip_orders,
         "ffill_events": ffill_events,
         "lerp_events": lerp_events,
         "winnow_docs": winnow_docs,
@@ -5025,6 +5047,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, md5(coalesce(r.text, '')) AS clean_md5
             FROM d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "reservoir_orders_oracle": """
+            SELECT o_orderkey, o_orderpriority FROM (
+                SELECT o_orderkey, o_orderpriority,
+                       row_number() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'),
+                                    o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+            ORDER BY o_orderpriority, o_orderkey
         """,
         "video_dedup_docs": """
             WITH ids AS (

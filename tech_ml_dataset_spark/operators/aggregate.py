@@ -233,19 +233,36 @@ def count_distinct_twophase(df: DataFrame, key, col: str, *,
 
 
 def reservoir_sample(df: DataFrame, k: int, *, by=None,
-                     seed: int = 42) -> DataFrame:
+                     seed: int = 42, key_cols=None) -> DataFrame:
     """``reservoir-dataset`` (reductions.clj:283): uniform k-row sample,
-    optionally per group. Grouped: row_number over rand(seed) — one shuffle
-    by the group key. Ungrouped: order-by-rand + limit, which Spark plans
+    optionally per group. Grouped: row_number over the draw — one shuffle
+    by the group key. Ungrouped: order-by-draw + limit, which Spark plans
     as TakeOrderedAndProject (per-partition k-heap, merge of k-candidates —
-    distributed, never a single-partition window). The sampled ROWS depend
-    on the seed but the row COUNT is exactly min(k, group size)."""
+    distributed, never a single-partition window). The row COUNT is exactly
+    min(k, group size).
+
+    Draw arms (the same two-arm pattern as ``replace_missing`` ``:abb``):
+    the default ``rand(seed)`` matches the reference's seeded-RNG
+    semantics (rows are seed- AND engine-dependent — rows-only
+    checkable); pass ``key_cols`` for the DETERMINISTIC arm, drawing by
+    ``md5(concat_ws(':', key_cols..., seed))`` with the keys as
+    tie-break — bit-identical across engines, retries, and partitionings
+    (md5 of the same string is the same everywhere), so a SQL oracle
+    replays the exact sampled rows. Statistically it is a uniform draw
+    whenever the key tuple doesn't encode the grouping order (md5 is a
+    PRF on the keys)."""
     from pyspark.sql import Window as W
 
+    if key_cols:
+        keys = [F.col(c).cast("string") for c in key_cols]
+        draw_cols = [F.md5(F.concat_ws(":", *keys, F.lit(str(seed))))] + \
+            [F.col(c) for c in key_cols]
+    else:
+        draw_cols = [F.rand(seed)]
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
     if not by_cols:
-        return df.orderBy(F.rand(seed)).limit(k)
-    w = W.partitionBy(*by_cols).orderBy(F.rand(seed))
+        return df.orderBy(*draw_cols).limit(k)
+    w = W.partitionBy(*by_cols).orderBy(*draw_cols)
     return (df.withColumn("__rs__", F.row_number().over(w))
               .filter(F.col("__rs__") <= k).drop("__rs__"))
 

@@ -1314,3 +1314,35 @@ def test_replace_missing_abb_key_col_in_filled_cols(spark):
                    for i in range(40) if i % 3 == 0),
                   key=lambda x: (x is None, x))
     assert null_vs == want
+
+
+def test_reservoir_sample_arms(spark, sf_dir):
+    """rand arm: exact per-group counts, seed-stable; md5 arm: engine-
+    replayable exact rows (the deterministic twin, :abb pattern)."""
+    import hashlib
+
+    from tech_ml_dataset_spark.operators import aggregate as agg
+    from tech_ml_dataset_spark.sources.io import read_parquet
+    o = read_parquet(spark, f"{sf_dir}/orders.parquet")
+    # rand arm: min(k, group size) rows per group, same rows per seed
+    a = agg.reservoir_sample(o, 3, by="o_orderpriority", seed=7)
+    counts = {r["o_orderpriority"]: r["n"]
+              for r in a.groupBy("o_orderpriority").count()
+                       .withColumnRenamed("count", "n").collect()}
+    sizes = {r["o_orderpriority"]: r["n"]
+             for r in o.groupBy("o_orderpriority").count()
+                      .withColumnRenamed("count", "n").collect()}
+    assert counts == {k: min(3, v) for k, v in sizes.items()}
+    # md5 arm: rows equal a driver-side replay of the documented draw
+    d = agg.reservoir_sample(o, 2, by="o_orderpriority", seed=42,
+                             key_cols=["o_orderkey"])
+    got = {(r["o_orderpriority"], r["o_orderkey"]) for r in d.collect()}
+    rows = o.select("o_orderpriority", "o_orderkey").collect()
+    bygrp = {}
+    for r in rows:
+        bygrp.setdefault(r["o_orderpriority"], []).append(r["o_orderkey"])
+    want = set()
+    for g, ks in bygrp.items():
+        ks.sort(key=lambda k: (hashlib.md5(f"{k}:42".encode()).hexdigest(), k))
+        want |= {(g, k) for k in ks[:2]}
+    assert got == want
