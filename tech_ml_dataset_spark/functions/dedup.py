@@ -429,6 +429,39 @@ def hamming_dedup_pairs(df: DataFrame, hash_col: str,
              .select("id_a", "id_b", "distance"))
 
 
+def _band_fp(df: DataFrame, fp_col: str, id_alias: str, id_col: str,
+             band_bits: int) -> DataFrame:
+    n_bands = 64 // band_bits
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(fp_col).alias(f"fp_{id_alias}"),
+        F.posexplode(F.array(*[
+            F.shiftright(F.col(fp_col), bi * band_bits)
+             .bitwiseAND(F.lit((1 << band_bits) - 1))
+            for bi in range(n_bands)])).alias("__band__", "__key__"))
+
+
+def hamming_pairs_between(new: DataFrame, hist: DataFrame, fp_col: str,
+                          *, new_id: str = "doc_id",
+                          hist_id: str = "doc_id", max_distance: int = 3,
+                          band_bits: int = 16) -> DataFrame:
+    """Cross-corpus variant of :func:`hamming_dedup_pairs` (the
+    fingerprint face of :func:`minhash_pairs_between`): (new row,
+    historical row) pairs within ``max_distance`` bits — band join
+    between the two tables, never a self-join of their union, so a
+    crawl batch probes an accepted corpus without re-pairing the corpus
+    against itself. Recall-complete while
+    ``max_distance < 64 // band_bits`` (pigeonhole)."""
+    a = _band_fp(new, fp_col, "new_id", new_id, band_bits)
+    b = _band_fp(hist, fp_col, "hist_id", hist_id, band_bits)
+    return (a.join(b, ["__band__", "__key__"])
+             .dropDuplicates(["new_id", "hist_id"])
+             .withColumn("distance",
+                         hamming64(F.col("fp_new_id"), F.col("fp_hist_id")))
+             .filter(F.col("distance") <= max_distance)
+             .select("new_id", "hist_id", "distance"))
+
+
 def shared_fingerprint_pairs(df: DataFrame, fp_col: str,
                              id_col: str = "doc_id", *,
                              min_shared: int = 1) -> DataFrame:

@@ -335,6 +335,62 @@ def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
 
 
+def streaming_fingerprint_dedup_sink(df: DataFrame, corpus_path: str, *,
+                                     checkpoint: str, fp_col: str,
+                                     id_col: str = "doc_id",
+                                     max_distance: int = 0,
+                                     band_bits: int = 16):
+    """Continuous MEDIA-ingest near-dup — the 64-bit-fingerprint face of
+    :func:`streaming_dedup_sink` for image dHash / audio / video frame
+    hashes: the stream already carries ``fp_col`` (the fingerprint
+    mapInPandas passes run fine on streaming frames, so decode happens
+    once, upstream); each micro-batch is (a) deduped within itself
+    (greedy keep-lowest-id over the banded Hamming pairs) and (b) probed
+    against the accepted corpus' fingerprints via
+    :func:`~tech_ml_dataset_spark.functions.dedup.hamming_pairs_between`
+    — the history side is the already-written slim (id, fp) rows, so
+    accepted MEDIA BYTES are never re-read, let alone re-decoded.
+
+    Replay idempotency mirrors streaming_dedup_sink exactly: accepted
+    rows land under ``batch_id=N`` with dynamic partition overwrite and
+    the history read excludes the current batch id. Local-filesystem
+    target only (same contract). Returns the started query handle."""
+    import os as _os
+
+    from ..functions.dedup import hamming_dedup_pairs, hamming_pairs_between
+    from ..sources.io import _require_local_path
+    corpus_path = _require_local_path(corpus_path,
+                                      "streaming_fingerprint_dedup_sink")
+
+    def _apply(batch_df: DataFrame, batch_id: int):
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        fresh = batch_df
+        dup_ids = (hamming_dedup_pairs(fresh, fp_col, id_col,
+                                       max_distance=max_distance,
+                                       band_bits=band_bits)
+                   .select(F.col("id_b").alias(id_col)).distinct())
+        fresh = fresh.join(dup_ids, id_col, "left_anti")
+        if _os.path.isdir(corpus_path) and any(
+                f.startswith("batch_id=") for f in _os.listdir(corpus_path)):
+            hist = (spark.read.parquet(corpus_path)
+                         .filter(F.col("batch_id") != batch_id)
+                         .select(id_col, fp_col))
+            matched = (hamming_pairs_between(fresh, hist, fp_col,
+                                             new_id=id_col, hist_id=id_col,
+                                             max_distance=max_distance,
+                                             band_bits=band_bits)
+                       .select(F.col("new_id").alias(id_col)).distinct())
+            fresh = fresh.join(matched, id_col, "left_anti")
+        out = fresh.withColumn("batch_id", F.lit(batch_id))
+        with _dynamic_partition_overwrite(spark):
+            (out.write.mode("overwrite").partitionBy("batch_id")
+                .parquet(corpus_path))
+
+    return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
+
+
 def streaming_neardup_sink(df: DataFrame, corpus_path: str, *,
                            checkpoint: str, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 5,

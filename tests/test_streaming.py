@@ -427,3 +427,58 @@ def test_ensure_parallelism_streaming_safe_and_plan_cheap(spark, tmp_path):
     got = ensure_parallelism(packed).rdd.getNumPartitions()
     target = spark.sparkContext.defaultParallelism
     assert got >= min(target, max(n_scan, target))
+
+
+def test_streaming_fingerprint_dedup_sink(spark, tmp_path):
+    """Media crawl stream -> image_dhash ON THE STREAMING FRAME ->
+    streaming_fingerprint_dedup_sink: intra-batch duplicate images
+    collapse, cross-batch repeats are rejected against the accepted
+    corpus' slim fingerprints (no media re-decode), batch_id partitions
+    accumulate, replay converges."""
+    import numpy as np
+
+    from tech_ml_dataset_spark.functions import multimodal as mm
+    from tech_ml_dataset_spark.functions import png
+
+    def img(seed):
+        i = np.arange(6 * 6 * 3, dtype=np.int64)
+        return png.encode(((seed * 31 + i * 7) % 256)
+                          .astype(np.uint8).reshape(6, 6, 3))
+
+    corpus = str(tmp_path / "media_corpus")
+    src = str(tmp_path / "media_crawl")
+    schema = "doc_id long, png binary"
+
+    spark.createDataFrame(
+        [(1, img(10)), (2, img(10)), (3, img(20))], ["doc_id", "png"],
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = mm.image_dhash(sw.read_stream(spark, src, schema), "png")
+    q = sw.streaming_fingerprint_dedup_sink(
+        stream, corpus, checkpoint=str(tmp_path / "mck"), fp_col="dhash")
+    q.awaitTermination()
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept1 == [1, 3]  # intra-batch duplicate image 2 collapsed
+
+    spark.createDataFrame(
+        [(4, img(20)), (5, img(30))], ["doc_id", "png"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream2 = mm.image_dhash(sw.read_stream(spark, src, schema), "png")
+    q2 = sw.streaming_fingerprint_dedup_sink(
+        stream2, corpus, checkpoint=str(tmp_path / "mck"), fp_col="dhash")
+    q2.awaitTermination()
+    rows = spark.read.parquet(corpus).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3, 5]  # 4 rejected
+    assert {r["batch_id"] for r in rows} == {0, 1}
+    assert all(r["dhash_real"] for r in rows)  # real PNG decode path
+
+
+def test_hamming_pairs_between_cross_corpus(spark):
+    from tech_ml_dataset_spark.functions import dedup as dd
+    new = spark.createDataFrame([(1, 100), (2, 0x0F0F)], "id int, fp long")
+    hist = spark.createDataFrame([(9, 100), (8, 0x0F0F ^ 3), (7, -5)],
+                                 "id int, fp long")
+    got = {(r["new_id"], r["hist_id"]): r["distance"]
+           for r in dd.hamming_pairs_between(new, hist, "fp", new_id="id",
+                                             hist_id="id",
+                                             max_distance=2).collect()}
+    assert got == {(1, 9): 0, (2, 8): 2}
