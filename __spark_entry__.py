@@ -5066,22 +5066,29 @@ def oracle_sql() -> dict[str, str]:
             ), fr AS (  -- sampled frame indices (range(0,100,25))
                 SELECT doc_id, payload, unnest([0, 25, 50, 75]) AS f
                 FROM ids
-            ), dg AS (  -- md5-counter expansion digests (12 per frame);
-                        -- chr(0) embeds a real NUL byte in DuckDB and
-                        -- md5 hashes the raw bytes, matching hashlib
+            ), dg AS (  -- md5-counter expansion digests (12 per frame),
+                        -- kept as 32-char HEX strings (this DuckDB has
+                        -- no BLOB byte extraction); chr(0) embeds a
+                        -- real NUL and md5 hashes raw bytes = hashlib
                 SELECT doc_id, f, k.k,
-                       unhex(md5(payload || chr(f) || chr(0) || chr(0) || chr(0)
-                                 || chr(k.k) || chr(0) || chr(0) || chr(0))) AS d
+                       md5(payload
+                           || chr(CAST(f AS INT)) || chr(0) || chr(0) || chr(0)
+                           || chr(CAST(k.k AS INT)) || chr(0) || chr(0) || chr(0)) AS d
                 FROM fr, range(12) k(k)
-            ), pos AS (  -- (grid cell, channel) -> (digest k, byte offset):
-                         -- gray col c reads source col c*8//9 (8x9 resize)
+            ), pos AS (  -- (grid cell, channel) -> (digest k, HEX char
+                         -- offset of the byte's two nibbles); gray col
+                         -- c reads source col c*8//9 (8x9 resize)
                 SELECT r.r, c.c, ch.ch,
                        ((r.r * 8 + (c.c * 8) // 9) * 3 + ch.ch) // 16 AS k,
-                       ((r.r * 8 + (c.c * 8) // 9) * 3 + ch.ch) % 16 + 1 AS off
+                       (((r.r * 8 + (c.c * 8) // 9) * 3 + ch.ch) % 16) * 2 + 1 AS off
                 FROM range(8) r(r), range(9) c(c), range(3) ch(ch)
-            ), px AS (   -- gray = EXACT integer channel sum
+            ), px AS (   -- gray = EXACT integer channel sum, bytes
+                         -- rebuilt from hex nibbles via strpos
                 SELECT dg.doc_id, dg.f, pos.r, pos.c,
-                       sum(ord(substring(dg.d, pos.off, 1))) AS v
+                       sum((strpos('0123456789abcdef',
+                                   substring(dg.d, pos.off, 1)) - 1) * 16
+                           + (strpos('0123456789abcdef',
+                                     substring(dg.d, pos.off + 1, 1)) - 1)) AS v
                 FROM pos JOIN dg ON dg.k = pos.k
                 GROUP BY dg.doc_id, dg.f, pos.r, pos.c
             ), bits AS (
