@@ -2706,6 +2706,77 @@ def bpe_encode_docs(spark, sf_dir):
                       F.slice("bpe_tokens", 1, 5).alias("first_subwords"))
 
 
+#: Fixed, WELL-ORDERED merge table for the BPE encode oracle twin: every
+#: rule that references a merged token ranks after the rule creating it,
+#: which makes greedy lowest-rank-first encoding (production _bpe_word)
+#: equal to applying each merge to fixpoint in rank order — and THAT is
+#: expressible as a nested string-replace chain in SQL. Includes a
+#: priority trap: in 'row', (r,o)@8 must beat (o,w)@10, while 'window'
+#: still ends in 'ow'.
+_BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"),
+    ("d", "a"), ("da", "t"), ("dat", "a"), ("data", "</w>"),
+    ("r", "o"), ("ro", "w"), ("o", "w"),
+    ("s", "l"), ("sl", "ow"),
+    ("a", "</w>"),
+]
+
+
+def bpe_encode_oracle_docs(spark, sf_dir):
+    """BPE ENCODE with a fixed merge table — the oracle twin that
+    promotes the subword encoder (text.py bpe_encode / _bpe_word: greedy
+    lowest-rank merging with the per-executor word cache) from
+    rows-only to hash-checked; iterative TRAINING remains rows-only by
+    design (`bpe_encode_docs` trains its own merges). The oracle
+    replays encoding as a rank-ordered fixpoint replace chain over
+    space-delimited symbol strings — equivalent to the greedy loop for
+    well-ordered tables (no rule can create a lower-ranked pair, since
+    new adjacencies always involve the newly-merged token)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300) \
+        .select("doc_id", "text")
+    out = txt.bpe_encode(docs, _BPE_FIXED_MERGES, lowercase=True)
+    return out.select("doc_id",
+                      F.col("bpe_tokens_n").cast("long").alias("n_subwords"),
+                      F.slice("bpe_tokens", 1, 5).alias("first_subwords")) \
+              .orderBy("doc_id")
+
+
+def _bpe_fixed_oracle() -> str:
+    """Build the DuckDB replay of bpe_encode over _BPE_FIXED_MERGES:
+    per distinct word, ' c1 c2 .. cn </w> ' runs each merge's
+    ' l r '->' lr ' replace 6x (fixpoint for any word the corpus holds),
+    in rank order; instances rejoin by word and flatten in word order."""
+    expr = ("' ' || array_to_string(list_transform(range(1, length(w) + 1), "
+            "i -> substring(w, i, 1)), ' ') || ' </w> '")
+    for l, r in _BPE_FIXED_MERGES:
+        for _ in range(6):
+            expr = f"replace({expr}, ' {l} {r} ', ' {l}{r} ')"
+    return f"""
+        WITH w0 AS (
+            SELECT DISTINCT w FROM (
+                SELECT unnest(string_split(lower(text), ' ')) AS w
+                FROM documents WHERE doc_id < 300)
+            WHERE w <> ''
+        ), enc AS (
+            SELECT w, string_split(trim({expr}), ' ') AS toks FROM w0
+        ), inst AS (
+            SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+                   unnest(ws) AS w
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents WHERE doc_id < 300)
+        ), per AS (
+            SELECT i.doc_id, i.pos, e.toks
+            FROM inst i JOIN enc e USING (w) WHERE i.w <> ''
+        ), flat AS (
+            SELECT doc_id, flatten(list(toks ORDER BY pos)) AS all_toks
+            FROM per GROUP BY doc_id
+        )
+        SELECT doc_id, CAST(len(all_toks) AS BIGINT) AS n_subwords,
+               list_slice(all_toks, 1, 5) AS first_subwords
+        FROM flat ORDER BY doc_id
+    """
+
+
 def winnow_docs(spark, sf_dir):
     """Winnowing fingerprints (MOSS rolling-hash scheme). ORACLED as of
     r4: the rolling hash is a base-1099511628211 polynomial over UTF-8
@@ -2826,9 +2897,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #       vanilla sweep;
         #     - reservoir_orders_oracle NEW (deterministic md5 draw arm
         #       promotes the reservoir machinery from rows-only, the
-        #       :abb two-arm pattern; xls_roundtrip rotates out — its
-        #       vendored codec is untouched this round and six sibling
-        #       roundtrips keep the io dispatch path in-window);
+        #       :abb two-arm pattern) and bpe_encode_oracle_docs NEW
+        #       (fixed well-ordered merge table makes greedy encode ==
+        #       rank-order fixpoint replaces — SQL-replayable; training
+        #       stays rows-only). xls/xlsx roundtrips rotate out — the
+        #       vendored codecs are untouched this round and five
+        #       sibling roundtrips keep the io dispatch path in-window;
         #     - image_pipeline_jpeg_docs NEW (vendored baseline JPEG
         #       codec, r5 verdict #5), image_pipeline_gif_docs NEW
         #       (vendored LZW GIF codec), media_dims_docs NEW (JVM-side
@@ -2864,7 +2938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
         "orc_roundtrip_orders": orc_roundtrip_orders,
         "arrow_roundtrip_events": arrow_roundtrip_events,
-        "excel_roundtrip_orders": excel_roundtrip_orders,
+        "bpe_encode_oracle_docs": bpe_encode_oracle_docs,
         "reservoir_orders_oracle": reservoir_orders_oracle,
         "rolling_user_value": rolling_user_value,
         "rolling_clamp_user": rolling_clamp_user,
@@ -2905,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_docs": media_meta_docs,
         "audio_features_docs": audio_features_docs,
         "xls_roundtrip_orders": xls_roundtrip_orders,
+        "excel_roundtrip_orders": excel_roundtrip_orders,
         "ffill_events": ffill_events,
         "lerp_events": lerp_events,
         "winnow_docs": winnow_docs,
@@ -5048,6 +5123,7 @@ def oracle_sql() -> dict[str, str]:
             FROM d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id
         """,
+        "bpe_encode_oracle_docs": _bpe_fixed_oracle(),
         "reservoir_orders_oracle": """
             SELECT o_orderkey, o_orderpriority FROM (
                 SELECT o_orderkey, o_orderpriority,

@@ -1076,3 +1076,29 @@ def test_winnow_chunk_invariance(spark):
         "doc_id", txt.winnow_fingerprints(F.col("text"),
                                           chunk_bytes=1).alias("fp")).collect()}
     assert a == b and len(a[0]) > 0
+
+
+def test_bpe_encode_fixed_table_priority_and_chaining(spark):
+    """The oracle-twin merge table's laws: rank priority ((r,o) beats
+    (o,w) inside 'row'), chained merges (d->da->dat->data->data</w>),
+    EOW rules, and the greedy==rank-order-fixpoint equivalence the
+    oracle relies on (well-ordered table)."""
+    from __spark_entry__ import _BPE_FIXED_MERGES
+    from tech_ml_dataset_spark.functions import text as txt
+    df = spark.createDataFrame(
+        [(1, "the data row window slow a")], "doc_id int, text string")
+    out = txt.bpe_encode(df, _BPE_FIXED_MERGES, lowercase=True).collect()[0]
+    toks = out["bpe_tokens"]
+    assert toks[:2] == ["the</w>", "data</w>"]
+    assert "row" in toks and "</w>" in toks          # row + bare EOW
+    assert "ow" in toks and "slow" in toks           # window's ow; slow chain
+    assert toks[-1] == "a</w>"
+    # rank-order-fixpoint replay (the oracle's law) gives the same stream
+    def replay(word):
+        syms = " " + " ".join(list(word) + ["</w>"]) + " "
+        for l, r in _BPE_FIXED_MERGES:
+            for _ in range(6):
+                syms = syms.replace(f" {l} {r} ", f" {l}{r} ")
+        return syms.split()
+    want = [t for w in "the data row window slow a".split() for t in replay(w)]
+    assert toks == want
