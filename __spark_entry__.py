@@ -1295,6 +1295,21 @@ def bigram_lm_docs(spark, sf_dir):
                       "n_bigrams")
 
 
+def kn_bigram_lm_docs(spark, sf_dir):
+    """Interpolated KNESER-NEY bigram LM (text.py kneser_ney_bigram_score;
+    Kneser & Ney 1995 absolute discounting + continuation probability) —
+    the publication-standard smoothing above bigram_lm_docs' Jelinek-
+    Mercer. The oracle replays tokenize -> bigram counts -> left/right
+    type counts -> the max(c-D,0)/c1 + D*n1l/c1 * n1r/B interpolation
+    in DuckDB over the identical count tables."""
+    docs = _t(spark, sf_dir, "documents")
+    out = txt.kneser_ney_bigram_score(docs)
+    return out.select("doc_id",
+                      _r4(F.col("kn_bits_per_bigram"))
+                      .alias("kn_bits_per_bigram"),
+                      "n_bigrams")
+
+
 def ccnet_buckets_docs(spark, sf_dir):
     """CCNet head/middle/tail quality buckets per language (Wenzek et al.
     2020): unigram-LM score + per-lang ntile(3) on the 4-decimal-rounded
@@ -2922,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
+        "kn_bigram_lm_docs": kn_bigram_lm_docs,
         "abb_fill_events": abb_fill_events,
         "html_extract_docs": html_extract_docs,
         "c4_filter_docs": c4_filter_docs,
@@ -2936,7 +2952,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_orders": csv_roundtrip_orders,
         "json_roundtrip_events": json_roundtrip_events,
         "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
-        "orc_roundtrip_orders": orc_roundtrip_orders,
         "arrow_roundtrip_events": arrow_roundtrip_events,
         "bpe_encode_oracle_docs": bpe_encode_oracle_docs,
         "reservoir_orders_oracle": reservoir_orders_oracle,
@@ -2980,6 +2995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_docs": audio_features_docs,
         "xls_roundtrip_orders": xls_roundtrip_orders,
         "excel_roundtrip_orders": excel_roundtrip_orders,
+        "orc_roundtrip_orders": orc_roundtrip_orders,
         "ffill_events": ffill_events,
         "lerp_events": lerp_events,
         "winnow_docs": winnow_docs,
@@ -5600,6 +5616,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN bfreq b USING (w1, w2)
             JOIN ufreq u1 ON u1.w = e.w1
             JOIN ufreq u2 ON u2.w = e.w2, tot
+            GROUP BY e.doc_id
+        """,
+        "kn_bigram_lm_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                                      '\\s+'),
+                                   w -> length(w) > 0) AS toks
+                FROM documents
+            ), ex2 AS (
+                SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+                    SELECT doc_id,
+                           unnest([struct_pack(w1 := toks[i],
+                                               w2 := toks[i+1])
+                                   FOR i IN range(1, len(toks))]) AS bg
+                    FROM t WHERE len(toks) >= 2)
+            ), bfreq AS (
+                SELECT w1, w2, count(*) AS c12 FROM ex2 GROUP BY w1, w2
+            ), lfreq AS (
+                SELECT w1, sum(c12) AS c1, count(*) AS n1l
+                FROM bfreq GROUP BY w1
+            ), rfreq AS (
+                SELECT w2, count(*) AS n1r FROM bfreq GROUP BY w2
+            ), tot AS (
+                SELECT CAST(count(*) AS DOUBLE) AS B FROM bfreq
+            )
+            SELECT e.doc_id,
+                   round(-avg(log2(greatest(b.c12 - 0.75, 0.0) / l.c1
+                                   + 0.75 * l.n1l / l.c1
+                                     * r.n1r / tot.B)), 4)
+                       AS kn_bits_per_bigram,
+                   count(*) AS n_bigrams
+            FROM ex2 e
+            JOIN bfreq b USING (w1, w2)
+            JOIN lfreq l ON l.w1 = e.w1
+            JOIN rfreq r ON r.w2 = e.w2, tot
             GROUP BY e.doc_id
         """,
         "gopher_quality_docs": """

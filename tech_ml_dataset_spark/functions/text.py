@@ -918,6 +918,80 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text",
                           F.coalesce(F.col("n_bigrams"), F.lit(0)))
 
 
+def kneser_ney_bigram_score(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", *,
+                            discount: float = 0.75,
+                            broadcast_vocab_max: int = 30_000_000
+                            ) -> DataFrame:
+    """Corpus-relative INTERPOLATED KNESER-NEY bigram score per document
+    — the publication-standard smoothing (Kneser & Ney 1995; Chen &
+    Goodman 1999) above :func:`bigram_logprob_score`'s Jelinek-Mercer
+    rung on the CCNet-style perplexity ladder. KN's continuation
+    probability ranks words by how many CONTEXTS they follow rather
+    than raw frequency, so boilerplate tokens that are frequent in one
+    template ("Reserved" after "Rights") stop looking typical:
+
+        P(w2|w1) = max(C(w1,w2) - D, 0) / C(w1)
+                 + D * N1+(w1,*) / C(w1) * N1+(*,w2) / B
+
+    with C(w1) summed over bigram positions, N1+(w1,*) / N1+(*,w2) the
+    distinct-successor / distinct-predecessor type counts, and B the
+    total bigram type count. Emits mean -log2 P over a document's
+    bigram positions (``kn_bits_per_bigram``) + ``n_bigrams``; < 2
+    tokens scores NULL with n_bigrams = 0.
+
+    Plan shape mirrors :func:`bigram_logprob_score`: ONE corpus explode
+    (shifted-slice zip bigrams) feeds the bigram table; the left/right
+    KN tables are groupBys OVER that vocab-sized table, not the corpus;
+    everything is checkpointed and broadcast under
+    ``broadcast_vocab_max`` (stopword-pair keys make a shuffled join a
+    skew trap), shuffled with a warning above it. B comes from one
+    1-row agg over the checkpointed bigram table."""
+    from ..dtutil import ensure_parallelism
+    df = ensure_parallelism(df)
+    toks_all = F.split(F.lower(F.trim(F.col(text_col))), _WS)
+    toks = F.filter(toks_all, lambda t: F.length(t) > 0)
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ex = (df.select(F.col(id_col), F.explode(pairs).alias("__bg__"))
+            .select(id_col, F.col("__bg__.w1").alias("__w1__"),
+                    F.col("__bg__.w2").alias("__w2__")))
+    bfreq = (ex.groupBy("__w1__", "__w2__")
+               .agg(F.count(F.lit(1)).alias("__c12__"))
+               .localCheckpoint(eager=True))
+    tot = bfreq.agg(F.count(F.lit(1)).alias("B"),
+                    F.sum("__c12__").alias("P")).collect()[0]
+    n_btypes, n_positions = float(tot["B"] or 1), float(tot["P"] or 0)
+    lfreq = (bfreq.groupBy("__w1__")
+                  .agg(F.sum("__c12__").alias("__c1__"),
+                       F.count(F.lit(1)).alias("__n1l__")))
+    rfreq = bfreq.groupBy("__w2__").agg(F.count(F.lit(1)).alias("__n1r__"))
+    if max(n_btypes, n_positions) <= broadcast_vocab_max:
+        bfreq, lfreq, rfreq = (F.broadcast(bfreq), F.broadcast(lfreq),
+                               F.broadcast(rfreq))
+    else:
+        import warnings
+        warnings.warn(
+            f"kneser_ney_bigram_score: {int(n_btypes)} bigram types exceed "
+            f"broadcast_vocab_max={broadcast_vocab_max}; falling back to "
+            f"shuffled joins — expect stopword-pair skew (enable AQE skew "
+            f"mitigation).", RuntimeWarning, stacklevel=2)
+    d = F.lit(float(discount))
+    p = (F.greatest(F.col("__c12__") - d, F.lit(0.0)) / F.col("__c1__")
+         + d * F.col("__n1l__") / F.col("__c1__")
+         * F.col("__n1r__") / F.lit(n_btypes))
+    scored = (ex.join(bfreq, ["__w1__", "__w2__"])
+                .join(lfreq, "__w1__").join(rfreq, "__w2__")
+                .groupBy(id_col)
+                .agg((-F.avg(F.log2(p))).alias("kn_bits_per_bigram"),
+                     F.count(F.lit(1)).alias("n_bigrams")))
+    out = df.join(scored, id_col, "left")
+    return out.withColumn("n_bigrams",
+                          F.coalesce(F.col("n_bigrams"), F.lit(0)))
+
+
 def tfidf_top_terms(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", *, top_k: int = 5,
                     min_df: int = 1, max_df_ratio: float = 1.0,

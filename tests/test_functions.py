@@ -1102,3 +1102,24 @@ def test_bpe_encode_fixed_table_priority_and_chaining(spark):
         return syms.split()
     want = [t for w in "the data row window slow a".split() for t in replay(w)]
     assert toks == want
+
+
+def test_kneser_ney_bigram_score_law(spark):
+    """Hand-computed KN on a 3-doc micro corpus: continuation probability
+    uses distinct-context counts, absolute discount floors at 0."""
+    import math
+
+    from tech_ml_dataset_spark.functions import text as txt
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c b"), (4, "x")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: (r["kn_bits_per_bigram"], r["n_bigrams"])
+           for r in txt.kneser_ney_bigram_score(df).collect()}
+    # corpus bigrams: (a,b) x2, (c,b) x1 -> B=2 types
+    # P(b|a) = (2-.75)/2 + .75*(1/2)*(2/2) = 0.625 + 0.375 = 1.0
+    assert out[1][0] == out[2][0]
+    assert math.isclose(out[1][0], -math.log2(1.0), abs_tol=1e-9)
+    # P(b|c) = (1-.75)/1 + .75*(1/1)*(2/2) = 0.25 + 0.75 = 1.0
+    assert math.isclose(out[3][0], 0.0, abs_tol=1e-9)
+    # single-token doc: NULL score, 0 bigrams
+    assert out[4] == (None, 0)
