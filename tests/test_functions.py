@@ -1123,3 +1123,18 @@ def test_kneser_ney_bigram_score_law(spark):
     assert math.isclose(out[3][0], 0.0, abs_tol=1e-9)
     # single-token doc: NULL score, 0 bigrams
     assert out[4] == (None, 0)
+
+
+def test_kneser_ney_nondegenerate_vector(spark):
+    """Non-trivial KN vector: corpus 'a b' + 'a c' (B=2 types;
+    C(a)=2, N1+(a,*)=2, N1+(*,b)=N1+(*,c)=1) ->
+    P(b|a) = max(1-.75,0)/2 + .75*(2/2)*(1/2) = 0.125 + 0.375 = 0.5."""
+    import math
+
+    from tech_ml_dataset_spark.functions import text as txt
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")],
+                               "doc_id int, text string")
+    out = {r["doc_id"]: r["kn_bits_per_bigram"]
+           for r in txt.kneser_ney_bigram_score(df).collect()}
+    assert math.isclose(out[1], -math.log2(0.5), abs_tol=1e-9)
+    assert math.isclose(out[2], -math.log2(0.5), abs_tol=1e-9)
