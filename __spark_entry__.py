@@ -1713,6 +1713,22 @@ def audio_fingerprint_dedup_docs(spark, sf_dir):
                 .orderBy("id_a", "id_b")
 
 
+def image_dedup_survivors_docs(spark, sf_dir):
+    """End-to-end image DEDUP (not just pairs): dHash fingerprints ->
+    dedup.fingerprint_dedup keep-lowest-id — one hash-keyed shuffle, the
+    distance-0 face a crawl pipeline actually runs daily. The oracle
+    regroups the replayed dHash bitstrings and keeps min(doc_id) per
+    group, proving the survivor selection against any formula-collision
+    structure the fixtures happen to have."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id", (F.col("doc_id") % 80).alias("img_id"))
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    pngs = mmod.synthesize_png(binned, "img_id", height=8, width=8)
+    hashed = mmod.image_dhash(pngs, "png")
+    out = dd.fingerprint_dedup(hashed, "dhash", "doc_id")
+    return out.select("doc_id", "img_id").orderBy("doc_id")
+
+
 def _structured_doc_text(text):
     """Deterministic prose structure imposed on the flat word-stream
     ``documents`` table (shared by the webtext queries and replayed
@@ -2947,12 +2963,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims_docs": media_dims_docs,
         "image_pipeline_png_docs": image_pipeline_png_docs,
         "image_dhash_dedup_docs": image_dhash_dedup_docs,
+        "image_dedup_survivors_docs": image_dedup_survivors_docs,
         "audio_fingerprint_dedup_docs": audio_fingerprint_dedup_docs,
         "video_dedup_docs": video_dedup_docs,
         "csv_roundtrip_orders": csv_roundtrip_orders,
         "json_roundtrip_events": json_roundtrip_events,
         "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
-        "arrow_roundtrip_events": arrow_roundtrip_events,
         "bpe_encode_oracle_docs": bpe_encode_oracle_docs,
         "reservoir_orders_oracle": reservoir_orders_oracle,
         "rolling_user_value": rolling_user_value,
@@ -2996,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xls_roundtrip_orders": xls_roundtrip_orders,
         "excel_roundtrip_orders": excel_roundtrip_orders,
         "orc_roundtrip_orders": orc_roundtrip_orders,
+        "arrow_roundtrip_events": arrow_roundtrip_events,
         "ffill_events": ffill_events,
         "lerp_events": lerp_events,
         "winnow_docs": winnow_docs,
@@ -5232,6 +5249,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY a.doc_id, b.doc_id
             HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
             ORDER BY id_a, id_b
+        """,
+        "image_dedup_survivors_docs": """
+            WITH ids AS (
+                SELECT doc_id, doc_id % 80 AS img
+                FROM documents WHERE doc_id < 200
+            ), g AS (
+                SELECT i.doc_id, i.img, r.r, c.c,
+                       (((i.img * 31 + (((r.r * 8) + (c.c * 8) // 9) * 3 + 0) * 7) % 256
+                       + (i.img * 31 + (((r.r * 8) + (c.c * 8) // 9) * 3 + 1) * 7) % 256
+                       + (i.img * 31 + (((r.r * 8) + (c.c * 8) // 9) * 3 + 2) * 7) % 256)
+                        / 3.0) / 255.0 AS v
+                FROM ids i, range(8) r(r), range(9) c(c)
+            ), bits AS (
+                SELECT a.doc_id, a.img, a.r * 8 + a.c AS b,
+                       CASE WHEN a.v < w.v THEN '1' ELSE '0' END AS bit
+                FROM g a JOIN g w
+                  ON a.doc_id = w.doc_id AND a.r = w.r AND w.c = a.c + 1
+                WHERE a.c < 8
+            ), h AS (
+                SELECT doc_id, img, string_agg(bit, '' ORDER BY b) AS fp
+                FROM bits GROUP BY doc_id, img
+            ), surv AS (
+                SELECT min(doc_id) AS doc_id FROM h GROUP BY fp
+            )
+            SELECT h.doc_id, CAST(h.img AS BIGINT) AS img_id
+            FROM h JOIN surv USING (doc_id)
+            ORDER BY h.doc_id
         """,
         "image_dhash_dedup_docs": """
             WITH ids AS (

@@ -462,6 +462,36 @@ def hamming_pairs_between(new: DataFrame, hist: DataFrame, fp_col: str,
              .select("new_id", "hist_id", "distance"))
 
 
+def fingerprint_dedup(df: DataFrame, fp_col: str, id_col: str = "doc_id",
+                      *, keep: str = "min",
+                      keep_by: str | None = None) -> DataFrame:
+    """Exact-fingerprint dedup: ONE survivor per identical 64-bit
+    fingerprint value — the distance-0 dedup face of the media hash
+    family (at crawl scale most duplicate images/audio are
+    dHash-identical, and exact grouping is one hash-keyed shuffle with
+    map-side combine, no band join needed; use
+    :func:`hamming_dedup_pairs` + :func:`dedup_clusters` when near-dups
+    at distance > 0 must also collapse). Same survivor contract as
+    :func:`exact_dedup`: smallest (or largest) id, or the best
+    ``keep_by`` score with id tie-break; NULL fingerprints (undecodable
+    media) route around the dedup untouched."""
+    keep_fn = F.min if keep == "min" else F.max
+    nulls = df.filter(F.col(fp_col).isNull())
+    nn = df.filter(F.col(fp_col).isNotNull())
+    if keep_by is not None:
+        from pyspark.sql.window import Window as W
+        order = [F.col(keep_by).desc_nulls_last(),
+                 F.col(id_col).asc() if keep == "min"
+                 else F.col(id_col).desc()]
+        w = W.partitionBy(fp_col).orderBy(*order)
+        out = (nn.withColumn("__rn__", F.row_number().over(w))
+                 .filter(F.col("__rn__") == 1).drop("__rn__"))
+        return out.unionByName(nulls)
+    survivors = nn.groupBy(fp_col).agg(keep_fn(id_col).alias(id_col))
+    return nn.join(survivors, [fp_col, id_col], "left_semi") \
+             .unionByName(nulls)
+
+
 def shared_fingerprint_pairs(df: DataFrame, fp_col: str,
                              id_col: str = "doc_id", *,
                              min_shared: int = 1) -> DataFrame:

@@ -476,3 +476,17 @@ def test_shared_fingerprint_pairs_distinct_semantics(spark):
     from tech_ml_dataset_spark.functions import dedup as dd
     got = dd.shared_fingerprint_pairs(df, "fp", "id").collect()
     assert [(r["id_a"], r["id_b"], r["shared"]) for r in got] == [(1, 2, 1)]
+
+
+def test_fingerprint_dedup_survivor_laws(spark):
+    from tech_ml_dataset_spark.functions import dedup as dd
+    df = spark.createDataFrame(
+        [(1, 100, 0.5), (2, 100, 0.9), (3, 200, 0.1), (4, None, 0.0)],
+        "id int, fp long, quality double")
+    # min-id survivor; NULL fp routes around untouched
+    got = sorted(r["id"] for r in dd.fingerprint_dedup(df, "fp", "id").collect())
+    assert got == [1, 3, 4]
+    # keep_by: best quality wins the duplicate group
+    got = sorted(r["id"] for r in
+                 dd.fingerprint_dedup(df, "fp", "id", keep_by="quality").collect())
+    assert got == [2, 3, 4]
