@@ -154,3 +154,20 @@ class TestSpanDedup:
         doc = "s one alpha. s two beta. s three gamma."
         out = self._dedup(spark, [doc, doc, doc])
         assert out[0] != "" and out[1] == "" and out[2] == ""
+
+    def test_within_doc_duplicate_span_removed(self, spark):
+        # the same 3-sentence span twice INSIDE one doc: the first
+        # occurrence is canonical, the second's sentences are removed
+        doc = ("s one alpha. s two beta. s three gamma. "
+               "s one alpha. s two beta. s three gamma.")
+        out = self._dedup(spark, [doc])
+        assert out[0] == "s one alpha. s two beta. s three gamma."
+
+    def test_overlapping_spans_share_canonical_sentences(self, spark):
+        # doc 1 duplicates a span whose sentences also belong to doc 0's
+        # canonical overlapping spans; only doc 1 loses sentences
+        a = "w1 a. w2 b. w3 c. w4 d."
+        b = "w2 b. w3 c. w4 d."
+        out = self._dedup(spark, [a, b])
+        assert out[0] == a
+        assert out[1] == ""
