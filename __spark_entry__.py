@@ -2734,7 +2734,8 @@ def bpe_encode_docs(spark, sf_dir):
     merges = txt.bpe_train(docs, n_merges=200, lowercase=True)
     out = txt.bpe_encode(docs, merges, lowercase=True)
     return out.select("doc_id", F.col("bpe_tokens_n").alias("n_subwords"),
-                      F.slice("bpe_tokens", 1, 5).alias("first_subwords"))
+                      F.array_join(F.slice("bpe_tokens", 1, 5), " ")
+                       .alias("first_subwords"))
 
 
 #: Fixed, WELL-ORDERED merge table for the BPE encode oracle twin: every
@@ -2766,9 +2767,12 @@ def bpe_encode_oracle_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300) \
         .select("doc_id", "text")
     out = txt.bpe_encode(docs, _BPE_FIXED_MERGES, lowercase=True)
+    # array_join, not a raw array<string>: the driver canonicalizer sorts
+    # result columns with pandas, and Python lists are unhashable there.
     return out.select("doc_id",
                       F.col("bpe_tokens_n").cast("long").alias("n_subwords"),
-                      F.slice("bpe_tokens", 1, 5).alias("first_subwords")) \
+                      F.array_join(F.slice("bpe_tokens", 1, 5), " ")
+                       .alias("first_subwords")) \
               .orderBy("doc_id")
 
 
@@ -2803,7 +2807,10 @@ def _bpe_fixed_oracle() -> str:
             FROM per GROUP BY doc_id
         )
         SELECT doc_id, CAST(len(all_toks) AS BIGINT) AS n_subwords,
-               list_slice(all_toks, 1, 5) AS first_subwords
+               -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+               -- array_join(empty) is '' — align on ''
+               coalesce(array_to_string(list_slice(all_toks, 1, 5), ' '),
+                        '') AS first_subwords
         FROM flat ORDER BY doc_id
     """
 

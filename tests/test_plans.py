@@ -346,6 +346,29 @@ def test_all_queries_scale_audit(spark, sf_dir):
     assert not bad, bad
 
 
+def test_all_queries_driver_canonicalizable_schema(spark, sf_dir):
+    """r6's only red row was a HARNESS-contract failure, not an engine one:
+    bpe_encode_oracle_docs emitted a raw array<string> column and the
+    driver's canonicalizer (pandas sort_values over all columns) died on
+    unhashable lists. Catch that class before rotation: no registry query
+    may emit Array/Map/Struct/Binary output columns — array_join / hex /
+    to_json them at the query boundary."""
+    from pyspark.sql.types import (ArrayType, BinaryType, MapType,
+                                   StructType)
+    bad = []
+    for name, fn in entry.queries().items():
+        try:
+            schema = fn(spark, sf_dir).schema
+        except Exception as ex:  # pragma: no cover - query itself broken
+            bad.append((name, f"build failed: {ex}"))
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType,
+                          (ArrayType, MapType, StructType, BinaryType)):
+                bad.append((name, f"{f.name}: {f.dataType.simpleString()}"))
+    assert not bad, bad
+
+
 def test_unigram_lm_freq_join_is_broadcast(spark, sf_dir):
     """r2 verdict scale bug: the token-scoring join used to shuffle the
     fully-exploded corpus keyed by token — at 100 TB "the"/"and" are

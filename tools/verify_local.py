@@ -54,6 +54,12 @@ def main():
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    unknown = sorted(set(only) - set(qs))
+    if unknown:
+        # A misspelled name must NOT produce a vacuous "0 failures" pass.
+        sys.exit(f"unknown query name(s): {unknown} — not in queries()")
+
     if vanilla:
         # Mimic the external driver exactly: a PLAIN session — Spark 4
         # defaults (ANSI on, no tuned confs). Queries must survive both.
@@ -68,11 +74,12 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs, oracles = entry.queries(), entry.oracle_sql()
     fails = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -125,7 +132,10 @@ def main():
             continue
         print(f"OK    {name} ({len(s_rows)} rows)")
 
-    print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+    print(f"\n{checked} queries checked, {len(fails)} failures"
+          + (f": {fails}" if fails else ""))
+    if checked == 0:
+        sys.exit("0 queries checked — refusing to report a vacuous pass")
     sys.exit(1 if fails else 0)
 
 
