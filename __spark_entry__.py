@@ -5169,7 +5169,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_orderkey, o_orderpriority,
                        row_number() OVER (
                            PARTITION BY o_orderpriority
-                           ORDER BY md5(CAST(o_orderkey AS VARCHAR) || ':42'),
+                           ORDER BY md5(md5(CAST(o_orderkey AS VARCHAR))
+                                        || ':42'),
                                     o_orderkey) AS rn
                 FROM orders
             ) WHERE rn <= 3

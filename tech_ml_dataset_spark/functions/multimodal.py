@@ -529,6 +529,14 @@ def audio_fingerprint(df: DataFrame, bin_col: str, out_col: str = "afp",
             for data in pdf[bin_col]:
                 try:
                     with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+                        # 16-bit uncompressed PCM only: 8/24/32-bit WAVs
+                        # open fine but '<i2' would silently mis-parse
+                        # them into garbage fingerprints (false dedup
+                        # matches). NULL instead, the audio_features law.
+                        if (w.getsampwidth() != 2
+                                or w.getcomptype() != "NONE"):
+                            fps.append(None)
+                            continue
                         nch, nf = w.getnchannels(), w.getnframes()
                         raw = w.readframes(nf)
                     pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)

@@ -27,11 +27,18 @@ from pyspark.sql.window import Window
 # HTML -> text
 # ---------------------------------------------------------------------------
 
+#: Explicit whitespace class shared by BOTH regex chains: Java's ``\s``
+#: includes ``\x0B`` (vertical tab) while RE2's does not, so a bare
+#: ``\s`` would let the Spark chain and the DuckDB oracle drift on
+#: vertical-tab input. Spelling the class out keeps the two engines
+#: byte-identical (the module's Java-regex ∩ RE2 common-subset law).
+_WS = r"[ \t\n\x0B\f\r]"
+
 #: Block-level closers/voids rewritten to a newline BEFORE tags are
 #: stripped, so paragraph structure survives as line structure.
-_BLOCK_BREAK = (r"(?i)<br\s*/?>|<hr\s*/?>"
+_BLOCK_BREAK = (rf"(?i)<br{_WS}*/?>|<hr{_WS}*/?>"
                 r"|</(?:p|div|h[1-6]|li|tr|ul|ol|table|blockquote|section"
-                r"|article|header|footer|pre)\s*>")
+                rf"|article|header|footer|pre){_WS}*>")
 
 #: Entity decode order is part of the law: named entities first,
 #: ``&amp;`` LAST, so ``&amp;lt;`` decodes to the literal ``&lt;`` (one
@@ -62,31 +69,34 @@ def html_to_text(html: Column) -> Column:
     pinned in tests and replayed identically by the oracle.
     """
     c = F.regexp_replace(html, r"(?s)<!--.*?-->", "")
-    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script\s*>", "")
-    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", "")
+    c = F.regexp_replace(c, rf"(?is)<script\b[^>]*>.*?</script{_WS}*>", "")
+    c = F.regexp_replace(c, rf"(?is)<style\b[^>]*>.*?</style{_WS}*>", "")
     c = F.regexp_replace(c, _BLOCK_BREAK, "\n")
     c = F.regexp_replace(c, r"<[^>]*>", " ")
     for ent, ch in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))
-    c = F.regexp_replace(c, r"[ \t\r]*\n[\s]*", "\n")
-    c = F.regexp_replace(c, r"[ \t\r]+", " ")
-    return F.regexp_replace(c, r"^[\s]+|[\s]+$", "")
+    c = F.regexp_replace(c, rf"[ \t\x0B\f\r]*\n{_WS}*", "\n")
+    c = F.regexp_replace(c, r"[ \t\x0B\f\r]+", " ")
+    return F.regexp_replace(c, rf"^{_WS}+|{_WS}+$", "")
 
 
 def html_to_text_sql(expr: str) -> str:
     """The DuckDB replay of :func:`html_to_text` (oracle builder) —
     kept adjacent to the Spark law so the two chains cannot drift."""
+    # DuckDB ''-literals pass backslashes through to RE2 verbatim, so the
+    # shared class constants are inserted as-is (same chars both engines).
+    ws = _WS
     c = f"regexp_replace({expr}, '(?s)<!--.*?-->', '', 'g')"
-    c = f"regexp_replace({c}, '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g')"
-    c = f"regexp_replace({c}, '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g')"
+    c = f"regexp_replace({c}, '(?is)<script\\b[^>]*>.*?</script{ws}*>', '', 'g')"
+    c = f"regexp_replace({c}, '(?is)<style\\b[^>]*>.*?</style{ws}*>', '', 'g')"
     c = f"regexp_replace({c}, '{_BLOCK_BREAK}', chr(10), 'g')"
     c = f"regexp_replace({c}, '<[^>]*>', ' ', 'g')"
     for ent, ch in _ENTITIES:
         lit = ch.replace("'", "''")
         c = f"replace({c}, '{ent}', '{lit}')"
-    c = f"regexp_replace({c}, '[ \\t\\r]*\\n[\\s]*', chr(10), 'g')"
-    c = f"regexp_replace({c}, '[ \\t\\r]+', ' ', 'g')"
-    return f"regexp_replace({c}, '^[\\s]+|[\\s]+$', '', 'g')"
+    c = f"regexp_replace({c}, '[ \\t\\x0B\\f\\r]*\\n{ws}*', chr(10), 'g')"
+    c = f"regexp_replace({c}, '[ \\t\\x0B\\f\\r]+', ' ', 'g')"
+    return f"regexp_replace({c}, '^{ws}+|{ws}+$', '', 'g')"
 
 
 # ---------------------------------------------------------------------------
@@ -139,7 +149,21 @@ def c4_filters(df: DataFrame, text_col: str = "text", *,
         & ~F.lower(t).contains("lorem ipsum") \
         & ~t.contains("{")
     if badwords:
-        pat = "(?i)\\b(" + "|".join(badwords) + ")\\b"
+        # Escape every entry: a blocklist word with regex metacharacters
+        # ('c++', 'a.b') would otherwise break the pattern or silently
+        # widen the match ('a.b' hitting 'aXb'). Per-char backslash
+        # escaping of everything outside [A-Za-z0-9 _'] is unambiguous
+        # in the Java-regex ∩ RE2 common subset. Delimiter guards are
+        # explicit (?:^|\W)..(?:\W|$) rather than \b: for word-edged
+        # entries they're existence-equivalent to \b, and for entries
+        # ending in a metacharacter ('c++') a trailing \b can NEVER
+        # match ('+' and ' ' are both non-word), silently disabling the
+        # rule. \W is [^0-9A-Za-z_] in both engines.
+        def esc(w: str) -> str:
+            return "".join(ch if ch.isalnum() or ch in " _'"
+                           else "\\" + ch for ch in w)
+        pat = ("(?i)(?:^|\\W)(" + "|".join(esc(w) for w in badwords)
+               + ")(?:\\W|$)")
         keep = keep & ~t.rlike(pat)
     return (df.withColumn(clean_col, clean)
               .withColumn("c4_n_sentences", n_sent)

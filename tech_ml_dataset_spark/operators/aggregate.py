@@ -245,7 +245,8 @@ def reservoir_sample(df: DataFrame, k: int, *, by=None,
     the default ``rand(seed)`` matches the reference's seeded-RNG
     semantics (rows are seed- AND engine-dependent — rows-only
     checkable); pass ``key_cols`` for the DETERMINISTIC arm, drawing by
-    ``md5(concat_ws(':', key_cols..., seed))`` with the keys as
+    ``md5(concat_ws(':', md5(key)..., seed))`` (per-key md5 tokens —
+    collision-proof for ':'-bearing or NULL keys) with the keys as
     tie-break — bit-identical across engines, retries, and partitionings
     (md5 of the same string is the same everywhere), so a SQL oracle
     replays the exact sampled rows. Statistically it is a uniform draw
@@ -254,7 +255,15 @@ def reservoir_sample(df: DataFrame, k: int, *, by=None,
     from pyspark.sql import Window as W
 
     if key_cols:
-        keys = [F.col(c).cast("string") for c in key_cols]
+        # Hash each key separately before concatenation: md5 hex is a
+        # fixed-width token with no ':' in it, so distinct key tuples
+        # can't collide the way raw concat_ws values could (('a:b',) vs
+        # ('a','b'), or tuples differing only by a NULL key, which
+        # concat_ws silently skips). NULL keys coalesce to a sentinel
+        # that is never a 32-hex digest. Replays verbatim in any SQL
+        # engine: md5(coalesce(md5(cast(k as varchar)),'NULL')||..||':seed').
+        keys = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL"))
+                for c in key_cols]
         draw_cols = [F.md5(F.concat_ws(":", *keys, F.lit(str(seed))))] + \
             [F.col(c) for c in key_cols]
     else:

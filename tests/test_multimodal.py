@@ -436,6 +436,34 @@ def test_audio_fingerprint_null_laws(spark):
         mm.audio_fingerprint(df, "data", n_frames=33)
 
 
+def test_audio_fingerprint_non_16bit_is_null(spark):
+    """r6 advice: wave.open accepts 8/24/32-bit WAVs, but the fingerprint
+    law is 16-bit PCM — frombuffer('<i2') would silently mis-parse other
+    widths into garbage fingerprints (false dedup matches). Non-16-bit
+    must take the NULL route, like undecodable bytes."""
+    import io
+    import wave
+
+    def wav(width, payload):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            w.writeframes(payload)
+        return bytearray(buf.getvalue())
+
+    df = spark.createDataFrame(
+        [(1, wav(2, b"\x01\x02" * 256)),   # 16-bit: fingerprints
+         (2, wav(1, b"\x7f" * 256)),       # 8-bit: NULL
+         (3, wav(4, b"\x01\x02\x03\x04" * 256))],  # 32-bit: NULL
+        "id int, data binary")
+    rows = {r["id"]: r["afp"]
+            for r in mm.audio_fingerprint(df, "data").collect()}
+    assert rows[1] is not None
+    assert rows[2] is None and rows[3] is None
+
+
 def test_video_fingerprint_and_shared_pairs(spark):
     import hashlib
 

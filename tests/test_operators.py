@@ -1342,7 +1342,34 @@ def test_reservoir_sample_arms(spark, sf_dir):
     for r in rows:
         bygrp.setdefault(r["o_orderpriority"], []).append(r["o_orderkey"])
     want = set()
+
+    def draw(k):  # per-key md5 token, then the seed-salted draw hash
+        kh = hashlib.md5(str(k).encode()).hexdigest()
+        return hashlib.md5(f"{kh}:42".encode()).hexdigest()
+
     for g, ks in bygrp.items():
-        ks.sort(key=lambda k: (hashlib.md5(f"{k}:42".encode()).hexdigest(), k))
+        ks.sort(key=lambda k: (draw(k), k))
         want |= {(g, k) for k in ks[:2]}
     assert got == want
+
+
+def test_reservoir_md5_draw_key_collision_law(spark):
+    """r6 advice: the md5 arm used to draw from concat_ws(':', keys, seed),
+    so ('a:b',) and ('a','b') — or tuples differing only by a NULL key,
+    which concat_ws SKIPS — collided to the same draw string, correlating
+    the sample. Per-key md5 tokens + NULL sentinel make every distinct key
+    tuple draw independently."""
+    from pyspark.sql import functions as F
+
+    from tech_ml_dataset_spark.operators import aggregate as agg
+    df = spark.createDataFrame(
+        [("a:b", "c"), ("a", "b:c"), ("a", None), (None, "a")],
+        "k1 string, k2 string")
+    draws = (agg.reservoir_sample(df, 4, seed=1, key_cols=["k1", "k2"])
+             .select("k1", "k2").distinct().count())
+    assert draws == 4  # all four rows survive k=4: sanity
+    # the draw expression itself must be injective over these tuples
+    keys = [F.coalesce(F.md5(F.col(c).cast("string")), F.lit("NULL"))
+            for c in ("k1", "k2")]
+    d = df.select(F.md5(F.concat_ws(":", *keys, F.lit("1"))).alias("d"))
+    assert d.distinct().count() == 4

@@ -42,6 +42,22 @@ class TestHtmlToText:
     def test_whitespace_normalization(self, spark):
         assert _one(spark, "  a   b  \n\n\n  c  ") == "a b\nc"
 
+    def test_vertical_tab_engine_parity(self, spark):
+        """r6 advice: a bare regex \\s includes \\x0B under Java but not
+        RE2, so the Spark chain and the DuckDB oracle drifted on
+        vertical-tab input. Both now spell the class out — assert the
+        two chains agree byte-for-byte on \\x0B (and \\f) payloads."""
+        import duckdb
+
+        payloads = ["a \x0b b<br>\x0b c", "x\x0b", "\x0by",
+                    "a\fb", " \x0b \f <p>t</p> \x0b "]
+        got_spark = [_one(spark, p) for p in payloads]
+        con = duckdb.connect()
+        got_duck = [con.execute(
+            "SELECT " + wt.html_to_text_sql("$1"), [p]).fetchone()[0]
+            for p in payloads]
+        assert got_spark == got_duck
+
     def test_angle_brackets(self, spark):
         # '<...>' spans ARE treated as tags even in prose (documented
         # law: the stripper is not an HTML parser) ...
@@ -105,6 +121,21 @@ class TestC4Filters:
             good.replace("third", "notBADWORDhere"),  # substring: no match
         ]), badwords=("badword",)).orderBy("doc_id").collect()
         assert [r["c4_keep"] for r in out] == [False, True]
+
+    def test_badwords_metacharacters_escaped(self, spark):
+        """r6 advice: 'c++' / 'a.b' style blocklist entries must match
+        LITERALLY — unescaped they broke the pattern or silently widened
+        the match ('a.b' matching 'aXb')."""
+        good = ("a good first sentence right here.\n"
+                "a good second sentence right here.\n"
+                "a good third sentence right here.")
+        out = wt.c4_filters(self._df(spark, [
+            good.replace("third", "c++"),    # literal hit -> dropped
+            good.replace("third", "ccc"),    # 'c++' as regex would match
+            good.replace("third", "a.b"),    # literal hit -> dropped
+            good.replace("third", "aXb"),    # '.' must not wildcard
+        ]), badwords=("c++", "a.b")).orderBy("doc_id").collect()
+        assert [r["c4_keep"] for r in out] == [False, True, False, True]
 
     def test_no_python_stage(self, spark):
         df = wt.c4_filters(self._df(spark, ["x."]))
