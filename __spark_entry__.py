@@ -2096,8 +2096,14 @@ def audio_features_docs(spark, sf_dir):
     audio_features): encode an integer-law PCM16 fixture per doc, decode
     with stdlib wave, extract features in one fused Python pass. The
     integer PCM law makes the oracle exact (sum of squares < 2^53 —
-    no float-associativity drift)."""
+    no float-associativity drift).
+
+    r7: repartition_for_decode was missing here (the ONLY media query
+    without it) — the whole Python codec chain ran in the scan's split
+    count (ONE task at sf0.1), the root cause of the r6 bench watch
+    item (2.58 s) and a 1000-executor-cluster serialization point."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = mmod.repartition_for_decode(docs, "doc_id")
     wav = mmod.synthesize_wav(docs, "doc_id", n_samples=2048,
                               sample_rate=8000)
     out = mmod.audio_features(wav, "wav")

@@ -494,7 +494,8 @@ def fingerprint_dedup(df: DataFrame, fp_col: str, id_col: str = "doc_id",
 
 def shared_fingerprint_pairs(df: DataFrame, fp_col: str,
                              id_col: str = "doc_id", *,
-                             min_shared: int = 1) -> DataFrame:
+                             min_shared: int = 1,
+                             max_df: int | None = None) -> DataFrame:
     """Pairs whose array-fingerprint columns share >= ``min_shared``
     DISTINCT values — the set-overlap join for multi-fingerprint media
     (video frame dHashes, audio chunk hashes, winnow fingerprint sets).
@@ -504,10 +505,22 @@ def shared_fingerprint_pairs(df: DataFrame, fp_col: str,
     per fingerprint bucket and a count aggregate applies the overlap
     threshold. A fingerprint shared by m rows costs m^2/2 candidate
     rows; dedup fingerprints are near-unique by construction, so there
-    is no stopword-style hot key (cap with a DF filter upstream if a
-    degenerate constant-content corpus makes one)."""
+    is normally no stopword-style hot key — but a degenerate
+    constant-content corpus (every video the same test pattern) makes
+    one, so ``max_df`` drops fingerprints shared by more than ``max_df``
+    rows before the self-join (the ngram_jaccard cap): candidate volume
+    is then bounded by ``max_df^2/2`` per fingerprint. Pairs whose ONLY
+    overlap is capped-out fingerprints are not emitted — the standard
+    near-dup recall tradeoff: a fingerprint that frequent identifies a
+    boilerplate artifact, not a duplicate pair."""
     inv = df.select(F.col(id_col), F.explode(fp_col).alias("__fp__")) \
             .distinct()
+    if max_df is not None:
+        admitted = (inv.groupBy("__fp__")
+                       .agg(F.count(F.lit(1)).alias("__df__"))
+                       .filter(F.col("__df__") <= max_df)
+                       .select("__fp__"))
+        inv = inv.join(admitted, "__fp__")
     a = inv.select(F.col(id_col).alias("id_a"), "__fp__")
     b = inv.select(F.col(id_col).alias("id_b"), "__fp__")
     return (a.join(b, "__fp__")

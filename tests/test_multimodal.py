@@ -506,6 +506,28 @@ def test_shared_fingerprint_pairs_distinct_semantics(spark):
     assert [(r["id_a"], r["id_b"], r["shared"]) for r in got] == [(1, 2, 1)]
 
 
+def test_shared_fingerprint_pairs_max_df_caps_hot_keys(spark):
+    """r6 verdict #6: a degenerate constant-content corpus (every row
+    sharing one fingerprint) used to be the last unguarded m^2/2
+    quadratic in the dedup family. max_df drops fingerprints shared by
+    more than max_df rows BEFORE the self-join; pairs overlapping only
+    on capped-out fingerprints are not emitted."""
+    from tech_ml_dataset_spark.functions import dedup as dd
+    # fp 1 in all 6 rows (hot); fp 10+i distinct; rows 4&5 also share 77
+    rows = [(i, [1, 10 + i]) for i in range(4)] + \
+           [(4, [1, 77]), (5, [1, 77])]
+    df = spark.createDataFrame(rows, "id int, fp array<long>")
+    # uncapped: every pair shares the hot fp -> C(6,2)=15 pairs
+    assert dd.shared_fingerprint_pairs(df, "fp", "id").count() == 15
+    # capped at 3: hot fp (df=6) dropped; only (4,5) survive via 77
+    got = dd.shared_fingerprint_pairs(df, "fp", "id", max_df=3).collect()
+    assert [(r["id_a"], r["id_b"], r["shared"]) for r in got] == [(4, 5, 1)]
+    # the candidate volume is bounded: the inverted index after the cap
+    # contains no fingerprint with df > 3 (plan-level guarantee)
+    assert dd.shared_fingerprint_pairs(
+        df, "fp", "id", max_df=1).count() == 0
+
+
 def test_fingerprint_dedup_survivor_laws(spark):
     from tech_ml_dataset_spark.functions import dedup as dd
     df = spark.createDataFrame(
