@@ -588,19 +588,33 @@ def synthesize_png(df: DataFrame, id_col: str, *, height: int = 8,
 
 
 def synthesize_jpeg(df: DataFrame, id_col: str, *, height: int = 16,
-                    width: int = 16, out_col: str = "jpg") -> DataFrame:
+                    width: int = 16, out_col: str = "jpg",
+                    subsampling: str = "444",
+                    color: bool = False) -> DataFrame:
     """Deterministic baseline-JPEG fixture column: the image is a grid of
     CONSTANT 8x8 blocks, block ``b`` (row-major) of row ``id`` holding
     value ``(id*37 + b*11) % 256`` (grayscale), encoded with the vendored
     codec (functions/jpeg.py) at quant=1. Constant blocks have only a DC
     coefficient, so the decode reproduces each block EXACTLY despite JPEG
     being lossy in general — giving a closed-form pixel law a SQL oracle
-    can replay, the same proof structure as :func:`synthesize_png`."""
+    can replay, the same proof structure as :func:`synthesize_png`.
+
+    ``color=True`` replicates the gray law into equal R=G=B channels;
+    with ``subsampling="420"``/``"422"`` this extends the exactness law
+    to CHROMA-SUBSAMPLED streams (the real-web majority case): equal
+    channels put Cb=Cr at exactly 128 (constant planes box-average to
+    themselves, DC-only, zero AC), and the decoder's replication
+    upsample of a constant plane is the plane — so the decoded RGB still
+    equals the gray formula per pixel, bit-exactly (pinned in
+    tests/test_multimodal.py and by the jpeg420 driver oracle)."""
     from . import jpeg
 
     if height % 8 or width % 8:
         raise ValueError("synthesize_jpeg: height/width must be multiples "
                          "of 8 (constant-block exactness law)")
+    if subsampling != "444" and not color:
+        raise ValueError("synthesize_jpeg: chroma subsampling needs "
+                         "color=True (grayscale has no chroma)")
     out_schema = T.StructType(df.schema.fields +
                               [T.StructField(out_col, T.BinaryType())])
     bh, bw = height // 8, width // 8
@@ -612,7 +626,10 @@ def synthesize_jpeg(df: DataFrame, id_col: str, *, height: int = 16,
             for did in pdf[id_col]:
                 vals = (int(did) * 37 + bidx * 11) % 256
                 arr = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
-                payloads.append(jpeg.encode(arr, quant=1))
+                if color:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                payloads.append(jpeg.encode(arr, quant=1,
+                                            subsampling=subsampling))
             pdf[out_col] = payloads
             yield pdf
 

@@ -241,6 +241,43 @@ def test_jpeg_random_roundtrip_error_bounds():
     assert np.abs(d16[:, :, 0].astype(int) - g.astype(int)).max() <= 16
 
 
+def test_jpeg_subsampled_roundtrips():
+    """4:2:0 / 4:2:2 decode (r6 verdict missing #1 — the real-web
+    majority case): general content round-trips within the chroma
+    interpolation bound; equal-channel constant-block fixtures (chroma
+    exactly 128, luma DC-only) round-trip BIT-EXACTLY, the law the
+    jpeg420 driver oracle replays."""
+    from tech_ml_dataset_spark.functions import jpeg
+    rng = np.random.default_rng(5)
+    # constant-2x2-region content: box downsample is exact, so only
+    # DCT + color-transform rounding remains
+    base = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 2, 0), 2, 1)
+    for mode in ("420", "422"):
+        enc = jpeg.encode(img, quant=1, subsampling=mode)
+        dec = jpeg.decode(enc)
+        assert dec.shape == img.shape
+        # DCT rounding + chroma transform rounding stack to <=3 levels
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+        # subsampling must actually shrink the stream
+        assert len(enc) < len(jpeg.encode(img, quant=1))
+    # the exactness law: equal R=G=B constant 8x8 blocks
+    vals = (np.arange(4).reshape(2, 2) * 13 + 7) % 256
+    gray = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    rgb = np.repeat(gray[:, :, None], 3, 2)
+    for mode in ("444", "422", "420"):
+        assert np.array_equal(
+            jpeg.decode(jpeg.encode(rgb, quant=1, subsampling=mode)), rgb)
+    # odd dimensions through 420 (crop after MCU-padded decode)
+    odd = np.repeat(np.repeat(
+        rng.integers(0, 256, (11, 9, 3), dtype=np.uint8), 2, 0), 2, 1)[:21, :17]
+    dec = jpeg.decode(jpeg.encode(odd, quant=1, subsampling="420"))
+    assert dec.shape == (21, 17, 3)
+    assert np.abs(dec.astype(int) - odd.astype(int)).max() <= 3
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg.encode(rgb, subsampling="411")
+
+
 def test_jpeg_unsupported_features_raise():
     from tech_ml_dataset_spark.functions import jpeg
     with pytest.raises(ValueError, match="SOI"):
