@@ -1156,6 +1156,43 @@ def image_pipeline_jpeg420_docs(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def streaming_fp_dedup_replay_docs(spark, sf_dir):
+    """STREAMING media-dedup sink promoted to the oracle gate (r6
+    verdict #9): drive streaming/windows.py's
+    fingerprint_dedup_batch_apply — the exact function the production
+    sink's foreachBatch invokes — through replay_fingerprint_dedup at
+    FIXED micro-batch boundaries (batch = doc_id // 50, four batches of
+    the doc_id < 200 slice), with a colliding deterministic fingerprint
+    law fp = doc_id % 37 (distance-0 exact matching). The sink's accept
+    law then has a closed form the oracle replays: each fingerprint is
+    accepted exactly once — in its earliest batch, by the lowest id
+    within that batch — because the earliest batch's survivor enters the
+    corpus and Hamming-blocks every later arrival, while within a batch
+    the greedy banded-pair dedup keeps the minimum id per fingerprint.
+    The production streaming arm (real readStream + foreachBatch +
+    at-least-once replay idempotency) keeps its e2e pytest evidence —
+    the same two-arm pattern as :abb and the reservoir."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tech_ml_dataset_spark.streaming.windows import \
+        replay_fingerprint_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id", (F.col("doc_id") % 37).cast("long").alias("fp"))
+    batches = [docs.filter((F.col("doc_id") >= i * 50)
+                           & (F.col("doc_id") < (i + 1) * 50))
+               for i in range(4)]
+    path = tempfile.mkdtemp(prefix="spark_graft_stream_fp_")
+    atexit.register(lambda p=path: shutil.rmtree(p, ignore_errors=True))
+    replay_fingerprint_dedup(batches, path, fp_col="fp")
+    out = spark.read.parquet(path)
+    return out.select("doc_id", "fp",
+                      F.col("batch_id").cast("long").alias("batch_id")) \
+              .orderBy("doc_id")
+
+
 def image_pipeline_gif_docs(spark, sf_dir):
     """REAL-GIF image pipeline (completes the r5 'JPEG/GIF' decode item):
     synthesize a deterministic 8x8 GIF per document (pixel i holds index
@@ -3001,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup_docs": c4_span_dedup_docs,
         "image_pipeline_jpeg_docs": image_pipeline_jpeg_docs,
         "image_pipeline_jpeg420_docs": image_pipeline_jpeg420_docs,
+        "streaming_fp_dedup_replay_docs": streaming_fp_dedup_replay_docs,
         "image_pipeline_gif_docs": image_pipeline_gif_docs,
         "media_dims_docs": media_dims_docs,
         "image_pipeline_png_docs": image_pipeline_png_docs,
@@ -4705,6 +4743,23 @@ def oracle_sql() -> dict[str, str]:
                    round((c.cs + h.hs) * 10000) / 10000 AS feat_chk,
                    TRUE AS decode_real
             FROM chansum c JOIN histsum h USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "streaming_fp_dedup_replay_docs": """
+            -- closed form of the streaming fingerprint-dedup accept law
+            -- at distance 0: each fingerprint accepted exactly once, in
+            -- its earliest batch (earliest survivor enters the corpus
+            -- and blocks later arrivals), by the lowest id within that
+            -- batch (greedy within-batch pair dedup keeps the min id)
+            SELECT doc_id, fp, batch_id FROM (
+                SELECT doc_id,
+                       CAST(doc_id % 37 AS BIGINT) AS fp,
+                       CAST(doc_id // 50 AS BIGINT) AS batch_id,
+                       row_number() OVER (
+                           PARTITION BY doc_id % 37
+                           ORDER BY doc_id // 50, doc_id) AS rn
+                FROM documents WHERE doc_id < 200
+            ) WHERE rn = 1
             ORDER BY doc_id
         """,
         "media_dims_docs": """

@@ -335,6 +335,73 @@ def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
 
 
+def fingerprint_dedup_batch_apply(batch_df: DataFrame, batch_id: int,
+                                  corpus_path: str, *, fp_col: str,
+                                  id_col: str = "doc_id",
+                                  max_distance: int = 0,
+                                  band_bits: int = 16) -> None:
+    """ONE micro-batch of the media-fingerprint dedup sink — the exact
+    function :func:`streaming_fingerprint_dedup_sink`'s foreachBatch
+    invokes, exposed so :func:`replay_fingerprint_dedup` can drive the
+    identical code path at deterministic batch boundaries (the two-arm
+    production/replay pattern): dedup within the batch (greedy
+    keep-lowest-id over the banded Hamming pairs), probe the accepted
+    corpus' fingerprints excluding this batch_id, append survivors under
+    ``batch_id=N`` with dynamic partition overwrite."""
+    import os as _os
+
+    from ..functions.dedup import hamming_dedup_pairs, hamming_pairs_between
+
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    fresh = batch_df
+    dup_ids = (hamming_dedup_pairs(fresh, fp_col, id_col,
+                                   max_distance=max_distance,
+                                   band_bits=band_bits)
+               .select(F.col("id_b").alias(id_col)).distinct())
+    fresh = fresh.join(dup_ids, id_col, "left_anti")
+    if _os.path.isdir(corpus_path) and any(
+            f.startswith("batch_id=") for f in _os.listdir(corpus_path)):
+        hist = (spark.read.parquet(corpus_path)
+                     .filter(F.col("batch_id") != batch_id)
+                     .select(id_col, fp_col))
+        matched = (hamming_pairs_between(fresh, hist, fp_col,
+                                         new_id=id_col, hist_id=id_col,
+                                         max_distance=max_distance,
+                                         band_bits=band_bits)
+                   .select(F.col("new_id").alias(id_col)).distinct())
+        fresh = fresh.join(matched, id_col, "left_anti")
+    out = fresh.withColumn("batch_id", F.lit(batch_id))
+    with _dynamic_partition_overwrite(spark):
+        (out.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(corpus_path))
+
+
+def replay_fingerprint_dedup(batches, corpus_path: str, *, fp_col: str,
+                             id_col: str = "doc_id",
+                             max_distance: int = 0,
+                             band_bits: int = 16) -> None:
+    """Deterministic batch-replay arm of
+    :func:`streaming_fingerprint_dedup_sink` (the two-arm pattern that
+    promoted the :abb fill and the reservoir sampler from rows-only):
+    apply the SAME per-batch function the streaming sink's foreachBatch
+    calls — :func:`fingerprint_dedup_batch_apply`, byte-for-byte the
+    same dedup/probe/write logic — over an EXPLICIT ordered list of
+    batch DataFrames, so micro-batch boundaries are fixed by the caller
+    instead of source file-listing order. With ``max_distance=0`` the
+    resulting corpus has a closed form a SQL oracle replays (each
+    fingerprint accepted exactly once: in its earliest batch, by the
+    lowest id within that batch), which hash-checks the sink's accept
+    law end-to-end; the production streaming arm keeps its e2e pytest
+    evidence (real readStream/foreachBatch, at-least-once replay)."""
+    for i, b in enumerate(batches):
+        fingerprint_dedup_batch_apply(b, i, corpus_path, fp_col=fp_col,
+                                      id_col=id_col,
+                                      max_distance=max_distance,
+                                      band_bits=band_bits)
+
+
 def streaming_fingerprint_dedup_sink(df: DataFrame, corpus_path: str, *,
                                      checkpoint: str, fp_col: str,
                                      id_col: str = "doc_id",
@@ -354,39 +421,20 @@ def streaming_fingerprint_dedup_sink(df: DataFrame, corpus_path: str, *,
     Replay idempotency mirrors streaming_dedup_sink exactly: accepted
     rows land under ``batch_id=N`` with dynamic partition overwrite and
     the history read excludes the current batch id. Local-filesystem
-    target only (same contract). Returns the started query handle."""
-    import os as _os
+    target only (same contract). Returns the started query handle.
 
-    from ..functions.dedup import hamming_dedup_pairs, hamming_pairs_between
+    The per-batch logic lives in :func:`fingerprint_dedup_batch_apply`
+    (shared with the oracle-able :func:`replay_fingerprint_dedup`
+    deterministic arm)."""
     from ..sources.io import _require_local_path
     corpus_path = _require_local_path(corpus_path,
                                       "streaming_fingerprint_dedup_sink")
 
     def _apply(batch_df: DataFrame, batch_id: int):
-        if not batch_df.take(1):
-            return
-        spark = batch_df.sparkSession
-        fresh = batch_df
-        dup_ids = (hamming_dedup_pairs(fresh, fp_col, id_col,
-                                       max_distance=max_distance,
-                                       band_bits=band_bits)
-                   .select(F.col("id_b").alias(id_col)).distinct())
-        fresh = fresh.join(dup_ids, id_col, "left_anti")
-        if _os.path.isdir(corpus_path) and any(
-                f.startswith("batch_id=") for f in _os.listdir(corpus_path)):
-            hist = (spark.read.parquet(corpus_path)
-                         .filter(F.col("batch_id") != batch_id)
-                         .select(id_col, fp_col))
-            matched = (hamming_pairs_between(fresh, hist, fp_col,
-                                             new_id=id_col, hist_id=id_col,
-                                             max_distance=max_distance,
-                                             band_bits=band_bits)
-                       .select(F.col("new_id").alias(id_col)).distinct())
-            fresh = fresh.join(matched, id_col, "left_anti")
-        out = fresh.withColumn("batch_id", F.lit(batch_id))
-        with _dynamic_partition_overwrite(spark):
-            (out.write.mode("overwrite").partitionBy("batch_id")
-                .parquet(corpus_path))
+        fingerprint_dedup_batch_apply(batch_df, batch_id, corpus_path,
+                                      fp_col=fp_col, id_col=id_col,
+                                      max_distance=max_distance,
+                                      band_bits=band_bits)
 
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
 
