@@ -388,19 +388,19 @@ def to_dataset(
                 df = reader.load(data)
             except Exception as exc:
                 # avro ships as an EXTERNAL Spark module: the raw failure
-                # is an opaque DATA_SOURCE_NOT_FOUND / ClassNotFound —
-                # translate it into the actionable contract (the reference
-                # has no avro either; this is parity-plus surface)
+                # is an opaque DATA_SOURCE_NOT_FOUND / ClassNotFound. r7:
+                # fall through to the vendored pure-python OCF codec
+                # (sources/avro.py — the xlsx/jpeg pattern) instead of
+                # failing; a real spark-avro jar on the classpath still
+                # takes the native path above. (The reference has no avro
+                # either; parity-plus surface.)
                 if fmt == "avro" and ("DATA_SOURCE_NOT_FOUND" in str(exc)
                                       or "Failed to find" in str(exc)
                                       or "ClassNotFound" in str(exc)):
-                    raise RuntimeError(
-                        "Avro support needs the external spark-avro "
-                        "package: start the session with "
-                        "spark.jars.packages="
-                        "org.apache.spark:spark-avro_2.13:<spark-version> "
-                        "(not bundled with pyspark)") from exc
-                raise
+                    from . import avro as _avro
+                    df = _avro.read_avro_dataset(spark, data)
+                else:
+                    raise
         if fmt == "csv":
             # empty/missing header cells: Spark auto-names them _cN; the
             # reference names positional columns "column-N"
@@ -527,12 +527,23 @@ def write(df: DataFrame, path: str, *, file_type: str | None = None,
         if fmt == "avro" and ("DATA_SOURCE_NOT_FOUND" in str(exc)
                               or "Failed to find" in str(exc)
                               or "ClassNotFound" in str(exc)):
-            raise RuntimeError(
-                "Avro support needs the external spark-avro package: "
-                "start the session with spark.jars.packages="
-                "org.apache.spark:spark-avro_2.13:<spark-version> "
-                "(not bundled with pyspark)") from exc
-        raise
+            # r7: vendored pure-python OCF writer (sources/avro.py)
+            # instead of a hard failure; native spark-avro still wins
+            # when its jar is present. Partitioned avro layout needs the
+            # real datasource — keep that loud.
+            if partition_by:
+                raise RuntimeError(
+                    "vendored avro codec does not support partition_by; "
+                    "install spark-avro (spark.jars.packages="
+                    "org.apache.spark:spark-avro_2.13:<spark-version>) "
+                    "or write parquet") from exc
+            from . import avro as _avro
+            if mode == "overwrite" and os.path.isdir(path):
+                import shutil as _sh
+                _sh.rmtree(path)
+            _avro.write_avro_dataset(df, path)
+        else:
+            raise
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -922,3 +922,101 @@ def test_categorical_codes_must_be_integral(spark):
     ok2 = mlp.fit_categorical_map(
         df, "sym", table={"AAPL": np.int64(1), "MSFT": np.int64(2)})
     assert int(ok2["table"]["MSFT"]) == 2
+
+
+# ---- vendored Avro OCF codec (r7: r6 verdict missing #2) -------------------
+
+def test_avro_roundtrip_all_types(spark, tmp_path):
+    """Every supported flat type through the vendored OCF cycle: longs,
+    doubles, strings, booleans, binary, date, timestamp — with NULLs in
+    every column (the ["null", T] union branch)."""
+    import datetime as dt
+
+    from tech_ml_dataset_spark.sources import avro as av
+
+    rows = [
+        (1, 1.5, "a", True, bytearray(b"\x00\xff"),
+         dt.date(2020, 1, 2), dt.datetime(2021, 3, 4, 5, 6, 7, 123456)),
+        (2, None, "b'; -- :", False, None, None, None),
+        (None, -0.25, None, None, bytearray(b""), dt.date(1969, 12, 31),
+         dt.datetime(1969, 12, 31, 23, 59, 59, 999999)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, x double, s string, b boolean, z binary, "
+              "d date, ts timestamp")
+    path = str(tmp_path / "t.avro")
+    av.write_avro_dataset(df, path)
+    back = av.read_avro_dataset(spark, path)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == \
+        [f.dataType.simpleString() for f in df.schema.fields]
+    a = sorted(map(tuple, df.collect()), key=str)
+    b = sorted(map(tuple, back.collect()), key=str)
+    assert a == b
+
+
+def test_avro_null_codec_and_block_structure(spark, tmp_path):
+    """codec='null' writes uncompressed blocks; both codecs decode to the
+    same rows; a corrupt sync marker raises."""
+    from tech_ml_dataset_spark.sources import avro as av
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(100)],
+                               "k long, s string").coalesce(1)
+    p1, p2 = str(tmp_path / "d.avro"), str(tmp_path / "n.avro")
+    av.write_avro_dataset(df, p1, codec="deflate")
+    av.write_avro_dataset(df, p2, codec="null")
+    a = sorted(map(tuple, av.read_avro_dataset(spark, p1).collect()))
+    b = sorted(map(tuple, av.read_avro_dataset(spark, p2).collect()))
+    assert a == b and len(a) == 100
+    # corrupt a byte inside the null-codec file's sync region
+    import os
+    f = [os.path.join(p2, x) for x in os.listdir(p2)
+         if x.endswith(".avro")][0]
+    data = bytearray(open(f, "rb").read())
+    data[-3] ^= 0xFF                      # inside the trailing sync marker
+    open(f, "wb").write(bytes(data))
+    with pytest.raises(Exception, match="sync"):
+        list(av.read_file(f))
+
+
+def test_avro_distributed_one_file_per_partition(spark, tmp_path):
+    """The write_arrow_dataset shape: N partitions -> N part files,
+    manifest counts sum to the row count, read is file-parallel."""
+    import os
+
+    from tech_ml_dataset_spark.sources import avro as av
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "k long") \
+              .repartition(4)
+    path = str(tmp_path / "p.avro")
+    manifest = av.write_avro_dataset(df, path)
+    files = [x for x in os.listdir(path) if x.endswith(".avro")]
+    assert len(files) == len(manifest) and len(files) >= 2
+    assert sum(m["n_rows"] for m in manifest) == 40
+    back = av.read_avro_dataset(spark, path)
+    assert back.rdd.getNumPartitions() == len(files)
+    assert sorted(r["k"] for r in back.collect()) == list(range(40))
+
+
+def test_avro_nested_types_raise_named(spark):
+    from tech_ml_dataset_spark.sources import avro as av
+
+    df = spark.createDataFrame([(1, [1, 2])], "k long, a array<bigint>")
+    with pytest.raises(ValueError, match="flat primitive"):
+        av.spark_to_avro_schema(df.schema)
+
+
+def test_avro_suffix_dispatch_fallback(spark, tmp_path):
+    """write()/to_dataset() on a .avro path route through the vendored
+    codec when spark-avro is absent (this container) — no RuntimeError,
+    values survive."""
+    from tech_ml_dataset_spark.sources import io as sio
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "k long, s string")
+    path = str(tmp_path / "d.avro")
+    sio.write(df, path)
+    back = sio.to_dataset(spark, path)
+    assert sorted(map(tuple, back.collect()), key=str) == \
+        sorted(map(tuple, df.collect()), key=str)
+    # partitioned avro still needs the real datasource: loud error
+    with pytest.raises(RuntimeError, match="partition_by"):
+        sio.write(df, str(tmp_path / "p2.avro"), partition_by=["s"])
