@@ -3009,77 +3009,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-able queries; rows-only execution evidence comes from
     tools/verify_local.py runs recorded in COVERAGE.md."""
     return {
-        # ---- THE 50-QUERY DRIVER WINDOW (r6) ----
-        # (a) changed this round:
-        #     - gopher_quality_docs / corpus_composition (token array
-        #       materialized once, r5 verdict #7) + bigram_lm_docs
-        #       (broadcast decision from collected totals, #8) +
-        #       unigram as same-file LM insurance;
-        #     - abb_fill_events (pre-fill key-string materialization, r5
-        #       advice; the other missing.py strategies' code paths are
-        #       untouched — the abb branch returns before they run);
+        # ---- THE 50-QUERY DRIVER WINDOW (r7) ----
+        # (a) changed this round (changed-code-first allocation):
+        #     - bpe_encode_oracle_docs (r6's only red row: output shape
+        #       fixed, array_join both engines) and reservoir_orders_oracle
+        #       (per-key md5 draw tokens, r6 advice #3);
+        #     - image_pipeline_jpeg420_docs NEW (jpeg.py gained general
+        #       sampling factors: 4:2:0/4:2:2 decode + encode — r6
+        #       verdict missing #1) and image_pipeline_jpeg_docs
+        #       re-proven (the encoder/decoder were rewritten for the
+        #       general MCU walk; 4:4:4 output byte-identical);
+        #     - streaming_fp_dedup_replay_docs NEW (streaming media-dedup
+        #       sink promoted to the oracle gate via the deterministic
+        #       batch-replay arm, r6 verdict #9);
+        #     - avro_roundtrip_orders NEW (vendored pure-python Avro OCF
+        #       codec, r6 verdict #8 — offline container, so vendored
+        #       instead of spark.jars.packages);
+        #     - audio_features_docs (repartition_for_decode was missing —
+        #       single-task decode, the r6 bench watch item's root cause)
+        #       and audio_fingerprint_dedup_docs (16-bit sampwidth guard,
+        #       r6 advice #2);
         #     - html_extract_docs / c4_filter_docs / c4_span_dedup_docs
-        #       NEW (functions/webtext.py: HTML extraction + the C4
-        #       filter battery + 3-sentence-span corpus dedup — the
-        #       crawl-refinement stage the pipeline was missing);
-        #     - image_dhash_dedup_docs NEW (multimodal.image_dhash +
-        #       the generic dedup.hamming_dedup_pairs the simhash pair
-        #       join now delegates to — the in-window proof for the
-        #       banding refactor) and audio_fingerprint_dedup_docs NEW
-        #       (frame-energy gradient fingerprint over the same join)
-        #       and video_dedup_docs NEW (frame-sampled dHash sets +
-        #       shared_fingerprint_pairs overlap join; the md5 fake-
-        #       frame law replayed digest-by-digest in DuckDB);
-        #       media_meta/audio_features rotate out — their functions
-        #       untouched since r5 greens, re-proven in this round's
-        #       vanilla sweep;
-        #     - reservoir_orders_oracle NEW (deterministic md5 draw arm
-        #       promotes the reservoir machinery from rows-only, the
-        #       :abb two-arm pattern) and bpe_encode_oracle_docs NEW
-        #       (fixed well-ordered merge table makes greedy encode ==
-        #       rank-order fixpoint replaces — SQL-replayable; training
-        #       stays rows-only). xls/xlsx roundtrips rotate out — the
-        #       vendored codecs are untouched this round and five
-        #       sibling roundtrips keep the io dispatch path in-window;
-        #     - image_pipeline_jpeg_docs NEW (vendored baseline JPEG
-        #       codec, r5 verdict #5), image_pipeline_gif_docs NEW
-        #       (vendored LZW GIF codec), media_dims_docs NEW (JVM-side
-        #       header-byte dimension parse incl. the bounded JPEG SOF
-        #       marker walk) + png twin + media/audio (multimodal.py
-        #       gained flag_col collision guard + codec hooks);
-        #     - all seven write->read roundtrips (io.py write()/to_dataset
-        #       gained the avro translation + rendered-key collision
-        #       guard on their call path).
-        # (b) never-driver-green: image_pipeline_jpeg_docs (new).
-        # (c) oldest-green rotation (r5 verdict #6): the r2 cohort
-        #     (window family, melt/pivot, categorical/scalers, corr,
-        #     cube, unroll, HLL distinct) and the r3 TPC-H six
-        #     (q2/q9/q11/q16/q20/q21) plus the r3 operator cohort
-        #     (row_map, pd_merge, induction, grouping sets, diff, salted
-        #     join, range join, pipeline, kendall, matmul, gram).
+        #       (webtext.py: explicit whitespace class both engines +
+        #       badwords escaping, r6 advice #4/#5);
+        #     - video_dedup_docs (shared_fingerprint_pairs gained max_df,
+        #       r6 verdict #6) + image dedup pair (same file insurance);
+        #     - csv/json/parquet roundtrips (io.py write()/to_dataset
+        #       gained the vendored-avro fallback on their call path).
+        # (b) never-driver-green: the three NEW queries above.
+        # (c) oldest-green rotation (r6 verdict #7): the FULL r2 cohort
+        #     (q1/q3/q5, embedding dedup family, streaming windows,
+        #     validate, doc_fingerprints, columnwise_round, cosine_topk,
+        #     cross join), the verdict-named r4 priorities (asof trio,
+        #     fill_range, loess, unicode_nfc, ccnet_buckets, psi_drift
+        #     pair, robust_scale), and the 11 oldest r3 greens. The r6
+        #     window (rolling family, TPC-H q2/q9/q11/q16/q20/q21, melt/
+        #     pivot, scalers, cube, grouping sets...) rotates out with
+        #     fresh r6 evidence.
+        "bpe_encode_oracle_docs": bpe_encode_oracle_docs,
+        "image_pipeline_jpeg420_docs": image_pipeline_jpeg420_docs,
+        "streaming_fp_dedup_replay_docs": streaming_fp_dedup_replay_docs,
+        "avro_roundtrip_orders": avro_roundtrip_orders,
+        "reservoir_orders_oracle": reservoir_orders_oracle,
+        "audio_features_docs": audio_features_docs,
+        "audio_fingerprint_dedup_docs": audio_fingerprint_dedup_docs,
+        "html_extract_docs": html_extract_docs,
+        "c4_filter_docs": c4_filter_docs,
+        "c4_span_dedup_docs": c4_span_dedup_docs,
+        "image_pipeline_jpeg_docs": image_pipeline_jpeg_docs,
+        "video_dedup_docs": video_dedup_docs,
+        "image_dedup_survivors_docs": image_dedup_survivors_docs,
+        "image_dhash_dedup_docs": image_dhash_dedup_docs,
+        "csv_roundtrip_orders": csv_roundtrip_orders,
+        "json_roundtrip_events": json_roundtrip_events,
+        "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
+        "columnwise_round_lineitem": columnwise_round_lineitem,
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        "cross_region_priority": cross_region_priority,
+        "doc_fingerprints": doc_fingerprints,
+        "embedding_dedup_clusters": embedding_dedup_clusters,
+        "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_segment_revenue": q3_segment_revenue,
+        "q5_nation_revenue": q5_nation_revenue,
+        "session_window_events": session_window_events,
+        "tumbling_events_daily": tumbling_events_daily,
+        "validate_orders": validate_orders,
+        "asof_purchase_click": asof_purchase_click,
+        "asof_nearest_click": asof_nearest_click,
+        "asof_strict_click": asof_strict_click,
+        "fill_range_events": fill_range_events,
+        "loess_smooth_events": loess_smooth_events,
+        "unicode_nfc_docs": unicode_nfc_docs,
+        "ccnet_buckets_docs": ccnet_buckets_docs,
+        "psi_drift_categorical_docs": psi_drift_categorical_docs,
+        "psi_drift_lineitem": psi_drift_lineitem,
+        "robust_scale_acctbal": robust_scale_acctbal,
+        "boilerplate_removal_docs": boilerplate_removal_docs,
+        "bpe_tokens_docs": bpe_tokens_docs,
+        "chunk_docs": chunk_docs,
+        "descriptive_stats_lineitem": descriptive_stats_lineitem,
+        "doc_quality_lang": doc_quality_lang,
+        "dsir_docs": dsir_docs,
+        "ewma_user_value": ewma_user_value,
+        "gram_lineitem": gram_lineitem,
+        "heavy_tokens_docs": heavy_tokens_docs,
+        "incremental_dedup_docs": incremental_dedup_docs,
+        "kmeans_embeddings": kmeans_embeddings,
+        # ---- position > 50: green-in-some-round queries with unchanged
+        # code rotating out (cumulative proof stands) + the by-design
+        # rows-only set. All stay covered by pytest + verify_local.
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
         "kn_bigram_lm_docs": kn_bigram_lm_docs,
         "abb_fill_events": abb_fill_events,
-        "html_extract_docs": html_extract_docs,
-        "c4_filter_docs": c4_filter_docs,
-        "c4_span_dedup_docs": c4_span_dedup_docs,
-        "image_pipeline_jpeg_docs": image_pipeline_jpeg_docs,
-        "image_pipeline_jpeg420_docs": image_pipeline_jpeg420_docs,
-        "streaming_fp_dedup_replay_docs": streaming_fp_dedup_replay_docs,
         "image_pipeline_gif_docs": image_pipeline_gif_docs,
         "media_dims_docs": media_dims_docs,
         "image_pipeline_png_docs": image_pipeline_png_docs,
-        "image_dhash_dedup_docs": image_dhash_dedup_docs,
-        "image_dedup_survivors_docs": image_dedup_survivors_docs,
-        "audio_fingerprint_dedup_docs": audio_fingerprint_dedup_docs,
-        "video_dedup_docs": video_dedup_docs,
-        "csv_roundtrip_orders": csv_roundtrip_orders,
-        "json_roundtrip_events": json_roundtrip_events,
-        "parquet_roundtrip_lineitem": parquet_roundtrip_lineitem,
-        "bpe_encode_oracle_docs": bpe_encode_oracle_docs,
-        "reservoir_orders_oracle": reservoir_orders_oracle,
         "rolling_user_value": rolling_user_value,
         "rolling_clamp_user": rolling_clamp_user,
         "rolling_center_user": rolling_center_user,
@@ -3109,19 +3136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_range_join": attribution_range_join,
         "pipeline_customer_features": pipeline_customer_features,
         "kendall_tau_lineitem": kendall_tau_lineitem,
-        # ---- position > 50: green-in-some-round queries with unchanged
-        # code rotating out (cumulative proof stands) + the by-design
-        # rows-only set. All stay covered by pytest + verify_local.
         "matmul_lineitem": matmul_lineitem,
-        "gram_lineitem": gram_lineitem,
         "repetition_signals_docs": repetition_signals_docs,
         "unigram_lm_docs": unigram_lm_docs,
         "media_meta_docs": media_meta_docs,
-        "audio_features_docs": audio_features_docs,
         "xls_roundtrip_orders": xls_roundtrip_orders,
         "excel_roundtrip_orders": excel_roundtrip_orders,
         "orc_roundtrip_orders": orc_roundtrip_orders,
-        "avro_roundtrip_orders": avro_roundtrip_orders,
         "arrow_roundtrip_events": arrow_roundtrip_events,
         "ffill_events": ffill_events,
         "lerp_events": lerp_events,
@@ -3178,60 +3199,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "q19_disjunctive_predicates": q19_disjunctive_predicates,
         "embedding_incremental_pairs": embedding_incremental_pairs,
-        "unicode_nfc_docs": unicode_nfc_docs,
-        "loess_smooth_events": loess_smooth_events,
         "semdedup_embeddings": semdedup_embeddings,
         "pca2_project_lineitem": pca2_project_lineitem,
-        "psi_drift_categorical_docs": psi_drift_categorical_docs,
-        "fill_range_events": fill_range_events,
         "bm25_search_docs": bm25_search_docs,
-        "psi_drift_lineitem": psi_drift_lineitem,
-        "ccnet_buckets_docs": ccnet_buckets_docs,
-        "robust_scale_acctbal": robust_scale_acctbal,
         "ols_multi_price_model": ols_multi_price_model,
         "text_stats_by_lang": text_stats_by_lang,
         "descriptive_stats_events_temporal": descriptive_stats_events_temporal,
-        "asof_purchase_click": asof_purchase_click,
-        "asof_nearest_click": asof_nearest_click,
-        "asof_strict_click": asof_strict_click,
-        "doc_fingerprints": doc_fingerprints,
-        "cosine_topk_embeddings": cosine_topk_embeddings,
-        "embedding_dedup_pairs_exact": embedding_dedup_pairs_exact,
         "sessionize_events": sessionize_events,
-        "chunk_docs": chunk_docs,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "rolling_monthly_orders": rolling_monthly_orders,
-        "heavy_tokens_docs": heavy_tokens_docs,
-        "incremental_dedup_docs": incremental_dedup_docs,
         "pack_docs": pack_docs,
-        "dsir_docs": dsir_docs,
         "q22_sales_opportunity": q22_sales_opportunity,
         "tfidf_docs": tfidf_docs,
-        "kmeans_embeddings": kmeans_embeddings,
         "ols_price_by_qty": ols_price_by_qty,
-        "boilerplate_removal_docs": boilerplate_removal_docs,
         "rolling_trimmed_events": rolling_trimmed_events,
         "pq_encode_embeddings": pq_encode_embeddings,
-        "q3_segment_revenue": q3_segment_revenue,
         "pii_redact_docs": pii_redact_docs,
-        "descriptive_stats_lineitem": descriptive_stats_lineitem,
         "mean_center_quantity": mean_center_quantity,
         "sliding_events_12h": sliding_events_12h,
-        "doc_quality_lang": doc_quality_lang,
-        "bpe_tokens_docs": bpe_tokens_docs,
-        "ewma_user_value": ewma_user_value,
-        "validate_orders": validate_orders,
-        "embedding_dedup_clusters": embedding_dedup_clusters,
-        "q5_nation_revenue": q5_nation_revenue,
-        "q1_pricing_summary": q1_pricing_summary,
         "bpe_encode_docs": bpe_encode_docs,
         "reservoir_orders": reservoir_orders,
-        "tumbling_events_daily": tumbling_events_daily,
-        "session_window_events": session_window_events,
         "minhash_pairs_docs": minhash_pairs_docs,
         "simhash_docs": simhash_docs,
-        "cross_region_priority": cross_region_priority,
-        "columnwise_round_lineitem": columnwise_round_lineitem,
     }
 
 
