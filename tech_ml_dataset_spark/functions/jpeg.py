@@ -1,16 +1,19 @@
-"""Minimal pure-python baseline JPEG (JFIF) codec — stdlib ``struct`` +
-numpy only.
+"""Minimal pure-python JPEG (JFIF) codec — stdlib ``struct`` + numpy
+only.
 
-Implements the public baseline sequential DCT process of ITU-T T.81 /
-ISO 10918-1 ("JPEG"): 8-bit precision, huffman entropy coding with the
-spec's Annex-K typical tables, grayscale (1 component) and YCbCr with
-any sampling factors 1..4 — 4:4:4, 4:2:2, and the real-web-majority
-4:2:0 (decode since r7; encode via ``subsampling=``) — restart-marker
-tolerant decoding, replication chroma upsample. Progressive (SOF2),
-arithmetic coding, and 12-bit streams raise a clear error naming the
-unsupported feature — production pipelines swap in Pillow through the
-same ``decode_image_bytes`` hook (multimodal.py) without touching
-callers.
+Implements the public huffman DCT processes of ITU-T T.81 / ISO 10918-1
+("JPEG"): baseline sequential (SOF0/1) AND progressive (SOF2, spectral
+selection + successive approximation with DC/AC refinement scans and
+EOB runs — the Annex G procedures), 8-bit precision, grayscale
+(1 component) and YCbCr with any sampling factors 1..4 — 4:4:4, 4:2:2,
+and the real-web-majority 4:2:0 — restart-marker tolerant decoding,
+replication chroma upsample. Arithmetic coding and 12-bit streams raise
+a clear error naming the unsupported feature — production pipelines
+swap in Pillow through the same ``decode_image_bytes`` hook
+(multimodal.py) without touching callers. :func:`encode` emits baseline
+(with a ``subsampling=`` lever); :func:`encode_progressive` emits a
+full libjpeg-style progressive scan script, primarily as the
+self-contained test source for the progressive decode path.
 
 Purpose: a crawl pipeline's image columns are mostly JPEG (r5 verdict
 missing #1); this gives :mod:`.multimodal` a REAL decode path for them in
@@ -377,17 +380,20 @@ def encode(arr: np.ndarray, *, quant: int | np.ndarray = 1,
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 (h, w, channels) array (1 or 3).
+    """JFIF bytes -> uint8 (h, w, channels) array (1 or 3).
 
-    Supports: SOF0 baseline huffman, 8-bit, any quant/huffman tables,
-    1 or 3 components with ANY sampling factors in 1..4 — covering
-    4:4:4, 4:2:2 and the real-web-majority 4:2:0 (r6 verdict missing
-    #1) — and DRI/RSTn markers. Subsampled chroma planes are upsampled
-    by pixel replication (nearest: ``src[y*Vi//Vmax, x*Hi//Hmax]``) —
-    T.81 leaves the upsampling filter to the decoder, and replication
-    keeps the constant-region fixture law exact. Raises ValueError
-    naming the feature for progressive (SOF2), arithmetic (SOF9+), or
-    12-bit streams.
+    Supports: SOF0/SOF1 baseline sequential AND SOF2 progressive huffman
+    (spectral selection + successive approximation, DC and AC refinement
+    scans, EOB runs — the T.81 G.2 procedures), 8-bit, any quant/huffman
+    tables, 1 or 3 components with ANY sampling factors in 1..4 —
+    covering 4:4:4, 4:2:2 and the real-web-majority 4:2:0 — and DRI/RSTn
+    markers. All scans accumulate into per-component coefficient grids;
+    dequantization + IDCT happen once at EOI, so baseline is simply the
+    one-scan special case. Subsampled chroma planes are upsampled by
+    pixel replication (nearest: ``src[y*Vi//Vmax, x*Hi//Hmax]``) — T.81
+    leaves the upsampling filter to the decoder, and replication keeps
+    the constant-region fixture law exact. Raises ValueError naming the
+    feature for arithmetic-coded (SOF9+) or 12-bit streams.
     """
     if data[:2] != SOI:
         raise ValueError("jpeg: missing SOI marker")
@@ -396,14 +402,20 @@ def decode(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     comps = None
     h = w = 0
-    scan_comps = None
+    hmax = vmax = mcux = mcuy = 0
+    coefs = None          # per component: (gh, gw, 64) int64, ZIGZAG order
     restart_interval = 0
-    while pos + 4 <= len(data):
+    saw_scan = False
+
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg: desynchronized marker stream")
         marker = data[pos + 1]
-        if marker == 0xD9:
+        if marker == 0xD9:                     # EOI
             break
+        if 0xD0 <= marker <= 0xD7:             # stray RSTn between scans
+            pos += 2
+            continue
         seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         body = data[pos + 4:pos + 2 + seg_len]
         pos_next = pos + 2 + seg_len
@@ -420,9 +432,7 @@ def decode(data: bytes) -> np.ndarray:
                     tbl = np.frombuffer(body[i:i + 128], dtype=">u2") \
                             .astype(np.int64)
                     i += 128
-                raster = np.zeros(64, dtype=np.int64)
-                raster[ZIGZAG] = tbl
-                qt[tq] = raster.reshape(8, 8)
+                qt[tq] = tbl.copy()            # zigzag order, like coefs
         elif marker == 0xC4:                   # DHT
             i = 0
             while i < len(body):
@@ -432,7 +442,7 @@ def decode(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + n])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"jpeg: {prec}-bit precision unsupported")
@@ -447,123 +457,504 @@ def decode(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             if nc not in (1, 3):
                 raise ValueError(f"jpeg: {nc}-component streams unsupported")
-        elif marker == 0xC2:
-            raise ValueError("jpeg: progressive (SOF2) unsupported — "
-                             "baseline only; install Pillow for progressive")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            for c in comps:
+                # the component's OWN block grid (non-interleaved scans
+                # cover exactly this) inside the MCU-padded grid
+                # (interleaved scans cover the padding blocks too)
+                c["bw"] = -(--(-w * c["h"] // hmax) // 8)
+                c["bh"] = -(--(-h * c["v"] // vmax) // 8)
+            coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int64) for c in comps]
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            raise ValueError(f"jpeg: SOF{marker - 0xC0} process unsupported")
+            raise ValueError(f"jpeg: SOF{marker - 0xC0} process "
+                             "unsupported (arithmetic/lossless/12-bit)")
         elif marker == 0xDD:                   # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:                   # SOS
             if comps is None:
                 raise ValueError("jpeg: SOS before SOF")
             ns = body[0]
-            scan_comps = []
+            scan = []
             for k in range(ns):
                 cs, tdta = body[1 + 2 * k], body[2 + 2 * k]
-                comp = next(c for c in comps if c["id"] == cs)
-                scan_comps.append((comp, tdta >> 4, tdta & 0x0F))
-            pos = pos_next
-            break
+                ci = next(i for i, c in enumerate(comps) if c["id"] == cs)
+                scan.append((ci, tdta >> 4, tdta & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            rd = _BitReader(data, pos_next)
+            _decode_scan(rd, scan, ss, se, ah, al, comps, coefs, huff,
+                         mcux, mcuy, restart_interval)
+            saw_scan = True
+            pos = rd.pos
+            continue
         pos = pos_next
-    if scan_comps is None:
+    if not saw_scan:
         raise ValueError("jpeg: no scan found")
 
-    rd = _BitReader(data, pos)
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if len(scan_comps) == 1:
-        # single-component scan is NON-interleaved (T.81 A.2.2): the MCU
-        # is one block and the grid is the component's own block grid
-        comp = scan_comps[0][0]
-        cw = -(-w * comp["h"] // hmax)     # ceil(w * Hi / Hmax)
-        ch = -(-h * comp["v"] // vmax)
-        grids = [(-(-ch // 8), -(-cw // 8))]
-        mcuy, mcux = 1, -(-ch // 8) * (-(-cw // 8))
-        noninterleaved = True
-    else:
-        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-        grids = [(mcuy * c["v"], mcux * c["h"]) for c, _, _ in scan_comps]
-        noninterleaved = False
-    planes = [np.zeros((gh, gw, 8, 8), dtype=np.float64)
-              for gh, gw in grids]
-    pred = [0] * len(scan_comps)
-
-    def read_symbol(table) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | rd.bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid huffman code")
-
-    def read_block(ci: int, comp, td: int, ta: int) -> np.ndarray:
-        zz = np.zeros(64, dtype=np.int64)
-        t = read_symbol(huff[(0, td)])
-        diff = _extend(rd.bits(t), t) if t else 0
-        pred[ci] += diff
-        zz[0] = pred[ci]
-        k = 1
-        while k < 64:
-            rs = read_symbol(huff[(1, ta)])
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:                # ZRL
-                    k += 16
-                    continue
-                break                      # EOB
-            k += r
-            if k > 63:
-                raise ValueError("jpeg: AC index overflow")
-            zz[k] = _extend(rd.bits(s), s)
-            k += 1
-        q = qt[comp["tq"]]
-        block = np.zeros(64, dtype=np.float64)
-        block[ZIGZAG] = zz
-        return _C.T @ (block.reshape(8, 8) * q) @ _C
-
-    n_mcu = mcuy * mcux if not noninterleaved else mcux
-    for m in range(n_mcu):
-        # bit-buffer realignment ONLY at declared restart boundaries —
-        # align_to_marker drops buffered bits, which mid-stream (no DRI)
-        # would desynchronize the huffman decode
-        if restart_interval and m and m % restart_interval == 0:
-            if rd.align_to_marker() is not None:
-                pred = [0] * len(scan_comps)   # RSTn resets DC predictors
-        if noninterleaved:
-            gh, gw = grids[0]
-            comp, td, ta = scan_comps[0]
-            planes[0][m // gw, m % gw] = read_block(0, comp, td, ta)
-            continue
-        my, mx = divmod(m, mcux)
-        # MCU block order per T.81 A.2.3: components in scan order, each
-        # contributing its Vi x Hi blocks top-to-bottom, left-to-right
-        for ci, (comp, td, ta) in enumerate(scan_comps):
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    planes[ci][my * comp["v"] + by,
-                               mx * comp["h"] + bx] = \
-                        read_block(ci, comp, td, ta)
-
+    # dequantize + IDCT every component at once (zigzag -> raster)
     imgs = []
-    for ci, ((comp, _, _), p) in enumerate(zip(scan_comps, planes)):
-        gh, gw = p.shape[0], p.shape[1]
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]                        # zigzag order
+        zz = coefs[ci] * q                     # (gh, gw, 64)
+        gh, gw = zz.shape[0], zz.shape[1]
+        raster = np.zeros((gh, gw, 64), dtype=np.float64)
+        raster[:, :, ZIGZAG] = zz
+        blocks = raster.reshape(gh * gw, 8, 8)
+        px = _C.T @ blocks @ _C
         plane = np.clip(np.round(
-            _unblocks(p.reshape(-1, 8, 8), gh * 8, gw * 8) + 128.0),
-            0, 255)
-        if comp["h"] == hmax and comp["v"] == vmax:
+            _unblocks(px, gh * 8, gw * 8) + 128.0), 0, 255)
+        if c["h"] == hmax and c["v"] == vmax:
             imgs.append(plane[:h, :w])
         else:
             # nearest (replication) upsample: dst[y,x] maps to the
             # subsampled source pixel by integer division — exact for
             # constant-region fixtures, spec-legal for everything
-            ys = np.arange(h) * comp["v"] // vmax
-            xs = np.arange(w) * comp["h"] // hmax
+            ys = np.arange(h) * c["v"] // vmax
+            xs = np.arange(w) * c["h"] // hmax
             imgs.append(plane[np.ix_(ys, xs)])
     if len(imgs) == 1:
         return imgs[0].astype(np.uint8)[:, :, None]
     ycbcr = np.stack(imgs, axis=-1)
     rgb = np.clip(np.round(_ycbcr_to_rgb(ycbcr)), 0, 255)
     return rgb.astype(np.uint8)
+
+
+def _read_symbol(rd: _BitReader, table) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | rd.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _decode_scan(rd, scan, ss, se, ah, al, comps, coefs, huff,
+                 mcux, mcuy, restart_interval):
+    """One entropy-coded scan into the coefficient grids.
+
+    Baseline files carry a single (ss=0, se=63, ah=al=0) interleaved
+    scan; progressive files split the spectrum/precision across many.
+    The four progressive scan kinds are the T.81 G.2 procedures:
+    DC first (diff << Al), DC refine (one bit per block), AC first
+    (band decode with EOB runs), AC refine (correction bits)."""
+    n = len(scan)
+    dc_only = ss == 0 and se == 0
+    baseline = ss == 0 and se == 63 and ah == 0 and al == 0
+    if ss > 0 and n != 1:
+        raise ValueError("jpeg: AC progressive scans must be "
+                         "single-component (T.81 B.2.3)")
+    interleaved = n > 1
+    if interleaved:
+        n_mcu = mcux * mcuy
+    else:
+        ci0 = scan[0][0]
+        bh, bw = comps[ci0]["bh"], comps[ci0]["bw"]
+        n_mcu = bh * bw
+
+    pred = [0] * n
+    eob_run = 0
+
+    def blocks_of(m):
+        """(ci, td, ta, by, bx) for every block of MCU index m."""
+        if not interleaved:
+            ci, td, ta = scan[0]
+            yield ci, td, ta, m // bw, m % bw
+            return
+        my, mx = divmod(m, mcux)
+        for ci, td, ta in scan:
+            c = comps[ci]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    yield ci, td, ta, my * c["v"] + by, mx * c["h"] + bx
+
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            if rd.align_to_marker() is not None:
+                pred = [0] * n
+                eob_run = 0
+        for si, (ci, td, ta, by, bx) in enumerate(blocks_of(m)):
+            cf = coefs[ci][by, bx]
+            if baseline:
+                pred[_scan_index(scan, ci)] = _decode_block_baseline(
+                    rd, cf, huff[(0, td)], huff[(1, ta)],
+                    pred[_scan_index(scan, ci)])
+            elif dc_only and ah == 0:          # DC first
+                t = _read_symbol(rd, huff[(0, td)])
+                diff = _extend(rd.bits(t), t) if t else 0
+                i = _scan_index(scan, ci)
+                pred[i] += diff
+                cf[0] = pred[i] << al
+            elif dc_only:                      # DC refine: one bit
+                if rd.bit():
+                    cf[0] |= 1 << al
+            elif ah == 0:                      # AC first
+                eob_run = _decode_ac_first(rd, cf, huff[(1, ta)],
+                                           ss, se, al, eob_run)
+            else:                              # AC refine
+                eob_run = _decode_ac_refine(rd, cf, huff[(1, ta)],
+                                            ss, se, al, eob_run)
+
+
+def _scan_index(scan, ci):
+    for i, (c, _, _) in enumerate(scan):
+        if c == ci:
+            return i
+    raise ValueError("jpeg: component not in scan")  # pragma: no cover
+
+
+def _decode_block_baseline(rd, cf, dc_table, ac_table, pred):
+    """Full DC+AC block (T.81 F.2.2) into zigzag coef array; returns the
+    updated DC predictor."""
+    t = _read_symbol(rd, dc_table)
+    diff = _extend(rd.bits(t), t) if t else 0
+    pred += diff
+    cf[0] = pred
+    k = 1
+    while k < 64:
+        rs = _read_symbol(rd, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                        # ZRL
+                k += 16
+                continue
+            break                              # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC index overflow")
+        cf[k] = _extend(rd.bits(s), s)
+        k += 1
+    return pred
+
+
+def _decode_ac_first(rd, cf, ac_table, ss, se, al, eob_run):
+    """AC first scan for one block (T.81 G.2.2): band values at
+    precision Al, EOB-run aware."""
+    if eob_run > 0:
+        return eob_run - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(rd, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:                        # ZRL
+                k += 16
+                continue
+            # EOBn: run of (1<<r)+bits(r) blocks ending at EOB,
+            # INCLUDING this one
+            return (1 << r) - 1 + (rd.bits(r) if r else 0)
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC band overflow")
+        cf[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(rd, cf, ac_table, ss, se, al, eob_run):
+    """AC refinement scan for one block (T.81 G.2.3 / the standard
+    correction-bit walk): newly-significant coefficients arrive as
+    ±1<<Al after a run of zero-HISTORY positions; every nonzero-history
+    coefficient passed over consumes one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eob_run == 0:
+        while k <= se:
+            rs = _read_symbol(rd, ac_table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eob_run = (1 << r) + (rd.bits(r) if r else 0)
+                    break
+                # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                newval = p1 if rd.bit() else m1
+            else:
+                raise ValueError("jpeg: invalid AC refinement symbol")
+            while k <= se:
+                if cf[k]:
+                    if rd.bit() and (cf[k] & p1) == 0:
+                        cf[k] += p1 if cf[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                cf[k] = newval
+            k += 1
+    if eob_run > 0:
+        while k <= se:
+            if cf[k]:
+                if rd.bit() and (cf[k] & p1) == 0:
+                    cf[k] += p1 if cf[k] >= 0 else m1
+            k += 1
+        eob_run -= 1
+    return eob_run
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture/source for testing the progressive decoder)
+# ---------------------------------------------------------------------------
+
+#: simple spec-legal tables covering EVERY symbol the progressive scans
+#: can emit (the Annex-K baseline AC tables lack the EOBn symbols
+#: 0x10..0xE0): all 12 DC categories at 4 bits (12 of 16 codes used),
+#: and all 256 AC run/size bytes as 255 nine-bit + 1 ten-bit code (a
+#: BITS entry is one byte, so 256-at-one-length cannot be declared;
+#: Kraft 255/512 + 1/1024 < 1 and the all-ones code stays unused, as
+#: T.81 C.2 requires). Compression is not the point; the decoder reads
+#: whatever DHT the file carries.
+_P_DC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_P_AC = ([0] * 8 + [255, 1] + [0] * 6, list(range(256)))
+
+
+def _point_ac(v: int, al: int) -> int:
+    """AC point transform: divide by 2^Al truncating toward ZERO
+    (T.81 G.1.2.2 — DC uses an arithmetic shift instead)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _ProgressiveACEncoder:
+    """Per-scan AC state machine (T.81 G.1.2.2-3, the libjpeg-style
+    bookkeeping): EOB-run accumulation for first scans; for refinement
+    scans, TWO correction-bit buffers with different attachment points —
+    bits buffered across EOB-run blocks (``pend_eob``) are emitted right
+    after the EOBn symbol (the decoder consumes them while tail-refining
+    the skipped blocks), while bits buffered inside the current block's
+    zero run (``cur``) are emitted after the ZRL or newly-significant
+    symbol that closes the run (the decoder consumes them during that
+    symbol's position walk)."""
+
+    def __init__(self, wr: _BitWriter, ac_enc):
+        self.wr = wr
+        self.ac = ac_enc
+        self.eob_run = 0
+        self.pend_eob: list[int] = []          # BE: bits riding the EOB run
+
+    def _sym(self, rs: int) -> None:
+        code, ln = self.ac[rs]
+        self.wr.write(code, ln)
+
+    def flush_eob(self) -> None:
+        if self.eob_run > 0:
+            r = self.eob_run.bit_length() - 1
+            self._sym(r << 4)
+            if r:
+                self.wr.write(self.eob_run - (1 << r), r)
+            self.eob_run = 0
+        for b in self.pend_eob:
+            self.wr.write(b, 1)
+        self.pend_eob = []
+
+    def first_block(self, cf, ss, se, al) -> None:
+        run = 0
+        for k in range(ss, se + 1):
+            t = _point_ac(int(cf[k]), al)
+            if t == 0:
+                run += 1
+                continue
+            self.flush_eob()
+            while run >= 16:
+                self._sym(0xF0)                # ZRL
+                run -= 16
+            s = _size(t)
+            self._sym((run << 4) | s)
+            self.wr.write(t if t >= 0 else t + (1 << s) - 1, s)
+            run = 0
+        if run > 0:
+            self.eob_run += 1
+            if self.eob_run == 0x7FFF:
+                self.flush_eob()
+
+    def refine_block(self, cf, ss, se, al) -> None:
+        absval = [abs(int(cf[k])) >> al for k in range(ss, se + 1)]
+        eob = -1                               # index of last newly-nonzero
+        for i, t in enumerate(absval):
+            if t == 1:
+                eob = i
+        run = 0
+        cur: list[int] = []                    # BR: this block's run bits
+        for i, t in enumerate(absval):
+            if t == 0:
+                run += 1
+                continue
+            # ZRLs are emitted as soon as ANY nonzero interrupts a >15
+            # run — unless the run can fold into the EOB run (i > eob)
+            while run > 15 and i <= eob:
+                self.flush_eob()
+                self._sym(0xF0)
+                run -= 16
+                for b in cur:
+                    self.wr.write(b, 1)
+                cur = []
+            if t > 1:                          # history coef: buffer bit
+                cur.append(t & 1)
+                continue
+            # newly-significant (|new value| == 1)
+            self.flush_eob()
+            self._sym((run << 4) | 1)
+            self.wr.write(1 if cf[ss + i] > 0 else 0, 1)
+            for b in cur:
+                self.wr.write(b, 1)
+            cur = []
+            run = 0
+        if run > 0 or cur:
+            self.eob_run += 1
+            self.pend_eob.extend(cur)
+            if self.eob_run == 0x7FFF:
+                self.flush_eob()
+
+
+def encode_progressive(arr: np.ndarray, *, quant: int | np.ndarray = 1,
+                       subsampling: str = "444") -> bytes:
+    """uint8 image -> PROGRESSIVE (SOF2) JFIF bytes, exercising every
+    scan kind the decoder supports: an interleaved DC-first scan at
+    Al=1, per-component AC-first scans with spectral bands and
+    successive approximation, a DC refinement scan, and AC refinement
+    scans down to Al=0 (the libjpeg-style scan script). Because every
+    coefficient is refined to full precision, the decoded image is
+    BIT-IDENTICAL to decoding the baseline encoding of the same input —
+    the property the progressive pytest pins.
+    """
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint8:
+        raise ValueError("encode expects a uint8 array")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("encode supports 1 (gray) or 3 (RGB) channels")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of "
+                         f"{sorted(_SUBSAMPLING)}, got {subsampling!r}")
+    q = np.full((8, 8), int(quant), dtype=np.int64) \
+        if np.isscalar(quant) else np.asarray(quant, dtype=np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be a scalar or 8x8 table in 1..255")
+
+    factors = [(1, 1)] if c == 1 else _SUBSAMPLING[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    planes = arr[:, :, 0].astype(np.float64)[None] if c == 1 else \
+        _rgb_to_ycbcr(arr.astype(np.float64)).transpose(2, 0, 1)
+    qz = []                                    # (gh, gw, 64) zigzag coefs
+    grids = []
+    for (hi, vi), p in zip(factors, planes):
+        sx, sy = hmax // hi, vmax // vi
+        if sx > 1 or sy > 1:
+            hp = np.pad(p, ((0, -h % sy), (0, -w % sx)), mode="edge")
+            p = hp.reshape(hp.shape[0] // sy, sy,
+                           hp.shape[1] // sx, sx).mean(axis=(1, 3))
+        bh8, bw8 = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(p, ((0, bh8 - p.shape[0]), (0, bw8 - p.shape[1])),
+                   mode="edge")
+        b = _blocks(p) - 128.0
+        f = _C @ b @ _C.T
+        qc = np.round(f / q.reshape(8, 8)).astype(np.int64)
+        zz = qc.reshape(-1, 64)[:, ZIGZAG]
+        qz.append(zz.reshape(bh8 // 8, bw8 // 8, 64))
+        # own (non-padded) block grid for the non-interleaved AC scans
+        grids.append((-(--(-h * vi // vmax) // 8),
+                      -(--(-w * hi // hmax) // 8)))
+
+    out = bytearray(SOI)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    zztbl = q.ravel()[ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zztbl
+    if c == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" + zztbl
+    comps = [(1, 0)] if c == 1 else [(1, 0), (2, 1), (3, 1)]
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for (cid, tq), (hi, vi) in zip(comps, factors):
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, tq)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof   # SOF2
+    for tc_th, (bits, vals) in ((0x00, _P_DC), (0x10, _P_AC)):
+        body = bytes([tc_th] + bits + vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    dc_enc = _huff_codes(*_P_DC)
+    ac_enc = _huff_codes(*_P_AC)
+
+    def sos_header(comp_idxs, ss, se, ah, al):
+        sos = bytes([len(comp_idxs)])
+        for i in comp_idxs:
+            sos += bytes([comps[i][0], 0x00])  # both table ids 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def dc_first_scan(al):
+        out.extend(sos_header(list(range(len(qz))), 0, 0, 0, al))
+        wr = _BitWriter()
+        pred = [0] * len(qz)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(factors):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(qz[ci][my * vi + by, mx * hi + bx, 0])
+                            v >>= al           # DC: arithmetic shift
+                            diff = v - pred[ci]
+                            pred[ci] = v
+                            t = _size(diff)
+                            code, ln = dc_enc[t]
+                            wr.write(code, ln)
+                            if t:
+                                wr.write(diff if diff >= 0
+                                         else diff + (1 << t) - 1, t)
+        wr.flush()
+        out.extend(wr.out)
+
+    def dc_refine_scan(al):
+        out.extend(sos_header(list(range(len(qz))), 0, 0, al + 1, al))
+        wr = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(factors):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(qz[ci][my * vi + by, mx * hi + bx, 0])
+                            wr.write((v >> al) & 1, 1)
+        wr.flush()
+        out.extend(wr.out)
+
+    def ac_scan(ci, ss, se, ah, al):
+        out.extend(sos_header([ci], ss, se, ah, al))
+        wr = _BitWriter()
+        enc = _ProgressiveACEncoder(wr, ac_enc)
+        bh, bw = grids[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                cf = qz[ci][by, bx]
+                if ah == 0:
+                    enc.first_block(cf, ss, se, al)
+                else:
+                    enc.refine_block(cf, ss, se, al)
+        enc.flush_eob()
+        wr.flush()
+        out.extend(wr.out)
+
+    # libjpeg-style scan script: spectral bands + successive approximation
+    dc_first_scan(1)
+    ac_scan(0, 1, 5, 0, 2)
+    if c == 3:
+        ac_scan(1, 1, 63, 0, 1)
+        ac_scan(2, 1, 63, 0, 1)
+    ac_scan(0, 6, 63, 0, 2)
+    ac_scan(0, 1, 63, 2, 1)                    # AC refine 2 -> 1
+    dc_refine_scan(0)
+    if c == 3:
+        ac_scan(1, 1, 63, 1, 0)
+        ac_scan(2, 1, 63, 1, 0)
+    ac_scan(0, 1, 63, 1, 0)                    # AC refine 1 -> 0
+    out += b"\xff\xd9"
+    return bytes(out)

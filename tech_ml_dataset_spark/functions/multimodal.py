@@ -202,9 +202,10 @@ def _try_real_decode(data: bytes):
             arr = arr[:, :, :3]
         return arr.astype(np.float64) / 255.0
     if data[:2] == jpeg.SOI:
-        try:  # vendored baseline JFIF codec (huffman+IDCT) — REAL decode
+        try:  # vendored JFIF codec (baseline + progressive, any
+            # subsampling) — REAL decode
             arr = jpeg.decode(data)
-        except Exception:  # progressive/subsampled/malformed -> fake path
+        except Exception:  # arithmetic/12-bit/malformed -> fake path
             return None
         if arr.shape[2] == 1:
             arr = np.repeat(arr, 3, axis=2)

@@ -278,15 +278,45 @@ def test_jpeg_subsampled_roundtrips():
         jpeg.encode(rgb, subsampling="411")
 
 
+def test_jpeg_progressive_decodes_bit_identical_to_baseline():
+    """SOF2 progressive decode (r7 — closes the last jpeg gap): the
+    encoder's libjpeg-style scan script exercises every scan kind
+    (interleaved DC first at Al=1, spectral-band AC first scans with
+    successive approximation, DC refinement, AC refinement with EOB
+    runs and correction bits). Every coefficient refines to full
+    precision, so decoding the progressive stream must be BIT-IDENTICAL
+    to decoding the baseline encoding of the same input."""
+    from tech_ml_dataset_spark.functions import jpeg
+    rng = np.random.default_rng(6)
+    gy, gx = np.mgrid[0:48, 0:40]
+    grad = ((gy * 2 + gx) % 256).astype(np.uint8)
+    cases = [
+        (rng.integers(0, 256, (24, 17), dtype=np.uint8), {}, 1),
+        (rng.integers(0, 256, (24, 17, 3), dtype=np.uint8),
+         {"subsampling": "444"}, 1),
+        (rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),
+         {"subsampling": "420"}, 1),
+        (grad, {}, 16),                          # sparse AC: long EOB runs
+        (np.stack([grad, np.roll(grad, 7, 0), 255 - grad], -1),
+         {"subsampling": "422"}, 16),
+        (np.full((40, 24, 3), 130, np.uint8),    # all-EOB flat image
+         {"subsampling": "420"}, 16),
+    ]
+    for arr, kw, q in cases:
+        base = jpeg.decode(jpeg.encode(arr, quant=q, **kw))
+        prog = jpeg.decode(jpeg.encode_progressive(arr, quant=q, **kw))
+        assert np.array_equal(base, prog), (arr.shape, kw, q)
+
+
 def test_jpeg_unsupported_features_raise():
     from tech_ml_dataset_spark.functions import jpeg
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode(b"not a jpeg")
-    # progressive marker stream: SOI + minimal SOF2
+    # arithmetic-coded stream: SOI + minimal SOF9
     import struct
-    bad = (b"\xff\xd8\xff\xc2" + struct.pack(">H", 11)
+    bad = (b"\xff\xd8\xff\xc9" + struct.pack(">H", 11)
            + struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="SOF9"):
         jpeg.decode(bad)
     with pytest.raises(ValueError):
         jpeg.encode(np.zeros((8, 8), dtype=np.float64))  # non-uint8
