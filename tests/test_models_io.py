@@ -1020,3 +1020,35 @@ def test_avro_suffix_dispatch_fallback(spark, tmp_path):
     # partitioned avro still needs the real datasource: loud error
     with pytest.raises(RuntimeError, match="partition_by"):
         sio.write(df, str(tmp_path / "p2.avro"), partition_by=["s"])
+
+
+def test_avro_block_splits_exactly_once(spark, tmp_path):
+    """Sync-marker splitting (the 100 TB lever Arrow IPC lacks): tiny
+    split_bytes force many byte-range tasks over one file; every block
+    is decoded exactly once (no loss at boundaries, no double-reads),
+    and the split count scales with the file size."""
+    import os
+
+    from tech_ml_dataset_spark.sources import avro as av
+
+    df = spark.createDataFrame([(i, "x" * 50) for i in range(5000)],
+                               "k long, s string").coalesce(1)
+    path = str(tmp_path / "one.avro")
+    av.write_avro_dataset(df, path, codec="null")
+    f = [os.path.join(path, x) for x in os.listdir(path)
+         if x.endswith(".avro")][0]
+    whole = sorted(r["k"] for r in av.read_avro_dataset(spark, path).collect())
+    assert whole == list(range(5000))
+    # force ~30 byte-range splits over the single file
+    split = av.read_avro_dataset(spark, path, split_bytes=10_000)
+    assert split.rdd.getNumPartitions() >= 10
+    got = sorted(r["k"] for r in split.collect())
+    assert got == list(range(5000))
+    # driver-side law: disjoint ranges partition the block set exactly
+    size = os.path.getsize(f)
+    step = 7321                      # deliberately unaligned
+    rows = []
+    for s in range(0, size, step):
+        for blk, _ in av.read_file_range(f, s, min(s + step, size)):
+            rows += [r[0] for r in blk]
+    assert sorted(rows) == list(range(5000))
