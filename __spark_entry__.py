@@ -1156,6 +1156,37 @@ def image_pipeline_jpeg420_docs(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def image_pipeline_jpeg_prog_docs(spark, sf_dir):
+    """PROGRESSIVE (SOF2) JPEG pipeline — with baseline+subsampling
+    landed, progressive is the remaining real-web decode path (r7):
+    synthesize a 16x16 color 4:2:0 PROGRESSIVE JPEG per document
+    (encode_progressive's libjpeg-style scan script: interleaved DC
+    first at Al=1, spectral-band AC first scans with successive
+    approximation, DC refinement, AC refinement with EOB runs), decode
+    through the multi-scan coefficient-accumulating decoder (jpeg.py
+    Annex G procedures). Every coefficient refines to full precision,
+    so the constant-block law still holds bit-exactly and the oracle
+    replays the identical 14-feature form — the deepest single proof of
+    the codec: one green row covers DC/AC first+refine scans, EOB-run
+    decode, 4:2:0 MCU walk, chroma upsample, and the feature
+    pipeline."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 220) \
+        .select("doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    jpgs = mmod.synthesize_jpeg(binned, "doc_id", height=16, width=16,
+                                subsampling="420", color=True,
+                                progressive=True)
+    feats = mmod.image_pipeline(jpgs, "jpg", resize_hw=(4, 4),
+                                feature_dtype="float64")
+    ex = feats.select("doc_id", "decode_real",
+                      F.posexplode("features").alias("pos", "fv"))
+    out = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        _r4b(F.sum(F.col("fv") * (F.col("pos") + 1))).alias("feat_chk"),
+        F.bool_and("decode_real").alias("decode_real"))
+    return out.orderBy("doc_id")
+
+
 def streaming_fp_dedup_replay_docs(spark, sf_dir):
     """STREAMING media-dedup sink promoted to the oracle gate (r6
     verdict #9): drive streaming/windows.py's
@@ -3048,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     fresh r6 evidence.
         "bpe_encode_oracle_docs": bpe_encode_oracle_docs,
         "image_pipeline_jpeg420_docs": image_pipeline_jpeg420_docs,
+        "image_pipeline_jpeg_prog_docs": image_pipeline_jpeg_prog_docs,
         "streaming_fp_dedup_replay_docs": streaming_fp_dedup_replay_docs,
         "avro_roundtrip_orders": avro_roundtrip_orders,
         "reservoir_orders_oracle": reservoir_orders_oracle,
@@ -3095,10 +3127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_lineitem": gram_lineitem,
         "heavy_tokens_docs": heavy_tokens_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
-        "kmeans_embeddings": kmeans_embeddings,
+        # (kmeans_embeddings yields its slot to the never-green
+        # progressive-jpeg proof; it moves to the head of the >50 set)
         # ---- position > 50: green-in-some-round queries with unchanged
         # code rotating out (cumulative proof stands) + the by-design
         # rows-only set. All stay covered by pytest + verify_local.
+        "kmeans_embeddings": kmeans_embeddings,
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
@@ -4743,6 +4777,38 @@ def oracle_sql() -> dict[str, str]:
             -- 4:4:4 query — identical 14-feature replay, wider slice
             WITH ids AS (
                 SELECT doc_id FROM documents WHERE doc_id < 240
+            ), px AS (
+                SELECT i.doc_id, r.r, c.c,
+                       ((i.doc_id * 37
+                         + ((r.r // 2) * 2 + (c.c // 2)) * 11)
+                        % 256) / 255.0 AS v
+                FROM ids i, range(4) r(r), range(4) c(c)
+            ), chan AS (
+                SELECT doc_id, avg(v) AS m,
+                       sqrt(avg(v * v) - avg(v) * avg(v)) AS s
+                FROM px GROUP BY doc_id
+            ), chansum AS (
+                SELECT doc_id, m * 6 + s * 15 AS cs FROM chan
+            ), histsum AS (
+                SELECT doc_id, sum((cnt / 16.0) * (bin + 7)) AS hs
+                FROM (SELECT doc_id,
+                             least(CAST(floor(v * 8) AS INT), 7) AS bin,
+                             count(*) AS cnt
+                      FROM px GROUP BY doc_id, bin)
+                GROUP BY doc_id
+            )
+            SELECT c.doc_id, CAST(14 AS BIGINT) AS n_features,
+                   round((c.cs + h.hs) * 10000) / 10000 AS feat_chk,
+                   TRUE AS decode_real
+            FROM chansum c JOIN histsum h USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "image_pipeline_jpeg_prog_docs": """
+            -- progressive twin: all scans refine to full precision, so
+            -- the decoded image equals the same constant-block gray law
+            -- as the baseline/420 queries — identical 14-feature replay
+            WITH ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 220
             ), px AS (
                 SELECT i.doc_id, r.r, c.c,
                        ((i.doc_id * 37

@@ -591,7 +591,8 @@ def synthesize_png(df: DataFrame, id_col: str, *, height: int = 8,
 def synthesize_jpeg(df: DataFrame, id_col: str, *, height: int = 16,
                     width: int = 16, out_col: str = "jpg",
                     subsampling: str = "444",
-                    color: bool = False) -> DataFrame:
+                    color: bool = False,
+                    progressive: bool = False) -> DataFrame:
     """Deterministic baseline-JPEG fixture column: the image is a grid of
     CONSTANT 8x8 blocks, block ``b`` (row-major) of row ``id`` holding
     value ``(id*37 + b*11) % 256`` (grayscale), encoded with the vendored
@@ -607,7 +608,14 @@ def synthesize_jpeg(df: DataFrame, id_col: str, *, height: int = 16,
     themselves, DC-only, zero AC), and the decoder's replication
     upsample of a constant plane is the plane — so the decoded RGB still
     equals the gray formula per pixel, bit-exactly (pinned in
-    tests/test_multimodal.py and by the jpeg420 driver oracle)."""
+    tests/test_multimodal.py and by the jpeg420 driver oracle).
+
+    ``progressive=True`` emits SOF2 streams via
+    :func:`tech_ml_dataset_spark.functions.jpeg.encode_progressive`
+    (spectral-selection + successive-approximation scan script); every
+    coefficient refines to full precision, so the same exactness law
+    holds bit-for-bit — the fixture source for the progressive-decode
+    driver oracle."""
     from . import jpeg
 
     if height % 8 or width % 8:
@@ -619,6 +627,7 @@ def synthesize_jpeg(df: DataFrame, id_col: str, *, height: int = 16,
     out_schema = T.StructType(df.schema.fields +
                               [T.StructField(out_col, T.BinaryType())])
     bh, bw = height // 8, width // 8
+    enc = jpeg.encode_progressive if progressive else jpeg.encode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bidx = np.arange(bh * bw, dtype=np.int64).reshape(bh, bw)
@@ -629,8 +638,7 @@ def synthesize_jpeg(df: DataFrame, id_col: str, *, height: int = 16,
                 arr = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
                 if color:
                     arr = np.repeat(arr[:, :, None], 3, axis=2)
-                payloads.append(jpeg.encode(arr, quant=1,
-                                            subsampling=subsampling))
+                payloads.append(enc(arr, quant=1, subsampling=subsampling))
             pdf[out_col] = payloads
             yield pdf
 
