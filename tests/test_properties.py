@@ -355,3 +355,57 @@ def test_bm25_matches_python_oracle(spark, ts, q):
     assert set(got) == set(want)
     for i in want:
         assert abs(got[i] - want[i]) < 1e-9 * max(1.0, abs(want[i]))
+
+
+@given(hs.lists(hs.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+                min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_avro_zigzag_varint_roundtrip(values):
+    """The vendored Avro codec's long encoding (zigzag varint) must
+    round-trip the full signed 64-bit domain — including the -2^63 edge
+    where (n << 1) ^ (n >> 63) relies on Python's arbitrary-precision
+    two's-complement semantics."""
+    from tech_ml_dataset_spark.sources import avro as av
+
+    buf = bytearray()
+    for v in values:
+        av._write_long(buf, v)
+    pos = 0
+    got = []
+    for _ in values:
+        v, pos = av._read_long(bytes(buf), pos)
+        got.append(v)
+    assert got == values and pos == len(buf)
+
+
+@given(hs.lists(
+    hs.tuples(
+        hs.one_of(hs.none(),
+                  hs.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)),
+        hs.one_of(hs.none(), hs.floats(allow_nan=False,
+                                       allow_infinity=True)),
+        hs.one_of(hs.none(), hs.text(max_size=40)),
+        hs.one_of(hs.none(), hs.binary(max_size=40)),
+        hs.one_of(hs.none(), hs.booleans())),
+    min_size=1, max_size=30))
+@settings(max_examples=50, deadline=None)
+def test_avro_value_block_roundtrip(rows):
+    """Driver-side OCF block encode/decode over the nullable primitive
+    kinds: arbitrary unicode strings (incl. quote/NUL-bearing), raw
+    bytes, ±inf doubles, full-range longs, NULLs anywhere."""
+    from tech_ml_dataset_spark.sources import avro as av
+
+    kinds = ["long", "double", "string", "bytes", "boolean"]
+    buf = bytearray()
+    for row in rows:
+        for kind, v in zip(kinds, row):
+            av._encode_value(buf, kind, v)
+    data, pos = bytes(buf), 0
+    got = []
+    for _ in rows:
+        out = []
+        for kind in kinds:
+            v, pos = av._decode_value(data, pos, kind)
+            out.append(bytes(v) if isinstance(v, bytearray) else v)
+        got.append(tuple(out))
+    assert got == list(map(tuple, rows)) and pos == len(data)
