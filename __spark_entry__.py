@@ -1156,6 +1156,21 @@ def image_pipeline_jpeg420_docs(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def temperature_resample_docs(spark, sf_dir):
+    """Language temperature resampling (selection.py temperature_resample
+    — the mC4 / XLM-R exponentiated-sampling standard, Conneau 2020
+    §3.1): rebalance the documents corpus to ~300 rows at alpha=0.3
+    (tail languages up-sampled, head capped), with the engine-portable
+    md5 draw. The oracle recomputes the census, the
+    min(n, floor(total*n^a/sum(n^a)+0.5)) budgets, and the per-language
+    md5 ranks from scratch — census, budget arithmetic, and draw are all
+    hash-checked."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sel.temperature_resample(docs, "lang", 300, alpha=0.3,
+                                   key_col="doc_id", seed=42)
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def image_pipeline_jpeg_prog_docs(spark, sf_dir):
     """PROGRESSIVE (SOF2) JPEG pipeline — with baseline+subsampling
     landed, progressive is the remaining real-web decode path (r7):
@@ -3126,13 +3141,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": ewma_user_value,
         "gram_lineitem": gram_lineitem,
         "heavy_tokens_docs": heavy_tokens_docs,
-        "incremental_dedup_docs": incremental_dedup_docs,
+        "temperature_resample_docs": temperature_resample_docs,
+        # (incremental_dedup_docs yields its slot to the never-green
+        # temperature resampler; it moves to the head of the >50 set)
         # (kmeans_embeddings yields its slot to the never-green
         # progressive-jpeg proof; it moves to the head of the >50 set)
         # ---- position > 50: green-in-some-round queries with unchanged
         # code rotating out (cumulative proof stands) + the by-design
         # rows-only set. All stay covered by pytest + verify_local.
         "kmeans_embeddings": kmeans_embeddings,
+        "incremental_dedup_docs": incremental_dedup_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
@@ -4802,6 +4820,31 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_real
             FROM chansum c JOIN histsum h USING (doc_id)
             ORDER BY doc_id
+        """,
+        "temperature_resample_docs": """
+            -- full replay of the exponentiated-sampling law: census,
+            -- min(n, floor(total*n^a/sum(n^a)+0.5)) budgets, md5 ranks
+            WITH c AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ), w AS (
+                SELECT lang, n, pow(n, 0.3) AS wt FROM c
+            ), tg AS (
+                SELECT lang, n,
+                       least(n, CAST(floor(300 * wt /
+                                (SELECT sum(wt) FROM w) + 0.5) AS BIGINT))
+                           AS t
+                FROM w
+            ), r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                    doc_id) AS rn
+                FROM documents
+            )
+            SELECT r.lang, r.doc_id
+            FROM r JOIN tg USING (lang) WHERE r.rn <= tg.t
+            ORDER BY lang, doc_id
         """,
         "image_pipeline_jpeg_prog_docs": """
             -- progressive twin: all scans refine to full precision, so

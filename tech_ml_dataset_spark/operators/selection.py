@@ -321,6 +321,69 @@ def sample_stratified_exact(df: DataFrame, by, n: int, *,
                .drop("__rn__"))
 
 
+def temperature_resample(df: DataFrame, by: str, total: int, *,
+                         alpha: float = 0.3, key_col: str,
+                         seed: int = 42,
+                         salt_buckets: int | None = None) -> DataFrame:
+    """Temperature-based corpus rebalancing (multilingual-LM standard:
+    exponentiated sampling, mC4 / XLM-R, Conneau et al. 2020 §3.1) —
+    draw ~``total`` rows with per-group budgets proportional to
+    ``n_g^alpha``: ``alpha=1`` keeps natural proportions, ``alpha -> 0``
+    approaches uniform-per-group, the usual 0.2-0.7 range up-samples
+    tail languages/domains without letting the head swamp the mix.
+
+    Per-group target ``t_g = min(n_g, floor(total * n_g^alpha /
+    sum(n^alpha) + 0.5))`` (half-up; without-replacement cap at the
+    group size), then exactly the first ``t_g`` rows of each group
+    under the same engine-portable ``md5(key || ':' || seed)`` ranking
+    as :func:`sample_stratified_exact` — deterministic, retry-stable,
+    and SQL-replayable (the oracle recomputes counts, budgets, and
+    ranks from scratch).
+
+    Scale shape: one map-side-combined count per group (the group
+    census is tiny — languages/domains number in the hundreds), the
+    budget map rides the rank filter as a broadcast join, and the rank
+    itself is the stratum-partitioned window (``salt_buckets`` guards a
+    mega-group exactly as in sample_stratified_exact)."""
+    if total <= 0:
+        raise ValueError(f"temperature_resample: total must be positive, "
+                         f"got {total}")
+    if alpha <= 0:
+        raise ValueError(f"temperature_resample: alpha must be > 0 "
+                         f"(alpha->0 is uniform; use sample_stratified_"
+                         f"exact for exact per-group n), got {alpha}")
+    counts = {r["g"]: r["n"] for r in
+              df.groupBy(F.col(by).alias("g"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    wsum = sum(n ** alpha for n in counts.values())
+    import math
+    targets = [(g, min(n, int(math.floor(total * (n ** alpha) / wsum
+                                         + 0.5))))
+               for g, n in counts.items()]
+    spark = df.sparkSession
+    gtype = df.schema[by].dataType.simpleString()
+    tdf = F.broadcast(spark.createDataFrame(
+        targets, f"`{by}` {gtype}, __t__ long"))
+    from pyspark.sql import Window
+    h = F.md5(F.concat_ws(":", F.col(key_col).cast("string"),
+                          F.lit(str(seed))))
+    out = df
+    if salt_buckets is not None and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+        w1 = Window.partitionBy(by, salt).orderBy(h.asc(),
+                                                  F.col(key_col).asc())
+        out = (out.join(tdf, by)
+                  .withColumn("__rn__", F.row_number().over(w1))
+                  .filter(F.col("__rn__") <= F.col("__t__"))
+                  .drop("__rn__"))
+    else:
+        out = out.join(tdf, by)
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(key_col).asc())
+    return (out.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") <= F.col("__t__"))
+               .drop("__rn__", "__t__"))
+
+
 def freq_items(df: DataFrame, cols, support: float = 0.01) -> DataFrame:
     """Approximate frequent items (parity-plus over the reference's sketch
     surface, reductions/apache_data_sketch.clj): single-pass misra-gries

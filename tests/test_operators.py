@@ -1373,3 +1373,52 @@ def test_reservoir_md5_draw_key_collision_law(spark):
             for c in ("k1", "k2")]
     d = df.select(F.md5(F.concat_ws(":", *keys, F.lit("1"))).alias("d"))
     assert d.distinct().count() == 4
+
+
+def test_temperature_resample_law(spark):
+    """mC4/XLM-R exponentiated sampling: per-group budgets t_g =
+    min(n_g, floor(total * n_g^a / sum(n^a) + 0.5)); alpha<1 up-samples
+    the tail; draw equals the md5-rank replay; salt guard identical."""
+    import hashlib
+    import math
+
+    rows = [(i, "big" if i < 800 else ("mid" if i < 900 else "small"))
+            for i in range(920)]          # 800 / 100 / 20
+    df = spark.createDataFrame(rows, ["i", "lang"])
+    out = sel.temperature_resample(df, "lang", 200, alpha=0.3,
+                                   key_col="i", seed=7)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n = {"big": 800, "mid": 100, "small": 20}
+    wsum = sum(v ** 0.3 for v in n.values())
+    want = {g: min(v, int(math.floor(200 * v ** 0.3 / wsum + 0.5)))
+            for g, v in n.items()}
+    assert counts == want
+    # tail up-sampled relative to natural proportions
+    assert counts["small"] / 200 > n["small"] / 920
+    assert counts["big"] / 200 < n["big"] / 920
+    # exact md5-rank replay of the drawn ids
+    got = sorted((r["lang"], r["i"]) for r in out.collect())
+    bygrp = {}
+    for i, g in rows:
+        bygrp.setdefault(g, []).append(i)
+    expect = []
+    for g, ks in bygrp.items():
+        ks.sort(key=lambda k: (
+            hashlib.md5(f"{k}:7".encode()).hexdigest(), k))
+        expect += [(g, k) for k in ks[:want[g]]]
+    assert got == sorted(expect)
+    # mega-group salt guard returns the identical sample
+    salted = sorted((r["lang"], r["i"]) for r in
+                    sel.temperature_resample(df, "lang", 200, alpha=0.3,
+                                             key_col="i", seed=7,
+                                             salt_buckets=8).collect())
+    assert salted == got
+    # alpha=1 recovers (rounded) natural proportions
+    nat = {r["lang"]: r["n"] for r in
+           sel.temperature_resample(df, "lang", 92, alpha=1.0,
+                                    key_col="i", seed=7)
+              .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert nat == {"big": 80, "mid": 10, "small": 2}
+    with pytest.raises(ValueError, match="alpha"):
+        sel.temperature_resample(df, "lang", 10, alpha=0.0, key_col="i")
