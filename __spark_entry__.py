@@ -1156,6 +1156,29 @@ def image_pipeline_jpeg420_docs(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def pdf_extract_docs(spark, sf_dir):
+    """REAL-PDF document pipeline (functions/pdf.py — the DOCUMENT
+    modality's vendored codec, r7): synthesize a spec-valid single-page
+    FlateDecode PDF per document with the closed-form line law (line j
+    of doc d reads 'doc d line j value (d*31+j*7)%97'), then rip the
+    text back with the raw-scan + inflate + text-operator-replay
+    extractor and hash the result. The oracle reconstructs the exact
+    text from the law — any defect in object scanning, inflation,
+    string-escape decoding, or the Td line-break replay changes the
+    md5. Everything stays executor-side (two fused mapInPandas stages,
+    embarrassingly parallel)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300) \
+        .select("doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    pdfs = mmod.synthesize_pdf(binned, "doc_id", n_lines=4)
+    out = mmod.pdf_text(pdfs, "pdf")
+    return out.select(
+        "doc_id",
+        F.md5("pdf_text").alias("text_md5"),
+        F.size(F.split("pdf_text", "\n")).cast("long").alias("n_lines"),
+        F.col("pdf_real")).orderBy("doc_id")
+
+
 def temperature_resample_docs(spark, sf_dir):
     """Language temperature resampling (selection.py temperature_resample
     — the mC4 / XLM-R exponentiated-sampling standard, Conneau 2020
@@ -3140,7 +3163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_docs": dsir_docs,
         "ewma_user_value": ewma_user_value,
         "gram_lineitem": gram_lineitem,
-        "heavy_tokens_docs": heavy_tokens_docs,
+        "pdf_extract_docs": pdf_extract_docs,
+        # (heavy_tokens_docs yields its slot to the never-green PDF
+        # extractor; it moves to the head of the >50 set)
         "temperature_resample_docs": temperature_resample_docs,
         # (incremental_dedup_docs yields its slot to the never-green
         # temperature resampler; it moves to the head of the >50 set)
@@ -3151,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only set. All stay covered by pytest + verify_local.
         "kmeans_embeddings": kmeans_embeddings,
         "incremental_dedup_docs": incremental_dedup_docs,
+        "heavy_tokens_docs": heavy_tokens_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
@@ -4820,6 +4846,27 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_real
             FROM chansum c JOIN histsum h USING (doc_id)
             ORDER BY doc_id
+        """,
+        "pdf_extract_docs": """
+            -- closed-form replay of the synthesized page text: the law
+            -- 'doc d line j value (d*31+j*7)%97' joined by chr(10);
+            -- the Spark side must recover the identical bytes through
+            -- real object-scan -> inflate -> operator replay
+            WITH ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 300
+            ), t AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(range(0, 4),
+                           j -> 'doc ' || doc_id || ' line ' || j
+                                || ' value '
+                                || ((doc_id * 31 + j * 7) % 97)),
+                           chr(10)) AS txt
+                FROM ids
+            )
+            SELECT doc_id, md5(txt) AS text_md5,
+                   CAST(4 AS BIGINT) AS n_lines,
+                   TRUE AS pdf_real
+            FROM t ORDER BY doc_id
         """,
         "temperature_resample_docs": """
             -- full replay of the exponentiated-sampling law: census,

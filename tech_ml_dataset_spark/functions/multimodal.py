@@ -645,6 +645,71 @@ def synthesize_jpeg(df: DataFrame, id_col: str, *, height: int = 16,
     return df.mapInPandas(batches, out_schema)
 
 
+def synthesize_pdf(df: DataFrame, id_col: str, *, n_lines: int = 4,
+                   out_col: str = "pdf",
+                   compress: bool = True) -> DataFrame:
+    """Deterministic PDF fixture column (functions/pdf.py build_pdf —
+    spec-valid single-page Helvetica, FlateDecode content stream): line
+    ``j`` of row ``id`` reads ``doc <id> line <j> value
+    <(id*31 + j*7) % 97>`` — a closed-form text law a SQL oracle
+    replays without a PDF library, the jpeg/gif fixture pattern for the
+    DOCUMENT modality."""
+    from . import pdf as pdfmod
+
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.BinaryType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in it:
+            payloads = []
+            for did in pdf_[id_col]:
+                d = int(did)
+                lines = [f"doc {d} line {j} value {(d * 31 + j * 7) % 97}"
+                         for j in range(n_lines)]
+                payloads.append(pdfmod.build_pdf(lines, compress=compress))
+            pdf_[out_col] = payloads
+            yield pdf_
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def pdf_text(df: DataFrame, bin_col: str, out_col: str = "pdf_text",
+             flag_col: str = "pdf_real") -> DataFrame:
+    """Extract text from a PDF binary column (functions/pdf.py — raw
+    object scan + FlateDecode + text-operator replay; no PDF library)
+    in one fused ``mapInPandas`` pass. Unparseable/encrypted payloads
+    yield NULL with ``flag_col`` False — the in-band real-vs-failed
+    contract of the image/audio decoders. At 100 TB this is a map-only
+    Python pass; use :func:`repartition_for_decode` ahead of it when
+    the scan yields fewer splits than cores."""
+    from . import pdf as pdfmod
+
+    for name in (out_col, flag_col):
+        if name in df.columns:
+            raise ValueError(
+                f"pdf_text: output column {name!r} already exists on "
+                f"the input; pass out_col=/flag_col= to disambiguate")
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.StringType()),
+                               T.StructField(flag_col, T.BooleanType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in it:
+            texts, reals = [], []
+            for data in pdf_[bin_col]:
+                try:
+                    texts.append(pdfmod.extract_text(bytes(data)))
+                    reals.append(True)
+                except Exception:
+                    texts.append(None)
+                    reals.append(False)
+            pdf_[out_col] = texts
+            pdf_[flag_col] = reals
+            yield pdf_
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def synthesize_gif(df: DataFrame, id_col: str, *, height: int = 8,
                    width: int = 8, out_col: str = "gifb") -> DataFrame:
     """Deterministic GIF fixture column: pixel ``(r, c)`` of row ``id``

@@ -607,3 +607,81 @@ def test_fingerprint_dedup_survivor_laws(spark):
     got = sorted(r["id"] for r in
                  dd.fingerprint_dedup(df, "fp", "id", keep_by="quality").collect())
     assert got == [2, 3, 4]
+
+
+# ---- vendored PDF text extraction (r7: document-modality codec) -----------
+
+def test_pdf_roundtrip_laws():
+    """build_pdf -> extract_text: escapes, unicode (latin-1 range),
+    empty lines, both compressed and raw content streams."""
+    from tech_ml_dataset_spark.functions import pdf
+
+    lines = ["Hello world.", "Parens (nested (deep)) and \\slash",
+             "café résumé", "", "tab\tand(close"]
+    for compress in (True, False):
+        data = pdf.build_pdf(lines, compress=compress)
+        assert data.startswith(b"%PDF-") and data.endswith(b"%%EOF")
+        assert pdf.extract_text(data) == "\n".join(lines)
+
+
+def test_pdf_text_operator_replay():
+    """Hand-built content streams: TJ kerning-space law (<= -180 is a
+    word gap, milder kerning is not), ' newline-show, hex strings,
+    octal escapes, comments, and Td line semantics (vertical move
+    breaks the line, pure-horizontal does not)."""
+    import zlib
+
+    from tech_ml_dataset_spark.functions import pdf
+
+    def wrap(content: bytes) -> bytes:
+        body = zlib.compress(content)
+        return (b"%PDF-1.4\n1 0 obj\n"
+                + b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(body) + body + b"\nendstream\nendobj\n%%EOF")
+
+    cs = (b"BT /F1 12 Tf 72 720 Td "
+          b"[(Hel) -50 (lo) -250 (world)] TJ "      # -50 glues, -250 gaps
+          b"(next) ' "                              # ' = newline + show
+          b"<48495A> Tj "                           # hex 'HIZ'
+          b"% a comment line\n"
+          b"(oc\\164al) Tj "                        # \164 octal = 't'
+          b"30 0 Td (same line) Tj "                # horizontal Td: no break
+          b"0 -14 Td (new line) Tj ET")
+    txt = pdf.extract_text(wrap(cs))
+    assert txt.split("\n") == ["Hello world",
+                               "nextHIZoctalsame line",
+                               "new line"]
+
+
+def test_pdf_error_contracts():
+    from tech_ml_dataset_spark.functions import pdf
+
+    with pytest.raises(ValueError, match="PDF"):
+        pdf.extract_text(b"not a pdf at all")
+    enc = pdf.build_pdf(["x"]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf.extract_text(enc)
+    # a DCT (image) stream is skipped, not mis-parsed
+    img = (b"%PDF-1.4\n1 0 obj\n<< /Length 4 /Filter /DCTDecode >>"
+           b"\nstream\n\xff\xd8\xff\xd9\nendstream\nendobj\n%%EOF")
+    assert pdf.extract_text(img) == ""
+
+
+def test_pdf_text_spark_pipeline(spark):
+    """synthesize_pdf -> pdf_text end-to-end: law text recovered, real
+    flag True; garbage bytes -> NULL + False (in-band, never silent)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    out = {r["doc_id"]: r for r in
+           mm.pdf_text(mm.synthesize_pdf(df, "doc_id", n_lines=3),
+                       "pdf").collect()}
+    for d in range(6):
+        want = "\n".join(f"doc {d} line {j} value {(d*31 + j*7) % 97}"
+                         for j in range(3))
+        assert out[d]["pdf_text"] == want and out[d]["pdf_real"]
+    bad = spark.createDataFrame([(1, bytearray(b"junk"))],
+                                "id int, data binary")
+    r = mm.pdf_text(bad, "data").collect()[0]
+    assert r["pdf_text"] is None and r["pdf_real"] is False
