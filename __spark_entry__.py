@@ -1156,6 +1156,52 @@ def image_pipeline_jpeg420_docs(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def url_quality_docs(spark, sf_dir):
+    """URL-level crawl-frontier filtering (webtext.py
+    url_quality_signals — RefinedWeb §3.1: reject before fetching):
+    synthesize six URL shapes per doc_id (clean page, IP-literal host,
+    digit-heavy host, blocked-domain subdomain, over-deep path,
+    param-stuffed query), run the pure-Catalyst battery, return every
+    signal + keep. The oracle rebuilds the same URLs and replays host
+    extraction, path depth, param count, digit fraction, and the
+    suffix-matched blocklist in SQL."""
+    m = F.col("doc_id") % 6
+    url = F.when(m == 0, F.concat(F.lit("https://www.site"),
+                                  (F.col("doc_id") % 50).cast("string"),
+                                  F.lit(".com/a/b?x=1"))) \
+        .when(m == 1, F.concat(F.lit("http://10.0."),
+                               (F.col("doc_id") % 256).cast("string"),
+                               F.lit(".9/p"))) \
+        .when(m == 2, F.concat(F.lit("https://n"),
+                               F.col("doc_id").cast("string"),
+                               F.lit("123456.com/x"))) \
+        .when(m == 3, F.concat(F.lit("https://sub.evil.com/p"),
+                               F.col("doc_id").cast("string"))) \
+        .when(m == 4, F.concat(F.lit("https://ok.org"),
+                               F.repeat(F.lit("/d"),
+                                        (F.col("doc_id") % 15)
+                                        .cast("int")))) \
+        .otherwise(F.concat(F.lit("https://q.net/p?"),
+                            F.array_join(
+                                F.transform(
+                                    F.sequence(
+                                        F.lit(0),
+                                        (F.col("doc_id") % 12).cast("int")),
+                                    lambda i: F.concat(
+                                        F.lit("k"), i.cast("string"),
+                                        F.lit("=v"))), "&")))
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 360) \
+        .select("doc_id", url.alias("url"))
+    out = wt.url_quality_signals(docs, "url",
+                                 blocked_domains=("evil.com",))
+    return out.select("doc_id", "url_host", "url_len", "url_path_depth",
+                      "url_n_params",
+                      F.col("url_host_digit_frac").cast("double")
+                       .alias("digit_frac"),
+                      "url_n_subdomains", "url_is_ip", "url_keep") \
+              .orderBy("doc_id")
+
+
 def pdf_extract_docs(spark, sf_dir):
     """REAL-PDF document pipeline (functions/pdf.py — the DOCUMENT
     modality's vendored codec, r7): synthesize a spec-valid single-page
@@ -3161,7 +3207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "descriptive_stats_lineitem": descriptive_stats_lineitem,
         "doc_quality_lang": doc_quality_lang,
         "dsir_docs": dsir_docs,
-        "ewma_user_value": ewma_user_value,
+        "url_quality_docs": url_quality_docs,
+        # (ewma_user_value yields its slot to the never-green URL
+        # battery; it moves to the head of the >50 set)
         "gram_lineitem": gram_lineitem,
         "pdf_extract_docs": pdf_extract_docs,
         # (heavy_tokens_docs yields its slot to the never-green PDF
@@ -3177,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": kmeans_embeddings,
         "incremental_dedup_docs": incremental_dedup_docs,
         "heavy_tokens_docs": heavy_tokens_docs,
+        "ewma_user_value": ewma_user_value,
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
@@ -4846,6 +4895,78 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS decode_real
             FROM chansum c JOIN histsum h USING (doc_id)
             ORDER BY doc_id
+        """,
+        "url_quality_docs": """
+            -- rebuild the six URL shapes, replay host extraction, path
+            -- depth, param count, digit fraction, the IP test, and the
+            -- suffix-matched domain blocklist
+            WITH ids AS (
+                SELECT doc_id, doc_id % 6 AS m FROM documents
+                WHERE doc_id < 360
+            ), u AS (
+                SELECT doc_id,
+                       CASE m
+                         WHEN 0 THEN 'https://www.site' || (doc_id % 50)
+                                     || '.com/a/b?x=1'
+                         WHEN 1 THEN 'http://10.0.' || (doc_id % 256)
+                                     || '.9/p'
+                         WHEN 2 THEN 'https://n' || doc_id
+                                     || '123456.com/x'
+                         WHEN 3 THEN 'https://sub.evil.com/p' || doc_id
+                         WHEN 4 THEN 'https://ok.org'
+                                     || repeat('/d',
+                                               CAST(doc_id % 15 AS INT))
+                         ELSE 'https://q.net/p?' || array_to_string(
+                                  list_transform(
+                                      range(0, CAST(doc_id % 12 AS INT)
+                                               + 1),
+                                      i -> 'k' || i || '=v'), '&')
+                       END AS url
+                FROM ids
+            ), sig AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))
+                           AS host,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)',
+                           1) AS path,
+                       regexp_extract(url, '\\?([^#]*)', 1) AS query
+                FROM u
+            ), calc AS (
+                SELECT doc_id, host, length(url) AS url_len,
+                       CASE WHEN length(path) > 0
+                            THEN len(string_split(path, '/')) - 1
+                            ELSE 0 END AS url_path_depth,
+                       CASE WHEN length(query) > 0
+                            THEN len(string_split(query, '&'))
+                            ELSE 0 END AS url_n_params,
+                       CASE WHEN length(host) > 0
+                            THEN CAST(length(regexp_replace(host,
+                                     '[^0-9]', '', 'g')) AS DOUBLE)
+                                 / length(host)
+                            ELSE 0.0 END AS dfrac,
+                       CASE WHEN length(host) > 0
+                            THEN len(string_split(host, '.')) - 1
+                            ELSE 0 END AS url_n_subdomains,
+                       regexp_matches(host,
+                           '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$')
+                           AS url_is_ip
+                FROM sig
+            )
+            SELECT doc_id, host AS url_host,
+                   CAST(url_len AS INT) AS url_len,
+                   CAST(url_path_depth AS INT) AS url_path_depth,
+                   CAST(url_n_params AS INT) AS url_n_params,
+                   round(dfrac * 10000) / 10000 AS digit_frac,
+                   CAST(url_n_subdomains AS INT) AS url_n_subdomains,
+                   url_is_ip,
+                   (url_len <= 2048 AND url_path_depth <= 10
+                    AND url_n_params <= 8 AND NOT url_is_ip
+                    AND dfrac <= 1.0/3.0
+                    AND NOT regexp_matches(host,
+                            '(^|\\.)(evil\\.com)$')) AS url_keep
+            FROM calc ORDER BY doc_id
         """,
         "pdf_extract_docs": """
             -- closed-form replay of the synthesized page text: the law

@@ -242,3 +242,79 @@ def c4_span_dedup(df: DataFrame, text_col: str = "text",
                                " ").alias(out_col)))
     base = df.drop(out_col) if out_col != text_col else df.drop(text_col)
     return base.join(rebuilt, id_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# URL-level quality filtering (the crawl stage BEFORE any content fetch)
+# ---------------------------------------------------------------------------
+
+def url_quality_signals(df: DataFrame, url_col: str = "url", *,
+                        blocked_domains: tuple = (),
+                        blocked_tlds: tuple = (),
+                        max_url_len: int = 2048,
+                        max_path_depth: int = 10,
+                        max_params: int = 8,
+                        keep_col: str = "url_keep") -> DataFrame:
+    """URL-level quality battery (RefinedWeb §3.1 / C4 practice: filter
+    on the URL BEFORE fetching or parsing anything — the cheapest
+    possible rejection point in a crawl). Adds per-row signals plus
+    ``keep_col``:
+
+    * ``url_host`` — lowercased host, port stripped;
+    * ``url_len``, ``url_path_depth``, ``url_n_params``,
+      ``url_host_digit_frac``, ``url_n_subdomains``;
+    * ``url_is_ip`` — dotted-quad host (link farms / C2 mirrors);
+    * flag contributions: too long, too deep, too many query params,
+      IP-literal host, digit-heavy host (>1/3), blocked domain
+      (suffix-match against ``blocked_domains`` — the deployment
+      blocklist is a policy input, like ``badwords``), blocked TLD.
+
+    Pure Catalyst — one projection, Java-regex ∩ RE2 subset so oracles
+    replay verbatim; NULL url -> NULL signals, keep=false. At 100 TB
+    this runs in the crawl-frontier scan itself, no Python, no shuffle.
+    Entries in both blocklists are escaped literally (the badwords
+    lesson: 'co.uk' must not wildcard)."""
+    u = F.col(url_col)
+    # host: text after scheme up to first / ? # or :port
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1))
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    path_depth = F.when(F.length(path) > 0,
+                        F.size(F.split(path, "/")) - 1).otherwise(0)
+    n_params = F.when(F.length(query) > 0,
+                      F.size(F.split(query, "&"))).otherwise(0)
+    host_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    digit_frac = F.when(F.length(host) > 0,
+                        host_digits / F.length(host)).otherwise(0.0)
+    n_sub = F.when(F.length(host) > 0,
+                   F.size(F.split(host, r"\.")) - 1).otherwise(0)
+    is_ip = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+
+    def esc(w: str) -> str:
+        return "".join(ch if ch.isalnum() else "\\" + ch for ch in w)
+
+    keep = (u.isNotNull()
+            & (F.length(u) <= max_url_len)
+            & (path_depth <= max_path_depth)
+            & (n_params <= max_params)
+            & ~is_ip
+            & (digit_frac <= 1.0 / 3.0))
+    if blocked_domains:
+        # suffix match on a domain boundary: 'evil.com' blocks
+        # 'evil.com' and 'a.evil.com', never 'notevil.com'
+        pat = "(^|\\.)(" + "|".join(esc(d.lower())
+                                    for d in blocked_domains) + ")$"
+        keep = keep & ~host.rlike(pat)
+    if blocked_tlds:
+        tpat = "\\.(" + "|".join(esc(t.lower().lstrip("."))
+                                 for t in blocked_tlds) + ")$"
+        keep = keep & ~host.rlike(tpat)
+    return (df.withColumn("url_host", host)
+              .withColumn("url_len", F.length(u))
+              .withColumn("url_path_depth", path_depth)
+              .withColumn("url_n_params", n_params)
+              .withColumn("url_host_digit_frac",
+                          F.round(digit_frac, 4))
+              .withColumn("url_n_subdomains", n_sub)
+              .withColumn("url_is_ip", is_ip)
+              .withColumn(keep_col, F.coalesce(keep, F.lit(False))))

@@ -202,3 +202,42 @@ class TestSpanDedup:
         out = self._dedup(spark, [a, b])
         assert out[0] == a
         assert out[1] == ""
+
+
+class TestUrlQuality:
+    def test_signals_and_keep(self, spark):
+        rows = [
+            (1, "https://www.example.com/articles/2024/post?id=3"),
+            (2, "http://192.168.1.7/admin"),                  # IP host
+            (3, "https://x1234567.com/a"),                    # digit-heavy
+            (4, "https://a.evil.com/page"),                   # blocked dom
+            (5, "https://notevil.com/page"),                  # NOT blocked
+            (6, "https://ok.com/" + "/".join("d" * 15)),      # too deep
+            (7, "https://ok.com/p?" + "&".join(f"k{i}=v"
+                                               for i in range(12))),
+            (8, None),
+            (9, "https://shop.example.co.zz/x"),              # blocked tld
+        ]
+        df = spark.createDataFrame(rows, "id int, url string")
+        out = {r["id"]: r for r in wt.url_quality_signals(
+            df, "url", blocked_domains=("evil.com",),
+            blocked_tlds=("zz",)).collect()}
+        assert out[1]["url_keep"] and out[1]["url_host"] == "www.example.com"
+        assert out[1]["url_path_depth"] == 3
+        assert out[1]["url_n_params"] == 1
+        assert out[2]["url_is_ip"] and not out[2]["url_keep"]
+        assert out[3]["url_host_digit_frac"] > 0.33 \
+            and not out[3]["url_keep"]
+        assert not out[4]["url_keep"]     # suffix-matched subdomain
+        assert out[5]["url_keep"]         # 'notevil.com' must survive
+        assert not out[6]["url_keep"]     # path depth
+        assert not out[7]["url_keep"]     # param count
+        assert out[8]["url_keep"] is False and out[8]["url_host"] is None
+        assert not out[9]["url_keep"]     # blocked tld
+
+    def test_no_python_stage(self, spark):
+        df = spark.createDataFrame([(1, "https://a.com/b")],
+                                   "id int, url string")
+        plan = wt.url_quality_signals(df, "url") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
