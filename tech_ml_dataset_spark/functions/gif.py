@@ -217,6 +217,11 @@ def decode(data: bytes) -> np.ndarray:
         if b != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{b:02x}")
         left, top, w, h = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+        if w * h > 80_000_000:
+            # decompression-bomb guard (the Pillow MAX_IMAGE_PIXELS
+            # idea): corrupt/hostile crawl bytes must not allocate GBs
+            raise ValueError(f"gif: frame {w}x{h} exceeds the "
+                             "80M-pixel decompression-bomb guard")
         ipacked = data[pos + 9]
         pos += 10
         ct = gct

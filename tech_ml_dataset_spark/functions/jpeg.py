@@ -446,6 +446,12 @@ def decode(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"jpeg: {prec}-bit precision unsupported")
+            if h * w > 80_000_000:
+                # decompression-bomb guard (the Pillow MAX_IMAGE_PIXELS
+                # idea): a corrupt SOF must not allocate GBs of
+                # coefficient grid before the entropy data runs out
+                raise ValueError(f"jpeg: {w}x{h} exceeds the 80M-pixel "
+                                 "decompression-bomb guard")
             comps = []
             for k in range(nc):
                 cid, hv, tq = body[6 + 3 * k:9 + 3 * k]

@@ -325,6 +325,12 @@ def read_file_range(path: str, start: int, end: int):
                 break
             count, off = _read_long(head, 0)
             size, off = _read_long(head, off)
+            if count < 0 or size < 0 or p + off + size + 16 > fsize:
+                # corrupt varints (a flipped bit can decode to a huge
+                # count) must fail loudly, not spin or over-allocate
+                raise ValueError(
+                    f"{path}: corrupt block header at offset {p} "
+                    f"(count={count}, size={size})")
             f.seek(p + off)
             block = f.read(size)
             if f.read(16) != sync:
