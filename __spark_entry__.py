@@ -1156,6 +1156,50 @@ def image_pipeline_jpeg420_docs(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def warc_pipeline_docs(spark, sf_dir):
+    """CRAWL-ARCHIVE ingest end-to-end (sources/warc.py, r7 — the
+    Common Crawl entry point): build a per-record-gzip-member .warc.gz
+    fixture DISTRIBUTED (one archive per partition, executor-side),
+    read it back through the WARC record parser (header block,
+    Content-Length framing, HTTP envelope split), then extract text
+    with the html_to_text Catalyst chain and hash it. The oracle
+    rebuilds the same HTML from the closed-form law and replays the
+    IDENTICAL extraction chain via html_to_text_sql — archive framing,
+    HTTP parsing, and markup stripping are all hash-checked in one
+    row per document."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tech_ml_dataset_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250) \
+        .select("doc_id")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>alpha "), F.col("doc_id").cast("string"),
+        F.lit(" beta <b>"), ((F.col("doc_id") * 7) % 13).cast("string"),
+        F.lit("</b>.</p><p>second paragraph "),
+        F.col("doc_id").cast("string"), F.lit(".</p></body></html>"))
+    recs = docs.select(
+        F.concat(F.lit("https://ex.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        html.cast("binary").alias("payload")).repartition(4)
+    d = tempfile.mkdtemp(prefix="spark_graft_warc_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    warcmod.write_warc_dataset(recs, d)
+    back = warcmod.read_warc_dataset(spark, d)
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "http_status", "content_type",
+        F.md5(wt.html_to_text(F.col("payload").cast("string")))
+         .alias("text_md5")).orderBy("doc_id")
+
+
 def url_quality_docs(spark, sf_dir):
     """URL-level crawl-frontier filtering (webtext.py
     url_quality_signals — RefinedWeb §3.1: reject before fetching):
@@ -3210,7 +3254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_quality_docs": url_quality_docs,
         # (ewma_user_value yields its slot to the never-green URL
         # battery; it moves to the head of the >50 set)
-        "gram_lineitem": gram_lineitem,
+        "warc_pipeline_docs": warc_pipeline_docs,
+        # (gram_lineitem yields its slot to the never-green WARC
+        # pipeline; it moves to the head of the >50 set)
         "pdf_extract_docs": pdf_extract_docs,
         # (heavy_tokens_docs yields its slot to the never-green PDF
         # extractor; it moves to the head of the >50 set)
@@ -3226,6 +3272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "heavy_tokens_docs": heavy_tokens_docs,
         "ewma_user_value": ewma_user_value,
+        "gram_lineitem": gram_lineitem,
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
@@ -4894,6 +4941,25 @@ def oracle_sql() -> dict[str, str]:
                    round((c.cs + h.hs) * 10000) / 10000 AS feat_chk,
                    TRUE AS decode_real
             FROM chansum c JOIN histsum h USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "warc_pipeline_docs": """
+            -- rebuild the fixture HTML per doc and replay the IDENTICAL
+            -- extraction chain (html_to_text_sql) — the Spark side must
+            -- recover the same bytes through real WARC framing + HTTP
+            -- envelope parsing first
+            SELECT doc_id, 200 AS http_status,
+                   'text/html' AS content_type,
+                   md5(""" + wt.html_to_text_sql(
+            "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+            "'</title></head><body><h1>Doc ' || "
+            "CAST(doc_id AS VARCHAR) || '</h1><p>alpha ' || "
+            "CAST(doc_id AS VARCHAR) || ' beta <b>' || "
+            "CAST((doc_id * 7) % 13 AS VARCHAR) || "
+            "'</b>.</p><p>second paragraph ' || "
+            "CAST(doc_id AS VARCHAR) || '.</p></body></html>'"
+        ) + """) AS text_md5
+            FROM documents WHERE doc_id < 250
             ORDER BY doc_id
         """,
         "url_quality_docs": """

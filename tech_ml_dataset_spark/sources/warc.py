@@ -1,0 +1,225 @@
+"""WARC (Web ARChive, ISO 28500) container support — stdlib only.
+
+The container format the real crawl corpora ship in (Common Crawl's
+``.warc.gz`` files): WARC/1.0 records — a header block of
+``Name: value`` lines, ``Content-Length``-delimited payload, blank-line
+separators — with the per-record-gzip-member convention for ``.gz``
+(each record its own deflate stream, so readers can skip records
+without decompressing everything; Python's zlib/gzip handle the
+concatenated members transparently).
+
+Surfaces mirror the avro/arrow dataset shape:
+
+* :func:`read_warc_dataset` — the file list becomes the plan source,
+  one task per file (the ``.gz`` member structure is not exposed as
+  byte splits without an external index — Common Crawl ships ``cdx``
+  indexes for that; per-FILE parallelism matches how CC distributes
+  work, ~1 GB per file x 64k files per crawl).
+* ``response`` records surface as (target_uri, warc_date, record_type,
+  http_status, content_type, payload bytes) — the HTTP header block is
+  parsed off the payload; other record types (request, metadata,
+  warcinfo) surface with NULL http fields and their raw payload.
+* :func:`write_warc_dataset` — one ``part-NNNNN.warc.gz`` per
+  partition, each record its own gzip member (the CC layout), written
+  executor-side in a single ``mapInPandas`` pass.
+
+Chained with ``webtext.html_to_text`` + the C4/Gopher/dedup batteries,
+this closes the pipeline at the true entry point: raw crawl archive in,
+training text out, all Spark-side.
+
+Reference parity anchor: none — tech.ml.dataset has no crawl surface;
+driver-mandate (training-data pipeline) function. Format facts from the
+public ISO 28500 / WARC 1.0 specification and Common Crawl's published
+layout only.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import zlib
+
+_CRLF = b"\r\n"
+
+
+def _parse_records(data: bytes):
+    """Yield dicts of (headers, payload) for each WARC record."""
+    pos, n = 0, len(data)
+    while pos < n:
+        # tolerate inter-record padding/newlines
+        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"warc: expected record header at byte "
+                             f"{pos}, found {data[pos:pos + 12]!r}")
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end == -1:
+            raise ValueError("warc: truncated record header block")
+        head_lines = data[pos:hdr_end].split(_CRLF)
+        headers = {}
+        for ln in head_lines[1:]:
+            k, _, v = ln.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            raise ValueError("warc: record missing a numeric "
+                             "Content-Length") from None
+        body_start = hdr_end + 4
+        if body_start + clen > n:
+            raise ValueError("warc: Content-Length runs past end of "
+                             "file (truncated download)")
+        yield headers, data[body_start:body_start + clen]
+        pos = body_start + clen
+
+
+def _split_http(payload: bytes):
+    """(status, content_type, body) from an HTTP response payload."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    he = payload.find(_CRLF + _CRLF)
+    if he == -1:
+        return None, None, payload
+    lines = payload[:he].split(_CRLF)
+    try:
+        status = int(lines[0].split()[1])
+    except (IndexError, ValueError):
+        status = None
+    ctype = None
+    for ln in lines[1:]:
+        k, _, v = ln.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1")
+            break
+    return status, ctype, payload[he + 4:]
+
+
+def read_warc_file(path: str):
+    """Yield row tuples (target_uri, warc_date, record_type,
+    http_status, content_type, payload) for every record of one
+    ``.warc`` / ``.warc.gz`` file."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)      # multi-member: all records
+    for headers, payload in _parse_records(raw):
+        rtype = headers.get("warc-type")
+        status = ctype = None
+        body = payload
+        if rtype == "response":
+            status, ctype, body = _split_http(payload)
+        yield (headers.get("warc-target-uri"),
+               headers.get("warc-date"), rtype, status, ctype,
+               bytearray(body))
+
+
+_WARC_DDL = ("target_uri string, warc_date string, record_type string, "
+             "http_status int, content_type string, payload binary")
+
+
+def read_warc_dataset(spark, path: str | list[str],
+                      *, extension: str = ".warc.gz"):
+    """DISTRIBUTED WARC read: file-list plan source, one task per
+    archive file (the Common Crawl work unit), records parsed
+    executor-side."""
+    import glob as globmod
+
+    import pandas as pd
+
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(extension) or f.endswith(".warc"))
+        else:
+            files = sorted(globmod.glob(path)) or [path]
+    else:
+        files = list(path)
+    if not files:
+        raise ValueError(f"no {extension} files under {path!r}")
+
+    fdf = spark.createDataFrame([(f,) for f in files],
+                                "__warc_file__ string")
+    if len(files) > 1:
+        fdf = fdf.repartition(len(files))
+
+    def batches(it):
+        for pdf in it:
+            for p in pdf["__warc_file__"]:
+                rows = list(read_warc_file(p))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["target_uri", "warc_date",
+                                       "record_type", "http_status",
+                                       "content_type", "payload"]) \
+                        .astype({"http_status": "Int64"})
+
+    return fdf.mapInPandas(batches, _WARC_DDL)
+
+
+def build_record(uri: str, date: str, payload: bytes, *,
+                 rtype: str = "response",
+                 http_status: int = 200,
+                 content_type: str = "text/html") -> bytes:
+    """One spec-valid WARC record (with an HTTP response envelope for
+    ``response`` records) — the fixture/sink builder."""
+    if rtype == "response":
+        http = (b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n"
+                b"Content-Length: %d\r\n\r\n"
+                % (http_status, content_type.encode("latin-1"),
+                   len(payload))) + payload
+    else:
+        http = payload
+    head = (b"WARC/1.0\r\n"
+            b"WARC-Type: " + rtype.encode("latin-1") + _CRLF
+            + b"WARC-Target-URI: " + uri.encode("latin-1") + _CRLF
+            + b"WARC-Date: " + date.encode("latin-1") + _CRLF
+            + b"Content-Length: %d" % len(http) + _CRLF + _CRLF)
+    return head + http + _CRLF + _CRLF
+
+
+def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
+                       date_col: str = "warc_date",
+                       payload_col: str = "payload",
+                       content_type: str = "text/html") -> list[dict]:
+    """DISTRIBUTED WARC write: one ``part-NNNNN.warc.gz`` per
+    partition, every record its own gzip member (the Common Crawl
+    layout), executor-side — the avro/arrow sink shape. Returns the
+    [{path, n_records}, ...] manifest."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(path, exist_ok=True)
+
+    def sink(it):
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.warc.gz")
+        n = 0
+        fh = None
+        try:
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                if fh is None:
+                    fh = open(out, "wb")
+                for uri, date, payload in zip(pdf[uri_col], pdf[date_col],
+                                              pdf[payload_col]):
+                    rec = build_record(str(uri), str(date),
+                                       bytes(payload),
+                                       content_type=content_type)
+                    # one gzip member per record (CC convention)
+                    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    fh.write(co.compress(rec) + co.flush())
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n:
+            yield pd.DataFrame({"path": [out], "n_records": [n]})
+
+    manifest = df.mapInPandas(sink, "path string, n_records long").collect()
+    return [r.asDict() for r in manifest]

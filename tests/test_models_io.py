@@ -1052,3 +1052,60 @@ def test_avro_block_splits_exactly_once(spark, tmp_path):
         for blk, _ in av.read_file_range(f, s, min(s + step, size)):
             rows += [r[0] for r in blk]
     assert sorted(rows) == list(range(5000))
+
+
+# ---- WARC crawl-archive container (r7) ------------------------------------
+
+def test_warc_roundtrip_and_http_envelope(spark, tmp_path):
+    from tech_ml_dataset_spark.sources import warc
+
+    rows = [(f"https://ex.com/p{i}", "2024-01-01T00:00:00Z",
+             bytearray(f"<p>doc {i}</p>".encode())) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "target_uri string, warc_date string, payload binary") \
+        .repartition(3)
+    path = str(tmp_path / "crawl")
+    manifest = warc.write_warc_dataset(df, path)
+    assert sum(m["n_records"] for m in manifest) == 30
+    back = warc.read_warc_dataset(spark, path)
+    assert back.rdd.getNumPartitions() == len(manifest)
+    got = sorted((r["target_uri"], r["http_status"], r["content_type"],
+                  bytes(r["payload"]).decode()) for r in back.collect())
+    assert got == sorted((u, 200, "text/html", bytes(p).decode())
+                         for u, _, p in rows)
+
+
+def test_warc_record_laws(tmp_path):
+    """Hand-built archives: non-response records keep raw payloads with
+    NULL http fields; binary payloads survive framing; gzip members
+    concatenate; truncation and bad framing fail loudly."""
+    import gzip
+
+    from tech_ml_dataset_spark.sources import warc
+
+    r1 = warc.build_record("https://a/1", "2024-01-01T00:00:00Z",
+                           b"\x00\xffbinary body", content_type="image/png")
+    r2 = warc.build_record("https://a/2", "2024-01-01T00:00:00Z",
+                           b'{"k": 1}', rtype="metadata")
+    f = tmp_path / "x.warc.gz"
+    # two separate gzip members (the Common Crawl convention)
+    f.write_bytes(gzip.compress(r1) + gzip.compress(r2))
+    rows = list(warc.read_warc_file(str(f)))
+    assert len(rows) == 2
+    uri, _, rtype, status, ctype, body = rows[0]
+    assert (uri, rtype, status, ctype) == ("https://a/1", "response",
+                                           200, "image/png")
+    assert bytes(body) == b"\x00\xffbinary body"
+    uri2, _, rtype2, status2, ctype2, body2 = rows[1]
+    assert (rtype2, status2, ctype2) == ("metadata", None, None)
+    assert bytes(body2) == b'{"k": 1}'
+    # truncated Content-Length
+    g = tmp_path / "t.warc"
+    g.write_bytes(r1[:len(r1) - 12])
+    with pytest.raises(ValueError, match="truncated|Content-Length"):
+        list(warc.read_warc_file(str(g)))
+    # garbage framing
+    h = tmp_path / "b.warc"
+    h.write_bytes(b"NOT A WARC RECORD AT ALL\r\n\r\n")
+    with pytest.raises(ValueError, match="warc"):
+        list(warc.read_warc_file(str(h)))
