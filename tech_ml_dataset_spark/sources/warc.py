@@ -223,3 +223,78 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
 
     manifest = df.mapInPandas(sink, "path string, n_records long").collect()
     return [r.asDict() for r in manifest]
+
+
+def read_warc_records(spark, entries):
+    """CDX-style record-range read — the actual Common Crawl access
+    pattern: the crawl ships ``cdx`` indexes mapping each capture to
+    ``(warc file, byte offset, compressed length)``, and consumers
+    range-read just their records' gzip members instead of streaming
+    whole archives. ``entries`` is a list/DataFrame of (path, offset,
+    length) triples; each becomes one unit of a record-level-parallel
+    scan — a single 1 GB archive fans out across however many index
+    rows point into it (the intra-file parallelism
+    :func:`read_warc_dataset`'s file-per-task shape can't give).
+    Offsets must land on gzip-member boundaries (what CDX guarantees);
+    a mid-member offset fails loudly in the decompressor."""
+    import pandas as pd
+
+    if not isinstance(entries, list):
+        entries = [(r[0], int(r[1]), int(r[2]))
+                   for r in entries.collect()]
+    if not entries:
+        raise ValueError("read_warc_records: empty entry list")
+    fdf = spark.createDataFrame(
+        entries, "__warc_file__ string, __off__ long, __len__ long")
+    if len(entries) > 1:
+        fdf = fdf.repartition(min(len(entries),
+                                  spark.sparkContext.defaultParallelism * 4))
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for p, off, ln in zip(pdf["__warc_file__"], pdf["__off__"],
+                                  pdf["__len__"]):
+                with open(p, "rb") as f:
+                    f.seek(int(off))
+                    raw = f.read(int(ln))
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                for headers, payload in _parse_records(raw):
+                    rtype = headers.get("warc-type")
+                    status = ctype = None
+                    body = payload
+                    if rtype == "response":
+                        status, ctype, body = _split_http(payload)
+                    rows.append((headers.get("warc-target-uri"),
+                                 headers.get("warc-date"), rtype, status,
+                                 ctype, bytearray(body)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["target_uri", "warc_date",
+                                   "record_type", "http_status",
+                                   "content_type", "payload"]) \
+                    .astype({"http_status": "Int64"})
+
+    return fdf.mapInPandas(batches, _WARC_DDL)
+
+
+def warc_member_index(path: str) -> list[tuple[str, int, int]]:
+    """Build the (path, offset, length) member index for a
+    per-record-gzip-member archive (what a CDX file provides for real
+    crawls) by walking the gzip member boundaries — a one-pass,
+    metadata-cheap scan usable when no CDX ships with the archive."""
+    out = []
+    with open(path, "rb") as f:
+        data = f.read()
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos:pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"{path}: offset {pos} is not a gzip "
+                             "member boundary")
+        d = zlib.decompressobj(31)
+        d.decompress(data[pos:])
+        consumed = n - pos - len(d.unused_data)
+        out.append((path, pos, consumed))
+        pos += consumed
+    return out

