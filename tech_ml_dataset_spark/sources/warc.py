@@ -36,7 +36,6 @@ layout only.
 from __future__ import annotations
 
 import gzip
-import io
 import os
 import zlib
 
