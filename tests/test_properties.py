@@ -409,3 +409,39 @@ def test_avro_value_block_roundtrip(rows):
             out.append(bytes(v) if isinstance(v, bytearray) else v)
         got.append(tuple(out))
     assert got == list(map(tuple, rows)) and pos == len(data)
+
+
+@given(hs.lists(hs.text(
+    alphabet=hs.characters(min_codepoint=0x20, max_codepoint=0xFF),
+    max_size=60), min_size=0, max_size=8),
+    hs.booleans())
+@settings(max_examples=60, deadline=None)
+def test_pdf_build_extract_roundtrip_property(lines, compress):
+    """Any latin-1 printable line set round-trips through
+    build_pdf -> extract_text (escape handling for ( ) \\ included),
+    both raw and FlateDecode streams."""
+    from tech_ml_dataset_spark.functions import pdf
+
+    data = pdf.build_pdf(lines, compress=compress)
+    assert pdf.extract_text(data) == "\n".join(lines)
+
+
+@given(hs.binary(max_size=300),
+       hs.text(alphabet=hs.characters(min_codepoint=0x21,
+                                      max_codepoint=0x7E), min_size=1,
+               max_size=40))
+@settings(max_examples=60, deadline=None)
+def test_warc_record_roundtrip_property(payload, uri):
+    """Arbitrary binary payloads (incl. CRLF-bearing and empty) frame
+    and parse back exactly through the WARC record builder — the
+    Content-Length discipline, not delimiters, bounds the body."""
+    from tech_ml_dataset_spark.sources import warc
+
+    rec = warc.build_record("https://" + uri, "2024-01-01T00:00:00Z",
+                            payload)
+    [(headers, body)] = list(warc._parse_records(rec))
+    assert headers["warc-target-uri"] == "https://" + uri
+    status, ctype, inner = warc._split_http(body)
+    assert status == 200 and inner == payload
+    # two concatenated records parse as two (framing never bleeds)
+    assert len(list(warc._parse_records(rec + rec))) == 2
