@@ -556,3 +556,21 @@ def test_plan_digest_counts(spark, sf_dir):
     assert d["scans"] >= 4 and d["broadcast_joins"] >= 3
     assert d["nested_loop_or_cartesian"] == 0
     assert d["python_stages"] == 0 and d["codegen_spans"] > 0
+
+
+def test_temperature_resample_budget_join_is_broadcast(spark, sf_dir):
+    """The per-group budget map is census-sized (languages/domains in
+    the hundreds) — it must ride the rank filter as a BroadcastHashJoin,
+    never a shuffle keyed by the group column (at 100 TB the group key
+    is exactly the skewed axis: one language can own half the corpus)."""
+    from tech_ml_dataset_spark.operators import selection as sel
+    from tech_ml_dataset_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    df = sel.temperature_resample(docs, "lang", 100, alpha=0.3,
+                                  key_col="doc_id")
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
