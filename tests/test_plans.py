@@ -574,3 +574,30 @@ def test_temperature_resample_budget_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_driver_window_integrity():
+    """The driver correctness gate checks the FIRST 50 registry entries
+    only, so three invariants guard the rotation discipline (run after
+    every queries() edit): (1) every window query has an oracle (the
+    window is never spent on a rows-only check); (2) no oracle-able
+    query sits below position 50 without a prior driver-green record —
+    otherwise it would silently never be driver-checked; (3) no
+    duplicate registry keys (a dict literal would mask the earlier
+    entry)."""
+    import glob
+    import json
+    import os
+
+    qs = list(entry.queries())
+    osql = entry.oracle_sql()
+    assert len(qs) == len(set(qs))
+    missing = [q for q in qs[:50] if q not in osql]
+    assert not missing, f"window entries without oracles: {missing}"
+    prior = set()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        prior |= set(json.load(open(f)))
+    hidden = [q for q in qs[50:] if q in osql and q not in prior]
+    assert not hidden, ("oracle-able queries below position 50 with no "
+                        f"prior driver record: {hidden}")
