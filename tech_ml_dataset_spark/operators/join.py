@@ -155,7 +155,8 @@ def pd_merge(left: DataFrame, right: DataFrame, *, on=None, left_on=None,
 
 def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
                    by: str | Sequence[str] | None = None,
-                   asof_op: str = "<=") -> DataFrame:
+                   asof_op: str = "<=",
+                   tolerance: float | None = None) -> DataFrame:
     """``left-join-asof`` (join.clj:747-799): for each left row, match the
     single "closest" right row along ``on`` under ``asof_op`` ∈
     {"<", "<=", ">", ">=", "nearest"}. The operator expresses
@@ -191,7 +192,19 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
 
     At scale this is one sort-merge pass per side — same asymptotics as the
     reference's merge-scan, but distributed by the ``by`` keys.
+
+    ``tolerance`` (r7, the pandas ``merge_asof`` lever; parity-plus — the
+    reference has none): a maximum allowed |l.on - r.on| distance. A
+    match further than that is nulled out (the row keeps its left
+    columns). Units: the axis's own units for numeric axes, MICROSECONDS
+    for temporal axes (the engine's epoch-micros arithmetic domain —
+    pass ``seconds * 1e6``). Applied AFTER match selection, exactly like
+    pandas: a closer-but-out-of-tolerance neighbor is not replaced by a
+    further in-tolerance one.
     """
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"left_join_asof: tolerance must be >= 0, "
+                         f"got {tolerance}")
     if asof_op == "nearest":
         from .selection import _free_name
         # The prev/next results must be re-joined per LEFT ROW. Joining on
@@ -210,7 +223,8 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
         prev = left_join_asof(tagged, right, on, by=by, asof_op=">=")
         nxt = left_join_asof(tagged, right, on, by=by, asof_op="<=")
         # pick per-row whichever matched value is closer on the axis
-        return _nearest_combine(tagged, prev, nxt, on, by, rid).drop(rid)
+        return _nearest_combine(tagged, prev, nxt, on, by, rid,
+                                tolerance=tolerance).drop(rid)
 
     by_cols = [] if by is None else ([by] if isinstance(by, str) else list(by))
     if not by_cols:
@@ -257,6 +271,16 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
 
     filled = u.withColumn("__rrow__",
                           F.last("__rrow__", ignorenulls=True).over(w))
+    if tolerance is not None:
+        from ..dtutil import axis_double
+        # distance on the matched axis value, in axis_double units
+        filled = filled.withColumn(
+            "__rrow__",
+            F.when(F.col("__rrow__").isNotNull()
+                   & (F.abs(axis_double(filled, on)
+                            - _rrow_axis_double(filled, on))
+                      <= F.lit(float(tolerance))),
+                   F.col("__rrow__")))
     out = filled.filter(F.col("__side__") == 1).drop("__side__")
     for i, c in enumerate(rval_cols):
         out = out.withColumn(c, F.col("__rrow__")[f"v{i}"])
@@ -264,8 +288,21 @@ def left_join_asof(left: DataFrame, right: DataFrame, on: str, *,
               .drop("__rrow__")
 
 
+def _rrow_axis_double(df: DataFrame, on: str):
+    """axis_double for the matched right row's axis value carried inside
+    the __rrow__ struct (same units as axis_double of the axis column)."""
+    from ..dtutil import is_temporal
+    dtype = dict(df.dtypes)[on]
+    v = F.col("__rrow__")["__r_on__"]
+    if is_temporal(dtype):
+        from ..dtutil import epoch_micros
+        return epoch_micros(v).cast("double")
+    return v.cast("double")
+
+
 def _nearest_combine(left: DataFrame, prev: DataFrame, nxt: DataFrame,
-                     on: str, by, rid: str) -> DataFrame:
+                     on: str, by, rid: str,
+                     tolerance: float | None = None) -> DataFrame:
     """Combine backward (prev) / forward (nxt) asof results picking the
     closer match, keyed by the caller-provided unique row id (never by
     data columns — NULLs/duplicates there would drop or multiply rows).
@@ -293,6 +330,16 @@ def _nearest_combine(left: DataFrame, prev: DataFrame, nxt: DataFrame,
              .otherwise(d_p < d_n)
     for c in val_cols:
         j = j.withColumn(c, F.when(use_p, F.col(pa[c])).otherwise(F.col(na[c])))
+    if tolerance is not None:
+        # the chosen side's distance must be within tolerance, else NULL
+        # the whole matched row (pandas semantics: no fallback to the
+        # further-but-in-tolerance neighbor... pandas nearest also drops)
+        chosen_d = F.when(use_p, d_p).otherwise(d_n)
+        ok = chosen_d <= F.lit(float(tolerance))
+        for c in val_cols:
+            # backticks: matched column names carry the "right." prefix,
+            # which bare Column resolution would parse as a path
+            j = j.withColumn(c, F.when(ok, F.col(f"`{c}`")))
     return j.drop(*pa.values(), *na.values())
 
 

@@ -1422,3 +1422,43 @@ def test_temperature_resample_law(spark):
     assert nat == {"big": 80, "mid": 10, "small": 2}
     with pytest.raises(ValueError, match="alpha"):
         sel.temperature_resample(df, "lang", 10, alpha=0.0, key_col="i")
+
+
+def test_asof_tolerance_law(spark):
+    """r7 parity-plus (pandas merge_asof tolerance): the selected match
+    is NULLED when its axis distance exceeds tolerance — never replaced
+    by a further in-tolerance neighbor (pandas semantics); numeric axes
+    use axis units, temporal axes microseconds; nearest applies the cap
+    to the chosen side."""
+    import datetime as dt
+
+    left = spark.createDataFrame([(1, 5), (1, 100)], ["g", "t"])
+    right = spark.createDataFrame(
+        [(1, 3, "near"), (1, 90, "ten_away")], ["g", "t", "v"])
+    # backward >=: t=5 matches 3 (d=2), t=100 matches 90 (d=10)
+    out = {r["t"]: r["v"] for r in jn.left_join_asof(
+        left, right, "t", by="g", asof_op=">=", tolerance=5).collect()}
+    assert out == {5: "near", 100: None}
+    # no tolerance: both match
+    out2 = {r["t"]: r["v"] for r in jn.left_join_asof(
+        left, right, "t", by="g", asof_op=">=").collect()}
+    assert out2 == {5: "near", 100: "ten_away"}
+    # nearest: chosen side capped; the further neighbor is NOT used
+    near = spark.createDataFrame([(1, 10)], ["g", "t"])
+    nr = spark.createDataFrame([(1, 7, "d3"), (1, 30, "d20")],
+                               ["g", "t", "v"])
+    assert jn.left_join_asof(near, nr, "t", by="g", asof_op="nearest",
+                             tolerance=2).collect()[0]["v"] is None
+    assert jn.left_join_asof(near, nr, "t", by="g", asof_op="nearest",
+                             tolerance=3).collect()[0]["v"] == "d3"
+    # temporal axis: tolerance in MICROSECONDS
+    tl = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 10))], ["g", "ts"])
+    tr = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0, 7), "s3")], ["g", "ts", "v"])
+    assert jn.left_join_asof(tl, tr, "ts", by="g", asof_op=">=",
+                             tolerance=3e6).collect()[0]["v"] == "s3"
+    assert jn.left_join_asof(tl, tr, "ts", by="g", asof_op=">=",
+                             tolerance=2.9e6).collect()[0]["v"] is None
+    with pytest.raises(ValueError, match="tolerance"):
+        jn.left_join_asof(left, right, "t", by="g", tolerance=-1)
