@@ -1200,6 +1200,43 @@ def warc_pipeline_docs(spark, sf_dir):
          .alias("text_md5")).orderBy("doc_id")
 
 
+def streaming_upsert_replay_orders(spark, sf_dir):
+    """STREAMING CDC upsert promoted to the oracle gate (the second
+    streaming surface after the media-dedup sink, same two-arm
+    pattern): drive streaming/windows.py's upsert_batch_apply — the
+    exact function the production sink's foreachBatch invokes — through
+    replay_upsert at FIXED batch boundaries. Three change batches over
+    the orders slice: batch b carries keys with o_orderkey ≡ b (mod 2)
+    and value o_totalprice*(b+1), so even keys are written in batches 0
+    and 2 (last write wins → x3) and odd keys only in batch 1 (→ x2) —
+    a closed-form merge law the oracle replays, proving the
+    copy-on-write MERGE (update + insert arms, the two-rename swap)
+    end-to-end across batches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tech_ml_dataset_spark.streaming.windows import replay_upsert
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 600) \
+        .select("o_orderkey", "o_totalprice")
+    batches = [
+        o.filter((F.col("o_orderkey") + b) % 2 == 0)
+         .select("o_orderkey",
+                 (F.col("o_totalprice") * (b + 1)).alias("val"),
+                 F.lit(b).alias("seq"))
+        for b in range(3)
+    ]
+    d = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    target = d + "/target"
+    replay_upsert(batches, target, "o_orderkey", sequence_by="seq")
+    back = spark.read.parquet(target)
+    return back.select("o_orderkey", _r4b(F.col("val")).alias("val"),
+                       F.col("seq").cast("long").alias("last_batch")) \
+               .orderBy("o_orderkey")
+
+
 def warc_cdx_range_docs(spark, sf_dir):
     """CDX-style RECORD-RANGE archive access (warc.read_warc_records +
     warc_member_index — the actual Common Crawl consumption pattern:
@@ -3294,7 +3331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale_acctbal": robust_scale_acctbal,
         "boilerplate_removal_docs": boilerplate_removal_docs,
         "bpe_tokens_docs": bpe_tokens_docs,
-        "chunk_docs": chunk_docs,
+        "streaming_upsert_replay_orders": streaming_upsert_replay_orders,
+        # (chunk_docs yields its slot to the never-green CDC upsert
+        # proof; it moves to the head of the >50 set)
         "descriptive_stats_lineitem": descriptive_stats_lineitem,
         "doc_quality_lang": doc_quality_lang,
         "warc_cdx_range_docs": warc_cdx_range_docs,
@@ -3323,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": ewma_user_value,
         "gram_lineitem": gram_lineitem,
         "dsir_docs": dsir_docs,
+        "chunk_docs": chunk_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
@@ -5011,6 +5051,19 @@ def oracle_sql() -> dict[str, str]:
         ) + """) AS text_md5
             FROM documents WHERE doc_id < 250
             ORDER BY doc_id
+        """,
+        "streaming_upsert_replay_orders": """
+            -- closed form of the CDC merge law: even keys last written
+            -- by batch 2 (val = price*3), odd keys by batch 1 (price*2)
+            SELECT o_orderkey,
+                   round(o_totalprice
+                         * (CASE WHEN o_orderkey % 2 = 0
+                                 THEN 3 ELSE 2 END)
+                         * 10000) / 10000 AS val,
+                   CAST(CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END
+                        AS BIGINT) AS last_batch
+            FROM orders WHERE o_orderkey < 600
+            ORDER BY o_orderkey
         """,
         "warc_cdx_range_docs": """
             -- replay the subset law (even doc_ids via even member

@@ -240,20 +240,58 @@ def streaming_upsert_sink(df: DataFrame, target_path: str, keys, *,
             "survivor.", UserWarning, stacklevel=2)
 
     def _apply(batch_df: DataFrame, batch_id: int):
-        if not batch_df.take(1):
-            return
-        src = batch_df
-        if dedupe_batch:
-            from pyspark.sql import Window as W, functions as SF
-            order = (SF.col(sequence_by).desc() if sequence_by
-                     else SF.monotonically_increasing_id().desc())
-            w = W.partitionBy(*keys).orderBy(order)
-            src = (src.withColumn("__rn__", SF.row_number().over(w))
-                      .filter(SF.col("__rn__") == 1).drop("__rn__"))
-        merge_upsert(batch_df.sparkSession, target_path, src, keys,
-                     fmt=fmt, when_matched=when_matched)
+        upsert_batch_apply(batch_df, target_path, keys, fmt=fmt,
+                           when_matched=when_matched,
+                           dedupe_batch=dedupe_batch,
+                           sequence_by=sequence_by)
 
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
+
+
+def upsert_batch_apply(batch_df: DataFrame, target_path: str, keys, *,
+                       fmt: str = "parquet",
+                       when_matched: str = "update",
+                       dedupe_batch: bool = True,
+                       sequence_by: str | None = None) -> None:
+    """ONE micro-batch of the CDC upsert sink — the exact function
+    :func:`streaming_upsert_sink`'s foreachBatch invokes, exposed so
+    :func:`replay_upsert` can drive the identical code path at
+    deterministic batch boundaries (the fingerprint-dedup two-arm
+    pattern): within-batch last-change-wins by ``sequence_by``, then
+    the crash-safe copy-on-write MERGE."""
+    from ..sources.io import merge_upsert
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if not batch_df.take(1):
+        return
+    src = batch_df
+    if dedupe_batch:
+        from pyspark.sql import Window as W, functions as SF
+        order = (SF.col(sequence_by).desc() if sequence_by
+                 else SF.monotonically_increasing_id().desc())
+        w = W.partitionBy(*keys).orderBy(order)
+        src = (src.withColumn("__rn__", SF.row_number().over(w))
+                  .filter(SF.col("__rn__") == 1).drop("__rn__"))
+    merge_upsert(batch_df.sparkSession, target_path, src, keys,
+                 fmt=fmt, when_matched=when_matched)
+
+
+def replay_upsert(batches, target_path: str, keys, *,
+                  fmt: str = "parquet", when_matched: str = "update",
+                  sequence_by: str | None = None) -> None:
+    """Deterministic batch-replay arm of :func:`streaming_upsert_sink`
+    (the two-arm pattern that promoted the media-dedup sink): apply the
+    SAME per-batch function over an EXPLICIT ordered list of batch
+    DataFrames. The resulting target has a closed form a SQL oracle
+    replays — for every key, the surviving row comes from the LAST
+    batch containing the key (and within that batch, the max
+    ``sequence_by``) — which hash-checks the sink's merge law
+    end-to-end; the production streaming arm keeps its e2e pytest
+    evidence (real readStream, replay idempotency)."""
+    for b in batches:
+        upsert_batch_apply(b, target_path, keys, fmt=fmt,
+                           when_matched=when_matched,
+                           sequence_by=sequence_by)
 
 
 
