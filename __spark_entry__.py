@@ -1200,6 +1200,40 @@ def warc_pipeline_docs(spark, sf_dir):
          .alias("text_md5")).orderBy("doc_id")
 
 
+def streaming_text_dedup_replay_docs(spark, sf_dir):
+    """THIRD streaming surface in the oracle gate (completes the sink
+    family: media fingerprints, CDC upsert, now crawl text dedup):
+    drive streaming/windows.py's text_dedup_batch_apply — the exact
+    foreachBatch body, incl. the bloom-probed incremental_dedup history
+    pass — through replay_text_dedup at fixed boundaries (batch =
+    doc_id // 50 over doc_id < 200) with a colliding text law
+    ('txt ' || doc_id % 45). Accept law closed form: each distinct text
+    accepted exactly once, in its earliest batch, by the exact_dedup
+    min-id survivor — since batch index grows with doc_id, that is
+    simply the minimum doc_id of the class."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tech_ml_dataset_spark.streaming.windows import replay_text_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id",
+                F.concat(F.lit("txt "),
+                         (F.col("doc_id") % 45).cast("string"))
+                 .alias("text"))
+    batches = [docs.filter((F.col("doc_id") >= i * 50)
+                           & (F.col("doc_id") < (i + 1) * 50))
+               for i in range(4)]
+    d = tempfile.mkdtemp(prefix="spark_graft_txtdedup_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    replay_text_dedup(batches, d)
+    out = spark.read.parquet(d)
+    return out.select("doc_id", "text",
+                      F.col("batch_id").cast("long").alias("batch_id")) \
+              .orderBy("doc_id")
+
+
 def streaming_upsert_replay_orders(spark, sf_dir):
     """STREAMING CDC upsert promoted to the oracle gate (the second
     streaming surface after the media-dedup sink, same two-arm
@@ -3335,7 +3369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (chunk_docs yields its slot to the never-green CDC upsert
         # proof; it moves to the head of the >50 set)
         "descriptive_stats_lineitem": descriptive_stats_lineitem,
-        "doc_quality_lang": doc_quality_lang,
+        "streaming_text_dedup_replay_docs": streaming_text_dedup_replay_docs,
+        # (doc_quality_lang yields its slot to the never-green text
+        # dedup sink proof; it moves to the head of the >50 set)
         "warc_cdx_range_docs": warc_cdx_range_docs,
         # (dsir_docs yields its slot to the never-green CDX-range
         # proof; it moves to the head of the >50 set)
@@ -3363,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gram_lineitem": gram_lineitem,
         "dsir_docs": dsir_docs,
         "chunk_docs": chunk_docs,
+        "doc_quality_lang": doc_quality_lang,
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
@@ -5050,6 +5087,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR) || '.</p></body></html>'"
         ) + """) AS text_md5
             FROM documents WHERE doc_id < 250
+            ORDER BY doc_id
+        """,
+        "streaming_text_dedup_replay_docs": """
+            -- accept law: each text class survives once, at its min
+            -- doc_id (earliest batch + exact_dedup min-id survivor)
+            SELECT doc_id, 'txt ' || (doc_id % 45) AS text,
+                   CAST(doc_id // 50 AS BIGINT) AS batch_id
+            FROM (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id % 45
+                                          ORDER BY doc_id) AS rn
+                FROM documents WHERE doc_id < 200
+            ) WHERE rn = 1
             ORDER BY doc_id
         """,
         "streaming_upsert_replay_orders": """

@@ -348,29 +348,62 @@ def streaming_dedup_sink(df: DataFrame, corpus_path: str, *,
     at that point reach for the batch ``incremental_dedup`` API with a
     cached history frame.
 
-    Returns the started query handle (availableNow trigger)."""
-    from ..functions.dedup import exact_dedup, incremental_dedup
+    Returns the started query handle (availableNow trigger).
+
+    The per-batch logic lives in :func:`text_dedup_batch_apply` (shared
+    with the oracle-able :func:`replay_text_dedup` deterministic arm)."""
     from ..sources.io import _require_local_path
     corpus_path = _require_local_path(corpus_path, "streaming_dedup_sink")
 
     def _apply(batch_df: DataFrame, batch_id: int):
-        if not batch_df.take(1):
-            return
-        spark = batch_df.sparkSession
-        fresh = exact_dedup(batch_df, text_col, id_col)
-        import os as _os
-        if _os.path.isdir(corpus_path) and any(
-                f.startswith("batch_id=") for f in _os.listdir(corpus_path)):
-            hist = (spark.read.parquet(corpus_path)
-                         .filter(F.col("batch_id") != batch_id))
-            fresh = incremental_dedup(fresh, hist, text_col,
-                                      exact_verify=exact_verify)
-        out = fresh.withColumn("batch_id", F.lit(batch_id))
-        with _dynamic_partition_overwrite(spark):
-            (out.write.mode("overwrite").partitionBy("batch_id")
-                .parquet(corpus_path))
+        text_dedup_batch_apply(batch_df, batch_id, corpus_path,
+                               text_col=text_col, id_col=id_col,
+                               exact_verify=exact_verify)
 
     return foreach_batch_sink(df, _apply, checkpoint=checkpoint)
+
+
+def text_dedup_batch_apply(batch_df: DataFrame, batch_id: int,
+                           corpus_path: str, *, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           exact_verify: bool = True) -> None:
+    """ONE micro-batch of the crawl-ingest text-dedup sink — the exact
+    function :func:`streaming_dedup_sink`'s foreachBatch invokes,
+    exposed for the :func:`replay_text_dedup` deterministic arm (the
+    two-arm pattern shared with the fingerprint and upsert sinks)."""
+    import os as _os
+
+    from ..functions.dedup import exact_dedup, incremental_dedup
+
+    if not batch_df.take(1):
+        return
+    spark = batch_df.sparkSession
+    fresh = exact_dedup(batch_df, text_col, id_col)
+    if _os.path.isdir(corpus_path) and any(
+            f.startswith("batch_id=") for f in _os.listdir(corpus_path)):
+        hist = (spark.read.parquet(corpus_path)
+                     .filter(F.col("batch_id") != batch_id))
+        fresh = incremental_dedup(fresh, hist, text_col,
+                                  exact_verify=exact_verify)
+    out = fresh.withColumn("batch_id", F.lit(batch_id))
+    with _dynamic_partition_overwrite(spark):
+        (out.write.mode("overwrite").partitionBy("batch_id")
+            .parquet(corpus_path))
+
+
+def replay_text_dedup(batches, corpus_path: str, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      exact_verify: bool = True) -> None:
+    """Deterministic batch-replay arm of :func:`streaming_dedup_sink`:
+    the same per-batch function over an explicit ordered batch list.
+    With exact matching the accepted corpus has a closed form (each
+    distinct text accepted exactly once — in its earliest batch, by the
+    exact_dedup survivor within that batch), which a SQL oracle
+    replays; the production streaming arm keeps its e2e pytest
+    evidence (bloom-filter history probe, replay idempotency)."""
+    for i, b in enumerate(batches):
+        text_dedup_batch_apply(b, i, corpus_path, text_col=text_col,
+                               id_col=id_col, exact_verify=exact_verify)
 
 
 def fingerprint_dedup_batch_apply(batch_df: DataFrame, batch_id: int,
