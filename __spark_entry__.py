@@ -1200,6 +1200,35 @@ def warc_pipeline_docs(spark, sf_dir):
          .alias("text_md5")).orderBy("doc_id")
 
 
+def json_normalize_docs(spark, sf_dir):
+    """Nested-JSON flattening (reshape.py json_normalize — the
+    pandas.json_normalize analog as ONE JVM-side from_json projection):
+    render a nested JSON blob per document, flatten it back with an
+    EXPLICIT schema (the production arm — no sampling), and return the
+    typed leaf columns under their dotted names. The oracle recomputes
+    the leaves from the source columns directly, so any drift in JSON
+    rendering, from_json parsing, or the struct-walk naming breaks the
+    hash. Every doc_id % 7 == 0 row gets malformed JSON to pin the
+    PERMISSIVE all-NULL law in the same hash."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400) \
+        .select("doc_id", "lang")
+    j = F.when(F.col("doc_id") % 7 == 0, F.lit("not valid json")) \
+        .otherwise(F.concat(
+            F.lit('{"meta": {"lang": "'), F.col("lang"),
+            F.lit('", "idsq": '),
+            (F.col("doc_id") * F.col("doc_id")).cast("string"),
+            F.lit('}, "score": '),
+            F.round(F.col("doc_id") / 7.0, 4).cast("string"),
+            F.lit('}')))
+    blob = docs.select("doc_id", j.alias("payload"))
+    out = rs.json_normalize(
+        blob, "payload",
+        schema="meta struct<lang:string, idsq:bigint>, score double")
+    return out.select("doc_id", F.col("`meta.lang`").alias("meta_lang"),
+                      F.col("`meta.idsq`").alias("meta_idsq"),
+                      F.col("score")).orderBy("doc_id")
+
+
 def streaming_text_dedup_replay_docs(spark, sf_dir):
     """THIRD streaming surface in the oracle gate (completes the sink
     family: media fingerprints, CDC upsert, now crawl text dedup):
@@ -3363,7 +3392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift_categorical_docs": psi_drift_categorical_docs,
         "psi_drift_lineitem": psi_drift_lineitem,
         "robust_scale_acctbal": robust_scale_acctbal,
-        "boilerplate_removal_docs": boilerplate_removal_docs,
+        "json_normalize_docs": json_normalize_docs,
+        # (boilerplate_removal_docs yields its slot to the never-green
+        # JSON flattener; it moves to the head of the >50 set)
         "bpe_tokens_docs": bpe_tokens_docs,
         "streaming_upsert_replay_orders": streaming_upsert_replay_orders,
         # (chunk_docs yields its slot to the never-green CDC upsert
@@ -3400,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_docs": dsir_docs,
         "chunk_docs": chunk_docs,
         "doc_quality_lang": doc_quality_lang,
+        "boilerplate_removal_docs": boilerplate_removal_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "corpus_composition": corpus_composition,
         "bigram_lm_docs": bigram_lm_docs,
@@ -5087,6 +5119,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS VARCHAR) || '.</p></body></html>'"
         ) + """) AS text_md5
             FROM documents WHERE doc_id < 250
+            ORDER BY doc_id
+        """,
+        "json_normalize_docs": """
+            -- recompute the flattened leaves from the source columns;
+            -- malformed rows (doc_id % 7 == 0) are all-NULL (PERMISSIVE)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE lang END AS meta_lang,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE doc_id * doc_id END AS meta_idsq,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE round(doc_id / 7.0, 4) END AS score
+            FROM documents WHERE doc_id < 400
             ORDER BY doc_id
         """,
         "streaming_text_dedup_replay_docs": """

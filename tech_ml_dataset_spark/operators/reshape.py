@@ -85,3 +85,69 @@ def row_mapcat(df: DataFrame, fn, schema, *, batch_size: int | None = None) -> D
                 {f.name: pd.Series(dtype="object") for f in schema.fields})
 
     return df.mapInPandas(gen, schema=schema)
+
+
+def json_normalize(df: DataFrame, json_col: str, *, sep: str = ".",
+                   schema: str | None = None,
+                   sample_rows: int = 1000,
+                   drop: bool = True) -> DataFrame:
+    """Flatten a JSON string column into typed top-level columns (the
+    ``pandas.json_normalize`` analog; reference users ingest mapseq
+    blobs the same way): nested objects expand to ``parent<sep>child``
+    columns, scalars keep their inferred types, arrays stay arrays.
+
+    Schema discipline: pass ``schema`` (a DDL string) for production —
+    at 100 TB the scan must not depend on what a sample happened to
+    contain. Without it, the schema is INFERRED from ``sample_rows``
+    non-null values on the driver via ``spark.read.json`` (a bounded,
+    sampled convenience for exploration — fields absent from the sample
+    are dropped, exactly pandas' failure mode, and a UserWarning says
+    so). Parsing itself is one JVM-side ``from_json`` projection —
+    scan-fused, no Python, no shuffle; malformed JSON yields NULLs in
+    every flattened column (from_json's PERMISSIVE law)."""
+    from pyspark.sql.types import StructType
+
+    if schema is None:
+        import warnings
+        warnings.warn(
+            "json_normalize: inferring the schema from a "
+            f"{sample_rows}-row sample — fields absent from the sample "
+            "are silently dropped; pass schema= in production",
+            UserWarning, stacklevel=2)
+        spark = df.sparkSession
+        sample = [r[0] for r in df.select(json_col).dropna()
+                  .limit(sample_rows).collect()]
+        if not sample:
+            raise ValueError(f"json_normalize: no non-null values in "
+                             f"{json_col!r} to infer a schema from")
+        inferred = spark.read.json(
+            spark.createDataFrame([(s,) for s in sample],
+                                  "v string").rdd.map(lambda r: r[0]))
+        st = inferred.schema
+        # spark.read.json surfaces corrupt sample entries as this column
+        st = StructType([f for f in st.fields
+                         if f.name != "_corrupt_record"])
+    else:
+        from pyspark.sql.types import _parse_datatype_string
+        st = _parse_datatype_string(schema)
+
+    parsed = df.withColumn("__j__", F.from_json(F.col(json_col), st))
+
+    def leaves(struct, prefix, path):
+        for f in struct.fields:
+            name = prefix + f.name
+            p = path + f"`{f.name}`"
+            if isinstance(f.dataType, StructType):
+                yield from leaves(f.dataType, name + sep, p + ".")
+            else:
+                yield name, p
+
+    cols = [F.col(f"__j__.{p}").alias(n) for n, p in leaves(st, "", "")]
+    existing = set(df.columns)
+    for n, _ in leaves(st, "", ""):
+        if n in existing:
+            raise ValueError(
+                f"json_normalize: flattened column {n!r} collides with "
+                f"an existing column; pass sep= or rename first")
+    out = parsed.select(*df.columns, *cols).drop("__j__")
+    return out.drop(json_col) if drop else out

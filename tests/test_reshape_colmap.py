@@ -254,3 +254,44 @@ def test_invert_categorical_float_codes_truncate(spark):
     di = spark.createDataFrame([(1,), (2,), (3,)], "target int")
     gi = [r["target"] for r in mlp.invert_categorical_map(di, fit).collect()]
     assert gi == ["one", "two", None]
+
+
+def test_json_normalize_laws(spark):
+    """pandas.json_normalize analog: nested structs flatten to dotted
+    names, arrays stay arrays, malformed JSON -> all-NULL (PERMISSIVE),
+    inferred arm warns about sampling, explicit-schema arm does not;
+    name collisions raise; drop= keeps or drops the source column."""
+    import warnings
+
+    from tech_ml_dataset_spark.operators import reshape as rs
+
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 7, "c": "x"}, "d": [1,2], "e": 1.5}'),
+         (2, '{"a": {"b": 9}, "e": 2.5}'),
+         (3, 'not json'), (4, None)], "id int, j string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = rs.json_normalize(df, "j")
+        assert any("sample" in str(x.message) for x in w)
+    assert out.columns == ["id", "a.b", "a.c", "d", "e"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["a.b"] == 7 and rows[1]["a.c"] == "x" \
+        and rows[1]["d"] == [1, 2] and rows[1]["e"] == 1.5
+    assert rows[2]["a.c"] is None
+    assert all(rows[3][c] is None for c in ("a.b", "a.c", "d", "e"))
+    assert all(rows[4][c] is None for c in ("a.b", "a.c", "d", "e"))
+    # explicit schema: no warning, no inference job, keeps source col
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        out2 = rs.json_normalize(df, "j", schema="a struct<b:int>, e double",
+                                 drop=False)
+        assert not any("sample" in str(x.message) for x in w2)
+    assert out2.columns == ["id", "j", "a.b", "e"]
+    # collision raises
+    clash = df.withColumnRenamed("id", "a.b")
+    with pytest.raises(ValueError, match="collides"):
+        rs.json_normalize(clash, "j", schema="a struct<b:int>")
+    # all-null column: inference impossible -> loud error
+    empty = spark.createDataFrame([(1, None)], "id int, j string")
+    with pytest.raises(ValueError, match="no non-null"):
+        rs.json_normalize(empty, "j")
