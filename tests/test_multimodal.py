@@ -624,6 +624,34 @@ def test_pdf_roundtrip_laws():
         assert pdf.extract_text(data) == "\n".join(lines)
 
 
+def test_pdf_length_slice_0x0d_tail():
+    """r7-judge regression: when the deflate payload's own last byte is
+    0x0D, the writer's lone-\\n terminator makes the tail look like a
+    \\r\\n EOL pair — naive EOL-stripping eats one payload byte and the
+    stream silently inflates to nothing. The direct-/Length slice must
+    recover it exactly; the endstream-scan fallback (indirect /Length)
+    must try BOTH strip widths."""
+    import re
+
+    from tech_ml_dataset_spark.functions import pdf
+
+    # 'regression 1069' deflates (level 6) to a stream ending in 0x0D;
+    # pinned so the 1/256 class is ALWAYS exercised, not Hypothesis-lucky.
+    import zlib
+    content = b"BT /F1 12 Tf 72 720 Td (regression 1069) Tj ET"
+    assert zlib.compress(content, 6)[-1] == 0x0D
+    data = pdf.build_pdf(["regression 1069"], compress=True)
+    assert pdf.extract_text(data) == "regression 1069"
+    # judge's Hypothesis falsifying example, compressed arm
+    lines = ["56B]m\x83\x86\x93\x9f\xa7\xd8"]
+    assert pdf.extract_text(pdf.build_pdf(lines, compress=True)) \
+        == lines[0]
+    # indirect /Length forces the endstream-scan fallback: the two-strip
+    # candidate order still recovers the 0x0D tail
+    ind = re.sub(rb"/Length \d+ /Filter", b"/Length 6 0 R /Filter", data)
+    assert pdf.extract_text(ind) == "regression 1069"
+
+
 def test_pdf_text_operator_replay():
     """Hand-built content streams: TJ kerning-space law (<= -180 is a
     word gap, milder kerning is not), ' newline-show, hex strings,
@@ -651,6 +679,39 @@ def test_pdf_text_operator_replay():
     assert txt.split("\n") == ["Hello world",
                                "nextHIZoctalsame line",
                                "new line"]
+
+
+def test_pdf_tounicode_cmap():
+    """r8: /ToUnicode CMap decode — a Type0 font with 2-byte codes and
+    a bfchar CMap round-trips exact non-Latin-1 text (CJK, Cyrillic,
+    Arabic, astral emoji), both compressed and raw streams; bfrange
+    scalar-increment and 1-byte codespaces also decode; fonts WITHOUT
+    a CMap keep the Latin-1 path."""
+    from tech_ml_dataset_spark.functions import pdf
+
+    lines = ["Привет мир", "中文文本测试", "مرحبا بالعالم",
+             "emoji \U0001F600\U0001F389 astral", "plain ASCII too"]
+    for compress in (True, False):
+        data = pdf.build_pdf_unicode(lines, compress=compress)
+        assert pdf.extract_text(data) == "\n".join(lines)
+    # bfrange increment form over a 1-byte codespace: A..C -> Α..Γ,
+    # plus a bfchar X -> Ω, via a hand-built object graph
+    def obj(b):
+        return b"<< /Length %d >>\nstream\n" % len(b) + b + b"\nendstream"
+
+    cmap = (b"begincodespacerange <00> <FF> endcodespacerange "
+            b"1 beginbfrange <41> <43> <0391> endbfrange "
+            b"1 beginbfchar <58> <03A9> endbfchar")
+    content = b"BT /F1 12 Tf (ABCX) Tj ET"
+    doc = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Page /Resources "
+           b"<< /Font << /F1 5 0 R >> >> >>\nendobj\n"
+           b"4 0 obj\n" + obj(content) + b"\nendobj\n"
+           b"5 0 obj\n<< /Type /Font /ToUnicode 6 0 R >>\nendobj\n"
+           b"6 0 obj\n" + obj(cmap) + b"\nendobj\n%%EOF")
+    assert pdf.extract_text(doc) == "ΑΒΓΩ"
+    # no CMap anywhere: latin-1 behavior unchanged
+    assert pdf.extract_text(pdf.build_pdf(["café (x)"])) == "café (x)"
 
 
 def test_pdf_error_contracts():

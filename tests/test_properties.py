@@ -5,7 +5,7 @@ real Spark job — but the properties are exact, not statistical."""
 
 import collections
 
-from hypothesis import HealthCheck, given, settings, strategies as hs
+from hypothesis import HealthCheck, example, given, settings, strategies as hs
 from pyspark.sql import functions as F
 
 from tech_ml_dataset_spark.operators import missing as ms
@@ -416,6 +416,10 @@ def test_avro_value_block_roundtrip(rows):
     max_size=60), min_size=0, max_size=8),
     hs.booleans())
 @settings(max_examples=60, deadline=None)
+@example(
+    lines=['56B]m\x83\x86\x93\x9f§Ø'],
+    compress=True,
+).via('discovered failure')
 def test_pdf_build_extract_roundtrip_property(lines, compress):
     """Any latin-1 printable line set round-trips through
     build_pdf -> extract_text (escape handling for ( ) \\ included),
