@@ -5,8 +5,14 @@ The container format the real crawl corpora ship in (Common Crawl's
 ``Name: value`` lines, ``Content-Length``-delimited payload, blank-line
 separators — with the per-record-gzip-member convention for ``.gz``
 (each record its own deflate stream, so readers can skip records
-without decompressing everything; Python's zlib/gzip handle the
-concatenated members transparently).
+without decompressing everything).
+
+Every read path STREAMS: gzip members decompress chunk-at-a-time
+through ``zlib.decompressobj(31)`` with length-capped output, and the
+record parser buffers at most one record — peak task memory is
+O(record + chunk), never O(archive). A real CC archive is ~1 GB
+compressed / 4-5 GB decompressed; 32 concurrent whole-archive
+materializations would OOM any executor.
 
 Surfaces mirror the avro/arrow dataset shape:
 
@@ -22,6 +28,11 @@ Surfaces mirror the avro/arrow dataset shape:
 * :func:`write_warc_dataset` — one ``part-NNNNN.warc.gz`` per
   partition, each record its own gzip member (the CC layout), written
   executor-side in a single ``mapInPandas`` pass.
+* :func:`read_cdx_index` — parses the ``cdx-NNNNN.gz`` CDXJ index
+  lines a real crawl ships (SURT key, timestamp, JSON payload with
+  filename/offset/length) into the (path, offset, length) triples
+  :func:`read_warc_records` consumes — record-level parallelism on
+  real archives; :func:`build_cdx_index` is the fixture-side producer.
 
 Chained with ``webtext.html_to_text`` + the C4/Gopher/dedup batteries,
 this closes the pipeline at the true entry point: raw crawl archive in,
@@ -35,31 +46,93 @@ layout only.
 
 from __future__ import annotations
 
-import gzip
 import os
 import zlib
 
 _CRLF = b"\r\n"
 
 
-def _parse_records(data: bytes):
-    """Yield dicts of (headers, payload) for each WARC record."""
-    pos, n = 0, len(data)
-    while pos < n:
+def _gzip_chunks(f, chunk_size: int = 1 << 20):
+    """Yield decompressed chunks of a (possibly multi-member) gzip
+    stream WITHOUT materializing the archive: member-at-a-time
+    ``zlib.decompressobj(31)``, output bounded to ``chunk_size`` per
+    call (``max_length``) — peak memory is O(chunk), not O(file).
+    This is the streaming read the per-record-gzip-member layout
+    exists for; corrupt member headers raise zlib.error loudly."""
+    d = zlib.decompressobj(31)
+    pending = b""
+    while True:
+        if not pending:
+            pending = f.read(chunk_size)
+            if not pending:
+                tail = d.flush()
+                if tail:
+                    yield tail
+                return
+        out = d.decompress(pending, chunk_size)
+        if out:
+            yield out
+        if d.eof:                       # member boundary: fresh obj
+            pending = d.unused_data
+            d = zlib.decompressobj(31)
+        elif d.unconsumed_tail:         # output-capped: more input left
+            pending = d.unconsumed_tail
+        else:
+            pending = b""
+
+
+def _file_chunks(f, chunk_size: int = 1 << 20):
+    while True:
+        b = f.read(chunk_size)
+        if not b:
+            return
+        yield b
+
+
+def _iter_records_stream(chunks):
+    """Incremental WARC record parse over an iterable of byte chunks.
+    Buffers AT MOST one record (header + Content-Length payload) plus
+    one chunk — the bounded-memory core of every read path."""
+    buf = bytearray()
+    it = iter(chunks)
+    done = False
+
+    def fill() -> bool:
+        nonlocal done
+        if done:
+            return False
+        nxt = next(it, None)
+        if nxt is None:
+            done = True
+            return False
+        buf.extend(nxt)
+        return True
+
+    while True:
         # tolerate inter-record padding/newlines
-        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= n:
-            break
-        if not data.startswith(b"WARC/", pos):
-            raise ValueError(f"warc: expected record header at byte "
-                             f"{pos}, found {data[pos:pos + 12]!r}")
-        hdr_end = data.find(_CRLF + _CRLF, pos)
-        if hdr_end == -1:
+        while True:
+            pos = 0
+            while pos < len(buf) and buf[pos] in (0x0D, 0x0A):
+                pos += 1
+            if pos:
+                del buf[:pos]
+            if buf or not fill():
+                break
+        if not buf:
+            return
+        # header block
+        while True:
+            he = buf.find(_CRLF + _CRLF)
+            if he != -1 or not fill():
+                break
+        he = buf.find(_CRLF + _CRLF)
+        if not buf.startswith(b"WARC/"):
+            raise ValueError(f"warc: expected record header, found "
+                             f"{bytes(buf[:12])!r}")
+        if he == -1:
             raise ValueError("warc: truncated record header block")
-        head_lines = data[pos:hdr_end].split(_CRLF)
         headers = {}
-        for ln in head_lines[1:]:
+        for ln in bytes(buf[:he]).split(_CRLF)[1:]:
             k, _, v = ln.partition(b":")
             headers[k.strip().lower().decode("latin-1")] = \
                 v.strip().decode("latin-1")
@@ -68,12 +141,21 @@ def _parse_records(data: bytes):
         except ValueError:
             raise ValueError("warc: record missing a numeric "
                              "Content-Length") from None
-        body_start = hdr_end + 4
-        if body_start + clen > n:
-            raise ValueError("warc: Content-Length runs past end of "
-                             "file (truncated download)")
-        yield headers, data[body_start:body_start + clen]
-        pos = body_start + clen
+        body_start = he + 4
+        while len(buf) < body_start + clen:
+            if not fill():
+                raise ValueError("warc: Content-Length runs past end "
+                                 "of file (truncated download)")
+        yield headers, bytes(buf[body_start:body_start + clen])
+        del buf[:body_start + clen]
+
+
+def _parse_records(data: bytes):
+    """Yield (headers, payload) for each WARC record of an in-memory
+    block — the one-chunk special case of :func:`_iter_records_stream`
+    (kept for callers that already hold bounded bytes, e.g. CDX range
+    slices)."""
+    yield from _iter_records_stream((data,))
 
 
 def _split_http(payload: bytes):
@@ -97,23 +179,32 @@ def _split_http(payload: bytes):
     return status, ctype, payload[he + 4:]
 
 
-def read_warc_file(path: str):
+def _record_row(headers, payload):
+    rtype = headers.get("warc-type")
+    status = ctype = None
+    body = payload
+    if rtype == "response":
+        status, ctype, body = _split_http(payload)
+    return (headers.get("warc-target-uri"),
+            headers.get("warc-date"), rtype, status, ctype,
+            bytearray(body))
+
+
+def read_warc_file(path: str, *, chunk_size: int = 1 << 20):
     """Yield row tuples (target_uri, warc_date, record_type,
     http_status, content_type, payload) for every record of one
-    ``.warc`` / ``.warc.gz`` file."""
+    ``.warc`` / ``.warc.gz`` file — STREAMED: gzip members decompress
+    incrementally and at most one record is buffered, so a 1 GB /
+    multi-GB-decompressed Common Crawl archive never materializes in
+    the task's heap (32 concurrent tasks x whole-archive would OOM
+    any executor)."""
     with open(path, "rb") as f:
-        raw = f.read()
-    if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)      # multi-member: all records
-    for headers, payload in _parse_records(raw):
-        rtype = headers.get("warc-type")
-        status = ctype = None
-        body = payload
-        if rtype == "response":
-            status, ctype, body = _split_http(payload)
-        yield (headers.get("warc-target-uri"),
-               headers.get("warc-date"), rtype, status, ctype,
-               bytearray(body))
+        head = f.read(2)
+        f.seek(0)
+        chunks = (_gzip_chunks(f, chunk_size) if head == b"\x1f\x8b"
+                  else _file_chunks(f, chunk_size))
+        for headers, payload in _iter_records_stream(chunks):
+            yield _record_row(headers, payload)
 
 
 _WARC_DDL = ("target_uri string, warc_date string, record_type string, "
@@ -126,8 +217,6 @@ def read_warc_dataset(spark, path: str | list[str],
     archive file (the Common Crawl work unit), records parsed
     executor-side."""
     import glob as globmod
-
-    import pandas as pd
 
     if isinstance(path, str):
         if os.path.isdir(path):
@@ -149,15 +238,33 @@ def read_warc_dataset(spark, path: str | list[str],
     def batches(it):
         for pdf in it:
             for p in pdf["__warc_file__"]:
-                rows = list(read_warc_file(p))
-                if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["target_uri", "warc_date",
-                                       "record_type", "http_status",
-                                       "content_type", "payload"]) \
-                        .astype({"http_status": "Int64"})
+                yield from _row_batches(read_warc_file(p))
 
     return fdf.mapInPandas(batches, _WARC_DDL)
+
+
+def _row_batches(rows_iter, *, max_rows: int = 256,
+                 max_bytes: int = 32 << 20):
+    """Group streamed record rows into bounded pandas batches (by row
+    count AND payload bytes) — the Arrow hand-off stays O(batch), not
+    O(archive)."""
+    import pandas as pd
+
+    def frame(rows):
+        return pd.DataFrame(
+            rows, columns=["target_uri", "warc_date", "record_type",
+                           "http_status", "content_type", "payload"]) \
+            .astype({"http_status": "Int64"})
+
+    rows, nbytes = [], 0
+    for row in rows_iter:
+        rows.append(row)
+        nbytes += len(row[5])
+        if len(rows) >= max_rows or nbytes >= max_bytes:
+            yield frame(rows)
+            rows, nbytes = [], 0
+    if rows:
+        yield frame(rows)
 
 
 def build_record(uri: str, date: str, payload: bytes, *,
@@ -236,8 +343,6 @@ def read_warc_records(spark, entries):
     :func:`read_warc_dataset`'s file-per-task shape can't give).
     Offsets must land on gzip-member boundaries (what CDX guarantees);
     a mid-member offset fails loudly in the decompressor."""
-    import pandas as pd
-
     if not isinstance(entries, list):
         entries = [(r[0], int(r[1]), int(r[2]))
                    for r in entries.collect()]
@@ -249,51 +354,221 @@ def read_warc_records(spark, entries):
         fdf = fdf.repartition(min(len(entries),
                                   spark.sparkContext.defaultParallelism * 4))
 
+    def range_rows(pdf):
+        import io as iomod
+
+        for p, off, ln in zip(pdf["__warc_file__"], pdf["__off__"],
+                              pdf["__len__"]):
+            with open(p, "rb") as f:
+                f.seek(int(off))
+                raw = f.read(int(ln))
+            if raw[:2] == b"\x1f\x8b":
+                # stream the member(s): a multi-record range decompresses
+                # chunk-at-a-time, never whole-range-at-once
+                chunks = _gzip_chunks(iomod.BytesIO(raw))
+            else:
+                chunks = (raw,)
+            for headers, payload in _iter_records_stream(chunks):
+                yield _record_row(headers, payload)
+
     def batches(it):
         for pdf in it:
-            rows = []
-            for p, off, ln in zip(pdf["__warc_file__"], pdf["__off__"],
-                                  pdf["__len__"]):
-                with open(p, "rb") as f:
-                    f.seek(int(off))
-                    raw = f.read(int(ln))
-                if raw[:2] == b"\x1f\x8b":
-                    raw = gzip.decompress(raw)
-                for headers, payload in _parse_records(raw):
-                    rtype = headers.get("warc-type")
-                    status = ctype = None
-                    body = payload
-                    if rtype == "response":
-                        status, ctype, body = _split_http(payload)
-                    rows.append((headers.get("warc-target-uri"),
-                                 headers.get("warc-date"), rtype, status,
-                                 ctype, bytearray(body)))
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=["target_uri", "warc_date",
-                                   "record_type", "http_status",
-                                   "content_type", "payload"]) \
-                    .astype({"http_status": "Int64"})
+            yield from _row_batches(range_rows(pdf))
 
     return fdf.mapInPandas(batches, _WARC_DDL)
 
 
-def warc_member_index(path: str) -> list[tuple[str, int, int]]:
+def warc_member_index(path: str, *,
+                      chunk_size: int = 1 << 20
+                      ) -> list[tuple[str, int, int]]:
     """Build the (path, offset, length) member index for a
     per-record-gzip-member archive (what a CDX file provides for real
-    crawls) by walking the gzip member boundaries — a one-pass,
-    metadata-cheap scan usable when no CDX ships with the archive."""
-    out = []
+    crawls) by walking the gzip member boundaries — a one-pass scan in
+    O(chunk) memory: fixed-size reads feed a per-member
+    ``decompressobj`` whose output is length-capped and discarded, so
+    a ~1 GB / many-thousand-member archive costs neither whole-file
+    residency nor the per-member tail copies a ``data[pos:]`` slice
+    loop would (O(members x filesize) traffic)."""
+    out: list[tuple[str, int, int]] = []
     with open(path, "rb") as f:
-        data = f.read()
-    pos, n = 0, len(data)
-    while pos < n:
-        if data[pos:pos + 2] != b"\x1f\x8b":
-            raise ValueError(f"{path}: offset {pos} is not a gzip "
-                             "member boundary")
-        d = zlib.decompressobj(31)
-        d.decompress(data[pos:])
-        consumed = n - pos - len(d.unused_data)
-        out.append((path, pos, consumed))
-        pos += consumed
+        pending = b""
+        consumed = 0                    # absolute input bytes consumed
+        start = 0                       # current member's offset
+        d = None
+        while True:
+            if len(pending) < 2:        # member header spans a chunk edge
+                more = f.read(chunk_size)
+                if more:
+                    pending += more
+                elif not pending:
+                    break
+            if d is None:
+                if pending[:2] != b"\x1f\x8b":
+                    raise ValueError(f"{path}: offset {consumed} is not "
+                                     "a gzip member boundary")
+                d = zlib.decompressobj(31)
+                start = consumed
+            before = len(pending)
+            d.decompress(pending, chunk_size)   # output discarded
+            if d.eof:
+                consumed += before - len(d.unused_data)
+                out.append((path, start, consumed - start))
+                pending = d.unused_data
+                d = None
+            elif d.unconsumed_tail:
+                consumed += before - len(d.unconsumed_tail)
+                pending = d.unconsumed_tail
+            else:
+                consumed += before
+                pending = b""
+        if d is not None:
+            raise ValueError(f"{path}: truncated final gzip member "
+                             f"(started at offset {start})")
     return out
+
+
+# ---------------------------------------------------------------------------
+# CDX(J) index files — the format Common Crawl actually ships
+# ---------------------------------------------------------------------------
+
+
+def _surt(uri: str) -> str:
+    """Canonical SURT key (the public web-archive sort convention):
+    host labels reversed and comma-joined, ``)`` separator, then
+    path?query lowercased-host only."""
+    from urllib.parse import urlsplit
+
+    from urllib.parse import quote
+
+    u = urlsplit(uri)
+    host = (u.hostname or "").lower()
+    key = ",".join(reversed(host.split("."))) if host else ""
+    # canonicalize: SURT keys never contain literal spaces (the CDX
+    # line format is space-delimited)
+    path = quote(u.path or "/", safe="/:%@!$&'()*+,;=~-._")
+    q = ("?" + quote(u.query, safe="=&/:%@!$'()*+,;~-._")) \
+        if u.query else ""
+    return key + ")" + path + q
+
+
+def read_cdx_index(path: str | list[str], *, base_dir: str | None = None
+                   ) -> list[tuple[str, int, int]]:
+    """Parse Common Crawl CDXJ index lines into the (path, offset,
+    length) triples :func:`read_warc_records` consumes — the missing
+    last step of the CC entry point: a crawl ships ``cdx-NNNNN.gz``
+    files of ``SURT timestamp {json}`` lines whose JSON payload carries
+    ``filename`` / ``offset`` / ``length`` (strings, per the published
+    CDXJ convention). ``path`` is a file, directory, glob, or list;
+    ``.gz`` indexes stream-decompress line-at-a-time. Relative
+    filenames resolve against ``base_dir`` (default: each index file's
+    own directory — the fixture layout; point it at the crawl root for
+    real CC paths like ``crawl-data/CC-MAIN-.../*.warc.gz``).
+
+    Malformed lines raise with the offending line number — an index
+    that silently drops captures is a recall bug, not a convenience."""
+    import glob as globmod
+
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if ".cdx" in f or f.endswith(".cdx.gz"))
+        else:
+            files = sorted(globmod.glob(path)) or [path]
+    else:
+        files = list(path)
+    if not files:
+        raise ValueError(f"read_cdx_index: no index files under {path!r}")
+
+    entries: list[tuple[str, int, int]] = []
+    for idx in files:
+        root = base_dir if base_dir is not None else os.path.dirname(idx)
+        with open(idx, "rb") as f:
+            head = f.read(2)
+            f.seek(0)
+            chunks = (_gzip_chunks(f) if head == b"\x1f\x8b"
+                      else _file_chunks(f))
+            _consume_cdx_lines(_chunk_lines(chunks), idx, root, entries)
+    if not entries:
+        raise ValueError("read_cdx_index: index contained no captures")
+    return entries
+
+
+def _chunk_lines(chunks):
+    """Split an iterable of byte chunks into utf-8 text lines without
+    materializing the stream."""
+    buf = b""
+    for c in chunks:
+        buf += c
+        while True:
+            i = buf.find(b"\n")
+            if i == -1:
+                break
+            yield buf[:i].decode("utf-8")
+            buf = buf[i + 1:]
+    if buf:
+        yield buf.decode("utf-8")
+
+
+def _consume_cdx_lines(lines, idx: str, root: str, entries: list) -> None:
+    import json
+
+    for lineno, line in enumerate(lines, 1):
+        line = line.strip()
+        if not line or line.startswith("CDX "):   # legacy header line
+            continue
+        try:
+            # the JSON payload starts at the first " {" — tolerant of
+            # legacy keys that slipped canonicalization (spaced SURTs)
+            brace = line.find(" {")
+            if brace == -1:
+                raise ValueError("no JSON payload")
+            rec = json.loads(line[brace + 1:])
+            fname = rec["filename"]
+            off = int(rec["offset"])
+            ln = int(rec["length"])
+        except (ValueError, KeyError) as ex:
+            raise ValueError(f"{idx}:{lineno}: malformed CDXJ line "
+                             f"({ex!r}): {line[:120]!r}") from None
+        if not os.path.isabs(fname):
+            fname = os.path.join(root, fname)
+        entries.append((fname, off, ln))
+
+
+def build_cdx_index(archive_path: str, index_path: str, *,
+                    compress: bool = True) -> int:
+    """Write a CC-style CDXJ index for a per-record-gzip-member
+    archive (the fixture-side producer for :func:`read_cdx_index`;
+    real crawls ship theirs). One line per member: SURT key, 14-digit
+    timestamp (from WARC-Date), JSON payload with url / filename
+    (basename — resolved via read_cdx_index's base_dir) / offset /
+    length / status. Lines sort by (SURT, timestamp), the published
+    CDX ordering. Returns the number of index lines written."""
+    import io as iomod
+    import json
+
+    lines = []
+    for p, off, ln in warc_member_index(archive_path):
+        with open(p, "rb") as f:
+            f.seek(off)
+            raw = f.read(ln)
+        hdrs, payload = next(_iter_records_stream(
+            _gzip_chunks(iomod.BytesIO(raw))))
+        uri = hdrs.get("warc-target-uri") or ""
+        date = hdrs.get("warc-date") or ""
+        ts = "".join(ch for ch in date if ch.isdigit())[:14].ljust(14, "0")
+        status, _, _ = _split_http(payload)
+        rec = {"url": uri, "filename": os.path.basename(archive_path),
+               "offset": str(off), "length": str(ln)}
+        if status is not None:
+            rec["status"] = str(status)
+        lines.append("%s %s %s" % (_surt(uri), ts,
+                                   json.dumps(rec, sort_keys=True)))
+    lines.sort()
+    blob = ("\n".join(lines) + "\n").encode("utf-8")
+    if compress:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        blob = co.compress(blob) + co.flush()
+    with open(index_path, "wb") as f:
+        f.write(blob)
+    return len(lines)
