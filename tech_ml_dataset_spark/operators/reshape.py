@@ -143,11 +143,26 @@ def json_normalize(df: DataFrame, json_col: str, *, sep: str = ".",
                 yield name, p
 
     cols = [F.col(f"__j__.{p}").alias(n) for n, p in leaves(st, "", "")]
+    # collision checks (r8, r7 ADVICE): the json column itself doesn't
+    # count when drop=True removes it anyway, and two LEAVES flattening
+    # to the same name (top-level field 'a.b' vs struct a.b with
+    # sep='.') must also raise — duplicate output columns otherwise
     existing = set(df.columns)
+    if drop:
+        existing.discard(json_col)
+    seen: set[str] = set()
     for n, _ in leaves(st, "", ""):
         if n in existing:
             raise ValueError(
                 f"json_normalize: flattened column {n!r} collides with "
                 f"an existing column; pass sep= or rename first")
-    out = parsed.select(*df.columns, *cols).drop("__j__")
-    return out.drop(json_col) if drop else out
+        if n in seen:
+            raise ValueError(
+                f"json_normalize: two JSON leaves both flatten to {n!r} "
+                f"(a literal {sep!r} in a field name vs nesting); pass "
+                "a different sep=")
+        seen.add(n)
+    # exclude the json column from the projection up front when
+    # drop=True — a leaf reusing its name must not be ambiguous with it
+    base = [c for c in df.columns if not (drop and c == json_col)]
+    return parsed.select(*base, *cols)

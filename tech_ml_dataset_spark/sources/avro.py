@@ -169,14 +169,21 @@ def avro_to_spark_schema(schema_json: str):
 # ---------------------------------------------------------------------------
 
 
-def _encode_value(buf: bytearray, kind, v) -> None:
-    """One ["null", T] union value. ``kind`` is the _AVRO_TO_SPARK key;
-    ``v`` is the already-normalized python value (int micros/days for
-    temporal kinds) or None."""
-    if v is None:
+def _encode_value(buf: bytearray, kind, v, nullable: bool = True) -> None:
+    """One field value. ``kind`` is the _AVRO_TO_SPARK key; ``v`` is the
+    already-normalized python value (int micros/days for temporal
+    kinds) or None. The union branch index is written ONLY for
+    ``["null", T]``-union fields (``nullable``) — a plain non-union
+    field encodes the bare value, per the Avro spec."""
+    if not nullable:
+        if v is None:
+            raise ValueError("vendored avro codec: NULL value in a "
+                             "non-nullable (non-union) field")
+    elif v is None:
         _write_long(buf, 0)                 # union branch 0: null
         return
-    _write_long(buf, 1)                     # union branch 1: T
+    else:
+        _write_long(buf, 1)                 # union branch 1: T
     t = kind[0] if isinstance(kind, tuple) else kind
     if t in ("long", "int"):
         _write_long(buf, int(v))
@@ -194,10 +201,16 @@ def _encode_value(buf: bytearray, kind, v) -> None:
         raise ValueError(f"unsupported avro kind {kind!r}")
 
 
-def _decode_value(data: bytes, pos: int, kind):
-    branch, pos = _read_long(data, pos)
-    if branch == 0:
-        return None, pos
+def _decode_value(data: bytes, pos: int, kind, nullable: bool = True):
+    """Inverse of :func:`_encode_value`: reads the union branch varint
+    ONLY for nullable (union) fields — an external writer's plain
+    non-union field would otherwise have its first value byte consumed
+    as a branch index, silently misaligning the whole block (r7 ADVICE
+    medium)."""
+    if nullable:
+        branch, pos = _read_long(data, pos)
+        if branch == 0:
+            return None, pos
     t = kind[0] if isinstance(kind, tuple) else kind
     if t in ("long", "int"):
         return _read_long(data, pos)
@@ -229,7 +242,7 @@ def write_file(fobj, schema_json: str, row_blocks, *,
     if codec not in ("null", "deflate"):
         raise ValueError(f"avro codec must be 'null' or 'deflate', "
                          f"got {codec!r}")
-    kinds = [k for k, _ in avro_to_spark_schema(schema_json)[1]]
+    kinds = avro_to_spark_schema(schema_json)[1]  # (kind, nullable) pairs
     sync = os.urandom(16)
     head = bytearray(MAGIC)
     meta = {"avro.schema": schema_json.encode(),
@@ -247,8 +260,8 @@ def write_file(fobj, schema_json: str, row_blocks, *,
             continue
         body = bytearray()
         for row in rows:
-            for kind, v in zip(kinds, row):
-                _encode_value(body, kind, v)
+            for (kind, nullable), v in zip(kinds, row):
+                _encode_value(body, kind, v, nullable)
         data = bytes(body) if codec == "null" else \
             zlib.compress(bytes(body), 6)[2:-4]   # raw deflate per spec
         blk = bytearray()
@@ -303,7 +316,7 @@ def read_file_range(path: str, start: int, end: int):
     sync marker (the spec's splitting mechanism; a payload collision is
     a 2^-128 event, the same odds every Avro splitter accepts)."""
     schema_json, codec, sync, data_start = read_header(path)
-    kinds = [k for k, _ in avro_to_spark_schema(schema_json)[1]]
+    kinds = avro_to_spark_schema(schema_json)[1]  # (kind, nullable) pairs
     fsize = os.path.getsize(path)
     end = min(end, fsize)
     with open(path, "rb") as f:
@@ -343,8 +356,8 @@ def read_file_range(path: str, start: int, end: int):
             rows, bp = [], 0
             for _ in range(count):
                 row = []
-                for kind in kinds:
-                    v, bp = _decode_value(block, bp, kind)
+                for kind, nullable in kinds:
+                    v, bp = _decode_value(block, bp, kind, nullable)
                     row.append(v)
                 rows.append(tuple(row))
             yield rows, kinds
@@ -384,6 +397,8 @@ def write_avro_dataset(df, path: str, *, codec: str = "deflate"
     os.makedirs(path, exist_ok=True)
     schema_json = spark_to_avro_schema(df.schema)
     kinds = [k for k, _ in avro_to_spark_schema(schema_json)[1]]
+    # (normalization needs only the kind — the writer's own schema is
+    # always ["null", T] unions, so write_file sees nullable=True)
 
     def sink(it):
         pid = TaskContext.get().partitionId()
@@ -459,10 +474,30 @@ def read_avro_dataset(spark, path: str | list[str],
     if len(splits) > 1:
         fdf = fdf.repartition(len(splits))
 
+    expect = (tuple(names), tuple(kinds))
+
     def batches(it):
+        checked: set[str] = set()
         for pdf in it:
             for p, s, e in zip(pdf["__avro_file__"], pdf["__start__"],
                                pdf["__end__"]):
+                if p not in checked:
+                    # every file must carry the FIRST file's schema —
+                    # same types in a different field order (or extra /
+                    # renamed fields) would otherwise be silently mapped
+                    # positionally into the wrong columns (r7 ADVICE)
+                    sj = read_header(p)[0]
+                    rec_p = json.loads(sj)
+                    got = (tuple(f["name"] for f in rec_p["fields"]),
+                           tuple(avro_to_spark_schema(sj)[1]))
+                    if got != expect:
+                        raise ValueError(
+                            f"vendored avro codec: {p} schema "
+                            f"(fields {list(got[0])}) does not match the "
+                            f"dataset schema from the first file "
+                            f"(fields {list(expect[0])}) — mixed-schema "
+                            "avro directories are not mergeable")
+                    checked.add(p)
                 for rows, _ in read_file_range(p, int(s), int(e)):
                     data = {}
                     for i, (name, (kind, _n)) in enumerate(

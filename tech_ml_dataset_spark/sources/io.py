@@ -397,6 +397,19 @@ def to_dataset(
                 if fmt == "avro" and ("DATA_SOURCE_NOT_FOUND" in str(exc)
                                       or "Failed to find" in str(exc)
                                       or "ClassNotFound" in str(exc)):
+                    # r8 (r7 ADVICE): options/schema the vendored codec
+                    # cannot honor fail loudly instead of being dropped
+                    if opts:
+                        raise RuntimeError(
+                            "vendored avro codec ignores reader options "
+                            f"{sorted(opts)} — drop them, or install "
+                            "spark-avro for option support") from exc
+                    if schema is not None:
+                        raise RuntimeError(
+                            "vendored avro codec derives the schema "
+                            "from the OCF header and cannot apply a "
+                            "user schema; drop schema=, or install "
+                            "spark-avro") from exc
                     from . import avro as _avro
                     df = _avro.read_avro_dataset(spark, data)
                 else:
@@ -537,10 +550,43 @@ def write(df: DataFrame, path: str, *, file_type: str | None = None,
                     "install spark-avro (spark.jars.packages="
                     "org.apache.spark:spark-avro_2.13:<spark-version>) "
                     "or write parquet") from exc
+            # r8 (r7 ADVICE): the fallback must not silently diverge
+            # from Spark writer semantics — honor every mode, reject
+            # options the vendored codec cannot apply.
+            if options:
+                raise RuntimeError(
+                    "vendored avro codec ignores writer options "
+                    f"{sorted(options)} — drop them, or install "
+                    "spark-avro for option support") from exc
             from . import avro as _avro
-            if mode == "overwrite" and os.path.isdir(path):
-                import shutil as _sh
-                _sh.rmtree(path)
+            exists = os.path.isdir(path) and any(
+                x.endswith(".avro") for x in os.listdir(path))
+            if mode == "overwrite":
+                if os.path.isdir(path):
+                    import shutil as _sh
+                    _sh.rmtree(path)
+            elif mode == "append":
+                # never reuse Spark's colliding part-NNNNN ids: offset
+                # the partition ids past every existing part file
+                if exists:
+                    raise RuntimeError(
+                        "vendored avro codec cannot append to an "
+                        "existing avro directory (partition-id part "
+                        "files would collide and overwrite data); "
+                        "write to a new directory and union on read, "
+                        "or install spark-avro") from exc
+            elif mode in ("error", "errorifexists", "default"):
+                if exists:
+                    raise RuntimeError(
+                        f"path {path} already exists (mode={mode!r})"
+                    ) from exc
+            elif mode == "ignore":
+                if exists:
+                    return
+            else:
+                raise RuntimeError(
+                    f"vendored avro codec: unknown write mode {mode!r}"
+                ) from exc
             _avro.write_avro_dataset(df, path)
         else:
             raise

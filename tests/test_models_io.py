@@ -1020,6 +1020,24 @@ def test_avro_suffix_dispatch_fallback(spark, tmp_path):
     # partitioned avro still needs the real datasource: loud error
     with pytest.raises(RuntimeError, match="partition_by"):
         sio.write(df, str(tmp_path / "p2.avro"), partition_by=["s"])
+    # r8 (r7 ADVICE): modes/options the vendored codec can't honor are
+    # LOUD, never silent divergence from Spark writer semantics
+    with pytest.raises(RuntimeError, match="append"):
+        sio.write(df, path, mode="append")
+    with pytest.raises(RuntimeError, match="already exists"):
+        sio.write(df, path, mode="error")
+    sio.write(df, path, mode="ignore")          # no-op, no error
+    assert sio.to_dataset(spark, path).count() == 2
+    with pytest.raises(RuntimeError, match="options"):
+        sio.write(df, str(tmp_path / "o.avro"), compression="snappy")
+    with pytest.raises(RuntimeError, match="options"):
+        sio.to_dataset(spark, path, avroSchema="{}")
+    with pytest.raises(RuntimeError, match="schema"):
+        sio.to_dataset(spark, path, schema="k long, s string")
+    # append into an EMPTY/missing dir is fine (nothing to collide with)
+    p3 = str(tmp_path / "fresh.avro")
+    sio.write(df, p3, mode="append")
+    assert sio.to_dataset(spark, p3).count() == 2
 
 
 def test_avro_block_splits_exactly_once(spark, tmp_path):
@@ -1052,6 +1070,61 @@ def test_avro_block_splits_exactly_once(spark, tmp_path):
         for blk, _ in av.read_file_range(f, s, min(s + step, size)):
             rows += [r[0] for r in blk]
     assert sorted(rows) == list(range(5000))
+
+
+def test_avro_non_union_fields_decode(spark, tmp_path):
+    """r8 (r7 ADVICE medium): a spec-valid OCF from an EXTERNAL writer
+    with plain non-union fields must decode correctly — the union
+    branch varint is read only for ["null", T] fields, so mixed
+    union/non-union records stay aligned. Hand-built file: field `k`
+    plain long, `s` nullable string, `f` plain double."""
+    import os
+
+    from tech_ml_dataset_spark.sources import avro as av
+
+    schema = ('{"type": "record", "name": "ext", "fields": ['
+              '{"name": "k", "type": "long"}, '
+              '{"name": "s", "type": ["null", "string"]}, '
+              '{"name": "f", "type": "double"}]}')
+    ddl, kinds = av.avro_to_spark_schema(schema)
+    assert [n for _, n in kinds] == [False, True, False]
+    rows = [(i, None if i % 3 == 0 else f"v{i}", i * 0.5)
+            for i in range(200)]
+    d = tmp_path / "ext.avro"
+    os.makedirs(d)
+    with open(d / "part-00000.avro", "wb") as f:
+        av.write_file(f, schema, [rows], codec="deflate")
+    back = av.read_avro_dataset(spark, str(d))
+    got = sorted(map(tuple, back.collect()))
+    assert got == rows
+    # a NULL in the non-union field fails loudly at write time
+    with pytest.raises(ValueError, match="non-nullable"):
+        with open(d / "bad.tmp", "wb") as f:
+            av.write_file(f, schema, [[(None, "x", 1.0)]])
+
+
+def test_avro_mixed_schema_directory_raises(spark, tmp_path):
+    """r8 (r7 ADVICE): files whose header schema differs from the first
+    file's (reordered fields here) raise a named error instead of
+    mapping values positionally into the wrong columns."""
+    import os
+
+    from tech_ml_dataset_spark.sources import avro as av
+
+    d = tmp_path / "mix.avro"
+    os.makedirs(d)
+    s1 = ('{"type": "record", "name": "r", "fields": ['
+          '{"name": "a", "type": ["null", "long"]}, '
+          '{"name": "b", "type": ["null", "string"]}]}')
+    s2 = ('{"type": "record", "name": "r", "fields": ['
+          '{"name": "b", "type": ["null", "string"]}, '
+          '{"name": "a", "type": ["null", "long"]}]}')
+    with open(d / "part-00000.avro", "wb") as f:
+        av.write_file(f, s1, [[(1, "x")]])
+    with open(d / "part-00001.avro", "wb") as f:
+        av.write_file(f, s2, [[("y", 2)]])
+    with pytest.raises(Exception, match="does not match the"):
+        av.read_avro_dataset(spark, str(d)).collect()
 
 
 # ---- WARC crawl-archive container (r7) ------------------------------------

@@ -410,6 +410,31 @@ def test_avro_value_block_roundtrip(rows):
         got.append(tuple(out))
     assert got == list(map(tuple, rows)) and pos == len(data)
 
+    # r8 (ADVICE): NON-union fields — no branch varint on the wire; the
+    # same rows with NULLs stripped round-trip with nullable=False and
+    # encode STRICTLY SHORTER (the branch byte per non-null cell)
+    solid = [tuple((0 if k == "long" else 0.0 if k == "double"
+                    else "" if k == "string" else b""
+                    if k == "bytes" else False) if v is None else v
+                   for k, v in zip(kinds, row)) for row in rows]
+    nbuf = bytearray()
+    for row in solid:
+        for kind, v in zip(kinds, row):
+            av._encode_value(nbuf, kind, v, nullable=False)
+    ndata, pos = bytes(nbuf), 0
+    ngot = []
+    for _ in solid:
+        out = []
+        for kind in kinds:
+            v, pos = av._decode_value(ndata, pos, kind, nullable=False)
+            out.append(bytes(v) if isinstance(v, bytearray) else v)
+        ngot.append(tuple(out))
+    assert ngot == solid and pos == len(ndata)
+    # and a NULL into a non-union field raises, never mis-encodes
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-nullable"):
+        av._encode_value(bytearray(), "long", None, nullable=False)
+
 
 @given(hs.lists(hs.text(
     alphabet=hs.characters(min_codepoint=0x20, max_codepoint=0xFF),

@@ -295,3 +295,16 @@ def test_json_normalize_laws(spark):
     empty = spark.createDataFrame([(1, None)], "id int, j string")
     with pytest.raises(ValueError, match="no non-null"):
         rs.json_normalize(empty, "j")
+    # r8 (r7 ADVICE): a leaf reusing the json column's own name is FINE
+    # when drop=True removes that column anyway...
+    out3 = rs.json_normalize(df, "j", schema="j string, e double")
+    assert out3.columns == ["id", "j", "e"]
+    assert {r["id"]: r["j"] for r in out3.collect()}[2] is None
+    # ...but still collides when drop=False keeps it
+    with pytest.raises(ValueError, match="collides"):
+        rs.json_normalize(df, "j", schema="j string", drop=False)
+    # two leaves flattening to the same name (literal '.' in a field
+    # name vs nesting) raise instead of emitting duplicate columns
+    with pytest.raises(ValueError, match="both flatten"):
+        rs.json_normalize(df, "j",
+                          schema="`a.b` int, a struct<b:int>")
