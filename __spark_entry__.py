@@ -2626,7 +2626,8 @@ def minhash_pairs_oracle_docs(spark, sf_dir):
     xxhash64 path."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dd.minhash_dedup_pairs(docs, k=5, n_hashes=32, bands=8,
-                                  threshold=0.3, hash_fn="md5")
+                                  threshold=0.3, hash_fn="md5") \
+             .orderBy("id_a", "id_b")
 
 
 def minhash_incremental_pairs_docs(spark, sf_dir):
@@ -2658,7 +2659,8 @@ def simhash_oracle_docs(spark, sf_dir):
     hash-checked. `simhash_docs` keeps exercising the production
     xxhash64 path."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.simhash_df(docs, "doc_id", "text", hash_fn="md5")
+    return dd.simhash_df(docs, "doc_id", "text", hash_fn="md5") \
+             .orderBy("doc_id")
 
 
 def media_meta_docs(spark, sf_dir):
@@ -2731,7 +2733,7 @@ def pd_merge_outer(spark, sf_dir):
         .groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_big"),
                                   _r4(F.sum("o_totalprice")).alias("sum_big"))
     return jn.pd_merge(cust, big, left_on="c_custkey", right_on="o_custkey",
-                       how="outer")
+                       how="outer").orderBy("c_custkey", "o_custkey")
 
 
 def rolling_range_events(spark, sf_dir):
@@ -3118,7 +3120,8 @@ def grouping_sets_orders(spark, sf_dir):
     return agg.grouping_sets_agg(
         o, [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
         {"n": ("row-count", None),
-         "sum_price": lambda F: F.round(F.sum("o_totalprice"), 4)})
+         "sum_price": lambda F: F.round(F.sum("o_totalprice"), 4)}) \
+        .orderBy("o_orderstatus", "o_orderpriority")
 
 
 def ivf_topk_embeddings(spark, sf_dir):
@@ -3175,7 +3178,7 @@ def stratified_sample_docs(spark, sf_dir):
     just its size) is hash-checked."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return sel.sample_stratified_exact(docs, "lang", 30, key_col="doc_id",
-                                       seed=42)
+                                       seed=42).orderBy("doc_id")
 
 
 def bpe_encode_docs(spark, sf_dir):
@@ -3281,7 +3284,7 @@ def winnow_docs(spark, sf_dir):
     docs = mmod.repartition_for_decode(docs, "doc_id")  # CPU-bound fan-out
     fp = txt.winnow_fingerprints(F.col("text"), k=8, w=4)
     return docs.select("doc_id", F.size(fp).alias("n_fp"),
-                       F.array_min(fp).alias("fp_min"))
+                       F.array_min(fp).alias("fp_min")).orderBy("doc_id")
 
 
 def winnow_pairs_docs(spark, sf_dir):

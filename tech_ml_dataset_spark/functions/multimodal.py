@@ -9,15 +9,18 @@ resize, frame sampling, feature extraction) run as Arrow-batched
 ``mapInPandas`` passes so each executor processes whole record batches,
 never row-at-a-time.
 
-Codec: PNG decoding is REAL — Pillow when importable, else the vendored
-pure-python codec (:mod:`.png`, stdlib zlib; all five scanline filters).
-Non-PNG formats (jpeg etc.) still fall back to a clearly-marked
-deterministic fake decoder (pixels derived from the md5 of the bytes)
-since their codecs aren't in this container; everything around the codec
-— schemas, batch shapes, partitioning, UDF signatures, resize/sample/
-feature math (pure numpy) — is identical for real and fake paths, so
-adding another real codec is a one-function change
-(:func:`decode_image_bytes`).
+Codec (the actual :func:`_try_real_decode` routing): Pillow wins when
+importable (not in this container); otherwise the VENDORED pure-python
+codecs do REAL decodes — :mod:`.png` (stdlib zlib, all five scanline
+filters), :mod:`.jpeg` (baseline + progressive SOF2, any chroma
+subsampling), :mod:`.gif` (LZW, first frame). Only payloads no codec
+handles — arithmetic-coded/12-bit JPEG (named-raise in jpeg.py),
+actual video/mp3/ogg, malformed bytes — fall to the clearly-marked
+deterministic fake decoder (pixels derived from the md5 of the bytes).
+Everything around the codec — schemas, batch shapes, partitioning, UDF
+signatures, resize/sample/feature math (pure numpy) — is identical for
+real and fake paths, so adding another real codec is a one-function
+change (:func:`decode_image_bytes`).
 """
 
 from __future__ import annotations
@@ -230,8 +233,10 @@ def decode_image_bytes(data: bytes):
 def decode_image(df: DataFrame, bin_col: str, out_col: str = "image", *,
                  fake_hw: tuple[int, int] = (8, 8)) -> DataFrame:
     """Decode a binary column to an image struct via Arrow-batched
-    ``mapInPandas``. Real codec when Pillow exists, else the deterministic
-    fake (clearly marked above). Output schema = input + ``out_col``."""
+    ``mapInPandas``. REAL decode for png/jpeg/gif (Pillow when present,
+    else the vendored codecs — see :func:`_try_real_decode`); payloads
+    no codec handles get the marked deterministic fake. Output schema =
+    input + ``out_col``."""
     h, w = fake_hw
     out_schema = T.StructType(df.schema.fields +
                               [T.StructField(out_col, IMAGE_SCHEMA)])

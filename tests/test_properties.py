@@ -6,6 +6,20 @@ real Spark job — but the properties are exact, not statistical."""
 import collections
 
 from hypothesis import HealthCheck, example, given, settings, strategies as hs
+
+# r8 (r7 verdict #9): codec property suites (avro/pdf/warc — the
+# components with the largest silent-failure surface) scale their
+# example budget via SPARK_GRAFT_HYP_EXAMPLES; the once-per-round
+# thorough gate runs them at >=1000 examples:
+#   SPARK_GRAFT_HYP_EXAMPLES=1000 python -m pytest tests/test_properties.py -q -k "avro or pdf or warc"
+import os as _os
+
+_CODEC_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "0"))
+
+
+def _codec_settings(default: int):
+    return settings(max_examples=_CODEC_EXAMPLES or default,
+                    deadline=None)
 from pyspark.sql import functions as F
 
 from tech_ml_dataset_spark.operators import missing as ms
@@ -359,7 +373,7 @@ def test_bm25_matches_python_oracle(spark, ts, q):
 
 @given(hs.lists(hs.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
                 min_size=0, max_size=40))
-@settings(max_examples=200, deadline=None)
+@_codec_settings(200)
 def test_avro_zigzag_varint_roundtrip(values):
     """The vendored Avro codec's long encoding (zigzag varint) must
     round-trip the full signed 64-bit domain — including the -2^63 edge
@@ -388,7 +402,7 @@ def test_avro_zigzag_varint_roundtrip(values):
         hs.one_of(hs.none(), hs.binary(max_size=40)),
         hs.one_of(hs.none(), hs.booleans())),
     min_size=1, max_size=30))
-@settings(max_examples=50, deadline=None)
+@_codec_settings(50)
 def test_avro_value_block_roundtrip(rows):
     """Driver-side OCF block encode/decode over the nullable primitive
     kinds: arbitrary unicode strings (incl. quote/NUL-bearing), raw
@@ -440,7 +454,7 @@ def test_avro_value_block_roundtrip(rows):
     alphabet=hs.characters(min_codepoint=0x20, max_codepoint=0xFF),
     max_size=60), min_size=0, max_size=8),
     hs.booleans())
-@settings(max_examples=60, deadline=None)
+@_codec_settings(60)
 @example(
     lines=['56B]m\x83\x86\x93\x9f§Ø'],
     compress=True,
@@ -459,7 +473,7 @@ def test_pdf_build_extract_roundtrip_property(lines, compress):
        hs.text(alphabet=hs.characters(min_codepoint=0x21,
                                       max_codepoint=0x7E), min_size=1,
                max_size=40))
-@settings(max_examples=60, deadline=None)
+@_codec_settings(60)
 def test_warc_record_roundtrip_property(payload, uri):
     """Arbitrary binary payloads (incl. CRLF-bearing and empty) frame
     and parse back exactly through the WARC record builder — the
