@@ -10,13 +10,15 @@ from ``Td``/``TD`` (vertical moves), ``T*``, ``Tm``, and ``BT``/``ET``
 blocks. Literal strings decode the full escape table (``\\n \\r \\t \\b
 \\f \\( \\) \\\\``, octal, line continuations) plus hex strings.
 
-Honest limits, all named: encrypted PDFs raise (``/Encrypt``); streams
-with non-Flate filters (DCTDecode images, LZW, ASCII85) are SKIPPED,
-not mis-parsed; bytes decode as Latin-1 — exact for the Standard-14-
-font / ASCII fixtures this repo synthesizes and a documented
-approximation for embedded fonts with custom encodings (full fidelity
-needs /ToUnicode CMap parsing — the Pillow-style swap-in point is
-:func:`extract_text`).
+Stream filters (r8): FlateDecode, LZWDecode (EarlyChange 0/1),
+ASCII85Decode, and chains ([/ASCII85Decode /FlateDecode]) all decode;
+fonts carrying a /ToUnicode CMap (bfchar/bfrange, 1/2-byte codespaces,
+surrogate pairs) decode EXACTLY — the composite-font shape real
+non-Latin PDFs use. Honest limits, all named: encrypted PDFs raise
+(``/Encrypt``); image filters (DCT/JBIG2/JPX/CCITT/RunLength) and
+/Predictor DecodeParms are SKIPPED, not mis-parsed; CMap-less custom
+encodings decode Latin-1 — exact for the Standard-14/ASCII fixtures
+this repo synthesizes, a documented approximation otherwise.
 
 The same vendored-codec pattern as jpeg/gif/png/xlsx: the synthesizer
 (:func:`build_pdf`) emits spec-valid single-page PDFs with a
@@ -44,6 +46,46 @@ _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
 #: /Length N  (direct) vs /Length N 0 R (indirect reference — group 2 set).
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
 
+#: /Filter /Name  or  /Filter [/A /B ...] — applied in array order.
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
+def _decode_filters(d: bytes, raw: bytes) -> bytes | None:
+    """Apply the stream dict's /Filter chain (array order). Supported:
+    FlateDecode, LZWDecode (honoring /EarlyChange 0), ASCII85Decode —
+    chains like [/ASCII85Decode /FlateDecode] included. Returns None
+    (caller skips the stream, never mis-parses) for image filters
+    (DCT/JBIG2/JPX/CCITT/RunLength), /Predictor DecodeParms (xref-
+    stream furniture, not content), or undecodable payloads."""
+    m = _FILTER_RE.search(d)
+    if not m:
+        return raw
+    if re.search(rb"/Predictor\s+(\d+)", d) and \
+            int(re.search(rb"/Predictor\s+(\d+)", d).group(1)) > 1:
+        return None
+    names = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+    body = raw
+    for nm in names:
+        if nm in (b"FlateDecode", b"Fl"):
+            body = _inflate(body)
+            if body is None:
+                return None
+        elif nm in (b"LZWDecode", b"LZW"):
+            em = re.search(rb"/EarlyChange\s+(\d+)", d)
+            try:
+                body = _lzw_decode(body,
+                                   early=int(em.group(1)) if em else 1)
+            except (ValueError, KeyError):
+                return None
+        elif nm in (b"ASCII85Decode", b"A85"):
+            try:
+                body = _ascii85_decode(body)
+            except ValueError:
+                return None
+        else:
+            return None                     # image/other filter: skip
+    return body
+
 
 def _inflate(raw: bytes) -> bytes | None:
     try:
@@ -53,6 +95,152 @@ def _inflate(raw: bytes) -> bytes | None:
             return zlib.decompress(raw, wbits=-15)
         except zlib.error:
             return None
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (ISO 32000 §7.4.3): 5 chars '!'..'u' -> 4 bytes
+    base-85, 'z' -> four zero bytes, whitespace ignored, '~>' EOD,
+    partial final group of n chars -> n-1 bytes (pad with 'u')."""
+    data = re.sub(rb"\s", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    out = bytearray()
+    group: list[int] = []
+    for c in data:
+        if c == 0x7A:                       # 'z'
+            if group:
+                raise ValueError("pdf ascii85: 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (33 <= c <= 117):
+            raise ValueError(f"pdf ascii85: invalid byte {c}")
+        group.append(c - 33)
+        if len(group) == 5:
+            acc = 0
+            for g in group:
+                acc = acc * 85 + g
+            if acc > 0xFFFFFFFF:
+                raise ValueError("pdf ascii85: group overflow")
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        n = len(group)
+        if n == 1:
+            raise ValueError("pdf ascii85: lone trailing digit")
+        group += [84] * (5 - n)             # pad with 'u'
+        acc = 0
+        for g in group:
+            acc = acc * 85 + g
+        out += acc.to_bytes(4, "big")[:n - 1]
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    """Fixture-side inverse of :func:`_ascii85_decode` ('z' shorthand
+    emitted for zero groups, '~>' terminator)."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        n = len(chunk)
+        acc = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        if acc == 0 and n == 4:
+            out.append(0x7A)
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(acc % 85)
+            acc //= 85
+        enc = bytes(d + 33 for d in reversed(digits))
+        out += enc if n == 4 else enc[:n + 1]
+    return bytes(out) + b"~>"
+
+
+def _lzw_decode(data: bytes, *, early: int = 1) -> bytes:
+    """LZWDecode (ISO 32000 §7.4.4 / TIFF variant): MSB-first packed
+    codes, 256=clear, 257=EOD, 9->12 bit widths, EarlyChange=1 default
+    (width bumps one code early)."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:                 # clear table
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:                 # EOD
+                return bytes(out)
+            if prev is None:
+                if code not in table:
+                    raise ValueError("pdf lzw: bad first code")
+                entry = table[code]
+            else:
+                if code in table:
+                    entry = table[code]
+                elif code == next_code:     # KwKwK case
+                    entry = prev + prev[:1]
+                else:
+                    raise ValueError("pdf lzw: code out of range")
+                if next_code < 4096:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+            out += entry
+            prev = entry
+            # the decoder's table lags the encoder's by ONE entry (the
+            # classic LZW lag), so its bump threshold sits one lower
+            # than the encoder's. early=1: bump at next_code 511/1023/
+            # 2047 — the de-facto PDF rule (pdf.js, libtiff compat).
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, *, early: int = 1) -> bytes:
+    """Fixture-side inverse of :func:`_lzw_decode` (leading clear code,
+    trailing EOD, same EarlyChange width law)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # one above the decoder's threshold (see _lzw_decode)
+            if next_code - 1 + early >= (1 << width) and width < 12:
+                width += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 def _literal_string(data: bytes, i: int) -> tuple[bytes, int]:
@@ -336,10 +524,8 @@ def _stream_payload(data: bytes, m) -> bytes | None:
     if not raws:
         return None
     if b"/Filter" in d:
-        if b"/FlateDecode" not in d:
-            return None                     # image/LZW/A85 stream: skip
         for raw in raws:                    # exact-length slice first;
-            body = _inflate(raw)            # EOL-stripped scan as the
+            body = _decode_filters(d, raw)  # EOL-stripped scan as the
             if body is not None:            # malformed-/Length fallback
                 return body
         return None
@@ -420,11 +606,13 @@ def extract_text(data: bytes) -> str:
 # ---------------------------------------------------------------------------
 
 
-def build_pdf(lines: list[str], *, compress: bool = True) -> bytes:
+def build_pdf(lines: list[str], *, compress: bool | str = True) -> bytes:
     """Spec-valid single-page PDF (Helvetica 12pt, one ``Td``-advanced
     text block) showing ``lines`` — the closed-form fixture source for
-    :func:`extract_text` oracles. ``compress`` routes the content
-    stream through FlateDecode, exercising the inflate path."""
+    :func:`extract_text` oracles. ``compress``: True/'flate' routes the
+    content stream through FlateDecode; 'lzw' / 'a85' / 'a85+flate'
+    (the [/ASCII85Decode /FlateDecode] chain) exercise the other
+    vendored filters; False/'none' writes it raw."""
     def esc(s: str) -> bytes:
         return (s.replace("\\", "\\\\").replace("(", "\\(")
                  .replace(")", "\\)").encode("latin-1"))
@@ -436,12 +624,25 @@ def build_pdf(lines: list[str], *, compress: bool = True) -> bytes:
         parts.append(b"(" + esc(ln) + b") Tj")
     parts.append(b"ET")
     content = b" ".join(parts)
-    if compress:
+    mode = {True: "flate", False: "none"}.get(compress, compress)
+    if mode == "flate":
         body = zlib.compress(content, 6)
         sdict = b"<< /Length %d /Filter /FlateDecode >>" % len(body)
-    else:
+    elif mode == "lzw":
+        body = _lzw_encode(content)
+        sdict = b"<< /Length %d /Filter /LZWDecode >>" % len(body)
+    elif mode == "a85":
+        body = _ascii85_encode(content)
+        sdict = b"<< /Length %d /Filter /ASCII85Decode >>" % len(body)
+    elif mode == "a85+flate":
+        body = _ascii85_encode(zlib.compress(content, 6))
+        sdict = (b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode]"
+                 b" >>" % len(body))
+    elif mode == "none":
         body = content
         sdict = b"<< /Length %d >>" % len(body)
+    else:
+        raise ValueError(f"build_pdf: unknown compress mode {compress!r}")
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",

@@ -681,6 +681,54 @@ def test_pdf_text_operator_replay():
                                "new line"]
 
 
+def test_pdf_lzw_ascii85_filters():
+    """r8: LZWDecode (both EarlyChange modes, 9->12-bit width growth,
+    KwKwK, table-full) and ASCII85Decode ('z' zero groups, partial
+    final group, '~>' EOD) round-trip as stream filters, singly and
+    chained ([/ASCII85Decode /FlateDecode]); a /Predictor stream is
+    skipped, not mis-parsed."""
+    import random
+    import zlib as z
+
+    from tech_ml_dataset_spark.functions import pdf
+
+    # codec-level roundtrips over adversarial data
+    rnd = random.Random(8)
+    cases = [b"", b"\x00" * 9, bytes(range(256)) * 8,
+             bytes(rnd.randrange(4) for _ in range(30000)),  # 12-bit
+             bytes(rnd.randrange(256) for _ in range(777))]
+    for data in cases:
+        for early in (0, 1):
+            assert pdf._lzw_decode(pdf._lzw_encode(data, early=early),
+                                   early=early) == data
+        assert pdf._ascii85_decode(pdf._ascii85_encode(data)) == data
+    assert b"z" in pdf._ascii85_encode(b"\x00" * 8)
+
+    lines = ["filters (line one)", "ligne \\ deux café", ""]
+    for mode in ("lzw", "a85", "a85+flate", "flate", "none"):
+        d = pdf.build_pdf(lines, compress=mode)
+        assert pdf.extract_text(d) == "\n".join(lines), mode
+
+    # EarlyChange=0 honored from DecodeParms
+    content = b"BT /F1 12 Tf (early change zero) Tj ET"
+    body = pdf._lzw_encode(content, early=0)
+    doc = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> >>"
+           + b"\nstream\n" + body + b"\nendstream\nendobj\n%%EOF")
+    assert pdf.extract_text(doc) == "early change zero"
+    # /Predictor: xref-stream furniture, never content — skip
+    pred = z.compress(b"BT (x) Tj ET")
+    doc2 = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(pred)).encode()
+            + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            + b"/Columns 5 >> >>\nstream\n" + pred
+            + b"\nendstream\nendobj\n%%EOF")
+    assert pdf.extract_text(doc2) == ""
+    # corrupt LZW payload: loud skip (empty), no hang/garbage
+    bad = (b"%PDF-1.4\n1 0 obj\n<< /Length 6 /Filter /LZWDecode >>"
+           b"\nstream\n\xff\xff\xff\xff\xff\xff\nendstream\nendobj\n%%EOF")
+    assert pdf.extract_text(bad) == ""
+
+
 def test_pdf_tounicode_cmap():
     """r8: /ToUnicode CMap decode — a Type0 font with 2-byte codes and
     a bfchar CMap round-trips exact non-Latin-1 text (CJK, Cyrillic,
