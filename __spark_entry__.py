@@ -1464,6 +1464,27 @@ def pdf_extract_docs(spark, sf_dir):
         F.col("pdf_real")).orderBy("doc_id")
 
 
+def pdf_filters_cmap_docs(spark, sf_dir):
+    """r8 PDF surface in one driver-gated proof: stream-filter variety
+    + unicode CMap decode. doc_id % 4 picks the page's encoding —
+    LZWDecode, ASCII85Decode, the [/ASCII85Decode /FlateDecode] chain,
+    or a Type0 font with a /ToUnicode CMap carrying a non-Latin line
+    law (Cyrillic/Greek/CJK: 'док d γραμμή j 值 (d*31+j*7)%97'). The
+    extractor must route each arm through the right decode chain and
+    the CMap'd hex strings through the code->UTF-16BE map; the oracle
+    rebuilds the exact law text per arm, so one hash mismatch pins any
+    filter or CMap defect."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 260) \
+        .select("doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    pdfs = mmod.synthesize_pdf(binned, "doc_id", n_lines=4,
+                               flavors=["lzw", "a85", "a85+flate",
+                                        "cmap"])
+    out = mmod.pdf_text(pdfs, "pdf")
+    return out.select("doc_id", F.md5("pdf_text").alias("text_md5"),
+                      F.col("pdf_real")).orderBy("doc_id")
+
+
 def temperature_resample_docs(spark, sf_dir):
     """Language temperature resampling (selection.py temperature_resample
     — the mC4 / XLM-R exponentiated-sampling standard, Conneau 2020
@@ -3383,6 +3404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     rotating out carries fresh r7 driver/judge evidence.
         "warc_cdx_index_docs": warc_cdx_index_docs,
         "pdf_extract_docs": pdf_extract_docs,
+        "pdf_filters_cmap_docs": pdf_filters_cmap_docs,
+        # (unigram_lm_docs yields its slot to the never-green PDF
+        # filter/CMap proof; it is r9's sole remaining backlog query)
         "warc_pipeline_docs": warc_pipeline_docs,
         "warc_cdx_range_docs": warc_cdx_range_docs,
         "avro_roundtrip_orders": avro_roundtrip_orders,
@@ -3430,10 +3454,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_embeddings": semdedup_embeddings,
         "text_stats_by_lang": text_stats_by_lang,
         "url_dedup_docs": url_dedup_docs,
-        "unigram_lm_docs": unigram_lm_docs,
         # ---- position > 50: queries with fresh r6/r7 evidence rotating
         # out (cumulative proof stands) + the by-design rows-only set.
         # All stay covered by pytest + full verify_local sweeps.
+        "unigram_lm_docs": unigram_lm_docs,
         "bpe_encode_oracle_docs": bpe_encode_oracle_docs,
         "image_pipeline_jpeg420_docs": image_pipeline_jpeg420_docs,
         "image_pipeline_jpeg_prog_docs": image_pipeline_jpeg_prog_docs,
@@ -5292,6 +5316,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(txt) AS text_md5,
                    CAST(4 AS BIGINT) AS n_lines,
                    TRUE AS pdf_real
+            FROM t ORDER BY doc_id
+        """,
+        "pdf_filters_cmap_docs": """
+            -- per-arm replay of the r8 encodings: the three filter arms
+            -- carry the ASCII law, the CMap arm (doc_id % 4 = 3) the
+            -- non-Latin law; filters and CMaps are transparent to the
+            -- recovered text, so md5(law) pins the whole decode chain
+            WITH ids AS (
+                SELECT doc_id FROM documents WHERE doc_id < 260
+            ), t AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(range(0, 4),
+                           j -> CASE WHEN doc_id % 4 = 3
+                                THEN 'док ' || doc_id || ' γραμμή ' || j
+                                     || ' 值 '
+                                     || ((doc_id * 31 + j * 7) % 97)
+                                ELSE 'doc ' || doc_id || ' line ' || j
+                                     || ' value '
+                                     || ((doc_id * 31 + j * 7) % 97)
+                                END),
+                           chr(10)) AS txt
+                FROM ids
+            )
+            SELECT doc_id, md5(txt) AS text_md5, TRUE AS pdf_real
             FROM t ORDER BY doc_id
         """,
         "temperature_resample_docs": """

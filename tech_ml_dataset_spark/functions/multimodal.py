@@ -652,27 +652,38 @@ def synthesize_jpeg(df: DataFrame, id_col: str, *, height: int = 16,
 
 def synthesize_pdf(df: DataFrame, id_col: str, *, n_lines: int = 4,
                    out_col: str = "pdf",
-                   compress: bool = True) -> DataFrame:
+                   compress: bool = True,
+                   flavors: Sequence[str] | None = None) -> DataFrame:
     """Deterministic PDF fixture column (functions/pdf.py build_pdf —
-    spec-valid single-page Helvetica, FlateDecode content stream): line
-    ``j`` of row ``id`` reads ``doc <id> line <j> value
-    <(id*31 + j*7) % 97>`` — a closed-form text law a SQL oracle
-    replays without a PDF library, the jpeg/gif fixture pattern for the
-    DOCUMENT modality."""
+    spec-valid single-page Helvetica): line ``j`` of row ``id`` reads
+    ``doc <id> line <j> value <(id*31 + j*7) % 97>`` — a closed-form
+    text law a SQL oracle replays without a PDF library, the jpeg/gif
+    fixture pattern for the DOCUMENT modality.
+
+    ``flavors`` (r8) cycles stream encodings by ``id`` — any
+    :func:`~.pdf.build_pdf` compress mode ('flate'/'lzw'/'a85'/
+    'a85+flate'/'none') plus ``'cmap'``, which emits a Type0
+    /ToUnicode-CMap'd page (build_pdf_unicode) whose line law swaps in
+    non-Latin text: ``док <id> γραμμή <j> 值 <(id*31 + j*7) % 97>`` —
+    same closed form, exercising the full unicode decode chain."""
     from . import pdf as pdfmod
 
     out_schema = T.StructType(df.schema.fields +
                               [T.StructField(out_col, T.BinaryType())])
 
+    def build(d: int) -> bytes:
+        mode = flavors[d % len(flavors)] if flavors else compress
+        if mode == "cmap":
+            lines = [f"док {d} γραμμή {j} 值 {(d * 31 + j * 7) % 97}"
+                     for j in range(n_lines)]
+            return pdfmod.build_pdf_unicode(lines)
+        lines = [f"doc {d} line {j} value {(d * 31 + j * 7) % 97}"
+                 for j in range(n_lines)]
+        return pdfmod.build_pdf(lines, compress=mode)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in it:
-            payloads = []
-            for did in pdf_[id_col]:
-                d = int(did)
-                lines = [f"doc {d} line {j} value {(d * 31 + j * 7) % 97}"
-                         for j in range(n_lines)]
-                payloads.append(pdfmod.build_pdf(lines, compress=compress))
-            pdf_[out_col] = payloads
+            pdf_[out_col] = [build(int(did)) for did in pdf_[id_col]]
             yield pdf_
 
     return df.mapInPandas(batches, out_schema)
