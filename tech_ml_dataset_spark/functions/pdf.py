@@ -11,14 +11,17 @@ blocks. Literal strings decode the full escape table (``\\n \\r \\t \\b
 \\f \\( \\) \\\\``, octal, line continuations) plus hex strings.
 
 Stream filters (r8): FlateDecode, LZWDecode (EarlyChange 0/1),
-ASCII85Decode, and chains ([/ASCII85Decode /FlateDecode]) all decode;
-fonts carrying a /ToUnicode CMap (bfchar/bfrange, 1/2-byte codespaces,
-surrogate pairs) decode EXACTLY — the composite-font shape real
-non-Latin PDFs use. Honest limits, all named: encrypted PDFs raise
-(``/Encrypt``); image filters (DCT/JBIG2/JPX/CCITT/RunLength) and
-/Predictor DecodeParms are SKIPPED, not mis-parsed; CMap-less custom
-encodings decode Latin-1 — exact for the Standard-14/ASCII fixtures
-this repo synthesizes, a documented approximation otherwise.
+ASCII85Decode, RunLengthDecode, and chains ([/ASCII85Decode
+/FlateDecode]) all decode; fonts carrying a /ToUnicode CMap
+(bfchar/bfrange, 1/2-byte codespaces, surrogate pairs) decode EXACTLY
+— the composite-font shape real non-Latin PDFs use — including fonts
+and resources packed into PDF 1.5+ /Type /ObjStm compressed object
+streams (:func:`_objstm_objects`). Honest limits, all named:
+encrypted PDFs raise (``/Encrypt``); image filters (DCT/JBIG2/JPX/
+CCITT) and /Predictor DecodeParms are SKIPPED, not mis-parsed;
+CMap-less custom encodings decode Latin-1 — exact for the
+Standard-14/ASCII fixtures this repo synthesizes, a documented
+approximation otherwise.
 
 The same vendored-codec pattern as jpeg/gif/png/xlsx: the synthesizer
 (:func:`build_pdf`) emits spec-valid single-page PDFs with a
@@ -82,9 +85,60 @@ def _decode_filters(d: bytes, raw: bytes) -> bytes | None:
                 body = _ascii85_decode(body)
             except ValueError:
                 return None
+        elif nm in (b"RunLengthDecode", b"RL"):
+            try:
+                body = _rle_decode(body)
+            except ValueError:
+                return None
         else:
             return None                     # image/other filter: skip
     return body
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): length byte L — 0..127 copies
+    L+1 literal bytes, 129..255 repeats the next byte 257-L times,
+    128 = EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            break
+        if ln < 128:
+            if i + ln + 1 > n:
+                raise ValueError("pdf rle: truncated literal run")
+            out += data[i:i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= n:
+                raise ValueError("pdf rle: truncated repeat run")
+            out += bytes([data[i]]) * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Fixture-side inverse of :func:`_rle_decode`."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + 1
+        while j < n and j - i < 128 and (j + 1 >= n
+                                         or data[j] != data[j + 1]):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
 
 
 def _inflate(raw: bytes) -> bytes | None:
@@ -532,19 +586,57 @@ def _stream_payload(data: bytes, m) -> bytes | None:
     return raws[0]
 
 
+def _objstm_objects(data: bytes) -> dict[int, bytes]:
+    """Unpack /Type /ObjStm compressed object streams (ISO 32000
+    §7.5.7 — where PDF 1.5+ files keep their non-stream objects: font
+    dicts, page dicts, resources): decoded layout is ``N`` pairs of
+    ``objnum offset`` then the object bodies starting at /First.
+    Returns {objnum: body bytes}. Streams cannot live inside an
+    ObjStm, so /ToUnicode CMaps stay regular objects."""
+    out: dict[int, bytes] = {}
+    for m in _STREAM_RE.finditer(data):
+        d = m.group(1)
+        if not re.search(rb"/Type\s*/ObjStm", d):
+            continue
+        body = _stream_payload(data, m)
+        if body is None:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", d)
+        fm = re.search(rb"/First\s+(\d+)", d)
+        if not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        head = re.findall(rb"(\d+)\s+(\d+)",
+                          body[:first])[:n]
+        offs = [(int(a), int(b)) for a, b in head]
+        for i, (objn, off) in enumerate(offs):
+            end = offs[i + 1][1] if i + 1 < len(offs) else \
+                len(body) - first
+            out[objn] = body[first + off:first + end]
+    return out
+
+
 def _font_cmaps(data: bytes) -> dict[bytes, tuple]:
     """Resolve /Font resource names to parsed /ToUnicode CMaps:
-    object table (raw ``N g obj`` scan, xref-free) -> font dicts with
-    ``/ToUnicode M 0 R`` -> that object's stream -> :func:`_parse_cmap`
-    -> ``/Font << /F1 N 0 R ... >>`` resource entries. Fonts without a
-    CMap simply stay absent (Latin-1 path)."""
+    object table (raw ``N g obj`` scan, xref-free, PLUS /ObjStm
+    members — r8) -> font dicts with ``/ToUnicode M 0 R`` -> that
+    object's stream -> :func:`_parse_cmap` -> ``/Font << /F1 N 0 R
+    ... >>`` resource entries (searched in the raw file AND inside
+    ObjStm bodies, where modern writers keep page dicts). Fonts
+    without a CMap simply stay absent (Latin-1 path)."""
     spans: dict[int, tuple[int, int]] = {}
     for om in re.finditer(rb"(\d+)\s+\d+\s+obj\b", data):
         e = data.find(b"endobj", om.end())
         spans[int(om.group(1))] = (om.end(), e if e != -1 else len(data))
+    stm_objs = _objstm_objects(data)
+
+    def bodies():
+        for num, (s, e) in spans.items():
+            yield num, data[s:e]
+        yield from stm_objs.items()
+
     cmap_of_obj: dict[int, tuple] = {}
-    for num, (s, e) in spans.items():
-        body = data[s:e]
+    for num, body in bodies():
         if not re.search(rb"/Type\s*/Font", body):
             continue
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
@@ -565,12 +657,15 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple]:
     if not cmap_of_obj:
         return {}
     fonts: dict[bytes, tuple] = {}
-    for rm in re.finditer(rb"/Font\s*<<(.*?)>>", data, re.S):
-        for pm in re.finditer(rb"/([^\s/<>\[\]()%]+)\s+(\d+)\s+\d+\s+R",
-                              rm.group(1)):
-            objn = int(pm.group(2))
-            if objn in cmap_of_obj:
-                fonts[b"/" + pm.group(1)] = cmap_of_obj[objn]
+    sources = [data] + list(stm_objs.values())
+    for src in sources:
+        for rm in re.finditer(rb"/Font\s*<<(.*?)>>", src, re.S):
+            for pm in re.finditer(
+                    rb"/([^\s/<>\[\]()%]+)\s+(\d+)\s+\d+\s+R",
+                    rm.group(1)):
+                objn = int(pm.group(2))
+                if objn in cmap_of_obj:
+                    fonts[b"/" + pm.group(1)] = cmap_of_obj[objn]
     return fonts
 
 
@@ -667,7 +762,8 @@ def build_pdf(lines: list[str], *, compress: bool | str = True) -> bytes:
     return bytes(out)
 
 
-def build_pdf_unicode(lines: list[str], *, compress: bool = True) -> bytes:
+def build_pdf_unicode(lines: list[str], *, compress: bool = True,
+                      objstm: bool = False) -> bytes:
     """Spec-valid single-page PDF whose text rides a Type0 composite
     font with 2-byte codes and a /ToUnicode CMap — the shape real
     non-Latin (CJK/Cyrillic/Arabic) PDFs use, and the fixture source
@@ -675,7 +771,14 @@ def build_pdf_unicode(lines: list[str], *, compress: bool = True) -> bytes:
     sequential 2-byte code; text shows as hex strings; the CMap stream
     carries ``bfchar`` entries mapping codes to UTF-16BE (surrogate
     pairs for astral chars). Round-trips ANY unicode text through
-    :func:`extract_text` exactly."""
+    :func:`extract_text` exactly.
+
+    ``objstm=True`` (r8) emits the PDF 1.5+ layout real modern writers
+    use: catalog/pages/page/font dicts packed into a /Type /ObjStm
+    compressed object stream, cross-referenced by a /Type /XRef stream
+    with type-2 entries (W [1 2 2]) — exercising the extractor's
+    ObjStm unpacking (the font dict and /Font resources are only
+    reachable through it)."""
     chars = sorted({c for ln in lines for c in ln})
     if len(chars) > 0xFFFE:
         raise ValueError("pdf: >65534 distinct characters")
@@ -713,26 +816,67 @@ def build_pdf_unicode(lines: list[str], *, compress: bool = True) -> bytes:
         return (b"<< /Length %d >>\nstream\n" % len(body)) + body \
             + b"\nendstream"
 
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        stream_obj(content),
-        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic "
-        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
-        stream_obj(cmap),
-    ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, o in enumerate(objs, 1):
-        offsets.append(len(out))
-        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    catalog = b"<< /Type /Catalog /Pages 2 0 R >>"
+    pages = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    page = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>")
+    font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>")
+
+    if not objstm:
+        objs = [catalog, pages, page, stream_obj(content), font,
+                stream_obj(cmap)]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = [0]
+        for i, o in enumerate(objs, 1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+                b"%%%%EOF" % (len(objs) + 1, xref_at))
+        return bytes(out)
+
+    # PDF 1.5 layout: dict objects 1/2/3/5 pack into ObjStm obj 7,
+    # streams stay regular (4 content, 6 cmap), obj 8 is the xref stream
+    members = [(1, catalog), (2, pages), (3, page), (5, font)]
+    header, off = [], 0
+    for objn, body in members:
+        header.append(b"%d %d" % (objn, off))
+        off += len(body) + 1
+    head = b" ".join(header) + b"\n"
+    stm_body = head + b"\n".join(b for _, b in members) + b"\n"
+    objstm_obj = (b"<< /Type /ObjStm /N %d /First %d /Length %d >>"
+                  b"\nstream\n" % (len(members), len(head), len(stm_body))
+                  ) + stm_body + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+    for objn, o in ((4, stream_obj(content)), (6, stream_obj(cmap)),
+                    (7, objstm_obj)):
+        offsets[objn] = len(out)
+        out += b"%d 0 obj\n" % objn + o + b"\nendobj\n"
     xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objs) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
-            % (len(objs) + 1, xref_at))
+    # xref stream entries, W [1 2 2]: (type, f2, f3) for obj 0..8
+    idx_of = {objn: i for i, (objn, _) in enumerate(members)}
+    rows = []
+    for objn in range(9):
+        if objn == 0:
+            rows.append((0, 0, 65535))
+        elif objn in idx_of:
+            rows.append((2, 7, idx_of[objn]))       # in ObjStm 7
+        elif objn == 8:
+            rows.append((1, xref_at, 0))
+        else:
+            rows.append((1, offsets[objn], 0))
+    xdata = b"".join(t.to_bytes(1, "big") + a.to_bytes(2, "big")
+                     + b.to_bytes(2, "big") for t, a, b in rows)
+    xz = zlib.compress(xdata, 6)
+    out += (b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 2 2] /Root 1 0 R "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(xz)
+            ) + xz + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF" % xref_at
     return bytes(out)

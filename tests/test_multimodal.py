@@ -729,6 +729,40 @@ def test_pdf_lzw_ascii85_filters():
     assert pdf.extract_text(bad) == ""
 
 
+def test_pdf_objstm_and_rle():
+    """r8: PDF 1.5+ object streams — font dict + /Font resources live
+    ONLY inside a /Type /ObjStm compressed stream (xref-stream layout,
+    type-2 entries), and CMap decode still resolves through it; plus
+    RunLengthDecode as a stream filter."""
+    import random
+
+    from tech_ml_dataset_spark.functions import pdf
+
+    lines = ["Привет мир", "中文 objstm", "plain too"]
+    for compress in (True, False):
+        d = pdf.build_pdf_unicode(lines, compress=compress, objstm=True)
+        assert d.startswith(b"%PDF-1.5")
+        assert b"/ObjStm" in d and b"/Type /XRef" in d
+        # the font dict is NOT a raw top-level object in this layout
+        assert b"5 0 obj" not in d
+        assert pdf.extract_text(d) == "\n".join(lines)
+
+    # RunLengthDecode: codec roundtrip over run-heavy data + filter use
+    for t in range(50):
+        rnd = random.Random(t)
+        data = bytes(rnd.choice([rnd.randrange(256), 0, 255])
+                     for _ in range(rnd.randrange(0, 500)))
+        assert pdf._rle_decode(pdf._rle_encode(data)) == data, t
+    assert pdf._rle_decode(pdf._rle_encode(b"a" * 1000)) == b"a" * 1000
+    body = pdf._rle_encode(b"BT /F1 12 Tf (rle text) Tj ET")
+    doc = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(body)).encode()
+           + b" /Filter /RunLengthDecode >>\nstream\n" + body
+           + b"\nendstream\nendobj\n%%EOF")
+    assert pdf.extract_text(doc) == "rle text"
+    with pytest.raises(ValueError, match="truncated"):
+        pdf._rle_decode(b"\x05ab")          # literal run past end
+
+
 def test_pdf_tounicode_cmap():
     """r8: /ToUnicode CMap decode — a Type0 font with 2-byte codes and
     a bfchar CMap round-trips exact non-Latin-1 text (CJK, Cyrillic,
