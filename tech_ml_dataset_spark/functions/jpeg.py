@@ -4,16 +4,19 @@ only.
 Implements the public huffman DCT processes of ITU-T T.81 / ISO 10918-1
 ("JPEG"): baseline sequential (SOF0/1) AND progressive (SOF2, spectral
 selection + successive approximation with DC/AC refinement scans and
-EOB runs — the Annex G procedures), 8-bit precision, grayscale
-(1 component) and YCbCr with any sampling factors 1..4 — 4:4:4, 4:2:2,
-and the real-web-majority 4:2:0 — restart-marker tolerant decoding,
-replication chroma upsample. Arithmetic coding and 12-bit streams raise
-a clear error naming the unsupported feature — production pipelines
+EOB runs — the Annex G procedures), 8-bit AND 12-bit precision (r8:
+12-bit rides SOF1/SOF2 with 16-bit DQTs and decodes to uint16 0..4095
+— the medical/scientific JPEG class), grayscale (1 component) and
+YCbCr with any sampling factors 1..4 — 4:4:4, 4:2:2, and the
+real-web-majority 4:2:0 — restart-marker tolerant decoding,
+replication chroma upsample. Arithmetic coding (SOF9-11) raises a
+clear error naming the unsupported feature — production pipelines
 swap in Pillow through the same ``decode_image_bytes`` hook
 (multimodal.py) without touching callers. :func:`encode` emits baseline
 (with a ``subsampling=`` lever); :func:`encode_progressive` emits a
-full libjpeg-style progressive scan script, primarily as the
-self-contained test source for the progressive decode path.
+full libjpeg-style progressive scan script and :func:`encode_12bit`
+a 12-bit SOF1 stream, primarily as self-contained test sources for
+their decode paths.
 
 Purpose: a crawl pipeline's image columns are mostly JPEG (r5 verdict
 missing #1); this gives :mod:`.multimodal` a REAL decode path for them in
@@ -200,16 +203,16 @@ def _size(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+def _rgb_to_ycbcr(arr: np.ndarray, center: float = 128.0) -> np.ndarray:
     r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
-    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    cb = center - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = center + 0.5 * r - 0.418687589 * g - 0.081312411 * b
     return np.stack([y, cb, cr], axis=-1)
 
 
-def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
-    y, cb, cr = arr[..., 0], arr[..., 1] - 128.0, arr[..., 2] - 128.0
+def _ycbcr_to_rgb(arr: np.ndarray, center: float = 128.0) -> np.ndarray:
+    y, cb, cr = arr[..., 0], arr[..., 1] - center, arr[..., 2] - center
     r = y + 1.402 * cr
     g = y - 0.344136286 * cb - 0.714136286 * cr
     b = y + 1.772 * cb
@@ -379,6 +382,116 @@ def encode(arr: np.ndarray, *, quant: int | np.ndarray = 1,
     return bytes(out)
 
 
+#: 12-bit Huffman tables (fixture-side): DC categories 0..15 as 5-bit
+#: canonical codes, AC symbols (EOB, ZRL, every run<<4|size for size
+#: 1..14) as 8-bit canonical codes. Poor compression, trivially valid —
+#: prefix-free with no all-ones code of any length (16 of 32 slots /
+#: 226 of 256 slots used), which is what the fixtures need.
+_DC12 = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_AC12 = ([0, 0, 0, 0, 0, 0, 0, 226] + [0] * 8,
+         [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                         for s in range(1, 15)])
+
+
+def encode_12bit(arr: np.ndarray, *, quant: int | np.ndarray = 1) -> bytes:
+    """12-bit extended-sequential (SOF1) encoder — the fixture source
+    for the high-precision decode path (medical/scientific JPEG;
+    libjpeg's -D12BIT build). uint16 (h, w), (h, w, 1) grayscale or
+    (h, w, 3) RGB with values 0..4095 -> JFIF bytes: 16-bit DQT
+    (Pq=1), purpose-built Huffman tables covering the 12-bit category
+    range (DC 0..15, AC size 1..14), level shift 2048, 4:4:4 only.
+    ``quant=1`` keeps constant blocks exact, same as :func:`encode`."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint16:
+        raise ValueError("encode_12bit expects a uint16 array (0..4095)")
+    if arr.max(initial=0) > 4095:
+        raise ValueError("encode_12bit: values exceed 12-bit range")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError("encode_12bit supports 1 or 3 channels")
+    q = np.full((8, 8), int(quant), dtype=np.int64) \
+        if np.isscalar(quant) else np.asarray(quant, dtype=np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 65535).any():
+        raise ValueError("quant must be a scalar or 8x8 table in "
+                         "1..65535")
+
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    planes = arr[:, :, 0].astype(np.float64)[None] if c == 1 else \
+        _rgb_to_ycbcr(arr.astype(np.float64),
+                      center=2048.0).transpose(2, 0, 1)
+    padded = [np.pad(p, ((0, mcuy * 8 - h), (0, mcux * 8 - w)),
+                     mode="edge") for p in planes]
+
+    out = bytearray(SOI)
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    zz16 = q.ravel()[ZIGZAG].astype(">u2").tobytes()   # Pq=1: 16-bit
+    out += b"\xff\xdb" + struct.pack(">H", 3 + 128) + b"\x10" + zz16
+    if c == 3:
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 128) + b"\x11" + zz16
+    comps = [(1, 0)] if c == 1 else [(1, 0), (2, 1), (3, 1)]
+    sof = struct.pack(">BHHB", 12, h, w, len(comps))
+    for cid, tq in comps:
+        sof += struct.pack(">BBB", cid, 0x11, tq)      # 4:4:4
+    out += b"\xff\xc1" + struct.pack(">H", 2 + len(sof)) + sof   # SOF1
+    for tc_th, (bits, vals) in ((0x00, _DC12), (0x10, _AC12)):
+        body = bytes([tc_th] + bits + vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([len(comps)])
+    for cid, _ in comps:
+        sos += bytes([cid, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_enc, ac_enc = _huff_codes(*_DC12), _huff_codes(*_AC12)
+    qcoefs = []
+    for p in padded:
+        b = _blocks(p) - 2048.0
+        f = _C @ b @ _C.T
+        qcoefs.append(np.round(f / q).astype(np.int64)
+                      .reshape(p.shape[0] // 8, p.shape[1] // 8, 8, 8))
+
+    wr = _BitWriter()
+    pred = [0] * len(padded)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(len(padded)):
+                coef = qcoefs[ci][my, mx].ravel()[ZIGZAG]
+                diff = int(coef[0]) - pred[ci]
+                pred[ci] = int(coef[0])
+                t = _size(diff)
+                code, ln = dc_enc[t]
+                wr.write(code, ln)
+                if t:
+                    wr.write(diff if diff >= 0
+                             else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max(np.nonzero(coef[1:])[0], default=-1)
+                for k in range(1, last_nz + 2):
+                    v = int(coef[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_enc[0xF0]
+                        wr.write(code, ln)
+                        run -= 16
+                    t = _size(v)
+                    code, ln = ac_enc[(run << 4) | t]
+                    wr.write(code, ln)
+                    wr.write(v if v >= 0 else v + (1 << t) - 1, t)
+                    run = 0
+                if last_nz + 1 < 63:
+                    code, ln = ac_enc[0x00]
+                    wr.write(code, ln)
+    wr.flush()
+    out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode(data: bytes) -> np.ndarray:
     """JFIF bytes -> uint8 (h, w, channels) array (1 or 3).
 
@@ -392,8 +505,9 @@ def decode(data: bytes) -> np.ndarray:
     one-scan special case. Subsampled chroma planes are upsampled by
     pixel replication (nearest: ``src[y*Vi//Vmax, x*Hi//Hmax]``) — T.81
     leaves the upsampling filter to the decoder, and replication keeps
-    the constant-region fixture law exact. Raises ValueError naming the
-    feature for arithmetic-coded (SOF9+) or 12-bit streams.
+    the constant-region fixture law exact. 8-bit streams return uint8;
+    12-bit (SOF1/SOF2) return uint16 in 0..4095. Raises ValueError
+    naming the feature for arithmetic-coded (SOF9+) streams.
     """
     if data[:2] != SOI:
         raise ValueError("jpeg: missing SOI marker")
@@ -402,6 +516,7 @@ def decode(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     comps = None
     h = w = 0
+    prec = 8
     hmax = vmax = mcux = mcuy = 0
     coefs = None          # per component: (gh, gw, 64) int64, ZIGZAG order
     restart_interval = 0
@@ -444,8 +559,11 @@ def decode(data: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):     # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(f"jpeg: {prec}-bit precision unsupported")
+            if prec == 12 and marker == 0xC0:
+                raise ValueError("jpeg: 12-bit baseline (SOF0) is not a "
+                                 "legal process — 12-bit rides SOF1/SOF2")
             if h * w > 80_000_000:
                 # decompression-bomb guard (the Pillow MAX_IMAGE_PIXELS
                 # idea): a corrupt SOF must not allocate GBs of
@@ -476,7 +594,8 @@ def decode(data: bytes) -> np.ndarray:
                               dtype=np.int64) for c in comps]
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError(f"jpeg: SOF{marker - 0xC0} process "
-                             "unsupported (arithmetic/lossless/12-bit)")
+                             "unsupported (arithmetic/lossless/"
+                             "hierarchical)")
         elif marker == 0xDD:                   # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:                   # SOS
@@ -511,8 +630,9 @@ def decode(data: bytes) -> np.ndarray:
         raster[:, :, ZIGZAG] = zz
         blocks = raster.reshape(gh * gw, 8, 8)
         px = _C.T @ blocks @ _C
+        half, maxv = 1 << (prec - 1), (1 << prec) - 1
         plane = np.clip(np.round(
-            _unblocks(px, gh * 8, gw * 8) + 128.0), 0, 255)
+            _unblocks(px, gh * 8, gw * 8) + half), 0, maxv)
         if c["h"] == hmax and c["v"] == vmax:
             imgs.append(plane[:h, :w])
         else:
@@ -522,11 +642,13 @@ def decode(data: bytes) -> np.ndarray:
             ys = np.arange(h) * c["v"] // vmax
             xs = np.arange(w) * c["h"] // hmax
             imgs.append(plane[np.ix_(ys, xs)])
+    dt = np.uint8 if prec == 8 else np.uint16
     if len(imgs) == 1:
-        return imgs[0].astype(np.uint8)[:, :, None]
+        return imgs[0].astype(dt)[:, :, None]
     ycbcr = np.stack(imgs, axis=-1)
-    rgb = np.clip(np.round(_ycbcr_to_rgb(ycbcr)), 0, 255)
-    return rgb.astype(np.uint8)
+    rgb = np.clip(np.round(_ycbcr_to_rgb(ycbcr, center=float(half))),
+                  0, maxv)
+    return rgb.astype(dt)
 
 
 def _read_symbol(rd: _BitReader, table) -> int:

@@ -205,14 +205,16 @@ def _try_real_decode(data: bytes):
             arr = arr[:, :, :3]
         return arr.astype(np.float64) / 255.0
     if data[:2] == jpeg.SOI:
-        try:  # vendored JFIF codec (baseline + progressive, any
-            # subsampling) — REAL decode
+        try:  # vendored JFIF codec (baseline + progressive + 12-bit,
+            # any subsampling) — REAL decode
             arr = jpeg.decode(data)
-        except Exception:  # arithmetic/12-bit/malformed -> fake path
+        except Exception:  # arithmetic/malformed -> fake path
             return None
         if arr.shape[2] == 1:
             arr = np.repeat(arr, 3, axis=2)
-        return arr.astype(np.float64) / 255.0
+        # 8-bit decodes are uint8 (/255); 12-bit are uint16 (/4095)
+        maxv = 255.0 if arr.dtype == np.uint8 else 4095.0
+        return arr.astype(np.float64) / maxv
     from . import gif
     if data[:6] in gif.SIGNATURES:
         try:  # vendored LZW codec — REAL decode (first frame)

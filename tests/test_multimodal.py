@@ -308,6 +308,47 @@ def test_jpeg_progressive_decodes_bit_identical_to_baseline():
         assert np.array_equal(base, prog), (arr.shape, kw, q)
 
 
+def test_jpeg_12bit_roundtrips():
+    """r8: 12-bit extended-sequential (SOF1) — constant blocks and a
+    full-range gradient round-trip EXACTLY at quant=1 (12-bit headroom
+    absorbs DCT rounding), RGB within ±2, output is uint16 0..4095,
+    and the 8-bit surface is untouched. 12-bit in an SOF0 marker is a
+    named illegal-process error; the multimodal decode hook normalizes
+    uint16 by 4095."""
+    from tech_ml_dataset_spark.functions import jpeg, multimodal as mm
+
+    g = np.full((16, 24), 1234, dtype=np.uint16)
+    d = jpeg.decode(jpeg.encode_12bit(g))
+    assert d.dtype == np.uint16 and d.shape == (16, 24, 1)
+    assert (d[:, :, 0] == 1234).all()
+    blocks = np.repeat(np.repeat(
+        np.arange(12, dtype=np.uint16).reshape(3, 4) * 300 + 17,
+        8, 0), 8, 1)
+    assert (jpeg.decode(jpeg.encode_12bit(blocks))[:, :, 0]
+            == blocks).all()
+    grad = (np.arange(32 * 32, dtype=np.uint16)
+            .reshape(32, 32) * 4) % 4096
+    assert (jpeg.decode(jpeg.encode_12bit(grad))[:, :, 0]
+            == grad).all()
+    rgb = np.zeros((8, 8, 3), dtype=np.uint16)
+    rgb[...] = (4000, 123, 2048)
+    got = jpeg.decode(jpeg.encode_12bit(rgb)).astype(int)
+    assert np.abs(got - np.array([4000, 123, 2048])).max() <= 2
+    # decode hook: [0,1] normalization by 4095, flagged REAL
+    arr = mm.decode_image_bytes(jpeg.encode_12bit(g))
+    assert arr is not None and abs(arr[0, 0, 0] - 1234 / 4095) < 1e-9
+    # 12-bit in SOF0 is not a legal process
+    b = bytearray(jpeg.encode_12bit(g))
+    i = bytes(b).find(b"\xff\xc1")
+    b[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="SOF0"):
+        jpeg.decode(bytes(b))
+    with pytest.raises(ValueError, match="uint16"):
+        jpeg.encode_12bit(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError, match="12-bit range"):
+        jpeg.encode_12bit(np.full((8, 8), 5000, dtype=np.uint16))
+
+
 def test_jpeg_unsupported_features_raise():
     from tech_ml_dataset_spark.functions import jpeg
     with pytest.raises(ValueError, match="SOI"):
