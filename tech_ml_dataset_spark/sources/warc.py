@@ -211,11 +211,7 @@ _WARC_DDL = ("target_uri string, warc_date string, record_type string, "
              "http_status int, content_type string, payload binary")
 
 
-def read_warc_dataset(spark, path: str | list[str],
-                      *, extension: str = ".warc.gz"):
-    """DISTRIBUTED WARC read: file-list plan source, one task per
-    archive file (the Common Crawl work unit), records parsed
-    executor-side."""
+def _warc_file_list(path, extension: str) -> list[str]:
     import glob as globmod
 
     if isinstance(path, str):
@@ -229,6 +225,58 @@ def read_warc_dataset(spark, path: str | list[str],
         files = list(path)
     if not files:
         raise ValueError(f"no {extension} files under {path!r}")
+    return files
+
+
+def read_warc_dataset(spark, path: str | list[str],
+                      *, extension: str = ".warc.gz",
+                      record_splits: bool = False,
+                      split_bytes: int = 32 << 20):
+    """DISTRIBUTED WARC read. Default: file-list plan source, one task
+    per archive file (the Common Crawl work unit — ~1 GB x 64k files
+    per crawl), records parsed executor-side in streaming bounded
+    batches.
+
+    ``record_splits=True`` (r8) adds INTRA-file parallelism without a
+    CDX index — the lever for few-but-huge archives, where
+    file-per-task leaves the cluster idle: a first distributed pass
+    walks each file's gzip member boundaries (O(chunk) memory,
+    :func:`warc_member_index`) and groups them into ~``split_bytes``
+    byte ranges; the ranges then fan out as a record-level-parallel
+    scan (:func:`read_warc_records`). Only (path, offset, length)
+    triples cross the driver — never record bytes."""
+    files = _warc_file_list(path, extension)
+
+    if record_splits:
+        import pandas as pd
+
+        fdf = spark.createDataFrame([(f,) for f in files],
+                                    "__warc_file__ string")
+        if len(files) > 1:
+            fdf = fdf.repartition(len(files))
+
+        def index_batches(it):
+            for pdf in it:
+                for p in pdf["__warc_file__"]:
+                    rows, start, length = [], None, 0
+                    for _, off, ln in warc_member_index(p):
+                        if start is None:
+                            start = off
+                        length += ln
+                        if length >= split_bytes:
+                            rows.append((p, start, length))
+                            start, length = None, 0
+                    if length:
+                        rows.append((p, start, length))
+                    if rows:
+                        yield pd.DataFrame(
+                            rows, columns=["path", "off", "len"])
+
+        splits = [(r["path"], int(r["off"]), int(r["len"]))
+                  for r in fdf.mapInPandas(
+                      index_batches,
+                      "path string, off long, len long").collect()]
+        return read_warc_records(spark, splits)
 
     fdf = spark.createDataFrame([(f,) for f in files],
                                 "__warc_file__ string")

@@ -1218,6 +1218,36 @@ def test_warc_cdx_range_reads(spark, tmp_path):
         warc.read_warc_records(spark, bad).collect()
 
 
+def test_warc_record_splits_intra_file_parallelism(spark, tmp_path):
+    """r8: record_splits=True fans ONE archive out across byte-range
+    tasks (executor-side member indexing grouped to ~split_bytes) —
+    rows identical to the file-per-task read, >1 partition for a
+    single file, only index triples cross the driver."""
+    import os
+
+    from tech_ml_dataset_spark.sources import warc
+
+    rows = [(f"https://ex.com/s{i}", "2026-08-16T00:00:00Z",
+             bytearray((f"<p>split doc {i} " + "y" * 800 + "</p>")
+                       .encode())) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "target_uri string, warc_date string, payload binary") \
+        .coalesce(1)
+    path = str(tmp_path / "crawl")
+    warc.write_warc_dataset(df, path)
+    assert len([x for x in os.listdir(path) if x.endswith(".warc.gz")]) == 1
+
+    whole = warc.read_warc_dataset(spark, path)
+    split = warc.read_warc_dataset(spark, path, record_splits=True,
+                                   split_bytes=2000)
+    assert split.rdd.getNumPartitions() > 1
+    a = sorted((r["target_uri"], bytes(r["payload"]))
+               for r in whole.collect())
+    b = sorted((r["target_uri"], bytes(r["payload"]))
+               for r in split.collect())
+    assert a == b and len(a) == 60
+
+
 def test_warc_streaming_bounded_memory(tmp_path):
     """r8 (r7-judge item): the read paths must NOT materialize the
     decompressed archive. A many-member archive whose decompressed
