@@ -59,6 +59,59 @@ def test_streaming_end_to_end(spark, sf_dir, tmp_path):
     assert all(r["n"] > 0 for r in got)
 
 
+def test_watermark_append_late_drop_law(spark, tmp_path):
+    """r8: the append-mode watermark semantics pinned EXACTLY, not just
+    'some windows emitted': with one file per micro-batch (explicit
+    mtimes fix the source order), a late row still >= the watermark
+    merges into its hour window, a row older than the watermark is
+    DROPPED once its window was evicted in a PRIOR batch, and only
+    windows the watermark passed are emitted. Empirically-pinned Spark
+    semantics (delay 30 min, 1 h tumbling): the drop rule is
+    per-WINDOW-LIFECYCLE — a late row merges as long as its window is
+    still in state (even when its ts < current watermark); it is
+    discarded only when the window already closed:
+      b0: 10:00, 10:20, 12:40 -> wm commits 12:10
+      b1: 13:00               -> win 10 evicts (n=2); wm commits 12:30
+      b2: 10:30 (win 10 CLOSED -> numRowsDroppedByWatermark=1),
+          14:45               -> wm 14:15; wins 12 and 13 evict
+      emitted = {10: 2 (NOT 3), 12: 1, 13: 1}; win 14 never closes."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+
+    def land(name, hhmm_list, mtime):
+        ts = [dt.datetime(2026, 1, 1, h, m) for h, m in hhmm_list]
+        tbl = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                        "v": pa.array(range(len(ts)), type=pa.int32())})
+        p = str(src / name)
+        pq.write_table(tbl, p)
+        os.utime(p, (mtime, mtime))
+
+    land("b0.parquet", [(10, 0), (10, 20), (12, 40)], 1_000_000_000)
+    land("b1.parquet", [(13, 0)], 1_000_000_600)
+    land("b2.parquet", [(10, 30), (14, 45)], 1_000_001_200)
+
+    stream = sw.read_stream(spark, str(src),
+                            "ts timestamp, v int",
+                            max_files_per_trigger=1)
+    agg = sw.tumbling_window_agg(stream, "ts", "1 hour",
+                                 {"n": ("row-count", None)},
+                                 watermark="30 minutes")
+    q = sw.run_to_memory(agg, "wm_law", output_mode="append")
+    got = {r["window_start"].hour: r["n"]
+           for r in spark.table("wm_law").collect()}
+    assert got == {10: 2, 12: 1, 13: 1}, got
+    dropped = sum(op.get("numRowsDroppedByWatermark", 0)
+                  for p in q.recentProgress
+                  for op in p.get("stateOperators", []))
+    assert dropped == 1, dropped
+
+
 def test_stateful_running_agg_across_batches(spark, tmp_path):
     # two parquet files -> two micro-batches; state must carry between them
     src = str(tmp_path / "state_src")
