@@ -1485,6 +1485,25 @@ def pdf_filters_cmap_docs(spark, sf_dir):
                       F.col("pdf_real")).orderBy("doc_id")
 
 
+def exact_substring_dedup_docs(spark, sf_dir):
+    """ExactSubstr dedup (r8; Lee et al. 2022 §4.1 — the
+    suffix-array-paper law, Spark-re-expressed as k-token window
+    hashing whose overlap-union reconstructs maximal duplicated runs):
+    remove every corpus-wide duplicated 20-token run from all but its
+    canonical (lowest id, pos) occurrence, rebuild docs from surviving
+    tokens. The template-generated fixture corpus shares heavily, so
+    the law bites. The oracle replays tokenization, window hashing,
+    canonical election, mark-union, and the rebuild in DuckDB."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150) \
+        .select("doc_id", "text")
+    out = dd.exact_substring_dedup(docs, k=20)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"),
+        F.size(F.filter(F.split("text", r"\s+"),
+                        lambda x: F.length(x) > 0))
+         .cast("long").alias("n_tokens")).orderBy("doc_id")
+
+
 def temperature_resample_docs(spark, sf_dir):
     """Language temperature resampling (selection.py temperature_resample
     — the mC4 / XLM-R exponentiated-sampling standard, Conneau 2020
@@ -3405,8 +3424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_cdx_index_docs": warc_cdx_index_docs,
         "pdf_extract_docs": pdf_extract_docs,
         "pdf_filters_cmap_docs": pdf_filters_cmap_docs,
-        # (unigram_lm_docs yields its slot to the never-green PDF
-        # filter/CMap proof; it is r9's sole remaining backlog query)
+        "exact_substring_dedup_docs": exact_substring_dedup_docs,
+        # (unigram_lm_docs and url_dedup_docs yield their slots to the
+        # never-green PDF filter/CMap and ExactSubstr proofs; they are
+        # r9's only remaining backlog queries)
         "warc_pipeline_docs": warc_pipeline_docs,
         "warc_cdx_range_docs": warc_cdx_range_docs,
         "avro_roundtrip_orders": avro_roundtrip_orders,
@@ -3453,11 +3474,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_predicates": q19_disjunctive_predicates,
         "semdedup_embeddings": semdedup_embeddings,
         "text_stats_by_lang": text_stats_by_lang,
-        "url_dedup_docs": url_dedup_docs,
         # ---- position > 50: queries with fresh r6/r7 evidence rotating
         # out (cumulative proof stands) + the by-design rows-only set.
         # All stay covered by pytest + full verify_local sweeps.
         "unigram_lm_docs": unigram_lm_docs,
+        "url_dedup_docs": url_dedup_docs,
         "bpe_encode_oracle_docs": bpe_encode_oracle_docs,
         "image_pipeline_jpeg420_docs": image_pipeline_jpeg420_docs,
         "image_pipeline_jpeg_prog_docs": image_pipeline_jpeg_prog_docs,
@@ -5317,6 +5338,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS BIGINT) AS n_lines,
                    TRUE AS pdf_real
             FROM t ORDER BY doc_id
+        """,
+        "exact_substring_dedup_docs": """
+            -- full ExactSubstr law replay: tokenize, hash every
+            -- 20-token window, elect the (id, pos)-first canonical
+            -- occurrence per hash, union the non-canonical windows'
+            -- marks into maximal spans, rebuild from survivors
+            WITH d AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 150
+            ), t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> length(x) > 0) AS tk
+                FROM d
+            ), w AS (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(
+                           list_slice(tk, i, i + 19), ' ')) AS h
+                FROM t, unnest(range(1, len(tk) - 18)) AS u(i)
+                WHERE len(tk) >= 20
+            ), r AS (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, pos) AS rn
+                FROM w
+            ), m AS (
+                SELECT doc_id, list(DISTINCT idx) AS rmx
+                FROM (SELECT doc_id, pos + j AS idx
+                      FROM r, unnest(range(0, 20)) AS g(j)
+                      WHERE rn > 1)
+                GROUP BY doc_id
+            ), rb AS (
+                SELECT t.doc_id,
+                       array_to_string(
+                           list_transform(
+                               list_filter(range(1, len(tk) + 1),
+                                   i -> m.rmx IS NULL
+                                        OR NOT list_contains(m.rmx,
+                                                             i - 1)),
+                               i -> tk[i]),
+                           ' ') AS txt
+                FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+            )
+            SELECT doc_id, md5(txt) AS text_md5,
+                   CAST(CASE WHEN txt = '' THEN 0
+                        ELSE len(string_split(txt, ' ')) END AS BIGINT)
+                       AS n_tokens
+            FROM rb ORDER BY doc_id
         """,
         "pdf_filters_cmap_docs": """
             -- per-arm replay of the r8 encodings: the three filter arms

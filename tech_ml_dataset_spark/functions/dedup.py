@@ -296,6 +296,72 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return df.join(losers, id_col, "left_anti")
 
 
+def exact_substring_dedup(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", *, k: int = 20,
+                          out_col: str | None = None) -> DataFrame:
+    """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" §4.1) — remove every
+    corpus-wide duplicated token run of >= ``k`` tokens, keeping one
+    canonical occurrence. The paper builds a suffix array; the
+    Spark-native equivalent hashes every consecutive ``k``-token
+    window instead (a run of m >= k duplicated tokens duplicates all
+    m-k+1 of its windows, so marking each non-canonical window's k
+    token positions and unioning the marks reconstructs exactly the
+    paper's MAXIMAL duplicated substring — overlap union = maximal
+    run):
+
+    1. whitespace tokens per doc (scan-fused);
+    2. every k-token window posexplodes to a SLIM (id, pos, md5) row —
+       token arrays never cross an exchange, only 32-char hashes;
+    3. one ``row_number() over (partition by hash order by (id, pos))``
+       window — the single shuffle — elects the canonical occurrence;
+    4. non-canonical occurrences mark positions pos..pos+k-1; the
+       removal set groups back to doc grain (bounded by duplicate
+       volume, not corpus volume);
+    5. docs rebuild from unmarked tokens (single-space joins — the
+       same normalized-form law as :func:`~.webtext.c4_span_dedup`,
+       replayed by the oracle).
+
+    The engine-portable md5 window hash means a SQL oracle replays the
+    whole law. Same 100 TB cost profile as c4_span_dedup: one corpus
+    scan, one hash-keyed exchange of slim rows, one duplicate-bounded
+    groupBy."""
+    out_col = out_col or text_col
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), r"\s+"),
+                 lambda x: F.length(x) > 0).alias("__t__"))
+    n = F.size("__t__")
+    wins = toks.select(
+        id_col,
+        F.posexplode(
+            F.when(n >= k,
+                   F.transform(F.sequence(F.lit(0), n - k),
+                               lambda i: F.md5(F.array_join(
+                                   F.slice("__t__", i + 1, k), " "))))
+             .otherwise(F.array().cast("array<string>"))
+        ).alias("__pos__", "__h__"))
+    w = W.partitionBy("__h__").orderBy(id_col, "__pos__")
+    dup = (wins.withColumn("__rn__", F.row_number().over(w))
+               .filter(F.col("__rn__") > 1))
+    rm = (dup.select(id_col,
+                     F.explode(F.sequence(F.col("__pos__"),
+                                          F.col("__pos__") + (k - 1)))
+              .alias("__ridx__"))
+             .groupBy(id_col)
+             .agg(F.collect_set("__ridx__").alias("__rm__")))
+    rebuilt = (toks.join(rm, id_col, "left")
+                   .select(id_col,
+                           F.array_join(
+                               F.filter("__t__",
+                                        lambda x, i:
+                                        F.col("__rm__").isNull()
+                                        | ~F.array_contains("__rm__", i)),
+                               " ").alias(out_col)))
+    base = df.drop(out_col) if out_col != text_col else df.drop(text_col)
+    return base.join(rebuilt, id_col, "left")
+
+
 # ---- SimHash ----------------------------------------------------------------
 
 def simhash(text: Column, *, k: int = 2) -> Column:

@@ -609,3 +609,36 @@ def test_fuzzy_join_matches_bruteforce(spark):
     want = {(i, j) for (i, a) in rows[:5] for (j, b) in rows[5:]
             if ed(a, b) <= 2}
     assert got == want
+
+
+def test_exact_substring_dedup_maximal_spans(spark):
+    """r8 (Lee et al. 2022 ExactSubstr): a duplicated run LONGER than k
+    is removed in its ENTIRETY from every non-canonical occurrence
+    (overlapping k-windows union to the maximal span), the canonical
+    (lowest id, pos) occurrence survives intact, unique text is
+    untouched, and within-doc repeats dedup too."""
+    from tech_ml_dataset_spark.functions import dedup as dd
+
+    shared = " ".join(f"s{i}" for i in range(7))        # 7-token run
+    rows = [
+        (1, f"alpha beta {shared} gamma"),              # canonical
+        (2, f"delta {shared} epsilon"),                 # loses the run
+        (3, "unique tokens only here"),                 # untouched
+        (4, f"x0 {shared} mid {shared} tail"),          # both copies go
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dd.exact_substring_dedup(df, k=5).collect()}
+    assert out[1] == rows[0][1]                          # intact
+    assert out[2] == "delta epsilon"
+    assert out[3] == "unique tokens only here"
+    assert out[4] == "x0 mid tail"
+    # k larger than any shared run: nothing removed anywhere
+    out2 = {r["doc_id"]: r["text"]
+            for r in dd.exact_substring_dedup(df, k=8).collect()}
+    assert out2 == dict((i, t) for i, t in rows)
+    # within-doc repetition at exactly k: second copy removed
+    rep = spark.createDataFrame(
+        [(9, "a b c d e a b c d e tail")], "doc_id int, text string")
+    got = dd.exact_substring_dedup(rep, k=5).collect()[0]["text"]
+    assert got == "a b c d e tail"
