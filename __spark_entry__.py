@@ -1466,10 +1466,13 @@ def pdf_extract_docs(spark, sf_dir):
 
 def pdf_filters_cmap_docs(spark, sf_dir):
     """r8 PDF surface in one driver-gated proof: stream-filter variety
-    + unicode CMap decode. doc_id % 4 picks the page's encoding —
+    + unicode CMap decode. doc_id % 5 picks the page's encoding —
     LZWDecode, ASCII85Decode, the [/ASCII85Decode /FlateDecode] chain,
     or a Type0 font with a /ToUnicode CMap carrying a non-Latin line
-    law (Cyrillic/Greek/CJK: 'док d γραμμή j 值 (d*31+j*7)%97'). The
+    law (Cyrillic/Greek/CJK: 'док d γραμμή j 值 (d*31+j*7)%97') — the
+    CMap arm alternating classic-xref and PDF 1.5 /ObjStm layouts
+    (doc_id % 5 in {3, 4}), so object-stream unpacking is also
+    driver-gated. The
     extractor must route each arm through the right decode chain and
     the CMap'd hex strings through the code->UTF-16BE map; the oracle
     rebuilds the exact law text per arm, so one hash mismatch pins any
@@ -1479,7 +1482,7 @@ def pdf_filters_cmap_docs(spark, sf_dir):
     binned = mmod.repartition_for_decode(docs, "doc_id")
     pdfs = mmod.synthesize_pdf(binned, "doc_id", n_lines=4,
                                flavors=["lzw", "a85", "a85+flate",
-                                        "cmap"])
+                                        "cmap", "cmap_objstm"])
     out = mmod.pdf_text(pdfs, "pdf")
     return out.select("doc_id", F.md5("pdf_text").alias("text_md5"),
                       F.col("pdf_real")).orderBy("doc_id")
@@ -5388,15 +5391,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pdf_filters_cmap_docs": """
             -- per-arm replay of the r8 encodings: the three filter arms
-            -- carry the ASCII law, the CMap arm (doc_id % 4 = 3) the
-            -- non-Latin law; filters and CMaps are transparent to the
-            -- recovered text, so md5(law) pins the whole decode chain
+            -- carry the ASCII law, the two CMap arms (doc_id % 5 in
+            -- (3,4): classic xref and 1.5 /ObjStm layouts) the
+            -- non-Latin law; filters, CMaps, and object streams are
+            -- transparent to the recovered text, so md5(law) pins the
+            -- whole decode chain
             WITH ids AS (
                 SELECT doc_id FROM documents WHERE doc_id < 260
             ), t AS (
                 SELECT doc_id,
                        array_to_string(list_transform(range(0, 4),
-                           j -> CASE WHEN doc_id % 4 = 3
+                           j -> CASE WHEN doc_id % 5 IN (3, 4)
                                 THEN 'док ' || doc_id || ' γραμμή ' || j
                                      || ' 值 '
                                      || ((doc_id * 31 + j * 7) % 97)

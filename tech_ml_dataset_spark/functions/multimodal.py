@@ -675,10 +675,11 @@ def synthesize_pdf(df: DataFrame, id_col: str, *, n_lines: int = 4,
 
     def build(d: int) -> bytes:
         mode = flavors[d % len(flavors)] if flavors else compress
-        if mode == "cmap":
+        if mode in ("cmap", "cmap_objstm"):
             lines = [f"док {d} γραμμή {j} 值 {(d * 31 + j * 7) % 97}"
                      for j in range(n_lines)]
-            return pdfmod.build_pdf_unicode(lines)
+            return pdfmod.build_pdf_unicode(
+                lines, objstm=(mode == "cmap_objstm"))
         lines = [f"doc {d} line {j} value {(d * 31 + j * 7) % 97}"
                  for j in range(n_lines)]
         return pdfmod.build_pdf(lines, compress=mode)
