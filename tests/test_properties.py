@@ -488,3 +488,39 @@ def test_warc_record_roundtrip_property(payload, uri):
     assert status == 200 and inner == payload
     # two concatenated records parse as two (framing never bleeds)
     assert len(list(warc._parse_records(rec + rec))) == 2
+
+
+@given(docs=hs.lists(hs.lists(hs.sampled_from("abcde"),
+                              min_size=0, max_size=12),
+                     min_size=1, max_size=5),
+       k=hs.integers(2, 4))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_substring_dedup_matches_python(spark, docs, k):
+    """ExactSubstr law vs a transparent pure-Python oracle over tiny
+    random corpora: canonical (lowest id, pos) occurrence per k-window
+    survives; every other occurrence's k positions are marked; marks
+    union; docs rebuild from unmarked tokens."""
+    import collections
+
+    from tech_ml_dataset_spark.functions import dedup as dd
+
+    first = {}
+    for i, toks in enumerate(docs):
+        for p in range(max(0, len(toks) - k + 1)):
+            first.setdefault(tuple(toks[p:p + k]), (i, p))
+    marks = collections.defaultdict(set)
+    for i, toks in enumerate(docs):
+        for p in range(max(0, len(toks) - k + 1)):
+            if first[tuple(toks[p:p + k])] != (i, p):
+                marks[i].update(range(p, p + k))
+    want = {i: " ".join(t for j, t in enumerate(toks)
+                        if j not in marks[i])
+            for i, toks in enumerate(docs)}
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dd.exact_substring_dedup(df, k=k).collect()}
+    assert got == want
