@@ -3868,6 +3868,7 @@ def _minhash_oracle(split: int | None = None) -> str:
         JOIN sh b ON p.{out_cols[1]} = b.doc_id
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
               / len(list_distinct(list_concat(a.shingles, b.shingles))) >= {thr}
+        ORDER BY {out_cols[0]}, {out_cols[1]}
     """
 
 
@@ -3909,6 +3910,7 @@ def _simhash_oracle() -> str:
         )
         SELECT d.doc_id, coalesce(fp.simhash, 0) AS simhash
         FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+        ORDER BY d.doc_id
     """
 
 
@@ -4741,7 +4743,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY md5(doc_id::VARCHAR || ':42'), doc_id
                        ) AS rn
                 FROM documents) t
-            WHERE rn <= 30
+            WHERE rn <= 30 ORDER BY doc_id
         """,
         "unique_by_order": """
             SELECT l_orderkey, l_linenumber, l_partkey, round(l_quantity, 4) AS l_quantity
@@ -6913,6 +6915,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, c_name, o_custkey, n_big, sum_big
             FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey
+            ORDER BY c_custkey ASC NULLS FIRST, o_custkey ASC NULLS FIRST
         """,
         "rolling_range_events": """
             SELECT event_id, user_id,
@@ -7212,6 +7215,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                     (o_orderstatus), ())
+            ORDER BY o_orderstatus ASC NULLS FIRST,
+                     o_orderpriority ASC NULLS FIRST
         """,
         "bpe_tokens_docs": """
             SELECT doc_id,
