@@ -33,6 +33,10 @@ Surfaces mirror the avro/arrow dataset shape:
   filename/offset/length) into the (path, offset, length) triples
   :func:`read_warc_records` consumes — record-level parallelism on
   real archives; :func:`build_cdx_index` is the fixture-side producer.
+* :func:`read_cdx_meta` — the same index as a DataFrame (surt, ts,
+  url, status, path, off, len), one task per index file: filter the
+  INDEX with Spark predicates, then range-read only the survivors —
+  the real CC filter-then-fetch pattern.
 
 Chained with ``webtext.html_to_text`` + the C4/Gopher/dedup batteries,
 this closes the pipeline at the true entry point: raw crawl archive in,
@@ -620,3 +624,97 @@ def build_cdx_index(archive_path: str, index_path: str, *,
     with open(index_path, "wb") as f:
         f.write(blob)
     return len(lines)
+
+
+_CDX_DDL = ("surt string, ts string, url string, status int, "
+            "path string, off long, len long")
+
+
+def read_cdx_meta(spark, path: str | list[str], *,
+                  base_dir: str | None = None):
+    """DISTRIBUTED CDXJ metadata scan — the real Common Crawl access
+    pattern is *filter the index, then fetch*: one task per
+    ``cdx-NNNNN.gz`` file streams its lines into (surt, ts, url,
+    status, path, off, len) rows, so status/host/time predicates run
+    as ordinary Spark filters over the (small) index instead of after
+    decompressing archives. Chain
+    ``read_cdx_meta(...).filter(...).select("path", "off", "len")``
+    into :func:`read_warc_records` for the range reads. A full crawl's
+    index is ~100s of GB across ~300 files — exactly the shape one
+    task per file handles; only the FILTERED triples ever reach the
+    driver."""
+    import glob as globmod
+
+    import pandas as pd
+
+    if isinstance(path, str):
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if ".cdx" in f)
+        else:
+            files = sorted(globmod.glob(path)) or [path]
+    else:
+        files = list(path)
+    if not files:
+        raise ValueError(f"read_cdx_meta: no index files under {path!r}")
+
+    fdf = spark.createDataFrame([(f,) for f in files],
+                                "__cdx_file__ string")
+    if len(files) > 1:
+        fdf = fdf.repartition(len(files))
+
+    def batches(it):
+        import json
+
+        for pdf in it:
+            for idx in pdf["__cdx_file__"]:
+                root = base_dir if base_dir is not None \
+                    else os.path.dirname(idx)
+                rows = []
+                with open(idx, "rb") as f:
+                    head = f.read(2)
+                    f.seek(0)
+                    chunks = (_gzip_chunks(f) if head == b"\x1f\x8b"
+                              else _file_chunks(f))
+                    for lineno, line in enumerate(_chunk_lines(chunks),
+                                                  1):
+                        line = line.strip()
+                        if not line or line.startswith("CDX "):
+                            continue
+                        brace = line.find(" {")
+                        if brace == -1:
+                            raise ValueError(
+                                f"{idx}:{lineno}: malformed CDXJ line")
+                        keypart = line[:brace].split(" ")
+                        surt = keypart[0]
+                        ts = keypart[1] if len(keypart) > 1 else None
+                        try:
+                            rec = json.loads(line[brace + 1:])
+                            fname = rec["filename"]
+                            off, ln = int(rec["offset"]), \
+                                int(rec["length"])
+                        except (ValueError, KeyError) as ex:
+                            raise ValueError(
+                                f"{idx}:{lineno}: malformed CDXJ line "
+                                f"({ex!r})") from None
+                        if not os.path.isabs(fname):
+                            fname = os.path.join(root, fname)
+                        status = rec.get("status")
+                        rows.append((surt, ts, rec.get("url"),
+                                     int(status) if status is not None
+                                     else None, fname, off, ln))
+                        if len(rows) >= 10000:
+                            yield pd.DataFrame(
+                                rows, columns=["surt", "ts", "url",
+                                               "status", "path", "off",
+                                               "len"]) \
+                                .astype({"status": "Int64"})
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["surt", "ts", "url", "status",
+                                       "path", "off", "len"]) \
+                        .astype({"status": "Int64"})
+
+    return fdf.mapInPandas(batches, _CDX_DDL)

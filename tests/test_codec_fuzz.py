@@ -123,3 +123,59 @@ def test_wav_paths_corrupt_inputs():
                 w.readframes(min(w.getnframes(), 10 ** 6))
         except Exception:
             pass
+
+
+def test_pdf_filter_codecs_corrupt_inputs():
+    """r8 filter codecs (LZW / ASCII85 / RLE) under the assault
+    contract, plus whole-document assaults on lzw/a85/objstm PDFs:
+    loud failure or a valid value, never hang/garbage."""
+    from tech_ml_dataset_spark.functions import pdf
+
+    payload = bytes(range(256)) * 3 + b"repeat " * 40
+    _assault(pdf._lzw_decode, pdf._lzw_encode(payload),
+             lambda out: isinstance(out, bytes))
+    _assault(pdf._ascii85_decode, pdf._ascii85_encode(payload),
+             lambda out: isinstance(out, bytes))
+    _assault(pdf._rle_decode, pdf._rle_encode(payload),
+             lambda out: isinstance(out, bytes))
+
+    def ripper(data):
+        return pdf.extract_text(data)
+
+    for doc in (pdf.build_pdf(["fuzz lzw"], compress="lzw"),
+                pdf.build_pdf(["fuzz a85"], compress="a85+flate"),
+                pdf.build_pdf_unicode(["фузз"], objstm=True)):
+        _assault(ripper, doc, lambda out: isinstance(out, str))
+
+
+def test_jpeg_12bit_corrupt_inputs():
+    from tech_ml_dataset_spark.functions import jpeg
+
+    g = (np.arange(256, dtype=np.uint16).reshape(16, 16) * 16) % 4096
+    _assault(jpeg.decode, jpeg.encode_12bit(g),
+             lambda out: isinstance(out, np.ndarray)
+             and out.dtype in (np.uint8, np.uint16))
+
+
+def test_cdx_index_corrupt_inputs(tmp_path):
+    """Malformed CDX lines raise with file:line; truncated/flipped
+    gzip'd indexes fail loudly or parse a valid triple list."""
+    import zlib as z
+
+    from tech_ml_dataset_spark.sources import warc
+
+    lines = "\n".join(
+        'org,ex)/p/%d 20260101000000 {"filename": "a.warc.gz", '
+        '"offset": "%d", "length": "10"}' % (i, i * 10)
+        for i in range(40)) + "\n"
+    co = z.compressobj(6, z.DEFLATED, 31)
+    blob = co.compress(lines.encode()) + co.flush()
+
+    def parse(data):
+        p = tmp_path / "probe.cdx.gz"
+        p.write_bytes(data)
+        return warc.read_cdx_index(str(p))
+
+    _assault(parse, blob,
+             lambda out: isinstance(out, list)
+             and all(len(t) == 3 and isinstance(t[1], int) for t in out))

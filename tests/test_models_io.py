@@ -1354,3 +1354,16 @@ def test_cdx_index_file_roundtrip(spark, tmp_path):
     bad.write_text('com,x)/ 20260101000000 {"filename": "y.warc.gz"}\n')
     with pytest.raises(ValueError, match="bad.cdx:1"):
         warc.read_cdx_index(str(bad))
+
+    # r8: distributed metadata scan — filter the INDEX, then fetch
+    meta = warc.read_cdx_meta(spark, cdx, base_dir=path)
+    assert meta.count() == 25
+    assert set(meta.columns) == {"surt", "ts", "url", "status", "path",
+                                 "off", "len"}
+    import pyspark.sql.functions as F
+    picked = meta.filter(F.col("surt").startswith("org,site1,www)")
+                         & (F.col("status") == 200))
+    ents3 = [(r["path"], r["off"], r["len"]) for r in picked.collect()]
+    assert len(ents3) == len([u for u, _, _ in rows if "site1" in u])
+    back3 = warc.read_warc_records(spark, ents3)
+    assert all("site1" in r["target_uri"] for r in back3.collect())
