@@ -313,11 +313,15 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
     1. whitespace tokens per doc (scan-fused);
     2. every k-token window posexplodes to a SLIM (id, pos, md5) row —
        token arrays never cross an exchange, only 32-char hashes;
-    3. one ``row_number() over (partition by hash order by (id, pos))``
-       window — the single shuffle — elects the canonical occurrence;
-    4. non-canonical occurrences mark positions pos..pos+k-1; the
-       removal set groups back to doc grain (bounded by duplicate
-       volume, not corpus volume);
+    3. the canonical occurrence per hash is ``min(struct(id, pos))`` —
+       a PARTIAL-AGGREGABLE reduction, deliberately NOT a
+       ``row_number`` window: a boilerplate k-gram shared by millions
+       of pages would funnel all its rows through one window reducer,
+       while min() combines map-side so the hot hash costs one row per
+       upstream partition;
+    4. non-canonical occurrences (an anti-join on the elected struct)
+       mark positions pos..pos+k-1; the removal set groups back to doc
+       grain (bounded by duplicate volume, not corpus volume);
     5. docs rebuild from unmarked tokens (single-space joins — the
        same normalized-form law as :func:`~.webtext.c4_span_dedup`,
        replayed by the oracle).
@@ -341,9 +345,12 @@ def exact_substring_dedup(df: DataFrame, text_col: str = "text",
                                    F.slice("__t__", i + 1, k), " "))))
              .otherwise(F.array().cast("array<string>"))
         ).alias("__pos__", "__h__"))
-    w = W.partitionBy("__h__").orderBy(id_col, "__pos__")
-    dup = (wins.withColumn("__rn__", F.row_number().over(w))
-               .filter(F.col("__rn__") > 1))
+    canon = wins.groupBy("__h__").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("__pos__").alias("p"))).alias("__c__"))
+    dup = (wins.join(canon, "__h__")
+               .filter((F.col(id_col) != F.col("__c__.i"))
+                       | (F.col("__pos__") != F.col("__c__.p"))))
     rm = (dup.select(id_col,
                      F.explode(F.sequence(F.col("__pos__"),
                                           F.col("__pos__") + (k - 1)))

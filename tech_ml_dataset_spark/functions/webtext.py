@@ -21,7 +21,6 @@ is driver-mandate training-pipeline function, same tier as text.py.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # HTML -> text
@@ -198,8 +197,9 @@ def c4_span_dedup(df: DataFrame, text_col: str = "text",
     2. every consecutive ``span``-sentence window posexplodes to a SLIM
        ``(id, pos, md5(span))`` row — the sentence arrays themselves
        never cross an exchange, only 32-char hashes do;
-    3. one ``row_number() over (partition by hash order by (id, pos))``
-       window — the single shuffle — elects the canonical occurrence;
+    3. the canonical occurrence per hash is elected by a partial-
+       aggregable ``min(struct(id, pos))`` + join (r8: hot boilerplate
+       spans combine map-side instead of funneling one window reducer);
     4. every NON-canonical occurrence marks its ``span`` sentence
        indices; the removal sets groupBy back to doc grain (small:
        bounded by duplicate volume, not corpus volume);
@@ -224,9 +224,17 @@ def c4_span_dedup(df: DataFrame, text_col: str = "text",
                                    F.slice("__s__", i + 1, span), " "))))
              .otherwise(F.array().cast("array<string>"))
         ).alias("__pos__", "__h__"))
-    w = Window.partitionBy("__h__").orderBy(id_col, "__pos__")
-    dup = (spans.withColumn("__rn__", F.row_number().over(w))
-                .filter(F.col("__rn__") > 1))
+    # canonical occurrence per hash = min(struct(id, pos)): a PARTIAL-
+    # AGGREGABLE reduction rather than a row_number window — a
+    # boilerplate span shared by millions of pages combines map-side
+    # instead of funneling through one window reducer (r8 skew
+    # hardening; same shape as dedup.exact_substring_dedup)
+    canon = spans.groupBy("__h__").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("__pos__").alias("p"))).alias("__c__"))
+    dup = (spans.join(canon, "__h__")
+                .filter((F.col(id_col) != F.col("__c__.i"))
+                        | (F.col("__pos__") != F.col("__c__.p"))))
     rm = (dup.select(id_col,
                      F.explode(F.sequence(F.col("__pos__"),
                                           F.col("__pos__") + (span - 1)))
