@@ -45,22 +45,33 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     nulls = fp.filter(F.col("__fp__").isNull()).drop("__fp__")
     nn = fp.filter(F.col("__fp__").isNotNull())
     if keep_by is not None:
-        # argmax(keep_by) via ONE fingerprint-keyed window pass (exchange
-        # the corpus once; the groupBy+semi-join shape below would add a
-        # second full-row exchange). row_number, not rank: exactly one
-        # survivor even on full ties.
-        from pyspark.sql import Window
-        order = [F.col(keep_by).desc_nulls_last(),
-                 F.col(id_col).asc() if keep == "min"
-                 else F.col(id_col).desc()]
-        w = Window.partitionBy("__fp__").orderBy(*order)
-        out = (nn.withColumn("__rn__", F.row_number().over(w))
-                 .filter(F.col("__rn__") == 1).drop("__rn__", "__fp__"))
+        out = _argmax_survivors(nn, "__fp__", id_col, keep_by, keep_fn) \
+            .drop("__fp__")
         return out.unionByName(nulls)
     survivors = nn.groupBy("__fp__").agg(keep_fn(id_col).alias(id_col))
     out = (nn.join(survivors, ["__fp__", id_col], "left_semi")
              .drop("__fp__"))
     return out.unionByName(nulls)
+
+
+def _argmax_survivors(nn: DataFrame, fp_col: str, id_col: str,
+                      keep_by: str, keep_fn) -> DataFrame:
+    """argmax(keep_by)-per-fingerprint survivor election, skew-safe
+    (r8): a `row_number over (partition by fp)` window funnels a hot
+    fingerprint's FULL rows through one reducer; here only SLIM
+    (fp, id, score) rows ever key on the bare fingerprint — best score
+    per fp (map-side-combined agg), score-tied candidates, keep-order
+    id among them (map-side again) — and the one full-row exchange is
+    the final (fp, id) semi join, whose two-column key spreads a hot
+    fingerprint across its ids. NULL keep_by loses to any non-NULL
+    (max ignores NULLs; the all-NULL group falls back to id order via
+    the null-safe score filter)."""
+    slim = nn.select(fp_col, id_col, keep_by)
+    best = slim.groupBy(fp_col).agg(F.max(keep_by).alias("__s__"))
+    cand = (slim.join(best, fp_col)
+                .filter(F.col(keep_by).eqNullSafe(F.col("__s__"))))
+    surv = cand.groupBy(fp_col).agg(keep_fn(id_col).alias(id_col))
+    return nn.join(surv, [fp_col, id_col], "left_semi")
 
 
 def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
@@ -552,14 +563,9 @@ def fingerprint_dedup(df: DataFrame, fp_col: str, id_col: str = "doc_id",
     nulls = df.filter(F.col(fp_col).isNull())
     nn = df.filter(F.col(fp_col).isNotNull())
     if keep_by is not None:
-        from pyspark.sql.window import Window as W
-        order = [F.col(keep_by).desc_nulls_last(),
-                 F.col(id_col).asc() if keep == "min"
-                 else F.col(id_col).desc()]
-        w = W.partitionBy(fp_col).orderBy(*order)
-        out = (nn.withColumn("__rn__", F.row_number().over(w))
-                 .filter(F.col("__rn__") == 1).drop("__rn__"))
-        return out.unionByName(nulls)
+        # skew-safe argmax election, same as exact_dedup (r8)
+        return _argmax_survivors(nn, fp_col, id_col, keep_by, keep_fn) \
+            .unionByName(nulls)
     survivors = nn.groupBy(fp_col).agg(keep_fn(id_col).alias(id_col))
     return nn.join(survivors, [fp_col, id_col], "left_semi") \
              .unionByName(nulls)
