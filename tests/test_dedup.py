@@ -642,3 +642,23 @@ def test_exact_substring_dedup_maximal_spans(spark):
         [(9, "a b c d e a b c d e tail")], "doc_id int, text string")
     got = dd.exact_substring_dedup(rep, k=5).collect()[0]["text"]
     assert got == "a b c d e tail"
+
+
+def test_survivor_election_plans_are_window_free(spark):
+    """r8 skew hardening pinned at the PLAN level: the keep_by argmax
+    paths and the span-dedup canonical elections compile to partial-
+    aggregable HashAggregates + joins — no Window operator (whose
+    per-fingerprint partition funnels hot keys through one reducer)."""
+    from tech_ml_dataset_spark.functions import dedup as dd, webtext as wt
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}", float(i % 5)) for i in range(20)],
+        "doc_id int, text string, q double")
+    for out in (dd.exact_dedup(df, keep_by="q"),
+                dd.fingerprint_dedup(
+                    df.withColumn("fp", F.xxhash64("text")), "fp",
+                    keep_by="q"),
+                dd.exact_substring_dedup(df, k=2),
+                wt.c4_span_dedup(df.drop("q"))):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan[:800]
