@@ -282,8 +282,9 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     selection a curation pipeline actually wants (highest quality score /
     longest text per near-dup cluster), same law as
     :func:`exact_dedup`'s ``keep_by``: max score, min-id tiebreak, NULL
-    scores lose. One cluster-keyed window over the (id, cluster) node
-    table — the same exchange class as the min-id filter it replaces."""
+    scores lose. Elected by the same skew-safe map-side-combining
+    argmax as exact_dedup (r8) over the slim (id, cluster, score) node
+    table — a degenerate mega-cluster never funnels one reducer."""
     pairs = minhash_dedup_pairs(df, id_col, text_col, **kw)
     if keep_by is not None and not transitive:
         raise ValueError(
@@ -296,12 +297,9 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             keep = clusters.filter(F.col(id_col) == F.col("cluster")) \
                            .select(id_col)
         else:
-            from pyspark.sql import Window
-            w = Window.partitionBy("cluster").orderBy(
-                F.col(keep_by).desc_nulls_last(), F.col(id_col).asc())
-            keep = (clusters.join(df.select(id_col, keep_by), id_col)
-                            .withColumn("__rn__", F.row_number().over(w))
-                            .filter(F.col("__rn__") == 1).select(id_col))
+            scored = clusters.join(df.select(id_col, keep_by), id_col)
+            keep = _argmax_survivors(scored, "cluster", id_col,
+                                     keep_by, F.min).select(id_col)
         return df.join(keep, id_col, "left_semi")
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
