@@ -524,3 +524,43 @@ def test_exact_substring_dedup_matches_python(spark, docs, k):
     got = {r["doc_id"]: r["text"]
            for r in dd.exact_substring_dedup(df, k=k).collect()}
     assert got == want
+
+
+@given(paths=hs.lists(
+    hs.text(alphabet=hs.characters(min_codepoint=0x20,
+                                   max_codepoint=0x7E),
+            min_size=0, max_size=20),
+    min_size=1, max_size=12))
+@_codec_settings(60)
+def test_cdx_index_roundtrip_property(paths):
+    """Any printable-ASCII URL paths survive the CDX cycle: build a
+    member-per-record archive, write its CDXJ index (canonical
+    %-encoded SURT keys keep the space-delimited line format parseable),
+    read the index back — the triples equal the member index exactly,
+    for gzip'd and plain index files."""
+    import os
+    import tempfile
+    import zlib as z
+
+    from tech_ml_dataset_spark.sources import warc
+
+    d = tempfile.mkdtemp(prefix="cdx_prop_")
+    try:
+        arc = os.path.join(d, "a.warc.gz")
+        with open(arc, "wb") as f:
+            for i, p in enumerate(paths):
+                rec = warc.build_record(
+                    f"https://ex{i % 3}.org/{p}",
+                    "2026-08-16T00:00:00Z", b"x %d" % i)
+                co = z.compressobj(6, z.DEFLATED, 31)
+                f.write(co.compress(rec) + co.flush())
+        want = sorted(warc.warc_member_index(arc))
+        for gz in (True, False):
+            idx = os.path.join(d, "i.cdx.gz" if gz else "i.cdx")
+            n = warc.build_cdx_index(arc, idx, compress=gz)
+            assert n == len(paths)
+            got = sorted(warc.read_cdx_index(idx))
+            assert got == want
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
