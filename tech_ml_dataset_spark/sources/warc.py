@@ -280,6 +280,8 @@ def read_warc_dataset(spark, path: str | list[str],
                   for r in fdf.mapInPandas(
                       index_batches,
                       "path string, off long, len long").collect()]
+        if not splits:                      # present-but-empty archives
+            return spark.createDataFrame([], _WARC_DDL)
         return read_warc_records(spark, splits)
 
     fdf = spark.createDataFrame([(f,) for f in files],

@@ -221,3 +221,48 @@ def test_abb_key_cols_nan_values_stay_donors(spark):
            ms.replace_missing(df, "v", "abb", seed=3,
                               key_cols="id").collect()}
     assert all(v is not None and math.isnan(v) for v in out.values())
+
+
+def test_empty_r8_operators(spark, tmp_path):
+    """r8 surfaces under empty inputs: ExactSubstr dedup on an empty /
+    all-short corpus, span dedup after the argmax hardening, PDF
+    fixtures with zero lines under every filter flavor, and a
+    zero-record WARC archive through the streamed + record-split +
+    CDX reads."""
+    import os
+
+    from tech_ml_dataset_spark.functions import dedup as dd, pdf
+    from tech_ml_dataset_spark.functions import webtext as wt
+    from tech_ml_dataset_spark.sources import warc
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert dd.exact_substring_dedup(empty, k=5).count() == 0
+    assert wt.c4_span_dedup(empty).count() == 0
+    # every doc shorter than k: untouched, not dropped
+    short = spark.createDataFrame([(1, "a b"), (2, "a b")],
+                                  "doc_id int, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in dd.exact_substring_dedup(short, k=5).collect()}
+    assert got == {1: "a b", 2: "a b"}
+
+    # zero-line PDFs round-trip to "" under every encoding arm
+    for mode in ("flate", "lzw", "a85", "a85+flate", "none"):
+        assert pdf.extract_text(pdf.build_pdf([], compress=mode)) == ""
+    assert pdf.extract_text(pdf.build_pdf_unicode([], objstm=True)) == ""
+
+    # empty .warc.gz (zero members): all read paths yield zero rows
+    arc_dir = tmp_path / "crawl"
+    arc_dir.mkdir()
+    f = arc_dir / "part-00000.warc.gz"
+    f.write_bytes(b"")
+    assert list(warc.read_warc_file(str(f))) == []
+    assert warc.read_warc_dataset(spark, str(arc_dir)).count() == 0
+    assert warc.warc_member_index(str(f)) == []
+    assert warc.read_warc_dataset(spark, str(arc_dir),
+                                  record_splits=True).count() == 0
+    # empty CDX index: loud, never silently zero captures
+    idx = tmp_path / "empty.cdx"
+    idx.write_text("")
+    with pytest.raises(ValueError, match="no captures"):
+        warc.read_cdx_index(str(idx))
+    assert warc.read_cdx_meta(spark, str(idx)).count() == 0
