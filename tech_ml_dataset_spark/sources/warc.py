@@ -397,10 +397,15 @@ def read_warc_records(spark, entries):
     :func:`read_warc_dataset`'s file-per-task shape can't give).
     Offsets must land on gzip-member boundaries (what CDX guarantees);
     a mid-member offset fails loudly in the decompressor."""
-    if not isinstance(entries, list):
+    was_df = not isinstance(entries, list)
+    if was_df:
         entries = [(r[0], int(r[1]), int(r[2]))
                    for r in entries.collect()]
     if not entries:
+        if was_df:
+            # a filter-then-fetch selection that matched nothing is a
+            # legitimate outcome — empty frame, not an error
+            return spark.createDataFrame([], _WARC_DDL)
         raise ValueError("read_warc_records: empty entry list")
     fdf = spark.createDataFrame(
         entries, "__warc_file__ string, __off__ long, __len__ long")
