@@ -860,7 +860,8 @@ def build_pdf_unicode(lines: list[str], *, compress: bool = True,
         offsets[objn] = len(out)
         out += b"%d 0 obj\n" % objn + o + b"\nendobj\n"
     xref_at = len(out)
-    # xref stream entries, W [1 2 2]: (type, f2, f3) for obj 0..8
+    # xref stream entries, W [1 4 2]: (type, f2, f3) for obj 0..8 —
+    # 4-byte offsets so a large CMap/content fixture can't overflow
     idx_of = {objn: i for i, (objn, _) in enumerate(members)}
     rows = []
     for objn in range(9):
@@ -872,10 +873,10 @@ def build_pdf_unicode(lines: list[str], *, compress: bool = True,
             rows.append((1, xref_at, 0))
         else:
             rows.append((1, offsets[objn], 0))
-    xdata = b"".join(t.to_bytes(1, "big") + a.to_bytes(2, "big")
+    xdata = b"".join(t.to_bytes(1, "big") + a.to_bytes(4, "big")
                      + b.to_bytes(2, "big") for t, a, b in rows)
     xz = zlib.compress(xdata, 6)
-    out += (b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 2 2] /Root 1 0 R "
+    out += (b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 4 2] /Root 1 0 R "
             b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(xz)
             ) + xz + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF" % xref_at
