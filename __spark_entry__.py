@@ -2607,6 +2607,29 @@ def audio_features_docs(spark, sf_dir):
         a["zero_crossings"].alias("zero_crossings")).orderBy("doc_id")
 
 
+def audio_features_flac_docs(spark, sf_dir):
+    """Vendored FLAC codec end-to-end (r8; functions/flac.py —
+    Rice-coded fixed-predictor subframes, CRC-verified frames): encode
+    the SAME integer PCM law as audio_features_docs' WAV arm per doc,
+    decode through the pure-python FLAC decoder, extract the identical
+    feature set. The oracle is the WAV arm's, verbatim — lossless
+    compression is transparent to the law, so a single hash mismatch
+    pins any defect in rice/fixed-predictor/CRC/bit-reader plumbing."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400) \
+        .select("doc_id")
+    docs = mmod.repartition_for_decode(docs, "doc_id")
+    flc = mmod.synthesize_flac(docs, "doc_id", n_samples=2048,
+                               sample_rate=8000, subframe="fixed2")
+    out = mmod.audio_features(flc, "flc")
+    a = F.col("audio")
+    return out.select(
+        "doc_id", a["sample_rate"].alias("sample_rate"),
+        a["n_samples"].alias("n_samples"),
+        _r4(a["duration_s"]).alias("duration_s"),
+        _r4b(a["rms"]).alias("rms"),
+        a["zero_crossings"].alias("zero_crossings")).orderBy("doc_id")
+
+
 def url_dedup_docs(spark, sf_dir):
     """Crawl-level URL dedup (text.py canonical_url/url_dedup — the
     C4/RefinedWeb stage before content dedup): deterministic fixture URLs
@@ -3435,6 +3458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract_docs": pdf_extract_docs,
         "pdf_filters_cmap_docs": pdf_filters_cmap_docs,
         "exact_substring_dedup_docs": exact_substring_dedup_docs,
+        "audio_features_flac_docs": audio_features_flac_docs,
         # (unigram_lm_docs and url_dedup_docs yield their slots to the
         # never-green PDF filter/CMap and ExactSubstr proofs; they are
         # r9's only remaining backlog queries)
@@ -3451,7 +3475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
         "lsh_topk_embeddings": lsh_topk_embeddings,
-        "matmul_lineitem": matmul_lineitem,
         "mean_center_quantity": mean_center_quantity,
         "ols_price_by_qty": ols_price_by_qty,
         "pack_docs": pack_docs,
@@ -3489,6 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All stay covered by pytest + full verify_local sweeps.
         "unigram_lm_docs": unigram_lm_docs,
         "url_dedup_docs": url_dedup_docs,
+        "matmul_lineitem": matmul_lineitem,
         "bpe_encode_oracle_docs": bpe_encode_oracle_docs,
         "image_pipeline_jpeg420_docs": image_pipeline_jpeg420_docs,
         "image_pipeline_jpeg_prog_docs": image_pipeline_jpeg_prog_docs,
@@ -4395,6 +4419,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT d.doc_id, i.i,
                        ((d.doc_id * 31 + i.i * 17) % 2001) - 1000 AS v
                 FROM documents d, range(0, 2048) i(i)),
+            w AS (
+                SELECT doc_id, i, v,
+                       lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+                FROM s)
+            SELECT doc_id,
+                   8000 AS sample_rate,
+                   2048 AS n_samples,
+                   round(2048.0 / 8000.0, 4) AS duration_s,
+                   round(sqrt(avg(CAST(v AS DOUBLE) * v)) / 32768.0
+                         * 10000) / 10000 AS rms,
+                   CAST(count(CASE WHEN pv IS NOT NULL
+                                    AND (v < 0) <> (pv < 0)
+                              THEN 1 END) AS INTEGER) AS zero_crossings
+            FROM w
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "audio_features_flac_docs": """
+            -- the WAV arm's oracle verbatim (lossless FLAC is
+            -- transparent to the integer PCM law), doc_id < 400
+            WITH s AS (
+                SELECT d.doc_id, i.i,
+                       ((d.doc_id * 31 + i.i * 17) % 2001) - 1000 AS v
+                FROM documents d, range(0, 2048) i(i)
+                WHERE d.doc_id < 400),
             w AS (
                 SELECT doc_id, i, v,
                        lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv

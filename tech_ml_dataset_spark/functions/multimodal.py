@@ -536,20 +536,35 @@ def audio_fingerprint(df: DataFrame, bin_col: str, out_col: str = "afp",
             fps = []
             for data in pdf[bin_col]:
                 try:
-                    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
-                        # 16-bit uncompressed PCM only: 8/24/32-bit WAVs
-                        # open fine but '<i2' would silently mis-parse
-                        # them into garbage fingerprints (false dedup
-                        # matches). NULL instead, the audio_features law.
-                        if (w.getsampwidth() != 2
-                                or w.getcomptype() != "NONE"):
+                    if bytes(data[:4]) == b"fLaC":
+                        # vendored FLAC codec (r8) — REAL lossless
+                        # decode; same 16-bit-only law as the WAV arm
+                        # (other widths would scale-shift the energy
+                        # gradients relative to their WAV twins)
+                        from . import flac as flacmod
+                        _, nch, fbps, arr = flacmod.decode(bytes(data))
+                        if fbps != 16:
                             fps.append(None)
                             continue
-                        nch, nf = w.getnchannels(), w.getnframes()
-                        raw = w.readframes(nf)
-                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                    if nch > 1:
-                        pcm = pcm.reshape(-1, nch).mean(axis=1)
+                        pcm = arr.astype(np.float64).mean(axis=1) \
+                            if nch > 1 else arr[:, 0].astype(np.float64)
+                    else:
+                        with wave.open(io.BytesIO(bytes(data)), "rb") as w:
+                            # 16-bit uncompressed PCM only: 8/24/32-bit
+                            # WAVs open fine but '<i2' would silently
+                            # mis-parse them into garbage fingerprints
+                            # (false dedup matches). NULL instead, the
+                            # audio_features law.
+                            if (w.getsampwidth() != 2
+                                    or w.getcomptype() != "NONE"):
+                                fps.append(None)
+                                continue
+                            nch, nf = w.getnchannels(), w.getnframes()
+                            raw = w.readframes(nf)
+                        pcm = np.frombuffer(raw, dtype="<i2") \
+                            .astype(np.float64)
+                        if nch > 1:
+                            pcm = pcm.reshape(-1, nch).mean(axis=1)
                     n = pcm.size
                     if n == 0:
                         fps.append(None)
@@ -841,6 +856,34 @@ def synthesize_wav(df: DataFrame, id_col: str, *, n_samples: int = 2048,
     return df.mapInPandas(batches, out_schema)
 
 
+def synthesize_flac(df: DataFrame, id_col: str, *, n_samples: int = 2048,
+                    sample_rate: int = 8000, out_col: str = "flc",
+                    subframe: str = "fixed2") -> DataFrame:
+    """Deterministic FLAC fixture column (r8): the SAME integer PCM law
+    as :func:`synthesize_wav` — sample ``i`` of row ``id`` is
+    ``((id*31 + i*17) % 2001) - 1000`` — encoded losslessly through the
+    vendored codec (:mod:`.flac`), so every oracle written for the WAV
+    law replays unchanged against the FLAC arm; ``subframe='fixed2'``
+    routes the fixture through the Rice-coded fixed-predictor path (the
+    shape real encoders emit)."""
+    from . import flac as flacmod
+
+    out_schema = T.StructType(df.schema.fields +
+                              [T.StructField(out_col, T.BinaryType())])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in it:
+            pdf[out_col] = [
+                flacmod.encode(((int(did) * 31 + idx * 17) % 2001) - 1000,
+                               sample_rate=sample_rate,
+                               subframe=subframe)
+                for did in pdf[id_col]]
+            yield pdf
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def audio_features(df: DataFrame, bin_col: str, out_col: str = "audio"
                    ) -> DataFrame:
     """Decode WAV bytes and extract features in ONE fused Python pass
@@ -868,13 +911,27 @@ def audio_features(df: DataFrame, bin_col: str, out_col: str = "audio"
             feats = []
             for data in pdf[bin_col]:
                 try:
-                    with wave.open(io.BytesIO(bytes(data)), "rb") as w:
-                        sr, nch = w.getframerate(), w.getnchannels()
-                        nf = w.getnframes()
-                        raw = w.readframes(nf)
-                    pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                    if nch > 1:          # mixdown for the summary features
-                        pcm = pcm.reshape(-1, nch).mean(axis=1)
+                    if bytes(data[:4]) == b"fLaC":
+                        # vendored FLAC codec (r8) — REAL lossless
+                        # decode; non-16-bit widths rescale into the
+                        # int16 domain so rms keeps the /32768 law
+                        from . import flac as flacmod
+                        sr, nch, fbps, arr = flacmod.decode(bytes(data))
+                        nf = arr.shape[0]
+                        pcm = arr.astype(np.float64)
+                        if fbps != 16:
+                            pcm *= 32768.0 / (1 << (fbps - 1))
+                        pcm = pcm.mean(axis=1) if nch > 1 else pcm[:, 0]
+                    else:
+                        with wave.open(io.BytesIO(bytes(data)),
+                                       "rb") as w:
+                            sr, nch = w.getframerate(), w.getnchannels()
+                            nf = w.getnframes()
+                            raw = w.readframes(nf)
+                        pcm = np.frombuffer(raw, dtype="<i2") \
+                            .astype(np.float64)
+                        if nch > 1:      # mixdown for summary features
+                            pcm = pcm.reshape(-1, nch).mean(axis=1)
                     rms = float(np.sqrt(np.mean(pcm ** 2)) / 32768.0) \
                         if pcm.size else 0.0
                     zc = int(np.count_nonzero(

@@ -179,3 +179,19 @@ def test_cdx_index_corrupt_inputs(tmp_path):
     _assault(parse, blob,
              lambda out: isinstance(out, list)
              and all(len(t) == 3 and isinstance(t[1], int) for t in out))
+
+
+def test_flac_decode_corrupt_inputs():
+    import numpy as np
+
+    from tech_ml_dataset_spark.functions import flac
+
+    rng = np.random.RandomState(11)
+    payload = flac.encode(rng.randint(-20000, 20000, 3000).astype(np.int64),
+                          subframe="fixed2", block_size=512)
+
+    def valid(out):
+        sr, nch, bps, arr = out
+        return isinstance(arr, np.ndarray) and arr.ndim == 2
+
+    _assault(flac.decode, payload, valid)

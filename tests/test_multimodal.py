@@ -869,3 +869,127 @@ def test_pdf_text_spark_pipeline(spark):
                                 "id int, data binary")
     r = mm.pdf_text(bad, "data").collect()[0]
     assert r["pdf_text"] is None and r["pdf_real"] is False
+
+
+# ---- vendored FLAC codec (r8: lossless-audio modality) ---------------------
+
+def test_flac_roundtrip_laws():
+    """encode -> decode exact for every fixture subframe type, bit
+    width, and stereo assignment; corrupt CRCs raise."""
+    import numpy as np
+
+    from tech_ml_dataset_spark.functions import flac
+
+    rng = np.random.RandomState(7)
+    mono = rng.randint(-30000, 30000, 5000).astype(np.int64)
+    for sub in ("verbatim", "fixed2"):
+        sr, nch, bps, out = flac.decode(
+            flac.encode(mono, subframe=sub, block_size=1024))
+        assert (sr, nch, bps) == (8000, 1, 16)
+        assert (out[:, 0] == mono).all(), sub
+    const = np.full(3000, -1234, dtype=np.int64)
+    assert (flac.decode(flac.encode(const, subframe="constant",
+                                    block_size=512))[3][:, 0]
+            == const).all()
+    stereo = np.stack([mono[:4000], mono[:4000] // 3 + 11], axis=1)
+    for mode in ("indep", "left_side", "right_side", "mid_side"):
+        out = flac.decode(flac.encode(stereo, stereo_mode=mode,
+                                      subframe="fixed2",
+                                      block_size=800))[3]
+        assert (out == stereo).all(), mode
+    w24 = rng.randint(-(1 << 22), 1 << 22, 1200).astype(np.int64)
+    assert (flac.decode(flac.encode(w24, bps=24))[3][:, 0] == w24).all()
+    w8 = rng.randint(-100, 100, 700).astype(np.int64)
+    assert (flac.decode(flac.encode(w8, bps=8,
+                                    subframe="fixed2"))[3][:, 0]
+            == w8).all()
+    # CRC-16 and CRC-8 corruption both raise loudly
+    d = bytearray(flac.encode(mono[:500]))
+    d[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-16"):
+        flac.decode(bytes(d))
+    with pytest.raises(ValueError, match="magic"):
+        flac.decode(b"not flac")
+
+
+def test_flac_lpc_subframe_decode():
+    """Hand-built LPC order-2 subframe against the decode law
+    x[i] = e[i] + (sum c[j]*x[i-1-j]) >> shift — the subframe type the
+    fixture encoder doesn't emit (real encoders do)."""
+    import struct
+
+    from tech_ml_dataset_spark.functions import flac
+
+    w = flac._BitW()
+    bs = 16
+    w.write(0x3FFE, 14), w.write(0, 1), w.write(0, 1)
+    w.write(7, 4), w.write(0, 4), w.write(0, 4), w.write(4, 3)
+    w.write(0, 1)
+    w.write(0, 8)                           # frame number 0
+    w.write(bs - 1, 16)
+    w.write(flac._crc8(bytes(w.out)), 8)
+    order, prec, shift, coefs = 2, 5, 2, [7, -3]
+    w.write(0, 1), w.write(31 + order, 6), w.write(0, 1)
+    warm = [100, -50]
+    for v in warm:
+        w.write(v & 0xFFFF, 16)
+    w.write(prec - 1, 4), w.write(shift & 0x1F, 5)
+    for c in coefs:
+        w.write(c & ((1 << prec) - 1), prec)
+    resid = [3, -2, 0, 5, -7, 1, 2, 0, -1, 4, -3, 2, 1, 0]
+    w.write(0, 2), w.write(0, 4), w.write(4, 4)
+    flac._write_rice(w, resid, 4)
+    w.align()
+    w.write(flac._crc16(bytes(w.out)), 16)
+
+    si = flac._BitW()
+    si.write(bs, 16), si.write(bs, 16), si.write(0, 24), si.write(0, 24)
+    si.write(8000, 20), si.write(0, 3), si.write(15, 5), si.write(bs, 36)
+    body = bytes(si.out) + b"\x00" * 16
+    data = flac.MAGIC + struct.pack(">I", (1 << 31) | len(body)) \
+        + body + bytes(w.out)
+
+    out = flac.decode(data)[3][:, 0]
+    x = warm[:]
+    for e in resid:
+        x.append(e + ((coefs[0] * x[-1] + coefs[1] * x[-2]) >> shift))
+    assert list(out) == x
+
+
+def test_flac_through_audio_operators(spark):
+    """synthesize_flac -> audio_features parity with the WAV twin
+    (identical integer PCM law), and audio_fingerprint equality between
+    the WAV and FLAC encodings of the same samples; non-16-bit FLAC
+    fingerprints NULL (the sampwidth law)."""
+    import numpy as np
+
+    from tech_ml_dataset_spark.functions import flac
+    from tech_ml_dataset_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id int")
+    wavf = mm.audio_features(
+        mm.synthesize_wav(docs, "doc_id", n_samples=512), "wav") \
+        .select("doc_id", "audio")
+    flcf = mm.audio_features(
+        mm.synthesize_flac(docs, "doc_id", n_samples=512), "flc") \
+        .select("doc_id", "audio")
+    a = {r["doc_id"]: r["audio"] for r in wavf.collect()}
+    b = {r["doc_id"]: r["audio"] for r in flcf.collect()}
+    assert a == b
+
+    wfp = mm.audio_fingerprint(
+        mm.synthesize_wav(docs, "doc_id", n_samples=2048), "wav")
+    ffp = mm.audio_fingerprint(
+        mm.synthesize_flac(docs, "doc_id", n_samples=2048), "flc")
+    assert {r["doc_id"]: r["afp"] for r in wfp.collect()} == \
+        {r["doc_id"]: r["afp"] for r in ffp.collect()}
+
+    # 24-bit flac: fingerprint NULLs (the 16-bit-only dedup law)
+    arr = np.arange(-500, 500, dtype=np.int64) * 1000
+    blob = flac.encode(arr, bps=24)
+    df24 = spark.createDataFrame([(1, bytearray(blob))],
+                                 "doc_id int, flc binary")
+    assert mm.audio_fingerprint(df24, "flc").collect()[0]["afp"] is None
+    # ...but features still extract (rescaled into the int16 domain)
+    feat = mm.audio_features(df24, "flc").collect()[0]["audio"]
+    assert feat is not None and feat["n_samples"] == 1000
