@@ -564,3 +564,32 @@ def test_cdx_index_roundtrip_property(paths):
     finally:
         import shutil
         shutil.rmtree(d, ignore_errors=True)
+
+
+@given(samples=hs.lists(hs.integers(-32768, 32767),
+                        min_size=0, max_size=400),
+       sub=hs.sampled_from(["verbatim", "fixed2"]),
+       block=hs.sampled_from([64, 100, 256]),
+       stereo=hs.sampled_from(["indep", "left_side", "right_side",
+                               "mid_side"]))
+@_codec_settings(60)
+def test_flac_roundtrip_property(samples, sub, block, stereo):
+    """Any int16 sample sequence round-trips losslessly through the
+    vendored FLAC codec for every fixture subframe type, block size,
+    and stereo assignment (mono when the list is odd-length)."""
+    import numpy as np
+
+    from tech_ml_dataset_spark.functions import flac
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if len(arr) == 0:
+        return
+    if len(arr) % 2 == 0 and len(arr) >= 2:
+        arr = arr.reshape(-1, 2)
+        mode = stereo
+    else:
+        mode = "indep"
+    out = flac.decode(flac.encode(arr, subframe=sub, block_size=block,
+                                  stereo_mode=mode))[3]
+    want = arr if arr.ndim == 2 else arr[:, None]
+    assert (out == want).all()

@@ -12,7 +12,7 @@ python tools/verify_local.py --vanilla "$SF" 2>&1 | tr '\r' '\n' \
 
 echo "== 2/5 thorough codec fuzz (1000 Hypothesis examples)"
 SPARK_GRAFT_HYP_EXAMPLES=1000 python -m pytest tests/test_properties.py \
-    -q -k "avro or pdf or warc or cdx" 2>&1 | tail -1
+    -q -k "avro or pdf or warc or cdx or flac" 2>&1 | tail -1
 
 echo "== 3/5 registry-wide plan audits (scale killers + schema contract)"
 python -m pytest tests/test_plans.py -q 2>&1 | tail -1
