@@ -23,8 +23,12 @@ Surfaces mirror the avro/arrow dataset shape:
   work, ~1 GB per file x 64k files per crawl).
 * ``response`` records surface as (target_uri, warc_date, record_type,
   http_status, content_type, payload bytes) — the HTTP header block is
-  parsed off the payload; other record types (request, metadata,
-  warcinfo) surface with NULL http fields and their raw payload.
+  parsed off the payload, ``Transfer-Encoding: chunked`` framing is
+  removed, and ``Content-Encoding: gzip/deflate`` bodies decompress
+  (r9 — what the WET format exists for; raw-bytes fallback on
+  malformed framing, loud raise past the 1 GiB bomb guard); other
+  record types (request, metadata, warcinfo) surface with NULL http
+  fields and their raw payload.
 * :func:`write_warc_dataset` — one ``part-NNNNN.warc.gz`` per
   partition, each record its own gzip member (the CC layout), written
   executor-side in a single ``mapInPandas`` pass.
@@ -62,23 +66,31 @@ def _gzip_chunks(f, chunk_size: int = 1 << 20):
     ``zlib.decompressobj(31)``, output bounded to ``chunk_size`` per
     call (``max_length``) — peak memory is O(chunk), not O(file).
     This is the streaming read the per-record-gzip-member layout
-    exists for; corrupt member headers raise zlib.error loudly."""
+    exists for; corrupt member headers raise zlib.error loudly, and
+    input that ends MID-member (a truncated download that happens to
+    land between chunks — the trailer CRC32/ISIZE never checked)
+    raises ValueError instead of silently dropping the tail records
+    (r9, ADVICE: ``d.flush()`` at EOF used to paper over this)."""
     d = zlib.decompressobj(31)
+    mid_member = False                  # d has consumed input, no trailer yet
     pending = b""
     while True:
         if not pending:
             pending = f.read(chunk_size)
             if not pending:
-                tail = d.flush()
-                if tail:
-                    yield tail
+                if mid_member:
+                    raise ValueError(
+                        "truncated gzip member: input ended before the "
+                        "member trailer (CRC32/ISIZE unverified)")
                 return
         out = d.decompress(pending, chunk_size)
+        mid_member = True
         if out:
             yield out
         if d.eof:                       # member boundary: fresh obj
             pending = d.unused_data
             d = zlib.decompressobj(31)
+            mid_member = False
         elif d.unconsumed_tail:         # output-capped: more input left
             pending = d.unconsumed_tail
         else:
@@ -162,8 +174,114 @@ def _parse_records(data: bytes):
     yield from _iter_records_stream((data,))
 
 
+# Decompression-bomb guard for HTTP-level Content-Encoding: a single
+# crawl capture legitimately reaches tens of MB decompressed; 1 GiB is
+# far past any real page and bounds a crafted bomb to one task's heap.
+_MAX_HTTP_BODY = 1 << 30
+
+
+def _dechunk(body: bytes):
+    """Decode ``Transfer-Encoding: chunked`` framing (RFC 9112 §7.1):
+    hex size line (chunk extensions after ``;`` ignored), CRLF, chunk
+    bytes, CRLF, ...; a ``0`` size line terminates (trailer fields, if
+    any, are ignored). Returns the de-framed bytes, or ``None`` when
+    the framing is malformed/truncated — the caller falls back to the
+    raw payload rather than mis-parse."""
+    out = bytearray()
+    pos, n = 0, len(body)
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol == -1:
+            return None
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return None
+        if size < 0:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)           # trailers (if present) ignored
+        if pos + size + 2 > n or body[pos + size:pos + size + 2] != _CRLF:
+            return None
+        out += body[pos:pos + size]
+        pos += size + 2
+
+
+def _inflate_member(data: bytes, wbits: int):
+    """Inflate one zlib/gzip stream bounded by :data:`_MAX_HTTP_BODY`.
+    Returns (decoded bytes, unused trailing input) or ``None`` on a
+    truncated/corrupt stream; an output that would exceed the bomb
+    guard raises loudly (it is not malformed input — it is an attack
+    or a mis-sized capture, and silently truncating it would corrupt
+    downstream text)."""
+    d = zlib.decompressobj(wbits)
+    out = bytearray()
+    try:
+        out += d.decompress(data, _MAX_HTTP_BODY + 1)
+        while not d.eof and d.unconsumed_tail:
+            if len(out) > _MAX_HTTP_BODY:
+                break
+            out += d.decompress(d.unconsumed_tail,
+                                _MAX_HTTP_BODY + 1 - len(out))
+    except zlib.error:
+        return None
+    if len(out) > _MAX_HTTP_BODY:
+        raise ValueError("http payload decompresses past the 1 GiB "
+                         "bomb guard")
+    if not d.eof:
+        return None                     # truncated member
+    return bytes(out), d.unused_data
+
+
+def _decode_content(body: bytes, encoding: str):
+    """Apply ``Content-Encoding`` decodings (right-to-left over the
+    comma-separated coding list, RFC 9110 §8.4): ``gzip``/``x-gzip``
+    (multi-member tolerated — some servers concatenate), ``deflate``
+    (zlib-wrapped per spec, with the raw-deflate retry for the classic
+    server bug), ``identity`` (no-op). Returns the decoded bytes, or
+    ``None`` when any coding in the chain is unknown (``br``/``zstd``
+    — no codec libs here) or its stream is malformed — the caller
+    keeps the raw bytes, never a half-decoded guess."""
+    codings = [c.strip().lower() for c in encoding.split(",") if c.strip()]
+    for coding in reversed(codings):
+        if coding in ("identity", "chunked", ""):
+            continue
+        if coding in ("gzip", "x-gzip"):
+            out = bytearray()
+            rest = body
+            while rest:
+                dec = _inflate_member(rest, 31)
+                if dec is None:
+                    return None
+                chunk, rest = dec
+                out += chunk
+                rest = rest.lstrip(b"\x00")   # padded tails seen in the wild
+            body = bytes(out)
+        elif coding == "deflate":
+            dec = _inflate_member(body, 15)   # zlib-wrapped per RFC 9110
+            if dec is None:
+                dec = _inflate_member(body, -15)  # raw-deflate server bug
+            if dec is None:
+                return None
+            body = dec[0]
+        else:
+            return None
+    return body
+
+
 def _split_http(payload: bytes):
-    """(status, content_type, body) from an HTTP response payload."""
+    """(status, content_type, body) from an HTTP response payload.
+
+    The body is DECODED the way a browser would see it (r9 — the gap
+    the WET format exists for): ``Transfer-Encoding: chunked`` framing
+    is removed first, then ``Content-Encoding: gzip/deflate`` is
+    decompressed, so ``html_to_text`` downstream gets markup, not hex
+    size lines or compressed bytes. Real Common Crawl response records
+    carry both constantly. Malformed framing or an undecodable coding
+    falls back to the raw body — never a mis-parse; a decompression
+    bomb past 1 GiB raises loudly."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
     he = payload.find(_CRLF + _CRLF)
@@ -174,13 +292,26 @@ def _split_http(payload: bytes):
         status = int(lines[0].split()[1])
     except (IndexError, ValueError):
         status = None
-    ctype = None
+    ctype = tenc = cenc = None
     for ln in lines[1:]:
         k, _, v = ln.partition(b":")
-        if k.strip().lower() == b"content-type":
+        k = k.strip().lower()
+        if k == b"content-type" and ctype is None:
             ctype = v.strip().decode("latin-1")
-            break
-    return status, ctype, payload[he + 4:]
+        elif k == b"transfer-encoding" and tenc is None:
+            tenc = v.strip().lower().decode("latin-1")
+        elif k == b"content-encoding" and cenc is None:
+            cenc = v.strip().decode("latin-1")
+    body = payload[he + 4:]
+    if tenc and "chunked" in tenc:
+        dechunked = _dechunk(body)
+        if dechunked is not None:
+            body = dechunked
+    if cenc:
+        decoded = _decode_content(body, cenc)
+        if decoded is not None:
+            body = decoded
+    return status, ctype, body
 
 
 def _record_row(headers, payload):
@@ -321,17 +452,63 @@ def _row_batches(rows_iter, *, max_rows: int = 256,
         yield frame(rows)
 
 
+def _encode_chunked(body: bytes, chunk_size: int = 64) -> bytes:
+    """Apply ``Transfer-Encoding: chunked`` framing (the fixture-side
+    inverse of :func:`_dechunk`): hex size line + CRLF + chunk + CRLF
+    per piece, ``0`` terminator."""
+    out = bytearray()
+    for i in range(0, len(body), chunk_size):
+        piece = body[i:i + chunk_size]
+        out += b"%x" % len(piece) + _CRLF + piece + _CRLF
+    out += b"0" + _CRLF + _CRLF
+    return bytes(out)
+
+
+def _encode_content(body: bytes, encoding: str) -> bytes:
+    """Apply one ``Content-Encoding`` coding (fixture-side inverse of
+    :func:`_decode_content`)."""
+    enc = encoding.strip().lower()
+    if enc in ("gzip", "x-gzip"):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    elif enc == "deflate":
+        co = zlib.compressobj(6, zlib.DEFLATED, 15)
+    elif enc == "identity":
+        return body
+    else:
+        raise ValueError(f"unsupported content encoding {encoding!r}")
+    return co.compress(body) + co.flush()
+
+
 def build_record(uri: str, date: str, payload: bytes, *,
                  rtype: str = "response",
                  http_status: int = 200,
-                 content_type: str = "text/html") -> bytes:
+                 content_type: str = "text/html",
+                 content_encoding: str | None = None,
+                 transfer_chunked: bool = False,
+                 chunk_size: int = 64) -> bytes:
     """One spec-valid WARC record (with an HTTP response envelope for
-    ``response`` records) — the fixture/sink builder."""
+    ``response`` records) — the fixture/sink builder.
+
+    ``content_encoding`` / ``transfer_chunked`` (r9) emit the framed
+    bodies real crawl captures carry (CE applied first, then TE
+    chunking — the sender order, RFC 9112 §6.1): a chunked body gets
+    no ``Content-Length`` header and its WARC ``Content-Length``
+    still spans the full envelope, exactly like live captures."""
     if rtype == "response":
+        body = payload
+        extra = b""
+        if content_encoding:
+            body = _encode_content(body, content_encoding)
+            extra += (b"Content-Encoding: "
+                      + content_encoding.encode("latin-1") + _CRLF)
+        if transfer_chunked:
+            body = _encode_chunked(body, chunk_size)
+            extra += b"Transfer-Encoding: chunked" + _CRLF
+        else:
+            extra += b"Content-Length: %d" % len(body) + _CRLF
         http = (b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n"
-                b"Content-Length: %d\r\n\r\n"
-                % (http_status, content_type.encode("latin-1"),
-                   len(payload))) + payload
+                % (http_status, content_type.encode("latin-1"))
+                + extra + _CRLF) + body
     else:
         http = payload
     head = (b"WARC/1.0\r\n"
@@ -345,7 +522,9 @@ def build_record(uri: str, date: str, payload: bytes, *,
 def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                        date_col: str = "warc_date",
                        payload_col: str = "payload",
-                       content_type: str = "text/html") -> list[dict]:
+                       content_type: str = "text/html",
+                       content_encoding: str | None = None,
+                       transfer_chunked: bool = False) -> list[dict]:
     """DISTRIBUTED WARC write: one ``part-NNNNN.warc.gz`` per
     partition, every record its own gzip member (the Common Crawl
     layout), executor-side — the avro/arrow sink shape. Returns the
@@ -370,7 +549,9 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                                               pdf[payload_col]):
                     rec = build_record(str(uri), str(date),
                                        bytes(payload),
-                                       content_type=content_type)
+                                       content_type=content_type,
+                                       content_encoding=content_encoding,
+                                       transfer_chunked=transfer_chunked)
                     # one gzip member per record (CC convention)
                     co = zlib.compressobj(6, zlib.DEFLATED, 31)
                     fh.write(co.compress(rec) + co.flush())

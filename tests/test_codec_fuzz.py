@@ -181,6 +181,23 @@ def test_cdx_index_corrupt_inputs(tmp_path):
              and all(len(t) == 3 and isinstance(t[1], int) for t in out))
 
 
+def test_warc_http_decode_corrupt_inputs():
+    """r9: corrupted chunked/gzip'd HTTP payloads through _split_http
+    must either decode or FALL BACK TO RAW BYTES — never crash, never
+    return a non-bytes body, never mis-parse a half-decoded frame."""
+    from tech_ml_dataset_spark.sources import warc
+
+    body = b"<html><p>fuzz body content here</p></html>" * 5
+    for kw in ({"transfer_chunked": True, "chunk_size": 9},
+               {"content_encoding": "gzip"},
+               {"content_encoding": "gzip", "transfer_chunked": True}):
+        rec = warc.build_record("https://f/x", "2024-01-01T00:00:00Z",
+                                body, **kw)
+        [(_, payload)] = list(warc._parse_records(rec))
+        _assault(lambda v: warc._split_http(v)[2], payload,
+                 lambda out: isinstance(out, bytes))
+
+
 def test_flac_decode_corrupt_inputs():
     import numpy as np
 

@@ -1148,6 +1148,91 @@ def test_warc_roundtrip_and_http_envelope(spark, tmp_path):
                          for u, _, p in rows)
 
 
+def test_warc_http_payload_decoding(spark, tmp_path):
+    """r9: response bodies decode the way a browser sees them —
+    Transfer-Encoding: chunked framing removed, Content-Encoding
+    gzip/deflate decompressed (incl. the raw-deflate server bug and
+    coding chains), with RAW-bytes fallback on malformed or unknown
+    codings, never a mis-parse. End-to-end through the distributed
+    write/read pair plus envelope-level law checks."""
+    from tech_ml_dataset_spark.sources import warc
+
+    rows = [(f"https://ex.com/p{i}", "2024-01-01T00:00:00Z",
+             bytearray((f"<p>doc {i} " + "x" * (i * 7 % 90)
+                        + "</p>").encode())) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "target_uri string, warc_date string, payload binary") \
+        .repartition(3)
+    path = str(tmp_path / "framed")
+    warc.write_warc_dataset(df, path, content_encoding="gzip",
+                            transfer_chunked=True)
+    back = warc.read_warc_dataset(spark, path)
+    got = sorted((r["target_uri"], bytes(r["payload"]))
+                 for r in back.collect())
+    assert got == sorted((u, bytes(p)) for u, _, p in rows)
+
+    body = b"<html><p>alpha beta</p></html>" * 7
+    # every framing combination round-trips through build_record
+    for kw in ({"transfer_chunked": True, "chunk_size": 5},
+               {"content_encoding": "gzip"},
+               {"content_encoding": "deflate"},
+               {"content_encoding": "x-gzip"},
+               {"content_encoding": "gzip", "transfer_chunked": True}):
+        rec = warc.build_record("https://a/x", "2024-01-01T00:00:00Z",
+                                body, **kw)
+        [(_, payload)] = list(warc._parse_records(rec))
+        status, _, out = warc._split_http(payload)
+        assert (status, out) == (200, body), kw
+
+    import zlib
+    # raw-deflate server bug: zlib-unwrapped stream still decodes
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw = co.compress(body) + co.flush()
+    p = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+         b"Content-Length: %d\r\n\r\n" % len(raw)) + raw
+    assert warc._split_http(p)[2] == body
+    # multi-member gzip bodies (concatenating proxies) decode fully
+    g1 = warc._encode_content(b"first ", "gzip")
+    g2 = warc._encode_content(b"second", "gzip")
+    p = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n") + g1 + g2
+    assert warc._split_http(p)[2] == b"first second"
+    # unknown coding (no codec libs for br/zstd): raw fallback
+    p = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\nxyz"
+    assert warc._split_http(p)[2] == b"xyz"
+    # malformed chunk framing: raw fallback, never a mis-parse
+    p = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nnot hex"
+    assert warc._split_http(p)[2] == b"not hex"
+    # truncated chunked body: raw fallback
+    p = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\nshort"
+    assert warc._split_http(p)[2] == b"ff\r\nshort"
+    # corrupt gzip body: raw fallback
+    bad = bytearray(warc._encode_content(body, "gzip"))
+    bad[12] ^= 0xFF
+    p = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n") + bytes(bad)
+    assert warc._split_http(p)[2] == bytes(bad)
+
+
+def test_warc_truncated_gzip_member_raises(tmp_path):
+    """r9 ADVICE: a download truncated MID-member (trailer CRC32/ISIZE
+    never seen) raises instead of silently dropping tail records."""
+    import pytest as _pytest
+
+    from tech_ml_dataset_spark.sources import warc
+
+    rec = warc.build_record("https://a/1", "2024-01-01T00:00:00Z",
+                            b"<p>full</p>" * 50)
+    import zlib
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    member = co.compress(rec) + co.flush()
+    f = tmp_path / "trunc.warc.gz"
+    f.write_bytes(member + member[:-6])      # 2nd member loses trailer
+    with _pytest.raises(ValueError, match="truncated gzip member"):
+        list(warc.read_warc_file(str(f)))
+    g = tmp_path / "ok.warc.gz"
+    g.write_bytes(member + member)
+    assert len(list(warc.read_warc_file(str(g)))) == 2
+
+
 def test_warc_record_laws(tmp_path):
     """Hand-built archives: non-response records keep raw payloads with
     NULL http fields; binary payloads survive framing; gzip members

@@ -472,16 +472,23 @@ def test_pdf_build_extract_roundtrip_property(lines, compress):
 @given(hs.binary(max_size=300),
        hs.text(alphabet=hs.characters(min_codepoint=0x21,
                                       max_codepoint=0x7E), min_size=1,
-               max_size=40))
+               max_size=40),
+       hs.sampled_from([None, "gzip", "x-gzip", "deflate"]),
+       hs.booleans(), hs.integers(1, 64))
 @_codec_settings(60)
-def test_warc_record_roundtrip_property(payload, uri):
+def test_warc_record_roundtrip_property(payload, uri, cenc, chunked,
+                                        chunk_size):
     """Arbitrary binary payloads (incl. CRLF-bearing and empty) frame
     and parse back exactly through the WARC record builder — the
-    Content-Length discipline, not delimiters, bounds the body."""
+    Content-Length discipline, not delimiters, bounds the body — under
+    every HTTP framing combination (r9: Transfer-Encoding: chunked,
+    Content-Encoding gzip/x-gzip/deflate, both stacked)."""
     from tech_ml_dataset_spark.sources import warc
 
     rec = warc.build_record("https://" + uri, "2024-01-01T00:00:00Z",
-                            payload)
+                            payload, content_encoding=cenc,
+                            transfer_chunked=chunked,
+                            chunk_size=chunk_size)
     [(headers, body)] = list(warc._parse_records(rec))
     assert headers["warc-target-uri"] == "https://" + uri
     status, ctype, inner = warc._split_http(body)
