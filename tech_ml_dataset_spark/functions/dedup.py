@@ -65,7 +65,15 @@ def _argmax_survivors(nn: DataFrame, fp_col: str, id_col: str,
     the final (fp, id) semi join, whose two-column key spreads a hot
     fingerprint across its ids. NULL keep_by loses to any non-NULL
     (max ignores NULLs; the all-NULL group falls back to id order via
-    the null-safe score filter)."""
+    the null-safe score filter).
+
+    PRECONDITION: ``id_col`` is unique per row (true for every caller
+    — doc_id / image ids). With duplicate ids the final (fp, id) semi
+    join keeps EVERY row of the winning (fp, id) pair, where the
+    row_number window this replaced kept exactly one arbitrary row;
+    electing among indistinguishable duplicates has no meaningful
+    'one' to keep, so the precondition is documented rather than
+    papered over with a dropDuplicates shuffle (r9, ADVICE)."""
     slim = nn.select(fp_col, id_col, keep_by)
     best = slim.groupBy(fp_col).agg(F.max(keep_by).alias("__s__"))
     cand = (slim.join(best, fp_col)

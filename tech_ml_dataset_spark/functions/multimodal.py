@@ -695,6 +695,12 @@ def synthesize_pdf(df: DataFrame, id_col: str, *, n_lines: int = 4,
                      for j in range(n_lines)]
             return pdfmod.build_pdf_unicode(
                 lines, objstm=(mode == "cmap_objstm"))
+        if mode == "diffenc":
+            # legacy simple-font /Differences arm (r9): accented law
+            # text so the AGL-name resolution actually bites
+            lines = [f"döc {d} ligne {j} café {(d * 31 + j * 7) % 97}°"
+                     for j in range(n_lines)]
+            return pdfmod.build_pdf_differences(lines)
         lines = [f"doc {d} line {j} value {(d * 31 + j * 7) % 97}"
                  for j in range(n_lines)]
         return pdfmod.build_pdf(lines, compress=mode)

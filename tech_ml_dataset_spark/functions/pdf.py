@@ -12,16 +12,20 @@ blocks. Literal strings decode the full escape table (``\\n \\r \\t \\b
 
 Stream filters (r8): FlateDecode, LZWDecode (EarlyChange 0/1),
 ASCII85Decode, RunLengthDecode, and chains ([/ASCII85Decode
-/FlateDecode]) all decode; fonts carrying a /ToUnicode CMap
-(bfchar/bfrange, 1/2-byte codespaces, surrogate pairs) decode EXACTLY
-— the composite-font shape real non-Latin PDFs use — including fonts
-and resources packed into PDF 1.5+ /Type /ObjStm compressed object
-streams (:func:`_objstm_objects`). Honest limits, all named:
-encrypted PDFs raise (``/Encrypt``); image filters (DCT/JBIG2/JPX/
-CCITT) and /Predictor DecodeParms are SKIPPED, not mis-parsed;
-CMap-less custom encodings decode Latin-1 — exact for the
-Standard-14/ASCII fixtures this repo synthesizes, a documented
-approximation otherwise.
+/FlateDecode]) all decode — plus /Predictor DecodeParms (r9: TIFF
+horizontal differencing and the PNG None/Sub/Up/Average/Paeth row
+filters, which real writers apply to xref and content streams).
+Fonts carrying a /ToUnicode CMap (bfchar/bfrange, 1/2-byte
+codespaces, surrogate pairs) decode EXACTLY — the composite-font
+shape real non-Latin PDFs use — including fonts and resources packed
+into PDF 1.5+ /Type /ObjStm compressed object streams
+(:func:`_objstm_objects`); legacy simple fonts with an /Encoding
+/Differences array (r9) decode through the AGL glyph-name subset +
+uniXXXX/uXXXXXX forms. Honest limits, all named: encrypted PDFs
+raise (``/Encrypt``); image filters (DCT/JBIG2/JPX/CCITT) are
+SKIPPED, not mis-parsed; fonts with neither a CMap nor /Differences
+decode Latin-1 — exact for the Standard-14/ASCII fixtures this repo
+synthesizes, a documented approximation otherwise.
 
 The same vendored-codec pattern as jpeg/gif/png/xlsx: the synthesizer
 (:func:`build_pdf`) emits spec-valid single-page PDFs with a
@@ -55,17 +59,18 @@ _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 
 def _decode_filters(d: bytes, raw: bytes) -> bytes | None:
     """Apply the stream dict's /Filter chain (array order). Supported:
-    FlateDecode, LZWDecode (honoring /EarlyChange 0), ASCII85Decode —
-    chains like [/ASCII85Decode /FlateDecode] included. Returns None
-    (caller skips the stream, never mis-parses) for image filters
-    (DCT/JBIG2/JPX/CCITT/RunLength), /Predictor DecodeParms (xref-
-    stream furniture, not content), or undecodable payloads."""
+    FlateDecode, LZWDecode (honoring /EarlyChange 0), ASCII85Decode,
+    RunLengthDecode — chains like [/ASCII85Decode /FlateDecode]
+    included — plus /Predictor DecodeParms (r9): TIFF horizontal
+    differencing (2) and the PNG row predictors (10-15: None/Sub/Up/
+    Average/Paeth per the row tag byte), un-applied after the filter
+    chain per ISO 32000 §7.4.4.4 — real writers predictor-encode xref
+    and occasionally content streams. Returns None (caller skips the
+    stream, never mis-parses) for image filters (DCT/JBIG2/JPX/CCITT),
+    unknown predictors, or undecodable payloads."""
     m = _FILTER_RE.search(d)
     if not m:
         return raw
-    if re.search(rb"/Predictor\s+(\d+)", d) and \
-            int(re.search(rb"/Predictor\s+(\d+)", d).group(1)) > 1:
-        return None
     names = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
     body = raw
     for nm in names:
@@ -92,7 +97,126 @@ def _decode_filters(d: bytes, raw: bytes) -> bytes | None:
                 return None
         else:
             return None                     # image/other filter: skip
+    pm = re.search(rb"/Predictor\s+(\d+)", d)
+    if pm and int(pm.group(1)) > 1:
+        pred = int(pm.group(1))
+
+        def param(name: bytes, default: int) -> int:
+            g = re.search(rb"/" + name + rb"\s+(\d+)", d)
+            return int(g.group(1)) if g else default
+
+        try:
+            body = _unpredict(body, pred, param(b"Colors", 1),
+                              param(b"BitsPerComponent", 8),
+                              param(b"Columns", 1))
+        except ValueError:
+            return None
     return body
+
+
+def _unpredict(data: bytes, predictor: int, colors: int, bpc: int,
+               columns: int) -> bytes:
+    """Un-apply a /Predictor (ISO 32000 §7.4.4.4). TIFF predictor 2 =
+    per-row horizontal component differencing (8-bit components only —
+    the case real writers emit); 10-15 = PNG filters (RFC 2083 §6),
+    where each row carries its own filter-type tag byte and the
+    DecodeParms value only declares 'PNG family'. Rows are
+    ``ceil(columns*colors*bpc/8)`` bytes; a short final row (stream
+    length not a row multiple) is processed at its own length."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if predictor == 2:
+        if bpc != 8:
+            raise ValueError("pdf predictor: TIFF differencing with "
+                             f"BitsPerComponent {bpc} unsupported")
+        out = bytearray(data)
+        for r0 in range(0, len(out), rowlen):
+            end = min(r0 + rowlen, len(out))
+            for i in range(r0 + colors, end):
+                out[i] = (out[i] + out[i - colors]) & 0xFF
+        return bytes(out)
+    if not 10 <= predictor <= 15:
+        raise ValueError(f"pdf predictor: unknown /Predictor {predictor}")
+    out = bytearray()
+    prev = bytes(rowlen)
+    pos, n = 0, len(data)
+    while pos < n:
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos:pos + rowlen])
+        pos += len(row)
+        if ft == 0:                          # None
+            pass
+        elif ft == 1:                        # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:                        # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:                        # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                        # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                      else c)
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"pdf predictor: bad PNG filter tag {ft}")
+        out += row
+        prev = bytes(row) + bytes(rowlen - len(row))
+    return bytes(out)
+
+
+def _predict_encode(data: bytes, predictor: int, colors: int, bpc: int,
+                    columns: int) -> bytes:
+    """Fixture-side inverse of :func:`_unpredict`. PNG rows cycle the
+    five filter types deterministically (row index % 5) so one encoded
+    fixture exercises None/Sub/Up/Average/Paeth."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if predictor == 2:
+        out = bytearray(data)
+        for r0 in range(0, len(out), rowlen):
+            end = min(r0 + rowlen, len(out))
+            for i in range(end - 1, r0 + colors - 1, -1):
+                out[i] = (out[i] - out[i - colors]) & 0xFF
+        return bytes(out)
+    out = bytearray()
+    prev = bytes(rowlen)
+    for ri, r0 in enumerate(range(0, len(data), rowlen)):
+        row = data[r0:r0 + rowlen]
+        ft = ri % 5
+        enc = bytearray(row)
+        if ft == 1:
+            for i in range(len(row) - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - row[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(len(row)):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                      else c)
+                enc[i] = (enc[i] - pr) & 0xFF
+        out += bytes([ft]) + enc
+        prev = bytes(row) + bytes(rowlen - len(row))
+    return bytes(out)
 
 
 def _rle_decode(data: bytes) -> bytes:
@@ -407,6 +531,127 @@ def _parse_cmap(body: bytes):
     return width, mapping
 
 
+def _agl_table() -> dict[str, str]:
+    """Adobe Glyph List subset (public AGL 2.0): the Standard-14 /
+    Latin-1 range plus the common typographic specials — every name a
+    legacy simple-font /Differences array realistically carries.
+    Accented-letter names follow the AGL ``<base><accent>`` pattern
+    and are generated via NFC composition."""
+    import unicodedata as ud
+
+    t = {c: c for c in
+         "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"}
+    t.update({
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&",
+        "quotesingle": "'", "parenleft": "(", "parenright": ")",
+        "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+        "period": ".", "slash": "/", "zero": "0", "one": "1",
+        "two": "2", "three": "3", "four": "4", "five": "5", "six": "6",
+        "seven": "7", "eight": "8", "nine": "9", "colon": ":",
+        "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+        "question": "?", "at": "@", "bracketleft": "[",
+        "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+        "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+        "braceright": "}", "asciitilde": "~",
+        "exclamdown": "¡", "cent": "¢", "sterling": "£",
+        "currency": "¤", "yen": "¥", "brokenbar": "¦",
+        "section": "§", "dieresis": "¨",
+        "copyright": "©", "ordfeminine": "ª",
+        "guillemotleft": "«", "logicalnot": "¬",
+        "registered": "®", "macron": "¯",
+        "degree": "°", "plusminus": "±", "acute": "´",
+        "mu": "µ", "paragraph": "¶",
+        "periodcentered": "·", "cedilla": "¸",
+        "ordmasculine": "º", "guillemotright": "»",
+        "onequarter": "¼", "onehalf": "½",
+        "threequarters": "¾", "questiondown": "¿",
+        "multiply": "×", "divide": "÷",
+        "ae": "æ", "AE": "Æ", "oslash": "ø",
+        "Oslash": "Ø", "thorn": "þ", "Thorn": "Þ",
+        "eth": "ð", "Eth": "Ð", "germandbls": "ß",
+        "bullet": "•", "endash": "–", "emdash": "—",
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+        "perthousand": "‰", "trademark": "™",
+        "Euro": "€", "florin": "ƒ", "fi": "ﬁ",
+        "fl": "ﬂ", "fraction": "⁄", "minus": "−",
+        "OE": "Œ", "oe": "œ", "Scaron": "Š",
+        "scaron": "š", "Zcaron": "Ž", "zcaron": "ž",
+        "Ydieresis": "Ÿ", "dotlessi": "ı",
+        "circumflex": "ˆ", "caron": "ˇ", "breve": "˘",
+        "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+        "tilde": "˜", "hungarumlaut": "˝",
+    })
+    marks = {"grave": "̀", "acute": "́",
+             "circumflex": "̂", "tilde": "̃",
+             "dieresis": "̈", "ring": "̊",
+             "cedilla": "̧"}
+    for base in "aeiouyncAEIOUYNC":
+        for acc, mark in marks.items():
+            ch = ud.normalize("NFC", base + mark)
+            if len(ch) == 1:
+                t[base + acc] = ch
+    return t
+
+
+_AGL = _agl_table()
+_UNI_NAME_RE = re.compile(r"uni((?:[0-9A-Fa-f]{4})+)\Z")
+_U_NAME_RE = re.compile(r"u([0-9A-Fa-f]{4,6})\Z")
+
+
+def _glyph_char(name: str) -> str | None:
+    """Glyph name -> unicode text per the public AGL algorithm: the
+    table first, then ``uniXXXX`` (one or more UTF-16BE units) and
+    ``uXXXX[XX]`` scalar forms. None for unknown names (caller falls
+    through to the base-encoding byte)."""
+    hit = _AGL.get(name)
+    if hit is not None:
+        return hit
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        hx = m.group(1)
+        units = bytes.fromhex(hx)
+        try:
+            return units.decode("utf-16-be", "surrogatepass")
+        except ValueError:
+            return None
+    m = _U_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp < 0x110000 else None
+    return None
+
+
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+
+
+def _parse_differences(enc_body: bytes):
+    """Parse a simple-font /Encoding dict's /Differences array (ISO
+    32000 §9.6.5.2: an int sets the next code, each following /name
+    maps that code and increments) into the same (width=1, {code:
+    str}) shape as a parsed CMap, so :func:`_show` needs no second
+    decode path. Names the AGL subset can't resolve are left unmapped
+    — those codes fall through to the Latin-1 byte, the documented
+    base-encoding approximation."""
+    m = _DIFF_RE.search(enc_body)
+    if not m:
+        return None
+    mapping: dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/<>\[\]()%]+)", m.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+            continue
+        ch = _glyph_char(tok.group(2).decode("latin-1"))
+        if ch is not None:
+            mapping[code] = ch
+        code += 1
+    return (1, mapping) if mapping else None
+
+
 def _show(s: bytes, cmap) -> str:
     """Decode one shown string: through the active font's /ToUnicode
     CMap when present (codes consumed ``width`` bytes at a time,
@@ -617,13 +862,18 @@ def _objstm_objects(data: bytes) -> dict[int, bytes]:
 
 
 def _font_cmaps(data: bytes) -> dict[bytes, tuple]:
-    """Resolve /Font resource names to parsed /ToUnicode CMaps:
-    object table (raw ``N g obj`` scan, xref-free, PLUS /ObjStm
-    members — r8) -> font dicts with ``/ToUnicode M 0 R`` -> that
-    object's stream -> :func:`_parse_cmap` -> ``/Font << /F1 N 0 R
-    ... >>`` resource entries (searched in the raw file AND inside
-    ObjStm bodies, where modern writers keep page dicts). Fonts
-    without a CMap simply stay absent (Latin-1 path)."""
+    """Resolve /Font resource names to per-font decode maps: object
+    table (raw ``N g obj`` scan, xref-free, PLUS /ObjStm members —
+    r8) -> font dicts -> ``/ToUnicode M 0 R`` CMap streams
+    (:func:`_parse_cmap`), or — r9, for legacy simple fonts without
+    one — the /Encoding dict's /Differences array (inline or via an
+    indirect ``/Encoding N 0 R`` object), normalized by
+    :func:`_parse_differences` to the same (width, {code: str})
+    shape. /ToUnicode wins when both exist (ISO 32000 §9.10.2's
+    preferred path). ``/Font << /F1 N 0 R ... >>`` resource entries
+    are searched in the raw file AND inside ObjStm bodies, where
+    modern writers keep page dicts. Fonts with neither simply stay
+    absent (Latin-1 path)."""
     spans: dict[int, tuple[int, int]] = {}
     for om in re.finditer(rb"(\d+)\s+\d+\s+obj\b", data):
         e = data.find(b"endobj", om.end())
@@ -635,25 +885,44 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple]:
             yield num, data[s:e]
         yield from stm_objs.items()
 
+    def obj_body(num: int) -> bytes | None:
+        if num in stm_objs:
+            return stm_objs[num]
+        span = spans.get(num)
+        return data[span[0]:span[1]] if span else None
+
     cmap_of_obj: dict[int, tuple] = {}
     for num, body in bodies():
         if not re.search(rb"/Type\s*/Font", body):
             continue
         tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
-        if not tm:
+        if tm:
+            tspan = spans.get(int(tm.group(1)))
+            if not tspan:
+                continue
+            sm = _STREAM_RE.search(data, tspan[0], tspan[1])
+            if not sm:
+                continue
+            payload = _stream_payload(data, sm)
+            if payload is None:
+                continue
+            cm = _parse_cmap(payload)
+            if cm:
+                cmap_of_obj[num] = cm
             continue
-        tspan = spans.get(int(tm.group(1)))
-        if not tspan:
+        em = re.search(rb"/Encoding\s*(<<.*?>>|\d+\s+\d+\s+R)", body,
+                       re.S)
+        if not em:
             continue
-        sm = _STREAM_RE.search(data, tspan[0], tspan[1])
-        if not sm:
-            continue
-        payload = _stream_payload(data, sm)
-        if payload is None:
-            continue
-        cm = _parse_cmap(payload)
-        if cm:
-            cmap_of_obj[num] = cm
+        enc = em.group(1)
+        if not enc.startswith(b"<<"):
+            ref = obj_body(int(enc.split()[0]))
+            if ref is None:
+                continue
+            enc = ref
+        dm = _parse_differences(enc)
+        if dm:
+            cmap_of_obj[num] = dm
     if not cmap_of_obj:
         return {}
     fonts: dict[bytes, tuple] = {}
@@ -672,11 +941,12 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple]:
 def extract_text(data: bytes) -> str:
     """PDF bytes -> extracted text, lines joined with ``\\n``.
 
-    Raises ValueError (named) for encrypted files; skips non-Flate
-    streams; returns "" when no text-bearing content stream is found.
-    Fonts carrying a /ToUnicode CMap decode exactly (full Unicode);
-    others decode Latin-1 (exact for Standard-14/ASCII, documented
-    approximation for custom encodings without a CMap)."""
+    Raises ValueError (named) for encrypted files; skips streams with
+    image filters; returns "" when no text-bearing content stream is
+    found. Fonts carrying a /ToUnicode CMap decode exactly (full
+    Unicode); legacy simple fonts with /Encoding /Differences decode
+    via the AGL-name subset (r9); the rest decode Latin-1 (exact for
+    Standard-14/ASCII, documented approximation otherwise)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("pdf: missing %PDF- header")
     if re.search(rb"/Encrypt\b", data):
@@ -707,7 +977,10 @@ def build_pdf(lines: list[str], *, compress: bool | str = True) -> bytes:
     :func:`extract_text` oracles. ``compress``: True/'flate' routes the
     content stream through FlateDecode; 'lzw' / 'a85' / 'a85+flate'
     (the [/ASCII85Decode /FlateDecode] chain) exercise the other
-    vendored filters; False/'none' writes it raw."""
+    vendored filters; 'flate+pred' / 'flate+tiff' (r9) predictor-
+    encode the content before Flate (PNG row filters cycling all five
+    types / TIFF horizontal differencing) and declare the matching
+    /DecodeParms; False/'none' writes it raw."""
     def esc(s: str) -> bytes:
         return (s.replace("\\", "\\\\").replace("(", "\\(")
                  .replace(")", "\\)").encode("latin-1"))
@@ -733,6 +1006,14 @@ def build_pdf(lines: list[str], *, compress: bool | str = True) -> bytes:
         body = _ascii85_encode(zlib.compress(content, 6))
         sdict = (b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode]"
                  b" >>" % len(body))
+    elif mode == "flate+pred":
+        body = zlib.compress(_predict_encode(content, 12, 1, 8, 24), 6)
+        sdict = (b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+                 b"<< /Predictor 12 /Columns 24 >> >>" % len(body))
+    elif mode == "flate+tiff":
+        body = zlib.compress(_predict_encode(content, 2, 1, 8, 16), 6)
+        sdict = (b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+                 b"<< /Predictor 2 /Columns 16 >> >>" % len(body))
     elif mode == "none":
         body = content
         sdict = b"<< /Length %d >>" % len(body)
@@ -880,4 +1161,86 @@ def build_pdf_unicode(lines: list[str], *, compress: bool = True,
             b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(xz)
             ) + xz + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF" % xref_at
+    return bytes(out)
+
+
+_AGL_NAME_OF: dict[str, str] = {}
+for _n, _c in sorted(_AGL.items()):
+    _AGL_NAME_OF.setdefault(_c, _n)         # deterministic first name
+
+
+def build_pdf_differences(lines: list[str], *, compress: bool = True,
+                          indirect_encoding: bool = False) -> bytes:
+    """Spec-valid single-page PDF whose text rides a LEGACY simple
+    Type1 font with a custom /Encoding /Differences array — the
+    pre-ToUnicode shape symbolic and subset fonts use (r9, the CMap
+    work's legacy analog). Every distinct character gets a sequential
+    1-byte code from 32; the /Differences array names it with its AGL
+    glyph name when one exists at an even char index and the
+    ``uniXXXX`` form otherwise (both resolution paths exercised in
+    every fixture); text shows as 1-byte hex strings. Astral chars
+    use the ``uXXXXXX`` scalar form. ``indirect_encoding`` moves the
+    encoding dict into its own ``N 0 R`` object (both layouts appear
+    in the wild). Round-trips any text whose distinct-char count fits
+    224 codes through :func:`extract_text` exactly."""
+    chars = sorted({c for ln in lines for c in ln})
+    if len(chars) > 224:
+        raise ValueError("pdf differences: >224 distinct characters")
+    code_of = {c: i + 32 for i, c in enumerate(chars)}
+
+    parts = [b"BT /F1 12 Tf 72 720 Td"]
+    for k, ln in enumerate(lines):
+        if k:
+            parts.append(b"0 -14 Td")
+        hx = "".join("%02X" % code_of[c] for c in ln)
+        parts.append(b"<" + hx.encode("ascii") + b"> Tj")
+    parts.append(b"ET")
+    content = b" ".join(parts)
+
+    names = []
+    for i, c in enumerate(chars):
+        if ord(c) > 0xFFFF:
+            names.append("u%06X" % ord(c))
+        elif i % 2 == 0 and c in _AGL_NAME_OF:
+            names.append(_AGL_NAME_OF[c])
+        else:
+            names.append("uni%04X" % ord(c))
+    diff = ("[ 32 " + " ".join("/" + n for n in names)
+            + " ]").encode("ascii")
+    encdict = (b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding "
+               b"/Differences " + diff + b" >>")
+
+    if compress:
+        z = zlib.compress(content, 6)
+        stream = (b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                  % len(z)) + z + b"\nendstream"
+    else:
+        stream = (b"<< /Length %d >>\nstream\n" % len(content)
+                  ) + content + b"\nendstream"
+
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding " + (b"6 0 R" if indirect_encoding else encdict)
+            + b" >>")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        stream,
+        font,
+    ]
+    if indirect_encoding:
+        objs.append(encdict)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, o in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objs) + 1, xref_at))
     return bytes(out)

@@ -566,8 +566,11 @@ def write(df: DataFrame, path: str, *, file_type: str | None = None,
                     import shutil as _sh
                     _sh.rmtree(path)
             elif mode == "append":
-                # never reuse Spark's colliding part-NNNNN ids: offset
-                # the partition ids past every existing part file
+                # appending would reuse Spark's partition-id part-NNNNN
+                # names and overwrite existing part files — refuse
+                # loudly rather than lose data (r9, ADVICE: comment now
+                # matches the raise; offsetting ids was rejected
+                # because a concurrent writer still collides)
                 if exists:
                     raise RuntimeError(
                         "vendored avro codec cannot append to an "
@@ -576,12 +579,14 @@ def write(df: DataFrame, path: str, *, file_type: str | None = None,
                         "write to a new directory and union on read, "
                         "or install spark-avro") from exc
             elif mode in ("error", "errorifexists", "default"):
-                if exists:
+                # Spark's ErrorIfExists tests bare path existence (an
+                # empty directory still errors) — match it (r9, ADVICE)
+                if os.path.exists(path):
                     raise RuntimeError(
                         f"path {path} already exists (mode={mode!r})"
                     ) from exc
             elif mode == "ignore":
-                if exists:
+                if os.path.exists(path):
                     return
             else:
                 raise RuntimeError(

@@ -524,11 +524,14 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                        payload_col: str = "payload",
                        content_type: str = "text/html",
                        content_encoding: str | None = None,
-                       transfer_chunked: bool = False) -> list[dict]:
+                       transfer_chunked: bool = False,
+                       status_col: str | None = None) -> list[dict]:
     """DISTRIBUTED WARC write: one ``part-NNNNN.warc.gz`` per
     partition, every record its own gzip member (the Common Crawl
     layout), executor-side — the avro/arrow sink shape. Returns the
-    [{path, n_records}, ...] manifest."""
+    [{path, n_records}, ...] manifest. ``status_col`` (r9) names an
+    int column carrying each record's HTTP status (default 200) — the
+    fixture lever for status-filtered CDX index laws."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -545,10 +548,15 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                     continue
                 if fh is None:
                     fh = open(out, "wb")
-                for uri, date, payload in zip(pdf[uri_col], pdf[date_col],
-                                              pdf[payload_col]):
+                statuses = (pdf[status_col] if status_col is not None
+                            else [200] * len(pdf))
+                for uri, date, payload, st in zip(pdf[uri_col],
+                                                  pdf[date_col],
+                                                  pdf[payload_col],
+                                                  statuses):
                     rec = build_record(str(uri), str(date),
                                        bytes(payload),
+                                       http_status=int(st),
                                        content_type=content_type,
                                        content_encoding=content_encoding,
                                        transfer_chunked=transfer_chunked)

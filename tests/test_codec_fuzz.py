@@ -142,8 +142,16 @@ def test_pdf_filter_codecs_corrupt_inputs():
     def ripper(data):
         return pdf.extract_text(data)
 
+    # r9: predictor un-filtering under corruption (bad row tags must
+    # raise, never mis-reconstruct silently into text)
+    _assault(lambda v: pdf._unpredict(v, 12, 1, 8, 16),
+             pdf._predict_encode(payload, 12, 1, 8, 16),
+             lambda out: isinstance(out, bytes))
+
     for doc in (pdf.build_pdf(["fuzz lzw"], compress="lzw"),
                 pdf.build_pdf(["fuzz a85"], compress="a85+flate"),
+                pdf.build_pdf(["fuzz pred"], compress="flate+pred"),
+                pdf.build_pdf_differences(["fuzz diff café°"]),
                 pdf.build_pdf_unicode(["фузз"], objstm=True)):
         _assault(ripper, doc, lambda out: isinstance(out, str))
 

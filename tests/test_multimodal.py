@@ -746,7 +746,8 @@ def test_pdf_lzw_ascii85_filters():
     assert b"z" in pdf._ascii85_encode(b"\x00" * 8)
 
     lines = ["filters (line one)", "ligne \\ deux café", ""]
-    for mode in ("lzw", "a85", "a85+flate", "flate", "none"):
+    for mode in ("lzw", "a85", "a85+flate", "flate", "none",
+                 "flate+pred", "flate+tiff"):
         d = pdf.build_pdf(lines, compress=mode)
         assert pdf.extract_text(d) == "\n".join(lines), mode
 
@@ -757,13 +758,26 @@ def test_pdf_lzw_ascii85_filters():
            + b" /Filter /LZWDecode /DecodeParms << /EarlyChange 0 >> >>"
            + b"\nstream\n" + body + b"\nendstream\nendobj\n%%EOF")
     assert pdf.extract_text(doc) == "early change zero"
-    # /Predictor: xref-stream furniture, never content — skip
+    # /Predictor (r9): correctly predictor-encoded content DECODES...
+    content2 = b"BT /F1 12 Tf (predictor content) Tj ET"
+    for pred_n, cols in ((12, 5), (2, 7), (15, 3)):
+        enc = z.compress(pdf._predict_encode(content2, pred_n, 1, 8,
+                                             cols))
+        doc2 = (b"%PDF-1.4\n1 0 obj\n<< /Length "
+                + str(len(enc)).encode()
+                + b" /Filter /FlateDecode /DecodeParms << /Predictor "
+                + str(pred_n).encode() + b" /Columns "
+                + str(cols).encode() + b" >> >>\nstream\n" + enc
+                + b"\nendstream\nendobj\n%%EOF")
+        assert pdf.extract_text(doc2) == "predictor content", pred_n
+    # ...while data whose row tags are garbage skips loudly (the old
+    # pre-r9 skip contract for mis-declared predictors)
     pred = z.compress(b"BT (x) Tj ET")
-    doc2 = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(pred)).encode()
+    doc3 = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(pred)).encode()
             + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 "
             + b"/Columns 5 >> >>\nstream\n" + pred
             + b"\nendstream\nendobj\n%%EOF")
-    assert pdf.extract_text(doc2) == ""
+    assert pdf.extract_text(doc3) == ""
     # corrupt LZW payload: loud skip (empty), no hang/garbage
     bad = (b"%PDF-1.4\n1 0 obj\n<< /Length 6 /Filter /LZWDecode >>"
            b"\nstream\n\xff\xff\xff\xff\xff\xff\nendstream\nendobj\n%%EOF")
@@ -835,6 +849,57 @@ def test_pdf_tounicode_cmap():
     assert pdf.extract_text(doc) == "ΑΒΓΩ"
     # no CMap anywhere: latin-1 behavior unchanged
     assert pdf.extract_text(pdf.build_pdf(["café (x)"])) == "café (x)"
+
+
+def test_pdf_differences_encoding():
+    """r9: legacy simple-font /Encoding /Differences arrays decode via
+    the AGL glyph-name subset + uniXXXX/uXXXXXX forms — inline and
+    indirect encoding objects; unknown glyph names fall back to the
+    base-encoding byte; /ToUnicode still wins when both exist."""
+    from tech_ml_dataset_spark.functions import pdf
+
+    lines = ["döc 3 ligne café 42°", "naïve Ω — ½ æß€ quote’s",
+             "astral \U0001D11E ok", "plain ascii"]
+    for ind in (False, True):
+        for compress in (True, False):
+            d = pdf.build_pdf_differences(lines, compress=compress,
+                                          indirect_encoding=ind)
+            assert pdf.extract_text(d) == "\n".join(lines), (ind,
+                                                             compress)
+
+    # hand-built graph: named remap of ASCII codes proves the array
+    # takes precedence over the Latin-1 fallback; an unknown name
+    # leaves its code on the fallback byte
+    def obj(b):
+        return b"<< /Length %d >>\nstream\n" % len(b) + b + b"\nendstream"
+
+    content = b"BT /F1 12 Tf (AB C) Tj ET"
+    doc = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Type /Page /Resources "
+           b"<< /Font << /F1 5 0 R >> >> >>\nendobj\n"
+           b"4 0 obj\n" + obj(content) + b"\nendobj\n"
+           b"5 0 obj\n<< /Type /Font /Subtype /Type1 /Encoding "
+           b"<< /Differences [ 65 /Euro /notarealglyphname "
+           b"67 /eacute ] >> >>\nendobj\n%%EOF")
+    assert pdf.extract_text(doc) == "€B é"
+    # /ToUnicode precedence: same font also carrying a CMap uses it
+    cmap = (b"begincodespacerange <00> <FF> endcodespacerange "
+            b"1 beginbfchar <41> <03A9> endbfchar")
+    doc2 = (b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Page /Resources "
+            b"<< /Font << /F1 5 0 R >> >> >>\nendobj\n"
+            b"4 0 obj\n" + obj(content) + b"\nendobj\n"
+            b"5 0 obj\n<< /Type /Font /ToUnicode 6 0 R /Encoding "
+            b"<< /Differences [ 65 /Euro ] >> >>\nendobj\n"
+            b"6 0 obj\n" + obj(cmap) + b"\nendobj\n%%EOF")
+    assert pdf.extract_text(doc2).startswith("Ω")
+    # glyph-name resolution laws
+    assert pdf._glyph_char("uni0041") == "A"
+    assert pdf._glyph_char("uni00410042") == "AB"
+    assert pdf._glyph_char("u1D11E") == "\U0001D11E"
+    assert pdf._glyph_char("germandbls") == "ß"
+    assert pdf._glyph_char("edieresis") == "ë"
+    assert pdf._glyph_char("nosuchname") is None
 
 
 def test_pdf_error_contracts():

@@ -453,7 +453,8 @@ def test_avro_value_block_roundtrip(rows):
 @given(hs.lists(hs.text(
     alphabet=hs.characters(min_codepoint=0x20, max_codepoint=0xFF),
     max_size=60), min_size=0, max_size=8),
-    hs.booleans())
+    hs.sampled_from([True, False, "lzw", "a85", "a85+flate",
+                     "flate+pred", "flate+tiff"]))
 @_codec_settings(60)
 @example(
     lines=['56B]m\x83\x86\x93\x9f§Ø'],
@@ -461,11 +462,31 @@ def test_avro_value_block_roundtrip(rows):
 ).via('discovered failure')
 def test_pdf_build_extract_roundtrip_property(lines, compress):
     """Any latin-1 printable line set round-trips through
-    build_pdf -> extract_text (escape handling for ( ) \\ included),
-    both raw and FlateDecode streams."""
+    build_pdf -> extract_text (escape handling for ( ) \\ included)
+    across every stream encoding: raw, Flate, LZW, ASCII85, the
+    A85+Flate chain, and the r9 PNG/TIFF predictor'd Flate modes."""
     from tech_ml_dataset_spark.functions import pdf
 
     data = pdf.build_pdf(lines, compress=compress)
+    assert pdf.extract_text(data) == "\n".join(lines)
+
+
+@given(hs.lists(hs.text(
+    alphabet=hs.characters(min_codepoint=0x20, max_codepoint=0x2FFF),
+    max_size=40), min_size=0, max_size=6),
+    hs.booleans(), hs.booleans())
+@_codec_settings(60)
+def test_pdf_differences_roundtrip_property(lines, compress, indirect):
+    """r9: any text (BMP range incl. non-Latin) whose distinct-char
+    count fits 224 one-byte codes round-trips through the legacy
+    /Encoding /Differences builder and the AGL/uniXXXX name
+    resolution, inline and indirect encoding objects."""
+    from tech_ml_dataset_spark.functions import pdf
+
+    if len({c for ln in lines for c in ln}) > 224:
+        return
+    data = pdf.build_pdf_differences(lines, compress=compress,
+                                     indirect_encoding=indirect)
     assert pdf.extract_text(data) == "\n".join(lines)
 
 
