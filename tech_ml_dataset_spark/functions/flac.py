@@ -172,14 +172,20 @@ def _read_subframe(r: _Bits, blocksize: int, bps: int) -> np.ndarray:
                        dtype=np.int64)
     elif 8 <= kind <= 12:                   # FIXED order kind-8
         order = kind - 8
-        warm = [r.sread(bps) for _ in range(order)]
+        warm = np.array([r.sread(bps) for _ in range(order)],
+                        dtype=np.int64)
         resid = _read_residual(r, blocksize, order)
-        coef = _FIXED_COEF[order]
-        out = np.empty(blocksize, dtype=np.int64)
-        out[:order] = warm
-        for i in range(order, blocksize):
-            pred = sum(c * out[i - 1 - j] for j, c in enumerate(coef))
-            out[i] = resid[i - order] + pred
+        # the fixed predictor of order k makes the residual exactly the
+        # k-th finite difference of the signal (RFC 9639 §4.2.2), so
+        # reconstruction is k stacked cumulative sums seeded from the
+        # warm-up samples' difference pyramid — numpy scans instead of
+        # a per-sample Python loop (r9, verdict #7: this path carried
+        # ~1.9 s of the sf0.1 bench)
+        out = np.asarray(resid, dtype=np.int64)
+        for j in range(order - 1, -1, -1):
+            head = np.diff(warm, n=j)       # s^j[:order-j] from warm-up
+            out = np.concatenate(
+                [head, head[-1] + np.cumsum(out[order - j - 1:])])
     elif kind >= 32:                        # LPC order kind-31
         order = kind - 31
         warm = [r.sread(bps) for _ in range(order)]
@@ -414,8 +420,9 @@ def encode(samples: np.ndarray, *, sample_rate: int = 8000,
             w.write(0, 1), w.write(1, 6), w.write(0, 1)
             for v in x:
                 w.write(int(v) & ((1 << sbps) - 1), sbps)
-        elif subframe == "fixed2":
-            order = min(2, len(x))
+        elif subframe.startswith("fixed") and subframe[5:].isdigit() \
+                and int(subframe[5:]) <= 4:
+            order = min(int(subframe[5:]), len(x))
             w.write(0, 1), w.write(8 + order, 6), w.write(0, 1)
             for v in x[:order]:
                 w.write(int(v) & ((1 << sbps) - 1), sbps)

@@ -19,9 +19,10 @@ Fonts carrying a /ToUnicode CMap (bfchar/bfrange, 1/2-byte
 codespaces, surrogate pairs) decode EXACTLY — the composite-font
 shape real non-Latin PDFs use — including fonts and resources packed
 into PDF 1.5+ /Type /ObjStm compressed object streams
-(:func:`_objstm_objects`); legacy simple fonts with an /Encoding
-/Differences array (r9) decode through the AGL glyph-name subset +
-uniXXXX/uXXXXXX forms. Honest limits, all named: encrypted PDFs
+(:func:`_objstm_objects`); legacy simple fonts with an /Encoding —
+a bare /WinAnsiEncoding or /MacRomanEncoding name, or a dict with
+/BaseEncoding + /Differences — decode through the public encoding
+tables and the AGL glyph-name subset + uniXXXX/uXXXXXX forms (r9). Honest limits, all named: encrypted PDFs
 raise (``/Encrypt``); image filters (DCT/JBIG2/JPX/CCITT) are
 SKIPPED, not mis-parsed; fonts with neither a CMap nor /Differences
 decode Latin-1 — exact for the Standard-14/ASCII fixtures this repo
@@ -627,28 +628,60 @@ def _glyph_char(name: str) -> str | None:
 
 _DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
 
+#: named base encodings -> python codecs (public tables: WinAnsi IS
+#: cp1252, MacRoman IS mac_roman; PDFDocEncoding ~ latin-1 in the
+#: ranges fonts actually show).
+_BASE_ENCODINGS = {b"WinAnsiEncoding": "cp1252",
+                   b"MacRomanEncoding": "mac_roman"}
 
-def _parse_differences(enc_body: bytes):
-    """Parse a simple-font /Encoding dict's /Differences array (ISO
-    32000 §9.6.5.2: an int sets the next code, each following /name
-    maps that code and increments) into the same (width=1, {code:
-    str}) shape as a parsed CMap, so :func:`_show` needs no second
-    decode path. Names the AGL subset can't resolve are left unmapped
-    — those codes fall through to the Latin-1 byte, the documented
-    base-encoding approximation."""
-    m = _DIFF_RE.search(enc_body)
-    if not m:
-        return None
-    mapping: dict[int, str] = {}
-    code = 0
-    for tok in re.finditer(rb"(\d+)|/([^\s/<>\[\]()%]+)", m.group(1)):
-        if tok.group(1) is not None:
-            code = int(tok.group(1))
+
+def _base_encoding_map(codec: str) -> dict[int, str]:
+    """{code: char} for the bytes where a named base encoding differs
+    from the Latin-1 fallback (only 0x80..0xFF can; undefined bytes
+    stay unmapped and fall through)."""
+    out: dict[int, str] = {}
+    for b in range(0x80, 0x100):
+        try:
+            ch = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
             continue
-        ch = _glyph_char(tok.group(2).decode("latin-1"))
-        if ch is not None:
-            mapping[code] = ch
-        code += 1
+        if ch != chr(b):
+            out[b] = ch
+    return out
+
+
+def _parse_encoding(enc_body: bytes):
+    """Parse a simple-font /Encoding value — a bare base-encoding name
+    (``/WinAnsiEncoding`` / ``/MacRomanEncoding``: the common real-web
+    Latin shape) or a dict whose optional /BaseEncoding seeds the map
+    and whose /Differences array (ISO 32000 §9.6.5.2: an int sets the
+    next code, each following /name maps that code and increments)
+    overrides it — into the same (width=1, {code: str}) shape as a
+    parsed CMap, so :func:`_show` needs no second decode path. Names
+    the AGL subset can't resolve are left unmapped — those codes fall
+    through to the Latin-1 byte, the documented approximation."""
+    mapping: dict[int, str] = {}
+    nm = re.match(rb"\s*/([A-Za-z]+)\s*\Z", enc_body) \
+        if not enc_body.lstrip().startswith(b"<<") else None
+    base_name = nm.group(1) if nm else None
+    if base_name is None:
+        bm = re.search(rb"/BaseEncoding\s*/([A-Za-z]+)", enc_body)
+        base_name = bm.group(1) if bm else None
+    codec = _BASE_ENCODINGS.get(base_name or b"")
+    if codec:
+        mapping.update(_base_encoding_map(codec))
+    m = _DIFF_RE.search(enc_body)
+    if m:
+        code = 0
+        for tok in re.finditer(rb"(\d+)|/([^\s/<>\[\]()%]+)",
+                               m.group(1)):
+            if tok.group(1) is not None:
+                code = int(tok.group(1))
+                continue
+            ch = _glyph_char(tok.group(2).decode("latin-1"))
+            if ch is not None:
+                mapping[code] = ch
+            code += 1
     return (1, mapping) if mapping else None
 
 
@@ -866,10 +899,10 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple]:
     table (raw ``N g obj`` scan, xref-free, PLUS /ObjStm members —
     r8) -> font dicts -> ``/ToUnicode M 0 R`` CMap streams
     (:func:`_parse_cmap`), or — r9, for legacy simple fonts without
-    one — the /Encoding dict's /Differences array (inline or via an
-    indirect ``/Encoding N 0 R`` object), normalized by
-    :func:`_parse_differences` to the same (width, {code: str})
-    shape. /ToUnicode wins when both exist (ISO 32000 §9.10.2's
+    one — the /Encoding value (a bare base-encoding name, an inline
+    dict with /BaseEncoding + /Differences, or an indirect
+    ``/Encoding N 0 R`` object), normalized by :func:`_parse_encoding`
+    to the same (width, {code: str}) shape. /ToUnicode wins when both exist (ISO 32000 §9.10.2's
     preferred path). ``/Font << /F1 N 0 R ... >>`` resource entries
     are searched in the raw file AND inside ObjStm bodies, where
     modern writers keep page dicts. Fonts with neither simply stay
@@ -910,17 +943,20 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple]:
             if cm:
                 cmap_of_obj[num] = cm
             continue
-        em = re.search(rb"/Encoding\s*(<<.*?>>|\d+\s+\d+\s+R)", body,
-                       re.S)
+        em = re.search(
+            rb"/Encoding\s*(<<.*?>>|\d+\s+\d+\s+R|/[A-Za-z]+)", body,
+            re.S)
         if not em:
             continue
         enc = em.group(1)
-        if not enc.startswith(b"<<"):
+        if enc[:1] == b"/":
+            pass                            # bare base-encoding name
+        elif not enc.startswith(b"<<"):
             ref = obj_body(int(enc.split()[0]))
             if ref is None:
                 continue
             enc = ref
-        dm = _parse_differences(enc)
+        dm = _parse_encoding(enc)
         if dm:
             cmap_of_obj[num] = dm
     if not cmap_of_obj:

@@ -902,6 +902,42 @@ def test_pdf_differences_encoding():
     assert pdf._glyph_char("nosuchname") is None
 
 
+def test_pdf_base_encodings():
+    """r9: bare /WinAnsiEncoding and /MacRomanEncoding names (and
+    /BaseEncoding inside a /Differences dict) decode through the
+    public cp1252 / mac_roman tables — the 0x80-0x9F block where the
+    Latin-1 fallback is WRONG for real Latin-text PDFs."""
+    from tech_ml_dataset_spark.functions import pdf
+
+    def doc(enc: bytes, shown: bytes) -> bytes:
+        def obj(b):
+            return (b"<< /Length %d >>\nstream\n" % len(b) + b
+                    + b"\nendstream")
+        content = b"BT /F1 12 Tf (" + shown + b") Tj ET"
+        return (b"%PDF-1.4\n"
+                b"1 0 obj\n<< /Type /Page /Resources "
+                b"<< /Font << /F1 5 0 R >> >> >>\nendobj\n"
+                b"4 0 obj\n" + obj(content) + b"\nendobj\n"
+                b"5 0 obj\n<< /Type /Font /Subtype /Type1 /Encoding "
+                + enc + b" >>\nendobj\n%%EOF")
+
+    # WinAnsi 0x93/0x94 are curly quotes, 0x80 the euro, 0x85 ellipsis
+    got = pdf.extract_text(doc(b"/WinAnsiEncoding",
+                               b"\x93q\x94 \x80 \x85"))
+    assert got == "“q” € …", got
+    # MacRoman 0xA5 bullet, 0x8E e-acute
+    got = pdf.extract_text(doc(b"/MacRomanEncoding", b"\xa5 \x8e"))
+    assert got == "• é", got
+    # /BaseEncoding seeds the map, /Differences overrides one code
+    got = pdf.extract_text(doc(
+        b"<< /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [ 128 /sterling ] >>", b"\x80 \x93"))
+    assert got == "£ “", got
+    # bytes ABOVE 0x7F undefined in the base table keep the fallback
+    got = pdf.extract_text(doc(b"/WinAnsiEncoding", b"\xe9"))
+    assert got == "é", got                  # cp1252 == latin-1 there
+
+
 def test_pdf_error_contracts():
     from tech_ml_dataset_spark.functions import pdf
 

@@ -596,7 +596,8 @@ def test_cdx_index_roundtrip_property(paths):
 
 @given(samples=hs.lists(hs.integers(-32768, 32767),
                         min_size=0, max_size=400),
-       sub=hs.sampled_from(["verbatim", "fixed2"]),
+       sub=hs.sampled_from(["verbatim", "fixed0", "fixed1", "fixed2",
+                            "fixed3", "fixed4"]),
        block=hs.sampled_from([64, 100, 256]),
        stereo=hs.sampled_from(["indep", "left_side", "right_side",
                                "mid_side"]))
