@@ -704,7 +704,8 @@ def unique_by_order(spark, sf_dir):
                               keep_order_by=["l_linenumber", "l_partkey",
                                              "l_suppkey", "l_extendedprice"])
     return out.select("l_orderkey", "l_linenumber", "l_partkey",
-                      _r4(F.col("l_quantity")).alias("l_quantity"))
+                      _r4(F.col("l_quantity")).alias("l_quantity")) \
+        .orderBy("l_orderkey")
 
 
 def customers_without_orders(spark, sf_dir):
@@ -733,6 +734,7 @@ def lineitem_except(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     a = li.filter(F.col("l_quantity") < 30)
     b = li.filter(F.col("l_quantity") < 10)
+    # NOTE (r9): no output order — see bag_intersect_lineitem.
     return st.difference(a, b)
 
 
@@ -821,7 +823,9 @@ def nearest_fill_events(spark, sf_dir):
         F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("value"))
     out = ms.replace_missing(ev, "value", "nearest",
                              order_by=["ts", "event_id"], by="user_id")
-    return out.select("event_id", "user_id", _r4(F.col("value")).alias("value"))
+    return out.select("event_id", "user_id",
+                      _r4(F.col("value")).alias("value")) \
+        .orderBy("event_id")
 
 
 def cube_orders(spark, sf_dir):
@@ -839,7 +843,8 @@ def reduce_union_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
     a = o.filter(F.col("o_orderpriority") <= "3-MEDIUM")
     b = o.filter(F.col("o_orderpriority") >= "3-MEDIUM")
-    return st.reduce_union_counts(a, b)
+    return st.reduce_union_counts(a, b) \
+        .orderBy("o_orderstatus", "o_orderpriority")
 
 
 def rolling_clamp_user(spark, sf_dir):
@@ -897,7 +902,8 @@ def rolling_corr_user(spark, sf_dir):
                       {"c": ("corr", ["value", "event_id"])},
                       window_size=20, by="user_id", position="left")
     c = F.when(F.isnan(F.col("c")), F.lit(None)).otherwise(F.col("c"))
-    return out.select("event_id", "user_id", _r4(c).alias("corr_value_eid"))
+    return out.select("event_id", "user_id",
+                      _r4(c).alias("corr_value_eid")).orderBy("event_id")
 
 
 def rolling_monthly_orders(spark, sf_dir):
@@ -940,7 +946,9 @@ def ffill_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("value", F.when(F.col("value") < 5, None).otherwise(F.col("value")))
     out = ms.replace_missing(ev, "value", "down", order_by=["ts", "event_id"], by="user_id")
-    return out.select("event_id", "user_id", _r4(F.col("value")).alias("value"))
+    return out.select("event_id", "user_id",
+                      _r4(F.col("value")).alias("value")) \
+        .orderBy("event_id")
 
 
 def asof_purchase_click(spark, sf_dir):
@@ -1827,7 +1835,7 @@ def dedup_exact_docs(spark, sf_dir):
     fp = docs.withColumn("fp", txt.md5_fingerprint(F.col("text")))
     out = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"),
                                F.count(F.lit(1)).alias("n_copies"))
-    return out.select("doc_id", "fp", "n_copies")
+    return out.select("doc_id", "fp", "n_copies").orderBy("doc_id")
 
 
 def doc_fingerprints(spark, sf_dir):
@@ -1846,7 +1854,7 @@ def unigram_lm_docs(spark, sf_dir):
     out = txt.unigram_logprob_score(docs)
     return out.select("doc_id",
                       _r4(F.col("bits_per_token")).alias("bits_per_token"),
-                      "n_scored_tokens")
+                      "n_scored_tokens").orderBy("doc_id")
 
 
 def bigram_lm_docs(spark, sf_dir):
@@ -2129,7 +2137,7 @@ def fuzzy_name_pairs(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
     return dd.fuzzy_dedup_pairs(cust.select("c_custkey", "c_name"),
                                 text_col="c_name", id_col="c_custkey",
-                                max_dist=1)
+                                max_dist=1).orderBy("id_a", "id_b")
 
 
 def bm25_search_docs(spark, sf_dir):
@@ -2631,7 +2639,8 @@ def ngram_jaccard_docs(spark, sf_dir):
     sits below the corpus' max pair similarity (~0.12) so the oracle proves
     a non-empty result."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return dd.ngram_jaccard_pairs(docs, k=2, threshold=0.1, max_df=8)
+    return dd.ngram_jaccard_pairs(docs, k=2, threshold=0.1, max_df=8) \
+        .orderBy("id_a", "id_b")
 
 
 def similarity_join_docs(spark, sf_dir):
@@ -2868,7 +2877,9 @@ def bfill_updown_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("value", F.when(F.col("value") < 5, None).otherwise(F.col("value")))
     out = ms.replace_missing(ev, "value", "updown", order_by=["ts", "event_id"], by="user_id")
-    return out.select("event_id", "user_id", _r4(F.col("value")).alias("value"))
+    return out.select("event_id", "user_id",
+                      _r4(F.col("value")).alias("value")) \
+        .orderBy("event_id")
 
 
 def lerp_events(spark, sf_dir):
@@ -2877,7 +2888,9 @@ def lerp_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("value", F.when(F.col("value") < 5, None).otherwise(F.col("value")))
     out = ms.replace_missing(ev, "value", "lerp", order_by=["ts", "event_id"], by="user_id")
-    return out.select("event_id", "user_id", _r4(F.col("value")).alias("value"))
+    return out.select("event_id", "user_id",
+                      _r4(F.col("value")).alias("value")) \
+        .orderBy("event_id")
 
 
 def ts_lerp_events(spark, sf_dir):
@@ -2892,7 +2905,7 @@ def ts_lerp_events(spark, sf_dir):
                               .otherwise(F.col("ts")))
     out = ms.replace_missing(ev, "ts2", "lerp", order_by=["event_id"],
                              by="user_id")
-    return out.select("event_id", "user_id", "ts2")
+    return out.select("event_id", "user_id", "ts2").orderBy("event_id")
 
 
 def pd_merge_outer(spark, sf_dir):
@@ -2914,7 +2927,9 @@ def rolling_range_events(spark, sf_dir):
     out = win.rolling_range(ev, "ts", {"rsum": ("sum", "value"),
                                        "rcnt": ("count", "value")},
                             window_size=10, by="user_id", units="minutes")
-    return out.select("event_id", "user_id", _r4(F.col("rsum")).alias("rsum"), "rcnt")
+    return out.select("event_id", "user_id",
+                      _r4(F.col("rsum")).alias("rsum"), "rcnt") \
+        .orderBy("event_id")
 
 
 def minmax_scale_acctbal(spark, sf_dir):
@@ -2938,6 +2953,7 @@ def bag_union_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_quantity") < 25).select("l_orderkey", "l_returnflag")
     b = li.filter(F.col("l_quantity") < 15).select("l_orderkey", "l_returnflag")
+    # NOTE (r9): no output order — see bag_intersect_lineitem.
     return st.union(a, b)
 
 
@@ -2946,6 +2962,13 @@ def bag_intersect_lineitem(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     a = li.filter(F.col("l_quantity") < 30).select("l_orderkey", "l_returnflag")
     b = li.filter(F.col("l_quantity") > 15).select("l_orderkey", "l_returnflag")
+    # NOTE (r9): deliberately NO output order (winnow_docs-style
+    # exception): a bag result is unordered by semantics, and both the
+    # post-explode orderBy (1.4x: range sampling re-runs the explode)
+    # and the pre-explode counts sort (re-runs the agg) cost real
+    # bench time. The driver hashes a sorted multiset, so order is
+    # immaterial; setops.intersection(order_by=...) exists for users
+    # who want determinism and documents the price.
     return st.intersection(a, b)
 
 
@@ -2955,7 +2978,8 @@ def rollup_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return agg.rollup_agg(o, ["o_orderstatus", "o_orderpriority"],
                           {"n": ("row-count", None),
-                           "sum_price": lambda F: F.round(F.sum("o_totalprice"), 4)})
+                           "sum_price": lambda F: F.round(F.sum("o_totalprice"), 4)}) \
+        .orderBy("o_orderstatus", "o_orderpriority")
 
 
 def quantiles_price(spark, sf_dir):
@@ -3169,7 +3193,8 @@ def repetition_signals_docs(spark, sf_dir):
         _r4b(F.col("top_2gram_char_frac")).alias("top_2gram_char_frac"),
         _r4b(F.col("top_3gram_char_frac")).alias("top_3gram_char_frac"),
         _r4b(F.col("dup_5gram_char_frac")).alias("dup_5gram_char_frac"),
-        _r4b(F.col("dup_6gram_char_frac")).alias("dup_6gram_char_frac"))
+        _r4b(F.col("dup_6gram_char_frac")).alias("dup_6gram_char_frac")) \
+        .orderBy("doc_id")
 
 
 def lsh_topk_embeddings(spark, sf_dir):
@@ -4195,6 +4220,7 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.c_name, b.c_name) AS dist
             FROM c a JOIN c b ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY id_a, id_b
         """,
         "simhash_oracle_docs": _simhash_oracle(),
         "minhash_incremental_pairs_docs": _minhash_oracle(split=300),
@@ -4918,6 +4944,7 @@ def oracle_sql() -> dict[str, str]:
                                                       l_suppkey, l_extendedprice) AS rn
                 FROM lineitem
             ) WHERE rn = 1
+            ORDER BY l_orderkey
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name, c_mktsegment
@@ -5053,6 +5080,7 @@ def oracle_sql() -> dict[str, str]:
                               WHEN (x - prev_x) <= (next_x - x) THEN prev_v
                               ELSE next_v END, 4) AS value
             FROM w
+            ORDER BY event_id
         """,
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -5075,6 +5103,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ca FULL OUTER JOIN cb
               ON ca.o_orderstatus = cb.o_orderstatus
              AND ca.o_orderpriority = cb.o_orderpriority
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         "rolling_clamp_user": """
             WITH b AS (
@@ -5115,6 +5144,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "rolling_user_value": """
             SELECT event_id, user_id,
@@ -5146,6 +5176,7 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value
             FROM events
+            ORDER BY event_id
         """,
         "asof_purchase_click": """
             WITH purchases AS (
@@ -5890,6 +5921,7 @@ def oracle_sql() -> dict[str, str]:
                          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
                   FROM documents)
             GROUP BY fp
+            ORDER BY doc_id
         """,
         "doc_fingerprints": """
             SELECT doc_id,
@@ -6691,6 +6723,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_scored_tokens
             FROM ex2 e JOIN freq f USING (w), tot
             GROUP BY e.doc_id
+            ORDER BY doc_id
         """,
         "bigram_lm_docs": """
             WITH t AS (
@@ -7009,6 +7042,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sb ON sb.doc_id = c.id_b
             WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(sa.grams, sb.grams))) >= 0.1
+            ORDER BY id_a, id_b
         """,
         "media_meta_docs": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS md5
@@ -7024,6 +7058,7 @@ def oracle_sql() -> dict[str, str]:
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS value
             FROM events
+            ORDER BY event_id
         """,
         "descriptive_stats_events_temporal": """
             SELECT 'ts' AS col_name, 'timestamp' AS datatype,
@@ -7075,6 +7110,7 @@ def oracle_sql() -> dict[str, str]:
                                         prev_v, next_v)) AS BIGINT))
                    END AS ts2
             FROM w
+            ORDER BY event_id
         """,
         "lerp_events": """
             WITH base AS (
@@ -7102,6 +7138,7 @@ def oracle_sql() -> dict[str, str]:
                                              THEN (x - prev_x) / (next_x - prev_x) END),
                                        prev_v, next_v) END, 4) AS value
             FROM w
+            ORDER BY event_id
         """,
         "pd_merge_outer": """
             WITH cust AS (
@@ -7123,6 +7160,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "minmax_scale_acctbal": """
             SELECT c_custkey,
@@ -7164,6 +7202,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_price
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
         """,
         "quantiles_price": """
             SELECT o_orderpriority,
@@ -7321,6 +7360,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN pern p3 ON p3.doc_id = l.doc_id AND p3.n = 3
             LEFT JOIN pern p5 ON p5.doc_id = l.doc_id AND p5.n = 5
             LEFT JOIN pern p6 ON p6.doc_id = l.doc_id AND p6.n = 6
+            ORDER BY doc_id
         """,
         "doc_quality_lang": """
             WITH tok AS (

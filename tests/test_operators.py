@@ -349,6 +349,29 @@ def test_bag_difference(spark):
     assert got == [1, 2]
 
 
+def test_bag_ops_order_by(spark):
+    """r9: the order_by option gives every bag set-op a DETERMINISTIC
+    output order with the sort applied to the (distinct-row, counts)
+    table BEFORE the explode — same multiset as the unordered default,
+    rows emitted in key order with duplicates adjacent."""
+    a = spark.createDataFrame([(3, "c"), (1, "a"), (1, "a"), (2, "b")],
+                              ["x", "y"])
+    b = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b"), (4, "d")],
+                              ["x", "y"])
+    got = [tuple(r) for r in st.union(a, b, order_by=["x", "y"]).collect()]
+    assert got == [(1, "a"), (1, "a"), (2, "b"), (2, "b"), (3, "c"),
+                   (4, "d")]
+    got = [tuple(r) for r in
+           st.intersection(a, b, order_by=["x", "y"]).collect()]
+    assert got == [(1, "a"), (2, "b")]
+    got = [tuple(r) for r in
+           st.difference(a, b, order_by=["x", "y"]).collect()]
+    assert got == [(1, "a"), (3, "c")]
+    # multiset parity with the unordered (native) plans
+    assert sorted(got) == sorted(tuple(r) for r in
+                                 st.difference(a, b).collect())
+
+
 def test_unique_by_deterministic_survivor(spark):
     df = spark.createDataFrame([(1, 5, "b"), (1, 3, "a"), (2, 9, "c")], ["k", "o", "v"])
     out = st.unique_by_column(df, "k", keep_order_by=["o"])
