@@ -1506,6 +1506,65 @@ def warc_cdx_meta_fetch_docs(spark, sf_dir):
          .alias("text_md5")).orderBy("doc_id")
 
 
+def warc_charset_docs(spark, sf_dir):
+    """Charset-aware capture decode (r9, warc.payload_text — the
+    second half of the crawl-fidelity gap: after the HTTP body decode,
+    the bytes still need the charset the Content-Type header DECLARES,
+    and a blind UTF-8 cast mojibakes every Latin-1/Windows-1252 page).
+    Four arms by doc_id % 4: unlabeled UTF-8 (fallback path),
+    ISO-8859-1 ('café°'), Windows-1252 (€ and curly quotes — the
+    0x80-0x9F block where cp1252 differs from Latin-1, decoded via the
+    pure-Catalyst translate), and UTF-16LE. The fixture encodes each
+    law text with the matching charset JVM-side (encode_text_payload),
+    writes real WARC records with per-row Content-Type labels, reads
+    them back, and payload_text must recover the exact text — the
+    oracle rebuilds the law directly, so one wrong byte anywhere in
+    encode -> frame -> parse -> charset-decode breaks the hash."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tech_ml_dataset_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240) \
+        .select("doc_id")
+    m = F.col("doc_id") % 4
+    i = F.col("doc_id").cast("string")
+    v = ((F.col("doc_id") * 3) % 53).cast("string")
+    text = (F.when(m == 0, F.concat(F.lit("utf doc "), i,
+                                    F.lit(" δ "), v))
+             .when(m == 1, F.concat(F.lit("latin doc "), i,
+                                    F.lit(" café° "), v))
+             .when(m == 2, F.concat(F.lit("win doc "), i,
+                                    F.lit(" €“q” "), v))
+             .otherwise(F.concat(F.lit("wide doc "), i,
+                                 F.lit(" Ω "), v)))
+    charset = (F.when(m == 1, F.lit("ISO-8859-1"))
+                .when(m == 2, F.lit("Windows-1252"))
+                .when(m == 3, F.lit("UTF-16LE"))
+                .otherwise(F.lit("utf-8")))
+    ctype = F.when(m == 0, F.lit("text/html")) \
+             .otherwise(F.concat(F.lit("text/html; charset="), charset))
+    recs = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://ex.com/doc/"), i).alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        warcmod.encode_text_payload(text, charset).alias("payload"),
+        ctype.alias("ctype")).repartition(4)
+    d = tempfile.mkdtemp(prefix="spark_graft_charset_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    warcmod.write_warc_dataset(recs.drop("doc_id"), d,
+                               content_type_col="ctype")
+    back = warcmod.read_warc_dataset(spark, d)
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "content_type",
+        F.md5(warcmod.payload_text(F.col("payload"),
+                                   F.col("content_type")))
+         .alias("text_md5")).orderBy("doc_id")
+
+
 def url_quality_docs(spark, sf_dir):
     """URL-level crawl-frontier filtering (webtext.py
     url_quality_signals — RefinedWeb §3.1: reject before fetching):
@@ -3597,6 +3656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     synthesize_pdf branch) — rationale in COVERAGE.md.
         "warc_http_decode_docs": warc_http_decode_docs,
         "warc_cdx_meta_fetch_docs": warc_cdx_meta_fetch_docs,
+        # warc_charset_docs is the third never-green r9 oracle; its
+        # slot comes from deferring arrow_roundtrip_events (r5-driver
+        # + r7-judge + r8-judge evidence — the strongest left) to r10
+        "warc_charset_docs": warc_charset_docs,
         "warc_pipeline_docs": warc_pipeline_docs,
         "warc_cdx_range_docs": warc_cdx_range_docs,
         "warc_cdx_index_docs": warc_cdx_index_docs,
@@ -3606,7 +3669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal_docs": boilerplate_removal_docs,
         "unigram_lm_docs": unigram_lm_docs,
         "url_dedup_docs": url_dedup_docs,
-        "arrow_roundtrip_events": arrow_roundtrip_events,
         "bag_intersect_lineitem": bag_intersect_lineitem,
         "bag_union_lineitem": bag_union_lineitem,
         "bfill_updown_events": bfill_updown_events,
@@ -3649,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out (cumulative proof stands), the six r10-deferred backlog
         # queries named above, + the by-design rows-only set. All stay
         # covered by pytest + full verify_local sweeps.
+        "arrow_roundtrip_events": arrow_roundtrip_events,
         "exact_substring_dedup_docs": exact_substring_dedup_docs,
         "audio_features_flac_docs": audio_features_flac_docs,
         "json_normalize_docs": json_normalize_docs,
@@ -5467,6 +5530,34 @@ def oracle_sql() -> dict[str, str]:
             "'</i>.</p></body></html>'"
         ) + """) AS text_md5
             FROM documents WHERE doc_id < 200
+            ORDER BY doc_id
+        """,
+        "warc_charset_docs": """
+            -- the charset plumbing is transparent to the recovered
+            -- text: rebuild each arm's law directly (unlabeled utf-8,
+            -- iso-8859-1, windows-1252 incl. the cp1252-only 0x80-0x9F
+            -- chars, utf-16le) and hash it
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN 'text/html'
+                        WHEN doc_id % 4 = 1
+                             THEN 'text/html; charset=ISO-8859-1'
+                        WHEN doc_id % 4 = 2
+                             THEN 'text/html; charset=Windows-1252'
+                        ELSE 'text/html; charset=UTF-16LE'
+                   END AS content_type,
+                   md5(CASE WHEN doc_id % 4 = 0
+                            THEN 'utf doc ' || doc_id || ' δ '
+                                 || ((doc_id * 3) % 53)
+                            WHEN doc_id % 4 = 1
+                            THEN 'latin doc ' || doc_id || ' café° '
+                                 || ((doc_id * 3) % 53)
+                            WHEN doc_id % 4 = 2
+                            THEN 'win doc ' || doc_id || ' €“q” '
+                                 || ((doc_id * 3) % 53)
+                            ELSE 'wide doc ' || doc_id || ' Ω '
+                                 || ((doc_id * 3) % 53)
+                       END) AS text_md5
+            FROM documents WHERE doc_id < 240
             ORDER BY doc_id
         """,
         "warc_cdx_meta_fetch_docs": """

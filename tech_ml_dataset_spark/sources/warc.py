@@ -525,13 +525,15 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                        content_type: str = "text/html",
                        content_encoding: str | None = None,
                        transfer_chunked: bool = False,
-                       status_col: str | None = None) -> list[dict]:
+                       status_col: str | None = None,
+                       content_type_col: str | None = None) -> list[dict]:
     """DISTRIBUTED WARC write: one ``part-NNNNN.warc.gz`` per
     partition, every record its own gzip member (the Common Crawl
     layout), executor-side — the avro/arrow sink shape. Returns the
-    [{path, n_records}, ...] manifest. ``status_col`` (r9) names an
-    int column carrying each record's HTTP status (default 200) — the
-    fixture lever for status-filtered CDX index laws."""
+    [{path, n_records}, ...] manifest. ``status_col`` /
+    ``content_type_col`` (r9) name per-row columns for the HTTP status
+    and Content-Type (overriding the constants) — the fixture levers
+    for status-filtered CDX laws and charset-labeled captures."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -550,14 +552,17 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                     fh = open(out, "wb")
                 statuses = (pdf[status_col] if status_col is not None
                             else [200] * len(pdf))
-                for uri, date, payload, st in zip(pdf[uri_col],
-                                                  pdf[date_col],
-                                                  pdf[payload_col],
-                                                  statuses):
+                ctypes = (pdf[content_type_col]
+                          if content_type_col is not None
+                          else [content_type] * len(pdf))
+                for uri, date, payload, st, ct in zip(pdf[uri_col],
+                                                      pdf[date_col],
+                                                      pdf[payload_col],
+                                                      statuses, ctypes):
                     rec = build_record(str(uri), str(date),
                                        bytes(payload),
                                        http_status=int(st),
-                                       content_type=content_type,
+                                       content_type=str(ct),
                                        content_encoding=content_encoding,
                                        transfer_chunked=transfer_chunked)
                     # one gzip member per record (CC convention)
@@ -624,6 +629,74 @@ def read_warc_records(spark, entries):
             yield from _row_batches(range_rows(pdf))
 
     return fdf.mapInPandas(batches, _WARC_DDL)
+
+
+# cp1252's 0x80-0x9F block: the bytes where Windows-1252 differs from
+# ISO-8859-1 (which maps them to C1 controls). After an ISO-8859-1
+# decode those bytes surface as U+0080..U+009F one-to-one, so a single
+# character translate finishes the cp1252 decode JVM-side. The five
+# undefined bytes (81 8D 8F 90 9D) stay as their C1 codepoints.
+_CP1252_SRC = "".join(chr(b) for b in range(0x80, 0xA0)
+                      if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D))
+_CP1252_DST = bytes(b for b in range(0x80, 0xA0)
+                    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+                    ).decode("cp1252")
+
+
+def payload_text(payload, content_type, *, default_charset: str = "utf-8"):
+    """Charset-aware payload -> text Column (r9): real crawl captures
+    label their encoding in the Content-Type header
+    (``text/html; charset=ISO-8859-1``), and a blind UTF-8 cast turns
+    every Latin-1/Windows-1252 page into replacement-char mojibake —
+    the second half of the fidelity gap the HTTP body decode closed.
+
+    Pure Catalyst: ``regexp_extract`` pulls the charset token, a CASE
+    routes to ``F.decode`` (UTF-8 / ISO-8859-1 / US-ASCII / UTF-16LE /
+    UTF-16BE), and Windows-1252 decodes as ISO-8859-1 plus a
+    1:1 ``translate`` of the 0x80-0x9F block (cp1252 differs from
+    Latin-1 ONLY there) — no Python in the hot path, fused into the
+    scan at 100 TB. Unknown/missing charsets fall back to
+    ``default_charset``. Both arguments are Columns or names."""
+    from pyspark.sql import functions as F
+
+    payload = F.col(payload) if isinstance(payload, str) else payload
+    content_type = (F.col(content_type) if isinstance(content_type, str)
+                    else content_type)
+    cs = F.lower(F.regexp_extract(
+        F.coalesce(content_type, F.lit("")),
+        r"""(?i)charset\s*=\s*["']?\s*([A-Za-z0-9._\-]+)""", 1))
+    latin1 = F.decode(payload, "ISO-8859-1")
+    return (
+        F.when(cs.isin("iso-8859-1", "latin-1", "latin1", "iso8859-1",
+                       "l1"), latin1)
+         .when(cs.isin("windows-1252", "cp1252", "win-1252"),
+               F.translate(latin1, _CP1252_SRC, _CP1252_DST))
+         .when(cs.isin("us-ascii", "ascii"), F.decode(payload, "US-ASCII"))
+         .when(cs.isin("utf-16le", "utf16le"), F.decode(payload, "UTF-16LE"))
+         .when(cs.isin("utf-16be", "utf16be"), F.decode(payload, "UTF-16BE"))
+         .when(cs.isin("utf-8", "utf8", ""), F.decode(payload, "UTF-8"))
+         .otherwise(F.decode(payload, default_charset.upper())))
+
+
+def encode_text_payload(text, charset):
+    """Fixture-side inverse of :func:`payload_text`: encode a text
+    Column to bytes under a per-row charset Column — ``F.encode`` for
+    the charsets Spark knows, the reverse cp1252 translate for
+    Windows-1252. Unknown charsets encode UTF-8."""
+    from pyspark.sql import functions as F
+
+    text = F.col(text) if isinstance(text, str) else text
+    charset = F.col(charset) if isinstance(charset, str) else charset
+    cs = F.lower(charset)
+    return (
+        F.when(cs.isin("iso-8859-1", "latin-1", "latin1"),
+               F.encode(text, "ISO-8859-1"))
+         .when(cs.isin("windows-1252", "cp1252"),
+               F.encode(F.translate(text, _CP1252_DST, _CP1252_SRC),
+                        "ISO-8859-1"))
+         .when(cs.isin("utf-16le",), F.encode(text, "UTF-16LE"))
+         .when(cs.isin("utf-16be",), F.encode(text, "UTF-16BE"))
+         .otherwise(F.encode(text, "UTF-8")))
 
 
 def warc_member_index(path: str, *,

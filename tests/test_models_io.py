@@ -1212,6 +1212,61 @@ def test_warc_http_payload_decoding(spark, tmp_path):
     assert warc._split_http(p)[2] == bytes(bad)
 
 
+def test_warc_charset_payload_text(spark):
+    """r9: payload_text decodes by the Content-Type charset label —
+    ISO-8859-1, Windows-1252 (cp1252's 0x80-0x9F block via the
+    pure-Catalyst translate, verified byte-for-byte against Python's
+    cp1252 codec), US-ASCII, UTF-16LE/BE, UTF-8 fallback for
+    unlabeled/unknown — and encode_text_payload is its exact
+    inverse."""
+    from pyspark.sql import functions as F
+
+    from tech_ml_dataset_spark.sources import warc
+
+    cases = [
+        ("plain utf-8 ünïcøde δΩ", None, "utf-8"),
+        ("café ° ± àéîõü", "text/html; charset=ISO-8859-1",
+         "iso-8859-1"),
+        ("euro € “curly” –dash– …wait ™", "text/html; charset=Windows-1252",
+         "cp1252"),
+        ("wide Ω text", 'text/html; charset="UTF-16LE"', "utf-16-le"),
+        ("wide BE", "text/html; charset=UTF-16BE", "utf-16-be"),
+        ("ascii only", "text/plain; charset=US-ASCII", "ascii"),
+        ("unknown label utf-8 ü", "text/html; charset=x-sjis-ish",
+         "utf-8"),
+    ]
+    rows = [(t, ct, bytearray(t.encode(codec)))
+            for t, ct, codec in cases]
+    df = spark.createDataFrame(rows, "want string, ct string, p binary")
+    got = df.select("want", warc.payload_text("p", "ct").alias("got")) \
+            .collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["want"], r["got"])
+    # the cp1252 translate matches Python's codec over EVERY defined
+    # byte of the 0x80-0x9F block
+    blk = bytes(b for b in range(0x80, 0xA0)
+                if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D))
+    one = spark.createDataFrame(
+        [(bytearray(blk), "text/html; charset=windows-1252")],
+        "p binary, ct string")
+    [r] = one.select(warc.payload_text("p", "ct").alias("t")).collect()
+    assert r["t"] == blk.decode("cp1252")
+    # encode_text_payload inverts for every charset arm
+    enc = spark.createDataFrame(
+        [(t, cs) for t, cs in (("café°", "ISO-8859-1"),
+                               ("€“q”", "Windows-1252"),
+                               ("Ωmega", "UTF-16LE"),
+                               ("plain δ", "utf-8"))],
+        "t string, cs string")
+    back = enc.select(
+        "t", warc.payload_text(
+            warc.encode_text_payload("t", "cs"),
+            F.concat(F.lit("x/y; charset="), F.col("cs"))).alias("got")) \
+        .collect()
+    for r in back:
+        assert r["got"] == r["t"], r
+
+
 def test_warc_truncated_gzip_member_raises(tmp_path):
     """r9 ADVICE: a download truncated MID-member (trailer CRC32/ISIZE
     never seen) raises instead of silently dropping tail records."""
