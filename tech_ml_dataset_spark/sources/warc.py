@@ -41,6 +41,11 @@ Surfaces mirror the avro/arrow dataset shape:
   url, status, path, off, len), one task per index file: filter the
   INDEX with Spark predicates, then range-read only the survivors —
   the real CC filter-then-fetch pattern.
+* :func:`write_wet_dataset` / :func:`read_wet_dataset` (r9) — the WET
+  extracted-text sibling format (``conversion`` records, text/plain
+  UTF-8 payloads), completing the crawl family.
+* :func:`payload_text` / :func:`encode_text_payload` (r9) — charset-
+  aware capture decode by the Content-Type label, pure Catalyst.
 
 Chained with ``webtext.html_to_text`` + the C4/Gopher/dedup batteries,
 this closes the pipeline at the true entry point: raw crawl archive in,
@@ -485,7 +490,8 @@ def build_record(uri: str, date: str, payload: bytes, *,
                  content_type: str = "text/html",
                  content_encoding: str | None = None,
                  transfer_chunked: bool = False,
-                 chunk_size: int = 64) -> bytes:
+                 chunk_size: int = 64,
+                 warc_content_type: str | None = None) -> bytes:
     """One spec-valid WARC record (with an HTTP response envelope for
     ``response`` records) — the fixture/sink builder.
 
@@ -515,6 +521,8 @@ def build_record(uri: str, date: str, payload: bytes, *,
             b"WARC-Type: " + rtype.encode("latin-1") + _CRLF
             + b"WARC-Target-URI: " + uri.encode("latin-1") + _CRLF
             + b"WARC-Date: " + date.encode("latin-1") + _CRLF
+            + ((b"Content-Type: " + warc_content_type.encode("latin-1")
+                + _CRLF) if warc_content_type else b"")
             + b"Content-Length: %d" % len(http) + _CRLF + _CRLF)
     return head + http + _CRLF + _CRLF
 
@@ -577,6 +585,69 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
 
     manifest = df.mapInPandas(sink, "path string, n_records long").collect()
     return [r.asDict() for r in manifest]
+
+
+def write_wet_dataset(df, path: str, *, uri_col: str = "target_uri",
+                      date_col: str = "warc_date",
+                      text_col: str = "text") -> list[dict]:
+    """DISTRIBUTED WET write (r9 — the Common Crawl *extracted text*
+    sibling of the .warc.gz layout): one ``part-NNNNN.warc.wet.gz``
+    per partition, each a ``conversion``-type WARC record (WARC-level
+    ``Content-Type: text/plain``, UTF-8 payload — the published WET
+    convention) in its own gzip member. Completes the crawl format
+    family (WARC + CDX + WET): a pipeline can ingest raw archives,
+    extract text with html_to_text/payload_text, and re-ship the
+    WET-shaped corpus downstream tools expect. Returns the
+    [{path, n_records}, ...] manifest."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    os.makedirs(path, exist_ok=True)
+
+    def sink(it):
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{pid:05d}.warc.wet.gz")
+        n = 0
+        fh = None
+        try:
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                if fh is None:
+                    fh = open(out, "wb")
+                for uri, date, text in zip(pdf[uri_col], pdf[date_col],
+                                           pdf[text_col]):
+                    rec = build_record(
+                        str(uri), str(date), str(text).encode("utf-8"),
+                        rtype="conversion",
+                        warc_content_type="text/plain")
+                    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    fh.write(co.compress(rec) + co.flush())
+                    n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n:
+            yield pd.DataFrame({"path": [out], "n_records": [n]})
+
+    manifest = df.mapInPandas(sink, "path string, n_records long").collect()
+    return [r.asDict() for r in manifest]
+
+
+def read_wet_dataset(spark, path: str | list[str]):
+    """DISTRIBUTED WET read (r9): the same streamed one-task-per-file
+    scan as :func:`read_warc_dataset`, filtered to ``conversion``
+    records with the UTF-8 payload decoded to a ``text`` column —
+    (target_uri, warc_date, text), the shape a training pipeline
+    ingests. Non-conversion records (warcinfo headers real WET files
+    open with) are skipped by the filter, not mis-read."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc_dataset(spark, path, extension=".wet.gz")
+    return (recs.filter(F.col("record_type") == "conversion")
+                .select("target_uri", "warc_date",
+                        F.decode(F.col("payload"), "UTF-8")
+                         .alias("text")))
 
 
 def read_warc_records(spark, entries):

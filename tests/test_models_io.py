@@ -1267,6 +1267,45 @@ def test_warc_charset_payload_text(spark):
         assert r["got"] == r["t"], r
 
 
+def test_wet_roundtrip_and_warcinfo_skip(spark, tmp_path):
+    """r9: WET write/read — conversion records with text/plain WARC
+    Content-Type and UTF-8 payloads round-trip distributed; a leading
+    warcinfo record (real WET files open with one) is filtered, not
+    mis-read; unicode and newlines survive."""
+    import zlib
+
+    from tech_ml_dataset_spark.sources import warc
+
+    rows = [(f"https://ex.com/p{i}", "2024-01-01T00:00:00Z",
+             f"text {i} — текст\nline two {i}") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "target_uri string, warc_date string, text string") \
+        .repartition(3)
+    path = str(tmp_path / "wet")
+    manifest = warc.write_wet_dataset(df, path)
+    assert sum(m["n_records"] for m in manifest) == 20
+    assert all(m["path"].endswith(".warc.wet.gz") for m in manifest)
+    back = warc.read_wet_dataset(spark, path)
+    got = sorted((r["target_uri"], r["text"]) for r in back.collect())
+    assert got == sorted((u, t) for u, _, t in rows)
+
+    # hand-built file with a leading warcinfo record: skipped cleanly
+    info = warc.build_record("https://ex.com", "2024-01-01T00:00:00Z",
+                             b"software: test\r\n", rtype="warcinfo",
+                             warc_content_type="application/warc-fields")
+    conv = warc.build_record("https://ex.com/x", "2024-01-01T00:00:00Z",
+                             "только текст".encode(), rtype="conversion",
+                             warc_content_type="text/plain")
+    f = tmp_path / "mixed.warc.wet.gz"
+    blob = b""
+    for rec in (info, conv):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        blob += co.compress(rec) + co.flush()
+    f.write_bytes(blob)
+    out = warc.read_wet_dataset(spark, [str(f)]).collect()
+    assert len(out) == 1 and out[0]["text"] == "только текст"
+
+
 def test_warc_truncated_gzip_member_raises(tmp_path):
     """r9 ADVICE: a download truncated MID-member (trailer CRC32/ISIZE
     never seen) raises instead of silently dropping tail records."""
