@@ -1602,6 +1602,43 @@ def wet_roundtrip_docs(spark, sf_dir):
         F.md5("text").alias("text_md5")).orderBy("doc_id")
 
 
+def robots_filter_docs(spark, sf_dir):
+    """robots.txt frontier filtering (r9, functions/robots.py —
+    RFC 9309, the crawl gate after the URL-quality battery): three
+    host arms (h0: a wildcard/anchor rule set — Disallow /private*,
+    Allow /private/ok$, Disallow /tmp/; h1: Disallow everything; h2:
+    no robots.txt at all) x five path arms per doc_id. parse_robots
+    turns the law-generated robots files into the slim rules table,
+    robots_filter broadcasts it and elects the longest-match verdict
+    in a pure projection. The oracle replays the closed-form verdict
+    per (host, path) arm — one wrong wildcard translation, tie-break,
+    or host normalization flips a boolean and breaks the hash."""
+    from tech_ml_dataset_spark.functions import robots as rb
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 600) \
+        .select("doc_id")
+    m3 = (F.col("doc_id") % 3).cast("string")
+    m5 = F.col("doc_id") % 5
+    i = F.col("doc_id").cast("string")
+    path = (F.when(m5 == 0, F.concat(F.lit("/public/a"), i))
+             .when(m5 == 1, F.concat(F.lit("/private/x"), i))
+             .when(m5 == 2, F.lit("/private/ok"))
+             .when(m5 == 3, F.concat(F.lit("/private/ok"), i))
+             .otherwise(F.concat(F.lit("/tmp/f"), i)))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://h"), m3, F.lit(".ex.com"), path)
+         .alias("url"))
+    robots = spark.createDataFrame(
+        [("h0.ex.com", "User-agent: *\nDisallow: /private*\n"
+                       "Allow: /private/ok$\nDisallow: /tmp/\n"),
+         ("h1.ex.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")       # h2: no robots at all
+    out = rb.robots_filter(urls, rb.parse_robots(robots))
+    return out.select("doc_id", "url", "robots_allowed") \
+              .orderBy("doc_id")
+
+
 def url_quality_docs(spark, sf_dir):
     """URL-level crawl-frontier filtering (webtext.py
     url_quality_signals — RefinedWeb §3.1: reject before fetching):
@@ -3699,6 +3736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-judge evidence; arrow also r7-judge) to r10
         "warc_charset_docs": warc_charset_docs,
         "wet_roundtrip_docs": wet_roundtrip_docs,
+        # robots_filter_docs (fifth never-green r9 oracle): slot from
+        # deferring filter_project — its select/filter operators are
+        # exercised implicitly by virtually every other green query
+        "robots_filter_docs": robots_filter_docs,
         "warc_pipeline_docs": warc_pipeline_docs,
         "warc_cdx_range_docs": warc_cdx_range_docs,
         "warc_cdx_index_docs": warc_cdx_index_docs,
@@ -3719,7 +3760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events_json_extract,
         "excel_roundtrip_orders": excel_roundtrip_orders,
         "ffill_events": ffill_events,
-        "filter_project": filter_project,
         "fuzzy_name_pairs": fuzzy_name_pairs,
         "group_distinct_stats": group_distinct_stats,
         "lerp_events": lerp_events,
@@ -3749,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out (cumulative proof stands), the six r10-deferred backlog
         # queries named above, + the by-design rows-only set. All stay
         # covered by pytest + full verify_local sweeps.
+        "filter_project": filter_project,
         "media_meta_docs": media_meta_docs,
         "arrow_roundtrip_events": arrow_roundtrip_events,
         "exact_substring_dedup_docs": exact_substring_dedup_docs,
@@ -5569,6 +5610,29 @@ def oracle_sql() -> dict[str, str]:
             "'</i>.</p></body></html>'"
         ) + """) AS text_md5
             FROM documents WHERE doc_id < 200
+            ORDER BY doc_id
+        """,
+        "robots_filter_docs": """
+            -- closed-form replay of the RFC 9309 verdict per
+            -- (host, path) arm: h1 disallows everything, h2 has no
+            -- robots (allowed), h0 allows /public/* and the exact
+            -- /private/ok (longest-match Allow with $ anchor) and
+            -- disallows /private* and /tmp/
+            SELECT doc_id,
+                   'https://h' || (doc_id % 3) || '.ex.com' ||
+                   CASE doc_id % 5
+                     WHEN 0 THEN '/public/a' || doc_id
+                     WHEN 1 THEN '/private/x' || doc_id
+                     WHEN 2 THEN '/private/ok'
+                     WHEN 3 THEN '/private/ok' || doc_id
+                     ELSE '/tmp/f' || doc_id
+                   END AS url,
+                   CASE WHEN doc_id % 3 = 2 THEN TRUE
+                        WHEN doc_id % 3 = 1 THEN FALSE
+                        WHEN doc_id % 5 IN (0, 2) THEN TRUE
+                        ELSE FALSE
+                   END AS robots_allowed
+            FROM documents WHERE doc_id < 600
             ORDER BY doc_id
         """,
         "wet_roundtrip_docs": """

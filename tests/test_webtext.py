@@ -241,3 +241,74 @@ class TestUrlQuality:
         plan = wt.url_quality_signals(df, "url") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# ---- robots.txt frontier filtering (r9, RFC 9309) -------------------------
+
+def test_robots_parse_vectors():
+    """RFC 9309 parse laws: group runs of User-agent lines share rules;
+    the most specific matching agent group wins (exact beats *);
+    empty Disallow emits no rule; unknown directives and comments are
+    ignored; * and $ translate to anchored RE2."""
+    from tech_ml_dataset_spark.functions import robots as rb
+
+    txt = ("# hi\n"
+           "User-agent: BadBot\n"
+           "User-agent: WorseBot\n"
+           "Disallow: /\n"
+           "\n"
+           "User-agent: *\n"
+           "Disallow: /private*\n"
+           "Allow: /private/ok$\n"
+           "Crawl-delay: 5\n"
+           "Disallow:\n")
+    star = rb.parse_robots_text(txt, agent="mybot/1.0")
+    assert [(p, a) for p, _, a, _ in star] == \
+        [("/private*", False), ("/private/ok$", True)]
+    assert [rx for _, rx, _, _ in star] == \
+        ["^/private.*", "^/private/ok$"]
+    # exact agent group beats *, shared across the agent run
+    for ua in ("BadBot/2.1", "worsebot"):
+        got = rb.parse_robots_text(txt, agent=ua)
+        assert [(p, a) for p, _, a, _ in got] == [("/", False)], ua
+    # no groups at all -> no rules
+    assert rb.parse_robots_text("Disallow: /x\n") == []
+    # spec_len is octet length
+    assert rb.parse_robots_text("User-agent: *\nDisallow: /é\n")[0][3] \
+        == len("/é".encode())
+
+
+def test_robots_filter_match_law(spark):
+    """RFC 9309 match law end-to-end: longest pattern wins, Allow wins
+    length ties, no match / no rules = allowed; host compare is
+    case-insensitive and port-blind; bare-host URLs match path '/'."""
+    from tech_ml_dataset_spark.functions import robots as rb
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /p*\nAllow: /p/ok$\n"
+                   "Disallow: /tmp/\nAllow: /tmp/pub\n"),
+         ("b.com", "User-agent: *\nDisallow: /\n"),
+         ("t.com", "User-agent: *\nDisallow: /dir\nAllow: /dir\n")],
+        "host string, robots_txt string")
+    rules = rb.parse_robots(robots)
+    urls = spark.createDataFrame(
+        [("https://a.com/q",), ("https://a.com/p/x",),
+         ("https://a.com/p/ok",), ("https://a.com/p/okno",),
+         ("https://a.com/tmp/priv",), ("https://a.com/tmp/public",),
+         ("https://A.COM:8443/p/zz",), ("https://b.com",),
+         ("https://t.com/dir/tie",), ("https://c.net/any",)],
+        "url string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in rb.robots_filter(urls, rules).collect()}
+    assert got == {
+        "https://a.com/q": True,
+        "https://a.com/p/x": False,
+        "https://a.com/p/ok": True,          # longer allow wins
+        "https://a.com/p/okno": False,       # $ anchor fails
+        "https://a.com/tmp/priv": False,
+        "https://a.com/tmp/public": True,    # /tmp/pub longer
+        "https://A.COM:8443/p/zz": False,    # case+port blind
+        "https://b.com": False,              # bare host -> path '/'
+        "https://t.com/dir/tie": True,       # allow wins the tie
+        "https://c.net/any": True,           # no rules for host
+    }
