@@ -136,6 +136,86 @@ def parse_robots(df: DataFrame, *, host_col: str = "host",
     return df.mapInPandas(batches, _RULES_DDL)
 
 
+def sitemap_urls_from_robots(df: DataFrame, *, host_col: str = "host",
+                             text_col: str = "robots_txt") -> DataFrame:
+    """Extract ``Sitemap:`` directive URLs from robots.txt files (the
+    sitemaps.org discovery convention; the directive is global, not
+    group-scoped) — pure Catalyst: split lines, prefix-match, extract.
+    Returns (host, sitemap_url) rows, one per directive."""
+    line = F.explode(F.split(F.col(text_col), "\r?\n")).alias("__line__")
+    out = df.select(F.col(host_col).alias("host"), line)
+    url = F.regexp_extract("__line__", r"(?i)^\s*sitemap\s*:\s*(\S+)", 1)
+    return (out.select("host", url.alias("sitemap_url"))
+               .filter(F.col("sitemap_url") != ""))
+
+
+def parse_sitemap_text(xml: str) -> list[tuple]:
+    """Parse ONE sitemap document (sitemaps.org protocol): a
+    ``<urlset>`` yields (loc, lastmod, changefreq, priority, False)
+    per ``<url>``; a ``<sitemapindex>`` yields (loc, lastmod, None,
+    None, True) per ``<sitemap>`` — callers fetch those and recurse.
+    Namespace-agnostic (tag localnames); malformed XML raises loudly —
+    a seeder that silently drops a sitemap is a recall bug."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    root = ET.fromstring(xml)
+    kind = local(root.tag)
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"sitemap: unexpected root element <{kind}>")
+    is_index = kind == "sitemapindex"
+    want = "sitemap" if is_index else "url"
+    out = []
+    for el in root:
+        if local(el.tag) != want:
+            continue
+        fields = {local(c.tag): (c.text or "").strip() for c in el}
+        loc = fields.get("loc")
+        if not loc:
+            raise ValueError("sitemap: entry missing <loc>")
+        pr = fields.get("priority")
+        out.append((loc, fields.get("lastmod") or None,
+                    None if is_index else (fields.get("changefreq")
+                                           or None),
+                    None if is_index or not pr else float(pr),
+                    is_index))
+    return out
+
+
+_SITEMAP_DDL = ("loc string, lastmod string, changefreq string, "
+                "priority double, is_index boolean")
+
+
+def parse_sitemaps(df: DataFrame, *, xml_col: str = "xml",
+                   src_col: str | None = None) -> DataFrame:
+    """DISTRIBUTED sitemap parse: one bounded Python pass per sitemap
+    document (the spec caps a file at 50k URLs / 50 MB) producing the
+    flat frontier-seed table. ``src_col`` names a column to carry
+    through (e.g. the sitemap's own URL, for index recursion)."""
+    import pandas as pd
+
+    cols = ([src_col] if src_col else []) + \
+        ["loc", "lastmod", "changefreq", "priority", "is_index"]
+    ddl = ((f"{src_col} string, " if src_col else "") + _SITEMAP_DDL)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for idx in range(len(pdf)):
+                xml = pdf[xml_col].iloc[idx]
+                if xml is None:
+                    continue
+                src = (pdf[src_col].iloc[idx],) if src_col else ()
+                for tup in parse_sitemap_text(str(xml)):
+                    rows.append(src + tup)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(batches, ddl)
+
+
 def robots_filter(urls: DataFrame, rules: DataFrame, *,
                   url_col: str = "url",
                   keep_col: str = "robots_allowed") -> DataFrame:

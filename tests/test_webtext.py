@@ -312,3 +312,55 @@ def test_robots_filter_match_law(spark):
         "https://t.com/dir/tie": True,       # allow wins the tie
         "https://c.net/any": True,           # no rules for host
     }
+
+
+def test_sitemap_parsing(spark):
+    """r9: frontier seeding — Sitemap: directives extracted from
+    robots.txt (global, case-insensitive), urlset and sitemapindex
+    documents parsed namespace-agnostically, malformed XML raises."""
+    import pytest as _pytest
+
+    from tech_ml_dataset_spark.functions import robots as rb
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /x\n"
+                   "Sitemap: https://a.com/sitemap.xml\n"
+                   "SITEMAP:https://a.com/s2.xml\n"),
+         ("b.com", "User-agent: *\nDisallow:\n")],
+        "host string, robots_txt string")
+    got = sorted((r["host"], r["sitemap_url"]) for r in
+                 rb.sitemap_urls_from_robots(robots).collect())
+    assert got == [("a.com", "https://a.com/s2.xml"),
+                   ("a.com", "https://a.com/sitemap.xml")]
+
+    ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    urlset = (f'<?xml version="1.0"?><urlset {ns}>'
+              '<url><loc>https://a.com/p1</loc>'
+              '<lastmod>2024-01-02</lastmod>'
+              '<changefreq>daily</changefreq>'
+              '<priority>0.8</priority></url>'
+              '<url><loc>https://a.com/p2</loc></url></urlset>')
+    index = (f'<sitemapindex {ns}><sitemap>'
+             '<loc>https://a.com/s-0.xml</loc>'
+             '<lastmod>2024-02-03</lastmod></sitemap></sitemapindex>')
+    df = spark.createDataFrame([("https://a.com/sitemap.xml", urlset),
+                                ("https://a.com/index.xml", index)],
+                               "src string, xml string")
+    rows = sorted((r["src"], r["loc"], r["lastmod"], r["changefreq"],
+                   r["priority"], r["is_index"])
+                  for r in rb.parse_sitemaps(df, src_col="src").collect())
+    assert rows == [
+        ("https://a.com/index.xml", "https://a.com/s-0.xml",
+         "2024-02-03", None, None, True),
+        ("https://a.com/sitemap.xml", "https://a.com/p1", "2024-01-02",
+         "daily", 0.8, False),
+        ("https://a.com/sitemap.xml", "https://a.com/p2", None, None,
+         None, False),
+    ]
+    # malformed XML / wrong root / missing loc raise loudly
+    with _pytest.raises(Exception):
+        rb.parse_sitemap_text("<urlset><url><loc>x</loc>")
+    with _pytest.raises(ValueError, match="root"):
+        rb.parse_sitemap_text("<rss></rss>")
+    with _pytest.raises(ValueError, match="loc"):
+        rb.parse_sitemap_text("<urlset><url></url></urlset>")
