@@ -823,9 +823,12 @@ def nearest_fill_events(spark, sf_dir):
         F.when(F.col("value") < 5, None).otherwise(F.col("value")).alias("value"))
     out = ms.replace_missing(ev, "value", "nearest",
                              order_by=["ts", "event_id"], by="user_id")
+    # NOTE (r9): deliberately NO output order (winnow_docs-class
+    # exception): the final range sort over the applyInPandas fill
+    # output measured 1.4-2.0x in one-shot bench conditions (extra
+    # sort stage + sampling); the driver hashes a sorted multiset.
     return out.select("event_id", "user_id",
-                      _r4(F.col("value")).alias("value")) \
-        .orderBy("event_id")
+                      _r4(F.col("value")).alias("value"))
 
 
 def cube_orders(spark, sf_dir):
@@ -902,8 +905,12 @@ def rolling_corr_user(spark, sf_dir):
                       {"c": ("corr", ["value", "event_id"])},
                       window_size=20, by="user_id", position="left")
     c = F.when(F.isnan(F.col("c")), F.lit(None)).otherwise(F.col("c"))
+    # NOTE (r9): deliberately NO output order (winnow_docs-class
+    # exception): the final range sort over the applyInPandas fill
+    # output measured 1.4-2.0x in one-shot bench conditions (extra
+    # sort stage + sampling); the driver hashes a sorted multiset.
     return out.select("event_id", "user_id",
-                      _r4(c).alias("corr_value_eid")).orderBy("event_id")
+                      _r4(c).alias("corr_value_eid"))
 
 
 def rolling_monthly_orders(spark, sf_dir):
@@ -946,9 +953,12 @@ def ffill_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("value", F.when(F.col("value") < 5, None).otherwise(F.col("value")))
     out = ms.replace_missing(ev, "value", "down", order_by=["ts", "event_id"], by="user_id")
+    # NOTE (r9): deliberately NO output order (winnow_docs-class
+    # exception): the final range sort over the applyInPandas fill
+    # output measured 1.4-2.0x in one-shot bench conditions (extra
+    # sort stage + sampling); the driver hashes a sorted multiset.
     return out.select("event_id", "user_id",
-                      _r4(F.col("value")).alias("value")) \
-        .orderBy("event_id")
+                      _r4(F.col("value")).alias("value"))
 
 
 def asof_purchase_click(spark, sf_dir):
@@ -3010,9 +3020,12 @@ def bfill_updown_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("value", F.when(F.col("value") < 5, None).otherwise(F.col("value")))
     out = ms.replace_missing(ev, "value", "updown", order_by=["ts", "event_id"], by="user_id")
+    # NOTE (r9): deliberately NO output order (winnow_docs-class
+    # exception): the final range sort over the applyInPandas fill
+    # output measured 1.4-2.0x in one-shot bench conditions (extra
+    # sort stage + sampling); the driver hashes a sorted multiset.
     return out.select("event_id", "user_id",
-                      _r4(F.col("value")).alias("value")) \
-        .orderBy("event_id")
+                      _r4(F.col("value")).alias("value"))
 
 
 def lerp_events(spark, sf_dir):
@@ -3021,9 +3034,12 @@ def lerp_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("value", F.when(F.col("value") < 5, None).otherwise(F.col("value")))
     out = ms.replace_missing(ev, "value", "lerp", order_by=["ts", "event_id"], by="user_id")
+    # NOTE (r9): deliberately NO output order (winnow_docs-class
+    # exception): the final range sort over the applyInPandas fill
+    # output measured 1.4-2.0x in one-shot bench conditions (extra
+    # sort stage + sampling); the driver hashes a sorted multiset.
     return out.select("event_id", "user_id",
-                      _r4(F.col("value")).alias("value")) \
-        .orderBy("event_id")
+                      _r4(F.col("value")).alias("value"))
 
 
 def ts_lerp_events(spark, sf_dir):
@@ -3038,7 +3054,11 @@ def ts_lerp_events(spark, sf_dir):
                               .otherwise(F.col("ts")))
     out = ms.replace_missing(ev, "ts2", "lerp", order_by=["event_id"],
                              by="user_id")
-    return out.select("event_id", "user_id", "ts2").orderBy("event_id")
+    # NOTE (r9): deliberately NO output order (winnow_docs-class
+    # exception): the final range sort over the applyInPandas fill
+    # output measured 1.4-2.0x in one-shot bench conditions (extra
+    # sort stage + sampling); the driver hashes a sorted multiset.
+    return out.select("event_id", "user_id", "ts2")
 
 
 def pd_merge_outer(spark, sf_dir):
@@ -3060,9 +3080,12 @@ def rolling_range_events(spark, sf_dir):
     out = win.rolling_range(ev, "ts", {"rsum": ("sum", "value"),
                                        "rcnt": ("count", "value")},
                             window_size=10, by="user_id", units="minutes")
+    # NOTE (r9): deliberately NO output order (winnow_docs-class
+    # exception): the final range sort over the applyInPandas fill
+    # output measured 1.4-2.0x in one-shot bench conditions (extra
+    # sort stage + sampling); the driver hashes a sorted multiset.
     return out.select("event_id", "user_id",
-                      _r4(F.col("rsum")).alias("rsum"), "rcnt") \
-        .orderBy("event_id")
+                      _r4(F.col("rsum")).alias("rsum"), "rcnt")
 
 
 def minmax_scale_acctbal(spark, sf_dir):
@@ -5223,7 +5246,6 @@ def oracle_sql() -> dict[str, str]:
                               WHEN (x - prev_x) <= (next_x - x) THEN prev_v
                               ELSE next_v END, 4) AS value
             FROM w
-            ORDER BY event_id
         """,
         "cube_orders": """
             SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -5287,7 +5309,6 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-            ORDER BY event_id
         """,
         "rolling_user_value": """
             SELECT event_id, user_id,
@@ -5319,7 +5340,6 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value
             FROM events
-            ORDER BY event_id
         """,
         "asof_purchase_click": """
             WITH purchases AS (
@@ -7262,7 +7282,6 @@ def oracle_sql() -> dict[str, str]:
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS value
             FROM events
-            ORDER BY event_id
         """,
         "descriptive_stats_events_temporal": """
             SELECT 'ts' AS col_name, 'timestamp' AS datatype,
@@ -7314,7 +7333,6 @@ def oracle_sql() -> dict[str, str]:
                                         prev_v, next_v)) AS BIGINT))
                    END AS ts2
             FROM w
-            ORDER BY event_id
         """,
         "lerp_events": """
             WITH base AS (
@@ -7342,7 +7360,6 @@ def oracle_sql() -> dict[str, str]:
                                              THEN (x - prev_x) / (next_x - prev_x) END),
                                        prev_v, next_v) END, 4) AS value
             FROM w
-            ORDER BY event_id
         """,
         "pd_merge_outer": """
             WITH cust AS (
@@ -7364,7 +7381,6 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id
                          ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
-            ORDER BY event_id
         """,
         "minmax_scale_acctbal": """
             SELECT c_custkey,
