@@ -266,3 +266,64 @@ def test_empty_r8_operators(spark, tmp_path):
     with pytest.raises(ValueError, match="no captures"):
         warc.read_cdx_index(str(idx))
     assert warc.read_cdx_meta(spark, str(idx)).count() == 0
+
+
+def test_empty_r9_operators(spark, tmp_path):
+    """r9 surfaces under empty/NULL inputs: robots with no rules / no
+    matching host, payload_text with NULL content_type and empty
+    payload, WET over an empty frame, sitemap directive extract with
+    none present, and the bag set-ops' order_by arms on empty sides."""
+    from pyspark.sql import functions as F
+
+    from tech_ml_dataset_spark.functions import robots as rb
+    from tech_ml_dataset_spark.operators import setops as st
+    from tech_ml_dataset_spark.sources import warc
+
+    # robots: empty rules table -> everything allowed
+    empty_rules = spark.createDataFrame(
+        [], "host string, pattern string, regex string, allow boolean, "
+            "spec_len int")
+    urls = spark.createDataFrame([("https://a.com/x",)], "url string")
+    [r] = rb.robots_filter(urls, empty_rules).collect()
+    assert r["robots_allowed"] is True
+    # robots text with zero groups -> zero rules; parse_robots of an
+    # all-NULL text column -> empty frame
+    null_robots = spark.createDataFrame([("a.com", None)],
+                                        "host string, robots_txt string")
+    assert rb.parse_robots(null_robots).count() == 0
+    # sitemap extract with no directives
+    assert rb.sitemap_urls_from_robots(
+        spark.createDataFrame([("a.com", "User-agent: *\nDisallow:\n")],
+                              "host string, robots_txt string")
+    ).count() == 0
+
+    # payload_text: NULL content_type -> default charset; empty payload
+    df = spark.createDataFrame(
+        [(bytearray(b""), None), (bytearray("é".encode("utf-8")), None)],
+        "p binary, ct string")
+    got = [r["t"] for r in
+           df.select(warc.payload_text("p", "ct").alias("t")).collect()]
+    assert got == ["", "é"]
+
+    # WET: empty input frame -> no part files, empty read via manifest
+    empty_txt = spark.createDataFrame(
+        [], "target_uri string, warc_date string, text string")
+    d = str(tmp_path / "wet_empty")
+    assert warc.write_wet_dataset(empty_txt, d) == []
+
+    # bag set-ops order_by arms: empty sides behave like the native arm
+    li = spark.createDataFrame([(1, "A"), (1, "A"), (2, "B")],
+                               "k int, v string")
+    empty = spark.createDataFrame([], "k int, v string")
+    assert st.union(li, empty, order_by=["k", "v"]).count() == 3
+    assert st.intersection(li, empty, order_by=["k", "v"]).count() == 0
+    assert [tuple(r) for r in
+            st.difference(li, empty, order_by=["k", "v"]).collect()] \
+        == [(1, "A"), (1, "A"), (2, "B")]
+
+    # chunked/content-encoded build_record with EMPTY payload
+    rec = warc.build_record("https://a/e", "2024-01-01T00:00:00Z", b"",
+                            content_encoding="gzip",
+                            transfer_chunked=True)
+    [(_, payload)] = list(warc._parse_records(rec))
+    assert warc._split_http(payload)[2] == b""
