@@ -622,3 +622,72 @@ def test_flac_roundtrip_property(samples, sub, block, stereo):
                                   stereo_mode=mode))[3]
     want = arr if arr.ndim == 2 else arr[:, None]
     assert (out == want).all()
+
+
+@given(hs.text(alphabet=hs.sampled_from("/abπ.?*$%"), max_size=12),
+       hs.text(alphabet=hs.sampled_from("/abπ.?$%"), max_size=16))
+@_codec_settings(120)
+def test_robots_pattern_regex_property(pattern, path):
+    """r9: the RFC 9309 wildcard translation agrees with a transparent
+    recursive reference matcher on arbitrary pattern/path pairs —
+    '*' spans anything, a FINAL '$' anchors the end, every other char
+    (regex metachars included) is literal, match is prefix-anchored."""
+    import re as _re
+
+    from tech_ml_dataset_spark.functions import robots as rb
+
+    def ref_match(pat: str, s: str) -> bool:
+        anchored = pat.endswith("$")
+        if anchored:
+            pat = pat[:-1]
+
+        def walk(pi: int, si: int) -> bool:
+            if pi == len(pat):
+                return si == len(s) if anchored else True
+            if pat[pi] == "*":
+                return any(walk(pi + 1, k) for k in range(si, len(s) + 1))
+            return (si < len(s) and s[si] == pat[pi]
+                    and walk(pi + 1, si + 1))
+
+        return walk(0, 0)
+
+    got = _re.search(rb._pattern_regex(pattern), path) is not None
+    assert got == ref_match(pattern, path), (pattern, path)
+
+
+@given(hs.lists(hs.tuples(
+    hs.text(alphabet=hs.characters(min_codepoint=0x21, max_codepoint=0x7E,
+                                   exclude_characters="<>&'\""),
+            min_size=1, max_size=30),
+    hs.one_of(hs.none(), hs.sampled_from(["2024-01-02", "2025-12-31"])),
+    hs.one_of(hs.none(), hs.sampled_from(["daily", "weekly"])),
+    hs.one_of(hs.none(), hs.floats(0, 1).map(lambda x: round(x, 1)))),
+    min_size=1, max_size=10),
+    hs.booleans())
+@_codec_settings(60)
+def test_sitemap_roundtrip_property(entries, index):
+    """r9: law-built urlset/sitemapindex XML parses back to exactly the
+    entries that went in (optional fields None when absent; index
+    documents carry loc+lastmod only)."""
+    from tech_ml_dataset_spark.functions import robots as rb
+
+    tag, etag = (("sitemapindex", "sitemap") if index
+                 else ("urlset", "url"))
+    parts = [f"<{tag} xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"]
+    for loc, lastmod, freq, pr in entries:
+        parts.append(f"<{etag}><loc>{loc}</loc>")
+        if lastmod:
+            parts.append(f"<lastmod>{lastmod}</lastmod>")
+        if not index and freq:
+            parts.append(f"<changefreq>{freq}</changefreq>")
+        if not index and pr is not None:
+            parts.append(f"<priority>{pr}</priority>")
+        parts.append(f"</{etag}>")
+    parts.append(f"</{tag}>")
+    got = rb.parse_sitemap_text("".join(parts))
+    want = [(loc, lastmod,
+             None if index else freq,
+             None if index or pr is None else pr,
+             index)
+            for loc, lastmod, freq, pr in entries]
+    assert got == want
