@@ -644,9 +644,11 @@ def read_wet_dataset(spark, path: str | list[str]):
     from pyspark.sql import functions as F
 
     recs = read_warc_dataset(spark, path, extension=".wet.gz")
+    # make_valid_utf8 over the cast, not strict decode: a foreign WET
+    # file with stray invalid bytes gets U+FFFD, not a task failure
     return (recs.filter(F.col("record_type") == "conversion")
                 .select("target_uri", "warc_date",
-                        F.decode(F.col("payload"), "UTF-8")
+                        F.make_valid_utf8(F.col("payload").cast("string"))
                          .alias("text")))
 
 
@@ -714,7 +716,8 @@ _CP1252_DST = bytes(b for b in range(0x80, 0xA0)
                     ).decode("cp1252")
 
 
-def payload_text(payload, content_type, *, default_charset: str = "utf-8"):
+def payload_text(payload, content_type, *, default_charset: str = "utf-8",
+                 sniff_meta: bool = False):
     """Charset-aware payload -> text Column (r9): real crawl captures
     label their encoding in the Content-Type header
     (``text/html; charset=ISO-8859-1``), and a blind UTF-8 cast turns
@@ -722,31 +725,66 @@ def payload_text(payload, content_type, *, default_charset: str = "utf-8"):
     the second half of the fidelity gap the HTTP body decode closed.
 
     Pure Catalyst: ``regexp_extract`` pulls the charset token, a CASE
-    routes to ``F.decode`` (UTF-8 / ISO-8859-1 / US-ASCII / UTF-16LE /
-    UTF-16BE), and Windows-1252 decodes as ISO-8859-1 plus a
-    1:1 ``translate`` of the 0x80-0x9F block (cp1252 differs from
-    Latin-1 ONLY there) — no Python in the hot path, fused into the
-    scan at 100 TB. Unknown/missing charsets fall back to
-    ``default_charset``. Both arguments are Columns or names."""
-    from pyspark.sql import functions as F
+    routes to ``F.decode`` (UTF-8 / ISO-8859-1 / UTF-16LE / UTF-16BE),
+    and Windows-1252 decodes as ISO-8859-1 plus a 1:1 ``translate`` of
+    the 0x80-0x9F block (cp1252 differs from Latin-1 ONLY there) — no
+    Python in the hot path, fused into the scan at 100 TB.
+    Unknown/missing charsets fall back to ``default_charset``. Both
+    arguments are Columns or names.
 
+    NEVER-THROW CONTRACT (r9): a real crawl always carries mislabeled
+    and malformed encodings, and one bad page must not kill a 100 TB
+    scan — Spark 4's strict ``decode`` raises MALFORMED_CHARACTER_
+    CODING, so this builder (a) decodes the UTF-8/default arm via
+    ``make_valid_utf8`` over the binary cast (U+FFFD replacement, the
+    browser behavior), (b) follows the WHATWG encoding standard in
+    mapping the ``us-ascii``/``ascii`` labels to Windows-1252 (which
+    cannot fail: every byte maps), and (c) sets
+    ``spark.sql.legacy.codingErrorAction`` on the active session so
+    the UTF-16 arms also replace instead of raise (same runtime-conf
+    pattern as io.read_parquet's nanos handling).
+
+    ``sniff_meta=True`` adds the browser fallback (HTML5 §4.2.5.5):
+    when the header carries no charset, the first 1024 bytes are
+    scanned (as ISO-8859-1 — ASCII-compatible, so the tag text reads
+    correctly regardless of the real encoding) for
+    ``<meta charset=...>`` or the legacy
+    ``<meta http-equiv="Content-Type" content="...charset=...">``
+    form — still one JVM projection, no Python."""
+    from pyspark.sql import SparkSession, functions as F
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        # replacement (U+FFFD) instead of MALFORMED_CHARACTER_CODING
+        # for the strict-decode arms (utf-16) — the browser behavior
+        s.conf.set("spark.sql.legacy.codingErrorAction", "true")
     payload = F.col(payload) if isinstance(payload, str) else payload
     content_type = (F.col(content_type) if isinstance(content_type, str)
                     else content_type)
     cs = F.lower(F.regexp_extract(
         F.coalesce(content_type, F.lit("")),
         r"""(?i)charset\s*=\s*["']?\s*([A-Za-z0-9._\-]+)""", 1))
-    latin1 = F.decode(payload, "ISO-8859-1")
+    if sniff_meta:
+        head = F.decode(F.substring(payload, 1, 1024), "ISO-8859-1")
+        meta = F.lower(F.coalesce(
+            F.nullif(F.regexp_extract(
+                head, r"""(?i)<meta\s[^>]*charset\s*=\s*["']?\s*"""
+                      r"""([A-Za-z0-9._\-]+)""", 1), F.lit("")),
+            F.lit("")))
+        cs = F.when(cs == "", meta).otherwise(cs)
+    latin1 = F.decode(payload, "ISO-8859-1")    # total: every byte maps
+    utf8 = F.make_valid_utf8(payload.cast("string"))
     return (
         F.when(cs.isin("iso-8859-1", "latin-1", "latin1", "iso8859-1",
                        "l1"), latin1)
-         .when(cs.isin("windows-1252", "cp1252", "win-1252"),
+         .when(cs.isin("windows-1252", "cp1252", "win-1252",
+                       "us-ascii", "ascii"),   # WHATWG: ascii -> 1252
                F.translate(latin1, _CP1252_SRC, _CP1252_DST))
-         .when(cs.isin("us-ascii", "ascii"), F.decode(payload, "US-ASCII"))
          .when(cs.isin("utf-16le", "utf16le"), F.decode(payload, "UTF-16LE"))
          .when(cs.isin("utf-16be", "utf16be"), F.decode(payload, "UTF-16BE"))
-         .when(cs.isin("utf-8", "utf8", ""), F.decode(payload, "UTF-8"))
-         .otherwise(F.decode(payload, default_charset.upper())))
+         .when(cs.isin("utf-8", "utf8", ""), utf8)
+         .otherwise(utf8 if default_charset.lower() in ("utf-8", "utf8")
+                    else F.decode(payload, default_charset.upper())))
 
 
 def encode_text_payload(text, charset):

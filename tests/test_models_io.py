@@ -1251,6 +1251,58 @@ def test_warc_charset_payload_text(spark):
         "p binary, ct string")
     [r] = one.select(warc.payload_text("p", "ct").alias("t")).collect()
     assert r["t"] == blk.decode("cp1252")
+    # NEVER-THROW contract: mislabeled and malformed payloads decode
+    # with U+FFFD replacement (the browser behavior), never a
+    # MALFORMED_CHARACTER_CODING task failure — one bad page must not
+    # kill a crawl-scale scan
+    junk = spark.createDataFrame(
+        [(bytearray(b"\x80bad utf8 \xff"), None),
+         (bytearray(b"\x00\xd8lone surrogate"), "x; charset=UTF-16LE"),
+         (bytearray(b"odd"), "x; charset=UTF-16BE"),
+         (bytearray(b"\xfe\xff\x80"), "x; charset=utf-8")],
+        "p binary, ct string")
+    out = [r["t"] for r in
+           junk.select(warc.payload_text("p", "ct").alias("t")).collect()]
+    assert all(isinstance(t, str) for t in out)
+    assert "bad utf8" in out[0] and "�" in out[0]
+    # WHATWG label mapping: us-ascii routes through windows-1252, so
+    # high bytes decode instead of raising
+    [r] = spark.createDataFrame(
+        [(bytearray(b"hi \x93q\x94"), "text/plain; charset=us-ascii")],
+        "p binary, ct string") \
+        .select(warc.payload_text("p", "ct").alias("t")).collect()
+    assert r["t"] == "hi “q”"
+
+    # meta-charset sniffing (HTML5 browser fallback, opt-in): used only
+    # when the HEADER lacks a label; both modern and legacy meta forms;
+    # a tag past the first 1024 bytes is ignored per spec
+    want = "méta çharset €uro"
+    m1 = ('<html><head><meta charset="windows-1252"><title>t</title>'
+          '</head><body>' + want + "</body></html>").encode("cp1252")
+    m2 = ('<html><head><meta http-equiv="Content-Type" '
+          'content="text/html; charset=ISO-8859-1"></head><body>'
+          + "méta çharset latin" + "</body></html>").encode("latin-1")
+    far = (b"<html><head>" + b" " * 1100
+           + '<meta charset="utf-16le">'.encode() + b"</head>x</html>")
+    sniff = spark.createDataFrame(
+        [(bytearray(m1), "text/html"),
+         (bytearray(m2), None),
+         (bytearray(m1), "text/html; charset=UTF-8"),   # header wins
+         (bytearray(far), "text/html")],
+        "p binary, ct string")
+    got = [r["t"] for r in sniff.select(
+        warc.payload_text("p", "ct", sniff_meta=True).alias("t"))
+        .collect()]
+    assert want in got[0]
+    assert "méta çharset latin" in got[1]
+    assert want not in got[2]          # header UTF-8 mojibakes cp1252 €
+    assert "x" in got[3]               # far tag ignored -> utf-8 default
+    # sniffing off: m1 decodes as the default (mojibake for the €)
+    [r] = spark.createDataFrame([(bytearray(m1), "text/html")],
+                                "p binary, ct string") \
+        .select(warc.payload_text("p", "ct").alias("t")).collect()
+    assert want not in r["t"]
+
     # encode_text_payload inverts for every charset arm
     enc = spark.createDataFrame(
         [(t, cs) for t, cs in (("café°", "ISO-8859-1"),
