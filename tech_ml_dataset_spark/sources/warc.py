@@ -717,7 +717,7 @@ _CP1252_DST = bytes(b for b in range(0x80, 0xA0)
 
 
 def payload_text(payload, content_type, *, default_charset: str = "utf-8",
-                 sniff_meta: bool = False):
+                 sniff_meta: bool = False, detect: bool = False):
     """Charset-aware payload -> text Column (r9): real crawl captures
     label their encoding in the Content-Type header
     (``text/html; charset=ISO-8859-1``), and a blind UTF-8 cast turns
@@ -750,7 +750,14 @@ def payload_text(payload, content_type, *, default_charset: str = "utf-8",
     correctly regardless of the real encoding) for
     ``<meta charset=...>`` or the legacy
     ``<meta http-equiv="Content-Type" content="...charset=...">``
-    form — still one JVM projection, no Python."""
+    form — still one JVM projection, no Python.
+
+    ``detect=True`` adds the last-resort content heuristic for pages
+    with NO label anywhere: bytes that validate as UTF-8 decode as
+    UTF-8 (``is_valid_utf8`` — a multi-byte-structured encoding
+    almost never false-positives), everything else as Windows-1252
+    (the WHATWG default legacy encoding) — so an unlabeled Latin page
+    reads correctly instead of spraying U+FFFD."""
     from pyspark.sql import SparkSession, functions as F
 
     s = SparkSession.getActiveSession()
@@ -773,17 +780,24 @@ def payload_text(payload, content_type, *, default_charset: str = "utf-8",
             F.lit("")))
         cs = F.when(cs == "", meta).otherwise(cs)
     latin1 = F.decode(payload, "ISO-8859-1")    # total: every byte maps
+    cp1252 = F.translate(latin1, _CP1252_SRC, _CP1252_DST)
     utf8 = F.make_valid_utf8(payload.cast("string"))
+    unlabeled = utf8
+    if detect:
+        unlabeled = F.when(F.is_valid_utf8(payload.cast("string")),
+                           utf8).otherwise(cp1252)
     return (
         F.when(cs.isin("iso-8859-1", "latin-1", "latin1", "iso8859-1",
                        "l1"), latin1)
          .when(cs.isin("windows-1252", "cp1252", "win-1252",
                        "us-ascii", "ascii"),   # WHATWG: ascii -> 1252
-               F.translate(latin1, _CP1252_SRC, _CP1252_DST))
+               cp1252)
          .when(cs.isin("utf-16le", "utf16le"), F.decode(payload, "UTF-16LE"))
          .when(cs.isin("utf-16be", "utf16be"), F.decode(payload, "UTF-16BE"))
-         .when(cs.isin("utf-8", "utf8", ""), utf8)
-         .otherwise(utf8 if default_charset.lower() in ("utf-8", "utf8")
+         .when(cs == "", unlabeled)
+         .when(cs.isin("utf-8", "utf8"), utf8)
+         .otherwise(unlabeled
+                    if default_charset.lower() in ("utf-8", "utf8")
                     else F.decode(payload, default_charset.upper())))
 
 
@@ -806,6 +820,44 @@ def encode_text_payload(text, charset):
          .when(cs.isin("utf-16le",), F.encode(text, "UTF-16LE"))
          .when(cs.isin("utf-16be",), F.encode(text, "UTF-16BE"))
          .otherwise(F.encode(text, "UTF-8")))
+
+
+def sniff_mime(payload):
+    """Magic-byte MIME sniff (r9) — the router a crawl pipeline needs
+    BEFORE trusting Content-Type labels (servers mislabel constantly;
+    the multimodal decoders need the true format): a pure-Catalyst
+    CASE over the payload's header bytes, fused into the scan. Covers
+    the formats this repo decodes (pdf/png/gif/jpeg/wav/flac/mp3/ogg
+    /gzip/zip/warc), an HTML heuristic over the first 256 bytes, a
+    UTF-8-validity text check, and ``application/octet-stream`` as
+    the honest residue. Signatures are the public magic numbers."""
+    from pyspark.sql import functions as F
+
+    p = F.col(payload) if isinstance(payload, str) else payload
+
+    def pre(sig: bytes):
+        return F.substring(p, 1, len(sig)) == F.lit(sig)
+
+    head = F.lower(F.decode(F.substring(p, 1, 256), "ISO-8859-1"))
+    html = (F.ltrim(head).startswith("<!doctype html")
+            | head.contains("<html"))
+    return (
+        F.when(pre(b"%PDF-"), "application/pdf")
+         .when(pre(b"\x89PNG\r\n\x1a\n"), "image/png")
+         .when(pre(b"GIF87a") | pre(b"GIF89a"), "image/gif")
+         .when(pre(b"\xff\xd8\xff"), "image/jpeg")
+         .when(pre(b"RIFF")
+               & (F.substring(p, 9, 4) == F.lit(b"WAVE")), "audio/wav")
+         .when(pre(b"fLaC"), "audio/flac")
+         .when(pre(b"ID3") | pre(b"\xff\xfb") | pre(b"\xff\xf3"),
+               "audio/mpeg")
+         .when(pre(b"OggS"), "application/ogg")
+         .when(pre(b"\x1f\x8b"), "application/gzip")
+         .when(pre(b"PK\x03\x04"), "application/zip")
+         .when(pre(b"WARC/"), "application/warc")
+         .when(html, "text/html")
+         .when(F.is_valid_utf8(p.cast("string")), "text/plain")
+         .otherwise("application/octet-stream"))
 
 
 def warc_member_index(path: str, *,

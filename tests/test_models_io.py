@@ -1598,3 +1598,59 @@ def test_cdx_index_file_roundtrip(spark, tmp_path):
     assert len(ents3) == len([u for u, _, _ in rows if "site1" in u])
     back3 = warc.read_warc_records(spark, ents3)
     assert all("site1" in r["target_uri"] for r in back3.collect())
+
+
+def test_warc_sniff_mime_and_detect(spark):
+    """r9: magic-byte MIME sniffing (real fixture bytes from the
+    vendored encoders, not hand-typed signatures) and payload_text's
+    detect=True unlabeled-page heuristic (valid UTF-8 -> UTF-8, else
+    Windows-1252 per the WHATWG legacy default)."""
+    import numpy as np
+
+    from tech_ml_dataset_spark.functions import flac, gif, jpeg, pdf, png
+    from tech_ml_dataset_spark.sources import warc
+
+    rng = np.random.RandomState(7)
+    g8 = rng.randint(0, 256, (8, 8), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+    import zlib
+    rec = warc.build_record("https://a/1", "2024-01-01T00:00:00Z", b"x")
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    cases = [
+        (pdf.build_pdf(["mime"]), "application/pdf"),
+        (png.encode(rgb), "image/png"),
+        (gif.encode(g8), "image/gif"),
+        (jpeg.encode(rgb, quant=1), "image/jpeg"),
+        (flac.encode(np.arange(100, dtype=np.int64), subframe="fixed1"),
+         "audio/flac"),
+        (co.compress(rec) + co.flush(), "application/gzip"),
+        (rec, "application/warc"),
+        (b"  <!DOCTYPE HTML><p>x</p>", "text/html"),
+        (b"<html lang=en><body>y", "text/html"),
+        ("plain unicode text ü".encode(), "text/plain"),
+        (b"\x00\x01\x02\xfe\xff", "application/octet-stream"),
+        (b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (b"ID3\x04rest", "audio/mpeg"),
+        (b"OggS\x00rest", "application/ogg"),
+        (b"PK\x03\x04zipdata", "application/zip"),
+    ]
+    df = spark.createDataFrame(
+        [(bytearray(b), want) for b, want in cases], "p binary, want string")
+    for r in df.select("want", warc.sniff_mime("p").alias("got")).collect():
+        assert r["got"] == r["want"], (r["want"], r["got"])
+
+    # detect=True: unlabeled pages route by UTF-8 validity
+    lat = "unlabeled café “smart”".encode("cp1252")
+    uni = "unlabeled δοκιμή".encode("utf-8")
+    df2 = spark.createDataFrame(
+        [(bytearray(lat), None), (bytearray(uni), "text/html")],
+        "p binary, ct string")
+    got = [r["t"] for r in df2.select(
+        warc.payload_text("p", "ct", detect=True).alias("t")).collect()]
+    assert got[0] == "unlabeled café “smart”"
+    assert got[1] == "unlabeled δοκιμή"
+    # detect off: same unlabeled cp1252 page becomes U+FFFD spray
+    [r] = spark.createDataFrame([(bytearray(lat), None)],
+                                "p binary, ct string") \
+        .select(warc.payload_text("p", "ct").alias("t")).collect()
+    assert "�" in r["t"]
