@@ -43,9 +43,14 @@ Surfaces mirror the avro/arrow dataset shape:
   the real CC filter-then-fetch pattern.
 * :func:`write_wet_dataset` / :func:`read_wet_dataset` (r9) — the WET
   extracted-text sibling format (``conversion`` records, text/plain
-  UTF-8 payloads), completing the crawl family.
+  UTF-8 payloads).
+* :func:`wat_metadata` / :func:`write_wat_dataset` /
+  :func:`read_wat_dataset` (r9) — the WAT metadata sibling
+  (``metadata`` records, JSON status/mime/title/links payloads),
+  completing the Common Crawl WARC/WET/WAT triad.
 * :func:`payload_text` / :func:`encode_text_payload` (r9) — charset-
-  aware capture decode by the Content-Type label, pure Catalyst.
+  aware capture decode by the Content-Type label, pure Catalyst,
+  never-throw; :func:`sniff_mime` — magic-byte format routing.
 
 Chained with ``webtext.html_to_text`` + the C4/Gopher/dedup batteries,
 this closes the pipeline at the true entry point: raw crawl archive in,
@@ -534,14 +539,21 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                        content_encoding: str | None = None,
                        transfer_chunked: bool = False,
                        status_col: str | None = None,
-                       content_type_col: str | None = None) -> list[dict]:
+                       content_type_col: str | None = None,
+                       record_type: str = "response",
+                       warc_content_type: str | None = None,
+                       part_suffix: str = ".warc.gz") -> list[dict]:
     """DISTRIBUTED WARC write: one ``part-NNNNN.warc.gz`` per
     partition, every record its own gzip member (the Common Crawl
     layout), executor-side — the avro/arrow sink shape. Returns the
     [{path, n_records}, ...] manifest. ``status_col`` /
     ``content_type_col`` (r9) name per-row columns for the HTTP status
     and Content-Type (overriding the constants) — the fixture levers
-    for status-filtered CDX laws and charset-labeled captures."""
+    for status-filtered CDX laws and charset-labeled captures.
+    ``record_type`` / ``warc_content_type`` / ``part_suffix`` (r9)
+    generalize the sink beyond response records — the WET and WAT
+    sibling writers route through here (conversion / metadata records
+    carry their payload raw, no HTTP envelope)."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -549,7 +561,7 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
 
     def sink(it):
         pid = TaskContext.get().partitionId()
-        out = os.path.join(path, f"part-{pid:05d}.warc.gz")
+        out = os.path.join(path, f"part-{pid:05d}{part_suffix}")
         n = 0
         fh = None
         try:
@@ -569,10 +581,12 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                                                       statuses, ctypes):
                     rec = build_record(str(uri), str(date),
                                        bytes(payload),
+                                       rtype=record_type,
                                        http_status=int(st),
                                        content_type=str(ct),
                                        content_encoding=content_encoding,
-                                       transfer_chunked=transfer_chunked)
+                                       transfer_chunked=transfer_chunked,
+                                       warc_content_type=warc_content_type)
                     # one gzip member per record (CC convention)
                     co = zlib.compressobj(6, zlib.DEFLATED, 31)
                     fh.write(co.compress(rec) + co.flush())
@@ -599,39 +613,17 @@ def write_wet_dataset(df, path: str, *, uri_col: str = "target_uri",
     extract text with html_to_text/payload_text, and re-ship the
     WET-shaped corpus downstream tools expect. Returns the
     [{path, n_records}, ...] manifest."""
-    import pandas as pd
-    from pyspark import TaskContext
+    from pyspark.sql import functions as F
 
-    os.makedirs(path, exist_ok=True)
-
-    def sink(it):
-        pid = TaskContext.get().partitionId()
-        out = os.path.join(path, f"part-{pid:05d}.warc.wet.gz")
-        n = 0
-        fh = None
-        try:
-            for pdf in it:
-                if pdf.empty:
-                    continue
-                if fh is None:
-                    fh = open(out, "wb")
-                for uri, date, text in zip(pdf[uri_col], pdf[date_col],
-                                           pdf[text_col]):
-                    rec = build_record(
-                        str(uri), str(date), str(text).encode("utf-8"),
-                        rtype="conversion",
-                        warc_content_type="text/plain")
-                    co = zlib.compressobj(6, zlib.DEFLATED, 31)
-                    fh.write(co.compress(rec) + co.flush())
-                    n += 1
-        finally:
-            if fh is not None:
-                fh.close()
-        if n:
-            yield pd.DataFrame({"path": [out], "n_records": [n]})
-
-    manifest = df.mapInPandas(sink, "path string, n_records long").collect()
-    return [r.asDict() for r in manifest]
+    recs = df.select(F.col(uri_col), F.col(date_col),
+                     F.encode(F.col(text_col), "UTF-8")
+                      .alias("__wet_payload__"))
+    return write_warc_dataset(recs, path, uri_col=uri_col,
+                              date_col=date_col,
+                              payload_col="__wet_payload__",
+                              record_type="conversion",
+                              warc_content_type="text/plain",
+                              part_suffix=".warc.wet.gz")
 
 
 def read_wet_dataset(spark, path: str | list[str]):
@@ -650,6 +642,80 @@ def read_wet_dataset(spark, path: str | list[str]):
                 .select("target_uri", "warc_date",
                         F.make_valid_utf8(F.col("payload").cast("string"))
                          .alias("text")))
+
+
+_WAT_JSON_DDL = ("status int, mime string, title string, "
+                 "links array<string>")
+
+
+def wat_metadata(df, *, payload_col: str = "payload",
+                 content_type_col: str = "content_type",
+                 status_col: str = "http_status",
+                 out_col: str = "wat_json"):
+    """Compute the WAT-style metadata JSON per response row (r9 — the
+    third Common Crawl sibling format: link-graph and page metadata
+    without the page bytes): status, declared mime, ``<title>``, and
+    every ``href`` link, extracted with pure-Catalyst regexes over the
+    replacement-decoded payload and rendered with ``to_json`` — a
+    map-only projection at 100 TB. The field subset is the part of the
+    published WAT envelope a training/link-graph pipeline consumes."""
+    from pyspark.sql import functions as F
+
+    html = F.make_valid_utf8(F.col(payload_col).cast("string"))
+    links = F.regexp_extract_all(
+        html, F.lit(r"""(?i)href\s*=\s*["']([^"'<>\s]+)"""), F.lit(1))
+    title = F.nullif(F.regexp_replace(F.regexp_extract(
+        html, r"(?is)<title[^>]*>(.*?)</title>", 1),
+        r"^\s+|\s+$", ""), F.lit(""))
+    meta = F.to_json(F.struct(
+        F.col(status_col).cast("int").alias("status"),
+        F.col(content_type_col).alias("mime"),
+        title.alias("title"), links.alias("links")))
+    return df.withColumn(out_col, meta)
+
+
+def write_wat_dataset(df, path: str, *, uri_col: str = "target_uri",
+                      date_col: str = "warc_date",
+                      payload_col: str = "payload",
+                      content_type_col: str = "content_type",
+                      status_col: str = "http_status") -> list[dict]:
+    """DISTRIBUTED WAT write (r9): one ``part-NNNNN.warc.wat.gz`` per
+    partition of ``metadata``-type records whose payload is the
+    :func:`wat_metadata` JSON (WARC-level ``application/json``) —
+    completing the WARC/WET/WAT triad. Input is the
+    :func:`read_warc_dataset` row shape."""
+    from pyspark.sql import functions as F
+
+    recs = wat_metadata(df, payload_col=payload_col,
+                        content_type_col=content_type_col,
+                        status_col=status_col)
+    out = recs.select(F.col(uri_col), F.col(date_col),
+                      F.encode(F.col("wat_json"), "UTF-8")
+                       .alias("__wat_payload__"))
+    return write_warc_dataset(out, path, uri_col=uri_col,
+                              date_col=date_col,
+                              payload_col="__wat_payload__",
+                              record_type="metadata",
+                              warc_content_type="application/json",
+                              part_suffix=".warc.wat.gz")
+
+
+def read_wat_dataset(spark, path: str | list[str]):
+    """DISTRIBUTED WAT read (r9): the streamed WARC scan filtered to
+    ``metadata`` records, JSON parsed with an explicit schema (no
+    sampling pass) and flattened to (target_uri, warc_date, status,
+    mime, title, links)."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc_dataset(spark, path, extension=".wat.gz")
+    parsed = (recs.filter(F.col("record_type") == "metadata")
+                  .select("target_uri", "warc_date",
+                          F.from_json(
+                              F.make_valid_utf8(
+                                  F.col("payload").cast("string")),
+                              _WAT_JSON_DDL).alias("__w__")))
+    return parsed.select("target_uri", "warc_date", "__w__.status",
+                         "__w__.mime", "__w__.title", "__w__.links")
 
 
 def read_warc_records(spark, entries):

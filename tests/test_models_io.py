@@ -1654,3 +1654,38 @@ def test_warc_sniff_mime_and_detect(spark):
                                 "p binary, ct string") \
         .select(warc.payload_text("p", "ct").alias("t")).collect()
     assert "�" in r["t"]
+
+
+def test_wat_roundtrip(spark, tmp_path):
+    """r9: the WAT sibling format — response rows -> metadata JSON
+    records (status, mime, title, href links via pure-Catalyst
+    extraction) -> .warc.wat.gz -> parsed back flattened. Pages
+    without a title or links carry NULL/empty, not wrong values."""
+    from tech_ml_dataset_spark.sources import warc
+
+    html1 = (b"<html><head><title> Page One </title></head><body>"
+             b'<a href="https://x.com/a">a</a> '
+             b"<a href='/rel/b'>b</a></body></html>")
+    html2 = b"<html><body>no title no links</body></html>"
+    rows = [("https://ex.com/1", "2024-01-01T00:00:00Z",
+             bytearray(html1)),
+            ("https://ex.com/2", "2024-01-01T00:00:00Z",
+             bytearray(html2))]
+    df = spark.createDataFrame(
+        rows, "target_uri string, warc_date string, payload binary") \
+        .repartition(2)
+    arc = str(tmp_path / "arc")
+    warc.write_warc_dataset(df, arc)
+    responses = warc.read_warc_dataset(spark, arc)
+    wat = str(tmp_path / "wat")
+    manifest = warc.write_wat_dataset(responses, wat)
+    assert sum(m["n_records"] for m in manifest) == 2
+    assert all(m["path"].endswith(".warc.wat.gz") for m in manifest)
+    back = {r["target_uri"]: r
+            for r in warc.read_wat_dataset(spark, wat).collect()}
+    one = back["https://ex.com/1"]
+    assert one["status"] == 200 and one["mime"] == "text/html"
+    assert one["title"] == "Page One"
+    assert one["links"] == ["https://x.com/a", "/rel/b"]
+    two = back["https://ex.com/2"]
+    assert two["title"] is None and two["links"] == []
