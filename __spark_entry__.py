@@ -1649,6 +1649,129 @@ def robots_filter_docs(spark, sf_dir):
               .orderBy("doc_id")
 
 
+def wat_pipeline_docs(spark, sf_dir):
+    """WAT metadata-format pipeline (r9, rows-only below the fold —
+    oracle promotion planned for the r10 window): law-built HTML
+    responses -> .warc.gz -> read -> write_wat_dataset (status/mime/
+    title/links JSON as metadata records) -> read_wat_dataset ->
+    flattened link counts. The title/link laws make every field
+    closed-form for the r10 oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tech_ml_dataset_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150) \
+        .select("doc_id")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>wat "), i,
+        F.lit("</title></head><body><a href=\"https://x.com/a"), i,
+        F.lit("\">a</a> <a href='/rel/b"), i,
+        F.lit("'>b</a> tail "), ((F.col("doc_id") * 9) % 31).cast("string"),
+        F.lit("</body></html>"))
+    recs = docs.select(
+        F.concat(F.lit("https://ex.com/doc/"), i).alias("target_uri"),
+        F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+        html.cast("binary").alias("payload")).repartition(4)
+    d = tempfile.mkdtemp(prefix="spark_graft_wat_")
+    atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
+    arc = d + "/arc"
+    warcmod.write_warc_dataset(recs, arc)
+    wat = d + "/wat"
+    warcmod.write_wat_dataset(warcmod.read_warc_dataset(spark, arc), wat)
+    back = warcmod.read_wat_dataset(spark, wat)
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
+         .alias("doc_id"),
+        "status", "mime", "title",
+        F.size("links").cast("long").alias("n_links"),
+        F.array_join("links", "|").alias("links_joined")) \
+        .orderBy("doc_id")
+
+
+def sitemap_seed_docs(spark, sf_dir):
+    """Sitemap frontier seeding (r9, rows-only below the fold — oracle
+    promotion planned for r10): law-built robots.txt Sitemap:
+    directives + urlset XML per host -> sitemap_urls_from_robots ->
+    parse_sitemaps -> flat seed rows, every field closed-form."""
+    from tech_ml_dataset_spark.functions import robots as rb
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
+        .select("doc_id")
+    i = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 4).cast("string"),
+                    F.lit(".ex.com"))
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/'
+              'sitemap/0.9"><url><loc>https://'),
+        host, F.lit("/p"), i,
+        F.lit("</loc><priority>0."),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("</priority></url><url><loc>https://"),
+        host, F.lit("/q"), i, F.lit("</loc></url></urlset>"))
+    sm = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/sitemap"), i,
+                 F.lit(".xml")).alias("src"),
+        xml.alias("xml"))
+    out = rb.parse_sitemaps(sm, src_col="src")
+    return out.select("src", "loc", "priority", "is_index") \
+              .orderBy("src", "loc")
+
+
+def mime_route_docs(spark, sf_dir):
+    """Magic-byte format routing (r9, rows-only below the fold —
+    oracle promotion planned for r10): synthesize one real payload per
+    modality arm with the VENDORED encoders (pdf/png/gif/jpeg/flac +
+    html/text/binary law bytes), run warc.sniff_mime, and return the
+    (doc_id, sniffed) pairs — the label-distrusting router the
+    multimodal decoders chain from."""
+    from tech_ml_dataset_spark.sources import warc as warcmod
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
+        .select("doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id")
+    import pandas as pd
+
+    def build(d: int) -> bytes:
+        import numpy as np
+
+        from tech_ml_dataset_spark.functions import (flac, gif, jpeg,
+                                                     pdf, png)
+        arm = d % 8
+        rng = np.random.RandomState(d)
+        if arm == 0:
+            return pdf.build_pdf([f"mime {d}"])
+        if arm == 1:
+            return png.encode(rng.randint(0, 256, (6, 6, 3))
+                              .astype(np.uint8))
+        if arm == 2:
+            return gif.encode(rng.randint(0, 256, (6, 6), dtype=np.uint8))
+        if arm == 3:
+            return jpeg.encode(rng.randint(0, 256, (8, 8, 3))
+                               .astype(np.uint8), quant=1)
+        if arm == 4:
+            return flac.encode(rng.randint(-500, 500, 200)
+                               .astype(np.int64), subframe="fixed1")
+        if arm == 5:
+            return f"<html><body>doc {d}</body></html>".encode()
+        if arm == 6:
+            return f"plain text doc {d} δ".encode()
+        return bytes([0, 1, 254, 255, d % 256])
+
+    def batches(it):
+        for pdf_ in it:
+            pdf_["payload"] = [build(int(x)) for x in pdf_["doc_id"]]
+            yield pdf_
+
+    payloads = binned.mapInPandas(batches, "doc_id long, payload binary")
+    return payloads.select(
+        "doc_id", warcmod.sniff_mime("payload").alias("mime")) \
+        .orderBy("doc_id")
+
+
 def url_quality_docs(spark, sf_dir):
     """URL-level crawl-frontier filtering (webtext.py
     url_quality_signals — RefinedWeb §3.1: reject before fetching):
@@ -3812,6 +3935,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # out (cumulative proof stands), the six r10-deferred backlog
         # queries named above, + the by-design rows-only set. All stay
         # covered by pytest + full verify_local sweeps.
+        # r9 rows-only trio (NO oracle entries yet — oracle promotion
+        # in the r10 window; below-fold placement keeps the first-50
+        # audit clean): WAT pipeline, sitemap seeding, MIME routing
+        "wat_pipeline_docs": wat_pipeline_docs,
+        "sitemap_seed_docs": sitemap_seed_docs,
+        "mime_route_docs": mime_route_docs,
         "filter_project": filter_project,
         "media_meta_docs": media_meta_docs,
         "arrow_roundtrip_events": arrow_roundtrip_events,
