@@ -823,7 +823,13 @@ def payload_text(payload, content_type, *, default_charset: str = "utf-8",
     UTF-8 (``is_valid_utf8`` — a multi-byte-structured encoding
     almost never false-positives), everything else as Windows-1252
     (the WHATWG default legacy encoding) — so an unlabeled Latin page
-    reads correctly instead of spraying U+FFFD."""
+    reads correctly instead of spraying U+FFFD.
+
+    A byte-order mark OUTRULES every other signal (WHATWG "decode"
+    step 1: BOM sniffing precedes the header and meta labels) — EF BB
+    BF / FF FE / FE FF route to UTF-8 / UTF-16LE / UTF-16BE
+    regardless of what the server claimed, and the decoded U+FEFF is
+    stripped from the front of the text on every arm."""
     from pyspark.sql import SparkSession, functions as F
 
     s = SparkSession.getActiveSession()
@@ -845,6 +851,14 @@ def payload_text(payload, content_type, *, default_charset: str = "utf-8",
                       r"""([A-Za-z0-9._\-]+)""", 1), F.lit("")),
             F.lit("")))
         cs = F.when(cs == "", meta).otherwise(cs)
+    # WHATWG decode step 1: the BOM outrules header and meta labels
+    cs = (F.when(F.substring(payload, 1, 3) == F.lit(b"\xef\xbb\xbf"),
+                 F.lit("utf-8"))
+           .when(F.substring(payload, 1, 2) == F.lit(b"\xff\xfe"),
+                 F.lit("utf-16le"))
+           .when(F.substring(payload, 1, 2) == F.lit(b"\xfe\xff"),
+                 F.lit("utf-16be"))
+           .otherwise(cs))
     latin1 = F.decode(payload, "ISO-8859-1")    # total: every byte maps
     cp1252 = F.translate(latin1, _CP1252_SRC, _CP1252_DST)
     utf8 = F.make_valid_utf8(payload.cast("string"))
@@ -852,7 +866,7 @@ def payload_text(payload, content_type, *, default_charset: str = "utf-8",
     if detect:
         unlabeled = F.when(F.is_valid_utf8(payload.cast("string")),
                            utf8).otherwise(cp1252)
-    return (
+    decoded = (
         F.when(cs.isin("iso-8859-1", "latin-1", "latin1", "iso8859-1",
                        "l1"), latin1)
          .when(cs.isin("windows-1252", "cp1252", "win-1252",
@@ -865,6 +879,7 @@ def payload_text(payload, content_type, *, default_charset: str = "utf-8",
          .otherwise(unlabeled
                     if default_charset.lower() in ("utf-8", "utf8")
                     else F.decode(payload, default_charset.upper())))
+    return F.regexp_replace(decoded, "\\A\uFEFF", "")
 
 
 def encode_text_payload(text, charset):

@@ -1639,6 +1639,22 @@ def test_warc_sniff_mime_and_detect(spark):
     for r in df.select("want", warc.sniff_mime("p").alias("got")).collect():
         assert r["got"] == r["want"], (r["want"], r["got"])
 
+    # BOM precedence (WHATWG decode step 1): outrules the header label
+    # and the decoded U+FEFF never leaks into the text
+    bom_cases = [
+        ("﻿BOM wins über".encode("utf-8"),
+         "text/html; charset=ISO-8859-1", "BOM wins über"),
+        ("﻿wide Ω".encode("utf-16-le"), None, "wide Ω"),
+        ("﻿wide be Ω".encode("utf-16-be"),
+         "text/html; charset=utf-8", "wide be Ω"),
+    ]
+    bdf = spark.createDataFrame(
+        [(bytearray(b), ct) for b, ct, _ in bom_cases],
+        "p binary, ct string")
+    got = [r["t"] for r in
+           bdf.select(warc.payload_text("p", "ct").alias("t")).collect()]
+    assert got == [w for _, _, w in bom_cases], got
+
     # detect=True: unlabeled pages route by UTF-8 validity
     lat = "unlabeled café “smart”".encode("cp1252")
     uni = "unlabeled δοκιμή".encode("utf-8")
