@@ -184,7 +184,15 @@ def _fake_decode(data: bytes, height: int = 8, width: int = 8,
     return (arr.astype(np.float32) / 255.0).reshape(height, width, channels)
 
 
+from ..sources.warc import sniff_mime_bytes as _sniff
+
+
 def _try_real_decode(data: bytes):
+    """Route by the SNIFFED format, never a caller's label (r10
+    verdict #5: the shared :func:`warc.sniff_mime_bytes` magic table
+    is the single authority for both the Catalyst scan-side router
+    and this decode-side dispatch — PNG bytes in a column someone
+    labeled 'jpeg' still take the PNG codec)."""
     try:  # pragma: no cover - Pillow absent in this container
         import io
         from PIL import Image
@@ -193,8 +201,10 @@ def _try_real_decode(data: bytes):
         return arr
     except Exception:
         pass
-    from . import jpeg, png
-    if data[:8] == png.SIGNATURE:
+    from ..sources.warc import sniff_mime_bytes
+    mime = sniff_mime_bytes(data)
+    if mime == "image/png":
+        from . import png
         try:  # vendored pure-python codec — REAL decode
             arr = png.decode(data)
         except Exception:  # magic matched but payload malformed -> fake path
@@ -204,7 +214,8 @@ def _try_real_decode(data: bytes):
         elif arr.shape[2] == 4:
             arr = arr[:, :, :3]
         return arr.astype(np.float64) / 255.0
-    if data[:2] == jpeg.SOI:
+    if mime == "image/jpeg":
+        from . import jpeg
         try:  # vendored JFIF codec (baseline + progressive + 12-bit,
             # any subsampling) — REAL decode
             arr = jpeg.decode(data)
@@ -215,8 +226,8 @@ def _try_real_decode(data: bytes):
         # 8-bit decodes are uint8 (/255); 12-bit are uint16 (/4095)
         maxv = 255.0 if arr.dtype == np.uint8 else 4095.0
         return arr.astype(np.float64) / maxv
-    from . import gif
-    if data[:6] in gif.SIGNATURES:
+    if mime == "image/gif":
+        from . import gif
         try:  # vendored LZW codec — REAL decode (first frame)
             arr = gif.decode(data)
         except Exception:  # malformed payload -> fake path
@@ -536,7 +547,10 @@ def audio_fingerprint(df: DataFrame, bin_col: str, out_col: str = "afp",
             fps = []
             for data in pdf[bin_col]:
                 try:
-                    if bytes(data[:4]) == b"fLaC":
+                    # label-distrusting dispatch via the shared
+                    # magic table (r10): FLAC bytes route to the
+                    # FLAC codec whatever the column was called
+                    if _sniff(bytes(data[:16])) == "audio/flac":
                         # vendored FLAC codec (r8) — REAL lossless
                         # decode; same 16-bit-only law as the WAV arm
                         # (other widths would scale-shift the energy
@@ -917,7 +931,10 @@ def audio_features(df: DataFrame, bin_col: str, out_col: str = "audio"
             feats = []
             for data in pdf[bin_col]:
                 try:
-                    if bytes(data[:4]) == b"fLaC":
+                    # label-distrusting dispatch via the shared
+                    # magic table (r10): FLAC bytes route to the
+                    # FLAC codec whatever the column was called
+                    if _sniff(bytes(data[:16])) == "audio/flac":
                         # vendored FLAC codec (r8) — REAL lossless
                         # decode; non-16-bit widths rescale into the
                         # int16 domain so rms keeps the /32768 law

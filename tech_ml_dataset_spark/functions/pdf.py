@@ -58,29 +58,67 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(\s+\d+\s+R)?")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 
 
+def _decode_parms_list(d: bytes, n: int) -> list[bytes | None]:
+    """Parse /DecodeParms (or its /DP alias) into a list of per-filter
+    parameter dicts aligned with an ``n``-entry /Filter chain (ISO
+    32000 §7.3.8.2: when /Filter is an array, /DecodeParms is a
+    parallel array of dicts-or-null). A single dict with a multi-
+    filter chain is malformed per spec; real writers that emit it
+    mean the FINAL (usually Flate) filter, so it lands on the last
+    slot. Dicts here are flat (/Predictor /Colors /Columns /Bits
+    PerComponent /EarlyChange), so the non-greedy ``<<.*?>>`` match
+    is exact."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(\[|<<|null)", d)
+    if not m or m.group(1) == b"null":
+        return [None] * n
+    if m.group(1) == b"<<":
+        dm = re.compile(rb"<<.*?>>", re.S).match(d, m.start(1))
+        entry = dm.group(0) if dm else None
+        return [None] * (n - 1) + [entry]
+    out: list[bytes | None] = []
+    pos = m.end(1)
+    tok_re = re.compile(rb"\s*(<<.*?>>|null|\])", re.S)
+    while len(out) < n:
+        c = tok_re.match(d, pos)
+        if c is None or c.group(1) == b"]":
+            break
+        out.append(None if c.group(1) == b"null" else c.group(1))
+        pos = c.end()
+    return out + [None] * (n - len(out))
+
+
 def _decode_filters(d: bytes, raw: bytes) -> bytes | None:
     """Apply the stream dict's /Filter chain (array order). Supported:
     FlateDecode, LZWDecode (honoring /EarlyChange 0), ASCII85Decode,
     RunLengthDecode — chains like [/ASCII85Decode /FlateDecode]
     included — plus /Predictor DecodeParms (r9): TIFF horizontal
     differencing (2) and the PNG row predictors (10-15: None/Sub/Up/
-    Average/Paeth per the row tag byte), un-applied after the filter
-    chain per ISO 32000 §7.4.4.4 — real writers predictor-encode xref
-    and occasionally content streams. Returns None (caller skips the
-    stream, never mis-parses) for image filters (DCT/JBIG2/JPX/CCITT),
-    unknown predictors, or undecodable payloads."""
+    Average/Paeth per the row tag byte). Per r10 ADVICE, /DecodeParms
+    is parsed as the PARALLEL ARRAY ISO 32000 §7.3.8.2 defines, and
+    each entry's predictor (and /EarlyChange) is un-applied right
+    after ITS OWN filter — a predictor belonging to a non-final
+    filter in a chain no longer runs at the wrong stage. Returns None
+    (caller skips the stream, never mis-parses) for image filters
+    (DCT/JBIG2/JPX/CCITT), unknown predictors, or undecodable
+    payloads."""
     m = _FILTER_RE.search(d)
     if not m:
         return raw
     names = re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+    parms = _decode_parms_list(d, len(names))
+
+    def param(entry: bytes | None, name: bytes, default: int) -> int:
+        g = re.search(rb"/" + name + rb"\s+(\d+)", entry or b"")
+        return int(g.group(1)) if g else default
+
     body = raw
-    for nm in names:
+    for nm, entry in zip(names, parms):
         if nm in (b"FlateDecode", b"Fl"):
             body = _inflate(body)
             if body is None:
                 return None
         elif nm in (b"LZWDecode", b"LZW"):
-            em = re.search(rb"/EarlyChange\s+(\d+)", d)
+            em = re.search(rb"/EarlyChange\s+(\d+)", entry or d)
             try:
                 body = _lzw_decode(body,
                                    early=int(em.group(1)) if em else 1)
@@ -98,20 +136,26 @@ def _decode_filters(d: bytes, raw: bytes) -> bytes | None:
                 return None
         else:
             return None                     # image/other filter: skip
-    pm = re.search(rb"/Predictor\s+(\d+)", d)
-    if pm and int(pm.group(1)) > 1:
-        pred = int(pm.group(1))
-
-        def param(name: bytes, default: int) -> int:
-            g = re.search(rb"/" + name + rb"\s+(\d+)", d)
-            return int(g.group(1)) if g else default
-
-        try:
-            body = _unpredict(body, pred, param(b"Colors", 1),
-                              param(b"BitsPerComponent", 8),
-                              param(b"Columns", 1))
-        except ValueError:
-            return None
+        pred = param(entry, b"Predictor", 1)
+        if pred > 1:
+            try:
+                body = _unpredict(body, pred, param(entry, b"Colors", 1),
+                                  param(entry, b"BitsPerComponent", 8),
+                                  param(entry, b"Columns", 1))
+            except ValueError:
+                return None
+    if not any(parms):
+        # nonstandard bare /Predictor outside DecodeParms: honor it
+        # after the chain (pre-r10 behavior) rather than mis-parse
+        pm = re.search(rb"/Predictor\s+(\d+)", d)
+        if pm and int(pm.group(1)) > 1:
+            try:
+                body = _unpredict(body, int(pm.group(1)),
+                                  param(d, b"Colors", 1),
+                                  param(d, b"BitsPerComponent", 8),
+                                  param(d, b"Columns", 1))
+            except ValueError:
+                return None
     return body
 
 

@@ -88,20 +88,29 @@ def parse_robots_text(text: str, agent: str = "*"
     if cur_agents:
         groups.append((cur_agents, cur_rules))
 
-    best: list[tuple[str, bool]] | None = None
+    # RFC 9309 §2.2.1: rules from EVERY group whose agent line matches
+    # at the winning specificity MUST be combined — real robots.txt
+    # files routinely carry two ``User-agent: *`` blocks (r10 ADVICE:
+    # electing a single group silently dropped the second block's
+    # Disallow rules). Two passes: find the best specificity, then
+    # merge all groups that tie it.
     best_spec = -1
-    for agents, rules in groups:
+    group_specs: list[int] = []
+    for agents, _ in groups:
+        spec = -1
         for a in agents:
             if a == "*":
-                spec = 0
+                spec = max(spec, 0)
             elif a and a in agent:
-                spec = len(a)
-            else:
-                continue
-            if spec > best_spec:
-                best_spec, best = spec, rules
-    if best is None:
+                spec = max(spec, len(a))
+        group_specs.append(spec)
+        best_spec = max(best_spec, spec)
+    if best_spec < 0:
         return []
+    best: list[tuple[str, bool]] = []
+    for (agents, rules), spec in zip(groups, group_specs):
+        if spec == best_spec:
+            best.extend(rules)
     return [(p, _pattern_regex(p), allow, len(p.encode()))
             for p, allow in best]
 
@@ -230,11 +239,14 @@ def robots_filter(urls: DataFrame, rules: DataFrame, *,
     a pure projection — ``array_max`` over the matching rules'
     (spec_len, allow) structs, so no second shuffle, no window, and
     frontier row identity/multiplicity is untouched."""
+    # (?i) on the scheme: URI schemes are case-insensitive (RFC 3986
+    # §3.1) — an uppercase HTTPS:// URL must still extract its host
+    # and hit the rules join (r10 ADVICE).
     host = F.lower(F.regexp_extract(
-        url_col, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+        url_col, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
     host = F.regexp_replace(host, r":\d+$", "")     # strip port
     path = F.regexp_extract(
-        url_col, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+        url_col, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     per_host = rules.groupBy(F.col("host").alias("__host__")).agg(
         F.collect_list(F.struct("spec_len", "allow", "regex"))

@@ -22,11 +22,14 @@ Surfaces mirror the avro/arrow dataset shape:
   indexes for that; per-FILE parallelism matches how CC distributes
   work, ~1 GB per file x 64k files per crawl).
 * ``response`` records surface as (target_uri, warc_date, record_type,
-  http_status, content_type, payload bytes) — the HTTP header block is
-  parsed off the payload, ``Transfer-Encoding: chunked`` framing is
-  removed, and ``Content-Encoding: gzip/deflate`` bodies decompress
-  (r9 — what the WET format exists for; raw-bytes fallback on
-  malformed framing, loud raise past the 1 GiB bomb guard); other
+  http_status, content_type, payload bytes, content_decoded) — the
+  HTTP header block is parsed off the payload, ``Transfer-Encoding:
+  chunked`` framing is removed, and ``Content-Encoding: gzip/deflate``
+  bodies decompress (r9 — what the WET format exists for; raw-bytes
+  fallback on malformed framing, loud raise past the 1 GiB bomb
+  guard). ``content_decoded`` (r10) is False when a layer was LEFT
+  UNDECODED (``br``/``zstd``/unknown coding, malformed stream or
+  framing) so a filter can gate out raw-fallback bodies; other
   record types (request, metadata, warcinfo) surface with NULL http
   fields and their raw payload.
 * :func:`write_warc_dataset` — one ``part-NNNNN.warc.gz`` per
@@ -219,25 +222,29 @@ def _dechunk(body: bytes):
         pos += size + 2
 
 
-def _inflate_member(data: bytes, wbits: int):
-    """Inflate one zlib/gzip stream bounded by :data:`_MAX_HTTP_BODY`.
-    Returns (decoded bytes, unused trailing input) or ``None`` on a
-    truncated/corrupt stream; an output that would exceed the bomb
-    guard raises loudly (it is not malformed input — it is an attack
-    or a mis-sized capture, and silently truncating it would corrupt
-    downstream text)."""
+def _inflate_member(data: bytes, wbits: int,
+                    budget: int = _MAX_HTTP_BODY):
+    """Inflate one zlib/gzip stream bounded by ``budget`` (the
+    REMAINING payload budget, so a multi-member chain shares one
+    aggregate :data:`_MAX_HTTP_BODY` cap — r10 ADVICE: a per-member
+    cap would let N concatenated ~1 GiB members decompress to N GiB
+    in one task). Returns (decoded bytes, unused trailing input) or
+    ``None`` on a truncated/corrupt stream; an output that would
+    exceed the bomb guard raises loudly (it is not malformed input —
+    it is an attack or a mis-sized capture, and silently truncating
+    it would corrupt downstream text)."""
     d = zlib.decompressobj(wbits)
     out = bytearray()
     try:
-        out += d.decompress(data, _MAX_HTTP_BODY + 1)
+        out += d.decompress(data, budget + 1)
         while not d.eof and d.unconsumed_tail:
-            if len(out) > _MAX_HTTP_BODY:
+            if len(out) > budget:
                 break
             out += d.decompress(d.unconsumed_tail,
-                                _MAX_HTTP_BODY + 1 - len(out))
+                                budget + 1 - len(out))
     except zlib.error:
         return None
-    if len(out) > _MAX_HTTP_BODY:
+    if len(out) > budget:
         raise ValueError("http payload decompresses past the 1 GiB "
                          "bomb guard")
     if not d.eof:
@@ -262,7 +269,10 @@ def _decode_content(body: bytes, encoding: str):
             out = bytearray()
             rest = body
             while rest:
-                dec = _inflate_member(rest, 31)
+                # remaining aggregate budget, not a fresh per-member
+                # cap — the guard bounds the whole decoded payload
+                dec = _inflate_member(rest, 31,
+                                      _MAX_HTTP_BODY - len(out))
                 if dec is None:
                     return None
                 chunk, rest = dec
@@ -282,7 +292,8 @@ def _decode_content(body: bytes, encoding: str):
 
 
 def _split_http(payload: bytes):
-    """(status, content_type, body) from an HTTP response payload.
+    """(status, content_type, body, decoded) from an HTTP response
+    payload.
 
     The body is DECODED the way a browser would see it (r9 — the gap
     the WET format exists for): ``Transfer-Encoding: chunked`` framing
@@ -291,12 +302,21 @@ def _split_http(payload: bytes):
     size lines or compressed bytes. Real Common Crawl response records
     carry both constantly. Malformed framing or an undecodable coding
     falls back to the raw body — never a mis-parse; a decompression
-    bomb past 1 GiB raises loudly."""
+    bomb past 1 GiB raises loudly.
+
+    ``decoded`` (r10 — the last silent wrong-shape path, verdict #2)
+    is False when any layer was LEFT UNDECODED: a ``Content-Encoding``
+    chain with an unknown coding (``br``/``zstd`` — no codec libs in
+    this environment) or a malformed stream, or chunked framing that
+    would not parse. Callers gate on it instead of feeding compressed
+    bytes shaped like a payload into downstream text extraction. A
+    payload with no framing and no codings to undo is
+    ``decoded=True``."""
     if not payload.startswith(b"HTTP/"):
-        return None, None, payload
+        return None, None, payload, True
     he = payload.find(_CRLF + _CRLF)
     if he == -1:
-        return None, None, payload
+        return None, None, payload, True
     lines = payload[:he].split(_CRLF)
     try:
         status = int(lines[0].split()[1])
@@ -313,26 +333,31 @@ def _split_http(payload: bytes):
         elif k == b"content-encoding" and cenc is None:
             cenc = v.strip().decode("latin-1")
     body = payload[he + 4:]
+    ok = True
     if tenc and "chunked" in tenc:
         dechunked = _dechunk(body)
         if dechunked is not None:
             body = dechunked
+        else:
+            ok = False                  # malformed framing: raw fallback
     if cenc:
         decoded = _decode_content(body, cenc)
         if decoded is not None:
             body = decoded
-    return status, ctype, body
+        else:
+            ok = False                  # unknown/malformed coding: raw
+    return status, ctype, body, ok
 
 
 def _record_row(headers, payload):
     rtype = headers.get("warc-type")
     status = ctype = None
-    body = payload
+    body, decoded = payload, True
     if rtype == "response":
-        status, ctype, body = _split_http(payload)
+        status, ctype, body, decoded = _split_http(payload)
     return (headers.get("warc-target-uri"),
             headers.get("warc-date"), rtype, status, ctype,
-            bytearray(body))
+            bytearray(body), decoded)
 
 
 def read_warc_file(path: str, *, chunk_size: int = 1 << 20):
@@ -353,7 +378,8 @@ def read_warc_file(path: str, *, chunk_size: int = 1 << 20):
 
 
 _WARC_DDL = ("target_uri string, warc_date string, record_type string, "
-             "http_status int, content_type string, payload binary")
+             "http_status int, content_type string, payload binary, "
+             "content_decoded boolean")
 
 
 def _warc_file_list(path, extension: str) -> list[str]:
@@ -376,7 +402,8 @@ def _warc_file_list(path, extension: str) -> list[str]:
 def read_warc_dataset(spark, path: str | list[str],
                       *, extension: str = ".warc.gz",
                       record_splits: bool = False,
-                      split_bytes: int = 32 << 20):
+                      split_bytes: int = 32 << 20,
+                      include_revisit: bool = False):
     """DISTRIBUTED WARC read. Default: file-list plan source, one task
     per archive file (the Common Crawl work unit — ~1 GB x 64k files
     per crawl), records parsed executor-side in streaming bounded
@@ -389,7 +416,15 @@ def read_warc_dataset(spark, path: str | list[str],
     :func:`warc_member_index`) and groups them into ~``split_bytes``
     byte ranges; the ranges then fan out as a record-level-parallel
     scan (:func:`read_warc_records`). Only (path, offset, length)
-    triples cross the driver — never record bytes."""
+    triples cross the driver — never record bytes.
+
+    ``revisit`` records are FILTERED by default (r10, verdict #4):
+    Common Crawl's dedupe-aware archives carry them as body-less
+    references to an earlier identical capture (WARC 1.1 §6.7), and a
+    naive payload aggregation would count each as an empty document.
+    Pass ``include_revisit=True`` to surface them (record_type
+    ``revisit``, payload = the record block as stored — typically
+    empty or the revisited HTTP headers)."""
     files = _warc_file_list(path, extension)
 
     if record_splits:
@@ -423,7 +458,8 @@ def read_warc_dataset(spark, path: str | list[str],
                       "path string, off long, len long").collect()]
         if not splits:                      # present-but-empty archives
             return spark.createDataFrame([], _WARC_DDL)
-        return read_warc_records(spark, splits)
+        return read_warc_records(spark, splits,
+                                 include_revisit=include_revisit)
 
     fdf = spark.createDataFrame([(f,) for f in files],
                                 "__warc_file__ string")
@@ -435,7 +471,19 @@ def read_warc_dataset(spark, path: str | list[str],
             for p in pdf["__warc_file__"]:
                 yield from _row_batches(read_warc_file(p))
 
-    return fdf.mapInPandas(batches, _WARC_DDL)
+    out = fdf.mapInPandas(batches, _WARC_DDL)
+    return out if include_revisit else _drop_revisit(out)
+
+
+def _drop_revisit(df):
+    """Catalyst-side revisit filter (null-safe: a malformed record
+    with no ``WARC-Type`` keeps flowing — it is not a revisit). The
+    filter sits AFTER the scan, not inside the Python reader: revisit
+    bodies are bytes-tiny so the decode cost is nil, and keeping the
+    reader single-shape lets one scan serve both settings."""
+    from pyspark.sql import functions as F
+
+    return df.filter(~F.col("record_type").eqNullSafe("revisit"))
 
 
 def _row_batches(rows_iter, *, max_rows: int = 256,
@@ -448,7 +496,8 @@ def _row_batches(rows_iter, *, max_rows: int = 256,
     def frame(rows):
         return pd.DataFrame(
             rows, columns=["target_uri", "warc_date", "record_type",
-                           "http_status", "content_type", "payload"]) \
+                           "http_status", "content_type", "payload",
+                           "content_decoded"]) \
             .astype({"http_status": "Int64"})
 
     rows, nbytes = [], 0
@@ -496,7 +545,8 @@ def build_record(uri: str, date: str, payload: bytes, *,
                  content_encoding: str | None = None,
                  transfer_chunked: bool = False,
                  chunk_size: int = 64,
-                 warc_content_type: str | None = None) -> bytes:
+                 warc_content_type: str | None = None,
+                 raw_http: bool = False) -> bytes:
     """One spec-valid WARC record (with an HTTP response envelope for
     ``response`` records) — the fixture/sink builder.
 
@@ -504,8 +554,17 @@ def build_record(uri: str, date: str, payload: bytes, *,
     bodies real crawl captures carry (CE applied first, then TE
     chunking — the sender order, RFC 9112 §6.1): a chunked body gets
     no ``Content-Length`` header and its WARC ``Content-Length``
-    still spans the full envelope, exactly like live captures."""
-    if rtype == "response":
+    still spans the full envelope, exactly like live captures.
+
+    ``raw_http=True`` (r10) writes the payload VERBATIM as the
+    response block — what a real crawler does with bytes captured off
+    the wire (the payload must already be a full HTTP envelope). The
+    lever that lets fixtures carry codings this library refuses to
+    decode (br/zstd) so the ``content_decoded=false`` read-side
+    contract is testable end to end."""
+    if rtype == "response" and raw_http:
+        http = payload
+    elif rtype == "response":
         body = payload
         extra = b""
         if content_encoding:
@@ -542,7 +601,9 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                        content_type_col: str | None = None,
                        record_type: str = "response",
                        warc_content_type: str | None = None,
-                       part_suffix: str = ".warc.gz") -> list[dict]:
+                       part_suffix: str = ".warc.gz",
+                       raw_http: bool = False,
+                       record_type_col: str | None = None) -> list[dict]:
     """DISTRIBUTED WARC write: one ``part-NNNNN.warc.gz`` per
     partition, every record its own gzip member (the Common Crawl
     layout), executor-side — the avro/arrow sink shape. Returns the
@@ -553,7 +614,10 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
     ``record_type`` / ``warc_content_type`` / ``part_suffix`` (r9)
     generalize the sink beyond response records — the WET and WAT
     sibling writers route through here (conversion / metadata records
-    carry their payload raw, no HTTP envelope)."""
+    carry their payload raw, no HTTP envelope). ``raw_http`` /
+    ``record_type_col`` (r10): write payloads that are ALREADY full
+    HTTP envelopes verbatim (what a live crawler stores), and vary
+    the WARC record type per row (revisit-mixed fixture archives)."""
     import pandas as pd
     from pyspark import TaskContext
 
@@ -575,18 +639,21 @@ def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
                 ctypes = (pdf[content_type_col]
                           if content_type_col is not None
                           else [content_type] * len(pdf))
-                for uri, date, payload, st, ct in zip(pdf[uri_col],
-                                                      pdf[date_col],
-                                                      pdf[payload_col],
-                                                      statuses, ctypes):
+                rtypes = (pdf[record_type_col]
+                          if record_type_col is not None
+                          else [record_type] * len(pdf))
+                for uri, date, payload, st, ct, rt in zip(
+                        pdf[uri_col], pdf[date_col], pdf[payload_col],
+                        statuses, ctypes, rtypes):
                     rec = build_record(str(uri), str(date),
                                        bytes(payload),
-                                       rtype=record_type,
+                                       rtype=str(rt),
                                        http_status=int(st),
                                        content_type=str(ct),
                                        content_encoding=content_encoding,
                                        transfer_chunked=transfer_chunked,
-                                       warc_content_type=warc_content_type)
+                                       warc_content_type=warc_content_type,
+                                       raw_http=raw_http)
                     # one gzip member per record (CC convention)
                     co = zlib.compressobj(6, zlib.DEFLATED, 31)
                     fh.write(co.compress(rec) + co.flush())
@@ -718,7 +785,7 @@ def read_wat_dataset(spark, path: str | list[str]):
                          "__w__.mime", "__w__.title", "__w__.links")
 
 
-def read_warc_records(spark, entries):
+def read_warc_records(spark, entries, *, include_revisit: bool = False):
     """CDX-style record-range read — the actual Common Crawl access
     pattern: the crawl ships ``cdx`` indexes mapping each capture to
     ``(warc file, byte offset, compressed length)``, and consumers
@@ -767,7 +834,8 @@ def read_warc_records(spark, entries):
         for pdf in it:
             yield from _row_batches(range_rows(pdf))
 
-    return fdf.mapInPandas(batches, _WARC_DDL)
+    out = fdf.mapInPandas(batches, _WARC_DDL)
+    return out if include_revisit else _drop_revisit(out)
 
 
 # cp1252's 0x80-0x9F block: the bytes where Windows-1252 differs from
@@ -783,7 +851,8 @@ _CP1252_DST = bytes(b for b in range(0x80, 0xA0)
 
 
 def payload_text(payload, content_type, *, default_charset: str = "utf-8",
-                 sniff_meta: bool = False, detect: bool = False):
+                 sniff_meta: bool = False, detect: bool = False,
+                 set_coding_error_action: bool = True):
     """Charset-aware payload -> text Column (r9): real crawl captures
     label their encoding in the Content-Type header
     (``text/html; charset=ISO-8859-1``), and a blind UTF-8 cast turns
@@ -829,14 +898,27 @@ def payload_text(payload, content_type, *, default_charset: str = "utf-8",
     step 1: BOM sniffing precedes the header and meta labels) — EF BB
     BF / FF FE / FE FF route to UTF-8 / UTF-16LE / UTF-16BE
     regardless of what the server claimed, and the decoded U+FEFF is
-    stripped from the front of the text on every arm."""
+    stripped from the front of the text on every arm.
+
+    SESSION-WIDE SIDE EFFECT (documented per r10 ADVICE): building
+    this Column sets ``spark.sql.legacy.codingErrorAction=true`` on
+    the ACTIVE SESSION — it must hold at execution time (not build
+    time), so it cannot be save/restored here, and it switches every
+    ``F.decode`` in the session from strict MALFORMED_CHARACTER_CODING
+    errors to U+FFFD replacement. That is the behavior a crawl
+    pipeline wants everywhere, but callers who need strict decode
+    elsewhere can pass ``set_coding_error_action=False`` and manage
+    the conf themselves (the UTF-16 arms then raise on malformed
+    input)."""
     from pyspark.sql import SparkSession, functions as F
 
-    s = SparkSession.getActiveSession()
-    if s is not None:
-        # replacement (U+FFFD) instead of MALFORMED_CHARACTER_CODING
-        # for the strict-decode arms (utf-16) — the browser behavior
-        s.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    if set_coding_error_action:
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            # replacement (U+FFFD) instead of MALFORMED_CHARACTER_
+            # CODING for the strict-decode arms (utf-16) — the
+            # browser behavior; see the docstring's side-effect note
+            s.conf.set("spark.sql.legacy.codingErrorAction", "true")
     payload = F.col(payload) if isinstance(payload, str) else payload
     content_type = (F.col(content_type) if isinstance(content_type, str)
                     else content_type)
@@ -903,6 +985,51 @@ def encode_text_payload(text, charset):
          .otherwise(F.encode(text, "UTF-8")))
 
 
+#: Public magic-number table shared by the Catalyst :func:`sniff_mime`
+#: and the Python-side :func:`sniff_mime_bytes` (r10 verdict #5: one
+#: authority, so the scan-side router and the decode-side router
+#: cannot drift). Ordered: earlier rows win (GIF before the generic
+#: two-byte mp3 frame-sync prefixes, etc.).
+_MIME_MAGIC: list[tuple[bytes, str]] = [
+    (b"%PDF-", "application/pdf"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"fLaC", "audio/flac"),
+    (b"ID3", "audio/mpeg"),
+    (b"\xff\xfb", "audio/mpeg"),
+    (b"\xff\xf3", "audio/mpeg"),
+    (b"OggS", "application/ogg"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"WARC/", "application/warc"),
+]
+
+
+def sniff_mime_bytes(data: bytes) -> str:
+    """Python-side mirror of :func:`sniff_mime` over one payload's
+    bytes (r10) — the label-distrusting gate the multimodal decoders
+    route through inside their ``mapInPandas`` batches, built from
+    the SAME :data:`_MIME_MAGIC` table as the Catalyst sniffer (a
+    drift between the two routers would send a payload down a codec
+    the scan-side audit said it wasn't)."""
+    data = bytes(data[:256])
+    for sig, mime in _MIME_MAGIC:
+        if data.startswith(sig):
+            return mime
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "audio/wav"
+    head = data.decode("iso-8859-1").lower()
+    if head.lstrip().startswith("<!doctype html") or "<html" in head:
+        return "text/html"
+    try:
+        data.decode("utf-8")
+        return "text/plain"
+    except UnicodeDecodeError:
+        return "application/octet-stream"
+
+
 def sniff_mime(payload):
     """Magic-byte MIME sniff (r9) — the router a crawl pipeline needs
     BEFORE trusting Content-Type labels (servers mislabel constantly;
@@ -911,7 +1038,9 @@ def sniff_mime(payload):
     the formats this repo decodes (pdf/png/gif/jpeg/wav/flac/mp3/ogg
     /gzip/zip/warc), an HTML heuristic over the first 256 bytes, a
     UTF-8-validity text check, and ``application/octet-stream`` as
-    the honest residue. Signatures are the public magic numbers."""
+    the honest residue. Signatures are the public magic numbers in
+    the shared :data:`_MIME_MAGIC` table (one authority with
+    :func:`sniff_mime_bytes` — r10)."""
     from pyspark.sql import functions as F
 
     p = F.col(payload) if isinstance(payload, str) else payload
@@ -922,23 +1051,16 @@ def sniff_mime(payload):
     head = F.lower(F.decode(F.substring(p, 1, 256), "ISO-8859-1"))
     html = (F.ltrim(head).startswith("<!doctype html")
             | head.contains("<html"))
+    out = None
+    for sig, mime in _MIME_MAGIC:
+        out = (F.when(pre(sig), mime) if out is None
+               else out.when(pre(sig), mime))
     return (
-        F.when(pre(b"%PDF-"), "application/pdf")
-         .when(pre(b"\x89PNG\r\n\x1a\n"), "image/png")
-         .when(pre(b"GIF87a") | pre(b"GIF89a"), "image/gif")
-         .when(pre(b"\xff\xd8\xff"), "image/jpeg")
-         .when(pre(b"RIFF")
-               & (F.substring(p, 9, 4) == F.lit(b"WAVE")), "audio/wav")
-         .when(pre(b"fLaC"), "audio/flac")
-         .when(pre(b"ID3") | pre(b"\xff\xfb") | pre(b"\xff\xf3"),
-               "audio/mpeg")
-         .when(pre(b"OggS"), "application/ogg")
-         .when(pre(b"\x1f\x8b"), "application/gzip")
-         .when(pre(b"PK\x03\x04"), "application/zip")
-         .when(pre(b"WARC/"), "application/warc")
-         .when(html, "text/html")
-         .when(F.is_valid_utf8(p.cast("string")), "text/plain")
-         .otherwise("application/octet-stream"))
+        out.when(pre(b"RIFF")
+                 & (F.substring(p, 9, 4) == F.lit(b"WAVE")), "audio/wav")
+           .when(html, "text/html")
+           .when(F.is_valid_utf8(p.cast("string")), "text/plain")
+           .otherwise("application/octet-stream"))
 
 
 def warc_member_index(path: str, *,
@@ -1120,7 +1242,7 @@ def build_cdx_index(archive_path: str, index_path: str, *,
         uri = hdrs.get("warc-target-uri") or ""
         date = hdrs.get("warc-date") or ""
         ts = "".join(ch for ch in date if ch.isdigit())[:14].ljust(14, "0")
-        status, _, _ = _split_http(payload)
+        status, _, _, _ = _split_http(payload)
         rec = {"url": uri, "filename": os.path.basename(archive_path),
                "offset": str(off), "length": str(ln)}
         if status is not None:

@@ -1181,8 +1181,8 @@ def test_warc_http_payload_decoding(spark, tmp_path):
         rec = warc.build_record("https://a/x", "2024-01-01T00:00:00Z",
                                 body, **kw)
         [(_, payload)] = list(warc._parse_records(rec))
-        status, _, out = warc._split_http(payload)
-        assert (status, out) == (200, body), kw
+        status, _, out, ok = warc._split_http(payload)
+        assert (status, out, ok) == (200, body, True), kw
 
     import zlib
     # raw-deflate server bug: zlib-unwrapped stream still decodes
@@ -1396,11 +1396,13 @@ def test_warc_record_laws(tmp_path):
     f.write_bytes(gzip.compress(r1) + gzip.compress(r2))
     rows = list(warc.read_warc_file(str(f)))
     assert len(rows) == 2
-    uri, _, rtype, status, ctype, body = rows[0]
+    uri, _, rtype, status, ctype, body, dec = rows[0]
+    assert dec is True
     assert (uri, rtype, status, ctype) == ("https://a/1", "response",
                                            200, "image/png")
     assert bytes(body) == b"\x00\xffbinary body"
-    uri2, _, rtype2, status2, ctype2, body2 = rows[1]
+    uri2, _, rtype2, status2, ctype2, body2, dec2 = rows[1]
+    assert dec2 is True
     assert (rtype2, status2, ctype2) == ("metadata", None, None)
     assert bytes(body2) == b'{"k": 1}'
     # truncated Content-Length
@@ -1705,3 +1707,113 @@ def test_wat_roundtrip(spark, tmp_path):
     assert one["links"] == ["https://x.com/a", "/rel/b"]
     two = back["https://ex.com/2"]
     assert two["title"] is None and two["links"] == []
+
+
+def test_warc_content_decoded_flag(spark, tmp_path):
+    """r10 (verdict #2 — the last silent wrong-shape path): a capture
+    whose Content-Encoding the library cannot decode (br/zstd: no
+    codec libs here) or whose chunked framing is malformed surfaces
+    with ``content_decoded=false`` and the RAW bytes, so downstream
+    filters can gate instead of feeding compressed bytes into text
+    extraction; fully-decoded and unframed captures are ``true``."""
+    import gzip
+
+    from tech_ml_dataset_spark.sources import warc
+
+    def wrap(http, uri=b"https://f/x"):
+        head = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + uri + b"\r\n"
+                b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                b"Content-Length: %d\r\n\r\n" % len(http))
+        return head + http + b"\r\n\r\n"
+
+    br_body = b"\x8b\x03\x80fake-brotli"
+    br_http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+               b"Content-Encoding: br\r\n"
+               b"Content-Length: %d\r\n\r\n" % len(br_body)) + br_body
+    bad_chunk = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                 b"Transfer-Encoding: chunked\r\n\r\nZZ\r\nnot hex")
+    ok_rec = warc.build_record("https://f/ok", "2024-01-01T00:00:00Z",
+                               b"<p>plain ok</p>",
+                               content_encoding="gzip",
+                               transfer_chunked=True)
+    # direct law: (status, ctype, body, decoded)
+    st, _, body, dec = warc._split_http(br_http)
+    assert (st, dec) == (200, False) and body == br_body
+    assert warc._split_http(bad_chunk)[3] is False
+    f = tmp_path / "flag.warc.gz"
+    f.write_bytes(gzip.compress(wrap(br_http))
+                  + gzip.compress(wrap(bad_chunk, b"https://f/chunk"))
+                  + gzip.compress(ok_rec))
+    rows = warc.read_warc_dataset(spark, str(f)) \
+        .select("target_uri", "content_decoded").collect()
+    got = {r["target_uri"]: r["content_decoded"] for r in rows}
+    assert got == {"https://f/x": False, "https://f/chunk": False,
+                   "https://f/ok": True}
+    # the undecoded payload is the raw (still-compressed) bytes
+    raw = {r["target_uri"]: bytes(r["payload"])
+           for r in warc.read_warc_dataset(spark, str(f)).collect()}
+    assert raw["https://f/x"] == br_body
+    assert raw["https://f/ok"] == b"<p>plain ok</p>"
+
+
+def test_warc_revisit_records(spark, tmp_path):
+    """r10 (verdict #4): Common Crawl dedupe archives carry ``revisit``
+    records — body-less references to an earlier identical capture
+    (WARC 1.1 §6.7). Default read FILTERS them (a naive aggregation
+    would count each as an empty document); ``include_revisit=True``
+    surfaces them; the CDX range reader honors the same default."""
+    import gzip
+
+    from tech_ml_dataset_spark.sources import warc
+
+    resp = warc.build_record("https://r/1", "2024-01-01T00:00:00Z",
+                             b"<p>first capture</p>")
+    revi = warc.build_record("https://r/1", "2024-02-01T00:00:00Z",
+                             b"", rtype="revisit")
+    meta = warc.build_record("https://r/1", "2024-02-01T00:00:00Z",
+                             b"{}", rtype="metadata")
+    f = tmp_path / "re.warc.gz"
+    f.write_bytes(gzip.compress(resp) + gzip.compress(revi)
+                  + gzip.compress(meta))
+    types = sorted(r["record_type"] for r in
+                   warc.read_warc_dataset(spark, str(f)).collect())
+    assert types == ["metadata", "response"]
+    types_all = sorted(
+        r["record_type"] for r in
+        warc.read_warc_dataset(spark, str(f),
+                               include_revisit=True).collect())
+    assert types_all == ["metadata", "response", "revisit"]
+    # CDX-range path: same default
+    entries = [(str(f), off, ln)
+               for _, off, ln in warc.warc_member_index(str(f))]
+    assert sorted(r["record_type"] for r in
+                  warc.read_warc_records(spark, entries).collect()) \
+        == ["metadata", "response"]
+    assert sorted(r["record_type"] for r in
+                  warc.read_warc_records(
+                      spark, entries,
+                      include_revisit=True).collect()) \
+        == ["metadata", "response", "revisit"]
+
+
+def test_warc_bomb_guard_is_aggregate(monkeypatch):
+    """r10 ADVICE (medium): the 1 GiB decompression-bomb guard bounds
+    the WHOLE multi-member Content-Encoding chain, not each member —
+    N concatenated members share one budget, so a crafted N×1 GiB
+    payload raises instead of decompressing to N GiB in one task."""
+    import zlib
+
+    from tech_ml_dataset_spark.sources import warc
+
+    def gz(data):
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+
+    member = gz(b"x" * 80)
+    monkeypatch.setattr(warc, "_MAX_HTTP_BODY", 100)
+    # one 80-byte member fits the 100-byte budget
+    assert warc._decode_content(member, "gzip") == b"x" * 80
+    # two members would aggregate to 160 > 100: loud raise
+    with pytest.raises(ValueError, match="bomb"):
+        warc._decode_content(member + member, "gzip")

@@ -1094,3 +1094,81 @@ def test_flac_through_audio_operators(spark):
     # ...but features still extract (rescaled into the int16 domain)
     feat = mm.audio_features(df24, "flc").collect()[0]["audio"]
     assert feat is not None and feat["n_samples"] == 1000
+
+
+def test_pdf_decodeparms_array_per_filter():
+    """r10 ADVICE: with parallel /Filter and /DecodeParms ARRAYS (ISO
+    32000 §7.3.8.2), each predictor is un-applied right after ITS OWN
+    filter — a predictor belonging to a NON-final filter no longer
+    runs at the wrong stage; a malformed single-dict DecodeParms with
+    an array chain lands on the final filter (the real-writer
+    intent); an explicit null entry means no parms for that filter."""
+    import zlib as z
+
+    from tech_ml_dataset_spark.functions import pdf
+
+    content = b"BT /F1 12 Tf (parms array) Tj ET"
+
+    def doc(filters, parms, body):
+        return (b"%PDF-1.4\n1 0 obj\n<< /Length "
+                + str(len(body)).encode() + b" /Filter " + filters
+                + b" /DecodeParms " + parms + b" >>\nstream\n" + body
+                + b"\nendstream\nendobj\n%%EOF")
+
+    # predictor on the FIRST filter of [/FlateDecode /ASCII85Decode]:
+    # decode = inflate -> unpredict -> a85; encode is the reverse
+    body1 = z.compress(pdf._predict_encode(
+        pdf._ascii85_encode(content), 12, 1, 8, 5))
+    d1 = doc(b"[/FlateDecode /ASCII85Decode]",
+             b"[<< /Predictor 12 /Columns 5 >> null]", body1)
+    assert pdf.extract_text(d1) == "parms array"
+    # per-filter parms on BOTH entries (predictor + EarlyChange)
+    body2 = z.compress(pdf._predict_encode(
+        pdf._lzw_encode(content, early=0), 2, 1, 8, 7))
+    d2 = doc(b"[/FlateDecode /LZWDecode]",
+             b"[<< /Predictor 2 /Columns 7 >> << /EarlyChange 0 >>]",
+             body2)
+    assert pdf.extract_text(d2) == "parms array"
+    # malformed single dict + array chain: belongs to the LAST filter
+    body3 = pdf._ascii85_encode(z.compress(
+        pdf._predict_encode(content, 12, 1, 8, 5)))
+    d3 = doc(b"[/ASCII85Decode /FlateDecode]",
+             b"<< /Predictor 12 /Columns 5 >>", body3)
+    assert pdf.extract_text(d3) == "parms array"
+
+
+def test_mime_sniffer_single_authority(spark):
+    """r10 (verdict #5): the Python-side decode routers and the
+    Catalyst scan-side sniffer consume ONE shared magic table —
+    sniff_mime_bytes agrees with sniff_mime on every fixture class,
+    and decode routing follows the SNIFFED format, never the label:
+    PNG bytes 'labeled' jpeg still take the PNG codec."""
+    import numpy as np
+
+    from tech_ml_dataset_spark.functions import multimodal as mm, png
+    from tech_ml_dataset_spark.sources import warc
+
+    fixtures = [
+        b"%PDF-1.4 x", b"\x89PNG\r\n\x1a\n0000", b"GIF89a\x10\x00",
+        b"\xff\xd8\xff\xe0jfif", b"RIFF\x00\x00\x00\x00WAVEfmt ",
+        b"fLaC\x00\x00", b"ID3\x04tag", b"OggS\x00", b"\x1f\x8b\x08",
+        b"PK\x03\x04zip", b"WARC/1.0\r\n", b"<!DOCTYPE html><p>x",
+        b"  <HTML><body>", b"plain utf-8 text",
+        b"\xfe\xff\xff\x00garbage\x00\xff",
+    ]
+    py = [warc.sniff_mime_bytes(b) for b in fixtures]
+    df = spark.createDataFrame([(bytearray(b),) for b in fixtures],
+                               "payload binary")
+    jvm = [r[0] for r in
+           df.select(warc.sniff_mime("payload")).collect()]
+    assert py == jvm
+    # label-distrusting decode: PNG bytes in a 'jpeg'-named column
+    rgb = (np.arange(4 * 3 * 3) % 251).astype(np.uint8).reshape(4, 3, 3)
+    png_bytes = png.encode(rgb)
+    rows = mm.decode_image(
+        spark.createDataFrame([(bytearray(png_bytes),)],
+                              "jpeg_payload binary"),
+        "jpeg_payload").collect()
+    img = rows[0]["image"]
+    assert img["decode_real"] is True
+    assert (img["height"], img["width"]) == (4, 3)

@@ -512,8 +512,8 @@ def test_warc_record_roundtrip_property(payload, uri, cenc, chunked,
                             chunk_size=chunk_size)
     [(headers, body)] = list(warc._parse_records(rec))
     assert headers["warc-target-uri"] == "https://" + uri
-    status, ctype, inner = warc._split_http(body)
-    assert status == 200 and inner == payload
+    status, ctype, inner, decoded = warc._split_http(body)
+    assert status == 200 and inner == payload and decoded is True
     # two concatenated records parse as two (framing never bleeds)
     assert len(list(warc._parse_records(rec + rec))) == 2
 

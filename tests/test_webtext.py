@@ -364,3 +364,59 @@ def test_sitemap_parsing(spark):
         rb.parse_sitemap_text("<rss></rss>")
     with _pytest.raises(ValueError, match="loc"):
         rb.parse_sitemap_text("<urlset><url></url></urlset>")
+
+
+def test_robots_tied_groups_merge(spark):
+    """RFC 9309 §2.2.1 (r10 ADVICE): rules from EVERY group whose
+    agent match ties the winning specificity MUST combine — a second
+    ``User-agent: *`` block (common in real robots.txt) contributes
+    its rules instead of being silently dropped; a more-specific
+    named-agent group still excludes the ``*`` groups entirely."""
+    from tech_ml_dataset_spark.functions import robots as rb
+
+    txt = ("User-agent: *\nDisallow: /a\n\n"
+           "User-agent: *\nDisallow: /b\nAllow: /b/ok\n\n"
+           "User-agent: special\nDisallow: /s\n")
+    got = rb.parse_robots_text(txt, agent="anybot")
+    assert [(p, a) for p, _, a, _ in got] == \
+        [("/a", False), ("/b", False), ("/b/ok", True)]
+    assert [(p, a) for p, _, a, _
+            in rb.parse_robots_text(txt, agent="special/2.0")] == \
+        [("/s", False)]
+    # two groups naming the same specific agent also merge
+    txt2 = ("User-agent: bot\nDisallow: /x\n\n"
+            "User-agent: bot\nDisallow: /y\n")
+    assert [(p, a) for p, _, a, _
+            in rb.parse_robots_text(txt2, agent="bot")] == \
+        [("/x", False), ("/y", False)]
+    # end-to-end: the second * block's Disallow now bites
+    rules = rb.parse_robots(spark.createDataFrame(
+        [("m.com", txt)], "host string, robots_txt string"))
+    urls = spark.createDataFrame(
+        [("https://m.com/a/1",), ("https://m.com/b/1",),
+         ("https://m.com/b/ok",), ("https://m.com/free",)],
+        "url string")
+    got2 = {r["url"]: r["robots_allowed"]
+            for r in rb.robots_filter(urls, rules).collect()}
+    assert got2 == {"https://m.com/a/1": False,
+                    "https://m.com/b/1": False,
+                    "https://m.com/b/ok": True,
+                    "https://m.com/free": True}
+
+
+def test_robots_filter_uppercase_scheme(spark):
+    """r10 ADVICE: URI schemes are case-insensitive (RFC 3986 §3.1) —
+    an uppercase HTTPS:// URL must still extract its host, hit the
+    rules join, and be disallowed when the host disallows it."""
+    from tech_ml_dataset_spark.functions import robots as rb
+
+    rules = rb.parse_robots(spark.createDataFrame(
+        [("b.com", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string"))
+    urls = spark.createDataFrame(
+        [("HTTPS://B.COM/x",), ("Http://b.com/y",),
+         ("https://ok.com/z",)], "url string")
+    got = {r["url"]: r["robots_allowed"]
+           for r in rb.robots_filter(urls, rules).collect()}
+    assert got == {"HTTPS://B.COM/x": False, "Http://b.com/y": False,
+                   "https://ok.com/z": True}
