@@ -44,6 +44,12 @@ Surfaces mirror the avro/arrow dataset shape:
   url, status, path, off, len), one task per index file: filter the
   INDEX with Spark predicates, then range-read only the survivors —
   the real CC filter-then-fetch pattern.
+* :func:`build_columnar_index` / :func:`read_columnar_index` /
+  :func:`fetch_index_records` (r10) — the PARQUET columnar index
+  (the modern cc-index access path): index predicates run as
+  Catalyst pushdown + row-group pruning instead of line-splitting
+  gzip text, with a ``content_mime_detected`` sniff column and
+  revisit rows typed for pre-fetch exclusion.
 * :func:`write_wet_dataset` / :func:`read_wet_dataset` (r9) — the WET
   extracted-text sibling format (``conversion`` records, text/plain
   UTF-8 payloads).
@@ -1351,3 +1357,112 @@ def read_cdx_meta(spark, path: str | list[str], *,
                         .astype({"status": "Int64"})
 
     return fdf.mapInPandas(batches, _CDX_DDL)
+
+
+# ---------------------------------------------------------------------------
+# columnar (parquet) index — the modern Common Crawl cc-index shape
+# ---------------------------------------------------------------------------
+
+#: Field subset of the published Common Crawl columnar index
+#: (cc-index table; commoncrawl.org "Index to WARC Files and URLs in
+#: Columnar Format"): SURT key + url + time + label/detected mime +
+#: status + (file, offset, length) fetch triple. ``content_mime_
+#: detected`` is this repo's :func:`sniff_mime_bytes` over the DECODED
+#: body head — the label-distrusting column (the published table uses
+#: a content-detection pass for the same reason).
+_CC_INDEX_DDL = ("url_surtkey string, url string, fetch_time string, "
+                 "record_type string, content_mime_type string, "
+                 "content_mime_detected string, fetch_status int, "
+                 "content_decoded boolean, warc_filename string, "
+                 "warc_record_offset long, warc_record_length long")
+
+
+def build_columnar_index(spark, archives, index_path: str, *,
+                         extension: str = ".warc.gz") -> int:
+    """DISTRIBUTED columnar index build (r10) — the PARQUET index the
+    modern Common Crawl access path queries instead of flat CDXJ
+    files: one task per archive walks gzip member boundaries
+    (:func:`warc_member_index`, O(chunk) memory) and peeks each
+    record's WARC + HTTP headers into an index row; the rows land as
+    parquet via the ordinary distributed sink, sorted within
+    partitions by ``url_surtkey`` so row groups carry tight min/max
+    ranges for SURT-prefix pruning.
+
+    Why parquet beats CDXJ at 100 TB: index predicates (host prefix,
+    status, mime) become Catalyst pushdown + row-group pruning on a
+    columnar scan — the index query reads only the columns and row
+    groups it needs, instead of decompressing and string-splitting
+    every line of ~300 gzip text files. Revisit records are indexed
+    with their ``record_type`` so consumers can exclude them BEFORE
+    fetching. Returns the number of index rows written."""
+    import io as iomod
+
+    import pandas as pd
+
+    files = _warc_file_list(archives, extension)
+    fdf = spark.createDataFrame([(f,) for f in files],
+                                "__warc_file__ string")
+    if len(files) > 1:
+        fdf = fdf.repartition(len(files))
+
+    def batches(it):
+        for pdf in it:
+            for p in pdf["__warc_file__"]:
+                rows = []
+                for _, off, ln in warc_member_index(p):
+                    with open(p, "rb") as f:
+                        f.seek(off)
+                        raw = f.read(ln)
+                    hdrs, payload = next(_iter_records_stream(
+                        _gzip_chunks(iomod.BytesIO(raw))))
+                    rtype = hdrs.get("warc-type")
+                    uri = hdrs.get("warc-target-uri") or ""
+                    date = hdrs.get("warc-date") or ""
+                    status = mime = detected = None
+                    decoded = True
+                    if rtype == "response":
+                        status, mime, body, decoded = _split_http(payload)
+                        detected = sniff_mime_bytes(body[:256])
+                    rows.append((_surt(uri), uri, date, rtype, mime,
+                                 detected, status, decoded,
+                                 os.path.basename(p), off, ln))
+                if rows:
+                    yield pd.DataFrame(rows, columns=[
+                        "url_surtkey", "url", "fetch_time",
+                        "record_type", "content_mime_type",
+                        "content_mime_detected", "fetch_status",
+                        "content_decoded", "warc_filename",
+                        "warc_record_offset", "warc_record_length"]) \
+                        .astype({"fetch_status": "Int64"})
+
+    idx = fdf.mapInPandas(batches, _CC_INDEX_DDL) \
+             .sortWithinPartitions("url_surtkey")
+    idx.write.mode("overwrite").parquet(index_path)
+    return spark.read.parquet(index_path).count()
+
+
+def read_columnar_index(spark, index_path: str):
+    """Plain parquet scan of a :func:`build_columnar_index` table —
+    deliberately thin so Catalyst keeps full pushdown: a
+    ``.filter(fetch_status == 200)`` lands in the scan's
+    PushedFilters (pytest-pinned), and column pruning means a
+    filter-then-fetch touches only the predicate columns plus the
+    (filename, offset, length) triple."""
+    return spark.read.parquet(index_path)
+
+
+def fetch_index_records(spark, index_df, base_dir: str, *,
+                        include_revisit: bool = False):
+    """Range-fetch the records a FILTERED columnar-index frame points
+    at: resolves ``warc_filename`` against ``base_dir`` (the
+    published index stores basenames/crawl-relative names) and feeds
+    the (path, offset, length) triples into
+    :func:`read_warc_records`. Only the filtered triples ever cross
+    the driver — filter the index BEFORE calling this (the whole
+    point of the columnar shape)."""
+    sel = index_df.select("warc_filename", "warc_record_offset",
+                          "warc_record_length").collect()
+    entries = [(os.path.join(base_dir, r[0]), int(r[1]), int(r[2]))
+               for r in sel]
+    return read_warc_records(spark, entries,
+                             include_revisit=include_revisit)

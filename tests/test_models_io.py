@@ -1817,3 +1817,61 @@ def test_warc_bomb_guard_is_aggregate(monkeypatch):
     # two members would aggregate to 160 > 100: loud raise
     with pytest.raises(ValueError, match="bomb"):
         warc._decode_content(member + member, "gzip")
+
+
+def test_columnar_index_roundtrip(spark, tmp_path):
+    """r10: the parquet columnar index (the modern cc-index access
+    shape) — distributed build walks member boundaries and peeks
+    WARC+HTTP headers; the index carries the sniffed mime and types
+    revisit rows; a filtered index fetches exactly the records its
+    predicates select; and index predicates reach the parquet scan
+    as pushed filters (the point of the columnar shape)."""
+    import gzip
+
+    from tech_ml_dataset_spark.sources import warc
+
+    arcs = tmp_path / "arcs"
+    arcs.mkdir()
+    recs = [warc.build_record(f"https://h{i % 2}.ex.com/p/{i}",
+                              "2024-01-01T00:00:00Z",
+                              f"<html><b>doc {i}</b></html>".encode(),
+                              http_status=404 if i == 3 else 200)
+            for i in range(5)]
+    recs.append(warc.build_record("https://h0.ex.com/p/0",
+                                  "2024-02-01T00:00:00Z", b"",
+                                  rtype="revisit"))
+    (arcs / "a.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs[:3]))
+    (arcs / "b.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs[3:]))
+
+    n = warc.build_columnar_index(spark, str(arcs), str(tmp_path / "idx"))
+    assert n == 6
+    idx = warc.read_columnar_index(spark, str(tmp_path / "idx"))
+    assert set(idx.columns) == {
+        "url_surtkey", "url", "fetch_time", "record_type",
+        "content_mime_type", "content_mime_detected", "fetch_status",
+        "content_decoded", "warc_filename", "warc_record_offset",
+        "warc_record_length"}
+    rows = {(r["url"], r["fetch_time"]): r for r in idx.collect()}
+    assert len(rows) == 6
+    # revisit typed in the index (pre-fetch excludable)
+    assert rows[("https://h0.ex.com/p/0",
+                 "2024-02-01T00:00:00Z")]["record_type"] == "revisit"
+    # sniffed mime distrusts nothing here: html bodies detect as html
+    assert rows[("https://h1.ex.com/p/1",
+                 "2024-01-01T00:00:00Z")]["content_mime_detected"] \
+        == "text/html"
+    # filter-then-fetch: 200s on host h0, responses only
+    sel = idx.filter((F.col("fetch_status") == 200)
+                     & F.col("url_surtkey").startswith("com,ex,h0)"))
+    back = warc.fetch_index_records(spark, sel, str(arcs))
+    got = sorted(bytes(r["payload"]).decode()
+                 for r in back.collect())
+    assert got == ["<html><b>doc 0</b></html>",
+                   "<html><b>doc 2</b></html>",
+                   "<html><b>doc 4</b></html>"]
+    # predicate pushdown reaches the parquet scan
+    plan = idx.filter(F.col("fetch_status") == 200) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "fetch_status" in plan
