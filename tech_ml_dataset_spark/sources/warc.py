@@ -193,6 +193,96 @@ def _parse_records(data: bytes):
     yield from _iter_records_stream((data,))
 
 
+def _assemble_segments(records):
+    """Reassemble WARC 1.1 segmented records (r10 — the last record
+    shape that could silently surface WRONG-SHAPED payloads): a
+    record carrying ``WARC-Segment-Number: 1`` holds only the FIRST
+    fragment of its block, and the ``continuation`` records that
+    follow (``WARC-Segment-Origin-ID`` naming the first segment's
+    record id, the final one carrying ``WARC-Segment-Total-Length``)
+    hold the rest. Without assembly, a segmented response's fragment-1
+    bytes parse as a complete HTTP body — truncated content shaped
+    like a document.
+
+    Streaming contract preserved: segments of one record are written
+    sequentially (the spec's storage convention), so at most ONE
+    logical record is buffered — the same O(record) bound as the
+    plain parser. Violations fail LOUDLY, matching the
+    truncated-gzip-member precedent: an interleaved foreign record
+    mid-assembly, a continuation with no open assembly, a total-length
+    mismatch, or input ending mid-assembly all raise ValueError
+    rather than emit truncated payloads."""
+    open_headers = None                 # first segment's headers
+    parts: list[bytes] = []
+    origin_id = None
+    total = None
+
+    def finish():
+        headers = dict(open_headers)
+        payload = b"".join(parts)
+        for k in ("warc-segment-number", "warc-segment-origin-id",
+                  "warc-segment-total-length"):
+            headers.pop(k, None)
+        headers["content-length"] = str(len(payload))
+        return headers, payload
+
+    for headers, payload in records:
+        seg = headers.get("warc-segment-number")
+        if seg is None:
+            if open_headers is not None:
+                raise ValueError(
+                    "warc: unsegmented record interleaved into an open "
+                    "segment assembly (origin %r)" % origin_id)
+            yield headers, payload
+            continue
+        try:
+            seg_n = int(seg)
+        except ValueError:
+            raise ValueError(f"warc: non-numeric WARC-Segment-Number "
+                             f"{seg!r}") from None
+        if seg_n == 1:
+            if open_headers is not None:
+                raise ValueError(
+                    "warc: new segment run started before the previous "
+                    "assembly (origin %r) completed" % origin_id)
+            open_headers = headers
+            parts = [payload]
+            origin_id = headers.get("warc-record-id")
+            total = None
+            continue
+        if open_headers is None:
+            raise ValueError(
+                "warc: continuation segment %d with no open assembly"
+                % seg_n)
+        oid = headers.get("warc-segment-origin-id")
+        if oid is not None and origin_id is not None and oid != origin_id:
+            raise ValueError(
+                "warc: continuation origin %r does not match the open "
+                "assembly %r (interleaved segment runs unsupported)"
+                % (oid, origin_id))
+        parts.append(payload)
+        tl = headers.get("warc-segment-total-length")
+        if tl is not None:
+            try:
+                total = int(tl)
+            except ValueError:
+                raise ValueError(
+                    f"warc: non-numeric WARC-Segment-Total-Length "
+                    f"{tl!r}") from None
+            got = sum(len(p) for p in parts)
+            if got != total:
+                raise ValueError(
+                    "warc: segment total-length mismatch (declared %d, "
+                    "assembled %d)" % (total, got))
+            yield finish()
+            open_headers, parts, origin_id, total = None, [], None, None
+    if open_headers is not None:
+        raise ValueError(
+            "warc: input ended mid-segment-assembly (origin %r) — the "
+            "final WARC-Segment-Total-Length record never arrived"
+            % origin_id)
+
+
 # Decompression-bomb guard for HTTP-level Content-Encoding: a single
 # crawl capture legitimately reaches tens of MB decompressed; 1 GiB is
 # far past any real page and bounds a crafted bomb to one task's heap.
@@ -379,7 +469,8 @@ def read_warc_file(path: str, *, chunk_size: int = 1 << 20):
         f.seek(0)
         chunks = (_gzip_chunks(f, chunk_size) if head == b"\x1f\x8b"
                   else _file_chunks(f, chunk_size))
-        for headers, payload in _iter_records_stream(chunks):
+        for headers, payload in _assemble_segments(
+                _iter_records_stream(chunks)):
             yield _record_row(headers, payload)
 
 
@@ -423,6 +514,10 @@ def read_warc_dataset(spark, path: str | list[str],
     byte ranges; the ranges then fan out as a record-level-parallel
     scan (:func:`read_warc_records`). Only (path, offset, length)
     triples cross the driver — never record bytes.
+    ``record_splits=True`` assumes UNSEGMENTED archives (Common
+    Crawl's are): a split boundary falling inside a WARC 1.1 segment
+    run would leave a partial assembly, which raises loudly — use the
+    default file-per-task path for segmented input.
 
     ``revisit`` records are FILTERED by default (r10, verdict #4):
     Common Crawl's dedupe-aware archives carry them as body-less
@@ -595,6 +690,58 @@ def build_record(uri: str, date: str, payload: bytes, *,
                 + _CRLF) if warc_content_type else b"")
             + b"Content-Length: %d" % len(http) + _CRLF + _CRLF)
     return head + http + _CRLF + _CRLF
+
+
+def build_segmented_record(uri: str, date: str, payload: bytes, *,
+                           segments: int = 2, rtype: str = "response",
+                           http_status: int = 200,
+                           content_type: str = "text/html",
+                           record_id: str = "<urn:uuid:seg-fixture-1>"
+                           ) -> list[bytes]:
+    """Fixture builder for a WARC 1.1 segmented record run (the
+    producer :func:`_assemble_segments` reads back): the record's
+    block — HTTP envelope + body for ``response`` types — is split
+    into ``segments`` parts; part 1 keeps the original record type
+    plus ``WARC-Segment-Number: 1``, parts 2..N are ``continuation``
+    records naming the origin id, and the final part carries
+    ``WARC-Segment-Total-Length``. Returns the record byte strings in
+    storage order (gzip each as its own member for the CC layout)."""
+    if rtype == "response":
+        http = (b"HTTP/1.1 %d OK\r\nContent-Type: %s\r\n"
+                b"Content-Length: %d\r\n\r\n"
+                % (http_status, content_type.encode("latin-1"),
+                   len(payload))) + payload
+    else:
+        http = payload
+    n = max(2, int(segments))
+    step = max(1, (len(http) + n - 1) // n)
+    parts = [http[i:i + step] for i in range(0, len(http), step)]         or [b""]
+    uri_b, date_b = uri.encode("latin-1"), date.encode("latin-1")
+    rid = record_id.encode("latin-1")
+    recs = []
+    for k, part in enumerate(parts, 1):
+        if k == 1:
+            head = (b"WARC/1.0\r\nWARC-Type: "
+                    + rtype.encode("latin-1") + _CRLF
+                    + b"WARC-Record-ID: " + rid + _CRLF
+                    + b"WARC-Target-URI: " + uri_b + _CRLF
+                    + b"WARC-Date: " + date_b + _CRLF
+                    + b"WARC-Segment-Number: 1" + _CRLF
+                    + b"Content-Length: %d" % len(part)
+                    + _CRLF + _CRLF)
+        else:
+            tail = (b"WARC-Segment-Total-Length: %d" % len(http)
+                    + _CRLF) if k == len(parts) else b""
+            head = (b"WARC/1.0\r\nWARC-Type: continuation" + _CRLF
+                    + b"WARC-Segment-Origin-ID: " + rid + _CRLF
+                    + b"WARC-Segment-Number: %d" % k + _CRLF
+                    + b"WARC-Target-URI: " + uri_b + _CRLF
+                    + b"WARC-Date: " + date_b + _CRLF
+                    + tail
+                    + b"Content-Length: %d" % len(part)
+                    + _CRLF + _CRLF)
+        recs.append(head + part + _CRLF + _CRLF)
+    return recs
 
 
 def write_warc_dataset(df, path: str, *, uri_col: str = "target_uri",
@@ -833,7 +980,11 @@ def read_warc_records(spark, entries, *, include_revisit: bool = False):
                 chunks = _gzip_chunks(iomod.BytesIO(raw))
             else:
                 chunks = (raw,)
-            for headers, payload in _iter_records_stream(chunks):
+            # segment assembly applies per range: a CDX entry for a
+            # segmented record must span its whole member run (real
+            # crawl indexes do; a partial range raises loudly)
+            for headers, payload in _assemble_segments(
+                    _iter_records_stream(chunks)):
                 yield _record_row(headers, payload)
 
     def batches(it):
