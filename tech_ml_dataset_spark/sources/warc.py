@@ -715,7 +715,12 @@ def build_segmented_record(uri: str, date: str, payload: bytes, *,
         http = payload
     n = max(2, int(segments))
     step = max(1, (len(http) + n - 1) // n)
-    parts = [http[i:i + step] for i in range(0, len(http), step)]         or [b""]
+    parts = [http[i:i + step] for i in range(0, len(http), step)]
+    if len(parts) < 2:
+        # a run needs its terminating continuation (the total-length
+        # carrier): blocks shorter than the requested split count get
+        # an empty final segment — spec-legal and still a real run
+        parts = (parts or [b""]) + [b""]
     uri_b, date_b = uri.encode("latin-1"), date.encode("latin-1")
     rid = record_id.encode("latin-1")
     recs = []

@@ -691,3 +691,35 @@ def test_sitemap_roundtrip_property(entries, index):
              index)
             for loc, lastmod, freq, pr in entries]
     assert got == want
+
+
+@given(hs.binary(max_size=600), hs.integers(2, 7),
+       hs.sampled_from(["response", "resource"]))
+@_codec_settings(60)
+def test_warc_segment_assembly_property(payload, segments, rtype):
+    """r10: WARC 1.1 segment assembly round-trips any payload at any
+    split count — the merged record carries the full block (HTTP
+    parsed for response types), segment headers are stripped, and
+    Content-Length is rewritten; dropping the final segment always
+    raises (truncated run, never a partial payload)."""
+    from tech_ml_dataset_spark.sources import warc
+
+    segs = warc.build_segmented_record(
+        "https://p.ex.com/x", "2024-01-01T00:00:00Z", payload,
+        segments=segments, rtype=rtype)
+    blob = b"".join(segs)
+    [(headers, block)] = list(
+        warc._assemble_segments(warc._parse_records(blob)))
+    assert "warc-segment-number" not in headers
+    assert int(headers["content-length"]) == len(block)
+    if rtype == "response":
+        status, _, body, ok = warc._split_http(block)
+        assert (status, ok, body) == (200, True, payload)
+    else:
+        assert block == payload
+    if len(segs) > 1:
+        import pytest
+
+        with pytest.raises(ValueError, match="mid-segment"):
+            list(warc._assemble_segments(
+                warc._parse_records(b"".join(segs[:-1]))))
