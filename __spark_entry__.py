@@ -1630,6 +1630,27 @@ def warc_charset_docs(spark, sf_dir):
          .alias("text_md5")).orderBy("doc_id")
 
 
+def token_mix_docs(spark, sf_dir):
+    """Token-budget source mixing (r10, text.token_budget_mix — the
+    Dolma/FineWeb recipe step: give each source a token budget
+    total*weight/sum(weights) and keep its deterministic
+    md5-priority prefix of documents whose inclusive running token
+    sum fits). Sources src0-src3 weighted 4/3/2/1 over a 3000-token
+    total, token counts from token_count over the real text. The
+    two-phase bucket cut (map-side (source,bucket) sums + driver
+    prefix + boundary-bucket-only window) is bit-identical to the
+    window-cumsum law the staged oracle replays. Rows-only this
+    round per the r9 staged-promotion precedent (COVERAGE.md holds
+    the VERIFIED draft; promotion takes an r11 window slot)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "text")
+    d = docs.withColumn("n_tokens", txt.token_count(F.col("text")))
+    out = txt.token_budget_mix(
+        d, {"src0": 4.0, "src1": 3.0, "src2": 2.0, "src3": 1.0},
+        total_tokens=3000)
+    return out.select("doc_id", "source", "n_tokens").orderBy("doc_id")
+
+
 def warc_content_flag_docs(spark, sf_dir):
     """The ``content_decoded`` honesty flag + revisit filtering,
     oracle-gated end to end (r10 verdict #2/#4 — the last silent
@@ -4120,6 +4141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + the by-design rows-only set. All remain covered by
         # pytest + full verify_local sweeps.
         "minmax_scale_acctbal": minmax_scale_acctbal,
+        # r10 rows-only (staged-oracle precedent; draft verified in
+        # COVERAGE.md, promotion takes an r11 window slot)
+        "token_mix_docs": token_mix_docs,
         "warc_http_decode_docs": warc_http_decode_docs,
         "warc_cdx_meta_fetch_docs": warc_cdx_meta_fetch_docs,
         "warc_charset_docs": warc_charset_docs,

@@ -1798,3 +1798,91 @@ def normalize_unicode(df: DataFrame, text_col: str = "text", *,
             F.col(out_col),
             "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]", ""))
     return out
+
+
+def token_budget_mix(df: DataFrame, weights: dict[str, float], *,
+                     total_tokens: int,
+                     source_col: str = "source",
+                     tokens_col: str = "n_tokens",
+                     id_col: str = "doc_id",
+                     seed: int = 0,
+                     bucket_hex_digits: int = 3) -> DataFrame:
+    """Token-budget SOURCE MIXING (r10) — the recipe step every
+    published pretraining pipeline ends with (Dolma's mixer,
+    FineWeb's per-dump proportions, the classic "60% web / 30% code /
+    10% books BY TOKEN COUNT"): give each source a token budget
+    ``total_tokens * weight / sum(weights)`` and keep, per source,
+    the deterministic priority-ordered prefix of documents whose
+    cumulative token count stays within the budget. Sources absent
+    from ``weights`` are dropped.
+
+    SEMANTICS (the oracle-replayable law): priority =
+    ``md5(id ':' seed)`` (the engine-portable determinism device used
+    across this repo); per source, order documents by priority and
+    keep every document whose INCLUSIVE running token sum is <=
+    budget. Equivalent SQL: a running ``sum() OVER (PARTITION BY
+    source ORDER BY priority)`` filtered to ``cum <= budget``.
+
+    100 TB design — the naive window IS the trap: with a handful of
+    sources, ``PARTITION BY source`` funnels a whole source's rows
+    through one task's sort. This implementation takes the EXACT
+    two-phase cut instead: (1) one map-side aggregation of token
+    sums per (source, priority-bucket) — the bucket is the first
+    ``bucket_hex_digits`` hex chars of the md5, so bucket order IS
+    priority order — giving a sources x 4096 table the driver
+    prefix-scans to find each source's boundary bucket and remaining
+    budget; (2) rows in buckets BELOW the boundary are kept by a
+    broadcast-joined filter (no sort, no shuffle of the kept mass),
+    and only the boundary bucket's rows — ~1/4096 of one source —
+    pay a windowed running sum. Bit-identical to the global prefix
+    cut because md5-hex bucket order equals md5-hex string order."""
+    from pyspark.sql import Window
+
+    if not weights:
+        raise ValueError("token_budget_mix: empty weights")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("token_budget_mix: weights must sum > 0")
+    budgets = {s: total_tokens * float(w) / wsum
+               for s, w in weights.items()}
+    n_buckets = 16 ** bucket_hex_digits
+
+    pri = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                         F.lit(str(seed))))
+    bucket = F.conv(F.substring(pri, 1, bucket_hex_digits), 16, 10) \
+        .cast("int")
+    t = df.filter(F.col(source_col).isin(*budgets.keys())) \
+          .withColumn("__pri__", pri).withColumn("__b__", bucket)
+
+    # phase 1: (source, bucket) token sums -> driver prefix scan.
+    # |sources| x n_buckets rows — vocabulary-sized, never row-scaled.
+    sums = {(r[source_col], r["__b__"]): r["__tok__"]
+            for r in t.groupBy(source_col, "__b__")
+                      .agg(F.sum(tokens_col).alias("__tok__")).collect()}
+    bounds = []                     # (source, boundary_bucket, remaining)
+    for s, bud in budgets.items():
+        cum = 0
+        boundary, remaining = n_buckets, 0.0
+        for b in range(n_buckets):
+            tok = sums.get((s, b), 0) or 0
+            if cum + tok > bud:
+                boundary, remaining = b, bud - cum
+                break
+            cum += tok
+        bounds.append((s, boundary, float(remaining)))
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        bounds, f"{source_col} string, __bound__ int, __rem__ double")
+
+    j = t.join(F.broadcast(bdf), source_col)
+    keep_whole = j.filter(F.col("__b__") < F.col("__bound__"))
+    # phase 2: ONLY the boundary bucket sorts (~1/n_buckets of one
+    # source) — the window is bounded, not source-sized
+    edge = j.filter(F.col("__b__") == F.col("__bound__"))
+    w = Window.partitionBy(source_col).orderBy("__pri__") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    edge_keep = edge.withColumn("__cum__", F.sum(tokens_col).over(w)) \
+                    .filter(F.col("__cum__") <= F.col("__rem__")) \
+                    .drop("__cum__")
+    out = keep_whole.unionByName(edge_keep)
+    return out.drop("__pri__", "__b__", "__bound__", "__rem__")

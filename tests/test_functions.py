@@ -1138,3 +1138,55 @@ def test_kneser_ney_nondegenerate_vector(spark):
            for r in txt.kneser_ney_bigram_score(df).collect()}
     assert math.isclose(out[1], -math.log2(0.5), abs_tol=1e-9)
     assert math.isclose(out[2], -math.log2(0.5), abs_tol=1e-9)
+
+
+def test_token_budget_mix(spark):
+    """r10: token-budget source mixing — per source, the md5-priority
+    prefix whose inclusive running token sum fits the budget
+    (total * weight / sum(weights)); sources without a weight drop;
+    the two-phase bucket cut is bit-identical to the naive
+    window-cumsum law (replayed here in pure Python); edge cases:
+    zero budget keeps nothing, oversized budget keeps everything."""
+    import hashlib
+
+    from tech_ml_dataset_spark.functions import text as txt
+
+    rows = [(i, "s%d" % (i % 3), (i * 7) % 13 + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    weights = {"s0": 2.0, "s1": 1.0}          # s2 unweighted -> dropped
+    total = 300                                # s0: 200, s1: 100
+
+    out = txt.token_budget_mix(df, weights, total_tokens=total)
+    got = sorted(r["doc_id"] for r in out.collect())
+
+    # pure-python replay of the law
+    want = []
+    for s, w in weights.items():
+        bud = total * w / sum(weights.values())
+        docs = sorted((hashlib.md5(f"{i}:0".encode()).hexdigest(), i, tk)
+                      for i, src, tk in rows if src == s)
+        cum = 0
+        for _, i, tk in docs:
+            cum += tk
+            if cum > bud:
+                break
+            want.append(i)
+    assert got == sorted(want)
+    assert got                                 # something kept
+    srcs = {r["source"] for r in out.collect()}
+    assert srcs <= {"s0", "s1"}
+    # budgets actually bind: each source's kept tokens <= its budget
+    kept = {(r["doc_id"]): r["n_tokens"] for r in out.collect()}
+    per = {"s0": 0, "s1": 0}
+    for i, src, tk in rows:
+        if i in kept and src in per:
+            per[src] += tk
+    assert per["s0"] <= 200 and per["s1"] <= 100
+    # oversized budget keeps every weighted-source doc
+    all_out = txt.token_budget_mix(df, weights, total_tokens=10**9)
+    assert all_out.count() == sum(1 for _, s, _ in rows if s != "s2")
+    # zero total keeps nothing
+    assert txt.token_budget_mix(df, weights, total_tokens=0).count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="weights"):
+        txt.token_budget_mix(df, {}, total_tokens=10)
