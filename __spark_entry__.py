@@ -781,7 +781,7 @@ def psi_drift_lineitem(spark, sf_dir):
     out = dv.psi_drift(ref, cur, ["l_quantity", "l_extendedprice"],
                        exact_edges=True, round_edges=4)
     return out.select(F.col("column").alias("col_name"),
-                      _r4b(F.col("psi")).alias("psi"))
+                      _r4b(F.col("psi")).alias("psi")).orderBy("col_name")
 
 
 def psi_drift_categorical_docs(spark, sf_dir):
@@ -837,7 +837,8 @@ def cube_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return agg.cube_agg(o, ["o_orderstatus", "o_orderpriority"],
                         {"n": ("row-count", None),
-                         "sum_price": lambda F: F.round(F.sum("o_totalprice"), 4)})
+                         "sum_price": lambda F: F.round(F.sum("o_totalprice"), 4)}) \
+              .orderBy("o_orderstatus", "o_orderpriority")
 
 
 def reduce_union_orders(spark, sf_dir):
@@ -891,7 +892,7 @@ def cross_region_priority(spark, sf_dir):
     priorities — the reference's cross product on small sides."""
     r = _t(spark, sf_dir, "region").select("r_name")
     p = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
-    return jn.cross_join(r, p)
+    return jn.cross_join(r, p).orderBy("r_name", "o_orderpriority")
 
 
 def rolling_corr_user(spark, sf_dir):
@@ -2361,7 +2362,7 @@ def ccnet_buckets_docs(spark, sf_dir):
     out = txt.ccnet_buckets(docs, by="lang")
     return out.select("doc_id", "lang",
                       _r4(F.col("bits_per_token")).alias("bits_per_token"),
-                      "ppl_bucket")
+                      "ppl_bucket").orderBy("doc_id")
 
 
 def tfidf_docs(spark, sf_dir):
@@ -2441,7 +2442,9 @@ def parquet_roundtrip_lineitem(spark, sf_dir):
                        _r4b(F.col("l_quantity")).alias("l_quantity"),
                        _r4b(F.col("l_extendedprice")).alias("l_extendedprice"),
                        F.col("l_returnflag").cast("string").alias("l_returnflag"),
-                       F.col("l_shipdate").cast("date").alias("l_shipdate"))
+                       F.col("l_shipdate").cast("date").alias("l_shipdate")) \
+               .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_returnflag", "l_shipdate")
 
 
 def arrow_roundtrip_events(spark, sf_dir):
@@ -2616,7 +2619,8 @@ def bm25_search_docs(spark, sf_dir):
     idf variant; score desc / doc_id asc ordering."""
     docs = _t(spark, sf_dir, "documents")
     out = txt.bm25_search(docs, "hash join merge window", k1=1.2, b=0.75)
-    return out.select("doc_id", _r4b(F.col("score")).alias("score"))
+    return out.select("doc_id", _r4b(F.col("score")).alias("score")) \
+              .orderBy(F.desc("score"), "doc_id")
 
 
 def attribution_range_join(spark, sf_dir):
@@ -2930,7 +2934,7 @@ def semdedup_embeddings(spark, sf_dir):
                          .orderBy("vec_id").collect()]
     out = sim.semdedup(emb, centroids=cents, threshold=0.35)
     return out.select("vec_id", "cell", F.col("group").alias("grp"),
-                      "semdedup_keep")
+                      "semdedup_keep").orderBy("vec_id")
 
 
 def gopher_quality_docs(spark, sf_dir):
@@ -2951,7 +2955,8 @@ def chunk_docs(spark, sf_dir):
     """Document chunking for training pipelines (beyond-reference): 32-token
     chunks with 8-token overlap, pure Catalyst split/sequence/posexplode."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return txt.chunk_documents(docs, chunk_size=32, overlap=8)
+    return txt.chunk_documents(docs, chunk_size=32, overlap=8) \
+              .orderBy("doc_id", "chunk_idx")
 
 
 def embedding_dedup_clusters(spark, sf_dir):
@@ -2960,7 +2965,7 @@ def embedding_dedup_clusters(spark, sf_dir):
     near-dup pair graph; oracle is a recursive CTE."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     pairs = sim.embedding_dedup_pairs(e, threshold=0.35, method="exact")
-    return dd.dedup_clusters(pairs, e, id_col="vec_id")
+    return dd.dedup_clusters(pairs, e, id_col="vec_id").orderBy("vec_id")
 
 
 def embedding_dedup_pairs_exact(spark, sf_dir):
@@ -2969,7 +2974,8 @@ def embedding_dedup_pairs_exact(spark, sf_dir):
     banded sign-LSH path is pinned by pytest recall instead)."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
     out = sim.embedding_dedup_pairs(e, threshold=0.35, method="exact")
-    return out.select("id_a", "id_b", _r4(F.col("cos")).alias("cos"))
+    return out.select("id_a", "id_b", _r4(F.col("cos")).alias("cos")) \
+              .orderBy("id_a", "id_b")
 
 
 def embedding_incremental_pairs(spark, sf_dir):
@@ -3687,7 +3693,8 @@ def lsh_topk_embeddings(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.filter(F.col("vec_id") < 20)
     return sim.lsh_bucketed_topk(left, emb, "embedding", k=5, n_planes=4) \
-              .withColumn("cos", _r4(F.col("cos")))
+              .withColumn("cos", _r4(F.col("cos"))) \
+              .orderBy("vec_id", "rank")
 
 
 def pca_project_lineitem(spark, sf_dir):
@@ -3996,7 +4003,8 @@ def mean_center_quantity(spark, sf_dir):
                                               "l_quantity")
     out, _ = tn.mean_center_columns(li, ["l_quantity"])
     return out.select("l_orderkey", "l_linenumber",
-                      _r4b(F.col("l_quantity")).alias("q_centered"))
+                      _r4b(F.col("l_quantity")).alias("q_centered")) \
+              .orderBy("l_orderkey", "l_linenumber", "q_centered")
 
 
 def pipeline_customer_features(spark, sf_dir):
@@ -4610,6 +4618,7 @@ def _lsh_topk_oracle() -> str:
         )
         SELECT vec_id, neighbor_id, round(cos, 4) AS cos, rank
         FROM ranked WHERE rank <= 5
+        ORDER BY vec_id, rank
     """
 
 
@@ -4709,6 +4718,8 @@ def oracle_sql() -> dict[str, str]:
                    round(l_extendedprice * 10000) / 10000 AS l_extendedprice,
                    l_returnflag, CAST(l_shipdate AS DATE) AS l_shipdate
             FROM lineitem WHERE l_orderkey < 300
+            ORDER BY l_orderkey, l_linenumber, l_quantity,
+                     l_extendedprice, l_returnflag, l_shipdate
         """,
         "arrow_roundtrip_events": """
             SELECT event_id, user_id, ts, event_type,
@@ -5503,6 +5514,7 @@ def oracle_sql() -> dict[str, str]:
                        / 1e4 AS psi
             FROM allc a JOIN tot t USING (col_name)
             GROUP BY a.col_name
+            ORDER BY col_name
         """,
         "stratified_sample_docs": """
             SELECT doc_id, lang FROM (
@@ -5664,6 +5676,8 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 4) AS sum_price
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST,
+                     o_orderpriority NULLS FIRST
         """,
         "reduce_union_orders": """
             WITH a AS (SELECT o_orderstatus, o_orderpriority FROM orders
@@ -5714,6 +5728,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_region_priority": """
             SELECT r.r_name, p.o_orderpriority
             FROM region r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+            ORDER BY r_name, o_orderpriority
         """,
         "rolling_corr_user": """
             SELECT event_id, user_id,
@@ -7287,6 +7302,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score * 1e4) / 1e4 AS score
             FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id
         """,
         "tfidf_docs": """
             WITH ex AS (
@@ -7354,6 +7370,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b = 2 THEN 'middle'
                         ELSE 'tail' END AS ppl_bucket
             FROM ranked
+            ORDER BY doc_id
         """,
         "unigram_lm_docs": """
             WITH ex AS (
@@ -7509,6 +7526,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[start + 1 : start + 32], ' ') AS chunk,
                    len(toks[start + 1 : start + 32]) AS n_tokens
             FROM st
+            ORDER BY doc_id, chunk_idx
         """,
         "semdedup_embeddings": """
             WITH RECURSIVE e AS (
@@ -7545,6 +7563,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id, a1.c AS cell, grp.grp AS grp,
                    grp.grp = e.vec_id AS semdedup_keep
             FROM e JOIN a1 USING (vec_id) JOIN grp USING (vec_id)
+            ORDER BY vec_id
         """,
         "embedding_dedup_clusters": """
             WITH RECURSIVE e AS (
@@ -7564,6 +7583,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, min(r) AS cluster
             FROM reach GROUP BY node
+            ORDER BY vec_id
         """,
         "embedding_incremental_pairs": """
             WITH n AS (SELECT vec_id, embedding FROM embeddings
@@ -7586,6 +7606,7 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.35
+            ORDER BY id_a, id_b
         """,
         "cosine_topk_embeddings": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
@@ -8120,6 +8141,7 @@ def oracle_sql() -> dict[str, str]:
                    round((l_quantity - avg(l_quantity) OVER ()) * 10000) / 10000
                        AS q_centered
             FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, q_centered
         """,
         "pipeline_customer_features": """
             SELECT c_custkey,
