@@ -59,7 +59,12 @@ Surfaces mirror the avro/arrow dataset shape:
   completing the Common Crawl WARC/WET/WAT triad.
 * :func:`payload_text` / :func:`encode_text_payload` (r9) — charset-
   aware capture decode by the Content-Type label, pure Catalyst,
-  never-throw; :func:`sniff_mime` — magic-byte format routing.
+  never-throw; :func:`sniff_mime` / :func:`sniff_mime_bytes` —
+  magic-byte format routing from one shared table.
+* WARC 1.1 segmented records reassemble on read (r10,
+  :func:`_assemble_segments`): a segment run surfaces as ONE record
+  with the full payload; ``revisit`` records filter by default
+  (``include_revisit=`` opt-in).
 
 Chained with ``webtext.html_to_text`` + the C4/Gopher/dedup batteries,
 this closes the pipeline at the true entry point: raw crawl archive in,
