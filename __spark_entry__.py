@@ -1631,6 +1631,26 @@ def warc_charset_docs(spark, sf_dir):
          .alias("text_md5")).orderBy("doc_id")
 
 
+def quality_classifier_docs(spark, sf_dir):
+    """fastText-style hashed-n-gram linear quality scorer (r10,
+    text.hashed_ngram_score — the model class CCNet/FineWeb-class
+    pipelines deploy for quality filtering; training is offline,
+    THIS is the 100 TB inference path): 64-bucket weight vector from
+    the arithmetic law w_i = ((i*37) %% 211 - 105)/211, word unigrams
+    + bigrams (fastText wordNgrams), engine-portable md5-prefix
+    bucket hash, sigmoid score — all one scan-fused F.aggregate
+    projection, no shuffle, no UDF. Rows-only this round per the
+    staged-promotion precedent (COVERAGE.md holds the VERIFIED
+    draft; promotion takes an r11 window slot)."""
+    W = [((i * 37) % 211 - 105) / 211.0 for i in range(64)]
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300) \
+        .select("doc_id", "text")
+    out = txt.hashed_ngram_score(docs, W, ngrams=2, seed=7)
+    return out.select("doc_id",
+                      _r4b(F.col("quality_score")).alias("score")) \
+              .orderBy("doc_id")
+
+
 def token_mix_docs(spark, sf_dir):
     """Token-budget source mixing (r10, text.token_budget_mix — the
     Dolma/FineWeb recipe step: give each source a token budget
@@ -4152,6 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 rows-only (staged-oracle precedent; draft verified in
         # COVERAGE.md, promotion takes an r11 window slot)
         "token_mix_docs": token_mix_docs,
+        "quality_classifier_docs": quality_classifier_docs,
         "warc_http_decode_docs": warc_http_decode_docs,
         "warc_cdx_meta_fetch_docs": warc_cdx_meta_fetch_docs,
         "warc_charset_docs": warc_charset_docs,

@@ -1886,3 +1886,100 @@ def token_budget_mix(df: DataFrame, weights: dict[str, float], *,
                     .drop("__cum__")
     out = keep_whole.unionByName(edge_keep)
     return out.drop("__pri__", "__b__", "__bound__", "__rem__")
+
+
+def hashed_ngram_score(df: DataFrame, weights: list[float], *,
+                       text_col: str = "text",
+                       out_col: str = "quality_score",
+                       bias: float = 0.0, ngrams: int = 1,
+                       seed: int = 0, id_col: str | None = None,
+                       literal_limit: int = 1024) -> DataFrame:
+    """fastText-style HASHING-TRICK linear scorer (r10) — the model
+    class the published quality filters actually deploy (CCNet's
+    fastText language/quality filters, FineWeb-Edu's classifier
+    distillations): features are hashed word n-grams, the model is
+    one weight vector of dimension ``len(weights)``, and the score is
+    ``sigmoid(bias + sum_g W[h(g) mod D])`` over the document's
+    grams. Training happens offline; THIS is the 100 TB inference
+    path, so it must be a scan-fused projection, not a Python loop.
+
+    Engine-portable law (oracle-replayable): ``h(g)`` = the first 8
+    hex chars of ``md5(gram ':' seed)`` as an integer — identical in
+    Spark (``conv(substring(md5(..),1,8),16,10)``) and DuckDB
+    (``('0x' || substr(md5(..),1,8))::BIGINT``). Grams are the
+    whitespace tokens plus, for ``ngrams>=2``, the space-joined runs
+    of 2..ngrams consecutive tokens (the fastText wordNgrams
+    convention).
+
+    Plan shape: when ``len(weights) <= literal_limit`` the weight
+    vector ships as ONE array literal and the whole score is a
+    ``F.aggregate`` over the gram array inside the projection — no
+    shuffle, no UDF, fused into the scan (the repo's >1k-literal
+    Catalyst guidance bounds the default). Larger models take the
+    scale path automatically: explode the grams, BROADCAST-join the
+    weight table on bucket (the model is vocabulary-sized — even a
+    2M-bucket fastText vector is ~16 MB, a textbook broadcast),
+    re-aggregate by ``id_col`` (required for that path; its values
+    must be unique) and join the scores back — one shuffle keyed by
+    the id, scaling to millions of buckets without a million-literal
+    plan."""
+    D = len(weights)
+    if D == 0:
+        raise ValueError("hashed_ngram_score: empty weight vector")
+    toks = F.split(F.trim(F.col(text_col)), _WS)
+
+    def gram_lambda(n):
+        # factory, not a `n=n` default: F.transform's two-arg lambda
+        # binds (element, INDEX) and silently shadows the default —
+        # the repo's documented trap (verify notes r4/r7)
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)])
+
+    def gram_arrays():
+        out = [toks]
+        for n in range(2, int(ngrams) + 1):
+            stop = F.size(toks) - (n - 1)
+            # guard: sequence(1, 0) DESCENDS in Spark — short docs
+            # must yield no n-grams, not an index-0 probe
+            idx = F.when(stop >= 1, F.sequence(F.lit(1), stop)) \
+                   .otherwise(F.array().cast("array<int>"))
+            out.append(F.transform(idx, gram_lambda(n)))
+        return F.flatten(F.array(*out)) if len(out) > 1 else out[0]
+
+    grams = F.when(F.length(F.trim(F.col(text_col))) == 0,
+                   F.array().cast("array<string>")) \
+             .otherwise(gram_arrays())
+    bucket = lambda g: (F.conv(F.substring(
+        F.md5(F.concat(g, F.lit(":"), F.lit(str(seed)))), 1, 8),
+        16, 10).cast("long") % D).cast("int")
+    if D <= literal_limit:
+        warr = F.array(*[F.lit(float(w)) for w in weights])
+        raw = F.aggregate(
+            grams, F.lit(float(bias)),
+            lambda acc, g: acc + F.element_at(warr, bucket(g) + 1))
+        return df.withColumn(out_col, F.lit(1.0)
+                             / (F.lit(1.0) + F.exp(-raw)))
+    if id_col is None:
+        raise ValueError(
+            "hashed_ngram_score: weight vectors past literal_limit "
+            f"({literal_limit}) take the broadcast-join path, which "
+            "re-aggregates per row — pass id_col naming a unique id "
+            "column")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)],
+        "__bucket__ int, __w__ double")
+    g = df.select(id_col, F.explode_outer(grams).alias("__g__")) \
+          .withColumn("__bucket__",
+                      F.when(F.col("__g__").isNotNull(),
+                             bucket(F.col("__g__"))))
+    scores = g.join(F.broadcast(wdf), "__bucket__", "left") \
+              .groupBy(id_col) \
+              .agg((F.lit(float(bias))
+                    + F.sum(F.coalesce(F.col("__w__"), F.lit(0.0))))
+                   .alias("__raw__"))
+    scores = scores.select(
+        id_col, (F.lit(1.0) / (F.lit(1.0)
+                               + F.exp(-F.col("__raw__"))))
+        .alias(out_col))
+    return df.join(scores, id_col, "left")

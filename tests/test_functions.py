@@ -1190,3 +1190,51 @@ def test_token_budget_mix(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="weights"):
         txt.token_budget_mix(df, {}, total_tokens=10)
+
+
+def test_hashed_ngram_score(spark):
+    """r10: fastText-style hashing-trick linear scorer — score =
+    sigmoid(bias + sum over grams of W[int(md5(gram ':' seed)[:8],16)
+    mod D]); word bigrams join consecutive tokens (wordNgrams
+    convention); the scan-fused literal path and the broadcast-join
+    scale path produce IDENTICAL scores; empty text scores
+    sigmoid(bias)."""
+    import hashlib
+    import math
+
+    from tech_ml_dataset_spark.functions import text as txt
+
+    W = [((i * 37) % 211 - 105) / 211.0 for i in range(64)]
+    rows = [(0, "the quick brown fox"), (1, "fox the fox"),
+            (2, ""), (3, "   "), (4, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def law(text, ngrams):
+        toks = text.split()
+        grams = list(toks)
+        for n in range(2, ngrams + 1):
+            grams += [" ".join(toks[i:i + n])
+                      for i in range(len(toks) - n + 1)]
+        raw = 0.25 + sum(
+            W[int(hashlib.md5(f"{g}:7".encode()).hexdigest()[:8], 16)
+              % len(W)] for g in grams)
+        return 1.0 / (1.0 + math.exp(-raw))
+
+    for ngrams in (1, 2):
+        out = {r["doc_id"]: r["quality_score"]
+               for r in txt.hashed_ngram_score(
+                   df, W, bias=0.25, ngrams=ngrams, seed=7).collect()}
+        for i, text in rows:
+            assert abs(out[i] - law(text, ngrams)) < 1e-12, (i, ngrams)
+        # broadcast-join scale path: identical scores
+        out2 = {r["doc_id"]: r["quality_score"]
+                for r in txt.hashed_ngram_score(
+                    df, W, bias=0.25, ngrams=ngrams, seed=7,
+                    id_col="doc_id", literal_limit=4).collect()}
+        assert all(abs(out[i] - out2[i]) < 1e-12 for i, _ in rows)
+    # the scale path demands an id
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="id_col"):
+        txt.hashed_ngram_score(df, W, literal_limit=4)
+    with _pytest.raises(ValueError, match="empty"):
+        txt.hashed_ngram_score(df, [])
