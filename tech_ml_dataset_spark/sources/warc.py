@@ -959,22 +959,36 @@ def read_warc_records(spark, entries, *, include_revisit: bool = False):
     rows point into it (the intra-file parallelism
     :func:`read_warc_dataset`'s file-per-task shape can't give).
     Offsets must land on gzip-member boundaries (what CDX guarantees);
-    a mid-member offset fails loudly in the decompressor."""
-    was_df = not isinstance(entries, list)
-    if was_df:
-        entries = [(r[0], int(r[1]), int(r[2]))
-                   for r in entries.collect()]
-    if not entries:
-        if was_df:
-            # a filter-then-fetch selection that matched nothing is a
-            # legitimate outcome — empty frame, not an error
-            return spark.createDataFrame([], _WARC_DDL)
-        raise ValueError("read_warc_records: empty entry list")
-    fdf = spark.createDataFrame(
-        entries, "__warc_file__ string, __off__ long, __len__ long")
-    if len(entries) > 1:
-        fdf = fdf.repartition(min(len(entries),
-                                  spark.sparkContext.defaultParallelism * 4))
+    a mid-member offset fails loudly in the decompressor.
+
+    A DataFrame of triples stays FULLY DISTRIBUTED (r10): a 100 TB
+    crawl's filtered index selection can be billions of rows, and the
+    pre-r10 driver collect was the one place that mass funneled
+    through the driver — now the triples frame feeds the range scan
+    directly (its first three columns, any names), and nothing but
+    the plan crosses the driver. List input keeps the small-fixture
+    shape (exact partition sizing from the known length)."""
+    if not isinstance(entries, list):
+        from pyspark.sql import functions as F
+
+        cols = entries.columns
+        fdf = entries.select(
+            F.col(cols[0]).cast("string").alias("__warc_file__"),
+            F.col(cols[1]).cast("long").alias("__off__"),
+            F.col(cols[2]).cast("long").alias("__len__"))
+        # spread the range reads; an empty selection simply yields an
+        # empty frame (a filter-then-fetch that matched nothing is a
+        # legitimate outcome, not an error)
+        fdf = fdf.repartition(spark.sparkContext.defaultParallelism * 4)
+    else:
+        if not entries:
+            raise ValueError("read_warc_records: empty entry list")
+        fdf = spark.createDataFrame(
+            entries, "__warc_file__ string, __off__ long, __len__ long")
+        if len(entries) > 1:
+            fdf = fdf.repartition(
+                min(len(entries),
+                    spark.sparkContext.defaultParallelism * 4))
 
     def range_rows(pdf):
         import io as iomod
@@ -1616,14 +1630,18 @@ def fetch_index_records(spark, index_df, base_dir: str, *,
                         include_revisit: bool = False):
     """Range-fetch the records a FILTERED columnar-index frame points
     at: resolves ``warc_filename`` against ``base_dir`` (the
-    published index stores basenames/crawl-relative names) and feeds
-    the (path, offset, length) triples into
-    :func:`read_warc_records`. Only the filtered triples ever cross
-    the driver — filter the index BEFORE calling this (the whole
-    point of the columnar shape)."""
-    sel = index_df.select("warc_filename", "warc_record_offset",
-                          "warc_record_length").collect()
-    entries = [(os.path.join(base_dir, r[0]), int(r[1]), int(r[2]))
-               for r in sel]
-    return read_warc_records(spark, entries,
+    published index stores basenames/crawl-relative names) as a
+    column expression and feeds the (path, offset, length) triples
+    into :func:`read_warc_records` FULLY DISTRIBUTED (r10) — the
+    filtered selection never crosses the driver, so a billions-of-
+    rows index cut scales like any other frame. Filter the index
+    BEFORE calling this (the whole point of the columnar shape)."""
+    from pyspark.sql import functions as F
+
+    sep = "" if base_dir.endswith(os.sep) else os.sep
+    sel = index_df.select(
+        F.concat(F.lit(base_dir + sep), F.col("warc_filename"))
+         .alias("path"),
+        "warc_record_offset", "warc_record_length")
+    return read_warc_records(spark, sel,
                              include_revisit=include_revisit)

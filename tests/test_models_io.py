@@ -1934,3 +1934,32 @@ def test_warc_segmented_records(spark, tmp_path):
                            for r in segs[:-1] + [bad]))
     with pytest.raises(Exception, match="total-length mismatch"):
         warc.read_warc_dataset(spark, str(m)).collect()
+
+
+def test_warc_records_dataframe_input_distributed(spark, tmp_path):
+    """r10: a DataFrame of (path, off, len) triples feeds the range
+    scan WITHOUT a driver collect — same rows as the list path, an
+    empty filtered selection yields an empty frame (not an error),
+    and building the scan is LAZY (no job until an action)."""
+    import gzip
+
+    from tech_ml_dataset_spark.sources import warc
+
+    recs = [warc.build_record(f"https://d/{i}", "2024-01-01T00:00:00Z",
+                              f"<p>row {i}</p>".encode())
+            for i in range(4)]
+    f = tmp_path / "d.warc.gz"
+    f.write_bytes(b"".join(gzip.compress(r) for r in recs))
+    entries = [(str(f), off, ln)
+               for _, off, ln in warc.warc_member_index(str(f))]
+    edf = spark.createDataFrame(entries, "p string, o long, l long")
+    want = sorted(bytes(r["payload"]).decode() for r in
+                  warc.read_warc_records(spark, entries).collect())
+    got_df = warc.read_warc_records(spark, edf)   # lazy: no action yet
+    got = sorted(bytes(r["payload"]).decode()
+                 for r in got_df.collect())
+    assert got == want and len(got) == 4
+    # empty selection -> empty frame, schema intact
+    empty = warc.read_warc_records(spark, edf.filter("o < 0"))
+    assert empty.count() == 0
+    assert "content_decoded" in empty.columns
