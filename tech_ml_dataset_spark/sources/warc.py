@@ -558,12 +558,13 @@ def read_warc_dataset(spark, path: str | list[str],
                         yield pd.DataFrame(
                             rows, columns=["path", "off", "len"])
 
-        splits = [(r["path"], int(r["off"]), int(r["len"]))
-                  for r in fdf.mapInPandas(
-                      index_batches,
-                      "path string, off long, len long").collect()]
-        if not splits:                      # present-but-empty archives
-            return spark.createDataFrame([], _WARC_DDL)
+        # the split triples stay DISTRIBUTED (r10): a 100 TB crawl's
+        # ~3M ranges are metadata, but there is no reason to funnel
+        # them through the driver — read_warc_records consumes the
+        # frame directly (present-but-empty archives yield an empty
+        # frame through the same path)
+        splits = fdf.mapInPandas(index_batches,
+                                 "path string, off long, len long")
         return read_warc_records(spark, splits,
                                  include_revisit=include_revisit)
 
