@@ -967,9 +967,15 @@ def read_warc_records(spark, entries, *, include_revisit: bool = False):
     pre-r10 driver collect was the one place that mass funneled
     through the driver — now the triples frame feeds the range scan
     directly (its first three columns, any names), and nothing but
-    the plan crosses the driver. List input keeps the small-fixture
-    shape (exact partition sizing from the known length)."""
+    the plan plus a two-scalar sizing agg (row count + byte sum, one
+    row to the driver — r11) crosses the driver; the sizing pass
+    re-scans the filtered index once, which is columnar-pruned noise
+    next to the archive bytes it right-sizes. List input keeps the
+    small-fixture shape (exact partition sizing from the known
+    length)."""
     if not isinstance(entries, list):
+        import math
+
         from pyspark.sql import functions as F
 
         cols = entries.columns
@@ -977,10 +983,24 @@ def read_warc_records(spark, entries, *, include_revisit: bool = False):
             F.col(cols[0]).cast("string").alias("__warc_file__"),
             F.col(cols[1]).cast("long").alias("__off__"),
             F.col(cols[2]).cast("long").alias("__len__"))
-        # spread the range reads; an empty selection simply yields an
-        # empty frame (a filter-then-fetch that matched nothing is a
-        # legitimate outcome, not an error)
-        fdf = fdf.repartition(spark.sparkContext.defaultParallelism * 4)
+        # Scale-ADAPTIVE spread for the range reads (r11; guide §2.2/§6):
+        # size the fetch partitions from the selection itself — one
+        # scalar agg over the (already filtered, columnar) index is
+        # noise next to the archive bytes it sizes — instead of the old
+        # fixed defaultParallelism*4. That constant made a 32-row
+        # fixture selection pay 128 task launches (measured 2.8 s ->
+        # 0.9 s on the cc-index chain) while ALSO under-splitting a
+        # 100 TB cut (whose byte sum now yields ~bytes/128 MB tasks,
+        # the same target maxPartitionBytes gives an ordinary scan).
+        # An empty selection simply yields an empty frame (a
+        # filter-then-fetch that matched nothing is a legitimate
+        # outcome, not an error).
+        n_rows, total_len = fdf.agg(
+            F.count(F.lit(1)), F.sum("__len__")).first()
+        parts = max(1, min(int(n_rows),
+                           max(math.ceil((total_len or 0) / (128 << 20)),
+                               spark.sparkContext.defaultParallelism)))
+        fdf = fdf.repartition(parts)
     else:
         if not entries:
             raise ValueError("read_warc_records: empty entry list")
@@ -1195,7 +1215,20 @@ def sniff_mime_bytes(data: bytes) -> str:
     route through inside their ``mapInPandas`` batches, built from
     the SAME :data:`_MIME_MAGIC` table as the Catalyst sniffer (a
     drift between the two routers would send a payload down a codec
-    the scan-side audit said it wasn't)."""
+    the scan-side audit said it wasn't).
+
+    Scope note (r11, ADVICE): every check here runs over the first
+    256 bytes only. For the text/plain arm that head slice can cut a
+    multibyte UTF-8 character mid-sequence, so a truncated trailing
+    sequence is tolerated WHEN the payload continues past the head
+    (the split is a slicing artifact, and the Catalyst
+    :func:`sniff_mime` — which validates the WHOLE payload — would
+    see the complete character). A payload that genuinely ENDS
+    mid-sequence stays ``application/octet-stream`` on both routers.
+    The routers can still disagree on bytes the head never sees
+    (payload invalid only after byte 256) — inherent to a head-only
+    sniff."""
+    full_len = len(data)
     data = bytes(data[:256])
     for sig, mime in _MIME_MAGIC:
         if data.startswith(sig):
@@ -1208,7 +1241,10 @@ def sniff_mime_bytes(data: bytes) -> str:
     try:
         data.decode("utf-8")
         return "text/plain"
-    except UnicodeDecodeError:
+    except UnicodeDecodeError as e:
+        if (full_len > len(data) and e.start >= len(data) - 3
+                and e.reason == "unexpected end of data"):
+            return "text/plain"     # head-boundary split, not bad UTF-8
         return "application/octet-stream"
 
 
@@ -1292,6 +1328,56 @@ def warc_member_index(path: str, *,
             raise ValueError(f"{path}: truncated final gzip member "
                              f"(started at offset {start})")
     return out
+
+
+def _iter_member_records(path: str, *, chunk_size: int = 1 << 20):
+    """Single-pass walk of a per-record-gzip-member archive: yield
+    ``(offset, length, headers, payload)`` for the first record of
+    each gzip member in ONE sequential read — the index builders'
+    access path (r11). The prior shape (``warc_member_index`` then an
+    ``open``/``seek``/re-read + re-decompress per member) cost
+    O(members) file opens and a second full pass over the archive;
+    here the boundary walk and the record decode share one stream and
+    one decompression. Memory stays O(member): only the current
+    member's decompressed bytes are resident — the same residency the
+    re-read path had while parsing a member."""
+    with open(path, "rb") as f:
+        pending = b""
+        consumed = 0                    # absolute input bytes consumed
+        start = 0                       # current member's offset
+        d = None
+        out = bytearray()
+        while True:
+            if len(pending) < 2:        # member header spans a chunk edge
+                more = f.read(chunk_size)
+                if more:
+                    pending += more
+                elif not pending:
+                    break
+            if d is None:
+                if pending[:2] != b"\x1f\x8b":
+                    raise ValueError(f"{path}: offset {consumed} is not "
+                                     "a gzip member boundary")
+                d = zlib.decompressobj(31)
+                start = consumed
+                out = bytearray()
+            before = len(pending)
+            out.extend(d.decompress(pending, chunk_size))
+            if d.eof:
+                consumed += before - len(d.unused_data)
+                hdrs, payload = next(_parse_records(bytes(out)))
+                yield start, consumed - start, hdrs, payload
+                pending = d.unused_data
+                d = None
+            elif d.unconsumed_tail:
+                consumed += before - len(d.unconsumed_tail)
+                pending = d.unconsumed_tail
+            else:
+                consumed += before
+                pending = b""
+        if d is not None:
+            raise ValueError(f"{path}: truncated final gzip member "
+                             f"(started at offset {start})")
 
 
 # ---------------------------------------------------------------------------
@@ -1411,16 +1497,10 @@ def build_cdx_index(archive_path: str, index_path: str, *,
     (basename — resolved via read_cdx_index's base_dir) / offset /
     length / status. Lines sort by (SURT, timestamp), the published
     CDX ordering. Returns the number of index lines written."""
-    import io as iomod
     import json
 
     lines = []
-    for p, off, ln in warc_member_index(archive_path):
-        with open(p, "rb") as f:
-            f.seek(off)
-            raw = f.read(ln)
-        hdrs, payload = next(_iter_records_stream(
-            _gzip_chunks(iomod.BytesIO(raw))))
+    for off, ln, hdrs, payload in _iter_member_records(archive_path):
         uri = hdrs.get("warc-target-uri") or ""
         date = hdrs.get("warc-date") or ""
         ts = "".join(ch for ch in date if ch.isdigit())[:14].ljust(14, "0")
@@ -1557,12 +1637,14 @@ def build_columnar_index(spark, archives, index_path: str, *,
                          extension: str = ".warc.gz") -> int:
     """DISTRIBUTED columnar index build (r10) — the PARQUET index the
     modern Common Crawl access path queries instead of flat CDXJ
-    files: one task per archive walks gzip member boundaries
-    (:func:`warc_member_index`, O(chunk) memory) and peeks each
-    record's WARC + HTTP headers into an index row; the rows land as
-    parquet via the ordinary distributed sink, sorted within
-    partitions by ``url_surtkey`` so row groups carry tight min/max
-    ranges for SURT-prefix pruning.
+    files: one task per archive walks gzip member boundaries and
+    peeks each record's WARC + HTTP headers into an index row in ONE
+    sequential read (:func:`_iter_member_records`, O(member) memory;
+    the r10 shape re-opened and re-read the archive once per member —
+    O(records) opens + a second full pass); the rows land as parquet
+    via the ordinary distributed sink, sorted within partitions by
+    ``url_surtkey`` so row groups carry tight min/max ranges for
+    SURT-prefix pruning.
 
     Why parquet beats CDXJ at 100 TB: index predicates (host prefix,
     status, mime) become Catalyst pushdown + row-group pruning on a
@@ -1571,8 +1653,6 @@ def build_columnar_index(spark, archives, index_path: str, *,
     every line of ~300 gzip text files. Revisit records are indexed
     with their ``record_type`` so consumers can exclude them BEFORE
     fetching. Returns the number of index rows written."""
-    import io as iomod
-
     import pandas as pd
 
     files = _warc_file_list(archives, extension)
@@ -1585,12 +1665,7 @@ def build_columnar_index(spark, archives, index_path: str, *,
         for pdf in it:
             for p in pdf["__warc_file__"]:
                 rows = []
-                for _, off, ln in warc_member_index(p):
-                    with open(p, "rb") as f:
-                        f.seek(off)
-                        raw = f.read(ln)
-                    hdrs, payload = next(_iter_records_stream(
-                        _gzip_chunks(iomod.BytesIO(raw))))
+                for off, ln, hdrs, payload in _iter_member_records(p):
                     rtype = hdrs.get("warc-type")
                     uri = hdrs.get("warc-target-uri") or ""
                     date = hdrs.get("warc-date") or ""
@@ -1598,7 +1673,7 @@ def build_columnar_index(spark, archives, index_path: str, *,
                     decoded = True
                     if rtype == "response":
                         status, mime, body, decoded = _split_http(payload)
-                        detected = sniff_mime_bytes(body[:256])
+                        detected = sniff_mime_bytes(body)
                     rows.append((_surt(uri), uri, date, rtype, mime,
                                  detected, status, decoded,
                                  os.path.basename(p), off, ln))
@@ -1614,7 +1689,12 @@ def build_columnar_index(spark, archives, index_path: str, *,
     idx = fdf.mapInPandas(batches, _CC_INDEX_DDL) \
              .sortWithinPartitions("url_surtkey")
     idx.write.mode("overwrite").parquet(index_path)
-    return spark.read.parquet(index_path).count()
+    # row count from the written parquet FOOTERS (driver-side metadata
+    # only — r11): the previous full re-read + count() launched one
+    # more Spark job per build and re-decoded the index it just wrote.
+    import pyarrow.parquet as pq
+    return sum(pq.ParquetFile(os.path.join(index_path, f)).metadata.num_rows
+               for f in os.listdir(index_path) if f.endswith(".parquet"))
 
 
 def read_columnar_index(spark, index_path: str):
