@@ -55,6 +55,21 @@ def _r4b(c) -> F.Column:
     return F.round(c * 10000) / 10000
 
 
+def _ckpt_sort(df: DataFrame, *cols) -> DataFrame:
+    """Materialize the slim output once (lazy localCheckpoint) before the
+    determinism orderBy (r11, guide §2.4): the range partitioner's bounds
+    sampling re-executes the sort's child lineage, and for these queries
+    that child is an expensive Python stage (codec / archive-fetch
+    mapInPandas) with NO shuffle boundary between it and the sort — so the
+    decode ran twice per action (measured pdf_extract_docs 1.67 s -> 1.05 s
+    through the checkpoint). The checkpointed frame is each query's final
+    slim projection (ids/hashes/flags/features — never payload bytes), so
+    the materialization stays bounded at any scale. Same pattern
+    induction_events has carried since its promotion (the Python recurrence
+    there would re-run under the sampler too)."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 # --------------------------------------------------------------------------
 # TPC-H-flavored relational queries (SURVEY §2.2-§2.6 spine)
 # --------------------------------------------------------------------------
@@ -1212,12 +1227,12 @@ def warc_pipeline_docs(spark, sf_dir):
     atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
     warcmod.write_warc_dataset(recs, d)
     back = warcmod.read_warc_dataset(spark, d)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "http_status", "content_type",
         F.md5(wt.html_to_text(F.col("payload").cast("string")))
-         .alias("text_md5")).orderBy("doc_id")
+         .alias("text_md5")), "doc_id")
 
 
 def json_normalize_docs(spark, sf_dir):
@@ -1359,12 +1374,12 @@ def warc_cdx_range_docs(spark, sf_dir):
     # (records were written in doc_id order within one partition)
     subset = [e for i, e in enumerate(idx) if i % 2 == 0]
     back = warcmod.read_warc_records(spark, subset)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "http_status",
         F.md5(wt.html_to_text(F.col("payload").cast("string")))
-         .alias("text_md5")).orderBy("doc_id")
+         .alias("text_md5")), "doc_id")
 
 
 def warc_cdx_index_docs(spark, sf_dir):
@@ -1407,12 +1422,12 @@ def warc_cdx_index_docs(spark, sf_dir):
     ents = warcmod.read_cdx_index(cdx)          # base_dir defaults to d
     subset = [e for i, e in enumerate(ents) if i % 3 == 0]
     back = warcmod.read_warc_records(spark, subset)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "http_status",
         F.md5(wt.html_to_text(F.col("payload").cast("string")))
-         .alias("text_md5")).orderBy("doc_id")
+         .alias("text_md5")), "doc_id")
 
 
 def warc_http_decode_docs(spark, sf_dir):
@@ -1448,12 +1463,12 @@ def warc_http_decode_docs(spark, sf_dir):
     warcmod.write_warc_dataset(recs, d, content_encoding="gzip",
                                transfer_chunked=True)
     back = warcmod.read_warc_dataset(spark, d)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "http_status", "content_type",
         F.md5(wt.html_to_text(F.col("payload").cast("string")))
-         .alias("text_md5")).orderBy("doc_id")
+         .alias("text_md5")), "doc_id")
 
 
 def warc_cdx_meta_fetch_docs(spark, sf_dir):
@@ -1510,12 +1525,12 @@ def warc_cdx_meta_fetch_docs(spark, sf_dir):
                       & F.col("surt").startswith("com,ex,h1)")) \
               .select("path", "off", "len")
     back = warcmod.read_warc_records(spark, sel)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "http_status",
         F.md5(wt.html_to_text(F.col("payload").cast("string")))
-         .alias("text_md5")).orderBy("doc_id")
+         .alias("text_md5")), "doc_id")
 
 
 def cc_index_fetch_docs(spark, sf_dir):
@@ -1564,12 +1579,12 @@ def cc_index_fetch_docs(spark, sf_dir):
                      & F.col("url_surtkey").startswith("com,ex,h1)")
                      & (F.col("content_mime_detected") == "text/html"))
     back = warcmod.fetch_index_records(spark, sel, arcs)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "http_status",
         F.md5(wt.html_to_text(F.col("payload").cast("string")))
-         .alias("text_md5")).orderBy("doc_id")
+         .alias("text_md5")), "doc_id")
 
 
 def warc_charset_docs(spark, sf_dir):
@@ -1622,13 +1637,13 @@ def warc_charset_docs(spark, sf_dir):
     warcmod.write_warc_dataset(recs.drop("doc_id"), d,
                                content_type_col="ctype")
     back = warcmod.read_warc_dataset(spark, d)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "content_type",
         F.md5(warcmod.payload_text(F.col("payload"),
                                    F.col("content_type")))
-         .alias("text_md5")).orderBy("doc_id")
+         .alias("text_md5")), "doc_id")
 
 
 def quality_classifier_docs(spark, sf_dir):
@@ -1730,12 +1745,12 @@ def warc_content_flag_docs(spark, sf_dir):
         db, raw_http=True, record_type_col="rt")
     back = warcmod.read_warc_dataset(spark, da).unionByName(
         warcmod.read_warc_dataset(spark, db))
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "record_type", "http_status", "content_decoded",
         F.md5(F.col("payload").cast("string")).alias("body_md5")) \
-        .orderBy("doc_id")
+        , "doc_id")
 
 
 def warc_charset_arms_docs(spark, sf_dir):
@@ -1788,13 +1803,13 @@ def warc_charset_arms_docs(spark, sf_dir):
     atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
     warcmod.write_warc_dataset(recs, d, content_type_col="ctype")
     back = warcmod.read_warc_dataset(spark, d)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         F.md5(warcmod.payload_text(F.col("payload"),
                                    F.col("content_type"),
                                    sniff_meta=True, detect=True))
-         .alias("text_md5")).orderBy("doc_id")
+         .alias("text_md5")), "doc_id")
 
 
 def wet_roundtrip_docs(spark, sf_dir):
@@ -1828,10 +1843,10 @@ def wet_roundtrip_docs(spark, sf_dir):
     atexit.register(lambda p=d: shutil.rmtree(p, ignore_errors=True))
     warcmod.write_wet_dataset(recs, d)
     back = warcmod.read_wet_dataset(spark, d)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
-        F.md5("text").alias("text_md5")).orderBy("doc_id")
+        F.md5("text").alias("text_md5")), "doc_id")
 
 
 def robots_filter_docs(spark, sf_dir):
@@ -1904,13 +1919,13 @@ def wat_pipeline_docs(spark, sf_dir):
     wat = d + "/wat"
     warcmod.write_wat_dataset(warcmod.read_warc_dataset(spark, arc), wat)
     back = warcmod.read_wat_dataset(spark, wat)
-    return back.select(
+    return _ckpt_sort(back.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long")
          .alias("doc_id"),
         "status", "mime", "title",
         F.size("links").cast("long").alias("n_links"),
         F.array_join("links", "|").alias("links_joined")) \
-        .orderBy("doc_id")
+        , "doc_id")
 
 
 def sitemap_seed_docs(spark, sf_dir):
@@ -1939,8 +1954,8 @@ def sitemap_seed_docs(spark, sf_dir):
                  F.lit(".xml")).alias("src"),
         xml.alias("xml"))
     out = rb.parse_sitemaps(sm, src_col="src")
-    return out.select("src", "loc", "priority", "is_index") \
-              .orderBy("src", "loc")
+    return _ckpt_sort(out.select("src", "loc", "priority", "is_index") \
+              , "src", "loc")
 
 
 def mime_route_docs(spark, sf_dir):
@@ -1989,9 +2004,9 @@ def mime_route_docs(spark, sf_dir):
             yield pdf_
 
     payloads = binned.mapInPandas(batches, "doc_id long, payload binary")
-    return payloads.select(
+    return _ckpt_sort(payloads.select(
         "doc_id", warcmod.sniff_mime("payload").alias("mime")) \
-        .orderBy("doc_id")
+        , "doc_id")
 
 
 def url_quality_docs(spark, sf_dir):
@@ -2056,11 +2071,11 @@ def pdf_extract_docs(spark, sf_dir):
     binned = mmod.repartition_for_decode(docs, "doc_id")
     pdfs = mmod.synthesize_pdf(binned, "doc_id", n_lines=4)
     out = mmod.pdf_text(pdfs, "pdf")
-    return out.select(
+    return _ckpt_sort(out.select(
         "doc_id",
         F.md5("pdf_text").alias("text_md5"),
         F.size(F.split("pdf_text", "\n")).cast("long").alias("n_lines"),
-        F.col("pdf_real")).orderBy("doc_id")
+        F.col("pdf_real")), "doc_id")
 
 
 def pdf_filters_cmap_docs(spark, sf_dir):
@@ -2085,8 +2100,8 @@ def pdf_filters_cmap_docs(spark, sf_dir):
                                         "cmap", "cmap_objstm",
                                         "flate+pred", "diffenc"])
     out = mmod.pdf_text(pdfs, "pdf")
-    return out.select("doc_id", F.md5("pdf_text").alias("text_md5"),
-                      F.col("pdf_real")).orderBy("doc_id")
+    return _ckpt_sort(out.select("doc_id", F.md5("pdf_text").alias("text_md5"),
+                      F.col("pdf_real")), "doc_id")
 
 
 def exact_substring_dedup_docs(spark, sf_dir):
@@ -2278,10 +2293,10 @@ def media_dims_docs(spark, sf_dir):
 
     allb = binned.mapInPandas(fixture, schema)
     out = mmod.with_image_dims(allb, "b")
-    return out.select("doc_id", "fmt",
+    return _ckpt_sort(out.select("doc_id", "fmt",
                       F.col("dims.width").alias("width"),
                       F.col("dims.height").alias("height")) \
-              .orderBy("doc_id")
+              , "doc_id")
 
 
 def sessionize_events(spark, sf_dir):
@@ -2681,9 +2696,9 @@ def rolling_trimmed_events(spark, sf_dir):
     out = win.rolling_udf(ev, ["ts", "event_id"],
                           {"tmean": (trimmed, "value", "double")},
                           window_size=5, by="user_id", position="left")
-    return out.select("event_id", "user_id",
+    return _ckpt_sort(out.select("event_id", "user_id",
                       _r4b(F.col("tmean")).alias("tmean")) \
-              .orderBy("user_id", "event_id")
+              , "user_id", "event_id")
 
 
 def induction_events(spark, sf_dir):
@@ -2821,7 +2836,7 @@ def image_dedup_survivors_docs(spark, sf_dir):
     pngs = mmod.synthesize_png(binned, "img_id", height=8, width=8)
     hashed = mmod.image_dhash(pngs, "png")
     out = dd.fingerprint_dedup(hashed, "dhash", "doc_id")
-    return out.select("doc_id", "img_id").orderBy("doc_id")
+    return _ckpt_sort(out.select("doc_id", "img_id"), "doc_id")
 
 
 def _structured_doc_text(text):
@@ -3176,7 +3191,7 @@ def incremental_dedup_docs(spark, sf_dir):
     new = docs.filter(F.col("doc_id") >= 200)
     out = dd.incremental_dedup(new, hist, "text", fpp=0.01,
                                exact_verify=True)
-    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    return _ckpt_sort(out.select("doc_id", "lang", "n_chars"), "doc_id")
 
 
 def pack_docs(spark, sf_dir):
@@ -3188,7 +3203,7 @@ def pack_docs(spark, sf_dir):
                     txt.token_count(F.col("text")).cast("long")
                        .alias("n_tokens"))
     out = txt.pack_sequences(d, 256, by="lang", order_by="doc_id")
-    return out.orderBy("lang", "doc_id")
+    return _ckpt_sort(out, "lang", "doc_id")
 
 
 def audio_features_docs(spark, sf_dir):
@@ -3208,12 +3223,12 @@ def audio_features_docs(spark, sf_dir):
                               sample_rate=8000)
     out = mmod.audio_features(wav, "wav")
     a = F.col("audio")
-    return out.select(
+    return _ckpt_sort(out.select(
         "doc_id", a["sample_rate"].alias("sample_rate"),
         a["n_samples"].alias("n_samples"),
         _r4(a["duration_s"]).alias("duration_s"),
         _r4b(a["rms"]).alias("rms"),
-        a["zero_crossings"].alias("zero_crossings")).orderBy("doc_id")
+        a["zero_crossings"].alias("zero_crossings")), "doc_id")
 
 
 def audio_features_flac_docs(spark, sf_dir):
@@ -3231,12 +3246,12 @@ def audio_features_flac_docs(spark, sf_dir):
                                sample_rate=8000, subframe="fixed2")
     out = mmod.audio_features(flc, "flc")
     a = F.col("audio")
-    return out.select(
+    return _ckpt_sort(out.select(
         "doc_id", a["sample_rate"].alias("sample_rate"),
         a["n_samples"].alias("n_samples"),
         _r4(a["duration_s"]).alias("duration_s"),
         _r4b(a["rms"]).alias("rms"),
-        a["zero_crossings"].alias("zero_crossings")).orderBy("doc_id")
+        a["zero_crossings"].alias("zero_crossings")), "doc_id")
 
 
 def url_dedup_docs(spark, sf_dir):
@@ -3931,11 +3946,11 @@ def bpe_encode_oracle_docs(spark, sf_dir):
     out = txt.bpe_encode(docs, _BPE_FIXED_MERGES, lowercase=True)
     # array_join, not a raw array<string>: the driver canonicalizer sorts
     # result columns with pandas, and Python lists are unhashable there.
-    return out.select("doc_id",
+    return _ckpt_sort(out.select("doc_id",
                       F.col("bpe_tokens_n").cast("long").alias("n_subwords"),
                       F.array_join(F.slice("bpe_tokens", 1, 5), " ")
                        .alias("first_subwords")) \
-              .orderBy("doc_id")
+              , "doc_id")
 
 
 def _bpe_fixed_oracle() -> str:
