@@ -1879,7 +1879,10 @@ def token_budget_mix(df: DataFrame, weights: dict[str, float], *,
     # phase 2: ONLY the boundary bucket sorts (~1/n_buckets of one
     # source) — the window is bounded, not source-sized
     edge = j.filter(F.col("__b__") == F.col("__bound__"))
-    w = Window.partitionBy(source_col).orderBy("__pri__") \
+    # id tiebreaker (r11, ADVICE): duplicate id_col values share an md5
+    # priority, and a tie-ordered running sum would make the cut
+    # nondeterministic / non-oracle-replayable.
+    w = Window.partitionBy(source_col).orderBy("__pri__", id_col) \
         .rowsBetween(Window.unboundedPreceding, 0)
     edge_keep = edge.withColumn("__cum__", F.sum(tokens_col).over(w)) \
                     .filter(F.col("__cum__") <= F.col("__rem__")) \
@@ -1946,9 +1949,14 @@ def hashed_ngram_score(df: DataFrame, weights: list[float], *,
             out.append(F.transform(idx, gram_lambda(n)))
         return F.flatten(F.array(*out)) if len(out) > 1 else out[0]
 
+    # NULL text coalesces to the empty gram array so BOTH paths score
+    # sigmoid(bias) (r11, ADVICE): without it the literal path's
+    # F.aggregate over a NULL array yields NULL while the broadcast
+    # path's explode_outer+coalesce yields sigmoid(bias).
     grams = F.when(F.length(F.trim(F.col(text_col))) == 0,
                    F.array().cast("array<string>")) \
-             .otherwise(gram_arrays())
+             .otherwise(F.coalesce(gram_arrays(),
+                                   F.array().cast("array<string>")))
     bucket = lambda g: (F.conv(F.substring(
         F.md5(F.concat(g, F.lit(":"), F.lit(str(seed)))), 1, 8),
         16, 10).cast("long") % D).cast("int")

@@ -214,15 +214,6 @@ def induction(df: DataFrame, order_by, out_col: str, update_expr: Callable, *,
     """
     order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     by_cols = [by] if isinstance(by, str) else (list(by) if by else [])
-    if by_cols:
-        # The stage is PYTHON-compute-bound, but AQE sizes post-shuffle
-        # partitions by BYTES and coalesces small groups onto a couple of
-        # tasks. An explicit numbered repartition on the group keys is
-        # exempt from AQE coalescing and already satisfies applyInPandas'
-        # required distribution, so the recurrence runs one task per core.
-        par = df.sparkSession.sparkContext.defaultParallelism
-        df = df.repartition(par, *[F.col(c) for c in by_cols])
-
     out_schema = T.StructType(df.schema.fields +
                               [T.StructField(out_col, getattr(T, {
                                   "double": "DoubleType", "bigint": "LongType",
@@ -271,7 +262,17 @@ def _grouped_sequential(df: DataFrame, by_cols: Sequence[str],
     """
     import pandas as pd
 
-    part = df.repartition(*[F.col(c) for c in by_cols]) \
+    # NUMBERED repartition (r11): the stage is PYTHON-compute-bound, but
+    # AQE sizes post-shuffle partitions by BYTES and coalesces small
+    # groups onto one task (measured: induction over 10k events ran its
+    # whole recurrence on a single core — 1 distinct partition id after
+    # AQE). REPARTITION_BY_NUM is exempt from AQE coalescing, so the
+    # recurrence runs one task per core. The number must be set HERE:
+    # a caller-side numbered repartition followed by this function's
+    # keyed repartition is collapsed by Catalyst keeping only the
+    # (coalescible) top one.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartition(par, *[F.col(c) for c in by_cols]) \
              .sortWithinPartitions(*by_cols)
 
     def run_partition(batches):

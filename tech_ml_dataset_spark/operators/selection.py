@@ -53,6 +53,19 @@ def _contiguous_index(df: DataFrame, order_within, name: str, *,
     across the cluster; the only single-partition window runs over ≤
     #partitions rows.
 
+    The r11 shape numbers rows from ``monotonically_increasing_id``'s bit
+    layout (pid = id >> 33, in-partition position = id & (2^33-1) — the
+    documented contract of the expression) after an in-partition sort,
+    instead of a ``row_number() OVER (PARTITION BY pid ORDER BY ...)``
+    window: the window's clustering requirement forced a SECOND full-data
+    hash exchange plus a full re-sort after the checkpoint (the
+    checkpointed RDD reports UnknownPartitioning), measured as the
+    dominant cost of every positional operator. ``sortWithinPartitions``
+    costs the same sort ONCE, before the checkpoint, and the mono id is
+    then pure per-row arithmetic — the data branch has no exchange at all
+    past the checkpoint, only the broadcast-offset join. (2^33 rows per
+    partition is monotonically_increasing_id's own documented bound.)
+
     The plan FORKS at the tagged frame (offsets branch + data branch), so
     by default the frame is materialized ONCE via ``localCheckpoint`` —
     otherwise each branch re-executes the upstream lineage, and a
@@ -67,7 +80,14 @@ def _contiguous_index(df: DataFrame, order_within, name: str, *,
     zero-materialization in-plan shape."""
     pid = _free_name(df.columns, "__pid__")
     off = _free_name(df.columns, "__off__")
-    tagged = df.withColumn(pid, F.spark_partition_id())
+    mono = _free_name(df.columns, "__mono__")
+    if order_within is not None:
+        order_cols = [F.col(c) if isinstance(c, str) else c
+                      for c in order_within]
+        df = df.sortWithinPartitions(*order_cols)
+    # the mono projection is nondeterministic, so Catalyst will not push
+    # it below the sort; it numbers the SORTED partition stream
+    tagged = df.withColumn(mono, F.monotonically_increasing_id())
     if materialize:
         # eager: the offsets branch and the data branch fork inside ONE
         # action; a lazy checkpoint would let tasks of both branches
@@ -75,17 +95,18 @@ def _contiguous_index(df: DataFrame, order_within, name: str, *,
         # different executors and disagree (review r3) — materialize as
         # its own job first
         tagged = tagged.localCheckpoint(eager=True)
+    tagged = tagged.withColumn(pid, F.shiftrightunsigned(mono, 33)
+                               .cast("int"))
     woff = W.orderBy(pid).rowsBetween(W.unboundedPreceding, -1)
     off_df = (tagged.groupBy(pid)
                     .agg(F.count(F.lit(1)).alias("__cnt__"))
                     .select(pid,
                             F.coalesce(F.sum("__cnt__").over(woff),
                                        F.lit(0)).alias(off)))
-    order_cols = [F.col(c) if isinstance(c, str) else c for c in order_within]
-    w = W.partitionBy(pid).orderBy(*order_cols)
+    sub = F.col(mono).bitwiseAND(F.lit((1 << 33) - 1))
     return (tagged.join(F.broadcast(off_df), pid)
-                  .withColumn(name, F.col(off) + F.row_number().over(w) - 1)
-                  .drop(pid, off))
+                  .withColumn(name, F.col(off) + sub)
+                  .drop(pid, off, mono))
 
 
 def with_row_index(df: DataFrame, order_by=None, name: str = IDX_COL) -> DataFrame:

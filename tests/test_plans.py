@@ -169,14 +169,13 @@ def test_positional_index_avoids_single_partition_window(spark, sf_dir):
                sel.select_rows(li, [0, 5, 10], order_by=["l_orderkey",
                                                          "l_linenumber"])):
         plan = _plan(df)
-        # every data-path row_number window must be partitioned by __pid__;
-        # the only allowed SinglePartition window is the running-sum over
-        # the per-partition counts (<= #partitions rows)
-        marker = "row_number() windowspecdefinition("
-        occurrences = [plan[i + len(marker):i + len(marker) + 10]
-                       for i in range(len(plan))
-                       if plan.startswith(marker, i)]
-        assert occurrences and all(o.startswith("__pid__") for o in occurrences)
+        # r11 shape: rows are numbered from monotonically_increasing_id's
+        # bit layout after sortWithinPartitions — the data path carries NO
+        # window at all (a row_number would re-shuffle + re-sort the full
+        # data); the only allowed SinglePartition window is the running-sum
+        # over the per-partition counts (<= #partitions rows)
+        assert "row_number()" not in plan
+        assert "__mono__" in plan and "shiftrightunsigned" in plan
 
 
 def test_positional_index_survives_divergent_range_bounds(spark):
