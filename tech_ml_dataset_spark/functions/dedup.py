@@ -650,14 +650,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Scale shape mirrors :func:`minhash_candidates`: the inverted-index join
     carries only (id, gram); shingle arrays join back after the distinct
-    pair set is known."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), k, mode="word").alias("__sh__"))
+    pair set is known.
+
+    The shingled frame is materialized ONCE (eager localCheckpoint): the
+    plan references it from SIX branches (a-side, b-side, the admitted-gram
+    aggregation under each, and both `_attach_shingles` joins), and Spark
+    re-plans a self-joined subtree per reference — measured as six full
+    parquet scans each recomputing the shingling expression (r11,
+    plans/r11/ngram_jaccard_docs_before.txt). The materialized frame is
+    corpus-sized (id + shingle set), the same order as one shuffle of the
+    corpus — acceptable for the verification/small-corpus role this
+    operator documents; MinHash remains the at-scale path."""
+    sh = df.select(F.col(id_col),
+                   shingles(F.col(text_col), k, mode="word").alias("__sh__")) \
+           .localCheckpoint(eager=True)
     inv = sh.select(id_col, F.explode("__sh__").alias("__g__"))
     if max_df is not None:
+        # also materialized: the self-join references it once per side and
+        # expression re-aliasing defeats ReuseExchange, so the explode +
+        # count aggregation would otherwise run twice (vocabulary-sized
+        # result — bounded by distinct admitted grams)
         admitted = (inv.groupBy("__g__")
                        .agg(F.count(F.lit(1)).alias("__df__"))
                        .filter(F.col("__df__") <= max_df)
-                       .select("__g__"))
+                       .select("__g__")
+                       .localCheckpoint(eager=True))
         inv = inv.join(admitted, "__g__")
     a = inv.select(F.col(id_col).alias("id_a"), "__g__")
     b = inv.select(F.col(id_col).alias("id_b"), "__g__")

@@ -114,28 +114,42 @@ def expect(df: DataFrame, rules: Sequence[tuple]) -> None:
 def _psi_from_buckets(ref: DataFrame, cur: DataFrame, cols, bucket_expr,
                       epsilon: float, include_ks: bool = False) -> DataFrame:
     """Shared back half of the PSI family: per-side (column, bucket)
-    counts (one unioned aggregate per side — never a join of the raw
-    tables), full-join + zero-fill, per-column totals, epsilon-smoothed
-    PSI terms, optional bucketed KS. ``bucket_expr(c)`` maps a column name
-    to its bucket Column; numeric and categorical drift differ ONLY in
-    that expression."""
+    counts (ONE scan per side over an exploded (column, bucket) struct
+    array — never a join of the raw tables, never a scan per column),
+    full-join + zero-fill, per-column totals as window sums, epsilon-
+    smoothed PSI terms, optional bucketed KS. ``bucket_expr(c)`` maps a
+    column name to its bucket Column; numeric and categorical drift
+    differ ONLY in that expression."""
+    from pyspark.sql import Window
+
     def side_counts(df, tag):
-        parts = [df.filter(F.col(c).isNotNull())
-                   .select(F.lit(c).alias("column"),
-                           bucket_expr(c).alias("bucket"))
-                 for c in cols]
-        un = parts[0]
-        for part in parts[1:]:
-            un = un.unionByName(part)
+        # ONE scan per side (r11): the per-column union form scanned the
+        # table once per column; an exploded array of (column, bucket)
+        # structs computes every bucket expression in a single row pass
+        # and the groupBy's map-side partial aggregation absorbs the
+        # explode fan-out before any shuffle.
+        entries = F.array(*[
+            F.when(F.col(c).isNotNull(),
+                   F.struct(F.lit(c).alias("column"),
+                            bucket_expr(c).alias("bucket")))
+            for c in cols])
+        un = (df.select(F.explode(F.filter(
+                  entries, lambda e: e.isNotNull())).alias("__e__"))
+                .select("__e__.column", "__e__.bucket"))
         return (un.groupBy("column", "bucket")
                   .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
 
     joined = (side_counts(ref, "ref")
               .join(side_counts(cur, "cur"), ["column", "bucket"], "full")
               .fillna(0, ["n_ref", "n_cur"]))
-    tot = joined.groupBy("column").agg(F.sum("n_ref").alias("t_ref"),
-                                       F.sum("n_cur").alias("t_cur"))
-    j = joined.join(tot, "column")
+    # per-column totals as WINDOW sums over the (column x bucket)-sized
+    # frame (r11): the previous groupBy+join-back forked the plan at
+    # `joined`, and Spark re-planned (and re-executed) every scan and
+    # aggregate under BOTH branches — measured as 2x the data passes of
+    # the whole operator (plans/r11/psi_drift_lineitem_before.txt).
+    wcol = Window.partitionBy("column")
+    j = (joined.withColumn("t_ref", F.sum("n_ref").over(wcol))
+               .withColumn("t_cur", F.sum("n_cur").over(wcol)))
     # greatest(t, 1) keeps an EMPTY side ANSI-safe (no divide-by-zero on a
     # plain session); with t=0 every n is 0 too, so p collapses to epsilon
     p_ref = F.greatest(F.col("n_ref") / F.greatest(F.col("t_ref"), F.lit(1)),
@@ -147,7 +161,6 @@ def _psi_from_buckets(ref: DataFrame, cur: DataFrame, cols, bucket_expr,
         return j.groupBy("column").agg(F.sum(term).alias("psi"))
     # bucketed KS: max |ECDF_ref - ECDF_cur| over the shared bucket grid —
     # a window over n_buckets rows per column, nothing data-sized
-    from pyspark.sql import Window
     wc = (Window.partitionBy("column").orderBy("bucket")
                 .rowsBetween(Window.unboundedPreceding, 0))
     cum_gap = F.abs(
