@@ -20,6 +20,23 @@ import warnings
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Catalyst expressions: evaluate ``value`` ONCE and
+    pass it to ``body`` as a lambda variable, so every reference inside is
+    a variable read instead of a re-evaluation of the full subtree.
+
+    Implemented as ``transform(array(value), v -> body(v))[0]`` — one
+    single-element array allocation per row. Load-bearing wherever an
+    expensive subexpression (regex normalization, tokenization) is
+    referenced many times inside one Column tree: higher-order-function
+    expressions are CodegenFallback, and interpreted evaluation has no
+    common-subexpression elimination, so an inlined subtree is re-run at
+    EVERY reference — including once per ELEMENT when the reference sits
+    inside another HOF's lambda body (the O(len²) char-shingle case,
+    r11)."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def warn_unpartitioned(op: str) -> None:
     """Ordered window operators without ``by`` build
     ``Window.partitionBy()`` — Spark funnels EVERY row through one task

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from ..dtutil import _let
+
 # Mersenne prime for the (a*x + b) % p permutation family. 2^31-1 keeps
 # every intermediate product < 2^62, i.e. inside java long WITHOUT overflow —
 # mandatory under ANSI mode (Spark 4 default), where long overflow throws
@@ -22,6 +24,8 @@ _MERSENNE = (1 << 31) - 1
 def normalize_text(text: Column) -> Column:
     """Lowercase + collapse whitespace — the canonical pre-dedup normalizer."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -84,8 +88,21 @@ def _argmax_survivors(nn: DataFrame, fp_col: str, id_col: str,
 
 def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
     """k-shingles of normalized text: 'char' k-grams (robust for dedup) or
-    'word' n-grams. Pure expression: substring over a generated index range."""
-    norm = normalize_text(text)
+    'word' n-grams. Pure expression: substring over a generated index range.
+
+    Both modes let-bind the normalized text (and word mode the token
+    array) via :func:`_let` so the regex normalization runs ONCE per row:
+    inlined, it re-ran at every reference — ~2k+4 times in word mode and,
+    far worse, once per generated index in char mode (the substr lambda's
+    body re-evaluated its whole subtree per element: O(len²) per row).
+    Measured r11 (sf0.1 corpus, isolated min-of-5 A/B): char-shingle
+    projection 3.13s -> 0.64s (4.9x; 0.15s in a quiet window), word mode
+    0.108s -> 0.067s (1.6x); outputs verified identical (exceptAll both
+    directions empty, both modes)."""
+    return _let(normalize_text(text), lambda norm: _shingles_of(norm, k, mode))
+
+
+def _shingles_of(norm: Column, k: int, mode: str) -> Column:
     if mode == "word":
         # k shifted slices folded with zip_with — O(k) array copies, not
         # the O(n·k) per-index slice form (same rewrite as text.py
@@ -96,27 +113,28 @@ def shingles(text: Column, k: int = 5, *, mode: str = "char") -> Column:
         # wrapper copied its lambda into every toks reference (k+3 sites),
         # and expression-codegen of that tree was the dominant FIXED cost
         # on small slices (ngram_jaccard_docs bisect, COVERAGE.md).
-        toks = F.split(norm, " ")
-        n = F.size(toks)
-        m = F.greatest(n - (k - 1), F.lit(0))
-        acc = F.slice(toks, 1, m)
-        for i in range(1, k):
-            acc = F.zip_with(acc, F.slice(toks, i + 1, m),
-                             lambda a, b: F.concat(a, F.lit(" "), b))
-        # docs with 1..k-1 tokens emit ONE partial gram (all tokens
-        # joined) — the original law the DuckDB oracles replay (clamping
-        # slice over greatest(n-k+1, 1)). Without it the r4 zip_with
-        # rewrite gave short docs ZERO features: identical sub-k-word
-        # docs could never match in the Jaccard family, and simhash
-        # collapsed every short doc to 0, pairing unrelated docs at
-        # distance 0. Empty/NULL text still yields []/NULL (size(NULL)
-        # is -1 non-ANSI and NULL under ANSI — the (n > 0) conjunct
-        # routes BOTH to the otherwise-arm, whose NULL slices propagate
-        # NULL).
-        return F.when(norm == "", F.array().cast("array<string>")) \
-                .when((n > 0) & (n < k),
-                      F.array(F.array_join(toks, " "))) \
-                .otherwise(F.array_distinct(acc))
+        def word_grams(toks):
+            n = F.size(toks)
+            m = F.greatest(n - (k - 1), F.lit(0))
+            acc = F.slice(toks, 1, m)
+            for i in range(1, k):
+                acc = F.zip_with(acc, F.slice(toks, i + 1, m),
+                                 lambda a, b: F.concat(a, F.lit(" "), b))
+            # docs with 1..k-1 tokens emit ONE partial gram (all tokens
+            # joined) — the original law the DuckDB oracles replay
+            # (clamping slice over greatest(n-k+1, 1)). Without it the r4
+            # zip_with rewrite gave short docs ZERO features: identical
+            # sub-k-word docs could never match in the Jaccard family,
+            # and simhash collapsed every short doc to 0, pairing
+            # unrelated docs at distance 0. Empty/NULL text still yields
+            # []/NULL (size(NULL) is -1 non-ANSI and NULL under ANSI —
+            # the (n > 0) conjunct routes BOTH to the otherwise-arm,
+            # whose NULL slices propagate NULL).
+            return F.when(norm == "", F.array().cast("array<string>")) \
+                    .when((n > 0) & (n < k),
+                          F.array(F.array_join(toks, " "))) \
+                    .otherwise(F.array_distinct(acc))
+        return _let(F.split(norm, " "), word_grams)
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(

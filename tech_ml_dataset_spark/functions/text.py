@@ -531,21 +531,29 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     overlap) per doc with no Python and no shuffle (the explode keeps the
     input partitioning; downstream groupBys shuffle as usual). Empty/blank
     docs produce zero chunks."""
-    from ..dtutil import ensure_parallelism
+    from ..dtutil import _let, ensure_parallelism
     df = ensure_parallelism(df)
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     step = chunk_size - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    # Upper bound n - overlap - 1 (not n - 1): a start s with s + overlap >= n
-    # yields a chunk fully contained in its predecessor (the predecessor
-    # already covers through s + overlap - 1), which would duplicate tokens
-    # in training data. s = 0 is always kept via greatest(..., 0).
-    starts = F.sequence(F.lit(0), F.greatest(n - F.lit(overlap) - 1, F.lit(0)),
-                        F.lit(step))
-    chunks = F.transform(starts, lambda s: F.array_join(
-        F.slice(toks, s + 1, chunk_size), " "))
+
+    def _chunks_of(toks):
+        # ``toks`` is _let-bound: inlined, the split re-ran once per
+        # generated CHUNK (the transform lambda body re-evaluates its
+        # whole subtree per element — O(len²/chunk_size) per row; r11)
+        n = F.size(toks)
+        # Upper bound n - overlap - 1 (not n - 1): a start s with
+        # s + overlap >= n yields a chunk fully contained in its
+        # predecessor (the predecessor already covers through
+        # s + overlap - 1), which would duplicate tokens in training
+        # data. s = 0 is always kept via greatest(..., 0).
+        starts = F.sequence(F.lit(0),
+                            F.greatest(n - F.lit(overlap) - 1, F.lit(0)),
+                            F.lit(step))
+        return F.transform(starts, lambda s: F.array_join(
+            F.slice(toks, s + 1, chunk_size), " "))
+
+    chunks = _let(F.split(F.trim(F.col(text_col)), r"\s+"), _chunks_of)
     out = df.withColumn("__chunks__",
                         F.when(F.length(F.trim(F.col(text_col))) > 0, chunks)
                          .otherwise(F.array().cast("array<string>")))
@@ -598,14 +606,27 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     the reference has no repetition operators (parity-plus surface).
     """
     from ..dtutil import ensure_parallelism
+    raw = df
     df = ensure_parallelism(df)
     text = F.col(text_col)
 
-    def _seg_metrics(sep_regex, prefix):
-        segs = F.filter(F.transform(F.split(text, sep_regex),
+    # Every expensive array (line list, paragraph list, distinct lists,
+    # token list) is projected ONCE into a named column before anything
+    # consumes it: higher-order-function expressions are interpreted (no
+    # whole-stage codegen, no common-subexpression elimination), so an
+    # inlined `segs`/`toks` tree was re-split/lowered/trimmed at EVERY
+    # reference — ~32 full tokenizations per row inside the gram Generate
+    # alone (r11, plans/r11/repetition_signals_docs_before.txt). Catalyst's
+    # CollapseProject keeps these layers separate because the aliases are
+    # non-cheap and multiply referenced.
+    def _segs_expr(sep_regex):
+        return F.filter(F.transform(F.split(text, sep_regex),
                                     lambda s: F.trim(s)),
                         lambda s: F.length(s) > 0)
-        dsegs = F.array_distinct(segs)
+
+    def _seg_metrics(prefix):
+        segs = F.col(f"__{prefix}s__")
+        dsegs = F.col(f"__d{prefix}s__")
         n = F.size(segs)
         tot = F.aggregate(segs, F.lit(0).cast("long"),
                           lambda a, x: a + F.length(x))
@@ -621,30 +642,49 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                 f"dup_{prefix}_char_frac": F.when(text.isNull(), None)
                                             .otherwise(cfrac)}
 
-    toks = F.filter(F.split(F.lower(F.trim(text)), _WS),
-                    lambda t: F.length(t) > 0)
+    toks = F.col("__toks__")
     norm_chars = F.when(F.size(toks) == 0, F.lit(0).cast("long")).otherwise(
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
         + F.size(toks) - 1)
-    base = df.withColumns({
-        **_seg_metrics(r"\n", "line"),
-        **_seg_metrics(r"\n\s*\n", "para"),
-        "__nc__": norm_chars,
-    })
+    base = (df.withColumns({"__lines__": _segs_expr(r"\n"),
+                            "__paras__": _segs_expr(r"\n\s*\n"),
+                            "__toks__": _tokens(text)})
+              .withColumns({"__dlines__": F.array_distinct("__lines__"),
+                            "__dparas__": F.array_distinct("__paras__")})
+              .withColumns({
+                  **_seg_metrics("line"),
+                  **_seg_metrics("para"),
+                  "__nc__": norm_chars,
+              })
+              .drop("__lines__", "__paras__", "__dlines__", "__dparas__",
+                    "__toks__"))
 
     ns = sorted(set(top_ngram_ns) | set(dup_ngram_ns))
 
     def _tagged(n):
         # single-arg lambda is load-bearing: a 2-arg transform lambda is
         # interpreted as (element, index) and would shadow n with the index
-        return F.transform(_word_ngrams(text, n),
+        return F.transform(_ngrams_from_tokens(F.col("__toks__"), n),
                            lambda g: F.struct(F.lit(n).alias("n"),
                                               g.alias("g")))
 
     pairs = F.concat(*[_tagged(n) for n in ns])
-    ex = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
-            .select(id_col, F.col("p.n").alias("__n__"),
-                    F.col("p.g").alias("__g__")))
+    # ONE exchange for the whole gram branch (r11): hash-partitioning by
+    # id alone satisfies the clustering requirement of all three
+    # downstream groupBys ((id,n,g) → (id,n) → id — each keys on a
+    # superset of {id}), so the un-numbered (AQE-coalescible) repartition
+    # here replaces three successive aggregate exchanges AND the
+    # ensure_parallelism round-robin (it sources ``raw``, not the
+    # repartitioned frame). It shuffles raw text (pre-explode, ~1/len(ns)
+    # of the gram rows the first aggregate exchange used to carry) and
+    # tokenizes AFTER the shuffle so the expensive pass runs at full
+    # parallelism; doc ids are unskewed keys.
+    ex = (raw.select(F.col(id_col), text)
+             .repartition(F.col(id_col))
+             .select(F.col(id_col), _tokens(text).alias("__toks__"))
+             .select(F.col(id_col), F.explode(pairs).alias("p"))
+             .select(id_col, F.col("p.n").alias("__n__"),
+                     F.col("p.g").alias("__g__")))
     counts = ex.groupBy(id_col, "__n__", "__g__") \
                .agg(F.count(F.lit(1)).alias("__c__"))
     # deterministic top gram: min over (-count, gram) = highest count,
@@ -802,6 +842,7 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
     warn. One groupBy(id) then averages. p(w) is Lidstone-smoothed:
     (c_w + a) / (N + a*V). All JVM-side."""
     from ..dtutil import ensure_parallelism
+    raw = df
     df = ensure_parallelism(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     ex = (df.select(F.col(id_col), F.explode(toks).alias("__w__"))
@@ -831,7 +872,11 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text",
                 .groupBy(id_col)
                 .agg((-F.avg(logp)).alias("bits_per_token"),
                      F.count(F.lit(1)).alias("n_scored_tokens")))
-    return df.join(scored, id_col, "left")
+    # join back from the RAW frame: the ensure_parallelism round-robin
+    # only pays for the per-row explode work above — on this side the
+    # join's own exchange provides the distribution, and the stacked
+    # round-robin + hash exchanges were pure waste (r11)
+    return raw.join(scored, id_col, "left")
 
 
 def bigram_logprob_score(df: DataFrame, text_col: str = "text",
@@ -862,14 +907,17 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text",
     a shuffled join with a warning, same contract as unigram. Both
     tables are localCheckpointed so the corpus explode lineage runs
     once, not once per consumer."""
-    from ..dtutil import ensure_parallelism
+    from ..dtutil import _let, ensure_parallelism
+    raw = df
     df = ensure_parallelism(df)
-    toks_all = F.split(F.lower(F.trim(F.col(text_col))), _WS)
-    toks = F.filter(toks_all, lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    m = F.greatest(n - 1, F.lit(0))
-    pairs = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
-                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), _WS),
+                    lambda t: F.length(t) > 0)
+    # _let binds the tokenized array once: inlined, the split+filter
+    # re-ran at every slice/size reference (~6x per row; r11)
+    pairs = _let(toks, lambda t: F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
     ex = (df.select(F.col(id_col), F.explode(pairs).alias("__bg__"))
             .select(id_col, F.col("__bg__.w1").alias("__w1__"),
                     F.col("__bg__.w2").alias("__w2__")))
@@ -913,7 +961,8 @@ def bigram_logprob_score(df: DataFrame, text_col: str = "text",
                 .groupBy(id_col)
                 .agg((-F.avg(F.log2(p))).alias("bits_per_bigram"),
                      F.count(F.lit(1)).alias("n_bigrams")))
-    out = df.join(scored, id_col, "left")
+    # raw side: the join's own exchange distributes; no round-robin (r11)
+    out = raw.join(scored, id_col, "left")
     return out.withColumn("n_bigrams",
                           F.coalesce(F.col("n_bigrams"), F.lit(0)))
 
@@ -947,14 +996,17 @@ def kneser_ney_bigram_score(df: DataFrame, text_col: str = "text",
     ``broadcast_vocab_max`` (stopword-pair keys make a shuffled join a
     skew trap), shuffled with a warning above it. B comes from one
     1-row agg over the checkpointed bigram table."""
-    from ..dtutil import ensure_parallelism
+    from ..dtutil import _let, ensure_parallelism
+    raw = df
     df = ensure_parallelism(df)
-    toks_all = F.split(F.lower(F.trim(F.col(text_col))), _WS)
-    toks = F.filter(toks_all, lambda t: F.length(t) > 0)
-    n = F.size(toks)
-    m = F.greatest(n - 1, F.lit(0))
-    pairs = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
-                       lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), _WS),
+                    lambda t: F.length(t) > 0)
+    # _let binds the tokenized array once (same rewrite as
+    # bigram_logprob_score; r11)
+    pairs = _let(toks, lambda t: F.zip_with(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
     ex = (df.select(F.col(id_col), F.explode(pairs).alias("__bg__"))
             .select(id_col, F.col("__bg__.w1").alias("__w1__"),
                     F.col("__bg__.w2").alias("__w2__")))
@@ -987,7 +1039,8 @@ def kneser_ney_bigram_score(df: DataFrame, text_col: str = "text",
                 .groupBy(id_col)
                 .agg((-F.avg(F.log2(p))).alias("kn_bits_per_bigram"),
                      F.count(F.lit(1)).alias("n_bigrams")))
-    out = df.join(scored, id_col, "left")
+    # raw side: the join's own exchange distributes; no round-robin (r11)
+    out = raw.join(scored, id_col, "left")
     return out.withColumn("n_bigrams",
                           F.coalesce(F.col("n_bigrams"), F.lit(0)))
 
@@ -1029,6 +1082,7 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     from pyspark.sql import Window as W
 
     from ..dtutil import ensure_parallelism
+    raw = df
     df = ensure_parallelism(df)
     toks = F.split(F.lower(F.trim(F.col(text_col))), _WS)
     ex = (df.select(F.col(id_col), F.explode(toks).alias("term"))
@@ -1038,7 +1092,9 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     doclen = W.partitionBy(id_col)
     tf = tf.withColumn("tf", F.col("__tc__")
                        / F.sum("__tc__").over(doclen))
-    n_docs = df.count()
+    # count the RAW frame: a count over the round-robin-repartitioned one
+    # pays a full corpus shuffle first (r11); the value is identical
+    n_docs = raw.count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df__"))
     dfreq = dfreq.filter(
         (F.col("__df__") >= min_df)
@@ -1102,11 +1158,13 @@ def bm25_search(df: DataFrame, query: str, text_col: str = "text",
     def _tf(trm):
         # factory, not a default-arg lambda: a 2-arg lambda would make
         # F.filter bind (element, INDEX) and shadow the default
-        return F.size(F.filter(toks, lambda x: x == F.lit(trm)))
+        return F.size(F.filter(F.col("__tk__"), lambda x: x == F.lit(trm)))
 
-    base = df.select(
+    # token array projected ONCE: inlined, the trim+lower+split re-ran
+    # per query term (q+1 references, no CSE in HOF evaluation; r11)
+    base = df.select(F.col(id_col), toks.alias("__tk__")).select(
         F.col(id_col),
-        F.size(toks).alias("__len__"),
+        F.size("__tk__").alias("__len__"),
         *[_tf(trm).alias(f"__tf{i}__") for i, trm in enumerate(terms)])
     # one corpus scan: stats aggregate AND scoring both read this slim
     # (id, len, tf…) table — without the checkpoint Spark would rescan
@@ -1427,8 +1485,12 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
     Returns ``df`` with ``out_col`` (default: replace ``text_col``)."""
     from ..dtutil import ensure_parallelism
     out_col = out_col or text_col
+    raw = df
     df = ensure_parallelism(df)
-    n_docs = df.count()
+    # count the RAW frame: counting the round-robin-repartitioned one
+    # shuffled the whole corpus just to count rows (r11) — the count is
+    # scan+aggregate only, and the value is identical
+    n_docs = raw.count()
     lines = (df.select(F.col(id_col),
                        F.posexplode(F.split(F.col(text_col), r"\n"))
                         .alias("__pos__", "__line__"))
@@ -1449,7 +1511,8 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
                                          F.col("__line__").alias("l")))),
                             lambda s: s["l"]),
                         "\n").alias(out_col)))
-    base = df.drop(out_col) if out_col != text_col else df.drop(text_col)
+    # raw side: the join's own exchange distributes; no round-robin (r11)
+    base = raw.drop(out_col) if out_col != text_col else raw.drop(text_col)
     return (base.join(rebuilt, id_col, "left")
                 .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(""))))
 
@@ -1548,9 +1611,19 @@ def pack_sequences(df: DataFrame, budget: int, *, by, order_by,
 # DSIR importance weights (data selection for a target domain)
 # --------------------------------------------------------------------------
 
-def _word_ngrams(text: Column, k: int) -> Column:
-    """Word k-grams WITH multiplicity (no dedup — importance weights count
-    every occurrence), over lowercased whitespace-split tokens.
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace-split non-empty tokens of ``text``.
+
+    Callers that reference the token array more than once must project it
+    into a named column first: higher-order-function expressions are
+    interpreted with no common-subexpression elimination, so every inlined
+    reference re-runs the full split/lower/trim pass (r11)."""
+    return F.filter(F.split(F.lower(F.trim(text)), _WS),
+                    lambda t: F.length(t) > 0)
+
+
+def _ngrams_from_tokens(toks: Column, k: int) -> Column:
+    """Word k-grams WITH multiplicity from an already-tokenized array.
 
     Built from k SHIFTED SLICES of the token array folded with
     ``zip_with`` + concat: k array copies total. The per-index form
@@ -1558,14 +1631,23 @@ def _word_ngrams(text: Column, k: int) -> Column:
     fresh k-element array per gram — O(n·k) copies; measured 7.6x slower
     on the sf0.1 corpus (r4). Fewer-than-k-token docs yield an empty list
     (slice length clamps at 0)."""
-    toks = F.filter(F.split(F.lower(F.trim(text)), _WS),
-                    lambda t: F.length(t) > 0)
     m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     acc = F.slice(toks, 1, m)
     for i in range(1, k):
         acc = F.zip_with(acc, F.slice(toks, i + 1, m),
                          lambda a, b: F.concat(a, F.lit(" "), b))
     return acc
+
+
+def _word_ngrams(text: Column, k: int) -> Column:
+    """Word k-grams WITH multiplicity (no dedup — importance weights count
+    every occurrence), over lowercased whitespace-split tokens.
+
+    NOTE: inlines the tokenization into every slice reference (2k of
+    them) — fine for a single small k; callers combining several k or
+    large k should project :func:`_tokens` into a column and call
+    :func:`_ngrams_from_tokens` (see ``repetition_signals``)."""
+    return _ngrams_from_tokens(_tokens(text), k)
 
 
 def dsir_logweights(corpus: DataFrame, target: DataFrame,
@@ -1595,13 +1677,17 @@ def dsir_logweights(corpus: DataFrame, target: DataFrame,
     # expensive per-row work, so spread it across cores first
     corpus_p = ensure_parallelism(corpus)
     target_p = ensure_parallelism(target)
+    # tokenize into a projected column first: the inlined _word_ngrams
+    # form re-runs the split/lower/trim pass at every slice reference
+    # (2k of them — HOF expressions are interpreted with no CSE; r11)
     grams_c = (corpus_p.select(F.col(id_col),
-                               _word_ngrams(F.col(text_col), k)
-                               .alias("__ga__"))
-                       .select(id_col, F.explode("__ga__").alias("__g__")))
-    grams_t = (target_p.select(_word_ngrams(F.col(text_col), k)
-                               .alias("__ga__"))
-                       .select(F.explode("__ga__").alias("__g__")))
+                               _tokens(F.col(text_col)).alias("__t__"))
+                       .select(id_col,
+                               F.explode(_ngrams_from_tokens(
+                                   F.col("__t__"), k)).alias("__g__")))
+    grams_t = (target_p.select(_tokens(F.col(text_col)).alias("__t__"))
+                       .select(F.explode(_ngrams_from_tokens(
+                                   F.col("__t__"), k)).alias("__g__")))
     fc = grams_c.groupBy("__g__").agg(F.count(F.lit(1)).alias("__cc__"))
     ft = grams_t.groupBy("__g__").agg(F.count(F.lit(1)).alias("__ct__"))
     lm = (fc.join(ft, "__g__", "full_outer")
@@ -1926,19 +2012,22 @@ def hashed_ngram_score(df: DataFrame, weights: list[float], *,
     must be unique) and join the scores back — one shuffle keyed by
     the id, scaling to millions of buckets without a million-literal
     plan."""
+    from ..dtutil import _let
     D = len(weights)
     if D == 0:
         raise ValueError("hashed_ngram_score: empty weight vector")
-    toks = F.split(F.trim(F.col(text_col)), _WS)
 
-    def gram_lambda(n):
-        # factory, not a `n=n` default: F.transform's two-arg lambda
-        # binds (element, INDEX) and silently shadows the default —
-        # the repo's documented trap (verify notes r4/r7)
-        return lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)])
+    def gram_arrays(toks):
+        # ``toks`` is a _let-bound lambda variable: the inlined form
+        # re-ran the whitespace split at EVERY element_at reference —
+        # once per gram per token-lookup, O(len²) per row (r11)
+        def gram_lambda(n):
+            # factory, not a `n=n` default: F.transform's two-arg lambda
+            # binds (element, INDEX) and silently shadows the default —
+            # the repo's documented trap (verify notes r4/r7)
+            return lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)])
 
-    def gram_arrays():
         out = [toks]
         for n in range(2, int(ngrams) + 1):
             stop = F.size(toks) - (n - 1)
@@ -1955,8 +2044,9 @@ def hashed_ngram_score(df: DataFrame, weights: list[float], *,
     # path's explode_outer+coalesce yields sigmoid(bias).
     grams = F.when(F.length(F.trim(F.col(text_col))) == 0,
                    F.array().cast("array<string>")) \
-             .otherwise(F.coalesce(gram_arrays(),
-                                   F.array().cast("array<string>")))
+             .otherwise(F.coalesce(
+                 _let(F.split(F.trim(F.col(text_col)), _WS), gram_arrays),
+                 F.array().cast("array<string>")))
     bucket = lambda g: (F.conv(F.substring(
         F.md5(F.concat(g, F.lit(":"), F.lit(str(seed)))), 1, 8),
         16, 10).cast("long") % D).cast("int")
