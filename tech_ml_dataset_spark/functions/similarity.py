@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..dtutil import _let
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
@@ -28,10 +30,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<numeric> columns, computed in double."""
+    """Cosine similarity of two array<numeric> columns, computed in double.
+
+    The cast-to-double arrays are _let-bound: inlined, each was
+    re-materialized by BOTH the dot product and its norm (4 O(dim) cast
+    passes per pair instead of 2 — HOF expressions have no CSE; r11)."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
-    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+    return _let(ad, lambda x: _let(bd, lambda y:
+                _dot(x, y) / (_norm(x) * _norm(y))))
 
 
 def cosine_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int = 10,
@@ -152,14 +159,21 @@ def _argmin_centroids(vec, centroids) -> Column:
     index by struct ordering. Returns the winning struct; take ``["c"]``
     for the index, ``["d"]`` for the squared distance. Both consumers MUST
     keep this single definition so their oracles stay tie-break-identical."""
-    dists = []
-    for j, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        d2 = F.aggregate(
-            F.zip_with(vec, arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        dists.append(F.struct(d2.alias("d"), F.lit(j).alias("c")))
-    return F.array_min(F.array(*dists))
+    def dists_of(v):
+        # ``v`` is _let-bound: an expression-valued ``vec`` (PQ subvector
+        # slices, semdedup's cast transform) was re-evaluated once per
+        # CENTROID when inlined (r11); column-attribute callers are
+        # unchanged (binding an attribute is free)
+        dists = []
+        for j, c in enumerate(centroids):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with(v, arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            dists.append(F.struct(d2.alias("d"), F.lit(j).alias("c")))
+        return F.array_min(F.array(*dists))
+
+    return _let(vec, dists_of)
 
 
 def kmeans_lloyd(df: DataFrame, vec_col: str = "embedding",
