@@ -143,19 +143,26 @@ def image_dims(b: Column) -> Column:
              .otherwise(acc["off"] + 2 + seg_len).alias("off"),
             F.when(found, acc["off"]).otherwise(F.lit(0)).alias("sof")))
 
-    walk = F.aggregate(F.sequence(F.lit(1), F.lit(32)), init, step)
-    sof = walk["sof"]
-    jpg_h = F.when(sof > 0, _u16be(b, sof + 5))
-    jpg_w = F.when(sof > 0, _u16be(b, sof + 7))
+    # _let-bind the walk result and the sniffed format: inlined, the
+    # 32-step marker walk re-ran once per reference (sof appears in both
+    # jpg dims) and the format sniff twice — HOF/when trees have no CSE
+    # in interpreted evaluation (r11)
+    from ..dtutil import _let
 
-    fmt = sniff_format(b)
-    width = F.when(fmt == "png", png_w) \
-             .when(fmt == "gif", gif_w) \
-             .when(fmt == "jpeg", jpg_w)
-    height = F.when(fmt == "png", png_h) \
-              .when(fmt == "gif", gif_h) \
-              .when(fmt == "jpeg", jpg_h)
-    return F.struct(width.alias("width"), height.alias("height"))
+    def dims_of(sof, fmt):
+        jpg_h = F.when(sof > 0, _u16be(b, sof + 5))
+        jpg_w = F.when(sof > 0, _u16be(b, sof + 7))
+        width = F.when(fmt == "png", png_w) \
+                 .when(fmt == "gif", gif_w) \
+                 .when(fmt == "jpeg", jpg_w)
+        height = F.when(fmt == "png", png_h) \
+                  .when(fmt == "gif", gif_h) \
+                  .when(fmt == "jpeg", jpg_h)
+        return F.struct(width.alias("width"), height.alias("height"))
+
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(32)), init, step)
+    return _let(walk["sof"], lambda sof:
+                _let(sniff_format(b), lambda fmt: dims_of(sof, fmt)))
 
 
 def with_image_dims(df: DataFrame, bin_col: str, out_col: str = "dims"
