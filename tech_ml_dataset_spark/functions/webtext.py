@@ -143,8 +143,14 @@ def c4_filters(df: DataFrame, text_col: str = "text", *,
     per-rule loss accounting."""
     t = F.col(text_col)
     clean = c4_clean_lines(t, min_words=min_words)
-    n_sent = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0)))
-    keep = (n_sent >= min_sentences) \
+    # n_sent/keep read the PROJECTED clean column, not the clean
+    # expression: inlined, the whole line filter re-ran for the sentence
+    # count and again for the keep flag — 3 evaluations per row
+    # (interpreted HOF trees have no CSE; r11). CollapseProject keeps
+    # the projection boundary (multi-referenced non-cheap alias).
+    n_sent = F.size(F.regexp_extract_all(F.col(clean_col),
+                                         F.lit(r"[.!?]"), F.lit(0)))
+    keep = (F.col("c4_n_sentences") >= min_sentences) \
         & ~F.lower(t).contains("lorem ipsum") \
         & ~t.contains("{")
     if badwords:
