@@ -269,6 +269,17 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     sh, banded = _shingle_and_band(df, id_col, text_col, k=k,
                                    n_hashes=n_hashes, bands=bands, seed=seed,
                                    hash_fn=hash_fn)
+    # The banded (id, band, band_key) table is materialized ONCE (eager
+    # localCheckpoint): the self-join references it from both sides and
+    # Catalyst duplicates shared subtrees, so the shingle + n_hashes-wide
+    # minhash-signature expression — the expensive per-row work of this
+    # operator — ran TWICE per action (measured r11: 4 parquet scans in
+    # plans/r11/minhash_pairs_docs_before.txt, 2 + the one-time checkpoint
+    # after). bands × ~16 bytes per doc — the slim LSH key table, exactly
+    # what minhash_index_write already persists for cross-run probes; the
+    # document-sized shingle arrays stay streamed (re-derived per verify
+    # side), preserving the at-scale no-materialization contract.
+    banded = banded.localCheckpoint(eager=True)
     a = banded.select(F.col(id_col).alias("id_a"), "__band__", "__bhash__")
     b = banded.select(F.col(id_col).alias("id_b"), "__band__", "__bhash__")
     ids = (a.join(b, ["__band__", "__bhash__"])
@@ -517,12 +528,24 @@ def hamming_dedup_pairs(df: DataFrame, hash_col: str,
     all four 16-bit bands) — then exact ``bit_count(xor)`` verify.
 
     Scale shape: the banding explode carries only (id, hash, band, key);
-    the self-join fans out per (band, key) bucket, never all-pairs."""
+    the self-join fans out per (band, key) bucket, never all-pairs.
+
+    The slim (id, fingerprint) frame is materialized ONCE (eager
+    localCheckpoint) before banding: the self-join references it from both
+    sides and Catalyst duplicates shared subtrees, so whatever computed the
+    fingerprint — the fused image/audio decode mapInPandas, the simhash
+    aggregation — ran TWICE per action (measured r11: 4 MapInPandas nodes
+    in plans/r11/image_dhash_dedup_docs_before.txt, 2 after). 16 bytes/row
+    bounded by document count — the 'fingerprint once, shuffle 8-byte
+    hashes, never pixels' promise the fingerprint docstrings make, now
+    true of the compute as well as the shuffle."""
     n_bands = 64 // band_bits
-    banded = df.select(
-        F.col(id_col), F.col(hash_col).alias("__fp__"),
+    slim = df.select(F.col(id_col), F.col(hash_col).alias("__fp__")) \
+             .localCheckpoint(eager=True)
+    banded = slim.select(
+        F.col(id_col), F.col("__fp__"),
         F.posexplode(F.array(*[
-            F.shiftright(F.col(hash_col), bi * band_bits)
+            F.shiftright(F.col("__fp__"), bi * band_bits)
              .bitwiseAND(F.lit((1 << band_bits) - 1))
             for bi in range(n_bands)])).alias("__band__", "__key__"))
     a = banded.select(F.col(id_col).alias("id_a"), F.col("__fp__").alias("fp_a"),
@@ -615,9 +638,18 @@ def shared_fingerprint_pairs(df: DataFrame, fp_col: str,
     is then bounded by ``max_df^2/2`` per fingerprint. Pairs whose ONLY
     overlap is capped-out fingerprints are not emitted — the standard
     near-dup recall tradeoff: a fingerprint that frequent identifies a
-    boilerplate artifact, not a duplicate pair."""
+    boilerplate artifact, not a duplicate pair.
+
+    The distinct (id, fp) inverted index is materialized ONCE (eager
+    localCheckpoint): the self-join (and the ``max_df`` aggregation)
+    reference it from multiple branches and Catalyst duplicates shared
+    subtrees, so the upstream fingerprint pass — e.g. the fused video
+    frame-decode mapInPandas — ran once PER REFERENCE (measured r11:
+    2 MapInPandas nodes in plans/r11/video_dedup_docs_before.txt, 1
+    after). 16 bytes/row bounded by total fingerprint count, the same
+    order as what already crossed the distinct's exchange."""
     inv = df.select(F.col(id_col), F.explode(fp_col).alias("__fp__")) \
-            .distinct()
+            .distinct().localCheckpoint(eager=True)
     if max_df is not None:
         admitted = (inv.groupBy("__fp__")
                        .agg(F.count(F.lit(1)).alias("__df__"))
@@ -727,13 +759,24 @@ def winnow_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     m docs cannot create an m×m hot key (pairs must then share a
     fingerprint in <= max_df docs; the containment denominator still uses
     full fingerprint counts). Fingerprinting itself is the Arrow
-    pandas_udf in text.py (vectorized numpy rolling hash per batch)."""
+    pandas_udf in text.py (vectorized numpy rolling hash per batch).
+
+    The per-doc fingerprint frame is materialized ONCE (eager
+    localCheckpoint): the inverted-index self-join references it from
+    both sides, the ``max_df`` aggregation from both of those, and the
+    optimizer additionally re-evaluates the UDF around pushed filters
+    (guide §4.4) — measured r11: EIGHT ArrowEvalPython nodes in
+    plans/r11/winnow_pairs_docs_before.txt for one logical fingerprint
+    pass, 1 after. The frame is (id, array<long>) — one long per winnow
+    window, ~w× smaller than the text it fingerprints, the same
+    metadata-not-payload class as the banded minhash table."""
     from ..dtutil import ensure_parallelism
     from ..functions.text import winnow_fingerprints
 
     fps = ensure_parallelism(df).select(
         F.col(id_col),
-        winnow_fingerprints(F.col(text_col), k=k, w=w).alias("__fp__"))
+        winnow_fingerprints(F.col(text_col), k=k, w=w).alias("__fp__")) \
+        .localCheckpoint(eager=True)
     sized = fps.select(id_col, F.size("__fp__").alias("__nf__"),
                        F.explode("__fp__").alias("__h__"))
     inv = sized
@@ -810,6 +853,16 @@ def similarity_join(left: DataFrame, right: DataFrame,
         # max_df only controls which tokens ENTER the index (candidates
         # must share a token in <= max_df docs); it must not shrink __n__
         dfreq = dfreq.filter(F.col("__df__") <= max_df)
+    # Materialized ONCE (the ngram_jaccard_pairs idiom): _prefix references
+    # dfreq from BOTH sides and Catalyst duplicates shared subtrees, so the
+    # union + count aggregation — i.e. a full shingle+explode pass over BOTH
+    # tables — ran twice (measured r11: 8 parquet scans in the plan,
+    # plans/r11/similarity_join_docs_before.txt). The materialized frame is
+    # the PPJoin global token order itself (distinct gram, df) — vocab-sized,
+    # the table the published algorithm computes in its first pass — while
+    # the corpus sides stay streamed (re-shingled per reference, never
+    # materialized).
+    dfreq = dfreq.localCheckpoint(eager=True)
 
     def _prefix(inv: DataFrame, id_name: str) -> DataFrame:
         toks = inv.join(dfreq, "__g__")
@@ -910,6 +963,13 @@ def dedup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
     themselves through a broadcast left join). The propagation path
     remains for genuinely huge pair sets; ``driver_threshold=0`` forces
     it."""
+    # Materialize the slim (id_a, id_b) pair set ONCE (eager
+    # localCheckpoint): the threshold count and the fast path's collect —
+    # or, on the propagation path, the edges build — are separate actions,
+    # so the whole upstream pair pipeline (banded join + exact verify)
+    # re-executed per action (r11). Two longs per pair, the same volume
+    # the propagation path already localCheckpoints as `edges`.
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     n_pairs = pairs.limit(driver_threshold + 1).count() \
         if driver_threshold else driver_threshold + 1
     if n_pairs <= driver_threshold:
