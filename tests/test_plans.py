@@ -256,6 +256,54 @@ def test_minhash_band_exchange_carries_no_arrays(spark, sf_dir):
             assert "array" not in outp.lower()
 
 
+def test_pair_selfjoins_evaluate_expensive_upstream_once(spark, sf_dir):
+    """r11 optimization invariant: Catalyst duplicates shared subtrees, so
+    every pair-mining self-join used to re-run its expensive upstream once
+    per join side (image/audio decode mapInPandas, the winnow fingerprint
+    pandas_udf, the minhash shingle+signature pass). Each operator now
+    eagerly localCheckpoints the slim frame the join consumes, so the
+    FINAL plan must contain ZERO Python stages (they ran once, inside the
+    checkpoint job) and read the materialized RDD instead."""
+    from tech_ml_dataset_spark.functions import dedup as dd
+    from tech_ml_dataset_spark.functions import multimodal as mmod
+    from tech_ml_dataset_spark.sources.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 60).select("doc_id")
+
+    # banded Hamming over a fused Python decode (the image-dedup shape)
+    pngs = mmod.synthesize_png(
+        docs.select("doc_id", (F.col("doc_id") % 20).alias("img_id")),
+        "img_id", height=8, width=8)
+    hashed = mmod.image_dhash(pngs, "png")
+    plan = _plan(dd.hamming_dedup_pairs(hashed, "dhash", "doc_id",
+                                        max_distance=3))
+    assert "MapInPandas" not in plan and "ExistingRDD" in plan
+
+    # set-overlap pairs over the video frame fingerprint
+    vids = docs.select("doc_id", F.encode(
+        (F.col("doc_id") % 15).cast("string"), "UTF-8").alias("video"))
+    fps = mmod.video_fingerprint(vids, "video", every_n=50, n_frames=100)
+    plan = _plan(dd.shared_fingerprint_pairs(fps, "vfp", "doc_id",
+                                             min_shared=1))
+    assert "MapInPandas" not in plan and "ExistingRDD" in plan
+
+    # winnow inverted-index pairs over the fingerprint pandas_udf
+    wdocs = read_parquet(spark, f"{sf_dir}/documents.parquet") \
+        .filter(F.col("doc_id") < 60)
+    plan = _plan(dd.winnow_dedup_pairs(wdocs, k=8, w=4, min_shared=2,
+                                       max_df=32))
+    assert "ArrowEvalPython" not in plan and "ExistingRDD" in plan
+
+    # minhash banding: signature expressions evaluated once (checkpointed);
+    # only the two shingle-attach scans of the source remain
+    pairs = dd.minhash_dedup_pairs(wdocs, k=5, n_hashes=32, bands=8,
+                                   threshold=0.3)
+    plan = _plan(pairs)
+    assert "ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 2
+
+
 def test_ngram_inverted_index_carries_no_arrays_and_caps_df(spark, sf_dir):
     from tech_ml_dataset_spark.functions import dedup as dd
     from tech_ml_dataset_spark.sources.io import read_parquet
