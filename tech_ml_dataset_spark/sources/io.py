@@ -1049,6 +1049,24 @@ def compact_files(spark: SparkSession, path: str, *,
     return report
 
 
+def parquet_row_count(path: str) -> int:
+    """Row count of a parquet directory tree from the file FOOTERS —
+    driver-side metadata only, no Spark job (the r11
+    build_columnar_index precedent, shared in r12): a count() action
+    over a freshly written table costs a full scheduler round trip just
+    to read back a number every footer already stores. Recurses so
+    partitioned (``key=value`` subdirectory) layouts count too."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
                  keys, *, fmt: str = "parquet",
                  when_matched: str = "update",
@@ -1108,7 +1126,8 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
                 "dedupe the source first")
         init = source if insert_unmatched else source.limit(0)
         init.write.format(fmt).mode("overwrite").save(target_path)
-        rows_after = spark.read.format(fmt).load(target_path).count()
+        rows_after = (parquet_row_count(target_path) if fmt == "parquet"
+                      else spark.read.format(fmt).load(target_path).count())
         return {"matched": 0, "inserted": rows_after,
                 "rows_after": rows_after}
     target = spark.read.format(fmt).load(target_path)
@@ -1119,19 +1138,36 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
             f"source-only {sorted(set(source.columns) - set(target.columns))}")
     source = source.select(*target.columns)  # align order for unionByName
     from pyspark.sql import functions as F
-    dup = (source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n__"))
-                 .filter(F.col("__n__") > 1).limit(1).count())
-    if dup:
+
+    # ONE stats aggregate replaces the former THREE pre-swap count actions
+    # (duplicate-key probe, matched count, inserted count — r12; each was
+    # its own scheduler round trip, and the CDC replay sink pays them per
+    # micro-batch): group the source by key, left-join the target's key
+    # multiplicities, and read dup/matched/inserted off a single row.
+    # matched = Σ target multiplicity over source keys (identical to the
+    # semi-join count); inserted = source keys with no target match
+    # (identical to the anti-join row count once the dup check passes,
+    # since every source key then holds exactly one row). The aggregate
+    # still runs BEFORE the swap, like every plan reading target_path.
+    tk = target.groupBy(*keys).agg(F.count(F.lit(1)).alias("__tn__"))
+    sk = source.groupBy(*keys).agg(F.count(F.lit(1)).alias("__sn__"))
+    stats = (sk.join(tk, keys, "left")
+               .agg(F.max("__sn__").alias("__dup__"),
+                    F.coalesce(F.sum(F.coalesce(F.col("__tn__"), F.lit(0))),
+                               F.lit(0)).alias("__matched__"),
+                    F.coalesce(F.sum(F.when(F.col("__tn__").isNull(), 1)
+                                      .otherwise(0)),
+                               F.lit(0)).alias("__inserted__"))
+               .first())
+    if (stats["__dup__"] or 0) > 1:
         raise ValueError("merge_upsert: source has duplicate merge keys — "
                          "ambiguous update; dedupe the source first "
                          "(e.g. unique_by_column with keep_order_by)")
+    matched_cnt = int(stats["__matched__"])
+    inserted = int(stats["__inserted__"]) if insert_unmatched else 0
 
     src_keys = source.select(*keys)
-    # count actions run BEFORE the swap: every lazy plan here reads the
-    # original files at target_path, which the rename protocol replaces
-    matched_cnt = target.join(src_keys, keys, "left_semi").count()
     unmatched_src = source.join(target.select(*keys), keys, "left_anti")
-    inserted = unmatched_src.count() if insert_unmatched else 0
     survivors = (target if when_matched == "ignore"
                  else target.join(src_keys, keys, "left_anti"))
     parts = [survivors]
@@ -1147,7 +1183,8 @@ def merge_upsert(spark: SparkSession, target_path: str, source: DataFrame,
     os.rename(target_path, backup)
     os.rename(staging, target_path)
     shutil.rmtree(backup)
-    rows_after = spark.read.format(fmt).load(target_path).count()
+    rows_after = (parquet_row_count(target_path) if fmt == "parquet"
+                  else spark.read.format(fmt).load(target_path).count())
     return {"matched": matched_cnt, "inserted": inserted,
             "rows_after": rows_after}
 

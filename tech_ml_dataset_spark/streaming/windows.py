@@ -379,12 +379,31 @@ def text_dedup_batch_apply(batch_df: DataFrame, batch_id: int,
         return
     spark = batch_df.sparkSession
     fresh = exact_dedup(batch_df, text_col, id_col)
-    if _os.path.isdir(corpus_path) and any(
-            f.startswith("batch_id=") for f in _os.listdir(corpus_path)):
+    hist_dirs = ([f for f in _os.listdir(corpus_path)
+                  if f.startswith("batch_id=")
+                  and f != f"batch_id={batch_id}"]
+                 if _os.path.isdir(corpus_path) else [])
+    if hist_dirs:
         hist = (spark.read.parquet(corpus_path)
                      .filter(F.col("batch_id") != batch_id))
+        kw = {}
+        if exact_verify:
+            # Bloom SIZING from the corpus parquet footers (r12): with
+            # exact_verify the bloom is a pure prefilter — any m/k gives
+            # the identical row set — so the default sizing count()
+            # (a full normalize+scan of the history PER MICRO-BATCH,
+            # inside build_bloom) is a scheduler round trip spent
+            # reading back a number the footers already store. The
+            # footer count over-counts NULL-text rows, which only makes
+            # the bitmap marginally larger. exact_verify=False keeps
+            # the exact count: there the fpp actually picks which rows
+            # are (falsely) dropped, and sizing must stay bit-stable.
+            from ..sources.io import parquet_row_count
+            kw["expected_items"] = max(1, sum(
+                parquet_row_count(_os.path.join(corpus_path, d))
+                for d in hist_dirs))
         fresh = incremental_dedup(fresh, hist, text_col,
-                                  exact_verify=exact_verify)
+                                  exact_verify=exact_verify, **kw)
     out = fresh.withColumn("batch_id", F.lit(batch_id))
     with _dynamic_partition_overwrite(spark):
         (out.write.mode("overwrite").partitionBy("batch_id")
