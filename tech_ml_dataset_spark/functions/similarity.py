@@ -41,6 +41,43 @@ def cosine(a: Column, b: Column) -> Column:
                 _dot(x, y) / (_norm(x) * _norm(y))))
 
 
+def row_norm(vec: Column) -> Column:
+    """Per-ROW L2 norm of a vector column, in double — bit-identical to
+    the norm :func:`cosine` evaluates per PAIR (same cast, same left-fold
+    aggregate, same sqrt). Attach it to each side BEFORE a pair join and
+    score with :func:`cosine_with_norms`: every candidate pair then pays
+    one dot product instead of dot + two O(dim) norm re-aggregations
+    (norms are a per-row property; computing them per pair re-did the
+    same work candidate-fan-out times — r12, guide §1.2 step 2)."""
+    return _norm(F.transform(vec, lambda x: x.cast("double")))
+
+
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Pair cosine from raw vectors plus per-row norms (see
+    :func:`row_norm`). The expression tree is dot(a,b) / (na * nb) — the
+    exact operand order :func:`cosine` uses, so results are bit-identical
+    when ``na``/``nb`` are the attached :func:`row_norm` columns."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _let(ad, lambda x: _let(bd, lambda y:
+                _dot(x, y))) / (na * nb)
+
+
+def _py_norm(vals) -> float:
+    """Driver-side replica of :func:`_norm`'s left-fold aggregate over a
+    LITERAL vector (0.0 seed, acc + x*x in element order, sqrt) — IEEE
+    double ops in both engines, so the result is bit-identical to
+    evaluating _norm over the same literal per row. Lets constant-query
+    scorers (cosine_topk / ivf_topk) fold the query norm into a literal
+    instead of re-aggregating an O(dim) constant for every row (r12)."""
+    import math
+    acc = 0.0
+    for x in vals:
+        v = float(x)
+        acc += v * v
+    return math.sqrt(acc)
+
+
 def cosine_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int = 10,
                 id_col: str = "vec_id", score_col: str = "cos") -> DataFrame:
     """Exact brute-force top-k by cosine to a constant query vector.
@@ -51,7 +88,12 @@ def cosine_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int = 10
     for 100 TB (never a global sort).
     """
     q = F.array(*[F.lit(float(x)) for x in query])
-    scored = df.withColumn(score_col, cosine(F.col(vec_col), q))
+    # the query norm is a CONSTANT: fold it driver-side (_py_norm is
+    # bit-identical to _norm over the literal) instead of re-aggregating
+    # the O(dim) query array once per scanned row (r12)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    score = _let(vd, lambda x: _dot(x, q) / (_norm(x) * F.lit(_py_norm(query))))
+    scored = df.withColumn(score_col, score)
     return (scored.select(id_col, score_col)
                   .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
                   .limit(k))
@@ -68,9 +110,13 @@ def cosine_join_topk(left: DataFrame, right: DataFrame, vec_col: str, k: int,
     """
     from pyspark.sql import Window as W
 
-    r = right.select(F.col(right_id).alias("__rid__"), F.col(vec_col).alias("__rvec__"))
-    pairs = left.join(F.broadcast(r), F.col(left_id) != F.col("__rid__"))
-    scored = pairs.withColumn("__cos__", cosine(F.col(vec_col), F.col("__rvec__")))
+    r = right.select(F.col(right_id).alias("__rid__"),
+                     F.col(vec_col).alias("__rvec__"),
+                     row_norm(F.col(vec_col)).alias("__rn__"))
+    pairs = (left.withColumn("__ln__", row_norm(F.col(vec_col)))
+                 .join(F.broadcast(r), F.col(left_id) != F.col("__rid__")))
+    scored = pairs.withColumn("__cos__", cosine_with_norms(
+        F.col(vec_col), F.col("__rvec__"), F.col("__ln__"), F.col("__rn__")))
     w = W.partitionBy(left_id).orderBy(F.col("__cos__").desc(), F.col("__rid__").asc())
     return (scored.withColumn("__rank__", F.row_number().over(w))
                   .filter(F.col("__rank__") <= k)
@@ -335,8 +381,12 @@ def ivf_topk(df: DataFrame, vec_col: str, query: Sequence[float], k: int,
 
     assigned = df if "ivf_cell" in df.columns else ivf_assign(df, vec_col, centroids)
     qlit = F.array(*[F.lit(float(x)) for x in query])
+    # constant query norm folded driver-side (see cosine_topk; r12)
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    score = _let(vd, lambda x:
+                 _dot(x, qlit) / (_norm(x) * F.lit(_py_norm(query))))
     return (assigned.filter(F.col("ivf_cell").isin([int(p) for p in probe]))
-                    .withColumn(score_col, cosine(F.col(vec_col), qlit))
+                    .withColumn(score_col, score)
                     .select(id_col, score_col)
                     .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
                     .limit(k))
@@ -362,11 +412,14 @@ def lsh_bucketed_topk(left: DataFrame, right: DataFrame, vec_col: str, k: int,
                         .withColumn("rank", F.lit(None).cast("int"))
                         .select(left_id, "neighbor_id", "cos", "rank"))
     planes = random_hyperplanes(dim, n_planes, seed)
-    lb = left.withColumn("__bucket__", lsh_bucket(F.col(vec_col), planes))
+    lb = left.withColumn("__bucket__", lsh_bucket(F.col(vec_col), planes)) \
+             .withColumn("__ln__", row_norm(F.col(vec_col)))
     rb = right.select(F.col(right_id).alias("__rid__"), F.col(vec_col).alias("__rvec__")) \
-              .withColumn("__bucket__", lsh_bucket(F.col("__rvec__"), planes))
+              .withColumn("__bucket__", lsh_bucket(F.col("__rvec__"), planes)) \
+              .withColumn("__rn__", row_norm(F.col("__rvec__")))
     pairs = lb.join(rb, "__bucket__").filter(F.col(left_id) != F.col("__rid__"))
-    scored = pairs.withColumn("__cos__", cosine(F.col(vec_col), F.col("__rvec__")))
+    scored = pairs.withColumn("__cos__", cosine_with_norms(
+        F.col(vec_col), F.col("__rvec__"), F.col("__ln__"), F.col("__rn__")))
     w = W.partitionBy(left_id).orderBy(F.col("__cos__").desc(), F.col("__rid__").asc())
     return (scored.withColumn("__rank__", F.row_number().over(w))
                   .filter(F.col("__rank__") <= k)
@@ -423,8 +476,13 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     assigned = df.withColumn("cell", _argmin_centroids(vd, centroids)["c"])
     if keep == "far_from_centroid":
-        coss = F.array(*[cosine(vd, F.array(*[F.lit(float(x)) for x in c]))
-                         for c in centroids])
+        # bind the cast vector AND its norm once across the k centroid
+        # cosines (inlined, the norm re-aggregated per centroid; the
+        # centroid norms are constants folded driver-side — r12)
+        coss = _let(vd, lambda x: _let(_norm(x), lambda nx: F.array(*[
+            _dot(x, F.array(*[F.lit(float(v)) for v in c]))
+            / (nx * F.lit(_py_norm(c)))
+            for c in centroids])))
         assigned = assigned.withColumn(
             "__coscent__", F.element_at(coss, F.col("cell") + 1))
     key_cols = ["cell"]
@@ -436,14 +494,21 @@ def semdedup(df: DataFrame, vec_col: str = "embedding",
         assigned = assigned.withColumn(
             "__sub__", F.pmod(F.xxhash64(F.col(id_col)), nsub)).drop("__n__")
         key_cols = ["cell", "__sub__"]
-    slim = assigned.select(id_col, *key_cols, vec_col)
+    # per-row norms into the within-cell pair join (r12): the quadratic
+    # within-cell verify pays one dot per pair instead of dot + 2 norms
+    slim = assigned.select(id_col, *key_cols, vec_col,
+                           row_norm(F.col(vec_col)).alias("__nv__"))
     a = slim.select(F.col(id_col).alias("id_a"), *key_cols,
-                    F.col(vec_col).alias("__va__"))
+                    F.col(vec_col).alias("__va__"),
+                    F.col("__nv__").alias("__na__"))
     b = slim.select(F.col(id_col).alias("id_b"), *key_cols,
-                    F.col(vec_col).alias("__vb__"))
+                    F.col(vec_col).alias("__vb__"),
+                    F.col("__nv__").alias("__nb__"))
     pairs = (a.join(b, key_cols)
               .filter(F.col("id_a") < F.col("id_b"))
-              .filter(cosine(F.col("__va__"), F.col("__vb__")) >= threshold)
+              .filter(cosine_with_norms(F.col("__va__"), F.col("__vb__"),
+                                        F.col("__na__"), F.col("__nb__"))
+                      >= threshold)
               .select("id_a", "id_b"))
     groups = dedup_clusters(pairs, assigned, id_col) \
         .withColumnRenamed("cluster", "group")
@@ -480,10 +545,18 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
     method="exact": all-pairs O(n²) verify — the oracle baseline; use only
     on bounded slices.
     """
-    slim = df.select(F.col(id_col), F.col(vec_col))
+    # per-ROW norms attached before the pair join: the verify then pays
+    # one dot per candidate instead of dot + two norm re-aggregations
+    # (bit-identical scores — see cosine_with_norms; r12)
+    slim = df.select(F.col(id_col), F.col(vec_col),
+                     row_norm(F.col(vec_col)).alias("__nv__"))
     if method == "exact":
-        a = slim.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"))
-        b = slim.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"))
+        a = slim.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va__"),
+                        F.col("__nv__").alias("__na__"))
+        b = slim.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb__"),
+                        F.col("__nv__").alias("__nb__"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         if dim is None:
@@ -505,10 +578,16 @@ def embedding_dedup_pairs(df: DataFrame, vec_col: str = "embedding",
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b").distinct())
         pairs = (ids.join(slim.select(F.col(id_col).alias("id_a"),
-                                      F.col(vec_col).alias("__va__")), "id_a")
+                                      F.col(vec_col).alias("__va__"),
+                                      F.col("__nv__").alias("__na__")),
+                          "id_a")
                     .join(slim.select(F.col(id_col).alias("id_b"),
-                                      F.col(vec_col).alias("__vb__")), "id_b"))
-    return (pairs.withColumn("cos", cosine(F.col("__va__"), F.col("__vb__")))
+                                      F.col(vec_col).alias("__vb__"),
+                                      F.col("__nv__").alias("__nb__")),
+                          "id_b"))
+    return (pairs.withColumn("cos", cosine_with_norms(
+                     F.col("__va__"), F.col("__vb__"),
+                     F.col("__na__"), F.col("__nb__")))
                  .filter(F.col("cos") >= threshold)
                  .select("id_a", "id_b", "cos"))
 
@@ -555,12 +634,15 @@ def embedding_pairs_between(new_batch: DataFrame, historical: DataFrame,
     once per side for the exact-cosine verify on the candidate set.
     method="exact": all cross pairs (|new|·|hist| — the oracle baseline;
     bounded slices only)."""
+    # per-row norms on both corpora (see embedding_dedup_pairs; r12)
     sn = new_batch.select(F.col(id_col), F.col(vec_col))
     sh = historical.select(F.col(id_col), F.col(vec_col))
     na = sn.select(F.col(id_col).alias("new_id"),
-                   F.col(vec_col).alias("__va__"))
+                   F.col(vec_col).alias("__va__"),
+                   row_norm(F.col(vec_col)).alias("__na__"))
     hb = sh.select(F.col(id_col).alias("hist_id"),
-                   F.col(vec_col).alias("__vb__"))
+                   F.col(vec_col).alias("__vb__"),
+                   row_norm(F.col(vec_col)).alias("__nb__"))
     if method == "exact":
         pairs = na.join(hb)
     else:
@@ -578,7 +660,9 @@ def embedding_pairs_between(new_batch: DataFrame, historical: DataFrame,
         ids = (a.join(b, ["__band__", "__key__"])
                 .select("new_id", "hist_id").distinct())
         pairs = ids.join(na, "new_id").join(hb, "hist_id")
-    return (pairs.withColumn("cos", cosine(F.col("__va__"), F.col("__vb__")))
+    return (pairs.withColumn("cos", cosine_with_norms(
+                     F.col("__va__"), F.col("__vb__"),
+                     F.col("__na__"), F.col("__nb__")))
                  .filter(F.col("cos") >= threshold)
                  .select("new_id", "hist_id", "cos"))
 
