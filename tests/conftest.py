@@ -21,7 +21,16 @@ _hyp_settings.register_profile("thorough", max_examples=1000,
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", shuffle_partitions=8,
+    # r12 (r11 verdict #6: the external verify's pytest run must finish
+    # inside its time budget): the suite is SCHEDULING-bound, not
+    # compute-bound (24 min wall, ~2 min CPU at local[32]) — fixtures are
+    # a few hundred rows, but ensure_parallelism fans every stage to
+    # defaultParallelism tasks, so 32 cores means 32 near-empty tasks per
+    # stage, each paying dispatch latency. Pin the TEST session to 8
+    # cores (overridable via SPARK_GRAFT_TEST_CPUS); bench.py and the
+    # driver contract keep their own core-count envs untouched.
+    cpus = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    s = get_spark("tests", master=f"local[{cpus}]", shuffle_partitions=8,
                   extra_conf={"spark.driver.memory": "8g"})
     yield s
 

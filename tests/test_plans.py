@@ -371,17 +371,33 @@ def test_scale_audit_exemptions_are_real_queries():
         assert not phantom, f"exemptions for nonexistent queries: {phantom}"
 
 
-def test_all_queries_scale_audit(spark, sf_dir):
+@pytest.fixture(scope="module")
+def built_queries(spark, sf_dir):
+    """Build every registry query's DataFrame ONCE for the whole-registry
+    sweeps (r12, r11 verdict #6): several queries run real fixture-mill
+    jobs at DataFrame-construction time (archive writes, roundtrip
+    parquet targets), so building the registry twice — once per sweep —
+    paid that cost twice (~3 min combined). Build errors are captured as
+    strings so each sweep still reports them per-query."""
+    out = {}
+    for name, fn in entry.queries().items():
+        try:
+            out[name] = fn(spark, sf_dir)
+        except Exception as ex:  # pragma: no cover - query itself broken
+            out[name] = f"build failed: {ex}"
+    return out
+
+
+def test_all_queries_scale_audit(built_queries):
     """Sweep EVERY entry query's physical plan for the three 100 TB
     killers: Exchange SinglePartition on the data path, cartesian products,
     and row-at-a-time Python eval. Exemptions are named and justified."""
     bad = []
-    for name, fn in entry.queries().items():
-        try:
-            plan = _plan(fn(spark, sf_dir))
-        except Exception as ex:  # pragma: no cover - query itself broken
-            bad.append((name, f"build failed: {ex}"))
+    for name, df in built_queries.items():
+        if isinstance(df, str):
+            bad.append((name, df))
             continue
+        plan = _plan(df)
         if ("Exchange SinglePartition" in plan
                 and name not in _SCALE_AUDIT_EXEMPT["single_partition"]):
             bad.append((name, "unexempted Exchange SinglePartition"))
@@ -393,7 +409,7 @@ def test_all_queries_scale_audit(spark, sf_dir):
     assert not bad, bad
 
 
-def test_all_queries_driver_canonicalizable_schema(spark, sf_dir):
+def test_all_queries_driver_canonicalizable_schema(built_queries):
     """r6's only red row was a HARNESS-contract failure, not an engine one:
     bpe_encode_oracle_docs emitted a raw array<string> column and the
     driver's canonicalizer (pandas sort_values over all columns) died on
@@ -403,12 +419,11 @@ def test_all_queries_driver_canonicalizable_schema(spark, sf_dir):
     from pyspark.sql.types import (ArrayType, BinaryType, MapType,
                                    StructType)
     bad = []
-    for name, fn in entry.queries().items():
-        try:
-            schema = fn(spark, sf_dir).schema
-        except Exception as ex:  # pragma: no cover - query itself broken
-            bad.append((name, f"build failed: {ex}"))
+    for name, df in built_queries.items():
+        if isinstance(df, str):
+            bad.append((name, df))
             continue
+        schema = df.schema
         for f in schema.fields:
             if isinstance(f.dataType,
                           (ArrayType, MapType, StructType, BinaryType)):
