@@ -1122,7 +1122,7 @@ def image_pipeline_png_docs(spark, sf_dir):
     oracle never touches a codec."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=200)
     pngs = mmod.synthesize_png(binned, "doc_id", height=8, width=8)
     feats = mmod.image_pipeline(pngs, "png", resize_hw=(4, 4),
                                 feature_dtype="float64")
@@ -1150,7 +1150,7 @@ def image_pipeline_jpeg_docs(spark, sf_dir):
     decode_real hash-checked TRUE."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=200)
     jpgs = mmod.synthesize_jpeg(binned, "doc_id", height=16, width=16)
     feats = mmod.image_pipeline(jpgs, "jpg", resize_hw=(4, 4),
                                 feature_dtype="float64")
@@ -1177,7 +1177,7 @@ def image_pipeline_jpeg420_docs(spark, sf_dir):
     decode path end-to-end with decode_real hash-checked TRUE."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=240)
     jpgs = mmod.synthesize_jpeg(binned, "doc_id", height=16, width=16,
                                 subsampling="420", color=True)
     feats = mmod.image_pipeline(jpgs, "jpg", resize_hw=(4, 4),
@@ -1969,7 +1969,7 @@ def mime_route_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=120)
     import pandas as pd
 
     def build(d: int) -> bytes:
@@ -2068,7 +2068,7 @@ def pdf_extract_docs(spark, sf_dir):
     embarrassingly parallel)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=300)
     pdfs = mmod.synthesize_pdf(binned, "doc_id", n_lines=4)
     out = mmod.pdf_text(pdfs, "pdf")
     return _ckpt_sort(out.select(
@@ -2094,7 +2094,7 @@ def pdf_filters_cmap_docs(spark, sf_dir):
     predictor, CMap, or encoding defect."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 280) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=280)
     pdfs = mmod.synthesize_pdf(binned, "doc_id", n_lines=4,
                                flavors=["lzw", "a85", "a85+flate",
                                         "cmap", "cmap_objstm",
@@ -2154,7 +2154,7 @@ def image_pipeline_jpeg_prog_docs(spark, sf_dir):
     pipeline."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 220) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=220)
     jpgs = mmod.synthesize_jpeg(binned, "doc_id", height=16, width=16,
                                 subsampling="420", color=True,
                                 progressive=True)
@@ -2217,7 +2217,7 @@ def image_pipeline_gif_docs(spark, sf_dir):
     TRUE."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=200)
     gifs = mmod.synthesize_gif(binned, "doc_id", height=8, width=8)
     feats = mmod.image_pipeline(gifs, "gifb", resize_hw=(4, 4),
                                 feature_dtype="float64")
@@ -2241,7 +2241,7 @@ def media_dims_docs(spark, sf_dir):
     oracle checks the PARSE, not a constant."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=120)
     # ONE fused fixture stage switching (format, dims) per row — the
     # original 3-formats x 5-variants enumeration built a 15-branch
     # union (15 parquet scans + 15 Python stages) that cost 16.8 s at
@@ -2766,7 +2766,7 @@ def image_dhash_dedup_docs(spark, sf_dir):
     never touching a codec."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
         .select("doc_id", (F.col("doc_id") % 80).alias("img_id"))
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=200)
     pngs = mmod.synthesize_png(binned, "img_id", height=8, width=8)
     hashed = mmod.image_dhash(pngs, "png")
     pairs = dd.hamming_dedup_pairs(hashed, "dhash", "doc_id",
@@ -2790,7 +2790,7 @@ def video_dedup_docs(spark, sf_dir):
     the pair output carries no pixels either way)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150) \
         .select("doc_id")
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=150)
     vids = binned.select(
         "doc_id",
         F.encode(F.concat(F.lit("vid:"),
@@ -2814,7 +2814,7 @@ def audio_fingerprint_dedup_docs(spark, sf_dir):
     of the banded join at max_distance=3 (pigeonhole recall)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
         .select("doc_id", (F.col("doc_id") % 80).alias("aid"))
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=200)
     wavs = mmod.synthesize_wav(binned, "aid", n_samples=2048)
     fps = mmod.audio_fingerprint(wavs, "wav")
     pairs = dd.hamming_dedup_pairs(fps.filter(F.col("afp").isNotNull()),
@@ -2832,7 +2832,7 @@ def image_dedup_survivors_docs(spark, sf_dir):
     structure the fixtures happen to have."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200) \
         .select("doc_id", (F.col("doc_id") % 80).alias("img_id"))
-    binned = mmod.repartition_for_decode(docs, "doc_id")
+    binned = mmod.repartition_for_decode(docs, "doc_id", n_rows=200)
     pngs = mmod.synthesize_png(binned, "img_id", height=8, width=8)
     hashed = mmod.image_dhash(pngs, "png")
     out = dd.fingerprint_dedup(hashed, "dhash", "doc_id")
@@ -3241,7 +3241,7 @@ def audio_features_flac_docs(spark, sf_dir):
     pins any defect in rice/fixed-predictor/CRC/bit-reader plumbing."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400) \
         .select("doc_id")
-    docs = mmod.repartition_for_decode(docs, "doc_id")
+    docs = mmod.repartition_for_decode(docs, "doc_id", n_rows=400)
     flc = mmod.synthesize_flac(docs, "doc_id", n_samples=2048,
                                sample_rate=8000, subframe="fixed2")
     out = mmod.audio_features(flc, "flc")
@@ -3369,7 +3369,7 @@ def image_pipeline_docs(spark, sf_dir):
     vector stats so the driver gets a stable scalar schema."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     binned = docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("data"))
-    binned = mmod.repartition_for_decode(binned, "doc_id")
+    binned = mmod.repartition_for_decode(binned, "doc_id", n_rows=200)
     feats = mmod.image_pipeline(binned, "data", resize_hw=(4, 4), fake_hw=(8, 8))
     return feats.select(
         "doc_id",
